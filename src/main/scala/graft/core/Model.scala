@@ -1,0 +1,91 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+
+/** One extracted file entry — the engine's canonical row.
+  *
+  * Mirrors the reference's fixed 5-column Arrow schema
+  * (reference: src/batch.rs:21-38). `size` is the number of bytes
+  * actually written (decompressed, or extracted-strings length for
+  * executables — reference: src/batch.rs:113-127), `hash` is the
+  * 32-byte SHA-256 of `content` as written (reference:
+  * src/hasher.rs:26-32).
+  */
+final case class ArchiveEntry(
+    source: String,
+    path: String,
+    size: Long,
+    hash: Array[Byte],
+    content: Array[Byte])
+
+object ArchiveSchema {
+  /** Spark equivalent of the reference's Arrow schema
+    * (reference: src/batch.rs:21-38). All columns non-nullable;
+    * UInt64 `size` maps to LongType with a documented >=0 invariant.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("source", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("hash", BinaryType, nullable = false),
+    StructField("content", BinaryType, nullable = false)
+  ))
+
+  val HashSize = 32
+}
+
+/** Detected input format (reference: src/anyreader/format.rs:87-107). */
+sealed abstract class FormatKind(val name: String) {
+  def supportsRecursion: Boolean = this == FormatKind.Tar || this == FormatKind.Zip
+  override def toString: String = name
+}
+
+object FormatKind {
+  case object Gzip extends FormatKind("gzip")
+  case object Zstd extends FormatKind("zstd")
+  case object Bzip2 extends FormatKind("bzip2")
+  case object Xz extends FormatKind("xz")
+  case object Zip extends FormatKind("zip")
+  case object Tar extends FormatKind("tar")
+  case object Executable extends FormatKind("executable")
+  case object Unknown extends FormatKind("unknown")
+
+  val all: Seq[FormatKind] = Seq(Gzip, Zstd, Bzip2, Xz, Zip, Tar, Executable, Unknown)
+  def fromName(s: String): FormatKind =
+    all.find(_.name == s.toLowerCase).getOrElse(Unknown)
+}
+
+/** Which content rows to keep (reference: src/sink.rs:13-21). */
+sealed trait IncludeType
+object IncludeType {
+  case object All extends IncludeType
+  case object Text extends IncludeType
+  case object Binary extends IncludeType
+  def fromString(s: String): IncludeType = s.toLowerCase match {
+    case "all"    => All
+    case "text"   => Text
+    case "binary" => Binary
+    case other    => throw new IllegalArgumentException(s"unknown include type: $other")
+  }
+}
+
+/** Conversion options (reference: src/lib.rs:24-63 defaults at :38-52).
+  *
+  * Spark-specific additions: `parallelism` (input repartition width),
+  * `maxDepth` (defensive recursion cap, the reference has none),
+  * `maxEntryBytes` (JVM arrays cap content at 2 GiB; the reference's
+  * LargeBinary is unbounded — declared limit, entries are truncated
+  * never silently dropped).
+  */
+final case class ConvertOptions(
+    include: IncludeType = IncludeType.All,
+    unique: Boolean = false,
+    compression: String = "snappy",
+    minSize: Option[Long] = None,
+    maxSize: Option[Long] = None,
+    extractStrings: Boolean = false,
+    parallelism: Option[Int] = None,
+    maxDepth: Int = 32,
+    maxEntryBytes: Long = 1L << 30) {
+  require(minSize.forall(_ >= 0) && maxSize.forall(_ >= 0), "size bounds must be >= 0")
+}

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
+import org.apache.spark.sql.functions._
+
+/** Public Column-function surface of the engine. Reference-derived
+  * scalars (`is_utf8`, `format_kind`, `extract_strings`, `sha256`) plus
+  * the training-data-pipeline primitives (minhash/simhash/fingerprint,
+  * vector math). Everything here is either a codegen'd custom
+  * Expression or a composition of Spark built-ins — no interpreted
+  * Scala UDFs in hot paths.
+  */
+object GraftFunctions {
+
+  // ---- reference-derived scalar surface (SURVEY.md §2.8) ----
+
+  def is_utf8(c: Column): Column = column(IsUtf8(expression(c)))
+
+  def format_kind(c: Column): Column = column(FormatKindOf(expression(c)))
+
+  def extract_strings(c: Column, minLen: Int): Column =
+    column(ExtractStrings(expression(c), expression(lit(minLen))))
+
+  /** 32-byte SHA-256 of a binary column (reference: src/hasher.rs). */
+  def sha256(c: Column): Column = unhex(sha2(c, 256))
+
+  def explode_archive(c: Column): Column = column(ExplodeArchive(expression(c)))
+
+  // ---- dedup primitives ----
+
+  def minhash_signature(text: Column, numHashes: Int = 128, shingleWidth: Int = 3): Column =
+    column(MinHashSignature(expression(text), expression(lit(numHashes)),
+      expression(lit(shingleWidth))))
+
+  def simhash64(text: Column): Column = column(SimHash64(expression(text)))
+
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  def fingerprint(text: Column, k: Int = 9, window: Int = 4): Column =
+    column(Fingerprint(expression(text), expression(lit(k)), expression(lit(window))))
+
+  // ---- vector math (built-in compositions — fully codegen'd) ----
+
+  /** Dot product of two array<float|double> columns in double precision.
+    * Left-fold accumulation => deterministic, reproducible sums.
+    */
+  def vec_dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
+
+  def cosine_similarity(a: Column, b: Column): Column =
+    vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+  // ---- text analysis (built-in compositions, oracle-expressible) ----
+
+  /** Whitespace token count. */
+  def token_count(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** Occurrences of `word` as a whole token in `text` (length-delta trick,
+    * identical semantics in ANSI SQL for the oracle).
+    */
+  def word_occurrences(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val needle = s" $word "
+    // overlapping-safe for space-delimited words
+    (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(needle), " "))) /
+      lit(needle.length - 1)
+  }
+
+  // ---- SQL registration ----
+
+  /** Register the custom expressions for SQL use
+    * (`SELECT is_utf8(content), ... LATERAL VIEW explode_archive(content)`).
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("is_utf8", e => IsUtf8(e.head), "scala_udf")
+    registry.createOrReplaceTempFunction("format_kind", e => FormatKindOf(e.head), "scala_udf")
+    registry.createOrReplaceTempFunction("extract_strings",
+      e => ExtractStrings(e.head, e(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("minhash_signature",
+      e => MinHashSignature(e.head, e(1), e(2)), "scala_udf")
+    registry.createOrReplaceTempFunction("simhash64", e => SimHash64(e.head), "scala_udf")
+    registry.createOrReplaceTempFunction("fingerprint",
+      e => Fingerprint(e.head, e(1), e(2)), "scala_udf")
+    registry.createOrReplaceTempFunction("explode_archive",
+      e => ExplodeArchive(e.head), "scala_udf")
+  }
+}

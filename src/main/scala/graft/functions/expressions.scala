@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom scalar Catalyst expressions for the reference-derived
+  * operators that Spark lacks. All participate in whole-stage codegen
+  * by delegating to static helpers (no interpreted UDF overhead in the
+  * hot converter filter path).
+  */
+
+/** `is_utf8(binary) -> boolean` — the reference's text/binary content
+  * filter predicate (reference: src/batch.rs:157-180).
+  */
+case class IsUtf8(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "is_utf8"
+  override protected def nullSafeEval(input: Any): Any =
+    Utf8.isValid(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Utf8.isValid($c)")
+  override protected def withNewChildInternal(newChild: Expression): IsUtf8 = copy(child = newChild)
+}
+
+/** `format_kind(binary) -> string` — two-stage magic-byte sniff of a
+  * content value (reference: src/anyreader/compression.rs:34-75 +
+  * src/anyreader/format.rs:14-52). Returns one of
+  * gzip|zstd|bzip2|xz|zip|tar|executable|unknown.
+  */
+case class FormatKindOf(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "format_kind"
+  override protected def nullSafeEval(input: Any): Any =
+    FormatKindHelper.kindName(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FormatKindHelper.kindName($c)")
+  override protected def withNewChildInternal(newChild: Expression): FormatKindOf =
+    copy(child = newChild)
+}
+
+/** `extract_strings(binary, minLen) -> array<string>` — ASCII-run
+  * string extraction (reference: crates/extract-strings/src/ascii.rs).
+  */
+case class ExtractStrings(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "extract_strings"
+  override protected def nullSafeEval(bytes: Any, minLen: Any): Any =
+    StringsHelper.extract(bytes.asInstanceOf[Array[Byte]], minLen.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, m) => s"graft.functions.StringsHelper.extract($b, $m)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ExtractStrings =
+    copy(left = l, right = r)
+}
+
+/** `minhash_signature(text, numHashes, shingleWidth) -> array<bigint>` —
+  * deterministic MinHash signature over word shingles; the scale path
+  * for near-duplicate detection (LSH banding happens in the DataFrame
+  * layer, see [[graft.ops.Dedup]]).
+  */
+case class MinHashSignature(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+  override protected def nullSafeEval(text: Any, n: Any, w: Any): Any =
+    HashingHelper.minHashSignature(
+      text.asInstanceOf[UTF8String], n.asInstanceOf[Int], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n, w) =>
+      s"graft.functions.HashingHelper.minHashSignature($t, $n, $w)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): MinHashSignature =
+    copy(first = f, second = s, third = t)
+}
+
+/** `simhash64(text) -> bigint` — 64-bit SimHash; near-dup via hamming
+  * distance (`bit_count(a ^ b)`).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    HashingHelper.simHash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashingHelper.simHash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `fingerprint(text, k, window) -> array<bigint>` — winnowing document
+  * fingerprint (rolling k-gram hashes, per-window minima).
+  */
+case class Fingerprint(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fingerprint"
+  override protected def nullSafeEval(text: Any, k: Any, w: Any): Any =
+    HashingHelper.winnow(text.asInstanceOf[UTF8String], k.asInstanceOf[Int], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, w) => s"graft.functions.HashingHelper.winnow($t, $k, $w)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Fingerprint =
+    copy(first = f, second = s, third = t)
+}
+
+/** `explode_archive(content) -> rows(path, size, hash, content)` — the
+  * recursive archive walk (SURVEY.md §2.2 W1-W6) exposed to SQL as a
+  * Generator: `SELECT f.source, a.* FROM files f LATERAL VIEW
+  * explode_archive(f.content) a`. Walks the binary value in memory;
+  * for whole-file streaming conversion use
+  * [[graft.convert.ArchiveConverter]] instead.
+  */
+case class ExplodeArchive(child: Expression)
+    extends UnaryExpression with Generator with codegen.CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def prettyName: String = "explode_archive"
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("hash", BinaryType, nullable = false),
+    StructField("content", BinaryType, nullable = false)
+  ))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val bytes = child.eval(input).asInstanceOf[Array[Byte]]
+    if (bytes == null) Iterator.empty
+    else {
+      val opts = graft.core.ConvertOptions()
+      graft.walk.ArchiveWalker
+        .walk("", new java.io.ByteArrayInputStream(bytes), bytes.length.toLong, opts)
+        .map { e =>
+          InternalRow(UTF8String.fromString(e.path), e.size, e.hash, e.content)
+        }
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): ExplodeArchive =
+    copy(child = newChild)
+}

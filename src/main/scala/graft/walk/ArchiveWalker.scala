@@ -1,0 +1,215 @@
+package graft.walk
+
+import graft.core.{ArchiveEntry, ConvertOptions, FormatKind}
+import graft.io.Sniff
+import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+import org.apache.commons.compress.archivers.zip.ZipArchiveInputStream
+
+import java.io.{ByteArrayOutputStream, FilterInputStream, InputStream}
+import java.security.MessageDigest
+
+/** Recursive archive walker — the engine's core correlated-flatten
+  * operator. One input file/stream explodes into N extracted-file
+  * rows; entries that are themselves archives (tar/zip, possibly
+  * compressed) are expanded in place instead of emitted
+  * (reference: src/anyreader_walker/stack.rs:26-39).
+  *
+  * Semantics mirrored from the reference:
+  *   - two-stage sniff per entry (compression then container) —
+  *     entry.rs:70-80, so `.tar.gz` nested anywhere expands, and a
+  *     merely-compressed non-archive entry is emitted *decompressed*;
+  *   - `source` = top-level input path; `path` = `/`-joined lineage of
+  *     archive names below the root plus the entry name
+  *     (utils.rs:49-55, batch.rs:108-111);
+  *   - tar: only regular entries with size > 0 (tarfile.rs:24);
+  *     zip: only file entries with size != 0 (zipfile.rs:23) —
+  *     streaming zips with data descriptors report unknown (-1) sizes,
+  *     those pass and empty results are dropped post-read;
+  *   - zip-quine guard: a zip entry whose (path, size) equals its
+  *     immediate parent archive's is NOT recursed into — it is emitted
+  *     as a plain file (visitor.rs:94-100 returns false from
+  *     begin_visit_archive, so walk() falls through to
+  *     visit_file_entry — stack.rs:26-39);
+  *   - executables with extractStrings: content is the newline-joined
+  *     ASCII strings (min run 10), size/hash follow the rewritten
+  *     content (batch.rs:113-127);
+  *   - corrupt entry headers end that archive's iteration silently
+  *     (tarfile.rs:22 `while let Some(Ok(entry))`), errors while
+  *     reading entry bytes propagate and fail the input.
+  *
+  * Laziness discipline: an inner entry's stream is only valid until
+  * the enclosing archive advances, so the returned iterator expands
+  * strictly in order and materializes each leaf's content at emit
+  * time (the reference's visit-immediately discipline).
+  */
+object ArchiveWalker {
+
+  /** Archive-header metadata for an entry (reference: entry.rs:13-25).
+    * `size` is the CLAIMED size from the header, -1 when unknown.
+    */
+  final case class Details(path: String, size: Long)
+
+  /** Walk one local file. */
+  def walkPath(path: String, opts: ConvertOptions): Iterator[ArchiveEntry] = {
+    val f = new java.io.File(path)
+    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f), 256 * 1024)
+    walk(path, in, f.length(), opts)
+  }
+
+  /** Walk one already-open stream named `source`. Consumes and closes it. */
+  def walk(source: String, in: InputStream, claimedSize: Long, opts: ConvertOptions): Iterator[ArchiveEntry] = {
+    val it = walkEntry(source, Nil, Details(source, claimedSize), parent = None, raw = in, depth = 0, opts)
+    closing(it, in)
+  }
+
+  private def closing(it: Iterator[ArchiveEntry], in: InputStream): Iterator[ArchiveEntry] =
+    new Iterator[ArchiveEntry] {
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h) in.close()
+        h
+      }
+      override def next(): ArchiveEntry = it.next()
+    }
+
+  /** Shields an archive stream from decompressor/stream close() calls
+    * made while processing one of its entries.
+    */
+  private final class NonClosing(in: InputStream) extends FilterInputStream(in) {
+    override def close(): Unit = ()
+  }
+
+  private def walkEntry(
+      source: String,
+      nested: List[String],
+      details: Details,
+      parent: Option[Details],
+      raw: InputStream,
+      depth: Int,
+      opts: ConvertOptions): Iterator[ArchiveEntry] = {
+    val (kind, stream) = Sniff.open(raw)
+    val quine = kind == FormatKind.Zip && parent.contains(details)
+    if (kind.supportsRecursion && !quine && depth < opts.maxDepth) {
+      // entering an archive: its name joins the lineage below the root
+      // (the root itself is excluded — utils.rs:49-55 skip(1))
+      val childNested = if (depth == 0) nested else nested :+ details.path
+      kind match {
+        case FormatKind.Tar => walkTar(source, childNested, details, stream, depth, opts)
+        case _              => walkZip(source, childNested, details, stream, depth, opts)
+      }
+    } else {
+      Iterator.single(emit(source, nested, details.path, kind, stream, opts))
+    }
+  }
+
+  private def walkTar(
+      source: String,
+      nested: List[String],
+      self: Details,
+      stream: InputStream,
+      depth: Int,
+      opts: ConvertOptions): Iterator[ArchiveEntry] = {
+    val tar = new TarArchiveInputStream(stream)
+    archiveIterator {
+      () =>
+        val e = tar.getNextEntry
+        if (e == null) None
+        // only regular file entries with content (tarfile.rs:24-26)
+        else if (!e.isFile || e.getSize == 0) Some(Iterator.empty)
+        else {
+          val d = Details(e.getName, e.getSize)
+          Some(walkEntry(source, nested, d, Some(self), new NonClosing(tar), depth + 1, opts))
+        }
+    }
+  }
+
+  private def walkZip(
+      source: String,
+      nested: List[String],
+      self: Details,
+      stream: InputStream,
+      depth: Int,
+      opts: ConvertOptions): Iterator[ArchiveEntry] = {
+    // streaming read of local headers, no central directory — parity
+    // with the reference's read_zipfile_from_stream (zipfile.rs:22)
+    val zip = new ZipArchiveInputStream(stream, "UTF8", false, true)
+    archiveIterator {
+      () =>
+        val e = zip.getNextEntry
+        if (e == null) None
+        // only file entries with nonzero size (zipfile.rs:23-25);
+        // size -1 = unknown until the data descriptor — keep those and
+        // drop empty results after reading
+        else if (e.isDirectory || e.getSize == 0) Some(Iterator.empty)
+        else {
+          val d = Details(e.getName, e.getSize)
+          Some(walkEntry(source, nested, d, Some(self), new NonClosing(zip), depth + 1, opts)
+            .filter(r => r.size > 0 || e.getSize > 0))
+        }
+    }
+  }
+
+  /** Sequential expansion over an archive's entries. `nextEntry`
+    * returns None at end-of-archive (or on a corrupt header), or the
+    * expansion of the next entry. Sub-iterators are drained fully
+    * before the underlying archive stream advances.
+    */
+  private def archiveIterator(nextEntry: () => Option[Iterator[ArchiveEntry]]): Iterator[ArchiveEntry] =
+    new Iterator[ArchiveEntry] {
+      private var cur: Iterator[ArchiveEntry] = Iterator.empty
+      private var done = false
+
+      private def advance(): Unit =
+        while (!cur.hasNext && !done) {
+          val n =
+            try nextEntry()
+            catch { case _: java.io.IOException => None } // corrupt header ends iteration
+          n match {
+            case None     => done = true
+            case Some(it) => cur = it
+          }
+        }
+
+      override def hasNext: Boolean = { advance(); cur.hasNext }
+      override def next(): ArchiveEntry = { advance(); cur.next() }
+    }
+
+  /** Materialize one leaf row: stream-copy content through a SHA-256
+    * tee (reference: src/hasher.rs:5-37, src/batch.rs:101-131).
+    */
+  private def emit(
+      source: String,
+      nested: List[String],
+      name: String,
+      kind: FormatKind,
+      stream: InputStream,
+      opts: ConvertOptions): ArchiveEntry = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val out = new ByteArrayOutputStream(8192)
+    var written = 0L
+
+    def write(b: Array[Byte], len: Int): Unit = {
+      md.update(b, 0, len)
+      out.write(b, 0, len)
+      written += len
+    }
+
+    if (opts.extractStrings && kind == FormatKind.Executable) {
+      // content := newline-terminated extracted strings (batch.rs:113-121)
+      val it = AsciiStrings.iterate(stream, minLength = 10)
+      while (it.hasNext) {
+        val b = (it.next() + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        write(b, b.length)
+      }
+    } else {
+      val buf = new Array[Byte](64 * 1024)
+      var n = stream.read(buf)
+      while (n >= 0 && written < opts.maxEntryBytes) {
+        if (n > 0) write(buf, math.min(n, (opts.maxEntryBytes - written).toInt))
+        n = stream.read(buf)
+      }
+    }
+    val path = (nested :+ name).mkString("/")
+    ArchiveEntry(source, path, written, md.digest(), out.toByteArray)
+  }
+}

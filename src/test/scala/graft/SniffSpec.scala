@@ -1,0 +1,66 @@
+package graft
+
+import graft.core.FormatKind
+import graft.io.Sniff
+import org.scalatest.funsuite.AnyFunSuite
+import java.io.ByteArrayInputStream
+
+/** Port of the reference's compression round-trip tests
+  * (reference: src/anyreader/compression.rs:94-118) and container
+  * detection (src/anyreader/format.rs).
+  */
+class SniffSpec extends AnyFunSuite {
+  import Fixtures._
+
+  private def readAll(in: java.io.InputStream): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    var n = in.read(buf)
+    while (n >= 0) { if (n > 0) bos.write(buf, 0, n); n = in.read(buf) }
+    bos.toByteArray
+  }
+
+  test("each codec is detected and decodes back to the plaintext") {
+    val cases: Seq[(Array[Byte], FormatKind)] = Seq(
+      (gzipData(TestData), FormatKind.Gzip),
+      (zstdData(TestData), FormatKind.Zstd),
+      (bz2Data(TestData), FormatKind.Bzip2),
+      (xzData(TestData), FormatKind.Xz),
+      (TestData, FormatKind.Unknown))
+    cases.foreach { case (data, expected) =>
+      val (kind, stream) = Sniff.open(new ByteArrayInputStream(data))
+      assert(kind == expected, s"for $expected")
+      assert(readAll(stream).sameElements(TestData), s"round-trip for $expected")
+    }
+  }
+
+  test("containers are detected after decompression (tar.gz => tar)") {
+    val tar = tarArchive(Seq("a" -> TestData))
+    val zip = zipArchive(Seq("a" -> TestData))
+    assert(Sniff.formatKindOfBytes(tar) == FormatKind.Tar)
+    assert(Sniff.formatKindOfBytes(zip) == FormatKind.Zip)
+    assert(Sniff.formatKindOfBytes(gzipData(tar)) == FormatKind.Tar)
+    assert(Sniff.formatKindOfBytes(zstdData(zip)) == FormatKind.Zip)
+    assert(Sniff.formatKindOfBytes(xzData(tar)) == FormatKind.Tar)
+    assert(Sniff.formatKindOfBytes(bz2Data(tar)) == FormatKind.Tar)
+  }
+
+  test("executables are detected") {
+    assert(Sniff.formatKindOfBytes(fakeElf(Seq("hello"))) == FormatKind.Executable)
+    assert(Sniff.formatKindOfBytes("MZ....".getBytes) == FormatKind.Executable)
+    assert(Sniff.formatKindOfBytes(Array[Byte](0, 'a', 's', 'm', 1)) == FormatKind.Executable)
+  }
+
+  test("compressed non-archive reports the codec kind, content decompressed") {
+    val data = gzipData(TestData)
+    val (kind, stream) = Sniff.open(new ByteArrayInputStream(data))
+    assert(kind == FormatKind.Gzip)
+    assert(readAll(stream).sameElements(TestData))
+  }
+
+  test("zstd skippable frame magic is recognized") {
+    // frame magic 0x184D2A50..0x184D2A5F, little-endian
+    val b = Array[Byte](0x50, 0x2a, 0x4d.toByte, 0x18, 0, 0, 0, 0)
+    assert(Sniff.isZstd(b))
+  }
+}
