@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftShims.{column, expression}
 
 /** Public Column-function surface of the engine. Reference-derived
   * scalars (`is_utf8`, `format_kind`, `extract_strings`, `sha256`) plus
@@ -79,17 +79,13 @@ object GraftFunctions {
     * (`SELECT is_utf8(content), ... LATERAL VIEW explode_archive(content)`).
     */
   def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("is_utf8", e => IsUtf8(e.head), "scala_udf")
-    registry.createOrReplaceTempFunction("format_kind", e => FormatKindOf(e.head), "scala_udf")
-    registry.createOrReplaceTempFunction("extract_strings",
-      e => ExtractStrings(e.head, e(1)), "scala_udf")
-    registry.createOrReplaceTempFunction("minhash_signature",
-      e => MinHashSignature(e.head, e(1), e(2)), "scala_udf")
-    registry.createOrReplaceTempFunction("simhash64", e => SimHash64(e.head), "scala_udf")
-    registry.createOrReplaceTempFunction("fingerprint",
-      e => Fingerprint(e.head, e(1), e(2)), "scala_udf")
-    registry.createOrReplaceTempFunction("explode_archive",
-      e => ExplodeArchive(e.head), "scala_udf")
+    import org.apache.spark.sql.graft.GraftShims.registerFunction
+    registerFunction(spark, "is_utf8", e => IsUtf8(e.head))
+    registerFunction(spark, "format_kind", e => FormatKindOf(e.head))
+    registerFunction(spark, "extract_strings", e => ExtractStrings(e.head, e(1)))
+    registerFunction(spark, "minhash_signature", e => MinHashSignature(e.head, e(1), e(2)))
+    registerFunction(spark, "simhash64", e => SimHash64(e.head))
+    registerFunction(spark, "fingerprint", e => Fingerprint(e.head, e(1), e(2)))
+    registerFunction(spark, "explode_archive", e => ExplodeArchive(e.head))
   }
 }

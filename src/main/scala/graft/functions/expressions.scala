@@ -16,8 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
 /** `is_utf8(binary) -> boolean` — the reference's text/binary content
   * filter predicate (reference: src/batch.rs:157-180).
   */
-case class IsUtf8(child: Expression) extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+case class IsUtf8(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "is_utf8"
@@ -33,8 +32,7 @@ case class IsUtf8(child: Expression) extends UnaryExpression with ExpectsInputTy
   * src/anyreader/format.rs:14-52). Returns one of
   * gzip|zstd|bzip2|xz|zip|tar|executable|unknown.
   */
-case class FormatKindOf(child: Expression) extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+case class FormatKindOf(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "format_kind"
@@ -50,8 +48,7 @@ case class FormatKindOf(child: Expression) extends UnaryExpression with ExpectsI
   * string extraction (reference: crates/extract-strings/src/ascii.rs).
   */
 case class ExtractStrings(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+    extends BinaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "extract_strings"
@@ -69,8 +66,7 @@ case class ExtractStrings(left: Expression, right: Expression)
   * layer, see [[graft.ops.Dedup]]).
   */
 case class MinHashSignature(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType, IntegerType)
+    extends TernaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_signature"
@@ -88,8 +84,7 @@ case class MinHashSignature(first: Expression, second: Expression, third: Expres
 /** `simhash64(text) -> bigint` — 64-bit SimHash; near-dup via hamming
   * distance (`bit_count(a ^ b)`).
   */
-case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash64"
@@ -105,8 +100,7 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
   * fingerprint (rolling k-gram hashes, per-window minima).
   */
 case class Fingerprint(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType, IntegerType)
+    extends TernaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "fingerprint"
@@ -127,8 +121,7 @@ case class Fingerprint(first: Expression, second: Expression, third: Expression)
   * [[graft.convert.ArchiveConverter]] instead.
   */
 case class ExplodeArchive(child: Expression)
-    extends UnaryExpression with Generator with codegen.CodegenFallback with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+    extends UnaryExpression with Generator with codegen.CodegenFallback {
   override def prettyName: String = "explode_archive"
   override def elementSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),

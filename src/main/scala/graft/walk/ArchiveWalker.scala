@@ -205,7 +205,8 @@ object ArchiveWalker {
       val buf = new Array[Byte](64 * 1024)
       var n = stream.read(buf)
       while (n >= 0 && written < opts.maxEntryBytes) {
-        if (n > 0) write(buf, math.min(n, (opts.maxEntryBytes - written).toInt))
+        // clamp in Long space: maxEntryBytes - written can exceed Int.MaxValue
+        if (n > 0) write(buf, math.min(n.toLong, opts.maxEntryBytes - written).toInt)
         n = stream.read(buf)
       }
     }

@@ -100,8 +100,11 @@ class WalkerSpec extends AnyFunSuite {
     val shallow = walk(deep, o = opts.copy(maxDepth = 2))
     // at depth cap the nested tar bytes are emitted as a file
     assert(shallow.nonEmpty)
+    // lineage below the root: entries l5..l2 are archives (each joins
+    // the path), leaf l1 appends — reference utils.rs:49-55 skip(1)
+    // skips only the root input itself
     val full = walk(deep)
-    assert(full.map(_.path) == Vector("l4/l3/l2/l1"))
+    assert(full.map(_.path) == Vector("l5/l4/l3/l2/l1"))
     assert(full.head.content.sameElements(TestData))
   }
 
