@@ -35,6 +35,9 @@ object GraftFunctions {
 
   def simhash64(text: Column): Column = column(SimHash64(expression(text)))
 
+  def word_shingles(text: Column, w: Int = 3): Column =
+    column(WordShingles(expression(text), expression(lit(w))))
+
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   def fingerprint(text: Column, k: Int = 9, window: Int = 4): Column =

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: quality
+  * scoring, token statistics, and a lightweight language-ID heuristic.
+  * Everything is built-in compositions (codegen'd, no UDFs) and — where
+  * results must be verifiable — deliberately oracle-expressible in
+  * ANSI SQL.
+  */
+object TextStats {
+
+  /** Lowercased alphanumeric tokens (same definition as
+    * [[graft.ops.Dedup.tokens]] — keep in sync with oracle SQL).
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(regexp_replace(text, "[^a-zA-Z0-9]+", " ")), " "), x => x =!= "")
+
+  /** Token count on the raw whitespace definition (matches
+    * `length(string_split_regex(trim(text),'\s+'))` in ANSI SQL).
+    */
+  def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** Fraction of characters that are not alphanumeric or space. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+      .cast("double") / length(text).cast("double")
+
+  /** A small fixed English stopword list (public knowledge). */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "for",
+    "on", "with", "as", "at", "by", "or", "be", "this", "that", "are")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    val stops = array(Stopwords.map(lit): _*)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(size(filter(t, x => array_contains(stops, x))).cast("double")
+        / size(t).cast("double"))
+  }
+
+  /** Mean token length (alphanumeric chars / token count). */
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(lower(text), "[^a-z0-9]", ""))
+        .cast("double") / size(t).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]-ish: rewards moderate length,
+    * low punctuation noise, and natural stopword density. The exact
+    * formula is arbitrary but fixed — it is part of the declared,
+    * oracle-checked surface.
+    */
+  def qualityScore(text: Column): Column =
+    round(
+      least(tokenCount(text).cast("double") / lit(100.0), lit(1.0)) * lit(0.4)
+        + (lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))) * lit(0.3)
+        + least(stopwordRatio(text) * lit(5.0), lit(1.0)) * lit(0.3),
+      6)
+
+  /** Language-ID heuristic: score each candidate language by hits of
+    * its characteristic function-word set; pick the argmax (ties →
+    * lexicographically first). Pure Spark built-ins; the marker lists
+    * are standard high-frequency function words (public knowledge).
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "es", "con", "para"),
+    "fr" -> Seq("le", "les", "des", "est", "avec", "pour", "dans"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta"))
+
+  def langGuess(text: Column): Column = {
+    val t = tokens(text)
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val markers = array(words.map(lit): _*)
+      struct((-size(filter(t, x => array_contains(markers, x)))).as("neg_hits"),
+        lit(lang).as("lang"))
+    }
+    // sort_array orders structs field-by-field: (neg_hits asc, lang asc)
+    // => head = max hits, lexicographically-first lang on ties
+    element_at(sort_array(array(scored: _*)), 1).getField("lang")
+  }
+}

@@ -81,6 +81,23 @@ case class MinHashSignature(first: Expression, second: Expression, third: Expres
     copy(first = f, second = s, third = t)
 }
 
+/** `word_shingles(text, w) -> array<string>` — distinct space-joined
+  * `w`-word shingles, single tokenization pass (see
+  * [[HashingHelper.wordShingles]]).
+  */
+case class WordShingles(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles"
+  override protected def nullSafeEval(text: Any, w: Any): Any =
+    HashingHelper.wordShingles(text.asInstanceOf[UTF8String], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w) => s"graft.functions.HashingHelper.wordShingles($t, $w)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WordShingles =
+    copy(left = l, right = r)
+}
+
 /** `simhash64(text) -> bigint` — 64-bit SimHash; near-dup via hamming
   * distance (`bit_count(a ^ b)`).
   */

@@ -83,6 +83,37 @@ object HashingHelper {
     out.toArray
   }
 
+  /** Distinct `w`-word shingles (space-joined) of a text, one
+    * tokenization pass per row. Semantically identical on ASCII input
+    * to the SQL formulation
+    * `array_distinct(transform(sequence(...), i -> concat_ws(' ', t[i..i+w-1])))`
+    * with t = alphanumeric tokens — but O(n) instead of the O(n²)
+    * re-evaluation Catalyst's projection collapse produces for the
+    * built-in composition.
+    */
+  def wordShingles(text: UTF8String, w: Int): ArrayData = {
+    val toks = tokenize(text.toString)
+    if (toks.length < w) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - w) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit hash of a string: two 32-bit murmur passes with distinct seeds. */
   def hash64(s: CharSequence): Long = {
     val str = s.toString

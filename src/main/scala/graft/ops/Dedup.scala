@@ -1,0 +1,165 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus curation.
+  *
+  * All operators here are *bucketed* — nothing is ever all-pairs across
+  * the corpus. The only shuffles carry (id, key) pairs or per-candidate
+  * token arrays, never full document content, so the exchanges stay
+  * small even at 100 TB input (reference D1 analogue:
+  * /root/reference/src/sink.rs:75-103, which keeps a single in-memory
+  * HashSet — Spark's spillable aggregation replaces it).
+  */
+object Dedup {
+
+  /** Lowercased alphanumeric word tokens of a text column.
+    * Definition is deliberately oracle-expressible (plain regexp +
+    * split) so dedup results can be verified against ANSI SQL.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(regexp_replace(text, "[^a-zA-Z0-9]+", " ")), " "), x => x =!= "")
+
+  /** Distinct `w`-word shingles of a text column (default 3). Uses the
+    * codegen'd single-pass expression — the equivalent built-in
+    * composition (`transform(sequence(...), i -> element_at(tokens, ...))`)
+    * re-evaluates the tokenizer per shingle element after Catalyst
+    * projection collapse, which is O(tokens²) per row.
+    */
+  def shingles(text: Column, w: Int = 3): Column =
+    GraftFunctions.word_shingles(text, w)
+
+  /** Exact Jaccard similarity of two precomputed shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** Exact dedup by content identity without shuffling content:
+    * elect `min(id)` per content hash, then semi-join winners back.
+    * Only (hash, id) crosses the exchange — at 100 TB the shuffle
+    * carries ~48 bytes/row instead of the full document.
+    */
+  def exactWinners(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val hashed = df.select(col(idCol), md5(col(contentCol).cast("binary")).as("__h"))
+    val winners = hashed.groupBy("__h").agg(min(col(idCol)).as(idCol)).drop("__h")
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
+  /** Near-duplicate pairs via MinHash + LSH banding, exact-verified.
+    *
+    * Pipeline (every stage bucketed, no all-pairs):
+    *   1. per-row MinHash signature (`numHashes` permutations over
+    *      `shingleWidth`-word shingles) — embarrassingly parallel;
+    *   2. split the signature into `bands` bands and hash each band;
+    *      explode to (band, bandKey) — rows whose band collides are
+    *      candidates. For threshold t, P[detect] = 1-(1-t^r)^b with
+    *      r = numHashes/bands; at t=0.9, r=4, b=32 the miss
+    *      probability is ~1e-15;
+    *   3. self-join on (band, bandKey) — the shuffle carries only
+    *      (id, band, key);
+    *   4. exact verify: join token shingle sets for *candidates only*
+    *      and keep pairs with Jaccard >= `threshold`.
+    *
+    * Skew note: a cluster of k identical documents produces k rows per
+    * bucket and k²/2 candidate pairs — inherent to pair *enumeration*.
+    * For dedup-only (keep one per cluster), use [[nearDupWinners]]
+    * which elects min-id per bucket and never enumerates pairs.
+    *
+    * @return columns (id_a, id_b, jaccard) with id_a < id_b
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleWidth: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = df.select(
+      col(idCol).as("__id"),
+      GraftFunctions.minhash_signature(col(textCol), numHashes, shingleWidth).as("__sig"),
+      shingles(col(textCol), shingleWidth).as("__sh"))
+
+    val banded = sig.select(
+      col("__id"), col("__sh"),
+      posexplode(expr(
+        s"transform(sequence(0, $bands - 1), b -> xxhash64(concat_ws(',', transform(slice(__sig, b * $r + 1, $r), x -> cast(x as string)))))")))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__key")
+
+    val a = banded.select(col("__id").as("id_a"), col("__sh").as("__sha"), col("__band"), col("__key"))
+    val b = banded.select(col("__id").as("id_b"), col("__sh").as("__shb"), col("__band"), col("__key"))
+    val cand = a.join(b, Seq("__band", "__key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__sha", "__shb")
+      .dropDuplicates("id_a", "id_b")
+
+    cand
+      .withColumn("jaccard", round(jaccard(col("__sha"), col("__shb")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Near-dup *dedup* at scale: cluster by LSH bucket, elect min-id
+    * winner per connected bucket, semi-join survivors. Never
+    * enumerates pairs, so identical-document clusters cost O(k) not
+    * O(k²). One exchange on bucket key + one on id.
+    */
+  def nearDupWinners(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleWidth: Int = 3): DataFrame = {
+    val r = numHashes / bands
+    val banded = df.select(
+      col(idCol).as("__id"),
+      GraftFunctions.minhash_signature(col(textCol), numHashes, shingleWidth).as("__sig"))
+      .select(col("__id"), explode(expr(
+        s"transform(sequence(0, $bands - 1), b -> named_struct('band', b, 'key', xxhash64(concat_ws(',', transform(slice(__sig, b * $r + 1, $r), x -> cast(x as string))))))")).as("__bk"))
+    // a row loses if any of its buckets contains a smaller id
+    val minPerBucket = banded.groupBy("__bk").agg(min("__id").as("__min"))
+    val losers = banded.join(minPerBucket, "__bk")
+      .where(col("__id") > col("__min"))
+      .select(col("__id").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Near-duplicate pairs via 64-bit SimHash with chunk-banding.
+    *
+    * The signature is split into 4 16-bit chunks; by pigeonhole, any
+    * pair with Hamming distance <= 3 shares at least one exact chunk,
+    * so bucketing on (chunkIdx, chunkValue) finds all such pairs
+    * without an all-pairs scan. `maxHamming` beyond 3 keeps the same
+    * candidate generation (recall drops gracefully — documented
+    * trade-off of banded SimHash).
+    *
+    * @return (id_a, id_b, hamming) with id_a < id_b
+    */
+  def simhashNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).as("__id"),
+      GraftFunctions.simhash64(col(textCol)).as("__sim"))
+    val banded = sig.select(
+      col("__id"), col("__sim"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> (shiftright(__sim, c * 16) & 65535))")))
+      .withColumnRenamed("pos", "__chunk")
+      .withColumnRenamed("col", "__val")
+    val a = banded.select(col("__id").as("id_a"), col("__sim").as("__sa"), col("__chunk"), col("__val"))
+    val b = banded.select(col("__id").as("id_b"), col("__sim").as("__sb"), col("__chunk"), col("__val"))
+    a.join(b, Seq("__chunk", "__val"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", GraftFunctions.hamming64(col("__sa"), col("__sb")).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths:
+  *   - [[cosineTopK]] — brute-force scan vs one query vector. Fully
+  *     codegen'd (built-in `aggregate`/`zip_with` compositions, no
+  *     UDFs); a single narrow pass + a k-row `orderBy.limit` (Spark
+  *     plans TakeOrderedAndProject — no global sort materialization).
+  *     This is the exact baseline and is linear in corpus size: fine
+  *     at 100 TB *per query* only if queries are rare.
+  *   - [[annLshTopK]] — random-hyperplane (sign) LSH: bucket by the
+  *     h-bit sign pattern, probe only buckets within `probeHamming`
+  *     of the query's code, re-rank exactly inside the probed buckets.
+  *     The scan touches ~(sum_{d<=probeHamming} C(h,d))/2^h of the
+  *     corpus — with h=16, probe<=2, that's ~137/65536 ≈ 0.2%.
+  */
+object Similarity {
+
+  /** Deterministic random hyperplanes (fixed seed — identical on every
+    * executor and every run).
+    */
+  private def hyperplanes(dim: Int, h: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(7L)
+    Array.fill(h)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def vecLit(v: Array[Double]): Column = array(v.map(lit): _*)
+
+  /** Cosine of each row's vector vs a constant query vector. */
+  def cosineTo(vec: Column, query: Array[Double]): Column =
+    GraftFunctions.cosine_similarity(vec, vecLit(query))
+
+  /** Exact top-k by cosine similarity vs a constant query vector.
+    * Output: (idCol, cos) ordered desc, ties broken by id.
+    */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int): DataFrame =
+    df.select(col(idCol), round(cosineTo(col(vecCol), query), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+
+  /** h-bit sign-LSH code of a vector column vs the fixed hyperplanes:
+    * bit i = sign(v . plane_i). Pure built-ins, codegen-friendly.
+    */
+  def lshCode(vec: Column, dim: Int, h: Int = 16): Column = {
+    val planes = hyperplanes(dim, h)
+    planes.zipWithIndex.map { case (p, i) =>
+      when(GraftFunctions.vec_dot(vec, vecLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k: probe buckets whose code is within
+    * `probeHamming` bits of the query's code, exact re-rank inside.
+    * At scale the bucket column should be a partition/bucketing key of
+    * the stored corpus so probing prunes file scans.
+    */
+  def annLshTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, dim: Int,
+      h: Int = 16, probeHamming: Int = 2): DataFrame = {
+    val planes = hyperplanes(dim, h)
+    val qCode = planes.zipWithIndex.map { case (p, i) =>
+      val dot = p.indices.map(j => p(j) * query(j)).sum
+      if (dot >= 0) 1L << i else 0L
+    }.reduce(_ | _)
+    val coded = df.select(col(idCol), col(vecCol), lshCode(col(vecCol), dim, h).as("__code"))
+    coded
+      .where(bit_count(col("__code").bitwiseXOR(lit(qCode))) <= probeHamming)
+      .select(col(idCol), round(cosineTo(col(vecCol), query), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-row (double vector, L2 norm) projection — computed ONCE per
+    * row before a pairwise join. Folding the norm into the per-pair
+    * cosine would re-evaluate it per candidate (higher-order array
+    * functions are interpreted, not codegen'd — the recomputation
+    * dominates pairwise stages).
+    */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+      id: String, v: String, nrm: String): DataFrame =
+    df.select(
+      col(idCol).as(id),
+      transform(col(vecCol), x => x.cast("double")).as(v),
+      sqrt(aggregate(col(vecCol), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))).as(nrm))
+
+  private def pairCos(va: String, vb: String, na: String, nb: String): Column =
+    round(
+      aggregate(zip_with(col(va), col(vb), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        / (col(na) * col(nb)), 6)
+
+  /** All pairs of vectors with cosine >= `threshold` (embedding
+    * near-dup detection). Bucketed by LSH code so the join is not
+    * all-pairs: near-identical vectors land in the same bucket with
+    * high probability; `probeHamming`-bit neighborhoods widen recall.
+    * Exact cosine verifies every candidate.
+    *
+    * @return (id_a, id_b, cos) with id_a < id_b
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, h: Int = 16): DataFrame = {
+    def side(id: String, v: String, nrm: String): DataFrame =
+      df.select(
+        col(idCol).as(id),
+        transform(col(vecCol), x => x.cast("double")).as(v),
+        sqrt(aggregate(col(vecCol), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))).as(nrm),
+        lshCode(col(vecCol), dim, h).as("__code"))
+    val a = side("id_a", "__va", "__na")
+    val b = side("id_b", "__vb", "__nb")
+    a.join(b, Seq("__code"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", pairCos("__va", "__vb", "__na", "__nb"))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Exact all-pairs variant (for small corpora / oracle checks): a
+    * broadcast self-join. O(n²) — NOT the scale path; see
+    * [[embeddingNearDupPairs]].
+    */
+  def embeddingNearDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = withNorm(df, idCol, vecCol, "id_a", "__va", "__na")
+    val b = withNorm(df, idCol, vecCol, "id_b", "__vb", "__nb")
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos", pairCos("__va", "__vb", "__na", "__nb"))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

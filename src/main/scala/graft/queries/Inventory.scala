@@ -1,0 +1,496 @@
+package graft.queries
+
+import graft.convert.ArchiveConverter
+import graft.core.ConvertOptions
+import graft.functions.{GraftFunctions, TextStats}
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import scala.collection.immutable.ListMap
+
+/** The declared query inventory (SURVEY.md §2.9 Q1–Q16 plus the
+  * training-data-pipeline operators): every capability of the engine as
+  * a named DataFrame query over the driver test tables, each with an
+  * ANSI-SQL oracle where SQL can express it.
+  *
+  * Oracle-parity rules used throughout (Spark vs DuckDB):
+  *   - money aggregates go through DECIMAL(18,2) (the source doubles
+  *     are 2-decimal values, so the cast is exact and engine-agnostic;
+  *     decimal sums are exact) and are cast back to DOUBLE at the end —
+  *     bit-identical on both engines, no fp-summation-order drift;
+  *   - every aggregate / computed column is explicitly aliased and
+  *     integer-typed columns are cast to BIGINT on both sides
+  *     (DuckDB's sum(int) is HUGEINT, row_number is BIGINT);
+  *   - every query has a deterministic total ORDER BY;
+  *   - ratios/cosines are divisions of identical inputs → identical
+  *     doubles; rounded to 6 decimals anyway.
+  */
+object Inventory {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // the events table stores TIMESTAMP(NANOS), which Spark's parquet
+      // reader rejects; read the raw int64 nanos and truncate to
+      // microseconds (exactly what DuckDB does internally on read)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** Exact engine-agnostic money representation (see scaladoc). */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  private val oneDec: Column = lit(1).cast(DecimalType(18, 2))
+
+  // -------------------------------------------------------------------
+  // Q1–Q15: relational surface
+  // -------------------------------------------------------------------
+
+  private def q01(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .where(col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def q02(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private def q03(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("o_orderkey"), col("c_name"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  private def q04(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders")
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(lit("with").as("side"), col("c_custkey"))
+    val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(lit("without").as("side"), col("c_custkey"))
+    withOrders.unionAll(withoutOrders).orderBy(col("side"), col("c_custkey"))
+  }
+
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, d, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  private def q08(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderpriority"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  private def q09(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .limit(10)
+
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val a = c.where(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val b = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    a.except(b).select(lit("except").as("op"), col("c_custkey"))
+      .unionAll(a.intersect(b).select(lit("intersect").as("op"), col("c_custkey")))
+      .orderBy(col("op"), col("c_custkey"))
+  }
+
+  private def q11(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_unique_texts"))
+      .orderBy(col("lang"))
+
+  private def q12(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("omonth"),
+        round(col("o_totalprice"), 0).as("price_round"),
+        round(sqrt(col("o_totalprice")), 6).as("price_sqrt"))
+      .orderBy(col("o_orderkey"))
+
+  private def q13(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("total_k"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  private val OnesQuery: Array[Double] = Array.fill(64)(1.0)
+
+  private def q14(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding", OnesQuery, 10)
+
+  private def q15(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("ws"), col("event_type"))
+
+  // -------------------------------------------------------------------
+  // Q16: the converter end-to-end (non-SQL — rows-only check; full
+  // semantics are covered by WalkerSpec against reference test vectors)
+  // -------------------------------------------------------------------
+
+  /** Deterministic nested fixture: tar.gz[ a.txt, inner.zip[ b/c.txt, d.bin ] ]. */
+  private[queries] def buildFixture(): String = {
+    import java.io._
+    import java.util.zip._
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val textA = ("graft converter end-to-end fixture line\n" * 20).getBytes("UTF-8")
+    val textC = "nested zip member content\n".getBytes("UTF-8")
+    val binD = Array.tabulate[Byte](512)(i => (i * 7 % 256).toByte)
+
+    val zipBuf = new ByteArrayOutputStream()
+    val zo = new ZipOutputStream(zipBuf)
+    def zput(name: String, bytes: Array[Byte]): Unit = {
+      val e = new ZipEntry(name)
+      // fixed timestamp => byte-stable fixture across runs
+      e.setTime(1000000000000L)
+      zo.putNextEntry(e); zo.write(bytes); zo.closeEntry()
+    }
+    zput("b/c.txt", textC); zput("d.bin", binD); zo.close()
+
+    val tarBuf = new ByteArrayOutputStream()
+    val to = new TarArchiveOutputStream(new GZIPOutputStream(tarBuf))
+    def tput(name: String, bytes: Array[Byte]): Unit = {
+      val e = new TarArchiveEntry(name)
+      e.setSize(bytes.length.toLong); e.setModTime(1000000000000L)
+      to.putArchiveEntry(e); to.write(bytes); to.closeArchiveEntry()
+    }
+    tput("a.txt", textA); tput("inner.zip", zipBuf.toByteArray); to.close()
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_q16").toFile
+    val f = new File(dir, "fixture.tar.gz")
+    val fos = new FileOutputStream(f)
+    fos.write(tarBuf.toByteArray); fos.close()
+    f.getAbsolutePath
+  }
+
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    val path = buildFixture()
+    ArchiveConverter.entries(s, Seq(path), ConvertOptions()).toDF()
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+  }
+
+  // -------------------------------------------------------------------
+  // Q17+: training-data pipeline operators
+  // -------------------------------------------------------------------
+
+  private def q17(s: SparkSession, d: String): DataFrame =
+    Dedup.exactWinners(t(s, d, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private def q18(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def q19(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TextStats.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextStats.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(TextStats.avgTokenLen(col("text")), 6).as("avg_tok_len"),
+        TextStats.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  private def q20(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("lang"), TextStats.tokenCount(col("text")).cast("long").as("tc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tc")).as("total_tokens"),
+        min(col("tc")).as("min_tokens"),
+        max(col("tc")).as("max_tokens"),
+        round(sum(col("tc")).cast("double") / count(lit(1)), 6).as("avg_tokens"))
+      .orderBy(col("lang"))
+
+  private def q21(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDup(t(s, d, "documents"), "doc_id", "text", maxHamming = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def q22(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        size(GraftFunctions.fingerprint(col("text"))).cast("long").as("n_fp"))
+      .orderBy(col("doc_id"))
+
+  private def q23(s: SparkSession, d: String): DataFrame =
+    // h=8 / probe<=2 scans ~37/256 ≈ 14% of buckets — good recall at
+    // this corpus size while still pruning 86% of the scan
+    Similarity.annLshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+      OnesQuery, k = 10, dim = 64, h = 8, probeHamming = 2)
+
+  private def q24(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(TextStats.langGuess(col("text")).as("guess"))
+      .groupBy(col("guess")).agg(count(lit(1)).as("n"))
+      .orderBy(col("guess"))
+
+  private def q25(s: SparkSession, d: String): DataFrame =
+    Similarity.embeddingNearDupPairsExact(t(s, d, "embeddings"), "vec_id", "embedding",
+      threshold = 0.45)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // -------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q01_filter_project" -> (q01 _),
+    "q02_tpch_q1_agg" -> (q02 _),
+    "q03_broadcast_join" -> (q03 _),
+    "q04_multi_join" -> (q04 _),
+    "q05_semi_anti" -> (q05 _),
+    "q06_window_topk" -> (q06 _),
+    "q07_window_running" -> (q07 _),
+    "q08_rollup" -> (q08 _),
+    "q09_topk_limit" -> (q09 _),
+    "q10_setops" -> (q10 _),
+    "q11_distinct_agg" -> (q11 _),
+    "q12_scalar_funcs" -> (q12 _),
+    "q13_json" -> (q13 _),
+    "q14_cosine_topk" -> (q14 _),
+    "q15_time_window" -> (q15 _),
+    "q16_converter" -> (q16 _),
+    "q17_exact_dedup" -> (q17 _),
+    "q18_neardup_lsh" -> (q18 _),
+    "q19_quality_score" -> (q19 _),
+    "q20_token_stats" -> (q20 _),
+    "q21_simhash_neardup" -> (q21 _),
+    "q22_fingerprint" -> (q22 _),
+    "q23_ann_lsh" -> (q23 _),
+    "q24_lang_id" -> (q24 _),
+    "q25_embedding_neardup" -> (q25 _))
+
+  /** DuckDB-runnable oracles. Keys absent here (q16, q21–q24) are
+    * non-SQL-expressible (custom hashing / LSH internals) and get the
+    * driver's rows-only check.
+    */
+  val oracleSql: Map[String, String] = {
+    // shared SQL fragments (DuckDB dialect)
+    val toks = "list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '')"
+    val money = (c: String) => s"CAST($c AS DECIMAL(18,2))"
+    val rev = s"CAST(SUM(${money("l_extendedprice")} * (CAST(1 AS DECIMAL(18,2)) - ${money("l_discount")})) AS DOUBLE)"
+    ListMap(
+      "q01_filter_project" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+          |FROM lineitem WHERE l_quantity < 24
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      "q02_tpch_q1_agg" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           |  CAST(SUM(${money("l_quantity")}) AS DOUBLE) AS sum_qty,
+           |  CAST(SUM(${money("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
+           |  $rev AS sum_disc_price,
+           |  CAST(SUM(${money("l_quantity")}) AS DOUBLE) / COUNT(*) AS avg_qty,
+           |  COUNT(*) AS count_order
+           |FROM lineitem GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "q03_broadcast_join" ->
+        """SELECT o_orderkey, c_name, o_totalprice, o_orderdate
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+      "q04_multi_join" ->
+        s"""SELECT n_name, $rev AS revenue, COUNT(*) AS n_items
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      "q05_semi_anti" ->
+        """SELECT 'with' AS side, c_custkey FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |UNION ALL
+          |SELECT 'without' AS side, c_custkey FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |ORDER BY side, c_custkey""".stripMargin,
+      "q06_window_topk" ->
+        """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+          |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+          |        row_number() OVER (PARTITION BY o_custkey
+          |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |      FROM orders) x
+          |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+      "q07_window_running" ->
+        s"""SELECT o_custkey, o_orderkey, o_orderdate,
+           |  CAST(SUM(${money("o_totalprice")}) OVER (
+           |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           |    AS running_total
+           |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+      "q08_rollup" ->
+        s"""SELECT n_name, o_orderpriority,
+           |  CAST(SUM(${money("o_totalprice")}) AS DOUBLE) AS revenue,
+           |  COUNT(*) AS n_orders
+           |FROM orders
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY ROLLUP(n_name, o_orderpriority)
+           |ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+      "q09_topk_limit" ->
+        """SELECT p_partkey, p_name, p_retailprice FROM part
+          |ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin,
+      "q10_setops" ->
+        """SELECT 'except' AS op, c_custkey FROM (
+          |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+          |  EXCEPT
+          |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') a
+          |UNION ALL
+          |SELECT 'intersect' AS op, c_custkey FROM (
+          |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+          |  INTERSECT
+          |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') b
+          |ORDER BY op, c_custkey""".stripMargin,
+      "q11_distinct_agg" ->
+        """SELECT lang, COUNT(*) AS n_docs,
+          |  COUNT(DISTINCT source) AS n_sources,
+          |  COUNT(DISTINCT md5(text)) AS n_unique_texts
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      "q12_scalar_funcs" ->
+        """SELECT o_orderkey,
+          |  substring(o_orderpriority, 1, 1) AS pri_code,
+          |  CAST(date_trunc('month', o_orderdate) AS DATE) AS omonth,
+          |  round(o_totalprice, 0) AS price_round,
+          |  round(sqrt(o_totalprice), 6) AS price_sqrt
+          |FROM orders ORDER BY o_orderkey""".stripMargin,
+      "q13_json" ->
+        """SELECT event_type,
+          |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+          |    AS total_k,
+          |  COUNT(*) AS n_events
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q14_cosine_topk" ->
+        """SELECT vec_id,
+          |  round(list_sum([x::DOUBLE for x in embedding]) /
+          |        (sqrt(64.0) * sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding]))), 6)
+          |    AS cos
+          |FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+      "q15_time_window" ->
+        """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+      "q17_exact_dedup" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+          |ORDER BY doc_id""".stripMargin,
+      "q18_neardup_lsh" ->
+        s"""WITH w AS (SELECT doc_id, $toks AS t FROM documents),
+           |s AS (SELECT doc_id,
+           |        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |                       for i in range(1, len(t) - 1)]) AS sh
+           |      FROM w),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |              CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)
+           |          AS jaccard
+           |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin,
+      "q19_quality_score" ->
+        s"""WITH q AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+           |      / CAST(length(text) AS DOUBLE) AS praw,
+           |    $toks AS t,
+           |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) AS alnum
+           |  FROM documents),
+           |r AS (
+           |  SELECT doc_id, n_tokens, praw,
+           |    CASE WHEN len(t) = 0 THEN 0.0
+           |         ELSE CAST(len(list_filter(t, x -> list_contains(
+           |                ['the','a','an','of','and','to','in','is','it','for',
+           |                 'on','with','as','at','by','or','be','this','that','are'], x)))
+           |              AS DOUBLE) / CAST(len(t) AS DOUBLE) END AS sraw,
+           |    CASE WHEN len(t) = 0 THEN 0.0 ELSE alnum / CAST(len(t) AS DOUBLE) END AS araw
+           |  FROM q)
+           |SELECT doc_id, n_tokens,
+           |  round(praw, 6) AS punct_ratio,
+           |  round(sraw, 6) AS stop_ratio,
+           |  round(araw, 6) AS avg_tok_len,
+           |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+           |        + (1.0 - least(praw * 4.0, 1.0)) * 0.3
+           |        + least(sraw * 5.0, 1.0) * 0.3, 6) AS quality
+           |FROM r ORDER BY doc_id""".stripMargin,
+      "q20_token_stats" ->
+        """WITH q AS (SELECT lang,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tc
+          |  FROM documents)
+          |SELECT lang, COUNT(*) AS n_docs,
+          |  CAST(SUM(tc) AS BIGINT) AS total_tokens,
+          |  CAST(MIN(tc) AS BIGINT) AS min_tokens,
+          |  CAST(MAX(tc) AS BIGINT) AS max_tokens,
+          |  round(CAST(SUM(tc) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+          |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+      "q25_embedding_neardup" ->
+        """WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+          |           FROM embeddings),
+          |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |        round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+          |              / (a.nrm * b.nrm), 6) AS cos
+          |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+          |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45
+          |ORDER BY id_a, id_b""".stripMargin)
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import graft.functions.{GraftFunctions, TextStats}
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-level specs for the dedup / similarity / text-analysis
+  * surface, on small hand-checkable corpora.
+  */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("OpsSpec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs() = {
+    val base = "the quick brown fox jumps over the lazy dog again and again until done"
+    val nearDup = base + " extra"       // high shingle overlap with base
+    val other = "completely different words compose this sentence nothing shared here at all"
+    import spark.implicits._
+    Seq(
+      (0L, base), (1L, nearDup), (2L, other),
+      (3L, "short text"), (4L, base)    // 4 is an exact dup of 0
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactWinners keeps min id per identical content") {
+    val out = Dedup.exactWinners(docs(), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.sameElements(Array(0L, 1L, 2L, 3L)))  // 4 (dup of 0) dropped
+  }
+
+  test("nearDupPairs finds near and exact dups, bucketed not all-pairs") {
+    val pairs = Dedup.nearDupPairs(docs(), "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // (0,4) exact dup (j=1.0); (0,1)+(1,4) near-dups; nothing with 2/3
+    assert(pairs.toSeq == Seq((0L, 1L), (0L, 4L), (1L, 4L)))
+  }
+
+  test("nearDupWinners drops LSH-bucket losers only") {
+    val kept = Dedup.nearDupWinners(docs(), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.contains(0L) && !kept.contains(4L)) // exact dup always loses
+    assert(kept.contains(2L) && kept.contains(3L))  // non-dups survive
+  }
+
+  test("simhashNearDup finds exact dup at hamming 0") {
+    val pairs = Dedup.simhashNearDup(docs(), "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 4L && p._3 == 0))
+  }
+
+  test("cosineTopK is exact and ordered") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),   // cos vs (1,1) = 1/sqrt(2) ≈ 0.707107
+      (1L, Array(1.0f, 1.0f)),   // cos = 1.0
+      (2L, Array(-1.0f, -1.0f)), // cos = -1.0
+      (3L, Array(0.0f, 2.0f))    // cos ≈ 0.707107 — tie with 0, id breaks
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(vecs, "vec_id", "embedding", Array(1.0, 1.0), 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.map(_._1).toSeq == Seq(1L, 0L, 3L))
+    assert(top(0)._2 == 1.0)
+    assert(math.abs(top(1)._2 - 0.707107) < 1e-6)
+  }
+
+  test("annLshTopK returns a subset of exact top-k ranking order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = Array.fill(16)(1.0)
+    val exact = Similarity.cosineTopK(vecs, "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annLshTopK(vecs, "vec_id", "embedding", q, 5, dim = 16, h = 8, probeHamming = 3)
+      .collect().map(_.getLong(0))
+    assert(ann.nonEmpty)
+    // approximate: every ANN hit must be a real vector; ordering desc by cos
+    val cos = Similarity.cosineTopK(vecs, "vec_id", "embedding", q, 200)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ann.map(cos).sameElements(ann.map(cos).sorted(Ordering[Double].reverse)))
+    assert(ann.toSet.subsetOf(cos.keySet))
+    assert(exact.intersect(ann.toSet).nonEmpty) // recall > 0 on this corpus
+  }
+
+  test("embedding near-dup pairs: exact and LSH agree on identical vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(2.0f, 4.0f, 6.0f)),  // same direction as 0 => cos 1.0
+      (2L, Array(-3.0f, 1.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val exact = Similarity.embeddingNearDupPairsExact(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.toSeq == Seq((0L, 1L)))
+    val lsh = Similarity.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.99, dim = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.toSeq == Seq((0L, 1L)))
+  }
+
+  test("text stats: token count, ratios, quality, lang guess") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox, and the lazy dog!")).toDF("id", "text")
+    val r = df.select(
+      TextStats.tokenCount(col("text")).as("tc"),
+      round(TextStats.punctRatio(col("text")), 6).as("pr"),
+      round(TextStats.stopwordRatio(col("text")), 6).as("sr"),
+      TextStats.langGuess(col("text")).as("lang")).head()
+    assert(r.getAs[Int]("tc") == 8)
+    // 2 punct chars (, !) of 38
+    assert(math.abs(r.getAs[Double]("pr") - 2.0 / 38) < 1e-6)
+    // stopwords: the, and, the => 3 of 8 tokens
+    assert(math.abs(r.getAs[Double]("sr") - 3.0 / 8) < 1e-6)
+    assert(r.getAs[String]("lang") == "en")
+  }
+
+  test("word_shingles matches the declarative definition") {
+    import spark.implicits._
+    val df = Seq(Tuple1("a b c d a b c d")).toDF("text")
+    val got = df.select(GraftFunctions.word_shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(got == Seq("a b c", "b c d", "c d a", "d a b"))
+  }
+}
