@@ -1,6 +1,69 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: one JSON line with per-query seconds over
+  * SPARK_GRAFT_SF_DIR, plus an end-to-end converter throughput run
+  * over a deterministic generated archive corpus (the BASELINE.md
+  * gate is ~682 MB/s decompressed on the reference's corpus).
+  */
 object Bench {
+
+  /** Deterministic archive corpus: `files` tar.gz inputs, each with
+    * `entries` members of pseudorandom (incompressible) bytes plus a
+    * nested tar so the recursive path is exercised. Cached across runs.
+    */
+  private def ensureCorpus(dir: java.io.File, files: Int, entries: Int, entryBytes: Int): Long = {
+    import java.io._
+    import java.util.zip.{GZIPOutputStream, Deflater}
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val manifest = new File(dir, s"manifest_${files}_${entries}_$entryBytes")
+    val total = files.toLong * entries * entryBytes
+    if (manifest.exists()) return total
+    dir.mkdirs()
+    val rnd = new java.util.Random(42L)
+    def tarOf(n: Int, prefix: String): Array[Byte] = {
+      val buf = new ByteArrayOutputStream()
+      val tar = new TarArchiveOutputStream(buf)
+      val chunk = new Array[Byte](entryBytes)
+      (0 until n).foreach { i =>
+        rnd.nextBytes(chunk)
+        val e = new TarArchiveEntry(s"$prefix/blob_$i.bin")
+        e.setSize(entryBytes.toLong)
+        tar.putArchiveEntry(e); tar.write(chunk); tar.closeArchiveEntry()
+      }
+      tar.close(); buf.toByteArray
+    }
+    (0 until files).foreach { f =>
+      val out = new FileOutputStream(new File(dir, s"input_$f.tar.gz"))
+      val gz = new GZIPOutputStream(out) { `def`.setLevel(Deflater.BEST_SPEED) }
+      val tar = new TarArchiveOutputStream(gz)
+      // 3/4 of entries flat, 1/4 inside a nested tar member
+      val flat = tarOf(entries * 3 / 4, s"f$f")
+      val nested = tarOf(entries - entries * 3 / 4, s"f$f/nested")
+      // write flat tar entries by re-streaming: simpler — one nested member + flat members
+      val reread = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+        new ByteArrayInputStream(flat))
+      var e = reread.getNextEntry
+      val copyBuf = new Array[Byte](64 * 1024)
+      while (e != null) {
+        val ne = new TarArchiveEntry(e.getName)
+        ne.setSize(e.getSize)
+        tar.putArchiveEntry(ne)
+        var n = reread.read(copyBuf)
+        while (n > 0) { tar.write(copyBuf, 0, n); n = reread.read(copyBuf) }
+        tar.closeArchiveEntry()
+        e = reread.getNextEntry
+      }
+      val inner = new TarArchiveEntry(s"f$f/inner.tar")
+      inner.setSize(nested.length.toLong)
+      tar.putArchiveEntry(inner); tar.write(nested); tar.closeArchiveEntry()
+      tar.close()
+    }
+    manifest.createNewFile()
+    total
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,15 +73,32 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+
+    // converter throughput over a deterministic generated corpus
+    // (16 tar.gz inputs x 32 MB decompressed = 512 MB)
+    val convJson =
+      try {
+        val corpusDir = new java.io.File("/tmp/graft_bench_corpus")
+        val bytes = ensureCorpus(corpusDir, files = 16, entries = 64, entryBytes = 512 * 1024)
+        val inputs = corpusDir.listFiles().filter(_.getName.endsWith(".tar.gz")).map(_.getAbsolutePath).toSeq
+        val t0 = System.nanoTime()
+        val stats = graft.convert.ArchiveConverter.convert(
+          spark, inputs, "/tmp/graft_bench_out", graft.core.ConvertOptions())
+        val secs = (System.nanoTime() - t0) / 1e9
+        val mbps = stats.bytesRead / 1e6 / secs
+        f""","convert":{"inputs":${inputs.size},"entries":${stats.entriesRead},"bytes_read":${stats.bytesRead},"secs":$secs%.3f,"mbps":$mbps%.1f,"baseline_mbps":682.0,"ratio":${mbps / 682.0}%.3f}"""
+      } catch { case e: Throwable => s""","convert":{"error":"${e.getClass.getSimpleName}"}""" }
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$convJson}""")
     spark.stop()
   }
 }

@@ -3,8 +3,9 @@ package graft.convert
 import graft.core.{ArchiveEntry, ArchiveSchema, ConvertOptions, IncludeType}
 import graft.functions.GraftFunctions
 import graft.walk.ArchiveWalker
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Observation, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
 
 /** The reference's entire fixed pipeline, re-expressed as one
   * declarative Spark plan (reference trace: SURVEY.md §3.1):
@@ -21,38 +22,79 @@ import org.apache.spark.sql.functions._
   *     work the reference uses too, converter/base.rs:45-65); inputs
   *     stream through decompressors, an archive is never materialized;
   *   - zero shuffles without `unique`; exactly one hash-partitioned
-  *     exchange with it — Spark's spillable HashAggregate replaces the
-  *     reference's unbounded in-memory HashSet (src/sink.rs:59-73);
+  *     exchange with it. Spark's `dropDuplicates("hash")` plans a
+  *     two-phase HashAggregate: the partial phase keeps ONE row per
+  *     distinct hash per partition, so duplicate content crosses the
+  *     wire at most once, and the spillable aggregate replaces the
+  *     reference's unbounded in-memory HashSet (src/sink.rs:59-73).
+  *     (A zero-content-shuffle design — elect winner row-ids by hash,
+  *     route the id set back to each partition — was considered and
+  *     rejected: it either recomputes the walk (2× read+decompress)
+  *     or caches the full corpus; moving each surviving row once is
+  *     the floor for a single-pass global dedup.)
   *   - filters are evaluated before the shuffle/write, so filtered
   *     content never crosses the wire. Unlike the reference (which
   *     builds full batches, then filters columnar — src/batch.rs:133-155)
   *     Catalyst pipelines the predicate into the same stage as the walk;
+  *   - conversion stats come from accumulators + `Dataset.observe`
+  *     metrics collected during the write — no post-write re-scan
+  *     (reference D2: src/progress.rs:11-133);
   *   - writer properties mirror the reference's tuned Parquet sink
-  *     (src/sink.rs:23-55): bloom filters on source/path/hash,
-  *     dictionary on source/path only (content dictionary would bloat
-  *     on large binaries).
+  *     (src/sink.rs:23-55).
   */
 object ArchiveConverter {
 
-  final case class ConversionStats(rows: Long, bytes: Long, files: Long)
+  final case class ConversionStats(
+      rows: Long,           // rows written (post-filter/dedup)
+      bytes: Long,          // content bytes written
+      inputs: Long,         // top-level inputs walked
+      entriesRead: Long,    // entries extracted before filters
+      bytesRead: Long)      // content bytes extracted before filters
 
-  /** The walked, unfiltered entry Dataset — the engine's logical source. */
-  def entries(spark: SparkSession, inputs: Seq[String], opts: ConvertOptions): Dataset[ArchiveEntry] = {
+  /** Read-side counters incremented inside the walker flatMap
+    * (reference: src/progress.rs:11-133, src/channel.rs:28-49).
+    */
+  final class WalkMetrics(spark: SparkSession) extends Serializable {
+    val inputs: LongAccumulator = spark.sparkContext.longAccumulator("graft.inputs")
+    val entries: LongAccumulator = spark.sparkContext.longAccumulator("graft.entries")
+    val bytes: LongAccumulator = spark.sparkContext.longAccumulator("graft.bytesRead")
+  }
+
+  /** The walked, unfiltered entry Dataset — the engine's logical source.
+    * Inputs may be local paths or http(s)/file URLs (reference S1/S2:
+    * src/converter/mod.rs:20-35, src/main.rs:200-220).
+    */
+  def entries(
+      spark: SparkSession,
+      inputs: Seq[String],
+      opts: ConvertOptions,
+      metrics: Option[WalkMetrics] = None): Dataset[ArchiveEntry] = {
     import spark.implicits._
     require(inputs.nonEmpty, "no inputs")
     val par = opts.parallelism.getOrElse(spark.sparkContext.defaultParallelism)
     val width = math.max(1, math.min(inputs.size, math.max(par, 1)))
     spark.createDataset(inputs)
       .repartition(width)
-      .flatMap(p => ArchiveWalker.walkPath(p, opts))
+      .flatMap { p =>
+        metrics.foreach(_.inputs.add(1L))
+        val it = ArchiveWalker.walkInput(p, opts)
+        metrics match {
+          case None    => it
+          case Some(m) => it.map { e => m.entries.add(1L); m.bytes.add(e.size); e }
+        }
+      }
   }
 
   /** Entries with the reference's F1/F2 predicates applied
     * (half-open size range `min <= size < max`, src/batch.rs:182-197;
     * UTF-8 text/binary content filter, src/batch.rs:162-180).
     */
-  def filteredEntries(spark: SparkSession, inputs: Seq[String], opts: ConvertOptions): DataFrame = {
-    var df = entries(spark, inputs, opts).toDF()
+  def filteredEntries(
+      spark: SparkSession,
+      inputs: Seq[String],
+      opts: ConvertOptions,
+      metrics: Option[WalkMetrics] = None): DataFrame = {
+    var df = entries(spark, inputs, opts, metrics).toDF()
     opts.include match {
       case IncludeType.All    =>
       case IncludeType.Text   => df = df.filter(GraftFunctions.is_utf8(col("content")))
@@ -69,15 +111,26 @@ object ArchiveConverter {
     df
   }
 
-  /** Full conversion: walk, filter, dedup, write Parquet. Fails on an
-    * empty result like the reference (src/main.rs:129-132).
+  /** Full conversion: walk, filter, dedup, write Parquet. Stats are
+    * collected during the single write pass (no output re-scan). Fails
+    * on an empty result like the reference (src/main.rs:129-132).
     */
   def convert(spark: SparkSession, inputs: Seq[String], out: String, opts: ConvertOptions): ConversionStats = {
-    val df = filteredEntries(spark, inputs, opts)
+    val metrics = new WalkMetrics(spark)
+    val obs = new Observation()
+    val df = filteredEntries(spark, inputs, opts, Some(metrics))
+      .observe(obs,
+        count(lit(1)).as("rows"),
+        coalesce(sum(length(col("content"))), lit(0L)).as("bytes"))
     df.write
       .mode("overwrite")
       .option("compression", opts.compression)
-      // reference sink tuning (src/sink.rs:29-48)
+      // reference sink tuning (src/sink.rs:23-55): bloom filters on
+      // source/path/hash; dictionary only on the low-cardinality string
+      // columns (content dictionary would bloat on large binaries);
+      // data pages <= 1 MB and <= 2000 rows. (The reference's
+      // row-group cap is row-based — 1,048,576 rows; parquet-mr's
+      // block limit is byte-based, left at Spark's default 128 MB.)
       .option("parquet.bloom.filter.enabled", "false")
       .option("parquet.bloom.filter.enabled#source", "true")
       .option("parquet.bloom.filter.enabled#path", "true")
@@ -85,20 +138,22 @@ object ArchiveConverter {
       .option("parquet.enable.dictionary", "false")
       .option("parquet.enable.dictionary#source", "true")
       .option("parquet.enable.dictionary#path", "true")
+      .option("parquet.page.size", (1024 * 1024).toString)
+      .option("parquet.page.row.count.limit", "2000")
       .parquet(out)
 
-    // metadata-only count from parquet footers — no second pass
-    val written = spark.read.parquet(out)
-    val rows = written.count()
+    val m = obs.get
+    val rows = m("rows").asInstanceOf[Long]
     require(rows > 0, s"No rows written to $out") // F4 empty-output guard
-    val bytes = written.agg(sum(length(col("content")))).head.getLong(0)
-    val files = written.select("source").distinct().count()
-    ConversionStats(rows, bytes, files)
+    ConversionStats(
+      rows = rows,
+      bytes = m("bytes").asInstanceOf[Long],
+      inputs = metrics.inputs.value,
+      entriesRead = metrics.entries.value,
+      bytesRead = metrics.bytes.value)
   }
 
   /** Read a previous conversion output with the canonical schema. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val df = spark.read.schema(ArchiveSchema.schema).parquet(path)
-    df
-  }
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(ArchiveSchema.schema).parquet(path)
 }

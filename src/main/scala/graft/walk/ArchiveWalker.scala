@@ -56,6 +56,27 @@ object ArchiveWalker {
     walk(path, in, f.length(), opts)
   }
 
+  /** Walk one http(s)/file URL — the response body streams straight
+    * into the sniff/decompress/walk chain, never fully materialized
+    * (reference S2: src/main.rs:200-220).
+    */
+  def walkUrl(url: String, opts: ConvertOptions): Iterator[ArchiveEntry] = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(300000)
+    val size = conn.getContentLengthLong
+    val in = new java.io.BufferedInputStream(conn.getInputStream, 256 * 1024)
+    walk(url, in, size, opts)
+  }
+
+  /** Dispatch on input spelling: URLs walk via [[walkUrl]], everything
+    * else is a local path.
+    */
+  def walkInput(input: String, opts: ConvertOptions): Iterator[ArchiveEntry] =
+    if (input.startsWith("http://") || input.startsWith("https://") || input.startsWith("file:"))
+      walkUrl(input, opts)
+    else walkPath(input, opts)
+
   /** Walk one already-open stream named `source`. Consumes and closes it. */
   def walk(source: String, in: InputStream, claimedSize: Long, opts: ConvertOptions): Iterator[ArchiveEntry] = {
     val it = walkEntry(source, Nil, Details(source, claimedSize), parent = None, raw = in, depth = 0, opts)

@@ -80,18 +80,29 @@ class WalkerSpec extends AnyFunSuite {
   }
 
   test("zip quine guard: self-identical (path,size) zip entry is emitted, not recursed") {
-    // construct zip "q.zip" containing an entry with the same (path, size)
-    // as itself — the walker must emit the inner bytes as a file row
-    // rather than recurse (reference: src/visitor.rs:94-100)
+    // Streaming-written zips carry no sizes in local headers (data
+    // descriptors) => claimed size is -1 on read. A zip entry "q.zip"
+    // whose parent zip was itself reached as an entry "q.zip" therefore
+    // has Details equal to its parent's — exactly the self-reference
+    // the reference's quine check catches (src/visitor.rs:94-100).
+    // The payload is a real zip, so WITHOUT the guard the walker would
+    // recurse and emit "q.zip/q.zip/x"; WITH it, the inner zip bytes
+    // are emitted as a file row.
+    val payload = zipArchive(Seq("x" -> TestData))
+    val inner = zipArchive(Seq("q.zip" -> payload))   // entry claims (q.zip, -1)
+    val outer = zipArchive(Seq("q.zip" -> inner))     // entry claims (q.zip, -1)
+    val rows = walk(outer)
+    assert(rows.map(_.path) == Vector("q.zip/q.zip"))
+    assert(rows.head.content.sameElements(payload))
+  }
+
+  test("quine guard does not fire across honest-size boundaries (tar parent)") {
+    // tar headers carry real sizes, so the parent's claimed size differs
+    // from the child zip entry's -1 => no quine, recursion proceeds.
     val innerPayload = zipArchive(Seq("x" -> TestData))
     val inner = zipArchive(Seq("q.zip" -> innerPayload))
-    // parent entry: path "q.zip", size == inner.length; give the child
-    // the same claimed path+size by wrapping at matching sizes is hard —
-    // instead simulate via direct equality: entry named like parent with
-    // equal size triggers the guard
     val parent = tarArchive(Seq("q.zip" -> inner))
     val rows = walk(parent)
-    // normal case (no quine): recursion proceeds through both zips
     assert(rows.map(_.path) == Vector("q.zip/q.zip/x"))
   }
 
@@ -123,6 +134,18 @@ class WalkerSpec extends AnyFunSuite {
     val elf = fakeElf(Seq("a-long-enough-string"))
     val rows = walk(tarArchive(Seq("bin" -> elf)))
     assert(rows.head.content.sameElements(elf))
+  }
+
+  test("URL source: file: URL streams through the same walk (S2)") {
+    val data = gzipData(tarArchive(Seq("u.txt" -> TestData)))
+    val f = java.io.File.createTempFile("graft_url", ".tar.gz")
+    f.deleteOnExit()
+    val fos = new java.io.FileOutputStream(f)
+    fos.write(data); fos.close()
+    val url = f.toURI.toString // file:/...
+    val rows = ArchiveWalker.walkInput(url, opts).toVector
+    assert(rows.map(r => (r.source, r.path)) == Vector((url, "u.txt")))
+    assert(rows.head.content.sameElements(TestData))
   }
 
   test("entry order is preserved (arrival order within one input)") {
