@@ -73,8 +73,12 @@ object ArchiveConverter {
     require(inputs.nonEmpty, "no inputs")
     val par = opts.parallelism.getOrElse(spark.sparkContext.defaultParallelism)
     val width = math.max(1, math.min(inputs.size, math.max(par, 1)))
-    spark.createDataset(inputs)
-      .repartition(width)
+    // parallelize(…, width), NOT repartition: a repartition of the tiny
+    // path list is an exchange AQE happily coalesces to ONE partition
+    // (it sees bytes, not the 1000x flatMap blow-up behind each path),
+    // serializing the whole walk onto a single task. parallelize pins
+    // exactly one slice per task with no shuffle at all.
+    spark.createDataset(spark.sparkContext.parallelize(inputs, width))
       .flatMap { p =>
         metrics.foreach(_.inputs.add(1L))
         val it = ArchiveWalker.walkInput(p, opts)

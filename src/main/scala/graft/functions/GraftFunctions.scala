@@ -46,13 +46,12 @@ object GraftFunctions {
   // ---- vector math (built-in compositions — fully codegen'd) ----
 
   /** Dot product of two array<float|double> columns in double precision.
-    * Left-fold accumulation => deterministic, reproducible sums.
+    * Sequential left-fold accumulation => deterministic, reproducible
+    * sums (bit-identical to the `aggregate(zip_with(...))` composition
+    * and to an ordered ANSI-SQL comprehension sum) — as a codegen'd
+    * native expression, not an interpreted HOF chain.
     */
-  def vec_dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  def vec_dot(a: Column, b: Column): Column = column(VecDot(expression(a), expression(b)))
 
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
 

@@ -98,6 +98,30 @@ case class WordShingles(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `vec_dot(array<float|double>, array<float|double>) -> double` —
+  * sequential double-precision dot product (see [[VecHelper.dot]]).
+  * Codegen'd native loop; the equivalent `aggregate(zip_with(...))`
+  * composition is interpreted and allocates a zipped array per row.
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecHelper.dot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecHelper.dot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
 /** `simhash64(text) -> bigint` — 64-bit SimHash; near-dup via hamming
   * distance (`bit_count(a ^ b)`).
   */

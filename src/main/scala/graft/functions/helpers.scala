@@ -60,6 +60,27 @@ object StringsHelper {
   }
 }
 
+/** Vector math helpers invoked from generated code. */
+object VecHelper {
+  /** Sequential left-to-right dot product in double precision —
+    * bit-identical to `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`
+    * and to an ANSI-SQL ordered-comprehension sum, but a tight native
+    * loop instead of an interpreted higher-order-function chain.
+    */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+}
+
 /** MinHash / SimHash / fingerprint primitives. All hashing is
   * MurmurHash3 (public algorithm, stable across JVMs) with fixed
   * seeds, so signatures are deterministic and reproducible cluster-wide.

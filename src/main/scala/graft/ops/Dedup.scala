@@ -78,26 +78,28 @@ object Dedup {
       shingleWidth: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = df.select(
+    // candidate generation carries ONLY (id, band, key) — 24 bytes/row —
+    // through the exchange; shingle sets join in later, and only for
+    // ids that actually appear in a candidate pair
+    val banded = df.select(
       col(idCol).as("__id"),
-      GraftFunctions.minhash_signature(col(textCol), numHashes, shingleWidth).as("__sig"),
-      shingles(col(textCol), shingleWidth).as("__sh"))
-
-    val banded = sig.select(
-      col("__id"), col("__sh"),
-      posexplode(expr(
+      GraftFunctions.minhash_signature(col(textCol), numHashes, shingleWidth).as("__sig"))
+      .select(col("__id"), posexplode(expr(
         s"transform(sequence(0, $bands - 1), b -> xxhash64(concat_ws(',', transform(slice(__sig, b * $r + 1, $r), x -> cast(x as string)))))")))
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__key")
 
-    val a = banded.select(col("__id").as("id_a"), col("__sh").as("__sha"), col("__band"), col("__key"))
-    val b = banded.select(col("__id").as("id_b"), col("__sh").as("__shb"), col("__band"), col("__key"))
+    val a = banded.select(col("__id").as("id_a"), col("__band"), col("__key"))
+    val b = banded.select(col("__id").as("id_b"), col("__band"), col("__key"))
     val cand = a.join(b, Seq("__band", "__key"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "__sha", "__shb")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
+    val sh = df.select(col(idCol).as("__sid"), shingles(col(textCol), shingleWidth).as("__sh"))
     cand
+      .join(sh.select(col("__sid").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+      .join(sh.select(col("__sid").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
       .withColumn("jaccard", round(jaccard(col("__sha"), col("__shb")), 6))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

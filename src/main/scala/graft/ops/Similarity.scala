@@ -86,13 +86,10 @@ object Similarity {
     df.select(
       col(idCol).as(id),
       transform(col(vecCol), x => x.cast("double")).as(v),
-      sqrt(aggregate(col(vecCol), lit(0.0),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))).as(nrm))
+      sqrt(GraftFunctions.vec_dot(col(vecCol), col(vecCol))).as(nrm))
 
   private def pairCos(va: String, vb: String, na: String, nb: String): Column =
-    round(
-      aggregate(zip_with(col(va), col(vb), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-        / (col(na) * col(nb)), 6)
+    round(GraftFunctions.vec_dot(col(va), col(vb)) / (col(na) * col(nb)), 6)
 
   /** All pairs of vectors with cosine >= `threshold` (embedding
     * near-dup detection). Bucketed by LSH code so the join is not
@@ -108,8 +105,7 @@ object Similarity {
       df.select(
         col(idCol).as(id),
         transform(col(vecCol), x => x.cast("double")).as(v),
-        sqrt(aggregate(col(vecCol), lit(0.0),
-          (acc, x) => acc + x.cast("double") * x.cast("double"))).as(nrm),
+        sqrt(GraftFunctions.vec_dot(col(vecCol), col(vecCol))).as(nrm),
         lshCode(col(vecCol), dim, h).as("__code"))
     val a = side("id_a", "__va", "__na")
     val b = side("id_b", "__vb", "__nb")

@@ -3,7 +3,7 @@ package graft.queries
 import graft.convert.ArchiveConverter
 import graft.core.ConvertOptions
 import graft.functions.{GraftFunctions, TextStats}
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, MultiModal, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -290,6 +290,22 @@ object Inventory {
       threshold = 0.45)
       .orderBy(col("id_a"), col("id_b"))
 
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    // multimodal plumbing: documents' text bytes stand in for opaque
+    // media blobs; decode(stub) -> typed meta struct -> feature vector,
+    // aggregated per fake format. Rows-only check (stubbed codec).
+    val media = t(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("bytes"))
+    val decoded = MultiModal.imageFeatures(
+      MultiModal.withImageMeta(media, "bytes"), "bytes")
+    decoded
+      .groupBy(col("meta.format").as("format"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(element_at(col("features"), 1)), 6).as("avg_c0"),
+        round(avg(col("meta.width")), 6).as("avg_width"))
+      .orderBy(col("format"))
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -317,7 +333,8 @@ object Inventory {
     "q22_fingerprint" -> (q22 _),
     "q23_ann_lsh" -> (q23 _),
     "q24_lang_id" -> (q24 _),
-    "q25_embedding_neardup" -> (q25 _))
+    "q25_embedding_neardup" -> (q25 _),
+    "q26_multimodal" -> (q26 _))
 
   /** DuckDB-runnable oracles. Keys absent here (q16, q21–q24) are
     * non-SQL-expressible (custom hashing / LSH internals) and get the

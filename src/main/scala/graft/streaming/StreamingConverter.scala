@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.convert.ArchiveConverter
+import graft.core.{ArchiveEntry, ConvertOptions}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+/** Structured Streaming variant of the converter (SURVEY.md §7 step 8,
+  * §1.4): continuous ingest of archive paths, the same recursive walk,
+  * streaming hash-dedup, Parquet append.
+  *
+  * The bounded reference job is the degenerate case (one trigger); the
+  * streaming form adds what the reference lacks: unbounded ingest with
+  * exactly-once file sink semantics and stateful dedup across
+  * micro-batches (the reference's sink-side `seen_hashes` HashSet —
+  * src/sink.rs:59-73 — becomes Spark's keyed state store, which is
+  * checkpointed and fault-tolerant instead of process-local).
+  *
+  * Scale notes:
+  *   - the path listing is the streaming source (tiny rows); content
+  *     is only materialized inside the walk flatMap on executors —
+  *     identical narrow pipeline to the batch path;
+  *   - `dropDuplicates("hash")` keeps 32-byte keys in the state store;
+  *     state grows with distinct-content count — callers should use
+  *     `withWatermark` + `dropDuplicatesWithinWatermark` when
+  *     duplicate arrivals are known to be time-bounded.
+  */
+object StreamingConverter {
+
+  /** Streaming Dataset of newline-separated archive paths dropped into
+    * `pathDir` (one file per batch of paths — the idiomatic file-source
+    * handoff).
+    */
+  def pathStream(spark: SparkSession, pathDir: String): Dataset[String] = {
+    import spark.implicits._
+    spark.readStream.format("text").load(pathDir).as[String]
+      .map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** The walked entry stream: same recursive walker, same filters. */
+  def entryStream(spark: SparkSession, pathDir: String, opts: ConvertOptions): DataFrame = {
+    import spark.implicits._
+    var df = pathStream(spark, pathDir)
+      .flatMap(p => graft.walk.ArchiveWalker.walkInput(p, opts))
+      .toDF()
+    opts.include match {
+      case graft.core.IncludeType.All    =>
+      case graft.core.IncludeType.Text   =>
+        df = df.filter(graft.functions.GraftFunctions.is_utf8(col("content")))
+      case graft.core.IncludeType.Binary =>
+        df = df.filter(!graft.functions.GraftFunctions.is_utf8(col("content")))
+    }
+    (opts.minSize, opts.maxSize) match {
+      case (None, None) =>
+      case (mn, mx) =>
+        df = df.filter(col("size") >= mn.getOrElse(0L) && col("size") < mx.getOrElse(Long.MaxValue))
+    }
+    if (opts.unique) df = df.dropDuplicates("hash")
+    df
+  }
+
+  /** Writer: Parquet append with checkpointing; caller starts it.
+    * `availableNow` processes the current backlog then stops — the
+    * streaming equivalent of the reference's bounded run.
+    */
+  def writer(
+      entries: DataFrame,
+      out: String,
+      checkpoint: String,
+      availableNow: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = entries.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+    if (availableNow) w.trigger(Trigger.AvailableNow()) else w
+  }
+
+  /** Tumbling-window event counts (Q15's shape) in streaming mode with
+    * a watermark for state cleanup — same results as the batch query
+    * on bounded input.
+    */
+  def windowedEventCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+}

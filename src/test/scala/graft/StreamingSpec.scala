@@ -1,0 +1,89 @@
+package graft
+
+import graft.core.ConvertOptions
+import graft.ops.MultiModal
+import graft.streaming.StreamingConverter
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming converter (availableNow trigger) and multimodal plumbing. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("StreamingSpec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(prefix: String): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit(); d
+  }
+
+  test("streaming converter: path file -> walked parquet via availableNow") {
+    import Fixtures._
+    // one archive on disk
+    val arch = new java.io.File(tmp("graft_sarch"), "in.tar.gz")
+    val fos = new java.io.FileOutputStream(arch)
+    fos.write(gzipData(tarArchive(Seq("s1" -> TestData, "s2" -> TestData))))
+    fos.close()
+    // drop its path into the streaming source dir
+    val pathDir = tmp("graft_spaths")
+    java.nio.file.Files.writeString(
+      new java.io.File(pathDir, "batch1.txt").toPath, arch.getAbsolutePath + "\n")
+
+    val out = tmp("graft_sout").getAbsolutePath
+    val ckpt = tmp("graft_sckpt").getAbsolutePath
+    val entries = StreamingConverter.entryStream(spark, pathDir.getAbsolutePath,
+      ConvertOptions(unique = true))
+    val q = StreamingConverter.writer(entries, out, ckpt, availableNow = true).start()
+    q.awaitTermination(120000)
+
+    val got = spark.read.parquet(out)
+    // s1 and s2 share content => unique dedups to 1 row
+    assert(got.count() == 1)
+    assert(got.select("path").head().getString(0).startsWith("s"))
+  }
+
+  test("streaming windowed counts match the batch shape") {
+    import spark.implicits._
+    val events = Seq(
+      ("2024-01-01 00:10:00", "click"),
+      ("2024-01-01 00:50:00", "click"),
+      ("2024-01-01 01:10:00", "view")
+    ).toDF("raw_ts", "event_type")
+      .withColumn("ts", col("raw_ts").cast("timestamp"))
+    val out = StreamingConverter.windowedEventCounts(events)
+      .orderBy("ws", "event_type").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n") == 2) // two clicks in hour 0
+  }
+
+  test("multimodal: meta struct, features, resize, frame sampling") {
+    import spark.implicits._
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 0, 0, 0) ++ Array.fill[Byte](100)(7)
+    val raw = Array.fill[Byte](5000)(42)
+    val df = Seq((1L, png), (2L, raw)).toDF("id", "bytes")
+
+    val meta = MultiModal.withImageMeta(df, "bytes")
+    val m = meta.where(col("id") === 1).select("meta.format", "meta.n_bytes").head()
+    assert(m.getString(0) == "png" && m.getLong(1) == 108L)
+
+    val feats = MultiModal.imageFeatures(df, "bytes")
+      .where(col("id") === 2).select("features").head().getSeq[Double](0)
+    assert(feats.length == 4 && feats.take(3).forall(_ == 42.0))
+
+    val resized = MultiModal.resizeTo(df, "bytes", 64)
+    assert(resized.select(length(col("resized"))).collect().map(_.getInt(0)).forall(_ <= 64))
+
+    val frames = MultiModal.sampleFrames(df.where(col("id") === 2), "bytes", n = 3, frameBytes = 1000)
+    val fr = frames.select("frame_idx", "frame").collect()
+    assert(fr.length == 3)
+    assert(fr.forall(_.getAs[Array[Byte]]("frame").length == 1000))
+  }
+}
