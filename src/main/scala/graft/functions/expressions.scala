@@ -98,6 +98,21 @@ case class WordShingles(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `lang_guess(text) -> string` — function-word language-ID heuristic
+  * (see [[LangIdHelper]]). Codegen'd single pass.
+  */
+case class LangGuess(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lang_guess"
+  override protected def nullSafeEval(input: Any): Any =
+    LangIdHelper.guess(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LangIdHelper.guess($c)")
+  override protected def withNewChildInternal(newChild: Expression): LangGuess =
+    copy(child = newChild)
+}
+
 /** `vec_dot(array<float|double>, array<float|double>) -> double` —
   * sequential double-precision dot product (see [[VecHelper.dot]]).
   * Codegen'd native loop; the equivalent `aggregate(zip_with(...))`

@@ -60,6 +60,44 @@ object StringsHelper {
   }
 }
 
+/** Language-ID heuristic invoked from generated code: score each
+  * candidate language by hits of its characteristic function-word set,
+  * argmax with lexicographically-first tie-break (identical semantics
+  * to the declarative formulation in [[graft.functions.TextStats]],
+  * one tokenization pass instead of one interpreted HOF scan per
+  * language).
+  */
+object LangIdHelper {
+  /** (lang, marker set) in lexicographic lang order — standard
+    * high-frequency function words (public knowledge).
+    */
+  val Markers: Array[(String, Set[String])] = Array(
+    "de" -> Set("der", "die", "das", "und", "ist", "mit", "nicht"),
+    "en" -> Set("the", "and", "of", "to", "is", "with", "that"),
+    "es" -> Set("el", "la", "los", "que", "es", "con", "para"),
+    "fr" -> Set("le", "les", "des", "est", "avec", "pour", "dans"),
+    "zh" -> Set("de", "shi", "le", "zai", "you", "wo", "ta"))
+
+  def guess(text: UTF8String): UTF8String = {
+    val toks = HashingHelper.tokenize(text.toString)
+    var bestLang = Markers(0)._1
+    var bestHits = -1
+    var i = 0
+    while (i < Markers.length) {
+      val (lang, set) = Markers(i)
+      var hits = 0
+      var j = 0
+      while (j < toks.length) {
+        if (set.contains(toks(j))) hits += 1
+        j += 1
+      }
+      if (hits > bestHits) { bestHits = hits; bestLang = lang } // strict > => lex-first tie
+      i += 1
+    }
+    UTF8String.fromString(bestLang)
+  }
+}
+
 /** Vector math helpers invoked from generated code. */
 object VecHelper {
   /** Sequential left-to-right dot product in double precision —

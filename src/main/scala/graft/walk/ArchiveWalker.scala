@@ -119,7 +119,7 @@ object ArchiveWalker {
         case _              => walkZip(source, childNested, details, stream, depth, opts)
       }
     } else {
-      Iterator.single(emit(source, nested, details.path, kind, stream, opts))
+      Iterator.single(emit(source, nested, details.path, kind, stream, opts, details.size))
     }
   }
 
@@ -204,9 +204,17 @@ object ArchiveWalker {
       name: String,
       kind: FormatKind,
       stream: InputStream,
-      opts: ConvertOptions): ArchiveEntry = {
+      opts: ConvertOptions,
+      claimedSize: Long = -1L): ArchiveEntry = {
     val md = MessageDigest.getInstance("SHA-256")
-    val out = new ByteArrayOutputStream(8192)
+    // pre-size from the archive-header claim when plausible — avoids
+    // the doubling-growth copies of an 8 KB-seeded buffer (the claim is
+    // only a hint: compressed inner entries decompress larger)
+    val hint =
+      if (claimedSize > 0 && claimedSize <= math.min(opts.maxEntryBytes, Int.MaxValue - 8L))
+        claimedSize.toInt
+      else 8192
+    val out = new ByteArrayOutputStream(hint)
     var written = 0L
 
     def write(b: Array[Byte], len: Int): Unit = {
