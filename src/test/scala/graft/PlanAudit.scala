@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for the headline queries so plan
+  * regressions (lost pushdown, missed broadcast, surprise shuffles)
+  * are visible. Run: sbt "Test/runMain graft.PlanAudit [sfDir]"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val interesting = Seq("q01_filter_project", "q02_tpch_q1_agg", "q03_broadcast_join",
+      "q04_multi_join", "q06_window_topk", "q14_cosine_topk", "q18_neardup_lsh")
+    interesting.foreach { name =>
+      println(s"\n===== $name =====")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
