@@ -131,6 +131,49 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over a near-dup pair set: assigns each id
+    * the minimum id reachable through pairs (label propagation to a
+    * fixpoint). Use on [[nearDupPairs]] output to turn pairwise
+    * evidence into dedup clusters — `cluster` is the canonical
+    * survivor, everything else in the component is a duplicate.
+    *
+    * Scale: each iteration is one join + one aggregation on (id,
+    * label) pairs; iteration count is the largest component's
+    * diameter, which for near-dup graphs is tiny (dup clusters are
+    * near-cliques). `maxIter` caps pathological chains.
+    *
+    * @param pairs columns (id_a, id_b)
+    * @return (id, cluster) — one row per id appearing in any pair
+    */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node adopts min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster")).as("__n"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("__n"), col("cluster"))).as("cluster"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster", "__old"), "id")
+        .where(col("cluster") =!= col("__old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Near-duplicate pairs via 64-bit SimHash with chunk-banding.
     *
     * The signature is split into 4 16-bit chunks; by pigeonhole, any

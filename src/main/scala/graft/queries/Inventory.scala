@@ -306,6 +306,38 @@ object Inventory {
       .orderBy(col("format"))
   }
 
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    // Structured Streaming parity: the same tumbling-window aggregation
+    // as q15, computed BY THE STREAMING ENGINE (file source ->
+    // availableNow trigger -> complete-mode memory sink) and checked
+    // against the batch DuckDB oracle. Schema is declared (file stream
+    // sources don't infer), ts arrives as raw int64 nanos.
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file stream source requires a *directory* — stage the table
+    // file into one (what a production deployment's ingest dir is)
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_q27_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val stream = s.readStream.schema(schema).parquet(stageDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val name = "graft_q27_sink"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    s.table(name).orderBy(col("ws"), col("event_type"))
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -334,7 +366,8 @@ object Inventory {
     "q23_ann_lsh" -> (q23 _),
     "q24_lang_id" -> (q24 _),
     "q25_embedding_neardup" -> (q25 _),
-    "q26_multimodal" -> (q26 _))
+    "q26_multimodal" -> (q26 _),
+    "q27_streaming_window" -> (q27 _))
 
   /** DuckDB-runnable oracles. Keys absent here (q16, q21–q24) are
     * non-SQL-expressible (custom hashing / LSH internals) and get the
@@ -499,6 +532,10 @@ object Inventory {
           |  CAST(MAX(tc) AS BIGINT) AS max_tokens,
           |  round(CAST(SUM(tc) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
           |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+      "q27_streaming_window" ->
+        """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+          |  COUNT(*) AS n
+          |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
       "q25_embedding_neardup" ->
         """WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
           |           FROM embeddings),
