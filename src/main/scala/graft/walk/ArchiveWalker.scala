@@ -207,19 +207,33 @@ object ArchiveWalker {
       opts: ConvertOptions,
       claimedSize: Long = -1L): ArchiveEntry = {
     val md = MessageDigest.getInstance("SHA-256")
-    // pre-size from the archive-header claim when plausible — avoids
-    // the doubling-growth copies of an 8 KB-seeded buffer (the claim is
-    // only a hint: compressed inner entries decompress larger)
+    // Content buffering strategy: when the archive header claims a
+    // plausible size, read DIRECTLY into an exact-sized array — no
+    // growth copies and no ByteArrayOutputStream.toByteArray copy
+    // (one 512 KB entry otherwise costs ~2 extra copies). The claim is
+    // only a hint (compressed inner entries decompress larger), so
+    // overflow falls back to a growing buffer.
     val hint =
       if (claimedSize > 0 && claimedSize <= math.min(opts.maxEntryBytes, Int.MaxValue - 8L))
         claimedSize.toInt
-      else 8192
-    val out = new ByteArrayOutputStream(hint)
+      else -1
+    var direct: Array[Byte] = if (hint > 0) new Array[Byte](hint) else null
+    var overflow: ByteArrayOutputStream = if (hint > 0) null else new ByteArrayOutputStream(8192)
     var written = 0L
 
-    def write(b: Array[Byte], len: Int): Unit = {
-      md.update(b, 0, len)
-      out.write(b, 0, len)
+    def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      md.update(b, off, len)
+      if (direct != null) {
+        if (written + len <= direct.length) {
+          System.arraycopy(b, off, direct, written.toInt, len)
+        } else {
+          // claim was short: switch to the growing buffer
+          overflow = new ByteArrayOutputStream(math.max(direct.length * 2, 8192))
+          overflow.write(direct, 0, written.toInt)
+          overflow.write(b, off, len)
+          direct = null
+        }
+      } else overflow.write(b, off, len)
       written += len
     }
 
@@ -228,18 +242,23 @@ object ArchiveWalker {
       val it = AsciiStrings.iterate(stream, minLength = 10)
       while (it.hasNext) {
         val b = (it.next() + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        write(b, b.length)
+        write(b, 0, b.length)
       }
     } else {
       val buf = new Array[Byte](64 * 1024)
       var n = stream.read(buf)
       while (n >= 0 && written < opts.maxEntryBytes) {
         // clamp in Long space: maxEntryBytes - written can exceed Int.MaxValue
-        if (n > 0) write(buf, math.min(n.toLong, opts.maxEntryBytes - written).toInt)
+        if (n > 0) write(buf, 0, math.min(n.toLong, opts.maxEntryBytes - written).toInt)
         n = stream.read(buf)
       }
     }
     val path = (nested :+ name).mkString("/")
-    ArchiveEntry(source, path, written, md.digest(), out.toByteArray)
+    val content =
+      if (direct != null) {
+        if (written == direct.length) direct
+        else java.util.Arrays.copyOf(direct, written.toInt)
+      } else overflow.toByteArray
+    ArchiveEntry(source, path, written, md.digest(), content)
   }
 }
