@@ -166,6 +166,7 @@ object Dedup {
         .cache()
       val changed = next.join(labels.withColumnRenamed("cluster", "__old"), "id")
         .where(col("cluster") =!= col("__old")).limit(1).count()
+      labels.unpersist() // drop the superseded iteration's cache
       labels = next
       converged = changed == 0
       iter += 1
