@@ -119,22 +119,61 @@ object VecHelper {
   }
 }
 
-/** MinHash / SimHash / fingerprint primitives. All hashing is
-  * MurmurHash3 (public algorithm, stable across JVMs) with fixed
-  * seeds, so signatures are deterministic and reproducible cluster-wide.
+/** MinHash / SimHash / fingerprint primitives.
+  *
+  * Two hash families, both public algorithms, both deterministic and
+  * reproducible cluster-wide:
+  *   - MurmurHash3 with fixed seeds for MinHash permutations (fast;
+  *     LSH-internal, never surfaced — the near-dup *result* is verified
+  *     by exact Jaccard, so the oracle does not need to reproduce it);
+  *   - MD5-derived 62-bit hashes ([[md5lo62]]) for SimHash and
+  *     winnowing fingerprints, whose *values* are part of the declared
+  *     query surface: MD5 is the one hash both this engine and an
+  *     ANSI-SQL oracle (DuckDB `md5_number_lower`) evaluate identically,
+  *     and the 62-bit mask keeps every value positive in a signed
+  *     BIGINT on both sides.
   */
 object HashingHelper {
+
+  /** Mask to the low 62 bits — values stay positive as signed longs. */
+  final val Mask62 = 0x3fffffffffffffffL
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 62-bit hash of a string: little-endian long of MD5 digest bytes
+    * 8..15, masked to 62 bits. Equals DuckDB
+    * `md5_number_lower(s) & 4611686018427387903` — the oracle-shared
+    * hash for the simhash/fingerprint surfaces.
+    */
+  def md5lo62(s: CharSequence): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = (d(8) & 0xffL) | ((d(9) & 0xffL) << 8) | ((d(10) & 0xffL) << 16) |
+      ((d(11) & 0xffL) << 24) | ((d(12) & 0xffL) << 32) | ((d(13) & 0xffL) << 40) |
+      ((d(14) & 0xffL) << 48) | ((d(15) & 0xffL) << 56)
+    v & Mask62
+  }
   private final val NullChar = '\u0000'
 
-  /** Lowercase alphanumeric tokens of a text. */
+  /** Lowercase ASCII-alphanumeric tokens of a text: maximal runs of
+    * [a-zA-Z0-9], lowercased; every other character is a separator.
+    * Deliberately identical to the oracle-SQL tokenization
+    * `string_split_regex(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ')),' ')`
+    * so every token-derived surface is ANSI-SQL-verifiable.
+    */
   def tokenize(s: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new java.lang.StringBuilder
     var i = 0
     val n = s.length
     while (i < n) {
-      val c = Character.toLowerCase(s.charAt(i))
-      if (Character.isLetterOrDigit(c)) sb.append(c)
+      val c = s.charAt(i)
+      if (c >= 'a' && c <= 'z' || c >= '0' && c <= '9') sb.append(c)
+      else if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
       else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
       i += 1
     }
@@ -225,15 +264,19 @@ object HashingHelper {
       arr
     })
 
-  /** 64-bit SimHash over unigram tokens (bit-vote by token hash). */
+  /** SimHash over unigram tokens: per-occurrence ±1 bit-votes on the
+    * 62 bits of [[md5lo62]], bit set iff votes are strictly positive.
+    * Value is < 2^62 (always positive as BIGINT) and reproducible by
+    * the ANSI-SQL oracle via `md5_number_lower` + per-bit vote sums.
+    */
   def simHash64(text: UTF8String): Long = {
     val toks = tokenize(text.toString)
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](62)
     var i = 0
     while (i < toks.length) {
-      val h = hash64(toks(i))
+      val h = md5lo62(toks(i))
       var bit = 0
-      while (bit < 64) {
+      while (bit < 62) {
         if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
         bit += 1
       }
@@ -241,7 +284,7 @@ object HashingHelper {
     }
     var out = 0L
     var bit = 0
-    while (bit < 64) {
+    while (bit < 62) {
       if (votes(bit) > 0) out |= (1L << bit)
       bit += 1
     }
@@ -249,9 +292,12 @@ object HashingHelper {
   }
 
   /** Winnowing document fingerprint (Schleimer, Wilkerson, Aiken,
-    * SIGMOD'03): rolling k-gram character hashes, minimum per sliding
-    * window, consecutive duplicates collapsed. Returns the selected
-    * hash values in document order.
+    * SIGMOD'03): k-gram character hashes over the normalized
+    * (token-joined) text, minimum per sliding window, consecutive
+    * duplicates collapsed by position. Returns the selected hash values
+    * in document order. Gram hash is [[md5lo62]], so the *set* of
+    * selected values (= the set of per-window minima) is reproducible
+    * by the ANSI-SQL oracle with a windowed MIN.
     */
   def winnow(text: UTF8String, k: Int, window: Int): ArrayData = {
     val s = tokenize(text.toString).mkString(" ")
@@ -260,7 +306,7 @@ object HashingHelper {
     val grams = new Array[Long](n - k + 1)
     var i = 0
     while (i <= n - k) {
-      grams(i) = hash64(s.subSequence(i, i + k))
+      grams(i) = md5lo62(s.subSequence(i, i + k))
       i += 1
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]

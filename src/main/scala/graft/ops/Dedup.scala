@@ -175,14 +175,16 @@ object Dedup {
     labels
   }
 
-  /** Near-duplicate pairs via 64-bit SimHash with chunk-banding.
+  /** Near-duplicate pairs via SimHash with chunk-banding.
     *
-    * The signature is split into 4 16-bit chunks; by pigeonhole, any
-    * pair with Hamming distance <= 3 shares at least one exact chunk,
-    * so bucketing on (chunkIdx, chunkValue) finds all such pairs
-    * without an all-pairs scan. `maxHamming` beyond 3 keeps the same
-    * candidate generation (recall drops gracefully — documented
-    * trade-off of banded SimHash).
+    * The 64-bit signature (62 effective bits — see
+    * [[graft.functions.HashingHelper.simHash64]]) is split into 8
+    * 8-bit chunks; by pigeonhole, any pair with Hamming distance <= 7
+    * shares at least one exact chunk, so bucketing on
+    * (chunkIdx, chunkValue) finds ALL such pairs without an all-pairs
+    * scan — for `maxHamming <= 7` the result is exactly the all-pairs
+    * Hamming filter (which is what the SQL oracle computes). Beyond 7
+    * recall drops gracefully (documented trade-off of banded SimHash).
     *
     * @return (id_a, id_b, hamming) with id_a < id_b
     */
@@ -196,7 +198,7 @@ object Dedup {
     val banded = sig.select(
       col("__id"), col("__sim"),
       posexplode(expr(
-        "transform(sequence(0, 3), c -> (shiftright(__sim, c * 16) & 65535))")))
+        "transform(sequence(0, 7), c -> (shiftright(__sim, c * 8) & 255))")))
       .withColumnRenamed("pos", "__chunk")
       .withColumnRenamed("col", "__val")
     val a = banded.select(col("__id").as("id_a"), col("__sim").as("__sa"), col("__chunk"), col("__val"))

@@ -42,9 +42,16 @@ object MultiModal {
       else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') "wav"
       else "raw"
 
-    /** Fake dimensions: stable function of content length + first bytes. */
+    /** Fake dimensions: stable function of content length + first bytes
+      * (sum of the first <=16 unsigned byte values — deliberately
+      * ANSI-SQL-expressible so the stub's plumbing is oracle-checkable).
+      */
     def dims(b: Array[Byte]): (Int, Int, Int) = {
-      val w = 16 + math.abs(java.util.Arrays.hashCode(java.util.Arrays.copyOf(b, math.min(b.length, 16)))) % 241
+      var s = 0
+      var i = 0
+      val n = math.min(b.length, 16)
+      while (i < n) { s += b(i) & 0xff; i += 1 }
+      val w = 16 + s % 241
       val h = 16 + (b.length % 241)
       (w, h, 3)
     }

@@ -21,13 +21,32 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic random hyperplanes (fixed seed — identical on every
-    * executor and every run).
+  /** Deterministic Rademacher (±1) hyperplanes, entry (i, j) derived
+    * from the md5-based hash of "hp_i_j" — identical on every executor
+    * and every run, and (unlike seeded gaussians) reproducible inside
+    * an ANSI-SQL oracle, where the plane literals can be regenerated or
+    * inlined. ±1 random projections preserve angles like gaussian ones
+    * (Achlioptas, "Database-friendly random projections", PODS'01).
     */
-  private def hyperplanes(dim: Int, h: Int): Array[Array[Double]] = {
-    val rnd = new java.util.Random(7L)
-    Array.fill(h)(Array.fill(dim)(rnd.nextGaussian()))
-  }
+  private[ops] def hyperplanes(dim: Int, h: Int): Array[Array[Double]] =
+    Array.tabulate(h)(i => Array.tabulate(dim)(j =>
+      if ((graft.functions.HashingHelper.md5lo62(s"hp_${i}_${j}") & 1L) == 1L) 1.0 else -1.0))
+
+  /** ±1 entries of the fixed LSH hyperplanes, for oracle-SQL literal
+    * generation (the oracle inlines them as constants — they are part
+    * of the operator's fixed definition, not data-derived).
+    */
+  def planeSigns(dim: Int, h: Int): Array[Array[Int]] =
+    hyperplanes(dim, h).map(_.map(_.toInt))
+
+  /** The h-bit sign-LSH code of a fixed query vector (driver-side). */
+  def queryCode(query: Array[Double], dim: Int, h: Int): Long =
+    hyperplanes(dim, h).zipWithIndex.map { case (p, i) =>
+      var dot = 0.0
+      var j = 0
+      while (j < dim) { dot += p(j) * query(j); j += 1 }
+      if (dot >= 0) 1L << i else 0L
+    }.reduce(_ | _)
 
   private def vecLit(v: Array[Double]): Column = array(v.map(lit): _*)
 
@@ -62,11 +81,7 @@ object Similarity {
   def annLshTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int, dim: Int,
       h: Int = 16, probeHamming: Int = 2): DataFrame = {
-    val planes = hyperplanes(dim, h)
-    val qCode = planes.zipWithIndex.map { case (p, i) =>
-      val dot = p.indices.map(j => p(j) * query(j)).sum
-      if (dot >= 0) 1L << i else 0L
-    }.reduce(_ | _)
+    val qCode = queryCode(query, dim, h)
     val coded = df.select(col(idCol), col(vecCol), lshCode(col(vecCol), dim, h).as("__code"))
     coded
       .where(bit_count(col("__code").bitwiseXOR(lit(qCode))) <= probeHamming)

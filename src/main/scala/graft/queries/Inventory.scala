@@ -264,14 +264,23 @@ object Inventory {
       .orderBy(col("lang"))
 
   private def q21(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashNearDup(t(s, d, "documents"), "doc_id", "text", maxHamming = 8)
+    // maxHamming=7 with 8x8-bit banding is pigeonhole-complete, so the
+    // result equals the all-pairs Hamming filter the oracle computes
+    Dedup.simhashNearDup(t(s, d, "documents"), "doc_id", "text", maxHamming = 7)
       .orderBy(col("id_a"), col("id_b"))
 
-  private def q22(s: SparkSession, d: String): DataFrame =
+  private def q22(s: SparkSession, d: String): DataFrame = {
+    // the winnowing fingerprint *set* per document: count + min/max of
+    // distinct selected gram hashes (the set of per-window minima) —
+    // md5-based gram hashes make this exactly reproducible in SQL
+    val fp = GraftFunctions.fingerprint(col("text"))
     t(s, d, "documents")
       .select(col("doc_id"),
-        size(GraftFunctions.fingerprint(col("text"))).cast("long").as("n_fp"))
+        coalesce(size(array_distinct(fp)).cast("long"), lit(0L)).as("n_fp"),
+        array_min(fp).as("fp_min"),
+        array_max(fp).as("fp_max"))
       .orderBy(col("doc_id"))
+  }
 
   private def q23(s: SparkSession, d: String): DataFrame =
     // h=8 / probe<=2 scans ~37/256 ≈ 14% of buckets — good recall at
@@ -293,7 +302,10 @@ object Inventory {
   private def q26(s: SparkSession, d: String): DataFrame = {
     // multimodal plumbing: documents' text bytes stand in for opaque
     // media blobs; decode(stub) -> typed meta struct -> feature vector,
-    // aggregated per fake format. Rows-only check (stubbed codec).
+    // aggregated per fake format. The stub codec is deliberately
+    // SQL-expressible (and the corpus is ASCII, so byte==char), making
+    // the whole mapPartitions pipeline oracle-checkable. Cross-row
+    // double sums go through 6-dp DECIMAL (order-insensitive, exact).
     val media = t(s, d, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("bytes"))
     val decoded = MultiModal.imageFeatures(
@@ -301,8 +313,10 @@ object Inventory {
     decoded
       .groupBy(col("meta.format").as("format"))
       .agg(count(lit(1)).as("n"),
-        round(avg(element_at(col("features"), 1)), 6).as("avg_c0"),
-        round(avg(col("meta.width")), 6).as("avg_width"))
+        round(sum(round(element_at(col("features"), 1), 6).cast(DecimalType(18, 6)))
+          .cast("double") / count(lit(1)), 6).as("avg_c0"),
+        round(sum(col("meta.width").cast("long")).cast("double") / count(lit(1)), 6)
+          .as("avg_width"))
       .orderBy(col("format"))
   }
 
@@ -338,6 +352,62 @@ object Inventory {
     s.table(name).orderBy(col("ws"), col("event_type"))
   }
 
+  /** As-of join — an operator Spark lacks natively. For each 'click'
+    * event, attach the user's most recent 'purchase' at-or-before the
+    * click. Implemented as the scale-friendly union + running
+    * `last(ignoreNulls)` window: ONE shuffle on the user key, no range
+    * blow-up, no per-row binary search — the plan any 100 TB as-of
+    * join wants (vs. a theta-join on `ts >= ts'`, which Spark would
+    * execute as a broadcast nested loop). Right side is pre-aggregated
+    * per (user, ts) so the as-of value is well-defined under ties.
+    * Oracle: DuckDB's native ASOF JOIN.
+    */
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("double").as("__pv"), lit(null).cast("timestamp").as("__pts"),
+        lit(1).as("__side"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("__pv"))
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+        col("__pv"), col("ts").as("__pts"), lit(0).as("__side"))
+    // purchases sort before clicks at equal ts => "at-or-before" (>=)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("pv", last(col("__pv"), ignoreNulls = true).over(w))
+      .withColumn("pts", last(col("__pts"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1 && col("pv").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("pts"), col("pv"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Session windows (gap-based): events of a user belong to one
+    * session while consecutive gaps stay under 4 hours; window end =
+    * last event + gap. Oracle: gaps-and-islands SQL.
+    */
+  private def q29(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(col("session_window.start").as("ss"), col("session_window.end").as("se"),
+        col("user_id"), col("n"), col("total_value"))
+      .orderBy(col("user_id"), col("ss"))
+
+  /** Full grouping-sets coverage: CUBE over (mktsegment, priority)
+    * (q08 covers ROLLUP).
+    */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -367,17 +437,36 @@ object Inventory {
     "q24_lang_id" -> (q24 _),
     "q25_embedding_neardup" -> (q25 _),
     "q26_multimodal" -> (q26 _),
-    "q27_streaming_window" -> (q27 _))
+    "q27_streaming_window" -> (q27 _),
+    "q28_asof_join" -> (q28 _),
+    "q29_session_window" -> (q29 _),
+    "q30_cube" -> (q30 _))
 
-  /** DuckDB-runnable oracles. Keys absent here (q16, q21–q24) are
-    * non-SQL-expressible (custom hashing / LSH internals) and get the
-    * driver's rows-only check.
+  /** DuckDB-runnable oracles — one per query, including the custom-op
+    * surfaces: simhash/fingerprint values are md5-derived (the one hash
+    * both engines share), the ANN hyperplanes are fixed ±1 constants
+    * inlined below, and the converter fixture's expected rows are a
+    * spec-determined VALUES literal (sha256 digests derived
+    * independently of the engine).
     */
   val oracleSql: Map[String, String] = {
     // shared SQL fragments (DuckDB dialect)
     val toks = "list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '')"
     val money = (c: String) => s"CAST($c AS DECIMAL(18,2))"
     val rev = s"CAST(SUM(${money("l_extendedprice")} * (CAST(1 AS DECIMAL(18,2)) - ${money("l_discount")})) AS DOUBLE)"
+    // 62-bit md5 hash shared with HashingHelper.md5lo62 (mod 2^62 ==
+    // low-bit mask, stays in DuckDB's UBIGINT domain before the cast)
+    val md5h = (e: String) => s"CAST(md5_number_lower($e) % 4611686018427387904 AS BIGINT)"
+    // q23's fixed ±1 hyperplanes + query code, inlined as constants
+    // (part of the operator definition, not data-derived)
+    val q23Planes = Similarity.planeSigns(64, 8)
+    val q23QCode = Similarity.queryCode(OnesQuery, 64, 8)
+    val q23CodeExpr = q23Planes.zipWithIndex.map { case (p, i) =>
+      val chain = p.zipWithIndex
+        .map { case (sgn, j) => (if (sgn > 0) "+" else "-") + s" v[${j + 1}]" }
+        .mkString(" ")
+      s"(CASE WHEN (0.0 $chain) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", "\n         + ", ")")
     ListMap(
       "q01_filter_project" ->
         """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -545,6 +634,126 @@ object Inventory {
           |              / (a.nrm * b.nrm), 6) AS cos
           |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
           |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45
-          |ORDER BY id_a, id_b""".stripMargin)
+          |ORDER BY id_a, id_b""".stripMargin,
+      // spec-determined fixture content: sizes and sha256 digests are
+      // derived from the fixture definition itself (independently
+      // computed), not from engine output
+      "q16_converter" ->
+        """SELECT * FROM (VALUES
+          |  ('a.txt', CAST(800 AS BIGINT),
+          |   '90ce0e91aa6b20a7e755ae3facb82f04410ac992a53fe534e8246a1b7f10a871'),
+          |  ('inner.zip/b/c.txt', CAST(26 AS BIGINT),
+          |   '8d9bb0542d7fefd949a9559bd0c68ba0cf3bba93d0d108f6ca2289d789b8a6a5'),
+          |  ('inner.zip/d.bin', CAST(512 AS BIGINT),
+          |   'c029dfc944a023bec6662861a4e633237ad3e4f4bca787399fdd487ca52af8f5'))
+          |  AS t(path, size, sha256)
+          |ORDER BY path""".stripMargin,
+      "q21_simhash_neardup" ->
+        s"""WITH w AS (SELECT doc_id, $toks AS t FROM documents),
+           |tok AS (SELECT doc_id, unnest(t) AS tk FROM w),
+           |th AS (SELECT doc_id, ${md5h("tk")} AS h FROM tok),
+           |v AS (SELECT doc_id, b,
+           |        SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+           |      FROM th CROSS JOIN (SELECT unnest(range(0, 62)) AS b) bits
+           |      GROUP BY doc_id, b),
+           |sh0 AS (SELECT doc_id,
+           |          CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b)
+           |                        ELSE 0 END) AS BIGINT) AS sim
+           |        FROM v GROUP BY doc_id),
+           |sh AS (SELECT d.doc_id, coalesce(s.sim, 0) AS sim
+           |       FROM documents d LEFT JOIN sh0 s USING (doc_id)),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |        CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 7
+           |ORDER BY id_a, id_b""".stripMargin,
+      "q22_fingerprint" ->
+        s"""WITH w AS (SELECT doc_id, array_to_string($toks, ' ') AS s FROM documents),
+           |g0 AS (SELECT doc_id, s,
+           |         unnest(range(1, greatest(length(s) - 7, 1))) AS i FROM w),
+           |g AS (SELECT doc_id, i, ${md5h("s[i:i+8]")} AS gh FROM g0),
+           |m AS (SELECT doc_id, i,
+           |        MIN(gh) OVER (PARTITION BY doc_id ORDER BY i
+           |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+           |        COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+           |      FROM g),
+           |sel AS (SELECT doc_id, wmin FROM m WHERE i <= greatest(cnt - 3, 1)),
+           |agg AS (SELECT doc_id, CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fp,
+           |          MIN(wmin) AS fp_min, MAX(wmin) AS fp_max
+           |        FROM sel GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(a.n_fp, 0) AS n_fp, a.fp_min, a.fp_max
+           |FROM documents d LEFT JOIN agg a USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
+      "q23_ann_lsh" ->
+        s"""WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+           |c AS (SELECT vec_id,
+           |        list_sum(v) / (sqrt(64.0) * sqrt(list_sum([x * x for x in v]))) AS cos,
+           |        $q23CodeExpr AS code
+           |      FROM e)
+           |SELECT vec_id, round(cos, 6) AS cos FROM c
+           |WHERE bit_count(xor(CAST(code AS BIGINT), CAST($q23QCode AS BIGINT))) <= 2
+           |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+      "q24_lang_id" ->
+        s"""WITH w AS (SELECT doc_id, $toks AS t FROM documents),
+           |l AS (SELECT * FROM (VALUES
+           |  ('de', ['der','die','das','und','ist','mit','nicht']),
+           |  ('en', ['the','and','of','to','is','with','that']),
+           |  ('es', ['el','la','los','que','es','con','para']),
+           |  ('fr', ['le','les','des','est','avec','pour','dans']),
+           |  ('zh', ['de','shi','le','zai','you','wo','ta'])) AS t(lang, m)),
+           |s AS (SELECT w.doc_id, l.lang,
+           |        len(list_filter(w.t, x -> list_contains(l.m, x))) AS hits
+           |      FROM w CROSS JOIN l),
+           |g AS (SELECT doc_id, lang AS guess FROM s
+           |      QUALIFY row_number() OVER (PARTITION BY doc_id
+           |                                 ORDER BY hits DESC, lang) = 1)
+           |SELECT guess, CAST(COUNT(*) AS BIGINT) AS n FROM g
+           |GROUP BY guess ORDER BY guess""".stripMargin,
+      // corpus is ASCII (byte == char), so the byte-level stub codec is
+      // reproducible from the text column
+      "q26_multimodal" ->
+        """WITH m AS (SELECT doc_id,
+          |    CASE WHEN substr(text, 1, 4) = 'RIFF' THEN 'wav' ELSE 'raw' END AS format,
+          |    16 + CAST(list_sum(list_transform(range(1, least(length(text), 16) + 1),
+          |                       i -> unicode(substr(text, CAST(i AS INT), 1)))) % 241 AS INT) AS width,
+          |    list_transform(range(1, length(text) + 1, 3),
+          |                   i -> unicode(substr(text, CAST(i AS INT), 1))) AS c0
+          |  FROM documents),
+          |r AS (SELECT format, width,
+          |        CAST(list_sum(c0) AS DOUBLE) / len(c0) AS c0m FROM m)
+          |SELECT format, CAST(COUNT(*) AS BIGINT) AS n,
+          |  round(CAST(SUM(CAST(round(c0m, 6) AS DECIMAL(18,6))) AS DOUBLE)
+          |        / COUNT(*), 6) AS avg_c0,
+          |  round(CAST(SUM(width) AS DOUBLE) / COUNT(*), 6) AS avg_width
+          |FROM r GROUP BY format ORDER BY format""".stripMargin,
+      "q28_asof_join" ->
+        """WITH p AS (SELECT user_id, ts, max(value) AS pv FROM events
+          |           WHERE event_type = 'purchase' GROUP BY user_id, ts)
+          |SELECT c.event_id, c.user_id, c.ts, p.ts AS pts, p.pv
+          |FROM (SELECT event_id, user_id, ts FROM events
+          |      WHERE event_type = 'click') c
+          |ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+          |ORDER BY c.event_id""".stripMargin,
+      "q29_session_window" ->
+        """WITH o AS (SELECT user_id, ts, value,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |              OR ts >= lag(ts) OVER w + INTERVAL 4 HOUR
+          |         THEN 1 ELSE 0 END AS brk
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |s AS (SELECT user_id, ts, value,
+          |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+          |                   ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM o)
+          |SELECT MIN(ts) AS ss, MAX(ts) + INTERVAL 4 HOUR AS se, user_id,
+          |  CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          |FROM s GROUP BY user_id, sid ORDER BY user_id, ss""".stripMargin,
+      "q30_cube" ->
+        """SELECT c_mktsegment, o_orderpriority,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |  COUNT(*) AS n_orders
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+          |ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
   }
 }
