@@ -178,13 +178,19 @@ object Dedup {
   /** Near-duplicate pairs via SimHash with chunk-banding.
     *
     * The 64-bit signature (62 effective bits — see
-    * [[graft.functions.HashingHelper.simHash64]]) is split into 8
-    * 8-bit chunks; by pigeonhole, any pair with Hamming distance <= 7
+    * [[graft.functions.HashingHelper.simHash64]]) is split into 4
+    * 16-bit chunks; by pigeonhole, any pair with Hamming distance <= 3
     * shares at least one exact chunk, so bucketing on
     * (chunkIdx, chunkValue) finds ALL such pairs without an all-pairs
-    * scan — for `maxHamming <= 7` the result is exactly the all-pairs
-    * Hamming filter (which is what the SQL oracle computes). Beyond 7
-    * recall drops gracefully (documented trade-off of banded SimHash).
+    * scan — for `maxHamming <= 3` (the canonical radius for 64-bit
+    * simhash near-dup, Manku/Jain/Sarma WWW'07) the result is exactly
+    * the all-pairs Hamming filter, which is what the SQL oracle
+    * computes. Beyond 3 recall drops gracefully.
+    *
+    * Scale note: 16-bit chunks mean 2^16 buckets per band — random
+    * collisions stay rare as the corpus grows. Narrower chunks (e.g.
+    * 8-bit, which would make radius 7 complete) put ~N/256 docs in
+    * every bucket and degenerate to O(N²) candidates; don't.
     *
     * @return (id_a, id_b, hamming) with id_a < id_b
     */
@@ -198,7 +204,7 @@ object Dedup {
     val banded = sig.select(
       col("__id"), col("__sim"),
       posexplode(expr(
-        "transform(sequence(0, 7), c -> (shiftright(__sim, c * 8) & 255))")))
+        "transform(sequence(0, 3), c -> (shiftright(__sim, c * 16) & 65535))")))
       .withColumnRenamed("pos", "__chunk")
       .withColumnRenamed("col", "__val")
     val a = banded.select(col("__id").as("id_a"), col("__sim").as("__sa"), col("__chunk"), col("__val"))

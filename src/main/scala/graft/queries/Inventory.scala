@@ -264,9 +264,9 @@ object Inventory {
       .orderBy(col("lang"))
 
   private def q21(s: SparkSession, d: String): DataFrame =
-    // maxHamming=7 with 8x8-bit banding is pigeonhole-complete, so the
+    // maxHamming=3 with 4x16-bit banding is pigeonhole-complete, so the
     // result equals the all-pairs Hamming filter the oracle computes
-    Dedup.simhashNearDup(t(s, d, "documents"), "doc_id", "text", maxHamming = 7)
+    Dedup.simhashNearDup(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
   private def q22(s: SparkSession, d: String): DataFrame = {
@@ -358,9 +358,11 @@ object Inventory {
     * `last(ignoreNulls)` window: ONE shuffle on the user key, no range
     * blow-up, no per-row binary search — the plan any 100 TB as-of
     * join wants (vs. a theta-join on `ts >= ts'`, which Spark would
-    * execute as a broadcast nested loop). Right side is pre-aggregated
-    * per (user, ts) so the as-of value is well-defined under ties.
-    * Oracle: DuckDB's native ASOF JOIN.
+    * execute as a broadcast nested loop). Ties (several purchases at
+    * one (user, ts)) resolve to the max value WITHOUT a pre-aggregation
+    * exchange: the window orders by (ts, side, value), so the running
+    * `last()` lands on the max-value row of the latest timestamp —
+    * same result as DuckDB's ASOF JOIN against a max-per-ts right side.
     */
   private def q28(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
@@ -369,12 +371,10 @@ object Inventory {
         lit(null).cast("double").as("__pv"), lit(null).cast("timestamp").as("__pts"),
         lit(1).as("__side"))
     val purchases = ev.where(col("event_type") === "purchase")
-      .groupBy(col("user_id"), col("ts"))
-      .agg(max(col("value")).as("__pv"))
       .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
-        col("__pv"), col("ts").as("__pts"), lit(0).as("__side"))
+        col("value").as("__pv"), col("ts").as("__pts"), lit(0).as("__side"))
     // purchases sort before clicks at equal ts => "at-or-before" (>=)
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("__side"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("__side"), col("__pv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(purchases)
       .withColumn("pv", last(col("__pv"), ignoreNulls = true).over(w))
@@ -665,7 +665,7 @@ object Inventory {
            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |        CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
            |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-           |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 7
+           |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
            |ORDER BY id_a, id_b""".stripMargin,
       "q22_fingerprint" ->
         s"""WITH w AS (SELECT doc_id, array_to_string($toks, ' ') AS s FROM documents),
