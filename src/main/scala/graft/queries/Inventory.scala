@@ -352,35 +352,22 @@ object Inventory {
     s.table(name).orderBy(col("ws"), col("event_type"))
   }
 
-  /** As-of join — an operator Spark lacks natively. For each 'click'
-    * event, attach the user's most recent 'purchase' at-or-before the
-    * click. Implemented as the scale-friendly union + running
-    * `last(ignoreNulls)` window: ONE shuffle on the user key, no range
-    * blow-up, no per-row binary search — the plan any 100 TB as-of
-    * join wants (vs. a theta-join on `ts >= ts'`, which Spark would
-    * execute as a broadcast nested loop). Ties (several purchases at
-    * one (user, ts)) resolve to the max value WITHOUT a pre-aggregation
-    * exchange: the window orders by (ts, side, value), so the running
-    * `last()` lands on the max-value row of the latest timestamp —
-    * same result as DuckDB's ASOF JOIN against a max-per-ts right side.
+  /** As-of join via [[graft.ops.AsOf]]: for each 'click' event, the
+    * user's most recent 'purchase' at-or-before the click. Ties at one
+    * (user, ts) resolve to the max value through the window tiebreak —
+    * same result as DuckDB's ASOF JOIN against a max-per-ts right side,
+    * with no pre-aggregation exchange (one shuffle total).
     */
   private def q28(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
     val clicks = ev.where(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("event_id"),
-        lit(null).cast("double").as("__pv"), lit(null).cast("timestamp").as("__pts"),
-        lit(1).as("__side"))
+      .select(col("event_id"), col("user_id"), col("ts"))
     val purchases = ev.where(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
-        col("value").as("__pv"), col("ts").as("__pts"), lit(0).as("__side"))
-    // purchases sort before clicks at equal ts => "at-or-before" (>=)
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("__side"), col("__pv"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    clicks.unionByName(purchases)
-      .withColumn("pv", last(col("__pv"), ignoreNulls = true).over(w))
-      .withColumn("pts", last(col("__pts"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1 && col("pv").isNotNull)
-      .select(col("event_id"), col("user_id"), col("ts"), col("pts"), col("pv"))
+      .select(col("user_id"), col("ts"), col("value").as("pv"))
+    graft.ops.AsOf.join(clicks, purchases, "user_id", "ts",
+        valueCols = Seq("pv"), tiebreak = "pv")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_ts").as("pts"), col("pv"))
       .orderBy(col("event_id"))
   }
 

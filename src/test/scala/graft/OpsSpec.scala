@@ -138,4 +138,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = df.select(GraftFunctions.word_shingles(col("text"), 3)).head().getSeq[String](0)
     assert(got == Seq("a b c", "b c d", "c d a", "d a b"))
   }
+
+  test("AsOf.join: latest at-or-before match, tie to max tiebreak, no-match dropped") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L),  // after right ts 5 and 10 => matches ts=10
+      (1L, 7L, 101L),   // between 5 and 10 => matches ts=5
+      (1L, 3L, 102L),   // before all right rows => dropped (inner)
+      (2L, 50L, 103L)   // user with no right rows => dropped
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, 5L, 1.0),
+      (1L, 10L, 2.0),   // tie on (user 1, ts 10):
+      (1L, 10L, 7.0)    //   max tiebreak 7.0 wins
+    ).toDF("user_id", "ts", "pv")
+    val out = graft.ops.AsOf.join(left, right, "user_id", "ts",
+        valueCols = Seq("pv"), tiebreak = "pv")
+      .select("event_id", "pv", "asof_ts")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sorted
+    assert(out.toSeq == Seq((100L, 7.0, 10L), (101L, 1.0, 5L)))
+  }
 }
