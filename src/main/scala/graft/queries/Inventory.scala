@@ -395,6 +395,17 @@ object Inventory {
         count(lit(1)).as("n_orders"))
       .orderBy(col("c_mktsegment").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** The LSH-banded (scale-path) embedding near-dup variant of q25:
+    * candidates = pairs colliding in >=1 of 8 8-bit sign-LSH tables,
+    * verified by exact cosine. Oracle recomputes the same codes from
+    * the inlined ±1 planes, so the result (candidates ∩ cos>=t) is
+    * exact on both engines.
+    */
+  private def q31(s: SparkSession, d: String): DataFrame =
+    Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+      threshold = 0.45, dim = 64, tables = 8, bitsPerTable = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -427,7 +438,8 @@ object Inventory {
     "q27_streaming_window" -> (q27 _),
     "q28_asof_join" -> (q28 _),
     "q29_session_window" -> (q29 _),
-    "q30_cube" -> (q30 _))
+    "q30_cube" -> (q30 _),
+    "q31_embedding_neardup_lsh" -> (q31 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -444,16 +456,25 @@ object Inventory {
     // 62-bit md5 hash shared with HashingHelper.md5lo62 (mod 2^62 ==
     // low-bit mask, stays in DuckDB's UBIGINT domain before the cast)
     val md5h = (e: String) => s"CAST(md5_number_lower($e) % 4611686018427387904 AS BIGINT)"
-    // q23's fixed ±1 hyperplanes + query code, inlined as constants
-    // (part of the operator definition, not data-derived)
-    val q23Planes = Similarity.planeSigns(64, 8)
-    val q23QCode = Similarity.queryCode(OnesQuery, 64, 8)
-    val q23CodeExpr = q23Planes.zipWithIndex.map { case (p, i) =>
-      val chain = p.zipWithIndex
+    // q23/q31's fixed ±1 hyperplanes + query code, inlined as constants
+    // (part of the operator definition, not data-derived). The dot
+    // chains are explicit left-to-right sums — the exact IEEE add
+    // sequence the engine's vec_dot performs.
+    def planeDotChain(p: Array[Int]): String =
+      "0.0 " + p.zipWithIndex
         .map { case (sgn, j) => (if (sgn > 0) "+" else "-") + s" v[${j + 1}]" }
         .mkString(" ")
-      s"(CASE WHEN (0.0 $chain) >= 0 THEN ${1L << i} ELSE 0 END)"
+    val q23CodeExpr = Similarity.planeSigns(64, 8).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN (${planeDotChain(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", "\n         + ", ")")
+    val q23QCode = Similarity.queryCode(OnesQuery, 64, 8)
+    // q31: 8 tables x 8 bits = 64 planes; one code expression per table
+    val q31Planes = Similarity.planeSigns(64, 64)
+    val q31CodeExprs = (0 until 8).map { t =>
+      (0 until 8).map { b =>
+        s"(CASE WHEN (${planeDotChain(q31Planes(t * 8 + b))}) >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("(", " + ", s") AS c$t")
+    }
     ListMap(
       "q01_filter_project" ->
         """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -741,6 +762,19 @@ object Inventory {
           |  COUNT(*) AS n_orders
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |GROUP BY CUBE(c_mktsegment, o_orderpriority)
-          |ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+          |ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+      "q31_embedding_neardup_lsh" ->
+        s"""WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm,
+           |        ${q31CodeExprs.mkString(",\n        ")}
+           |      FROM e),
+           |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |        round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+           |              / (a.nrm * b.nrm), 6) AS cos
+           |      FROM n a JOIN n b ON a.vec_id < b.vec_id AND (
+           |        a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3 OR
+           |        a.c4 = b.c4 OR a.c5 = b.c5 OR a.c6 = b.c6 OR a.c7 = b.c7))
+           |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45
+           |ORDER BY id_a, id_b""".stripMargin)
   }
 }
