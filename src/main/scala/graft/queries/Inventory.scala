@@ -406,6 +406,30 @@ object Inventory {
       threshold = 0.45, dim = 64, tables = 8, bitsPerTable = 8)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Interval/range join (§2.8): clicks landing inside the 1-hour
+    * window after a same-user purchase. The window side is broadcast
+    * (it is the filtered, projected small side); the range predicate
+    * then evaluates stream-side with no shuffle at all. At 100 TB with
+    * two large sides the plan becomes bin-bucketing: floor(ts to 1h)
+    * equi-keys on both sides (+1 neighbor bin), shuffle on
+    * (user, bin), residual range filter — same declarative shape, one
+    * added `explode(bins)`.
+    */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val windows = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+    clicks.join(broadcast(windows),
+        col("user_id") === col("p_user") &&
+          col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select(col("click_id"), col("purchase_id"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -439,7 +463,8 @@ object Inventory {
     "q28_asof_join" -> (q28 _),
     "q29_session_window" -> (q29 _),
     "q30_cube" -> (q30 _),
-    "q31_embedding_neardup_lsh" -> (q31 _))
+    "q31_embedding_neardup_lsh" -> (q31 _),
+    "q32_range_join" -> (q32 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -775,6 +800,13 @@ object Inventory {
            |        a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3 OR
            |        a.c4 = b.c4 OR a.c5 = b.c5 OR a.c6 = b.c6 OR a.c7 = b.c7))
            |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45
-           |ORDER BY id_a, id_b""".stripMargin)
+           |ORDER BY id_a, id_b""".stripMargin,
+      "q32_range_join" ->
+        """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+          |FROM events c JOIN events p
+          |  ON c.user_id = p.user_id
+          | AND c.event_type = 'click' AND p.event_type = 'purchase'
+          | AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+          |ORDER BY click_id, purchase_id""".stripMargin)
   }
 }
