@@ -49,7 +49,8 @@ object ArchiveConverter {
       bytes: Long,          // content bytes written
       inputs: Long,         // top-level inputs walked
       entriesRead: Long,    // entries extracted before filters
-      bytesRead: Long)      // content bytes extracted before filters
+      bytesRead: Long,      // content bytes extracted before filters
+      errors: Long = 0)     // inputs skipped (skipErrors mode only)
 
   /** Read-side counters incremented inside the walker flatMap
     * (reference: src/progress.rs:11-133, src/channel.rs:28-49).
@@ -58,7 +59,35 @@ object ArchiveConverter {
     val inputs: LongAccumulator = spark.sparkContext.longAccumulator("graft.inputs")
     val entries: LongAccumulator = spark.sparkContext.longAccumulator("graft.entries")
     val bytes: LongAccumulator = spark.sparkContext.longAccumulator("graft.bytesRead")
+    val errors: LongAccumulator = spark.sparkContext.longAccumulator("graft.inputErrors")
   }
+
+  /** Per-input error containment (W7 skip mode): a throw while walking
+    * one input ends THAT input's contribution and invokes `onError`;
+    * rows already emitted stay. Used only with `opts.skipErrors` —
+    * the default propagates (task failure => Spark retry => job abort,
+    * the reference's poisoned-channel semantics).
+    */
+  private def contained(
+      it: Iterator[ArchiveEntry], onError: Throwable => Unit): Iterator[ArchiveEntry] =
+    new Iterator[ArchiveEntry] {
+      private var pending: ArchiveEntry = _
+      private var has = false
+      private var dead = false
+      private def advance(): Unit =
+        if (!has && !dead) {
+          try {
+            if (it.hasNext) { pending = it.next(); has = true } else dead = true
+          } catch { case t: Throwable => onError(t); dead = true }
+        }
+      override def hasNext: Boolean = { advance(); has }
+      override def next(): ArchiveEntry = {
+        advance()
+        if (!has) throw new NoSuchElementException("input ended")
+        has = false
+        pending
+      }
+    }
 
   /** The walked, unfiltered entry Dataset — the engine's logical source.
     * Inputs may be local paths or http(s)/file URLs (reference S1/S2:
@@ -81,10 +110,24 @@ object ArchiveConverter {
     spark.createDataset(spark.sparkContext.parallelize(inputs, width))
       .flatMap { p =>
         metrics.foreach(_.inputs.add(1L))
-        val it = ArchiveWalker.walkInput(p, opts)
-        metrics match {
-          case None    => it
-          case Some(m) => it.map { e => m.entries.add(1L); m.bytes.add(e.size); e }
+        def failed(t: Throwable): Unit = {
+          metrics.foreach(_.errors.add(1L))
+          System.err.println(
+            s"[graft] skipping failed input $p: ${t.getClass.getSimpleName}: ${t.getMessage}")
+        }
+        val raw =
+          if (!opts.skipErrors) ArchiveWalker.walkInput(p, opts)
+          else {
+            // containment covers open() too, not just mid-walk reads
+            val opened =
+              try ArchiveWalker.walkInput(p, opts)
+              catch { case t: Throwable => failed(t); Iterator.empty }
+            contained(opened, failed)
+          }
+        raw match {
+          case it if metrics.isEmpty => it
+          case it => val m = metrics.get
+            it.map { e => m.entries.add(1L); m.bytes.add(e.size); e }
         }
       }
   }
@@ -159,7 +202,8 @@ object ArchiveConverter {
       bytes = m("bytes").asInstanceOf[Long],
       inputs = metrics.inputs.value,
       entriesRead = metrics.entries.value,
-      bytesRead = metrics.bytes.value)
+      bytesRead = metrics.bytes.value,
+      errors = metrics.errors.value)
   }
 
   /** Read a previous conversion output with the canonical schema. */

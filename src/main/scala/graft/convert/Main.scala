@@ -13,8 +13,9 @@ import org.apache.spark.sql.SparkSession
   *   --unique                drop duplicate content by sha-256 (D1)
   *   --include all|text|binary   content filter (F2)
   *   --min-size N --max-size N   half-open size range (F1)
-  *   --compression CODEC     parquet codec (default snappy)
+  *   --compression CODEC     parquet codec (default zstd level 1)
   *   --extract-executable-strings   P3
+  *   --skip-errors           contain per-input failures (count, don't abort)
   *   --threads N             input parallelism (default: all cores)
   * }}}
   */
@@ -23,7 +24,7 @@ object Main {
     if (args.length < 2) {
       System.err.println("usage: graft.convert.Main OUTPUT INPUT... [--urls] [--unique] " +
         "[--include all|text|binary] [--min-size N] [--max-size N] " +
-        "[--compression C] [--extract-executable-strings] [--threads N]")
+        "[--compression C] [--extract-executable-strings] [--skip-errors] [--threads N]")
       sys.exit(2)
     }
     val out = args.head
@@ -40,6 +41,7 @@ object Main {
         case "--max-size" => opts = opts.copy(maxSize = Some(args(i + 1).toLong)); i += 1
         case "--compression" => opts = opts.copy(compression = args(i + 1)); i += 1
         case "--extract-executable-strings" => opts = opts.copy(extractStrings = true)
+        case "--skip-errors" => opts = opts.copy(skipErrors = true)
         case "--threads" => opts = opts.copy(parallelism = Some(args(i + 1).toInt)); i += 1
         case other => inputs :+= other
       }
@@ -66,7 +68,8 @@ object Main {
       val stats = ArchiveConverter.convert(spark, inputs, out, opts)
       // mirror of the reference's final progress line (src/progress.rs)
       println(s"[graft] inputs=${stats.inputs} entries_read=${stats.entriesRead} " +
-        s"bytes_read=${stats.bytesRead} rows_written=${stats.rows} bytes_written=${stats.bytes} -> $out")
+        s"bytes_read=${stats.bytesRead} rows_written=${stats.rows} bytes_written=${stats.bytes} " +
+        s"errors=${stats.errors} -> $out")
     } finally spark.stop()
   }
 }

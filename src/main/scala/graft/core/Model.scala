@@ -92,6 +92,15 @@ final case class ConvertOptions(
     extractStrings: Boolean = false,
     parallelism: Option[Int] = None,
     maxDepth: Int = 32,
-    maxEntryBytes: Long = 1L << 30) {
+    maxEntryBytes: Long = 1L << 30,
+    // Error containment (W7). Default false = reference parity: a
+    // content-read failure fails the input's task and (after Spark's
+    // retries) the job, like the reference's poisoned channel
+    // (visitor.rs:59-65, channel.rs:88-91). true = per-input
+    // containment: the failed input stops contributing rows, the walk
+    // continues, failures are counted — the mode a 100 TB batch over
+    // crawled archives actually wants (one bad file of millions must
+    // not kill a day-long job).
+    skipErrors: Boolean = false) {
   require(minSize.forall(_ >= 0) && maxSize.forall(_ >= 0), "size bounds must be >= 0")
 }

@@ -133,7 +133,11 @@ object ArchiveWalker {
     val tar = new TarArchiveInputStream(stream)
     archiveIterator {
       () =>
-        val e = tar.getNextEntry
+        // corrupt HEADER ends this archive's iteration silently —
+        // reference parity with `while let Some(Ok(entry))`
+        // (tarfile.rs:22); errors while reading entry CONTENT
+        // (inside walkEntry/emit) propagate and fail the input
+        val e = try tar.getNextEntry catch { case _: java.io.IOException => null }
         if (e == null) None
         // only regular file entries with content (tarfile.rs:24-26)
         else if (!e.isFile || e.getSize == 0) Some(Iterator.empty)
@@ -156,7 +160,8 @@ object ArchiveWalker {
     val zip = new ZipArchiveInputStream(stream, "UTF8", false, true)
     archiveIterator {
       () =>
-        val e = zip.getNextEntry
+        // corrupt header => silent stop (zipfile.rs:22 `while let Ok(Some)`)
+        val e = try zip.getNextEntry catch { case _: java.io.IOException => null }
         if (e == null) None
         // only file entries with nonzero size (zipfile.rs:23-25);
         // size -1 = unknown until the data descriptor — keep those and
@@ -171,9 +176,13 @@ object ArchiveWalker {
   }
 
   /** Sequential expansion over an archive's entries. `nextEntry`
-    * returns None at end-of-archive (or on a corrupt header), or the
-    * expansion of the next entry. Sub-iterators are drained fully
-    * before the underlying archive stream advances.
+    * returns None at end-of-archive (or on a corrupt header — the
+    * walkers catch that themselves), or the expansion of the next
+    * entry. Content-read errors inside an expansion are NOT caught
+    * here: they propagate out and fail the input (reference W7 —
+    * visitor.rs:59-65 poisons the channel, the sink aborts).
+    * Sub-iterators are drained fully before the underlying archive
+    * stream advances.
     */
   private def archiveIterator(nextEntry: () => Option[Iterator[ArchiveEntry]]): Iterator[ArchiveEntry] =
     new Iterator[ArchiveEntry] {
@@ -182,10 +191,7 @@ object ArchiveWalker {
 
       private def advance(): Unit =
         while (!cur.hasNext && !done) {
-          val n =
-            try nextEntry()
-            catch { case _: java.io.IOException => None } // corrupt header ends iteration
-          n match {
+          nextEntry() match {
             case None     => done = true
             case Some(it) => cur = it
           }

@@ -69,4 +69,33 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(cols("content").getCodec.name().equalsIgnoreCase("zstd"))
     } finally reader.close()
   }
+
+  test("W7: content-read failure aborts by default, is contained with skipErrors") {
+    import Fixtures._
+    val dir = java.nio.file.Files.createTempDirectory("graft_w7").toFile
+    val good = new java.io.File(dir, "good.tar.gz")
+    val goodBytes = gzipData(tarArchive(Seq("ok.txt" -> "fine content".getBytes("UTF-8"))))
+    java.nio.file.Files.write(good.toPath, goodBytes)
+    // truncated gzip over INCOMPRESSIBLE bytes so the cut lands in the
+    // middle of entry content (not a header): read error, not EOF
+    val bad = new java.io.File(dir, "bad.tar.gz")
+    val noise = new Array[Byte](256 * 1024)
+    new java.util.Random(1L).nextBytes(noise)
+    val full = gzipData(tarArchive(Seq("big.bin" -> noise)))
+    java.nio.file.Files.write(bad.toPath, java.util.Arrays.copyOf(full, full.length / 2))
+    val inputs = Seq(good.getAbsolutePath, bad.getAbsolutePath)
+
+    // default: the poisoned input fails the job (reference W7 abort)
+    val out1 = java.nio.file.Files.createTempDirectory("graft_w7_out1").toString
+    intercept[org.apache.spark.SparkException] {
+      ArchiveConverter.convert(spark, inputs, out1, ConvertOptions())
+    }
+
+    // skipErrors: the good input converts, the bad one is counted
+    val out2 = java.nio.file.Files.createTempDirectory("graft_w7_out2").toString
+    val stats = ArchiveConverter.convert(spark, inputs, out2, ConvertOptions(skipErrors = true))
+    assert(stats.rows == 1 && stats.errors == 1)
+    val rows = ArchiveConverter.read(spark, out2).collect()
+    assert(rows.map(_.getAs[String]("path")).toSeq == Seq("ok.txt"))
+  }
 }

@@ -153,6 +153,26 @@ class WalkerSpec extends AnyFunSuite {
     val data = tarArchive(names.map(_ -> TestData))
     assert(walk(data).map(_.path) == names.toVector)
   }
+
+  test("W7: corrupt header after valid entries ends the archive silently") {
+    // reference parity: `while let Some(Ok(entry))` stops on a bad
+    // header without failing the input (tarfile.rs:22)
+    val valid = tarArchive(Seq("a.txt" -> TestData, "b.txt" -> TestData))
+    // strip the terminating zero-blocks, then append a garbage block
+    val truncated = java.util.Arrays.copyOf(valid, valid.length - 1024)
+    val garbage = Array.fill[Byte](512)(0x55)
+    val rows = walk(truncated ++ garbage)
+    assert(rows.map(_.path) == Vector("a.txt", "b.txt"))
+  }
+
+  test("W7: content-read failure propagates and fails the input") {
+    // truncated gzip: the decompressor throws mid-content — this must
+    // NOT be swallowed as end-of-archive (reference: read errors poison
+    // the channel and abort, visitor.rs:59-65)
+    val full = gzipData(tarArchive(Seq("big.bin" -> Array.fill[Byte](256 * 1024)(9))))
+    val cut = java.util.Arrays.copyOf(full, full.length / 2)
+    intercept[java.io.IOException] { walk(cut) }
+  }
 }
 
 class AsciiStringsSpec extends AnyFunSuite {
