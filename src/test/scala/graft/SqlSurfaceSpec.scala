@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The registered SQL surface: every custom expression must be usable
+  * from `spark.sql`, including the `explode_archive` Generator via
+  * LATERAL VIEW (SURVEY §2.2 W1 — the SQL face of the walker).
+  */
+class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .appName("SqlSurfaceSpec")
+      .getOrCreate()
+    GraftFunctions.register(s)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("scalar functions evaluate from SQL") {
+    import spark.implicits._
+    Seq(("ok text", Fixtures.fakeElf(Seq("embedded_string_one"))))
+      .toDF("txt", "exe").createOrReplaceTempView("t")
+    val r = spark.sql(
+      """SELECT is_utf8(cast(txt AS binary)) AS u,
+        |       format_kind(exe) AS k,
+        |       extract_strings(exe, 10) AS strs,
+        |       simhash64(txt) AS sh,
+        |       size(fingerprint(txt, 3, 2)) AS nfp,
+        |       size(minhash_signature(txt, 16, 1)) AS nmh
+        |FROM t""".stripMargin).head()
+    assert(r.getAs[Boolean]("u"))
+    assert(r.getAs[String]("k") == "executable")
+    // "ELF" (short run) accumulates into the next run — reference
+    // parity, see AsciiStrings scaladoc
+    assert(r.getSeq[String](2) == Seq("ELFembedded_string_one"))
+    assert(r.getAs[Long]("sh") >= 0L) // 62-bit simhash is never negative
+    assert(r.getAs[Int]("nfp") > 0 && r.getAs[Int]("nmh") == 16)
+  }
+
+  test("LATERAL VIEW explode_archive walks nested archives from SQL") {
+    import spark.implicits._
+    val nested = Fixtures.zipArchive(Seq(
+      "a.txt" -> "alpha".getBytes("UTF-8"),
+      "inner.zip" -> Fixtures.zipArchive(Seq("b/c.txt" -> "beta".getBytes("UTF-8")))))
+    Seq(("src1", nested)).toDF("source", "content").createOrReplaceTempView("blobs")
+    val rows = spark.sql(
+      """SELECT b.source, a.path, a.size, lower(hex(a.hash)) AS sha
+        |FROM blobs b LATERAL VIEW explode_archive(b.content) a
+        |ORDER BY a.path""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("a.txt", 5L), ("inner.zip/b/c.txt", 4L)))
+    assert(rows.head.getAs[String]("sha") ==
+      Fixtures.sha256Hex("alpha".getBytes("UTF-8")))
+  }
+
+  test("md5lo62 matches DuckDB md5_number_lower & mask (oracle-shared hash)") {
+    // DuckDB: SELECT md5_number_lower('abc') => 8250560606382298838
+    assert(graft.functions.HashingHelper.md5lo62("abc") ==
+      (8250560606382298838L & 0x3fffffffffffffffL))
+  }
+}
