@@ -430,6 +430,31 @@ object Inventory {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** Connected components over the near-dup pair graph: each doc in a
+    * pair gets the min doc_id reachable through pairs — the canonical
+    * survivor of its dup cluster. The iterative label-propagation
+    * DataFrame loop ([[Dedup.components]]) is checked against a
+    * recursive-CTE transitive closure in the oracle.
+    */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.nearDupPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.8)
+    Dedup.components(pairs).orderBy(col("id"))
+  }
+
+  /** Skewed aggregation via salting ([[graft.ops.Skew]]): events have
+    * only 5 event_type keys — at 32 shuffle partitions an unsalted
+    * final phase leaves 27 reducers idle. The salted plan splits each
+    * hot key across 16 reducers and merges exactly (counts + DECIMAL
+    * sums are associative). Result is identical to the plain GROUP BY,
+    * which is the oracle.
+    */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    graft.ops.Skew.saltedCountSum(t(s, d, "events"), "event_type",
+        dec(col("value")), salts = 16)
+      .select(col("event_type"), col("n"),
+        col("total").cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -464,7 +489,9 @@ object Inventory {
     "q29_session_window" -> (q29 _),
     "q30_cube" -> (q30 _),
     "q31_embedding_neardup_lsh" -> (q31 _),
-    "q32_range_join" -> (q32 _))
+    "q32_range_join" -> (q32 _),
+    "q33_components" -> (q33 _),
+    "q34_salted_agg" -> (q34 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -807,6 +834,31 @@ object Inventory {
           |  ON c.user_id = p.user_id
           | AND c.event_type = 'click' AND p.event_type = 'purchase'
           | AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
-          |ORDER BY click_id, purchase_id""".stripMargin)
+          |ORDER BY click_id, purchase_id""".stripMargin,
+      // transitive closure by recursive CTE = the DataFrame label loop
+      "q33_components" ->
+        s"""WITH RECURSIVE
+           |w AS (SELECT doc_id, $toks AS t FROM documents),
+           |sh AS (SELECT doc_id,
+           |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |                        for i in range(1, len(t) - 1)]) AS s
+           |       FROM w),
+           |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |         CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
+           |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+           |p AS (SELECT id_a, id_b FROM pr WHERE round(j, 6) >= 0.8),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM p
+           |      UNION SELECT id_b, id_a FROM p),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM e
+           |  UNION
+           |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
+           |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id
+           |ORDER BY id""".stripMargin,
+      "q34_salted_agg" ->
+        """SELECT event_type, COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 }
