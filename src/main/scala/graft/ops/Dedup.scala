@@ -146,9 +146,12 @@ object Dedup {
     * @return (id, cluster) — one row per id appearing in any pair
     */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the pair set once — the union below reads it twice,
+    // and upstream pair generation (LSH + verify) is the expensive part
+    val p = pairs.select(col("id_a"), col("id_b")).cache()
     // undirected edge list, both directions
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges = p.unionAll(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
       .distinct()
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
@@ -171,6 +174,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    p.unpersist()
     edges.unpersist()
     labels
   }
