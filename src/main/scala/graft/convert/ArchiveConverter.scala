@@ -165,7 +165,11 @@ object ArchiveConverter {
   def convert(spark: SparkSession, inputs: Seq[String], out: String, opts: ConvertOptions): ConversionStats = {
     val metrics = new WalkMetrics(spark)
     val obs = new Observation()
-    val df = filteredEntries(spark, inputs, opts, Some(metrics))
+    val filtered = filteredEntries(spark, inputs, opts, Some(metrics))
+    val shaped =
+      if (opts.singleFile) filtered.repartition(1) // see ConvertOptions scaladoc
+      else filtered
+    val df = shaped
       .observe(obs,
         count(lit(1)).as("rows"),
         coalesce(sum(length(col("content"))), lit(0L)).as("bytes"))

@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
   *   --compression CODEC     parquet codec (default zstd level 1)
   *   --extract-executable-strings   P3
   *   --skip-errors           contain per-input failures (count, don't abort)
+  *   --single-file           one output parquet file (reference parity)
   *   --threads N             input parallelism (default: all cores)
   * }}}
   */
@@ -24,7 +25,8 @@ object Main {
     if (args.length < 2) {
       System.err.println("usage: graft.convert.Main OUTPUT INPUT... [--urls] [--unique] " +
         "[--include all|text|binary] [--min-size N] [--max-size N] " +
-        "[--compression C] [--extract-executable-strings] [--skip-errors] [--threads N]")
+        "[--compression C] [--extract-executable-strings] [--skip-errors] " +
+        "[--single-file] [--threads N]")
       sys.exit(2)
     }
     val out = args.head
@@ -42,6 +44,7 @@ object Main {
         case "--compression" => opts = opts.copy(compression = args(i + 1)); i += 1
         case "--extract-executable-strings" => opts = opts.copy(extractStrings = true)
         case "--skip-errors" => opts = opts.copy(skipErrors = true)
+        case "--single-file" => opts = opts.copy(singleFile = true)
         case "--threads" => opts = opts.copy(parallelism = Some(args(i + 1).toInt)); i += 1
         case other => inputs :+= other
       }

@@ -93,6 +93,13 @@ final case class ConvertOptions(
     parallelism: Option[Int] = None,
     maxDepth: Int = 32,
     maxEntryBytes: Long = 1L << 30,
+    // Reference parity: the reference always writes ONE parquet file
+    // (src/sink.rs single ArrowWriter). Default false = one file per
+    // task, the cluster-native shape. true inserts a repartition(1)
+    // before the sink — NOT coalesce(1), which would collapse the walk
+    // itself into a single task; repartition keeps the walk parallel
+    // and pays one shuffle of the surviving rows.
+    singleFile: Boolean = false,
     // Error containment (W7). Default false = reference parity: a
     // content-read failure fails the input's task and (after Spark's
     // retries) the job, like the reference's poisoned channel

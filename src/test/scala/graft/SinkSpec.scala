@@ -70,6 +70,23 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally reader.close()
   }
 
+  test("singleFile writes exactly one parquet part (reference parity)") {
+    import Fixtures._
+    val dir = java.nio.file.Files.createTempDirectory("graft_single").toFile
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.write(new java.io.File(dir, s"in$i.tar.gz").toPath,
+        gzipData(tarArchive(Seq(s"f$i.txt" -> s"data $i".getBytes("UTF-8")))))
+    }
+    val inputs = dir.listFiles().map(_.getAbsolutePath).toSeq
+    val out = java.nio.file.Files.createTempDirectory("graft_single_out").toString
+    val stats = ArchiveConverter.convert(spark, inputs, out,
+      ConvertOptions(singleFile = true))
+    assert(stats.rows == 3)
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length == 1)
+  }
+
   test("W7: content-read failure aborts by default, is contained with skipErrors") {
     import Fixtures._
     val dir = java.nio.file.Files.createTempDirectory("graft_w7").toFile

@@ -45,10 +45,29 @@ class SniffSpec extends AnyFunSuite {
     assert(Sniff.formatKindOfBytes(bz2Data(tar)) == FormatKind.Tar)
   }
 
-  test("executables are detected") {
-    assert(Sniff.formatKindOfBytes(fakeElf(Seq("hello"))) == FormatKind.Executable)
-    assert(Sniff.formatKindOfBytes("MZ....".getBytes) == FormatKind.Executable)
-    assert(Sniff.formatKindOfBytes(Array[Byte](0, 'a', 's', 'm', 1)) == FormatKind.Executable)
+  test("executables are detected (full reference magic table)") {
+    val execs = Seq(
+      "ELF" -> fakeElf(Seq("hello")),
+      "MZ/EXE" -> "MZ....".getBytes,
+      "WASM" -> Array[Byte](0, 'a', 's', 'm', 1),
+      "DEX" -> Array[Byte]('d', 'e', 'x', 0x0a, '0', '3', '5', 0),
+      "LLVM" -> Array[Byte]('B', 'C', 0xc0.toByte, 0xde.toByte, 0, 0),
+      "Java class" -> Array[Byte](0xca.toByte, 0xfe.toByte, 0xba.toByte, 0xbe.toByte, 0, 0),
+      "Mach-O BE" -> Array[Byte](0xfe.toByte, 0xed.toByte, 0xfa.toByte, 0xce.toByte, 0, 0),
+      "Mach-O 64 LE" -> Array[Byte](0xcf.toByte, 0xfa.toByte, 0xed.toByte, 0xfe.toByte, 0, 0),
+      "COFF" -> Array[Byte](0x4c, 0x01, 0, 0))
+    execs.foreach { case (name, bytes) =>
+      assert(Sniff.formatKindOfBytes(bytes) == FormatKind.Executable, name)
+    }
+  }
+
+  test("concatenated gzip members decode fully (multi-member parity)") {
+    // reference's gzip reader handles concatenated members
+    // (compression.rs MultiGzDecoder); java's GZIPInputStream does too
+    val two = gzipData("first ".getBytes("UTF-8")) ++ gzipData("second".getBytes("UTF-8"))
+    val (kind, stream) = Sniff.open(new ByteArrayInputStream(two))
+    assert(kind == FormatKind.Gzip)
+    assert(new String(readAll(stream), "UTF-8") == "first second")
   }
 
   test("compressed non-archive reports the codec kind, content decompressed") {

@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -59,6 +60,18 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("a.txt", 5L), ("inner.zip/b/c.txt", 4L)))
     assert(rows.head.getAs[String]("sha") ==
       Fixtures.sha256Hex("alpha".getBytes("UTF-8")))
+  }
+
+  test("approx_count_distinct (HLL++) lands within 5% of exact") {
+    // sketch surface (§2.8): approximate values are engine-specific so
+    // this is a tolerance spec, not a DuckDB-oracle query
+    import spark.implicits._
+    val df = (1 to 10000).map(i => i % 1000).toDF("k")
+    val Array(approx, exact) = df
+      .select(approx_count_distinct(org.apache.spark.sql.functions.col("k")),
+        countDistinct(org.apache.spark.sql.functions.col("k")))
+      .head().toSeq.map(_.asInstanceOf[Long].toDouble).toArray
+    assert(math.abs(approx - exact) / exact < 0.05)
   }
 
   test("md5lo62 matches DuckDB md5_number_lower & mask (oracle-shared hash)") {
