@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward forked-process stdout verbatim (no "[info] " logger prefix) so
+// Bench's single JSON metric line stays machine-parseable line-by-line.
+outputStrategy := Some(StdoutOutput)
 run / connectInput := true  // stdin path-list mode (graft.convert.Main "-")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -191,6 +191,14 @@ object ArchiveConverter {
       .option("parquet.enable.dictionary#path", "true")
       .option("parquet.page.size", (1024 * 1024).toString)
       .option("parquet.page.row.count.limit", "2000")
+      // statistics only on the metadata columns (src/sink.rs:33,41,47-49):
+      // min/max over multi-MB `content` byte arrays burns CPU and bloats
+      // the footer, and content is never a pruning target
+      .option("parquet.column.statistics.enabled", "false")
+      .option("parquet.column.statistics.enabled#source", "true")
+      .option("parquet.column.statistics.enabled#path", "true")
+      .option("parquet.column.statistics.enabled#size", "true")
+      .option("parquet.column.statistics.enabled#hash", "true")
       // zstd level 1: archive content is often incompressible (media,
       // already-compressed blobs) where higher levels only burn CPU —
       // measured 1.6x faster than the level-3 default on a random-bytes

@@ -67,6 +67,12 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
       // zstd codec (engine default)
       assert(cols("content").getCodec.name().equalsIgnoreCase("zstd"))
+
+      // statistics only on the metadata columns (src/sink.rs:41,47-49):
+      // content min/max would hold whole blobs in memory and in the footer
+      assert(cols("content").getStatistics == null || cols("content").getStatistics.isEmpty)
+      assert(cols("hash").getStatistics != null && !cols("hash").getStatistics.isEmpty)
+      assert(cols("size").getStatistics != null && !cols("size").getStatistics.isEmpty)
     } finally reader.close()
   }
 
