@@ -111,11 +111,13 @@ object Bench {
         val corpusDir = new java.io.File("/tmp/graft_bench_corpus")
         val bytes = ensureCorpus(corpusDir, files = 32, entries = 64, entryBytes = 512 * 1024)
         val inputs = corpusDir.listFiles().filter(_.getName.endsWith(".tar.gz")).map(_.getAbsolutePath).toSeq
-        // JIT/classloading warmup on one input, then best-of-two timed
-        // runs — the sandbox host throttles vCPU in bursts (steal-time
-        // spikes), and min-of-3 sheds throttled runs
+        // full-corpus warmup run: the writer/codec paths need a complete
+        // pass before JIT reaches steady state (a 1-input warmup leaves
+        // the first timed run ~2x slower). Then best-of-3 timed runs —
+        // the sandbox host throttles vCPU in bursts (steal-time spikes)
+        // and min-of-3 sheds throttled runs.
         graft.convert.ArchiveConverter.convert(
-          spark, inputs.take(1), "/tmp/graft_bench_warmup", graft.core.ConvertOptions())
+          spark, inputs, "/tmp/graft_bench_warmup", graft.core.ConvertOptions())
         var best = Double.MaxValue
         var stats: graft.convert.ArchiveConverter.ConversionStats = null
         (1 to 3).foreach { _ =>
