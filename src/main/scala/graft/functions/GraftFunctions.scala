@@ -77,17 +77,26 @@ object GraftFunctions {
 
   // ---- SQL registration ----
 
-  /** Register the custom expressions for SQL use
+  /** The SQL-callable custom-expression surface: one builder per
+    * function, shared by session-scoped [[register]] and the
+    * cluster-wide [[graft.GraftExtensions]] injection path.
+    */
+  private[graft] val sqlBuilders: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "is_utf8" -> (e => IsUtf8(e.head)),
+    "format_kind" -> (e => FormatKindOf(e.head)),
+    "extract_strings" -> (e => ExtractStrings(e.head, e(1))),
+    "minhash_signature" -> (e => MinHashSignature(e.head, e(1), e(2))),
+    "simhash64" -> (e => SimHash64(e.head)),
+    "fingerprint" -> (e => Fingerprint(e.head, e(1), e(2))),
+    "explode_archive" -> (e => ExplodeArchive(e.head)))
+
+  /** Register the custom expressions for SQL use in an existing session
     * (`SELECT is_utf8(content), ... LATERAL VIEW explode_archive(content)`).
     */
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.graft.GraftShims.registerFunction
-    registerFunction(spark, "is_utf8", e => IsUtf8(e.head))
-    registerFunction(spark, "format_kind", e => FormatKindOf(e.head))
-    registerFunction(spark, "extract_strings", e => ExtractStrings(e.head, e(1)))
-    registerFunction(spark, "minhash_signature", e => MinHashSignature(e.head, e(1), e(2)))
-    registerFunction(spark, "simhash64", e => SimHash64(e.head))
-    registerFunction(spark, "fingerprint", e => Fingerprint(e.head, e(1), e(2)))
-    registerFunction(spark, "explode_archive", e => ExplodeArchive(e.head))
+    sqlBuilders.foreach { case (name, b) => registerFunction(spark, name, b) }
   }
 }

@@ -90,6 +90,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN top-k: a coarse quantizer partitions the
+    * corpus into `nlist` cells (assignment = nearest centroid by
+    * cosine, ties to the smaller centroid id); a query searches only
+    * the `nprobe` cells whose centroids are nearest the query vector,
+    * re-ranking those exactly. Centroids here are the `nlist`
+    * smallest-id vectors — a deterministic, oracle-reproducible
+    * stand-in for an offline k-means codebook (the IVF plumbing, not
+    * the codebook training, is the operator under test).
+    *
+    * Scale: the codebook is driver-collected and inlined — a k-means
+    * codebook is KB-to-MB even for a 100 TB corpus — so cell
+    * assignment is a narrow, fully-codegen projection: no shuffle, no
+    * per-row join, one pass. At rest the corpus would be written
+    * `partitionBy(cell)` so a probe prunes the file listing to
+    * ~nprobe/nlist of the data; the probed fraction is re-ranked with
+    * exact cosine like [[annLshTopK]].
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    // sequential left-fold dot — the exact IEEE add sequence VecDot
+    // and the oracle's list_sum comprehension perform
+    def seqDot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var j = 0
+      while (j < a.length) { acc += a(j) * b(j); j += 1 }
+      acc
+    }
+    val cents: Array[(Long, Array[Double], Double)] = df
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        (r.getLong(0), v, math.sqrt(seqDot(v, v)))
+      }
+    // probe list: centroids nearest the query (driver-side, same
+    // arithmetic and tie order as the in-SQL oracle)
+    val qnorm = math.sqrt(seqDot(query, query))
+    val probed = cents
+      .map { case (id, v, n) => (seqDot(v, query) / (qnorm * n), id) }
+      .sortBy { case (cos, id) => (-cos, id) }
+      .take(nprobe).map(_._2)
+    val vnorm = sqrt(GraftFunctions.vec_dot(col(vecCol), col(vecCol)))
+    // argmax over the inlined codebook via an orderable struct:
+    // max (cos, -cent_id) == highest cosine, ties to smallest id
+    val cell = -greatest(cents.map { case (id, v, n) =>
+      struct(
+        (GraftFunctions.vec_dot(col(vecCol), vecLit(v)) / (vnorm * lit(n))).as("c"),
+        lit(-id).as("nid"))
+    }: _*).getField("nid")
+    df.where(cell.isin(probed: _*))
+      .select(col(idCol), round(cosineTo(col(vecCol), query), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-row (double vector, L2 norm) projection — computed ONCE per
     * row before a pairwise join. Folding the norm into the per-pair
     * cosine would re-evaluate it per candidate (higher-order array

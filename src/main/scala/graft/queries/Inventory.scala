@@ -455,6 +455,85 @@ object Inventory {
         col("total").cast("double").as("total_value"))
       .orderBy(col("event_type"))
 
+  /** Window frame coverage beyond q06/q07: lag/lead offsets and a
+    * RANGE frame (trailing 30-day revenue per customer, keyed on an
+    * epoch-day ordering column — peers at the same day share the
+    * frame, exactly DuckDB's RANGE semantics).
+    */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val w1 = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wr = Window.partitionBy(col("o_custkey"))
+      .orderBy(datediff(col("o_orderdate"), to_date(lit("1970-01-01"))))
+      .rangeBetween(-30, 0)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag(col("o_totalprice"), 1).over(w1).as("prev_price"),
+        lead(col("o_orderdate"), 1).over(w1).as("next_date"),
+        sum(dec(col("o_totalprice"))).over(wr).cast("double").as("trailing_30d"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** Typed-Aggregator top-k per group ([[graft.ops.TopKByScore]], the
+    * §2.8 UDAF surface): top-3 documents per language by token count.
+    * Unlike the q06 window shape, the map-side partial keeps only k
+    * pairs per group per partition — the shuffle never carries the
+    * full group.
+    */
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents")
+      .select(col("lang"), col("doc_id").cast("long").as("doc_id"),
+        GraftFunctions.token_count(col("text")).cast("double").as("score"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .agg(graft.ops.TopKByScore(3).toColumn.name("top"))
+      .toDF("lang", "top")
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("col._2").as("doc_id"), col("col._1").as("score"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** IVF ANN ([[Similarity.ivfTopK]]): nearest-centroid cell
+    * assignment over a 16-entry codebook, probe the 4 cells nearest
+    * the query, exact re-rank inside. The oracle recomputes the
+    * assignment and probe from the same deterministic codebook (the 16
+    * smallest-id vectors).
+    */
+  private def q37(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+      OnesQuery, k = 10, nlist = 16, nprobe = 4)
+
+  /** Streaming stateful dedup (§2.8's one reference-motivated stateful
+    * op, D1 as a stream): file source -> md5(text) ->
+    * `dropDuplicates` backed by the state store -> append-mode memory
+    * sink under an availableNow trigger. Which row survives is
+    * engine-arbitrary, so the checked output is the surviving hash SET
+    * (= batch DISTINCT, the oracle).
+    */
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_q38_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/documents.parquet"),
+      stageDir.resolve("documents.parquet"))
+    val stream = s.readStream.schema(schema).parquet(stageDir.toString)
+      .select(md5(col("text").cast("binary")).as("h"))
+      .dropDuplicates("h")
+    val name = "graft_q38_sink"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    s.table(name).select(col("h")).orderBy(col("h"))
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -491,7 +570,11 @@ object Inventory {
     "q31_embedding_neardup_lsh" -> (q31 _),
     "q32_range_join" -> (q32 _),
     "q33_components" -> (q33 _),
-    "q34_salted_agg" -> (q34 _))
+    "q34_salted_agg" -> (q34 _),
+    "q35_window_frames" -> (q35 _),
+    "q36_topk_agg" -> (q36 _),
+    "q37_ann_ivf" -> (q37 _),
+    "q38_streaming_dedup" -> (q38 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -859,6 +942,56 @@ object Inventory {
       "q34_salted_agg" ->
         """SELECT event_type, COUNT(*) AS n,
           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q35_window_frames" ->
+        """SELECT o_custkey, o_orderkey, o_orderdate,
+          |  LAG(o_totalprice) OVER w1 AS prev_price,
+          |  LEAD(o_orderdate) OVER w1 AS next_date,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          |    PARTITION BY o_custkey ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+          |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          |    AS trailing_30d
+          |FROM orders
+          |WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+      "q36_topk_agg" ->
+        """WITH q AS (SELECT lang, doc_id,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS score
+          |  FROM documents)
+          |SELECT lang,
+          |  CAST(row_number() OVER (PARTITION BY lang
+          |                          ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |  doc_id, score
+          |FROM q QUALIFY rank <= 3
+          |ORDER BY lang, rank""".stripMargin,
+      // IVF: codebook = the 16 smallest-id vectors; assignment and probe
+      // recomputed with the same sequential-fold arithmetic as the engine
+      "q37_ann_ivf" ->
+        """WITH cmeta AS (
+          |  SELECT vec_id AS cent_id, embedding AS cvec,
+          |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS cnorm
+          |  FROM embeddings ORDER BY vec_id LIMIT 16),
+          |assigned AS (
+          |  SELECT e.vec_id, e.embedding, c.cent_id,
+          |    list_sum(list_transform(generate_series(1, 64),
+          |             i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE))
+          |      / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in e.embedding])) * c.cnorm)
+          |      AS cos_c
+          |  FROM embeddings e CROSS JOIN cmeta c
+          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          |                             ORDER BY cos_c DESC, c.cent_id) = 1),
+          |probed AS (
+          |  SELECT cent_id FROM cmeta
+          |  ORDER BY (list_sum([x::DOUBLE for x in cvec]) / (sqrt(64.0) * cnorm)) DESC,
+          |           cent_id
+          |  LIMIT 4)
+          |SELECT a.vec_id,
+          |  round(list_sum([x::DOUBLE for x in a.embedding]) /
+          |        (sqrt(64.0) * sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in a.embedding]))), 6)
+          |    AS cos
+          |FROM assigned a JOIN probed p USING (cent_id)
+          |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin,
+      "q38_streaming_dedup" ->
+        """SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h""".stripMargin)
   }
 }

@@ -101,6 +101,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.intersect(ann.toSet).nonEmpty) // recall > 0 on this corpus
   }
 
+  test("ivfTopK: probed cells re-rank exactly and follow the codebook") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 300L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = Array.fill(16)(1.0)
+    val got = Similarity.ivfTopK(vecs, "vec_id", "embedding", q, k = 5, nlist = 8, nprobe = 8)
+    // probing ALL cells == exact brute force
+    val exact = Similarity.cosineTopK(vecs, "vec_id", "embedding", q, 5)
+    assert(got.collect().toSeq == exact.collect().toSeq)
+    // probing fewer cells returns a correctly-ordered subset of the corpus
+    val part = Similarity.ivfTopK(vecs, "vec_id", "embedding", q, k = 5, nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(part.nonEmpty && part.length <= 5)
+    assert(part.map(_._2).toSeq == part.map(_._2).sorted(Ordering[Double].reverse).toSeq)
+  }
+
+  test("TopKByScore aggregator matches the window top-k on every merge order") {
+    import spark.implicits._
+    val rows = Seq(
+      ("en", 1L, 5.0), ("en", 2L, 9.0), ("en", 3L, 9.0), ("en", 4L, 1.0),
+      ("en", 5L, 7.0), ("fr", 6L, 2.0), ("fr", 7L, 2.0), ("de", 8L, 4.0))
+    // many partitions => partial buffers merge in arbitrary order
+    val ds = spark.createDataset(rows).repartition(5).as[(String, Long, Double)]
+    val got = ds.groupByKey(_._1)
+      .agg(graft.ops.TopKByScore(2).toColumn.name("top"))
+      .collect().toMap
+    assert(got("en") == List((9.0, 2L), (9.0, 3L)))  // score desc, tie to min id
+    assert(got("fr") == List((2.0, 6L), (2.0, 7L)))
+    assert(got("de") == List((4.0, 8L)))             // group smaller than k
+  }
+
   test("embedding near-dup pairs: exact and LSH agree on identical vectors") {
     import spark.implicits._
     val vecs = Seq(
