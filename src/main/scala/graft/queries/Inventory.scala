@@ -534,6 +534,36 @@ object Inventory {
     s.table(name).select(col("h")).orderBy(col("h"))
   }
 
+  /** Custom-state sessionization ([[graft.streaming.StatefulSessions]],
+    * the §2.8 `flatMapGroupsWithState` surface): same sessions as the
+    * native `session_window` (q29) — and the same gaps-and-islands
+    * oracle — computed by explicit per-group state code.
+    */
+  private def q39(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, d, "events")
+      .select(col("user_id").cast("long"), unix_micros(col("ts")), col("value"))
+      .as[(Long, Long, Double)]
+    graft.streaming.StatefulSessions.sessionize(ev, gapMicros = 4L * 3600 * 1000000)
+      .select(timestamp_micros(col("ssu")).as("ss"), timestamp_micros(col("seu")).as("se"),
+        col("user_id"), col("n"), col("total_value"))
+      .orderBy(col("user_id"), col("ss"))
+  }
+
+  /** Exact (sort-based) percentiles per group — the order-statistics
+    * aggregation surface. Spark's `percentile` and DuckDB's
+    * `quantile_cont` both compute the type-7 interpolated quantile on
+    * the fully sorted group.
+    */
+  private def q40(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy(col("event_type"))
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -574,7 +604,9 @@ object Inventory {
     "q35_window_frames" -> (q35 _),
     "q36_topk_agg" -> (q36 _),
     "q37_ann_ivf" -> (q37 _),
-    "q38_streaming_dedup" -> (q38 _))
+    "q38_streaming_dedup" -> (q38 _),
+    "q39_stateful_sessions" -> (q39 _),
+    "q40_percentile" -> (q40 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -610,6 +642,22 @@ object Inventory {
         s"(CASE WHEN (${planeDotChain(q31Planes(t * 8 + b))}) >= 0 THEN ${1L << b} ELSE 0 END)"
       }.mkString("(", " + ", s") AS c$t")
     }
+    // gaps-and-islands sessionization — oracles BOTH the native
+    // session_window (q29) and the flatMapGroupsWithState (q39) paths
+    val sessionOracle =
+      """WITH o AS (SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts >= lag(ts) OVER w + INTERVAL 4 HOUR
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT MIN(ts) AS ss, MAX(ts) + INTERVAL 4 HOUR AS se, user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, ss""".stripMargin
     ListMap(
       "q01_filter_project" ->
         """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -877,20 +925,7 @@ object Inventory {
           |      WHERE event_type = 'click') c
           |ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
           |ORDER BY c.event_id""".stripMargin,
-      "q29_session_window" ->
-        """WITH o AS (SELECT user_id, ts, value,
-          |    CASE WHEN lag(ts) OVER w IS NULL
-          |              OR ts >= lag(ts) OVER w + INTERVAL 4 HOUR
-          |         THEN 1 ELSE 0 END AS brk
-          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-          |s AS (SELECT user_id, ts, value,
-          |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-          |                   ROWS UNBOUNDED PRECEDING) AS sid
-          |  FROM o)
-          |SELECT MIN(ts) AS ss, MAX(ts) + INTERVAL 4 HOUR AS se, user_id,
-          |  CAST(COUNT(*) AS BIGINT) AS n,
-          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-          |FROM s GROUP BY user_id, sid ORDER BY user_id, ss""".stripMargin,
+      "q29_session_window" -> sessionOracle,
       "q30_cube" ->
         """SELECT c_mktsegment, o_orderpriority,
           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
@@ -992,6 +1027,13 @@ object Inventory {
           |FROM assigned a JOIN probed p USING (cent_id)
           |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin,
       "q38_streaming_dedup" ->
-        """SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h""".stripMargin)
+        """SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h""".stripMargin,
+      "q39_stateful_sessions" -> sessionOracle,
+      "q40_percentile" ->
+        """SELECT event_type,
+          |  round(quantile_cont(value, 0.5), 6) AS p50,
+          |  round(quantile_cont(value, 0.9), 6) AS p90,
+          |  round(quantile_cont(value, 0.99), 6) AS p99
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 }
