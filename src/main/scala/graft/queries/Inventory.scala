@@ -564,6 +564,31 @@ object Inventory {
         round(expr("percentile(value, 0.99)"), 6).as("p99"))
       .orderBy(col("event_type"))
 
+  /** Bucketed storage + co-located join: both sides written
+    * `bucketBy(custkey)` into the session catalog, then joined and
+    * aggregated. Write-time bucketing replaces the per-query join
+    * shuffle (the exchange-free SMJ plan is asserted in BucketingSpec;
+    * at 100 TB this is the layout for repeated fact-fact joins — pay
+    * the partitioning once at write, never per query).
+    */
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    s.sql("DROP TABLE IF EXISTS graft_q41_orders")
+    s.sql("DROP TABLE IF EXISTS graft_q41_customer")
+    val wh = java.nio.file.Files.createTempDirectory("graft_q41_wh").toString
+    t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").option("path", s"$wh/orders")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("graft_q41_orders")
+    t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").option("path", s"$wh/customer")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("graft_q41_customer")
+    s.table("graft_q41_orders")
+      .join(s.table("graft_q41_customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -606,7 +631,8 @@ object Inventory {
     "q37_ann_ivf" -> (q37 _),
     "q38_streaming_dedup" -> (q38 _),
     "q39_stateful_sessions" -> (q39 _),
-    "q40_percentile" -> (q40 _))
+    "q40_percentile" -> (q40 _),
+    "q41_bucketed_join" -> (q41 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1034,6 +1060,13 @@ object Inventory {
           |  round(quantile_cont(value, 0.5), 6) AS p50,
           |  round(quantile_cont(value, 0.9), 6) AS p90,
           |  round(quantile_cont(value, 0.99), 6) AS p99
-          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // bucketed storage changes the physical layout, never the result
+      "q41_bucketed_join" ->
+        """SELECT c_mktsegment,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |  COUNT(*) AS n_orders
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 }
