@@ -52,13 +52,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.contains(2L) && kept.contains(3L))  // non-dups survive
   }
 
-  test("components: chains collapse to min-id clusters") {
+  test("components: chains collapse to min-id clusters (both path regimes)") {
     import spark.implicits._
     // two components: {1,2,3,7} via chain, {10,11}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("id_a", "id_b")
-    val got = Dedup.components(pairs).collect()
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L)
+    // small-graph fast path (driver union-find)
+    val fast = Dedup.components(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(fast == expect)
+    // distributed label-propagation path (threshold forced to 0)
+    val dist = Dedup.components(pairs, smallGraphMax = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expect)
   }
 
   test("simhashNearDup finds exact dup at hamming 0") {
