@@ -64,6 +64,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0).getAs[Long]("n") == 2) // two clicks in hour 0
   }
 
+  test("streaming session windows: watermark + session_window on a file stream") {
+    import org.apache.spark.sql.types._
+    // events for one user: two sessions separated by > the 1h gap
+    val srcDir = tmp("graft_sess_src")
+    import spark.implicits._
+    Seq(
+      ("2024-01-01 00:00:00", 7L), ("2024-01-01 00:30:00", 7L), // session 1
+      ("2024-01-01 05:00:00", 7L)                               // session 2
+    ).toDF("raw_ts", "user_id")
+      .withColumn("ts", col("raw_ts").cast("timestamp"))
+      .select("ts", "user_id")
+      .write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user_id", LongType)))
+    val sessions = spark.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("ss"), col("user_id"), col("n"))
+    val q = sessions.writeStream.format("memory").queryName("graft_sess_sink")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("graft_sess_sink").orderBy("ss").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("n") == 2 && got(1).getAs[Long]("n") == 1)
+  }
+
   test("multimodal: meta struct, features, resize, frame sampling") {
     import spark.implicits._
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 0, 0, 0) ++ Array.fill[Byte](100)(7)
