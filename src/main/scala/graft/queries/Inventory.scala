@@ -229,6 +229,23 @@ object Inventory {
       .orderBy(col("path"))
   }
 
+  /** The walker's SQL face: `LATERAL VIEW explode_archive(blob)` over
+    * the same nested fixture as q16, checked against the same
+    * spec-determined VALUES oracle — the Generator path (SURVEY §2.2)
+    * through the correctness gate.
+    */
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(buildFixture()))
+    import s.implicits._
+    Seq(Tuple1(bytes)).toDF("blob").createOrReplaceTempView("graft_q42_blobs")
+    s.sql(
+      """SELECT a.path, a.size, lower(hex(a.hash)) AS sha256
+        |FROM graft_q42_blobs LATERAL VIEW explode_archive(blob) a
+        |ORDER BY a.path""".stripMargin)
+  }
+
   // -------------------------------------------------------------------
   // Q17+: training-data pipeline operators
   // -------------------------------------------------------------------
@@ -632,7 +649,8 @@ object Inventory {
     "q38_streaming_dedup" -> (q38 _),
     "q39_stateful_sessions" -> (q39 _),
     "q40_percentile" -> (q40 _),
-    "q41_bucketed_join" -> (q41 _))
+    "q41_bucketed_join" -> (q41 _),
+    "q42_explode_sql" -> (q42 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -668,6 +686,19 @@ object Inventory {
         s"(CASE WHEN (${planeDotChain(q31Planes(t * 8 + b))}) >= 0 THEN ${1L << b} ELSE 0 END)"
       }.mkString("(", " + ", s") AS c$t")
     }
+    // spec-determined fixture rows (sizes + independently computed
+    // sha256 digests) — oracles BOTH the converter walk (q16) and its
+    // LATERAL VIEW explode_archive SQL face (q42)
+    val fixtureOracle =
+      """SELECT * FROM (VALUES
+        |  ('a.txt', CAST(800 AS BIGINT),
+        |   '90ce0e91aa6b20a7e755ae3facb82f04410ac992a53fe534e8246a1b7f10a871'),
+        |  ('inner.zip/b/c.txt', CAST(26 AS BIGINT),
+        |   '8d9bb0542d7fefd949a9559bd0c68ba0cf3bba93d0d108f6ca2289d789b8a6a5'),
+        |  ('inner.zip/d.bin', CAST(512 AS BIGINT),
+        |   'c029dfc944a023bec6662861a4e633237ad3e4f4bca787399fdd487ca52af8f5'))
+        |  AS t(path, size, sha256)
+        |ORDER BY path""".stripMargin
     // gaps-and-islands sessionization — oracles BOTH the native
     // session_window (q29) and the flatMapGroupsWithState (q39) paths
     val sessionOracle =
@@ -855,16 +886,7 @@ object Inventory {
       // spec-determined fixture content: sizes and sha256 digests are
       // derived from the fixture definition itself (independently
       // computed), not from engine output
-      "q16_converter" ->
-        """SELECT * FROM (VALUES
-          |  ('a.txt', CAST(800 AS BIGINT),
-          |   '90ce0e91aa6b20a7e755ae3facb82f04410ac992a53fe534e8246a1b7f10a871'),
-          |  ('inner.zip/b/c.txt', CAST(26 AS BIGINT),
-          |   '8d9bb0542d7fefd949a9559bd0c68ba0cf3bba93d0d108f6ca2289d789b8a6a5'),
-          |  ('inner.zip/d.bin', CAST(512 AS BIGINT),
-          |   'c029dfc944a023bec6662861a4e633237ad3e4f4bca787399fdd487ca52af8f5'))
-          |  AS t(path, size, sha256)
-          |ORDER BY path""".stripMargin,
+      "q16_converter" -> fixtureOracle,
       "q21_simhash_neardup" ->
         s"""WITH w AS (SELECT doc_id, $toks AS t FROM documents),
            |tok AS (SELECT doc_id, unnest(t) AS tk FROM w),
@@ -1067,6 +1089,7 @@ object Inventory {
           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
           |  COUNT(*) AS n_orders
           |FROM orders JOIN customer ON o_custkey = c_custkey
-          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      "q42_explode_sql" -> fixtureOracle)
   }
 }
