@@ -581,6 +581,18 @@ object Inventory {
         round(expr("percentile(value, 0.99)"), 6).as("p99"))
       .orderBy(col("event_type"))
 
+  /** Sliding (hopping) windows — 2-hour windows every hour, so each
+    * event lands in exactly two windows (q15/q27 cover tumbling).
+    */
+  private def q43(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("ws"), col("event_type"))
+
   /** Bucketed storage + co-located join: both sides written
     * `bucketBy(custkey)` into the session catalog, then joined and
     * aggregated. Write-time bucketing replaces the per-query join
@@ -650,7 +662,8 @@ object Inventory {
     "q39_stateful_sessions" -> (q39 _),
     "q40_percentile" -> (q40 _),
     "q41_bucketed_join" -> (q41 _),
-    "q42_explode_sql" -> (q42 _))
+    "q42_explode_sql" -> (q42 _),
+    "q43_sliding_window" -> (q43 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1090,6 +1103,17 @@ object Inventory {
           |  COUNT(*) AS n_orders
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-      "q42_explode_sql" -> fixtureOracle)
+      "q42_explode_sql" -> fixtureOracle,
+      // each event belongs to the two 2h-wide windows whose starts are
+      // trunc(ts)-1h and trunc(ts)
+      "q43_sliding_window" ->
+        """WITH w AS (
+          |  SELECT CAST(date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS TIMESTAMP) AS ws,
+          |         event_type, value
+          |  FROM events CROSS JOIN (VALUES (0), (1)) t(o))
+          |SELECT ws, CAST(ws + INTERVAL 2 HOUR AS TIMESTAMP) AS we, event_type,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          |FROM w GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin)
   }
 }
