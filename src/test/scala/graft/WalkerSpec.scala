@@ -148,6 +148,26 @@ class WalkerSpec extends AnyFunSuite {
     assert(rows.head.content.sameElements(TestData))
   }
 
+  test("URL source: http:// URL streams through the same walk (S2)") {
+    // JDK-built-in HTTP server: a real network round-trip, no new deps
+    val data = gzipData(tarArchive(Seq("h.txt" -> TestData)))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/corpus/in.tar.gz",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(200, data.length.toLong)
+        ex.getResponseBody.write(data)
+        ex.close()
+      })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/corpus/in.tar.gz"
+      val rows = ArchiveWalker.walkInput(url, opts).toVector
+      assert(rows.map(r => (r.source, r.path)) == Vector((url, "h.txt")))
+      assert(rows.head.content.sameElements(TestData))
+    } finally server.stop(0)
+  }
+
   test("entry order is preserved (arrival order within one input)") {
     val names = (1 to 50).map(i => f"f$i%03d")
     val data = tarArchive(names.map(_ -> TestData))
