@@ -131,6 +131,86 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Distinct character n-grams of a text column, in lexicographic
+    * order. Character grams (vs [[shingles]]' word grams) are the
+    * usual unit for n-gram-Jaccard dedup: robust to tokenization and
+    * to languages without whitespace. Codepoint-based `substr` on both
+    * engines, so the sets are oracle-reproducible.
+    */
+  def charGrams(text: Column, n: Int): Column =
+    array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
+      i => text.substr(i, lit(n)))))
+
+  /** Near-duplicate pairs by exact n-gram Jaccard with prefix
+    * filtering (AllPairs/PPJoin candidate generation — Bayardo et al.,
+    * WWW'07; Xiao et al., WWW'08) — the non-probabilistic sibling of
+    * [[nearDupPairs]]: no hashing, no false-negative probability, the
+    * prefix filter is *provably complete* at the threshold.
+    *
+    * Under any global total order on grams, if J(A,B) >= t then the
+    * smallest shared gram sits within the first |S| - ceil(t*|S|) + 1
+    * grams of BOTH sorted sets (if it sat later in either, the
+    * remaining positions could not hold the ceil(t*|S|) shared grams
+    * that J >= t implies). So joining only on *prefix* grams loses
+    * nothing, and candidate volume shrinks by ~(1-t) per side vs a
+    * full inverted index.
+    *
+    * Scale shape: the only wide exchanges carry (id, gram) prefix
+    * pairs and the (id, gram-set) arrays for ids that survive to a
+    * candidate pair — never document content. With `freqOrder` (the
+    * classic AllPairs refinement, default on) grams are ordered by
+    * ascending global document frequency, so prefixes hold the
+    * *rarest* grams and hot buckets ("the ␣", "␣and␣")
+    * never generate candidates; costs one extra count-aggregation and
+    * one join, both on (gram) / (id, gram) keys. `freqOrder = false`
+    * orders lexicographically — one pass, fine for small corpora.
+    *
+    * @return columns (id_a, id_b, jaccard) with id_a < id_b
+    */
+  def jaccardNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      n: Int = 5,
+      freqOrder: Boolean = true): DataFrame = {
+    val gramSets = df.select(col(idCol).as("__id"), charGrams(col(textCol), n).as("__sh"))
+
+    // sorted gram array per doc under the chosen total order
+    val ordered: DataFrame =
+      if (!freqOrder) gramSets
+      else {
+        val exploded = gramSets.select(col("__id"), explode(col("__sh")).as("__g"))
+        val freq = exploded.groupBy("__g").agg(count(lit(1)).as("__df"))
+        exploded.join(freq, "__g")
+          .groupBy("__id")
+          // (df, gram) struct sort = ascending document frequency,
+          // gram text as the deterministic tiebreak
+          .agg(array_sort(collect_list(struct(col("__df"), col("__g")))).as("__fs"))
+          .select(col("__id"), expr("transform(__fs, x -> x.__g)").as("__sh"))
+      }
+
+    // prefix filter: first |S| - ceil(t*|S|) + 1 grams per side
+    val prefLen = (size(col("__sh"))
+      - ceil(lit(threshold) * size(col("__sh"))).cast("int") + 1)
+    val pfx = ordered.select(col("__id"), explode(slice(col("__sh"), lit(1), prefLen)).as("__g"))
+
+    val a = pfx.select(col("__id").as("id_a"), col("__g"))
+    val b = pfx.select(col("__id").as("id_b"), col("__g"))
+    val cand = a.join(b, Seq("__g"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    cand
+      .join(gramSets.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+      .join(gramSets.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
+      .withColumn("jaccard", round(jaccard(col("__sha"), col("__shb")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Connected components over a near-dup pair set: assigns each id
     * the minimum id reachable through pairs (label propagation to a
     * fixpoint). Use on [[nearDupPairs]] output to turn pairwise

@@ -618,6 +618,97 @@ object Inventory {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** n-gram Jaccard near-dup (brief's fourth dedup mode): exact char-
+    * 5-gram Jaccard with the provably-complete prefix filter — the
+    * deterministic sibling of q18's MinHash+LSH. The oracle computes
+    * ALL pairs, so it checks the prefix filter's completeness, not
+    * just the similarity arithmetic.
+    */
+  private def q44(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardNearDupPairs(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.7, n = 5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Pivot (columnar cross-tab) — `groupBy().pivot()` with an explicit
+    * value list, so the plan is a single two-phase aggregation (no
+    * value-discovery pre-pass, no second shuffle; at scale always pass
+    * the value list).
+    */
+  private def q45(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Stream-stream inner join with event-time range — for each 'view',
+    * the same user's 'purchase's within the following hour, computed BY
+    * THE STREAMING ENGINE (two file-source streams, per-side
+    * watermarks, availableNow). Watermarks bound the join state: each
+    * side buffers only rows newer than (watermark - range), so state
+    * is O(rate x window), not O(stream). Inner-join output is exactly
+    * the batch join, which is what the oracle computes.
+    */
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_q46_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    def src = s.readStream.schema(schema).parquet(stageDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val views = src.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      .withWatermark("vts", "2 hours")
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"))
+      .withWatermark("pts", "2 hours")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("pts") >= col("vts") &&
+        col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+    val name = "graft_q46_sink"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    s.table(name).orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+  }
+
+  /** Approximate sketches — the single-pass, mergeable, bounded-memory
+    * scale path for distinct counts (HLL++) and quantiles (KLL-style
+    * approx_percentile): at 100 TB these replace the shuffle-heavy
+    * exact forms when a few percent error is acceptable. The oracle
+    * pins the EXACT values and asserts the sketches land inside their
+    * published error envelopes (HLL rsd 5% -> 15% is >3 sigma;
+    * approx_percentile accuracy 1000 -> well under 5% here), so the
+    * check is deterministic for a fixed dataset.
+    */
+  private def q47(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.05).as("__hll"),
+        expr("percentile(l_extendedprice, 0.5)").as("__p50"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("__ap50"))
+      .select(col("l_returnflag"),
+        col("exact_orders").cast("long").as("exact_orders"),
+        (abs(col("__hll") - col("exact_orders")) <= col("exact_orders") * lit(0.15))
+          .as("hll_within_15pct"),
+        (abs(col("__ap50") - col("__p50")) <= col("__p50") * lit(0.05))
+          .as("p50_within_5pct"))
+      .orderBy(col("l_returnflag"))
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -663,7 +754,11 @@ object Inventory {
     "q40_percentile" -> (q40 _),
     "q41_bucketed_join" -> (q41 _),
     "q42_explode_sql" -> (q42 _),
-    "q43_sliding_window" -> (q43 _))
+    "q43_sliding_window" -> (q43 _),
+    "q44_jaccard_neardup" -> (q44 _),
+    "q45_pivot" -> (q45 _),
+    "q46_stream_stream_join" -> (q46 _),
+    "q47_approx_sketches" -> (q47 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1114,6 +1209,51 @@ object Inventory {
           |SELECT ws, CAST(ws + INTERVAL 2 HOUR AS TIMESTAMP) AS we, event_type,
           |  COUNT(*) AS n,
           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-          |FROM w GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin)
+          |FROM w GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+      // the oracle is ALL-pairs Jaccard — it checks the engine's
+      // prefix-filter candidate generation for completeness, not just
+      // the similarity arithmetic
+      "q44_jaccard_neardup" ->
+        """WITH s AS (SELECT doc_id,
+          |    list_sort(list_distinct(
+          |      [substring(text, i, 5)
+          |       for i in range(1, greatest(length(text) - 4, 1) + 1)])) AS sh
+          |  FROM documents),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          |          CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)
+          |      AS jaccard
+          |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.7
+          |ORDER BY id_a, id_b""".stripMargin,
+      "q45_pivot" ->
+        """SELECT o_orderstatus,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          |       FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS "1-URGENT",
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          |       FILTER (WHERE o_orderpriority = '2-HIGH') AS DOUBLE) AS "2-HIGH",
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          |       FILTER (WHERE o_orderpriority = '3-MEDIUM') AS DOUBLE) AS "3-MEDIUM",
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          |       FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) AS "4-NOT SPECIFIED",
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          |       FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE) AS "5-LOW"
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      // inner stream-stream join output == the batch join
+      "q46_stream_stream_join" ->
+        """SELECT v.user_id AS user_id, v.event_id AS view_id,
+          |  p.event_id AS purchase_id
+          |FROM events v JOIN events p ON v.user_id = p.user_id
+          | AND v.event_type = 'view' AND p.event_type = 'purchase'
+          | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+          |ORDER BY user_id, view_id, purchase_id""".stripMargin,
+      // the oracle pins exact values; the sketch columns assert the
+      // error envelope (deterministic for a fixed dataset)
+      "q47_approx_sketches" ->
+        """SELECT l_returnflag,
+          |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+          |  TRUE AS hll_within_15pct,
+          |  TRUE AS p50_within_5pct
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 }

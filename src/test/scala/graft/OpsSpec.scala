@@ -45,6 +45,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.toSeq == Seq((0L, 1L), (0L, 4L), (1L, 4L)))
   }
 
+  test("jaccardNearDupPairs equals all-pairs Jaccard under both gram orders") {
+    import org.apache.spark.sql.functions._
+    // independent all-pairs reference over the same gram definition
+    val g = docs().select(col("doc_id"), Dedup.charGrams(col("text"), 5).as("sh"))
+    val ref = g.as("a").join(g.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        round(Dedup.jaccard(col("a.sh"), col("b.sh")), 6).as("jaccard"))
+      .where(col("jaccard") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(ref.nonEmpty && ref.map(p => (p._1, p._2)).contains((0L, 4L)))
+    for (freqOrder <- Seq(true, false)) {
+      val got = Dedup.jaccardNearDupPairs(docs(), "doc_id", "text",
+          threshold = 0.3, n = 5, freqOrder = freqOrder)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(got == ref, s"freqOrder=$freqOrder")
+    }
+  }
+
+  test("jaccard prefix filter prunes: prefix explode emits fewer grams than full index") {
+    import org.apache.spark.sql.functions._
+    val full = docs().select(explode(Dedup.charGrams(col("text"), 5))).count()
+    val sh = docs().select(Dedup.charGrams(col("text"), 5).as("__sh"))
+    val pref = sh.select(explode(slice(col("__sh"), lit(1),
+      size(col("__sh")) - ceil(lit(0.7) * size(col("__sh"))).cast("int") + 1))).count()
+    assert(pref < full * 4 / 10, s"prefix $pref vs full $full") // ≤ ~30% + 1/doc
+  }
+
   test("nearDupWinners drops LSH-bucket losers only") {
     val kept = Dedup.nearDupWinners(docs(), "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).sorted
