@@ -709,6 +709,45 @@ object Inventory {
           .as("p50_within_5pct"))
       .orderBy(col("l_returnflag"))
 
+  /** Full outer join with nulls on BOTH sides (q03/q04 cover inner,
+    * q05 semi/anti): per-customer order totals full-outer joined to
+    * the BUILDING-segment customer list — customers without orders
+    * null the left side, non-BUILDING buyers null the right.
+    */
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    val a = t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("spend"))
+    val b = t(s, d, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    a.join(b, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Set ops with multiplicity (q10 covers the DISTINCT forms):
+    * `intersectAll` keeps min(countA, countB) copies, `exceptAll`
+    * keeps countA - countB — bag semantics, folded to (key, copies)
+    * for a deterministic result.
+    */
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    val a = t(s, d, "lineitem").where(col("l_quantity") < 10).select(col("l_orderkey"))
+    val b = t(s, d, "lineitem").where(col("l_discount") > 0.05).select(col("l_orderkey"))
+    val ia = a.intersectAll(b).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("copies")).withColumn("op", lit("intersect_all"))
+    val ea = a.exceptAll(b).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("copies")).withColumn("op", lit("except_all"))
+    ia.unionByName(ea)
+      .select(col("op"), col("l_orderkey"), col("copies"))
+      .orderBy(col("op"), col("l_orderkey"))
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -758,7 +797,9 @@ object Inventory {
     "q44_jaccard_neardup" -> (q44 _),
     "q45_pivot" -> (q45 _),
     "q46_stream_stream_join" -> (q46 _),
-    "q47_approx_sketches" -> (q47 _))
+    "q47_approx_sketches" -> (q47 _),
+    "q48_outer_join" -> (q48 _),
+    "q49_setops_all" -> (q49 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1254,6 +1295,29 @@ object Inventory {
           |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
           |  TRUE AS hll_within_15pct,
           |  TRUE AS p50_within_5pct
-          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q48_outer_join" ->
+        """WITH a AS (SELECT o_custkey, COUNT(*) AS n_orders,
+          |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+          |  FROM orders GROUP BY o_custkey),
+          |b AS (SELECT c_custkey, c_name FROM customer
+          |  WHERE c_mktsegment = 'BUILDING')
+          |SELECT coalesce(o_custkey, c_custkey) AS custkey, c_name,
+          |  coalesce(n_orders, 0) AS n_orders,
+          |  coalesce(spend, 0.0) AS spend
+          |FROM a FULL OUTER JOIN b ON o_custkey = c_custkey
+          |ORDER BY custkey""".stripMargin,
+      "q49_setops_all" ->
+        """WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_quantity < 10),
+          |b AS (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05),
+          |ia AS (SELECT 'intersect_all' AS op, l_orderkey, COUNT(*) AS copies
+          |  FROM (SELECT l_orderkey FROM a INTERSECT ALL SELECT l_orderkey FROM b)
+          |  GROUP BY l_orderkey),
+          |ea AS (SELECT 'except_all' AS op, l_orderkey, COUNT(*) AS copies
+          |  FROM (SELECT l_orderkey FROM a EXCEPT ALL SELECT l_orderkey FROM b)
+          |  GROUP BY l_orderkey)
+          |SELECT op, l_orderkey, copies FROM ia
+          |UNION ALL SELECT op, l_orderkey, copies FROM ea
+          |ORDER BY op, l_orderkey""".stripMargin)
   }
 }

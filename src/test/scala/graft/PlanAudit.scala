@@ -18,7 +18,9 @@ object PlanAudit {
     val interesting = Seq("q01_filter_project", "q02_tpch_q1_agg", "q03_broadcast_join",
       "q04_multi_join", "q06_window_topk", "q14_cosine_topk", "q18_neardup_lsh",
       "q23_ann_lsh", "q28_asof_join", "q29_session_window", "q30_cube",
-      "q35_window_frames", "q36_topk_agg", "q37_ann_ivf", "q40_percentile")
+      "q35_window_frames", "q36_topk_agg", "q37_ann_ivf", "q40_percentile",
+      "q44_jaccard_neardup", "q45_pivot", "q47_approx_sketches",
+      "q48_outer_join", "q49_setops_all")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
