@@ -31,9 +31,17 @@ object Dedup {
   def shingles(text: Column, w: Int = 3): Column =
     GraftFunctions.word_shingles(text, w)
 
-  /** Exact Jaccard similarity of two precomputed shingle-set columns. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+  /** Exact Jaccard similarity of two precomputed shingle-set columns.
+    * Two EMPTY sets score 0.0, not 1.0: an empty gram set carries no
+    * similarity evidence (exact dedup owns truly-empty documents), and
+    * under ANSI mode the raw 0/0 would throw — the guard also matches
+    * the SQL oracle, where 0.0/0.0 = NaN fails every >= threshold.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val u = size(array_union(a, b))
+    when(u === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / u.cast("double"))
+  }
 
   /** Exact dedup by content identity without shuffling content:
     * elect `min(id)` per content hash, then semi-join winners back.
@@ -166,6 +174,19 @@ object Dedup {
     * one join, both on (gram) / (id, gram) keys. `freqOrder = false`
     * orders lexicographically — one pass, fine for small corpora.
     *
+    * GRAM UNIT MATTERS AT SCALE: the default is `shingleWidth`-word
+    * shingles. Char grams (`charN = Some(n)`) are only safe when they
+    * are *distinctive* — on a corpus drawn from a shared vocabulary,
+    * every char-5-gram appears in a large fraction of documents, the
+    * prefix filter cannot save a join whose hottest key matches most
+    * of the corpus, and candidates go quadratic (measured here:
+    * 5000 shared-vocab docs → max char-5-gram df 3889/5000 → 39M
+    * candidates even frequency-ordered; word-3-shingle max df 25 →
+    * ~10k candidates). Word shingles multiply the alphabet, keeping
+    * document frequency — and therefore candidate volume — low.
+    *
+    * @param charN Some(n) switches the gram unit to char n-grams
+    *              (tokenization-free; for scripts without whitespace)
     * @return columns (id_a, id_b, jaccard) with id_a < id_b
     */
   def jaccardNearDupPairs(
@@ -173,9 +194,14 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double = 0.7,
-      n: Int = 5,
+      shingleWidth: Int = 3,
+      charN: Option[Int] = None,
       freqOrder: Boolean = true): DataFrame = {
-    val gramSets = df.select(col(idCol).as("__id"), charGrams(col(textCol), n).as("__sh"))
+    val gram = charN match {
+      case Some(n) => charGrams(col(textCol), n)
+      case None    => array_sort(shingles(col(textCol), shingleWidth))
+    }
+    val gramSets = df.select(col(idCol).as("__id"), gram.as("__sh"))
 
     // sorted gram array per doc under the chosen total order
     val ordered: DataFrame =

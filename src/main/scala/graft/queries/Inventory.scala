@@ -45,6 +45,21 @@ object Inventory {
   /** Exact engine-agnostic money representation (see scaladoc). */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Run a bounded streaming query with a small state-partition count.
+    * The number of state partitions is fixed at stream start from
+    * `spark.sql.shuffle.partitions`, and every state store pays a
+    * per-store fixed commit cost per micro-batch (~1 s measured on the
+    * HDFS-backed provider; a stream-stream join keeps FOUR stores per
+    * partition, so 32 partitions = 128 store commits per batch for KBs
+    * of state). Bounded parity queries size to their state — a real
+    * deployment sizes partitions to state volume, not core count.
+    */
+  private def withStreamPartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private val oneDec: Column = lit(1).cast(DecimalType(18, 2))
 
   // -------------------------------------------------------------------
@@ -361,11 +376,13 @@ object Inventory {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
     val name = "graft_q27_sink"
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(300000)
+    withStreamPartitions(s, 8) {
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+    }
     s.table(name).orderBy(col("ws"), col("event_type"))
   }
 
@@ -543,11 +560,13 @@ object Inventory {
       .select(md5(col("text").cast("binary")).as("h"))
       .dropDuplicates("h")
     val name = "graft_q38_sink"
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(300000)
+    withStreamPartitions(s, 8) {
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+    }
     s.table(name).select(col("h")).orderBy(col("h"))
   }
 
@@ -618,15 +637,16 @@ object Inventory {
       .orderBy(col("c_mktsegment"))
   }
 
-  /** n-gram Jaccard near-dup (brief's fourth dedup mode): exact char-
-    * 5-gram Jaccard with the provably-complete prefix filter — the
-    * deterministic sibling of q18's MinHash+LSH. The oracle computes
+  /** n-gram Jaccard near-dup (brief's fourth dedup mode): exact
+    * word-3-gram Jaccard with the provably-complete prefix filter —
+    * the deterministic sibling of q18's MinHash+LSH (same similarity,
+    * no hashing, no false-negative probability). The oracle computes
     * ALL pairs, so it checks the prefix filter's completeness, not
     * just the similarity arithmetic.
     */
   private def q44(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardNearDupPairs(t(s, d, "documents"), "doc_id", "text",
-        threshold = 0.7, n = 5)
+        threshold = 0.7, shingleWidth = 3)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Pivot (columnar cross-tab) — `groupBy().pivot()` with an explicit
@@ -676,11 +696,13 @@ object Inventory {
         col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"))
       .select(col("user_id"), col("view_id"), col("purchase_id"))
     val name = "graft_q46_sink"
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(300000)
+    withStreamPartitions(s, 8) {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+    }
     s.table(name).orderBy(col("user_id"), col("view_id"), col("purchase_id"))
   }
 
@@ -1255,18 +1277,18 @@ object Inventory {
       // prefix-filter candidate generation for completeness, not just
       // the similarity arithmetic
       "q44_jaccard_neardup" ->
-        """WITH s AS (SELECT doc_id,
-          |    list_sort(list_distinct(
-          |      [substring(text, i, 5)
-          |       for i in range(1, greatest(length(text) - 4, 1) + 1)])) AS sh
-          |  FROM documents),
-          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-          |          CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)
-          |      AS jaccard
-          |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
-          |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.7
-          |ORDER BY id_a, id_b""".stripMargin,
+        s"""WITH w AS (SELECT doc_id, $toks AS t FROM documents),
+           |s AS (SELECT doc_id,
+           |        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |                       for i in range(1, len(t) - 1)]) AS sh
+           |      FROM w),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |          CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)
+           |      AS jaccard
+           |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.7
+           |ORDER BY id_a, id_b""".stripMargin,
       "q45_pivot" ->
         """SELECT o_orderstatus,
           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))

@@ -45,21 +45,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.toSeq == Seq((0L, 1L), (0L, 4L), (1L, 4L)))
   }
 
-  test("jaccardNearDupPairs equals all-pairs Jaccard under both gram orders") {
+  test("jaccardNearDupPairs equals all-pairs Jaccard under both gram orders and units") {
     import org.apache.spark.sql.functions._
-    // independent all-pairs reference over the same gram definition
-    val g = docs().select(col("doc_id"), Dedup.charGrams(col("text"), 5).as("sh"))
-    val ref = g.as("a").join(g.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        round(Dedup.jaccard(col("a.sh"), col("b.sh")), 6).as("jaccard"))
-      .where(col("jaccard") >= 0.3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
-    assert(ref.nonEmpty && ref.map(p => (p._1, p._2)).contains((0L, 4L)))
-    for (freqOrder <- Seq(true, false)) {
-      val got = Dedup.jaccardNearDupPairs(docs(), "doc_id", "text",
-          threshold = 0.3, n = 5, freqOrder = freqOrder)
+    // independent all-pairs reference over the same gram definitions
+    def allPairs(gram: org.apache.spark.sql.Column) = {
+      val g = docs().select(col("doc_id"), gram.as("sh"))
+      g.as("a").join(g.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(Dedup.jaccard(col("a.sh"), col("b.sh")), 6).as("jaccard"))
+        .where(col("jaccard") >= 0.3)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
-      assert(got == ref, s"freqOrder=$freqOrder")
+    }
+    val refChar = allPairs(Dedup.charGrams(col("text"), 5))
+    val refWord = allPairs(Dedup.shingles(col("text"), 3))
+    assert(refChar.nonEmpty && refChar.map(p => (p._1, p._2)).contains((0L, 4L)))
+    assert(refWord.map(p => (p._1, p._2)).contains((0L, 4L)))
+    for (freqOrder <- Seq(true, false)) {
+      val gotChar = Dedup.jaccardNearDupPairs(docs(), "doc_id", "text",
+          threshold = 0.3, charN = Some(5), freqOrder = freqOrder)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(gotChar == refChar, s"char grams, freqOrder=$freqOrder")
+      val gotWord = Dedup.jaccardNearDupPairs(docs(), "doc_id", "text",
+          threshold = 0.3, shingleWidth = 3, freqOrder = freqOrder)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(gotWord == refWord, s"word shingles, freqOrder=$freqOrder")
     }
   }
 
