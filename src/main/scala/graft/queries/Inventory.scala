@@ -770,6 +770,41 @@ object Inventory {
       .orderBy(col("op"), col("l_orderkey"))
   }
 
+  /** Frame sampling (brief's multimodal frame-sample op): each "video"
+    * blob explodes into 4 evenly-spaced 256-byte frames inside its
+    * partition — narrow, content never shuffles; only (id, idx, len,
+    * hash) projections leave the stage. The stub frame arithmetic is
+    * byte-slice arithmetic, so the oracle recomputes every frame hash
+    * with `substring` (ASCII corpus: byte == char).
+    */
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    val media = t(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("bytes"))
+    MultiModal.sampleFrames(media, "bytes", n = 4, frameBytes = 256)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame")).cast("long").as("flen"),
+        md5(col("frame")).as("fhash"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Array higher-order functions (§2.8 scalar families beyond q12's
+    * string/date/math): `transform`, `filter`, `aggregate` (sequential
+    * fold — same evaluation order as DuckDB's list_sum), `zip_with`,
+    * `reverse`, `array_max` in one projection. Everything is codegen'd
+    * per-row work with no shuffle beyond the final presentation sort.
+    */
+  private def q51(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .withColumn("e", expr("transform(embedding, x -> cast(x as double))"))
+      .select(col("vec_id"),
+        expr("cast(size(filter(e, x -> x > 0)) as bigint)").as("n_pos"),
+        expr("round(aggregate(e, cast(0.0 as double), (acc, x) -> acc + x * x), 6)")
+          .as("sum_sq"),
+        expr("round(array_max(e), 6)").as("max_e"),
+        expr("round(aggregate(zip_with(e, reverse(e), (x, y) -> x * y), " +
+          "cast(0.0 as double), (acc, z) -> acc + z), 6)").as("rev_dot"))
+      .orderBy(col("vec_id"))
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -821,7 +856,9 @@ object Inventory {
     "q46_stream_stream_join" -> (q46 _),
     "q47_approx_sketches" -> (q47 _),
     "q48_outer_join" -> (q48 _),
-    "q49_setops_all" -> (q49 _))
+    "q49_setops_all" -> (q49 _),
+    "q50_frame_sample" -> (q50 _),
+    "q51_array_hof" -> (q51 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1340,6 +1377,29 @@ object Inventory {
           |  GROUP BY l_orderkey)
           |SELECT op, l_orderkey, copies FROM ia
           |UNION ALL SELECT op, l_orderkey, copies FROM ea
-          |ORDER BY op, l_orderkey""".stripMargin)
+          |ORDER BY op, l_orderkey""".stripMargin,
+      // recompute every sampled frame with substring arithmetic:
+      // start_i = i*(L-256)/3 (integer), frame = bytes[start, start+256)
+      "q50_frame_sample" ->
+        """WITH f AS (SELECT doc_id, length(text) AS L, text,
+          |    unnest(range(0, 4)) AS i FROM documents),
+          |s AS (SELECT doc_id, i AS frame_idx,
+          |    CAST((i * greatest(L - 256, 0)) // 3 AS INT) AS st, L, text FROM f)
+          |SELECT doc_id, frame_idx,
+          |  CAST(least(256, L - st) AS BIGINT) AS flen,
+          |  md5(substring(text, st + 1, 256)) AS fhash
+          |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+      // DuckDB list comprehensions/list_sum evaluate in element order —
+      // the same sequential fold as Spark's aggregate()
+      "q51_array_hof" ->
+        """WITH w AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e
+          |  FROM embeddings)
+          |SELECT vec_id,
+          |  CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_pos,
+          |  round(list_sum([x * x for x in e]), 6) AS sum_sq,
+          |  round(list_max(e), 6) AS max_e,
+          |  round(list_sum([e[i] * e[len(e) + 1 - i]
+          |                  for i in range(1, len(e) + 1)]), 6) AS rev_dot
+          |FROM w ORDER BY vec_id""".stripMargin)
   }
 }
