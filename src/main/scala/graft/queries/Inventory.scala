@@ -805,6 +805,53 @@ object Inventory {
           "cast(0.0 as double), (acc, z) -> acc + z), 6)").as("rev_dot"))
       .orderBy(col("vec_id"))
 
+  /** BPE-ish tokenization (brief: token counting beyond whitespace):
+    * a GPT-2-style pretokenizer approximated with an RE2-safe
+    * alternation (letter runs | digit runs | punctuation runs) so both
+    * engines' regex dialects agree; reported against the whitespace
+    * token count per language.
+    */
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    val bpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+    t(s, d, "documents")
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+          .cast("long").as("bpe"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("ws")).as("ws_tokens"),
+        round(sum(col("bpe")).cast("double") / sum(col("ws")), 6).as("fertility"))
+      .orderBy(col("lang"))
+  }
+
+  /** The SQL entry path (`spark.sql` over registered views) — TPC-H
+    * Q3 shape written once in ANSI SQL and executed verbatim by BOTH
+    * engines, proving dialect-level parity, not just DataFrame parity.
+    */
+  private val q53Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |       AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(q53Sql)
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -858,7 +905,9 @@ object Inventory {
     "q48_outer_join" -> (q48 _),
     "q49_setops_all" -> (q49 _),
     "q50_frame_sample" -> (q50 _),
-    "q51_array_hof" -> (q51 _))
+    "q51_array_hof" -> (q51 _),
+    "q52_bpe_tokens" -> (q52 _),
+    "q53_sql_tpch_q3" -> (q53 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1400,6 +1449,18 @@ object Inventory {
           |  round(list_max(e), 6) AS max_e,
           |  round(list_sum([e[i] * e[len(e) + 1 - i]
           |                  for i in range(1, len(e) + 1)]), 6) AS rev_dot
-          |FROM w ORDER BY vec_id""".stripMargin)
+          |FROM w ORDER BY vec_id""".stripMargin,
+      "q52_bpe_tokens" ->
+        """WITH q AS (SELECT lang,
+          |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS BIGINT) AS bpe,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws
+          |  FROM documents)
+          |SELECT lang, COUNT(*) AS n_docs,
+          |  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+          |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+          |  round(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 6) AS fertility
+          |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+      // executed VERBATIM by both engines — the SQL dialect surface
+      "q53_sql_tpch_q3" -> q53Sql)
   }
 }
