@@ -852,6 +852,44 @@ object Inventory {
     s.sql(q53Sql)
   }
 
+  /** Correlated scalar subquery + EXISTS (§2.8 joins: Catalyst
+    * decorrelates both into aggregating/semi joins — `.explain` shows
+    * no nested execution). Verbatim SQL on both engines.
+    */
+  private val q54Sql: String =
+    """SELECT c_custkey, c_name,
+      |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |    AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders").foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(q54Sql)
+  }
+
+  /** Distribution window functions (ntile / percent_rank / cume_dist —
+    * q06/q07/q35 cover ranking, frames, offsets). The window order is
+    * made total with the key tiebreak, so every rank is deterministic.
+    */
+  private val q55Sql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pr,
+      |  round(cume_dist() OVER w, 6) AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(q55Sql)
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -907,7 +945,9 @@ object Inventory {
     "q50_frame_sample" -> (q50 _),
     "q51_array_hof" -> (q51 _),
     "q52_bpe_tokens" -> (q52 _),
-    "q53_sql_tpch_q3" -> (q53 _))
+    "q53_sql_tpch_q3" -> (q53 _),
+    "q54_subqueries" -> (q54 _),
+    "q55_dist_windows" -> (q55 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1461,6 +1501,8 @@ object Inventory {
           |  round(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 6) AS fertility
           |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
       // executed VERBATIM by both engines — the SQL dialect surface
-      "q53_sql_tpch_q3" -> q53Sql)
+      "q53_sql_tpch_q3" -> q53Sql,
+      "q54_subqueries" -> q54Sql,
+      "q55_dist_windows" -> q55Sql)
   }
 }
