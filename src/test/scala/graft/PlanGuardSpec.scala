@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression net over the PHYSICAL plans the scale story depends on
+  * (the prose claims in SCALE.md / PLANS_r03.md, asserted): filter
+  * pushdown reaching the parquet scan, the zero-exchange ANN probes,
+  * the single-exchange as-of join, top-k via TakeOrderedAndProject.
+  * A refactor that silently loses one of these properties fails here,
+  * not in a 100 TB run.
+  */
+class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("PlanGuardSpec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def exchanges(p: String): Int =
+    "(?m)^\\s*(?:[+:][- ]*)*Exchange ".r.findAllIn(p).size
+
+  test("q01: quantity filter is pushed to the parquet scan, schema pruned") {
+    val p = plan("q01_filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("LessThan(l_quantity"), p)
+    assert(!p.contains("l_shipdate"), "projection must prune unused columns")
+  }
+
+  test("q23/q37: ANN probes are zero-exchange (pure filter + top-k)") {
+    for (q <- Seq("q23_ann_lsh", "q37_ann_ivf")) {
+      val p = plan(q)
+      assert(exchanges(p) == 0, s"$q grew a shuffle:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"$q lost bounded top-k:\n$p")
+    }
+  }
+
+  test("q28: as-of join is one hash exchange (union -> window)") {
+    val p = plan("q28_asof_join")
+    // exactly one hash exchange does the as-of work; the only other
+    // allowed exchange is the presentation sort's range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"as-of join must hash-shuffle once:\n$p")
+    assert(exchanges(p) <= 2, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q09/q14: global top-k never sorts the full input") {
+    for (q <- Seq("q09_topk_limit", "q14_cosine_topk")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+    }
+  }
+
+  test("q02: aggregation is two-phase around a single exchange") {
+    val p = plan("q02_tpch_q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // one agg exchange + the presentation sort's range exchange
+    assert(exchanges(p) <= 2, p)
+  }
+
+  test("q03: dimension join broadcasts; no shuffle on the fact side") {
+    val p = plan("q03_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(exchanges(p) == 0, s"broadcast join must not shuffle:\n$p")
+  }
+
+  test("q16: converter plan has no exchange at all (narrow walk -> write)") {
+    // the converter itself (no --unique) is shuffle-free by design;
+    // q16's presentation sort adds exactly one range exchange
+    val p = plan("q16_converter")
+    assert(exchanges(p) <= 1, s"walk/filter/write must stay narrow:\n$p")
+  }
+}
