@@ -1,0 +1,84 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end drive of the CLI (`graft.convert.Main`) in a FORKED JVM
+  * — the binary a user actually invokes, including the stdin ("-")
+  * path-list mode (reference S3, src/main.rs:137-153). Forking keeps
+  * Main's `spark.stop()` away from the shared test SparkContext and
+  * proves the CLI runs standalone off the Spark jars classpath.
+  */
+class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName("CliSpec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Run Main in a fresh JVM; returns (exit code, stdout+stderr). */
+  private def runCli(stdin: Option[String], args: String*): (Int, String) = {
+    val classes = new File("target/scala-2.13/classes").getAbsolutePath
+    val cp = s"/opt/spark/jars/*:$classes"
+    val cmd = Seq("java") ++ addOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-Xmx2g", "-cp", cp,
+      "graft.convert.Main") ++ args
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.environment().put("SPARK_GRAFT_CPUS", "2")
+    val proc = pb.start()
+    stdin match {
+      case Some(s) =>
+        proc.getOutputStream.write(s.getBytes("UTF-8"))
+        proc.getOutputStream.close()
+      case None => proc.getOutputStream.close()
+    }
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val rc = proc.waitFor()
+    (rc, out)
+  }
+
+  private def fixture(): File = {
+    val dir = Files.createTempDirectory("graft_cli").toFile
+    val tgz = Fixtures.gzipData(Fixtures.tarArchive(Seq(
+      "a.txt" -> "hello cli".getBytes("UTF-8"),
+      "b.bin" -> Array.tabulate[Byte](500)(i => (i * 7).toByte))))
+    Files.write(Paths.get(dir.getPath, "in.tar.gz"), tgz)
+    dir
+  }
+
+  test("stdin path-list mode ('-') converts and reports stats") {
+    val dir = fixture()
+    val out = new File(dir, "out").getPath
+    val (rc, log) = runCli(
+      stdin = Some(s"${dir.getPath}/in.tar.gz\n\n"),
+      out, "-")
+    assert(rc == 0, log.takeRight(2000))
+    assert(log.contains("rows_written=2"), log.takeRight(2000))
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("path")).sorted.toSeq == Seq("a.txt", "b.bin"))
+  }
+
+  test("bad usage exits nonzero without writing output") {
+    val (rc, _) = runCli(None, "/tmp/nonexistent_out_dir_only_arg")
+    assert(rc == 2)
+  }
+}
