@@ -890,6 +890,26 @@ object Inventory {
     s.sql(q55Sql)
   }
 
+  /** Explicit GROUPING SETS with `grouping()` indicator columns (q08
+    * covers rollup, q30 cube — this is the general form, planned as a
+    * single Expand + two-phase aggregate like both of those).
+    */
+  private val q56Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderpriority), ())
+      |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin
+
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(q56Sql)
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -947,7 +967,8 @@ object Inventory {
     "q52_bpe_tokens" -> (q52 _),
     "q53_sql_tpch_q3" -> (q53 _),
     "q54_subqueries" -> (q54 _),
-    "q55_dist_windows" -> (q55 _))
+    "q55_dist_windows" -> (q55 _),
+    "q56_grouping_sets" -> (q56 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1503,6 +1524,7 @@ object Inventory {
       // executed VERBATIM by both engines — the SQL dialect surface
       "q53_sql_tpch_q3" -> q53Sql,
       "q54_subqueries" -> q54Sql,
-      "q55_dist_windows" -> q55Sql)
+      "q55_dist_windows" -> q55Sql,
+      "q56_grouping_sets" -> q56Sql)
   }
 }
