@@ -143,12 +143,16 @@ object Dedup {
     * order. Character grams (vs [[shingles]]' word grams) are the
     * usual unit for n-gram-Jaccard dedup: robust to tokenization and
     * to languages without whitespace. Codepoint-based `substr` on both
-    * engines, so the sets are oracle-reproducible.
+    * engines, so the sets are oracle-reproducible. Texts shorter than
+    * `n` yield the EMPTY set (same convention as word shingles below
+    * width — no phantom partial gram, so degenerate documents never
+    * pair through a truncated hot key).
     */
   def charGrams(text: Column, n: Int): Column =
-    array_sort(array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
-      i => text.substr(i, lit(n)))))
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(array_sort(array_distinct(transform(
+        sequence(lit(1), length(text) - lit(n - 1)),
+        i => text.substr(i, lit(n))))))
 
   /** Near-duplicate pairs by exact n-gram Jaccard with prefix
     * filtering (AllPairs/PPJoin candidate generation — Bayardo et al.,
@@ -202,25 +206,7 @@ object Dedup {
       case None    => array_sort(shingles(col(textCol), shingleWidth))
     }
     val gramSets = df.select(col(idCol).as("__id"), gram.as("__sh"))
-
-    // sorted gram array per doc under the chosen total order
-    val ordered: DataFrame =
-      if (!freqOrder) gramSets
-      else {
-        val exploded = gramSets.select(col("__id"), explode(col("__sh")).as("__g"))
-        val freq = exploded.groupBy("__g").agg(count(lit(1)).as("__df"))
-        exploded.join(freq, "__g")
-          .groupBy("__id")
-          // (df, gram) struct sort = ascending document frequency,
-          // gram text as the deterministic tiebreak
-          .agg(array_sort(collect_list(struct(col("__df"), col("__g")))).as("__fs"))
-          .select(col("__id"), expr("transform(__fs, x -> x.__g)").as("__sh"))
-      }
-
-    // prefix filter: first |S| - ceil(t*|S|) + 1 grams per side
-    val prefLen = (size(col("__sh"))
-      - ceil(lit(threshold) * size(col("__sh"))).cast("int") + 1)
-    val pfx = ordered.select(col("__id"), explode(slice(col("__sh"), lit(1), prefLen)).as("__g"))
+    val pfx = prefixExplode(orderedGramSets(gramSets, freqOrder), threshold)
 
     val a = pfx.select(col("__id").as("id_a"), col("__g"))
     val b = pfx.select(col("__id").as("id_b"), col("__g"))
@@ -235,6 +221,33 @@ object Dedup {
       .withColumn("jaccard", round(jaccard(col("__sha"), col("__shb")), 6))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Sorted gram array per (__id, __sh) doc under the chosen total
+    * order — ascending global document frequency (gram tiebreak) when
+    * `freqOrder`, else the input's lexicographic order. Package-visible
+    * so probes measure the SAME stages the operator ships.
+    */
+  private[graft] def orderedGramSets(gramSets: DataFrame, freqOrder: Boolean): DataFrame =
+    if (!freqOrder) gramSets
+    else {
+      val exploded = gramSets.select(col("__id"), explode(col("__sh")).as("__g"))
+      val freq = exploded.groupBy("__g").agg(count(lit(1)).as("__df"))
+      exploded.join(freq, "__g")
+        .groupBy("__id")
+        // (df, gram) struct sort = ascending document frequency,
+        // gram text as the deterministic tiebreak
+        .agg(array_sort(collect_list(struct(col("__df"), col("__g")))).as("__fs"))
+        .select(col("__id"), expr("transform(__fs, x -> x.__g)").as("__sh"))
+    }
+
+  /** The prefix filter: explode the first |S| - ceil(t*|S|) + 1 grams
+    * of each ordered set to (__id, __g) rows.
+    */
+  private[graft] def prefixExplode(ordered: DataFrame, threshold: Double): DataFrame = {
+    val prefLen = (size(col("__sh"))
+      - ceil(lit(threshold) * size(col("__sh"))).cast("int") + 1)
+    ordered.select(col("__id"), explode(slice(col("__sh"), lit(1), prefLen)).as("__g"))
   }
 
   /** Connected components over a near-dup pair set: assigns each id

@@ -60,6 +60,24 @@ object Inventory {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Stage one table file into a fresh ingest directory (the file
+    * stream source requires a directory) and clean it up afterwards —
+    * repeated bench runs must not accumulate table copies in /tmp. The
+    * body must finish streaming before returning; memory-sink reads
+    * after that no longer touch the source files.
+    */
+  private def withStagedTable[T](d: String, table: String)(f: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_src_$table")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/$table.parquet"),
+      dir.resolve(s"$table.parquet"))
+    try f(dir.toString)
+    finally {
+      java.nio.file.Files.deleteIfExists(dir.resolve(s"$table.parquet"))
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
   private val oneDec: Column = lit(1).cast(DecimalType(18, 2))
 
   // -------------------------------------------------------------------
@@ -358,30 +376,22 @@ object Inventory {
     // availableNow trigger -> complete-mode memory sink) and checked
     // against the batch DuckDB oracle. Schema is declared (file stream
     // sources don't infer), ts arrives as raw int64 nanos.
-    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    // the file stream source requires a *directory* — stage the table
-    // file into one (what a production deployment's ingest dir is)
-    val stageDir = java.nio.file.Files.createTempDirectory("graft_q27_src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$d/events.parquet"),
-      stageDir.resolve("events.parquet"))
-    val stream = s.readStream.schema(schema).parquet(stageDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("ws"), col("event_type"), col("n"))
     val name = "graft_q27_sink"
-    withStreamPartitions(s, 8) {
-      val q = stream.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(300000)
+    withStagedTable(d, "events") { stageDir =>
+      val stream = s.readStream
+        .schema(graft.streaming.StreamJoins.eventsSchema).parquet(stageDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      withStreamPartitions(s, 8) {
+        val q = stream.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+      }
     }
     s.table(name).orderBy(col("ws"), col("event_type"))
   }
@@ -552,20 +562,18 @@ object Inventory {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val stageDir = java.nio.file.Files.createTempDirectory("graft_q38_src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$d/documents.parquet"),
-      stageDir.resolve("documents.parquet"))
-    val stream = s.readStream.schema(schema).parquet(stageDir.toString)
-      .select(md5(col("text").cast("binary")).as("h"))
-      .dropDuplicates("h")
     val name = "graft_q38_sink"
-    withStreamPartitions(s, 8) {
-      val q = stream.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(300000)
+    withStagedTable(d, "documents") { stageDir =>
+      val stream = s.readStream.schema(schema).parquet(stageDir)
+        .select(md5(col("text").cast("binary")).as("h"))
+        .dropDuplicates("h")
+      withStreamPartitions(s, 8) {
+        val q = stream.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+      }
     }
     s.table(name).select(col("h")).orderBy(col("h"))
   }
@@ -671,37 +679,16 @@ object Inventory {
     * the batch join, which is what the oracle computes.
     */
   private def q46(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stageDir = java.nio.file.Files.createTempDirectory("graft_q46_src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$d/events.parquet"),
-      stageDir.resolve("events.parquet"))
-    def src = s.readStream.schema(schema).parquet(stageDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val views = src.where(col("event_type") === "view")
-      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
-      .withWatermark("vts", "2 hours")
-    val purchases = src.where(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-        col("ts").as("pts"))
-      .withWatermark("pts", "2 hours")
-    val joined = views.join(purchases,
-      col("user_id") === col("p_user") &&
-        col("pts") >= col("vts") &&
-        col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"))
-      .select(col("user_id"), col("view_id"), col("purchase_id"))
     val name = "graft_q46_sink"
-    withStreamPartitions(s, 8) {
-      val q = joined.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(300000)
+    withStagedTable(d, "events") { stageDir =>
+      val joined = graft.streaming.StreamJoins.viewPurchaseJoin(s, stageDir)
+      withStreamPartitions(s, 8) {
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+      }
     }
     s.table(name).orderBy(col("user_id"), col("view_id"), col("purchase_id"))
   }
@@ -812,12 +799,14 @@ object Inventory {
     * token count per language.
     */
   private def q52(s: SparkSession, d: String): DataFrame = {
-    val bpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+    // explicit whitespace class: Java's \s includes \x0B, RE2's does
+    // not — spelling the class out keeps both regex dialects identical
+    val bpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r\\f]+"
     t(s, d, "documents")
       .select(col("lang"),
         size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
           .cast("long").as("bpe"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("ws"))
+        size(split(trim(col("text")), "[ \\t\\n\\r\\f]+")).cast("long").as("ws"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("bpe")).as("bpe_tokens"),
@@ -1513,8 +1502,8 @@ object Inventory {
           |FROM w ORDER BY vec_id""".stripMargin,
       "q52_bpe_tokens" ->
         """WITH q AS (SELECT lang,
-          |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS BIGINT) AS bpe,
-          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws
+          |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f]+')) AS BIGINT) AS bpe,
+          |    CAST(len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS BIGINT) AS ws
           |  FROM documents)
           |SELECT lang, COUNT(*) AS n_docs,
           |  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,

@@ -23,15 +23,11 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  private val addOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar"
-  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+  // the canonical list lives in build.sbt (jdk17AddOpens) and reaches
+  // this forked test JVM as a system property — one source of truth
+  private val addOpens: Seq[String] =
+    sys.props.get("graft.test.addOpens").map(_.split(" ").toSeq).getOrElse(
+      fail("graft.test.addOpens not set — run via sbt (build.sbt javaOptions)"))
 
   /** Run Main in a fresh JVM; returns (exit code, stdout+stderr). */
   private def runCli(stdin: Option[String], args: String*): (Int, String) = {
@@ -78,7 +74,9 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("bad usage exits nonzero without writing output") {
-    val (rc, _) = runCli(None, "/tmp/nonexistent_out_dir_only_arg")
+    val out = "/tmp/graft_cli_bad_usage_out"
+    val (rc, _) = runCli(None, out)
     assert(rc == 2)
+    assert(!new File(out).exists(), "usage error must not create output")
   }
 }

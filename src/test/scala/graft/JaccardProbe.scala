@@ -4,7 +4,10 @@ import graft.ops.Dedup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Stage-by-stage cost probe for the prefix-filtered Jaccard join.
+/** Stage-by-stage cost probe for the prefix-filtered Jaccard join,
+  * built from the operator's OWN stage helpers
+  * ([[Dedup.orderedGramSets]] / [[Dedup.prefixExplode]]) so the probe
+  * cannot drift from the shipped pipeline.
   * Run: sbt "Test/runMain graft.JaccardProbe [sfDir]"
   */
 object JaccardProbe {
@@ -22,39 +25,26 @@ object JaccardProbe {
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     println(s"[probe] docs=${df.count()}")
-    val gramSets = df.select(col("doc_id").as("__id"), Dedup.charGrams(col("text"), 5).as("__sh"))
-    timed("gramSets count + avg set size") {
-      gramSets.select(count(lit(1)), avg(size(col("__sh")))).show()
-    }
     val t = 0.7
-    val prefLen = (size(col("__sh")) - ceil(lit(t) * size(col("__sh"))).cast("int") + 1)
-    // lexicographic prefix
-    val pfxLex = gramSets.select(col("__id"), explode(slice(col("__sh"), lit(1), prefLen)).as("__g"))
-    timed("lex prefix rows") { println(pfxLex.count()) }
-    timed("lex hottest prefix grams") {
-      pfxLex.groupBy("__g").count().orderBy(desc("count")).show(10, false)
-    }
-    timed("lex candidate pairs (pre-dedup)") {
-      val a = pfxLex.select(col("__id").as("id_a"), col("__g"))
-      val b = pfxLex.select(col("__id").as("id_b"), col("__g"))
-      println(a.join(b, Seq("__g")).where(col("id_a") < col("id_b")).count())
-    }
-    // frequency-ordered prefix
-    val exploded = gramSets.select(col("__id"), explode(col("__sh")).as("__g"))
-    val freq = exploded.groupBy("__g").agg(count(lit(1)).as("__df"))
-    val ordered = exploded.join(freq, "__g")
-      .groupBy("__id")
-      .agg(array_sort(collect_list(struct(col("__df"), col("__g")))).as("__fs"))
-      .select(col("__id"), expr("transform(__fs, x -> x.__g)").as("__sh"))
-    val pfxFreq = ordered.select(col("__id"), explode(slice(col("__sh"), lit(1), prefLen)).as("__g"))
-    timed("freq prefix rows") { println(pfxFreq.count()) }
-    timed("freq hottest prefix grams (df)") {
-      pfxFreq.groupBy("__g").count().orderBy(desc("count")).show(10, false)
-    }
-    timed("freq candidate pairs (pre-dedup)") {
-      val a = pfxFreq.select(col("__id").as("id_a"), col("__g"))
-      val b = pfxFreq.select(col("__id").as("id_b"), col("__g"))
-      println(a.join(b, Seq("__g")).where(col("id_a") < col("id_b")).count())
+    for ((label, gram) <- Seq(
+        "char5" -> Dedup.charGrams(col("text"), 5),
+        "word3" -> array_sort(Dedup.shingles(col("text"), 3)))) {
+      val gramSets = df.select(col("doc_id").as("__id"), gram.as("__sh"))
+      timed(s"$label avg set size") {
+        gramSets.select(avg(size(col("__sh")))).show()
+      }
+      for (freqOrder <- Seq(false, true)) {
+        val pfx = Dedup.prefixExplode(Dedup.orderedGramSets(gramSets, freqOrder), t)
+        timed(s"$label freq=$freqOrder prefix rows") { println(pfx.count()) }
+        timed(s"$label freq=$freqOrder hottest prefix grams") {
+          pfx.groupBy("__g").count().orderBy(desc("count")).show(5, false)
+        }
+        timed(s"$label freq=$freqOrder candidate pairs (pre-dedup)") {
+          val a = pfx.select(col("__id").as("id_a"), col("__g"))
+          val b = pfx.select(col("__id").as("id_b"), col("__g"))
+          println(a.join(b, Seq("__g")).where(col("id_a") < col("id_b")).count())
+        }
+      }
     }
     spark.stop()
   }
