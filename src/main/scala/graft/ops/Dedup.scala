@@ -223,6 +223,51 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Decontamination — the cross-corpus form of near-dup dedup every
+    * training pipeline needs: drop from `train` any row whose text is
+    * a near-duplicate (shingle Jaccard >= `threshold`) of ANY `ref`
+    * row (benchmark/eval-set contamination). Same MinHash+LSH banding
+    * as [[nearDupPairs]], but the bucket join is train x ref ONLY —
+    * never train x train — so candidate volume scales with the SMALL
+    * ref corpus: ref's banded keys are `bands` x 24 B per row, and AQE
+    * broadcasts that side for benchmark-sized refs. Verify joins
+    * shingle sets for candidate ids only; the survivors come back via
+    * one left_anti on the id.
+    *
+    * @return the rows of `train` that survive
+    */
+  def decontaminate(
+      train: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleWidth: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def banded(df: DataFrame, side: String): DataFrame = df.select(
+      col(idCol).as(s"__id$side"),
+      GraftFunctions.minhash_signature(col(textCol), numHashes, shingleWidth).as("__sig"))
+      .select(col(s"__id$side"), posexplode(expr(
+        s"transform(sequence(0, $bands - 1), b -> xxhash64(concat_ws(',', transform(slice(__sig, b * $r + 1, $r), x -> cast(x as string)))))")))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__key")
+    val cand = banded(train, "T").join(banded(ref, "R"), Seq("__band", "__key"))
+      .select("__idT", "__idR")
+      .dropDuplicates("__idT", "__idR")
+    val shT = train.select(col(idCol).as("__idT"), shingles(col(textCol), shingleWidth).as("__shT"))
+    val shR = ref.select(col(idCol).as("__idR"), shingles(col(textCol), shingleWidth).as("__shR"))
+    val contaminated = cand
+      .join(shT, Seq("__idT"))
+      .join(shR, Seq("__idR"))
+      .where(jaccard(col("__shT"), col("__shR")) >= threshold)
+      .select(col("__idT").as(idCol))
+      .distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Sorted gram array per (__id, __sh) doc under the chosen total
     * order — ascending global document frequency (gram tiebreak) when
     * `freqOrder`, else the input's lexicographic order. Package-visible

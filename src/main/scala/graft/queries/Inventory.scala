@@ -899,6 +899,21 @@ object Inventory {
     s.sql(q56Sql)
   }
 
+  /** Decontamination (cross-corpus near-dup removal): treat sources
+    * src0/src1 as the held-out benchmark and drop their near-dups from
+    * the rest of the corpus. The oracle recomputes contamination with
+    * an ALL-pairs train x ref Jaccard join, so it checks the LSH
+    * candidate generation's recall, not just the verify arithmetic.
+    */
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val ref = docs.where(col("source").isin("src0", "src1"))
+    val train = docs.where(!col("source").isin("src0", "src1"))
+    Dedup.decontaminate(train, ref, "doc_id", "text", threshold = 0.8)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -957,7 +972,8 @@ object Inventory {
     "q53_sql_tpch_q3" -> (q53 _),
     "q54_subqueries" -> (q54 _),
     "q55_dist_windows" -> (q55 _),
-    "q56_grouping_sets" -> (q56 _))
+    "q56_grouping_sets" -> (q56 _),
+    "q57_decontaminate" -> (q57 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1514,6 +1530,22 @@ object Inventory {
       "q53_sql_tpch_q3" -> q53Sql,
       "q54_subqueries" -> q54Sql,
       "q55_dist_windows" -> q55Sql,
-      "q56_grouping_sets" -> q56Sql)
+      "q56_grouping_sets" -> q56Sql,
+      // ALL-pairs train x ref contamination — checks LSH recall
+      "q57_decontaminate" ->
+        s"""WITH w AS (SELECT doc_id, source, $toks AS t FROM documents),
+           |sh AS (SELECT doc_id, source,
+           |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |                        for i in range(1, len(t) - 1)]) AS sh
+           |       FROM w),
+           |tr AS (SELECT doc_id, sh FROM sh WHERE source NOT IN ('src0','src1')),
+           |rf AS (SELECT doc_id, sh FROM sh WHERE source IN ('src0','src1')),
+           |bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN rf ON
+           |    CAST(len(list_intersect(tr.sh, rf.sh)) AS DOUBLE) /
+           |    CAST(len(list_distinct(list_concat(tr.sh, rf.sh))) AS DOUBLE) >= 0.8)
+           |SELECT doc_id, lang, source FROM documents
+           |WHERE source NOT IN ('src0','src1')
+           |  AND doc_id NOT IN (SELECT doc_id FROM bad)
+           |ORDER BY doc_id""".stripMargin)
   }
 }

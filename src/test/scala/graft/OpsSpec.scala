@@ -81,6 +81,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pref < full * 4 / 10, s"prefix $pref vs full $full") // ≤ ~30% + 1/doc
   }
 
+  test("decontaminate drops train rows near-duplicating any ref row") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again until done"
+    val train = Seq(
+      (0L, base + " extra"),                                    // near-dup of ref 100
+      (1L, "completely different words compose this sentence nothing shared here"),
+      (2L, base)).toDF("doc_id", "text")                        // exact dup of ref 100
+    val ref = Seq((100L, base)).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(train, ref, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(1L)), kept.mkString(","))
+    // ref-only similarity: train rows similar to EACH OTHER survive
+    val kept2 = Dedup.decontaminate(
+      train.union(Seq((3L, base + " extra more")).toDF("doc_id", "text")),
+      Seq((200L, "zero overlap reference text entirely")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept2.sameElements(Array(0L, 1L, 2L, 3L)), kept2.mkString(","))
+  }
+
   test("nearDupWinners drops LSH-bucket losers only") {
     val kept = Dedup.nearDupWinners(docs(), "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).sorted
