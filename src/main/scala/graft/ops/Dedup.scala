@@ -208,10 +208,21 @@ object Dedup {
     val gramSets = df.select(col(idCol).as("__id"), gram.as("__sh"))
     val pfx = prefixExplode(orderedGramSets(gramSets, freqOrder), threshold)
 
-    val a = pfx.select(col("__id").as("id_a"), col("__g"))
-    val b = pfx.select(col("__id").as("id_b"), col("__g"))
+    val a = pfx.select(col("__id").as("id_a"), col("__g"),
+      col("__pos").as("__pa"), col("__sz").as("__sa"))
+    val b = pfx.select(col("__id").as("id_b"), col("__g"),
+      col("__pos").as("__pb"), col("__sz").as("__sb"))
+    // PPJoin positional filter: J >= t implies |A∩B| >= t/(1+t)(|A|+|B|);
+    // a match at 0-based positions (pa, pb) can contribute at most
+    // min(|A|-pa, |B|-pb) overlap (itself + everything after it in both
+    // sorted sets), so matches that cannot reach the bound are dropped
+    // BEFORE the pair ever materializes. A qualifying pair's EARLIEST
+    // shared prefix gram always passes (it has the loosest bound), so
+    // completeness is preserved.
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("__sa") + col("__sb")))
     val cand = a.join(b, Seq("__g"))
-      .where(col("id_a") < col("id_b"))
+      .where(col("id_a") < col("id_b") &&
+        least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) >= alpha)
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
@@ -287,12 +298,19 @@ object Dedup {
     }
 
   /** The prefix filter: explode the first |S| - ceil(t*|S|) + 1 grams
-    * of each ordered set to (__id, __g) rows.
+    * of each ordered set to (__id, __g, __pos, __sz) rows — `__pos` is
+    * the gram's 0-based position in the FULL sorted set (the prefix is
+    * its head, so prefix position == set position) and `__sz` the set
+    * size; both feed the PPJoin positional filter.
     */
   private[graft] def prefixExplode(ordered: DataFrame, threshold: Double): DataFrame = {
     val prefLen = (size(col("__sh"))
       - ceil(lit(threshold) * size(col("__sh"))).cast("int") + 1)
-    ordered.select(col("__id"), explode(slice(col("__sh"), lit(1), prefLen)).as("__g"))
+    ordered
+      .select(col("__id"), size(col("__sh")).as("__sz"),
+        posexplode(slice(col("__sh"), lit(1), prefLen)))
+      .withColumnRenamed("pos", "__pos")
+      .withColumnRenamed("col", "__g")
   }
 
   /** Connected components over a near-dup pair set: assigns each id
