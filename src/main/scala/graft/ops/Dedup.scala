@@ -218,8 +218,12 @@ object Dedup {
     // sorted sets), so matches that cannot reach the bound are dropped
     // BEFORE the pair ever materializes. A qualifying pair's EARLIEST
     // shared prefix gram always passes (it has the loosest bound), so
-    // completeness is preserved.
-    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("__sa") + col("__sb")))
+    // completeness is preserved. The epsilon keeps float error from
+    // rounding ceil() PAST a mathematically-integral bound (measured at
+    // t=0.8, |A|+|B|=63: exact bound 28, naive double 28.000000000000004
+    // -> ceil 29 would drop boundary-exact J=0.8 pairs); erring low only
+    // admits a candidate the exact verify then rejects.
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("__sa") + col("__sb")) - lit(1e-6))
     val cand = a.join(b, Seq("__g"))
       .where(col("id_a") < col("id_b") &&
         least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) >= alpha)

@@ -72,6 +72,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("positional filter keeps boundary-exact pairs (J == t, integral overlap bound)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // |A|=31, |B|=32, overlap 28 => J = 28/35 = 0.8 EXACTLY, and the
+    // t/(1+t)(|A|+|B|) bound = 28 is integral — the case where naive
+    // float ceil() overshoots to 29. Unique words sort BEFORE shared
+    // ones (both lexicographically and by df), pinning the earliest
+    // shared gram at remaining-capacity exactly 28 on both sides.
+    val shared = (1 to 28).map(i => f"s$i%03d")
+    val a = (1 to 3).map(i => f"a$i%02d") ++ shared
+    val b = (1 to 4).map(i => f"b$i%02d") ++ shared
+    val df = Seq((1L, a.mkString(" ")), (2L, b.mkString(" "))).toDF("doc_id", "text")
+    for (freqOrder <- Seq(true, false)) {
+      val got = Dedup.jaccardNearDupPairs(df, "doc_id", "text",
+          threshold = 0.8, shingleWidth = 1, freqOrder = freqOrder)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == Seq((1L, 2L, 0.8)), s"freqOrder=$freqOrder got=$got")
+    }
+  }
+
   test("jaccard prefix filter prunes: prefix explode emits fewer grams than full index") {
     import org.apache.spark.sql.functions._
     val full = docs().select(explode(Dedup.charGrams(col("text"), 5))).count()
