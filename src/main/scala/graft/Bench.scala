@@ -109,7 +109,10 @@ object Bench {
           spark, inputs, "/tmp/graft_bench_warmup", graft.core.ConvertOptions())
         var best = Double.MaxValue
         var stats: graft.convert.ArchiveConverter.ConversionStats = null
-        (1 to 3).foreach { _ =>
+        // two timed runs, not three: the host throttle ramps within a
+        // sustained burst, so a third run is usually the slowest and
+        // only burns quota the query phase needs afterwards
+        (1 to 2).foreach { _ =>
           val t0 = System.nanoTime()
           stats = graft.convert.ArchiveConverter.convert(
             spark, inputs, "/tmp/graft_bench_out", graft.core.ConvertOptions())
@@ -135,10 +138,22 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Timings rounded to 3 decimals: the driver parses the JSON from a
+    // 2000-char tail of the process output, and full double precision
+    // pushed the line past that window in earlier rounds (parsed:null).
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$convJson}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$convJson}"""
+    // Stop Spark and silence loggers BEFORE printing: any shutdown log
+    // noise emitted after the JSON line evicts it from the tail window.
     spark.stop()
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
+    if (line.length > 1900)
+      System.err.println(s"WARN bench json line is ${line.length} chars; tail window is 2000")
+    println(line)
+    System.out.flush()
   }
 }
