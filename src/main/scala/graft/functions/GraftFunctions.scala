@@ -60,9 +60,12 @@ object GraftFunctions {
 
   // ---- text analysis (built-in compositions, oracle-expressible) ----
 
-  /** Whitespace token count. */
+  /** Whitespace token count. Explicit class `[ \t\n\r\f]+` — NOT `\s`,
+    * whose membership differs between Java (has \x0B) and RE2/DuckDB
+    * (doesn't); see [[graft.functions.TextStats.tokenCount]].
+    */
   def token_count(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    size(split(trim(text), "[ \\t\\n\\r\\f]+"))
 
   /** Occurrences of `word` as a whole token in `text` (length-delta trick,
     * identical semantics in ANSI SQL for the oracle).

@@ -17,10 +17,16 @@ object TextStats {
   def tokens(text: Column): Column =
     filter(split(lower(regexp_replace(text, "[^a-zA-Z0-9]+", " ")), " "), x => x =!= "")
 
-  /** Token count on the raw whitespace definition (matches
-    * `length(string_split_regex(trim(text),'\s+'))` in ANSI SQL).
+  /** Token count on the raw whitespace definition. The whitespace
+    * class is pinned EXPLICITLY to `[ \t\n\r\f]+`: Java's `\s`
+    * includes \x0B (vertical tab) while RE2's (DuckDB's) does not, so
+    * a bare `\s+` silently diverges between engine and oracle on
+    * \x0B-containing documents. Keep in sync with
+    * [[graft.functions.GraftFunctions.token_count]] and the q19/q20/q36
+    * oracle SQL.
     */
-  def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "[ \\t\\n\\r\\f]+"))
 
   /** Fraction of characters that are not alphanumeric or space. */
   def punctRatio(text: Column): Column =

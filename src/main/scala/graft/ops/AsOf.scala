@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   *   - ONE hash exchange on the key column,
   *   - a per-key sort by (ts, side, tiebreak) where right rows sort
   *     before left rows at equal ts (so "at-or-before" includes ties),
-  *   - each left row reads the running `last` non-null right value.
+  *   - each left row reads the running `last` non-null right-row
+  *     STRUCT (ts + all carried columns in one value, so they always
+  *     come from the same right row, nullable value columns included).
   *
   * At 100 TB this is one shuffle of (key, ts, carried cols) and a
   * per-partition sort — no range-condition blow-up, no broadcast
@@ -51,27 +53,30 @@ object AsOf {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(valueCols.contains),
       s"valueCols ${valueCols.mkString(",")} collide with left columns")
+    // ONE struct carries (matched ts, all value cols) so every carried
+    // field comes from the SAME right row. A per-column
+    // last(ignoreNulls) would, when a right value column is null, pull
+    // that column from an OLDER right row — mixing rows. The struct is
+    // never null for right rows (a struct of null fields is non-null),
+    // so ignoreNulls skips only the left rows' null placeholder.
     val rightTagged = right.select(
-      Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
-        col(tsCol).as("__rts"), col(tiebreak).as("__tb")) ++
-        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+      col(keyCol), col(tsCol), lit(0).as("__side"), col(tiebreak).as("__tb"),
+      struct(col(tsCol).as("__rts") +: valueCols.map(c => col(c).as(s"__v_$c")): _*).as("__r"))
     val leftTagged = left.select(
       Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
-        lit(null).cast(rightTagged.schema(s"__rts").dataType).as("__rts"),
-        lit(null).cast(rightTagged.schema(s"__tb").dataType).as("__tb")) ++
-        valueCols.map(c => lit(null).cast(rightTagged.schema(s"__v_$c").dataType).as(s"__v_$c")) ++
+        lit(null).cast(rightTagged.schema("__tb").dataType).as("__tb"),
+        lit(null).cast(rightTagged.schema("__r").dataType).as("__r")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol).map(col): _*)
     // right rows sort before left at equal ts (side 0 < 1) => ">=";
     // among right ties, the greatest tiebreak sorts last and wins
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried: Seq[Column] =
-      valueCols.map(c => last(col(s"__v_$c"), ignoreNulls = true).over(w).as(c)) :+
-        last(col("__rts"), ignoreNulls = true).over(w).as("asof_ts")
     rightTagged.unionByName(leftTagged, allowMissingColumns = true)
-      .select(Seq(col("*")) ++ carried: _*)
-      .where(col("__side") === 1 && col("asof_ts").isNotNull)
-      .select(leftCols.map(col) ++ valueCols.map(col) :+ col("asof_ts"): _*)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1 && col("__m").isNotNull)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"__m.__v_$c").as(c)) :+
+        col("__m.__rts").as("asof_ts"): _*)
   }
 }

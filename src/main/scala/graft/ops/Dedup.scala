@@ -342,6 +342,19 @@ object Dedup {
     */
   def components(pairs: DataFrame, maxIter: Int = 20,
       smallGraphMax: Long = 4000000L): DataFrame = {
+    // Both regimes cast ids to long (the driver fast path reads
+    // getLong; min-label semantics need a total order). Guard the cast:
+    // a silent cast of non-numeric ids would null them and crash or
+    // corrupt labels with no useful error.
+    {
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      val integral: Set[org.apache.spark.sql.types.DataType] =
+        Set(ByteType, ShortType, IntegerType, LongType)
+      val idTypes = Seq("id_a", "id_b").map(c => pairs.schema(c).dataType)
+      require(idTypes.forall(integral.contains),
+        s"components() requires integral id_a/id_b columns, got (${idTypes.mkString(", ")}); " +
+          "map non-numeric ids to longs first (e.g. xxhash64(id) or a dense_rank)")
+    }
     // materialize the pair set once — everything below reads it at
     // least twice, and upstream pair generation (LSH + verify) is the
     // expensive part

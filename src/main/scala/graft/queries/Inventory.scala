@@ -630,7 +630,12 @@ object Inventory {
   private def q41(s: SparkSession, d: String): DataFrame = {
     s.sql("DROP TABLE IF EXISTS graft_q41_orders")
     s.sql("DROP TABLE IF EXISTS graft_q41_customer")
-    val wh = java.nio.file.Files.createTempDirectory("graft_q41_wh").toString
+    // ONE fixed warehouse path, overwritten per invocation: DROP TABLE
+    // on path-based tables does not delete data, so a fresh temp dir
+    // per run would leak full bucketed copies of orders+customer into
+    // /tmp on every bench warm+timed pass. mode(overwrite) below
+    // replaces the data in place — at most one copy ever exists.
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_q41_wh"
     t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .write.mode("overwrite").option("path", s"$wh/orders")
       .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("graft_q41_orders")
@@ -1159,7 +1164,7 @@ object Inventory {
       "q19_quality_score" ->
         s"""WITH q AS (
            |  SELECT doc_id,
-           |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           |    CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS BIGINT) AS n_tokens,
            |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
            |      / CAST(length(text) AS DOUBLE) AS praw,
            |    $toks AS t,
@@ -1184,7 +1189,7 @@ object Inventory {
            |FROM r ORDER BY doc_id""".stripMargin,
       "q20_token_stats" ->
         """WITH q AS (SELECT lang,
-          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tc
+          |    CAST(len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS BIGINT) AS tc
           |  FROM documents)
           |SELECT lang, COUNT(*) AS n_docs,
           |  CAST(SUM(tc) AS BIGINT) AS total_tokens,
@@ -1362,7 +1367,7 @@ object Inventory {
           |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
       "q36_topk_agg" ->
         """WITH q AS (SELECT lang, doc_id,
-          |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS score
+          |    CAST(len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS DOUBLE) AS score
           |  FROM documents)
           |SELECT lang,
           |  CAST(row_number() OVER (PARTITION BY lang

@@ -254,6 +254,60 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq("a b c", "b c d", "c d a", "d a b"))
   }
 
+  test("AsOf.join: nullable right value columns carry from the SAME matched row") {
+    import spark.implicits._
+    // matched right row (ts=10) has a=NULL: a per-column last(ignoreNulls)
+    // would pull a="x" from the OLDER ts=5 row — mixing right rows
+    val left = Seq((1L, 12L, 100L)).toDF("k", "ts", "eid")
+    val right = Seq(
+      (1L, 5L, Option("x"), Option.empty[String], 1L),
+      (1L, 10L, Option.empty[String], Option("y"), 2L)
+    ).toDF("k", "ts", "a", "b", "seq")
+    val out = graft.ops.AsOf.join(left, right, "k", "ts",
+        valueCols = Seq("a", "b"), tiebreak = "seq")
+      .select("eid", "a", "b", "asof_ts").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 100L)
+    assert(r.isNullAt(1), "a must be NULL — the matched ts=10 row's value, not ts=5's")
+    assert(r.getString(2) == "y")
+    assert(r.getLong(3) == 10L)
+  }
+
+  test("saltedCountSum: constant-valued hot key still splits across salts, totals exact") {
+    import spark.implicits._
+    // the common skew shape: one hot key whose value is CONSTANT — a
+    // value-derived salt puts every row on one salt and never splits it
+    val rows = (1 to 1000).map(_ => ("hot", 5.0)) ++
+      (1 to 10).map(i => (s"cold_$i", i.toDouble))
+    val df = rows.toDF("k", "v").repartition(4)
+    val salted = graft.ops.Skew.saltedCountSum(df, "k", col("v"), salts = 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted("hot") == ((1000L, 5000.0)))
+    (1 to 10).foreach(i => assert(salted(s"cold_$i") == ((1L, i.toDouble))))
+    // the hot key's rows must actually land on >1 salt partition
+    val hotSalts = df.where(col("k") === "hot")
+      .withColumn("__salt", graft.ops.Skew.rowSalt(16))
+      .select("__salt").distinct().count()
+    assert(hotSalts > 1, s"hot key observed on $hotSalts salt(s) — not split")
+  }
+
+  test("components rejects non-integral id columns with a clear error") {
+    import spark.implicits._
+    val bad = Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] { Dedup.components(bad) }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("token_count: \\x0B is NOT a token separator (oracle regex-dialect parity)") {
+    import spark.implicits._
+    // Java \s includes \x0B, RE2 (DuckDB) \s does not — the engine pins
+    // the explicit class [ \t\n\r\f]+ so both engines agree
+    val df = Seq(Tuple1("a\u000Bb c\td\ne")).toDF("text")
+    val n = df.select(GraftFunctions.token_count(col("text")).as("n")).head().getInt(0)
+    assert(n == 4, s"expected 4 tokens (a\\x0Bb is ONE token), got $n")
+  }
+
   test("AsOf.join: latest at-or-before match, tie to max tiebreak, no-match dropped") {
     import spark.implicits._
     val left = Seq(
