@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.convert.ArchiveConverter
-import graft.core.ConvertOptions
+import graft.core.{ConvertOptions, IncludeType}
 import graft.functions.{GraftFunctions, TextStats}
 import graft.ops.{Dedup, MultiModal, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -248,7 +248,10 @@ object Inventory {
     }
     tput("a.txt", textA); tput("inner.zip", zipBuf.toByteArray); to.close()
 
-    val dir = java.nio.file.Files.createTempDirectory("graft_q16").toFile
+    // fixed path, rewritten per invocation — repeated bench/verify runs
+    // must not accumulate fixture dirs in /tmp (same rule as q41)
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q16_fixture")
+    dir.mkdirs()
     val f = new File(dir, "fixture.tar.gz")
     val fos = new FileOutputStream(f)
     fos.write(tarBuf.toByteArray); fos.close()
@@ -277,6 +280,88 @@ object Inventory {
       """SELECT a.path, a.size, lower(hex(a.hash)) AS sha256
         |FROM graft_q42_blobs LATERAL VIEW explode_archive(blob) a
         |ORDER BY a.path""".stripMargin)
+  }
+
+  /** q58 fixture members — spec constants shared by the fixture builder
+    * AND the VALUES oracle (the oracle's sizes/digests are computed from
+    * these definitions directly with `MessageDigest`, never from engine
+    * output). Names declare the expected filter outcome; the binary
+    * members cover the UTF-8 rejection classes the reference's validator
+    * distinguishes (src/batch.rs:162-180): stray continuation byte,
+    * overlong encoding, multibyte sequence truncated at EOF.
+    */
+  private val Q58Members: Seq[(String, Array[Byte])] = Seq(
+    "keep_ascii.txt" ->
+      ("the quick brown fox jumps over the lazy dog\n" * 8).getBytes("UTF-8"),
+    // size-0 entries are dropped by the WALK itself, before any filter —
+    // reference parity (tarfile.rs:24-26), asserted here via drop_ name
+    "drop_empty_by_walk.txt" -> Array.emptyByteArray,
+    "keep_multibyte.txt" ->
+      ("héllo wörld — ünïcode € ✓\n" * 4).getBytes("UTF-8"),
+    "drop_stray_continuation.bin" ->
+      ("ascii prefix ".getBytes("UTF-8") ++ Array(0x80.toByte) ++ " suffix".getBytes("UTF-8")),
+    "drop_overlong.bin" ->
+      (Array(0xC0.toByte, 0x80.toByte) ++ "overlong nul encoding".getBytes("UTF-8")),
+    "drop_truncated.bin" ->
+      ("truncated euro sign: ".getBytes("UTF-8") ++ Array(0xE2.toByte, 0x82.toByte)))
+
+  private def buildQ58Fixture(): String = {
+    import java.io._
+    import java.util.zip.GZIPOutputStream
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val buf = new ByteArrayOutputStream()
+    val to = new TarArchiveOutputStream(new GZIPOutputStream(buf))
+    Q58Members.foreach { case (name, bytes) =>
+      val e = new TarArchiveEntry(name)
+      e.setSize(bytes.length.toLong); e.setModTime(1000000000000L)
+      to.putArchiveEntry(e); to.write(bytes); to.closeArchiveEntry()
+    }
+    to.close()
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q58_fixture")
+    dir.mkdirs()
+    val f = new File(dir, "mixed.tar.gz")
+    val fos = new FileOutputStream(f); fos.write(buf.toByteArray); fos.close()
+    f.getAbsolutePath
+  }
+
+  /** F2 through the oracle gate: the converter's `include=text` UTF-8
+    * filter (reference src/batch.rs:162-180) over the mixed fixture —
+    * only the valid-UTF-8 members survive, checked against a
+    * spec-determined VALUES oracle like q16.
+    */
+  private def q58(s: SparkSession, d: String): DataFrame = {
+    val path = buildQ58Fixture()
+    ArchiveConverter.filteredEntries(s, Seq(path),
+        ConvertOptions(include = IncludeType.Text))
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+  }
+
+  /** q59 blob — exercises `extract_strings`' three spec behaviors
+    * (reference crates/extract-strings/src/ascii.rs:5-130): a run of
+    * exactly minLength emits; runs shorter than minLength are NOT
+    * discarded but accumulate across non-text bytes until the pending
+    * buffer reaches minLength (boundary carry — "abcdefghi"+"jk" emits
+    * as one 11-char string); end-of-stream flushes a pending buffer of
+    * >= minLength ("no"+"final trailing run!"). Expected strings are
+    * derived BY HAND from the spec and inlined in the oracle.
+    */
+  private val Q59Blob: Array[Byte] =
+    Array[Byte](0, 0) ++ "ABCDEFGHIJ".getBytes("UTF-8") ++ Array(0x01.toByte) ++
+      "abcdefghi".getBytes("UTF-8") ++ Array(0xFF.toByte) ++ "jk".getBytes("UTF-8") ++
+      Array[Byte](0) ++ "no".getBytes("UTF-8") ++ Array(0x02.toByte) ++
+      "final trailing run!".getBytes("UTF-8")
+
+  /** P3 through the oracle gate: ASCII-string extraction over the
+    * crafted blob (the converter applies the same function to
+    * executable entries, ArchiveWalker P3 path).
+    */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Seq(Tuple1(Q59Blob)).toDF("blob")
+      .select(posexplode(GraftFunctions.extract_strings(col("blob"), 10)))
+      .select(col("pos").cast("long").as("idx"), col("col").as("s"))
+      .orderBy(col("idx"))
   }
 
   // -------------------------------------------------------------------
@@ -978,7 +1063,9 @@ object Inventory {
     "q54_subqueries" -> (q54 _),
     "q55_dist_windows" -> (q55 _),
     "q56_grouping_sets" -> (q56 _),
-    "q57_decontaminate" -> (q57 _))
+    "q57_decontaminate" -> (q57 _),
+    "q58_text_filter" -> (q58 _),
+    "q59_extract_strings" -> (q59 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1551,6 +1638,28 @@ object Inventory {
            |SELECT doc_id, lang, source FROM documents
            |WHERE source NOT IN ('src0','src1')
            |  AND doc_id NOT IN (SELECT doc_id FROM bad)
-           |ORDER BY doc_id""".stripMargin)
+           |ORDER BY doc_id""".stripMargin,
+      // spec-determined VALUES: the survivors are declared by the
+      // fixture member names; sizes and sha256 digests are computed
+      // from the member definitions with MessageDigest, independent of
+      // the walk/filter path under test
+      "q58_text_filter" -> {
+        val rows = Q58Members.filter(_._1.startsWith("keep_")).map { case (name, bytes) =>
+          val hex = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(bytes).map(b => f"$b%02x").mkString
+          s"  ('$name', CAST(${bytes.length} AS BIGINT), '$hex')"
+        }
+        s"SELECT * FROM (VALUES\n${rows.mkString(",\n")})\n" +
+          "  AS t(path, size, sha256)\nORDER BY path"
+      },
+      // hand-derived from the reference spec (min-run emit, short-run
+      // carry "abcdefghi"+"jk", EOF flush "no"+"final trailing run!")
+      "q59_extract_strings" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(0 AS BIGINT), 'ABCDEFGHIJ'),
+          |  (CAST(1 AS BIGINT), 'abcdefghijk'),
+          |  (CAST(2 AS BIGINT), 'nofinal trailing run!'))
+          |  AS t(idx, s)
+          |ORDER BY idx""".stripMargin)
   }
 }
