@@ -206,7 +206,7 @@ object Dedup {
       case None    => array_sort(shingles(col(textCol), shingleWidth))
     }
     val gramSets = df.select(col(idCol).as("__id"), gram.as("__sh"))
-    val pfx = prefixExplode(orderedGramSets(gramSets, freqOrder), threshold)
+    val pfx = prefixRows(gramSets, threshold, freqOrder)
 
     val a = pfx.select(col("__id").as("id_a"), col("__g"),
       col("__pos").as("__pa"), col("__sz").as("__sa"))
@@ -283,38 +283,42 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
-  /** Sorted gram array per (__id, __sh) doc under the chosen total
-    * order — ascending global document frequency (gram tiebreak) when
-    * `freqOrder`, else the input's lexicographic order. Package-visible
-    * so probes measure the SAME stages the operator ships.
-    */
-  private[graft] def orderedGramSets(gramSets: DataFrame, freqOrder: Boolean): DataFrame =
-    if (!freqOrder) gramSets
-    else {
-      val exploded = gramSets.select(col("__id"), explode(col("__sh")).as("__g"))
-      val freq = exploded.groupBy("__g").agg(count(lit(1)).as("__df"))
-      exploded.join(freq, "__g")
-        .groupBy("__id")
-        // (df, gram) struct sort = ascending document frequency,
-        // gram text as the deterministic tiebreak
-        .agg(array_sort(collect_list(struct(col("__df"), col("__g")))).as("__fs"))
-        .select(col("__id"), expr("transform(__fs, x -> x.__g)").as("__sh"))
-    }
-
-  /** The prefix filter: explode the first |S| - ceil(t*|S|) + 1 grams
-    * of each ordered set to (__id, __g, __pos, __sz) rows — `__pos` is
-    * the gram's 0-based position in the FULL sorted set (the prefix is
-    * its head, so prefix position == set position) and `__sz` the set
+  /** The prefix filter, computed directly on the exploded (id, gram)
+    * frame: rank each doc's grams under the chosen total order —
+    * ascending global document frequency with the gram text as
+    * tiebreak when `freqOrder`, else lexicographic — with one window,
+    * and keep ranks below |S| - ceil(t*|S|) + 1.
+    *
+    * Output rows are (__id, __g, __pos, __sz): `__pos` the gram's
+    * 0-based position in the doc's FULL ordered set, `__sz` the set
     * size; both feed the PPJoin positional filter.
+    *
+    * This replaces a collect_list -> array_sort -> re-explode rebuild:
+    * ranking where the rows already are costs the same single
+    * id-keyed exchange the rebuild's groupBy needed, but skips
+    * materializing every doc's ordered array and re-exploding it —
+    * at 100 TB that array pass (alloc + copy + explode of the full
+    * exploded relation) was pure overhead. Package-visible so probes
+    * measure the SAME stages the operator ships.
     */
-  private[graft] def prefixExplode(ordered: DataFrame, threshold: Double): DataFrame = {
-    val prefLen = (size(col("__sh"))
-      - ceil(lit(threshold) * size(col("__sh"))).cast("int") + 1)
-    ordered
-      .select(col("__id"), size(col("__sh")).as("__sz"),
-        posexplode(slice(col("__sh"), lit(1), prefLen)))
-      .withColumnRenamed("pos", "__pos")
-      .withColumnRenamed("col", "__g")
+  private[graft] def prefixRows(
+      gramSets: DataFrame, threshold: Double, freqOrder: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = gramSets.select(col("__id"), explode(col("__sh")).as("__g"))
+    val keyed =
+      if (!freqOrder) exploded
+      else {
+        val freq = exploded.groupBy("__g").agg(count(lit(1)).as("__df"))
+        exploded.join(freq, "__g")
+      }
+    val byId = Window.partitionBy("__id")
+    val ord =
+      if (freqOrder) byId.orderBy(col("__df"), col("__g")) else byId.orderBy(col("__g"))
+    keyed
+      .withColumn("__sz", count(lit(1)).over(byId).cast("int"))
+      .withColumn("__pos", row_number().over(ord) - 1)
+      .where(col("__pos") < col("__sz") - ceil(lit(threshold) * col("__sz")).cast("int") + 1)
+      .select("__id", "__g", "__pos", "__sz")
   }
 
   /** Connected components over a near-dup pair set: assigns each id

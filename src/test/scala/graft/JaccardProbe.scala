@@ -5,9 +5,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Stage-by-stage cost probe for the prefix-filtered Jaccard join,
-  * built from the operator's OWN stage helpers
-  * ([[Dedup.orderedGramSets]] / [[Dedup.prefixExplode]]) so the probe
-  * cannot drift from the shipped pipeline.
+  * built from the operator's OWN stage helper ([[Dedup.prefixRows]])
+  * so the probe cannot drift from the shipped pipeline.
   * Run: sbt "Test/runMain graft.JaccardProbe [sfDir]"
   */
 object JaccardProbe {
@@ -34,7 +33,7 @@ object JaccardProbe {
         gramSets.select(avg(size(col("__sh")))).show()
       }
       for (freqOrder <- Seq(false, true)) {
-        val pfx = Dedup.prefixExplode(Dedup.orderedGramSets(gramSets, freqOrder), t)
+        val pfx = Dedup.prefixRows(gramSets, t, freqOrder)
         timed(s"$label freq=$freqOrder prefix rows") { println(pfx.count()) }
         timed(s"$label freq=$freqOrder hottest prefix grams") {
           pfx.groupBy("__g").count().orderBy(desc("count")).show(5, false)

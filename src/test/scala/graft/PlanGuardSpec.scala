@@ -76,6 +76,16 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges(p) == 0, s"broadcast join must not shuffle:\n$p")
   }
 
+  test("q44: prefix filter ranks in place — no array-rebuild aggregate") {
+    val p = plan("q44_jaccard_neardup")
+    // the prefix stage must rank grams with a window on the exploded
+    // frame; a regression to collect_list -> array_sort -> re-explode
+    // re-materializes every doc's ordered gram array
+    assert(!p.contains("collect_list"), s"prefix stage regressed to array rebuild:\n$p")
+    assert(p.contains("Window"), p)
+    assert(exchanges(p) <= 5, s"q44 grew an exchange:\n$p")
+  }
+
   test("q16: converter plan has no exchange at all (narrow walk -> write)") {
     // the converter itself (no --unique) is shuffle-free by design;
     // q16's presentation sort adds exactly one range exchange
