@@ -165,6 +165,17 @@ object ArchiveConverter {
   def convert(spark: SparkSession, inputs: Seq[String], out: String, opts: ConvertOptions): ConversionStats = {
     val metrics = new WalkMetrics(spark)
     val obs = new Observation()
+    val reporter =
+      if (opts.progress)
+        Some(new ProgressReporter(metrics, inputs.size.toLong, System.err, opts.progressIntervalMs).start())
+      else None
+    try convertWith(spark, inputs, out, opts, metrics, obs)
+    finally reporter.foreach(_.stop())
+  }
+
+  private def convertWith(
+      spark: SparkSession, inputs: Seq[String], out: String, opts: ConvertOptions,
+      metrics: WalkMetrics, obs: Observation): ConversionStats = {
     val filtered = filteredEntries(spark, inputs, opts, Some(metrics))
     val shaped =
       if (opts.singleFile) filtered.repartition(1) // see ConvertOptions scaladoc

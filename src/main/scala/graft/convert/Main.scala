@@ -18,6 +18,7 @@ import org.apache.spark.sql.SparkSession
   *   --skip-errors           contain per-input failures (count, don't abort)
   *   --single-file           one output parquet file (reference parity)
   *   --threads N             input parallelism (default: all cores)
+  *   --progress              live in-flight counters on stderr (D2)
   * }}}
   */
 object Main {
@@ -26,7 +27,7 @@ object Main {
       System.err.println("usage: graft.convert.Main OUTPUT INPUT... [--urls] [--unique] " +
         "[--include all|text|binary] [--min-size N] [--max-size N] " +
         "[--compression C] [--extract-executable-strings] [--skip-errors] " +
-        "[--single-file] [--threads N]")
+        "[--single-file] [--threads N] [--progress]")
       sys.exit(2)
     }
     val out = args.head
@@ -45,6 +46,7 @@ object Main {
         case "--extract-executable-strings" => opts = opts.copy(extractStrings = true)
         case "--skip-errors" => opts = opts.copy(skipErrors = true)
         case "--single-file" => opts = opts.copy(singleFile = true)
+        case "--progress" => opts = opts.copy(progress = true)
         case "--threads" => opts = opts.copy(parallelism = Some(args(i + 1).toInt)); i += 1
         case other => inputs :+= other
       }

@@ -108,6 +108,13 @@ final case class ConvertOptions(
     // continues, failures are counted — the mode a 100 TB batch over
     // crawled archives actually wants (one bad file of millions must
     // not kill a day-long job).
-    skipErrors: Boolean = false) {
+    skipErrors: Boolean = false,
+    // Live in-flight progress on stderr while the conversion job runs
+    // (reference src/progress.rs:11-133 renders the same counters via
+    // indicatif). Driver-side only: a daemon thread polls the walk
+    // accumulators — task completions and executor heartbeats keep
+    // them current — so the hot path pays nothing.
+    progress: Boolean = false,
+    progressIntervalMs: Long = 1000L) {
   require(minSize.forall(_ >= 0) && maxSize.forall(_ >= 0), "size bounds must be >= 0")
 }
