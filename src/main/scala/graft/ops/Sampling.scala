@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified sampling — the data-mixing primitive of a
+  * training pipeline (per-source / per-language mixture weights over a
+  * raw corpus).
+  *
+  * Rows are kept by a pure predicate on the id: `pmod(id, denom) <
+  * rate * denom`. Compared to `rand()`-based sampling this is
+  *
+  *   - reproducible: the same corpus and rates select the same rows on
+  *     every run, engine, and cluster size — a rerun of one failed
+  *      100 TB job stage samples the SAME subset (rand() is re-seeded
+  *     per task attempt, so a retry silently changes the sample);
+  *   - narrow: a codegen'd filter, no shuffle, no state, pushes past
+  *     column pruning like any other predicate;
+  *   - oracle-expressible: plain modular arithmetic any SQL engine
+  *     reproduces bit-for-bit.
+  *
+  * The id should be uniform modulo `denom` (dense ids, a hash, or any
+  * id without periodic structure). Correlated ids (e.g. all-even)
+  * bias the sample exactly as they would bias any mod-based bucketing.
+  */
+object Sampling {
+
+  /** Keep each row with its stratum's rate (`strataCol` value → rate in
+    * [0, 1]); strata not listed fall back to `defaultRate`.
+    *
+    * @param denom sampling resolution: rates are truncated to whole
+    *              1/denom steps (default 10000 = 0.01% steps)
+    */
+  def stratified(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
+      denom: Int = 10000): DataFrame = {
+    require(denom > 0, "denom must be positive")
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val threshold = rates.foldLeft(lit((defaultRate * denom).toLong): Column) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit((rate * denom).toLong)).otherwise(acc)
+    }
+    df.where(pmod(col(idCol), lit(denom.toLong)) < threshold)
+  }
+}

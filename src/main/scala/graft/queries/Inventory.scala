@@ -3,7 +3,7 @@ package graft.queries
 import graft.convert.ArchiveConverter
 import graft.core.{ConvertOptions, IncludeType}
 import graft.functions.{GraftFunctions, TextStats}
-import graft.ops.{Dedup, MultiModal, Similarity}
+import graft.ops.{Dedup, MultiModal, Quality, Sampling, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1004,6 +1004,22 @@ object Inventory {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-family repetition metrics per document (Quality op). */
+  private def q60(s: SparkSession, d: String): DataFrame =
+    Quality.repetition(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Deterministic per-language mixture sampling (Sampling op).
+    * denom=100 so the strata rates discriminate even at the smallest
+    * test SF (500 dense doc_ids) — with the default 10000 every id
+    * would sit below every threshold and the filter would be a no-op.
+    */
+  private def q61(s: SparkSession, d: String): DataFrame =
+    Sampling.stratified(t(s, d, "documents"), "lang", "doc_id",
+        rates = Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.1, denom = 100)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1065,7 +1081,9 @@ object Inventory {
     "q56_grouping_sets" -> (q56 _),
     "q57_decontaminate" -> (q57 _),
     "q58_text_filter" -> (q58 _),
-    "q59_extract_strings" -> (q59 _))
+    "q59_extract_strings" -> (q59 _),
+    "q60_repetition" -> (q60 _),
+    "q61_stratified_sample" -> (q61 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1660,6 +1678,42 @@ object Inventory {
           |  (CAST(1 AS BIGINT), 'abcdefghijk'),
           |  (CAST(2 AS BIGINT), 'nofinal trailing run!'))
           |  AS t(idx, s)
-          |ORDER BY idx""".stripMargin)
+          |ORDER BY idx""".stripMargin,
+      // same [ \t\n\r\f]+ whitespace class as the engine (q36/q52
+      // convention); range(1, len) is half-open, lists are 1-based
+      "q60_repetition" ->
+        """WITH ws AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+          |                     x -> x <> '') AS w
+          |  FROM documents
+          |), wc AS (
+          |  SELECT doc_id, tok, count(*) AS c
+          |  FROM (SELECT doc_id, unnest(w) AS tok FROM ws) GROUP BY 1, 2
+          |), wm AS (
+          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS words,
+          |         CAST(count(*) AS BIGINT) AS distinct_words,
+          |         max(c) AS top_w
+          |  FROM wc GROUP BY 1
+          |), bc AS (
+          |  SELECT doc_id, tok, count(*) AS c
+          |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+          |                i -> w[i] || ' ' || w[i + 1])) AS tok
+          |        FROM ws) GROUP BY 1, 2
+          |), bm AS (
+          |  SELECT doc_id, sum(c) AS bigrams, max(c) AS top_b FROM bc GROUP BY 1
+          |)
+          |SELECT d.doc_id, wm.words, wm.distinct_words,
+          |  round(1.0 - wm.distinct_words::DOUBLE / nullif(wm.words, 0), 6)
+          |    AS dup_word_frac,
+          |  round(wm.top_w::DOUBLE / nullif(wm.words, 0), 6) AS top_word_frac,
+          |  round(bm.top_b::DOUBLE / nullif(bm.bigrams, 0), 6) AS top_bigram_frac
+          |FROM documents d LEFT JOIN wm USING (doc_id) LEFT JOIN bm USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
+      "q61_stratified_sample" ->
+        """SELECT doc_id, lang, source FROM documents
+          |WHERE doc_id % 100 < CASE lang
+          |  WHEN 'en' THEN 50 WHEN 'zh' THEN 25 ELSE 10 END
+          |ORDER BY doc_id""".stripMargin)
   }
 }

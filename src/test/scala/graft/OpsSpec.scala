@@ -308,6 +308,44 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 4, s"expected 4 tokens (a\\x0Bb is ONE token), got $n")
   }
 
+  test("Quality.repetition: exact metrics on known documents, nulls for empty") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a b"),              // words 3, distinct 2, top word "a" 2/3, bigrams {a a, a b} top 1/2
+      (2L, "x y z w"),            // no repetition
+      (3L, "go go go go"),        // fully repeated
+      (4L, "")                    // empty -> null metrics
+    ).toDF("doc_id", "text")
+    val m = graft.ops.Quality.repetition(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) == 3 && m(1L).getLong(2) == 2)
+    assert(m(1L).getDouble(3) == 0.333333 && m(1L).getDouble(4) == 0.666667)
+    assert(m(1L).getDouble(5) == 0.5)
+    assert(m(2L).getDouble(3) == 0.0 && m(2L).getDouble(4) == 0.25)
+    assert(m(3L).getDouble(3) == 0.75 && m(3L).getDouble(4) == 1.0)
+    assert(m(3L).getDouble(5) == 1.0, "bigram 'go go' x3 of 3")
+    assert(m(4L).isNullAt(1) && m(4L).isNullAt(3) && m(4L).isNullAt(5))
+  }
+
+  test("Sampling.stratified: exact deterministic selection per stratum") {
+    import spark.implicits._
+    val df = (0L until 10000L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "fr"))
+      .toDF("id", "lang")
+    val rates = Map("en" -> 0.5, "zh" -> 0.25)
+    val out = graft.ops.Sampling.stratified(df, "lang", "id", rates, defaultRate = 0.1)
+    // the predicate is pure: membership is exactly id % 10000 < rate*10000
+    val got = out.select("id").as[Long].collect().toSet
+    val want = (0L until 10000L).filter { i =>
+      val r = if (i % 3 == 0) 5000 else if (i % 3 == 1) 2500 else 1000
+      i % 10000 < r
+    }.toSet
+    assert(got == want)
+    // reruns select the same rows (rand()-based sampling would not)
+    assert(out.select("id").as[Long].collect().toSet == got)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "stratified sampling must stay a narrow filter")
+  }
+
   test("AsOf.join: latest at-or-before match, tie to max tiebreak, no-match dropped") {
     import spark.implicits._
     val left = Seq(
