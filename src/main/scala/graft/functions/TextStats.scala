@@ -17,6 +17,32 @@ object TextStats {
   def tokens(text: Column): Column =
     filter(split(lower(regexp_replace(text, "[^a-zA-Z0-9]+", " ")), " "), x => x =!= "")
 
+  /** PII scrub patterns, deliberately RE2-safe (no lookaround, no
+    * backreferences) so the SAME pattern text means the same thing to
+    * Spark's Java regex and the DuckDB oracle's RE2 — the q52/q36
+    * dialect-pinning rule applied to redaction. `\d`/`\b` are ASCII in
+    * both dialects. Order matters: emails before phones (a phone
+    * pattern must not eat the digits of an address's local part —
+    * scrubbed emails leave no digits behind), IPs before phones
+    * (dotted quads are digit runs a loose phone pattern would split).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val PhonePattern = "\\+?\\d[\\d() -]{6,}\\d"
+
+  /** Redact email / IPv4 / phone-shaped spans to typed placeholders —
+    * the standard pre-training scrub stage. One codegen'd projection
+    * (three chained `regexp_replace`), embarrassingly parallel, no
+    * shuffle; run it before tokenization so counts see placeholders,
+    * not fragments.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
   /** Token count on the raw whitespace definition. The whitespace
     * class is pinned EXPLICITLY to `[ \t\n\r\f]+`: Java's `\s`
     * includes \x0B (vertical tab) while RE2's (DuckDB's) does not, so

@@ -1004,6 +1004,28 @@ object Inventory {
       .orderBy(col("doc_id"))
   }
 
+  /** q62 fixture texts — inline literals (the synthetic documents
+    * table contains no PII-shaped spans, so like q59 the query is
+    * self-contained); chosen to exercise greedy-domain backtracking
+    * (trailing dot after a TLD), multiple matches per row, parens and
+    * separators inside phone spans, digit runs too short to redact,
+    * and the email→IP→phone scrub order on a mixed row.
+    */
+  private val Q62Texts: Seq[(Long, String)] = Seq(
+    1L -> "contact Jane Doe at jane.doe+spam@example.org or j.d@sub.example.co.uk.",
+    2L -> "server 192.168.0.1 responded; fallback 10.0.0.255 timed out",
+    3L -> "call +1 415 555 0132 or (020) 7946-0958 after hours",
+    4L -> "no pii here, just text with 3 small numbers like 42",
+    5L -> "mixed: bob@corp.io from 172.16.254.3 dialed 555-867-5309 twice")
+
+  /** PII scrub (TextStats.scrubPii) — email/IPv4/phone redaction. */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Q62Texts.toDF("id", "text")
+      .select(col("id"), TextStats.scrubPii(col("text")).as("scrubbed"))
+      .orderBy(col("id"))
+  }
+
   /** Gopher-family repetition metrics per document (Quality op). */
   private def q60(s: SparkSession, d: String): DataFrame =
     Quality.repetition(t(s, d, "documents"), "doc_id", "text")
@@ -1083,7 +1105,8 @@ object Inventory {
     "q58_text_filter" -> (q58 _),
     "q59_extract_strings" -> (q59 _),
     "q60_repetition" -> (q60 _),
-    "q61_stratified_sample" -> (q61 _))
+    "q61_stratified_sample" -> (q61 _),
+    "q62_pii_scrub" -> (q62 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1714,6 +1737,22 @@ object Inventory {
         """SELECT doc_id, lang, source FROM documents
           |WHERE doc_id % 100 < CASE lang
           |  WHEN 'en' THEN 50 WHEN 'zh' THEN 25 ELSE 10 END
-          |ORDER BY doc_id""".stripMargin)
+          |ORDER BY doc_id""".stripMargin,
+      // the SAME RE2-safe pattern constants the engine uses (referenced,
+      // not retyped, so they cannot drift); DuckDB needs the explicit
+      // 'g' flag for replace-all, which is Spark's only behavior
+      "q62_pii_scrub" -> {
+        val values = Q62Texts
+          .map { case (id, s) => s"  (CAST($id AS BIGINT), '${s.replace("'", "''")}')" }
+          .mkString(",\n")
+        s"""SELECT id, regexp_replace(regexp_replace(regexp_replace(text,
+           |    '${TextStats.EmailPattern}', '<EMAIL>', 'g'),
+           |    '${TextStats.Ipv4Pattern}', '<IP>', 'g'),
+           |    '${TextStats.PhonePattern}', '<PHONE>', 'g') AS scrubbed
+           |FROM (VALUES
+           |$values)
+           |  AS t(id, text)
+           |ORDER BY id""".stripMargin
+      })
   }
 }

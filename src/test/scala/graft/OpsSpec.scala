@@ -346,6 +346,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "stratified sampling must stay a narrow filter")
   }
 
+  test("TextStats.scrubPii: typed placeholders, scrub order, short digit runs kept") {
+    import spark.implicits._
+    val got = Seq(
+      "mail a.b+c@x-1.example.com now",
+      "host 10.0.0.1, dial (555) 867-5309",
+      "only 42 and 3.14 stay"
+    ).toDF("text").select(graft.functions.TextStats.scrubPii(col("text"))).as[String].collect()
+    assert(got(0) == "mail <EMAIL> now")
+    assert(got(1) == "host <IP>, dial (<PHONE>")
+    assert(got(2) == "only 42 and 3.14 stay")
+  }
+
   test("AsOf.join: latest at-or-before match, tie to max tiebreak, no-match dropped") {
     import spark.implicits._
     val left = Seq(
