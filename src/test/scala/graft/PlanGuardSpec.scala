@@ -86,6 +86,16 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges(p) <= 5, s"q44 grew an exchange:\n$p")
   }
 
+  test("q61/q62: sampling and scrubbing stay narrow (sort exchange only)") {
+    for (q <- Seq("q61_stratified_sample", "q62_pii_scrub")) {
+      val p = plan(q)
+      // the op itself is a pure filter/projection; the only exchange
+      // allowed is the presentation sort's range partitioning
+      assert(exchanges(p) <= 1, s"$q grew a shuffle:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"), s"$q hash-shuffled:\n$p")
+    }
+  }
+
   test("q16: converter plan has no exchange at all (narrow walk -> write)") {
     // the converter itself (no --unique) is shuffle-free by design;
     // q16's presentation sort adds exactly one range exchange
