@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   * The id should be uniform modulo `denom` (dense ids, a hash, or any
   * id without periodic structure). Correlated ids (e.g. all-even)
   * bias the sample exactly as they would bias any mod-based bucketing.
+  * Negative ids are well-defined (`pmod` is non-negative) but note
+  * that plain SQL `%` follows the dividend's sign — an external
+  * reimplementation must use a positive modulus for negative ids.
   */
 object Sampling {
 
