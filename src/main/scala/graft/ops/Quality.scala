@@ -29,6 +29,8 @@ object Quality {
     *
     * Null metrics for an empty document (no tokens carries no
     * repetition evidence either way — callers decide the polarity).
+    * Assumes `idCol` is unique (like the dedup operators): duplicate
+    * ids would pool their tokens into one metric row per input row.
     *
     * Scale shape: two aggregation chains off the tokenized frame —
     * (id, token) partial-agg then (id) — so the wide exchanges carry
