@@ -1004,6 +1004,41 @@ object Inventory {
       .orderBy(col("doc_id"))
   }
 
+  /** Recursive CTE (§2.8 SQL surface; Spark 4.x WITH RECURSIVE):
+    * walk each region's nations in key order via a lead()-derived
+    * successor relation, accumulating the path — a linear-recursion
+    * traversal with a window-built non-recursive CTE feeding the
+    * recursive member. Verbatim SQL on both engines (q53 rule: the
+    * SAME text runs on Spark and DuckDB; `||`, lead(), CAST agree).
+    * Depth is bounded by the largest region (5), rows by the nation
+    * table (25) — recursion state stays trivially broadcastable at
+    * any corpus scale (the recursion is over dimension data, never
+    * facts).
+    */
+  private val q63Sql: String =
+    """WITH RECURSIVE succ AS (
+      |  SELECT n_regionkey AS rk, n_nationkey AS nk, n_name AS name,
+      |         lead(n_nationkey) OVER (PARTITION BY n_regionkey
+      |                                 ORDER BY n_nationkey) AS next_nk,
+      |         row_number() OVER (PARTITION BY n_regionkey
+      |                            ORDER BY n_nationkey) AS rn
+      |  FROM nation
+      |), chain AS (
+      |  SELECT rk, nk, next_nk, 1 AS depth, name AS path
+      |  FROM succ WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.rk, s.nk, s.next_nk, c.depth + 1, c.path || '>' || s.name
+      |  FROM chain c JOIN succ s ON s.rk = c.rk AND s.nk = c.next_nk
+      |)
+      |SELECT rk AS regionkey, CAST(depth AS BIGINT) AS levels, path
+      |FROM chain WHERE next_nk IS NULL
+      |ORDER BY regionkey""".stripMargin
+
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "nation").createOrReplaceTempView("nation")
+    s.sql(q63Sql)
+  }
+
   /** q62 fixture texts — inline literals (the synthetic documents
     * table contains no PII-shaped spans, so like q59 the query is
     * self-contained); chosen to exercise greedy-domain backtracking
@@ -1106,7 +1141,8 @@ object Inventory {
     "q59_extract_strings" -> (q59 _),
     "q60_repetition" -> (q60 _),
     "q61_stratified_sample" -> (q61 _),
-    "q62_pii_scrub" -> (q62 _))
+    "q62_pii_scrub" -> (q62 _),
+    "q63_recursive_cte" -> (q63 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1753,6 +1789,7 @@ object Inventory {
            |$values)
            |  AS t(id, text)
            |ORDER BY id""".stripMargin
-      })
+      },
+      "q63_recursive_cte" -> q63Sql)
   }
 }
