@@ -3,7 +3,7 @@ package graft.queries
 import graft.convert.ArchiveConverter
 import graft.core.{ConvertOptions, IncludeType}
 import graft.functions.{GraftFunctions, TextStats}
-import graft.ops.{Dedup, MultiModal, Quality, Sampling, Similarity}
+import graft.ops.{Dedup, MultiModal, Packing, Quality, Sampling, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1004,6 +1004,12 @@ object Inventory {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence packing (Packing op): concat-and-chunk doc offsets. */
+  private def q64(s: SparkSession, d: String): DataFrame =
+    Packing.contiguous(t(s, d, "documents"), "doc_id", "n_chars", budget = 4096)
+      .select(col("doc_id"), col("start_off"), col("seq_id"))
+      .orderBy(col("doc_id"))
+
   /** Recursive CTE (§2.8 SQL surface; Spark 4.x WITH RECURSIVE):
     * walk each region's nations in key order via a lead()-derived
     * successor relation, accumulating the path — a linear-recursion
@@ -1142,7 +1148,8 @@ object Inventory {
     "q60_repetition" -> (q60 _),
     "q61_stratified_sample" -> (q61 _),
     "q62_pii_scrub" -> (q62 _),
-    "q63_recursive_cte" -> (q63 _))
+    "q63_recursive_cte" -> (q63 _),
+    "q64_seq_packing" -> (q64 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1790,6 +1797,19 @@ object Inventory {
            |  AS t(id, text)
            |ORDER BY id""".stripMargin
       },
-      "q63_recursive_cte" -> q63Sql)
+      "q63_recursive_cte" -> q63Sql,
+      // the oracle states the SEMANTICS (global exclusive prefix sum)
+      // in its naive single-stream form; the engine computes the same
+      // values with the two-phase distributed prefix sum
+      "q64_seq_packing" ->
+        """SELECT doc_id,
+          |  CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |    AS BIGINT) AS start_off,
+          |  CAST(floor(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0)
+          |    AS BIGINT) AS seq_id
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin)
   }
 }

@@ -346,6 +346,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "stratified sampling must stay a narrow filter")
   }
 
+  test("Packing.contiguous: equals the naive global prefix sum, never single-partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 500L).map(i => (i, 1 + rnd.nextInt(900))).toDF("id", "toks")
+    val got = graft.ops.Packing.contiguous(docs, "id", "toks", budget = 1000)
+      .select("id", "start_off", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // naive reference: exclusive prefix sum in id order on the driver
+    var acc = 0L
+    val want = docs.collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).map {
+      case (id, t) => val o = (id, acc, acc / 1000); acc += t; o
+    }
+    assert(got.toSeq == want.toSeq)
+    // the scale property: no naive global window — nothing in the plan
+    // may collapse to a single partition
+    val plan = graft.ops.Packing.contiguous(docs, "id", "toks", budget = 1000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global-window single-partition collapse:\n$plan")
+  }
+
   test("TextStats.scrubPii: typed placeholders, scrub order, short digit runs kept") {
     import spark.implicits._
     val got = Seq(
