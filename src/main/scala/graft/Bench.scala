@@ -160,10 +160,11 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // Timings rounded to 3 decimals: the driver parses the JSON from a
+    // Timings rounded to 2 decimals: the driver parses the JSON from a
     // 2000-char tail of the process output, and full double precision
-    // pushed the line past that window in earlier rounds (parsed:null).
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    // pushed the line past that window in earlier rounds (parsed:null);
+    // at 64 queries even 3 decimals leaves <50 chars of headroom.
+    val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
