@@ -1045,6 +1045,45 @@ object Inventory {
     s.sql(q63Sql)
   }
 
+  /** Map-typed columns + map higher-order functions (§2.8 scalar
+    * families, the map siblings of q51's array HOFs): per-document
+    * token histogram as a real MapType column (`map_from_entries`),
+    * filtered with `map_filter`, re-flattened with `map_entries`.
+    * The oracle states the same semantics relationally (GROUP BY +
+    * HAVING) — the map round-trip must be lossless.
+    */
+  private def q65(s: SparkSession, d: String): DataFrame = {
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("tok"))
+    tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(array_sort(collect_list(struct(col("tok"), col("n")))))
+        .as("hist"))
+      .select(col("doc_id"),
+        explode(map_entries(map_filter(col("hist"), (_, v) => v >= 5))).as("e"))
+      .select(col("doc_id"), col("e.key").as("tok"), col("e.value").cast("long").as("n"))
+      .orderBy(col("doc_id"), col("tok"))
+  }
+
+  /** UNPIVOT (§2.8 reshaping, the inverse of q45's pivot): wide
+    * per-flag measure columns melted to (flag, measure, value) rows
+    * via the DataFrame `unpivot` API (Spark 3.4+). Money through
+    * DECIMAL per the oracle-parity rules.
+    */
+  private def q66(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("price"),
+        sum(dec(col("l_discount"))).cast("double").as("disc"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("qty"), col("price"), col("disc")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+
   /** q62 fixture texts — inline literals (the synthetic documents
     * table contains no PII-shaped spans, so like q59 the query is
     * self-contained); chosen to exercise greedy-domain backtracking
@@ -1149,7 +1188,9 @@ object Inventory {
     "q61_stratified_sample" -> (q61 _),
     "q62_pii_scrub" -> (q62 _),
     "q63_recursive_cte" -> (q63 _),
-    "q64_seq_packing" -> (q64 _))
+    "q64_seq_packing" -> (q64 _),
+    "q65_map_hof" -> (q65 _),
+    "q66_unpivot" -> (q66 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1810,6 +1851,29 @@ object Inventory {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0)
           |    AS BIGINT) AS seq_id
           |FROM documents
-          |ORDER BY doc_id""".stripMargin)
+          |ORDER BY doc_id""".stripMargin,
+      // relational statement of the map round-trip: same tokenizer as
+      // the engine (strip non-alnum, lowercase, split), HAVING >= 5
+      "q65_map_hof" ->
+        """SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+          |FROM (
+          |  SELECT doc_id,
+          |         unnest(list_filter(
+          |           string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+          |           x -> x <> '')) AS tok
+          |  FROM documents)
+          |GROUP BY doc_id, tok
+          |HAVING count(*) >= 5
+          |ORDER BY doc_id, tok""".stripMargin,
+      "q66_unpivot" ->
+        """SELECT l_returnflag, m.measure, m.value FROM (
+          |  SELECT l_returnflag,
+          |    CAST(sum(l_quantity) AS DOUBLE) AS qty,
+          |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+          |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+          |  FROM lineitem GROUP BY l_returnflag) w,
+          |  LATERAL (VALUES ('qty', w.qty), ('price', w.price), ('disc', w.disc))
+          |    AS m(measure, value)
+          |ORDER BY l_returnflag, m.measure""".stripMargin)
   }
 }
