@@ -1084,6 +1084,26 @@ object Inventory {
         valueColumnName = "value")
       .orderBy(col("l_returnflag"), col("measure"))
 
+  /** Correlated LATERAL subquery join (§2.8 joins — the per-row
+    * top-N-per-group idiom; Catalyst plans the correlated LIMIT
+    * without nested execution). Verbatim SQL on both engines — the
+    * comma-LATERAL form is the dialect intersection (Spark's bare
+    * `JOIN LATERAL` and DuckDB's required `ON true` differ).
+    */
+  private val q67Sql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c.c_custkey <= 100
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders").foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(q67Sql)
+  }
+
   /** q62 fixture texts — inline literals (the synthetic documents
     * table contains no PII-shaped spans, so like q59 the query is
     * self-contained); chosen to exercise greedy-domain backtracking
@@ -1190,7 +1210,8 @@ object Inventory {
     "q63_recursive_cte" -> (q63 _),
     "q64_seq_packing" -> (q64 _),
     "q65_map_hof" -> (q65 _),
-    "q66_unpivot" -> (q66 _))
+    "q66_unpivot" -> (q66 _),
+    "q67_lateral_topn" -> (q67 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1874,6 +1895,7 @@ object Inventory {
           |  FROM lineitem GROUP BY l_returnflag) w,
           |  LATERAL (VALUES ('qty', w.qty), ('price', w.price), ('disc', w.disc))
           |    AS m(measure, value)
-          |ORDER BY l_returnflag, m.measure""".stripMargin)
+          |ORDER BY l_returnflag, m.measure""".stripMargin,
+      "q67_lateral_topn" -> q67Sql)
   }
 }
