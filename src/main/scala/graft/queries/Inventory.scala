@@ -1104,6 +1104,34 @@ object Inventory {
     s.sql(q67Sql)
   }
 
+  /** Mergeable HLL sketches (§2.8 approx aggregation beyond q47's
+    * one-shot approx_count_distinct): per-group sketches built with
+    * `hll_sketch_agg`, merged ACROSS groups with `hll_union_agg`, and
+    * estimated — the pre-aggregation pattern that makes distinct
+    * counts roll up across days/partitions at 100 TB without
+    * re-scanning raw data. Sketch construction and union depend only
+    * on register maxima, so the estimate is deterministic and input-
+    * order-independent; the oracle checks the q47-style error
+    * envelope (default lgConfigK=12 → rsd ~1.6%, enveloped at 5%)
+    * as booleans against exact distincts.
+    */
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql("""
+      WITH per AS (
+        SELECT o_orderstatus AS status, hll_sketch_agg(o_custkey) AS sk,
+               count(DISTINCT o_custkey) AS exact_d
+        FROM orders GROUP BY o_orderstatus),
+      rows AS (
+        SELECT status, hll_sketch_estimate(sk) AS est, exact_d FROM per
+        UNION ALL
+        SELECT 'ALL', hll_sketch_estimate(hll_union_agg(sk)),
+               (SELECT count(DISTINCT o_custkey) FROM orders) FROM per)
+      SELECT status, CAST(exact_d AS BIGINT) AS exact_d,
+             abs(est - exact_d) <= exact_d * 0.05 AS within_5pct
+      FROM rows ORDER BY status""")
+  }
+
   /** q62 fixture texts — inline literals (the synthetic documents
     * table contains no PII-shaped spans, so like q59 the query is
     * self-contained); chosen to exercise greedy-domain backtracking
@@ -1211,7 +1239,8 @@ object Inventory {
     "q64_seq_packing" -> (q64 _),
     "q65_map_hof" -> (q65 _),
     "q66_unpivot" -> (q66 _),
-    "q67_lateral_topn" -> (q67 _))
+    "q67_lateral_topn" -> (q67 _),
+    "q68_hll_sketches" -> (q68 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1896,6 +1925,19 @@ object Inventory {
           |  LATERAL (VALUES ('qty', w.qty), ('price', w.price), ('disc', w.disc))
           |    AS m(measure, value)
           |ORDER BY l_returnflag, m.measure""".stripMargin,
-      "q67_lateral_topn" -> q67Sql)
+      "q67_lateral_topn" -> q67Sql,
+      // exact distincts + the envelope stated as a constant: DuckDB
+      // cannot read datasketches binaries, but the CLAIM under test —
+      // per-group and MERGED estimates land within the envelope — is a
+      // boolean both engines can state (q47 rule)
+      "q68_hll_sketches" ->
+        """SELECT status, exact_d, TRUE AS within_5pct FROM (
+          |  SELECT o_orderstatus AS status,
+          |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_d
+          |  FROM orders GROUP BY o_orderstatus
+          |  UNION ALL
+          |  SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT)
+          |  FROM orders)
+          |ORDER BY status""".stripMargin)
   }
 }
