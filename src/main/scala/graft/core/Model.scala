@@ -69,13 +69,27 @@ object IncludeType {
   }
 }
 
+/** An archive entry's content exceeded [[ConvertOptions.maxEntryBytes]]
+  * and truncation was not opted into. A hash-centric pipeline must
+  * never silently emit a truncated row — its hash matches nothing —
+  * so the over-cap entry fails its input loudly (default: task
+  * failure -> job abort, the reference's poisoned-channel semantics;
+  * under `skipErrors`: a counted per-input skip).
+  */
+final class OversizeEntryException(source: String, path: String, cap: Long)
+  extends java.io.IOException(
+    s"entry '$path' in '$source' exceeds maxEntryBytes=$cap; " +
+      "raise maxEntryBytes or set truncateOversize=true to opt into truncation")
+
 /** Conversion options (reference: src/lib.rs:24-63 defaults at :38-52).
   *
   * Spark-specific additions: `parallelism` (input repartition width),
   * `maxDepth` (defensive recursion cap, the reference has none),
   * `maxEntryBytes` (JVM arrays cap content at 2 GiB; the reference's
-  * LargeBinary is unbounded — declared limit, entries are truncated
-  * never silently dropped).
+  * LargeBinary is unbounded, so ANY cap is a declared divergence —
+  * over-cap entries therefore fail LOUDLY via
+  * [[OversizeEntryException]] unless `truncateOversize` opts into
+  * emitting the truncated prefix).
   */
 final case class ConvertOptions(
     include: IncludeType = IncludeType.All,
@@ -93,6 +107,11 @@ final case class ConvertOptions(
     parallelism: Option[Int] = None,
     maxDepth: Int = 32,
     maxEntryBytes: Long = 1L << 30,
+    // Over-cap entries: false (default) = throw OversizeEntryException
+    // (contained to a counted input skip under skipErrors); true =
+    // emit the truncated prefix with size/hash describing the PREFIX —
+    // only for callers that knowingly want bounded previews.
+    truncateOversize: Boolean = false,
     // Reference parity: the reference always writes ONE parquet file
     // (src/sink.rs single ArrowWriter). Default false = one file per
     // task, the cluster-native shape. true inserts a repartition(1)

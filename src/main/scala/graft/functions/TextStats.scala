@@ -28,7 +28,19 @@ object TextStats {
     */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Pattern = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
-  val PhonePattern = "\\+?\\d[\\d() -]{6,}\\d"
+
+  /** Phone spans: >= 7 digits with at most 2 separator chars
+    * (space/paren/hyphen) between consecutive digits. The bounded
+    * inter-digit gap keeps prose numeral SEQUENCES intact — a year
+    * range like "1914 - 1918" (3-char gap) is two numbers, not a
+    * phone — while still matching "+1 (555) 123-4567" shapes.
+    * Deliberate recall-over-precision residual: any single >= 7-digit
+    * run with tight separators ("1914-1918", order ids) still
+    * redacts; a pre-training scrub prefers over-redaction of rare
+    * numerals to leaked PII, and RE2-safety (no lookaround) rules out
+    * digit-count assertions that could tell the cases apart.
+    */
+  val PhonePattern = "\\+?\\d([ ()-]{0,2}\\d){6,}"
 
   /** Redact email / IPv4 / phone-shaped spans to typed placeholders —
     * the standard pre-training scrub stage. One codegen'd projection

@@ -359,13 +359,19 @@ object Dedup {
         s"components() requires integral id_a/id_b columns, got (${idTypes.mkString(", ")}); " +
           "map non-numeric ids to longs first (e.g. xxhash64(id) or a dense_rank)")
     }
+    require(smallGraphMax < Int.MaxValue, "smallGraphMax must fit an Int limit")
     // materialize the pair set once — everything below reads it at
     // least twice, and upstream pair generation (LSH + verify) is the
     // expensive part
     val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .toDF("id_a", "id_b").cache()
-    if (p.count() <= smallGraphMax) {
-      val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ONE bounded action decides the regime AND fetches the small-graph
+    // edges: limit(max+1) returning <= max rows proves the fetch is the
+    // complete pair set (a separate count() gate would materialize the
+    // cache in one extra full pass — measured as q33's dominant cost)
+    val probe = p.limit(smallGraphMax.toInt + 1).collect()
+    if (probe.length <= smallGraphMax) {
+      val edges = probe.map(r => (r.getLong(0), r.getLong(1)))
       p.unpersist()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {

@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Sequence packing — the pre-training batching step: documents are
   * concatenated in a deterministic order and chunked into fixed
@@ -18,16 +18,30 @@ import org.apache.spark.sql.functions._
   *
   *   1. `repartitionByRange(orderCol)` — rows land in sorted,
   *      non-overlapping ranges (one range exchange, the same cost a
-  *      global sort would pay anyway);
-  *   2. partition-LOCAL running sums via a window partitioned by the
-  *      materialized partition id (no cross-partition traffic);
+  *      global sort would pay anyway) — and the result is PERSISTED:
+  *      range boundaries come from a per-execution sampling job, so
+  *      two separate actions over an unpersisted frame could place
+  *      rows in different partitions and silently corrupt every
+  *      offset near a shifted boundary. Persisting materializes ONE
+  *      partitioning that both phases below share (and a lost cached
+  *      partition recomputes through the already-built
+  *      RangePartitioner, whose boundaries are fixed at first
+  *      execution — it never re-samples);
+  *   2. partition-LOCAL running sums via a single `mapPartitions`
+  *      pass over the cached, within-partition-sorted rows — by
+  *      construction no exchange at all (a
+  *      `Window.partitionBy(spark_partition_id())` here would NOT be
+  *      local: Catalyst cannot prove pid-clustering and inserts a
+  *      full hash exchange on the pid);
   *   3. per-partition totals — numPartitions rows — collect to the
   *      driver (bounded like the IVF codebook collect), turn into
   *      exclusive prefix offsets, broadcast-join them back.
   *
-  * The result is identical for ANY range boundaries (prefix sums
-  * depend on the global order, not the partitioning), so sampling
-  * nondeterminism in repartitionByRange cannot change the output.
+  * The intermediate stays cached until the returned frame's consumer
+  * is done with it (unpersisting eagerly would re-trigger the
+  * boundary-resampling hazard the persist exists to prevent); callers
+  * packing inside a larger job can `spark.catalog.clearCache()` or
+  * unpersist via the catalog when finished.
   */
 object Packing {
 
@@ -51,18 +65,14 @@ object Packing {
       ByteType, ShortType, IntegerType, LongType).contains(tokType),
       s"tokensCol must be integral (token counts), got $tokType")
     val spark = df.sparkSession
-    // materialize the partition id as a column: window specs reject
-    // nondeterministic expressions, a projected column is fine
+    // materialize the partition id as a column so it survives the
+    // cache; one shared partitioning for BOTH phases (see scaladoc)
     val ranged = df.repartitionByRange(col(orderCol))
+      .sortWithinPartitions(col(orderCol))
       .withColumn("__pid", spark_partition_id())
-    val w = Window.partitionBy("__pid").orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("__run", sum(col(tokensCol)).over(w))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // bounded driver collect: one row per partition, like the IVF
-    // codebook — never scales with the data. Computed as a plain
-    // partial-aggregated sum over `ranged` (NOT max(__run)) so this
-    // pass never evaluates the window; the source is still scanned
-    // twice — at packing scale persist `df` upstream if that matters.
+    // codebook — never scales with the data
     val totals = ranged.groupBy("__pid")
       .agg(sum(col(tokensCol)).as("__total"))
       .collect()
@@ -75,6 +85,17 @@ object Packing {
     }
     val offDf = spark.createDataFrame(exclusive.toSeq)
       .toDF("__pid", "__off")
+    // partition-local running sum: one sequential pass per cached,
+    // sorted partition — genuinely exchange-free (asserted in OpsSpec)
+    val tokIdx = ranged.schema.fieldIndex(tokensCol)
+    val outSchema = ranged.schema.add("__run", LongType, nullable = false)
+    val local = ranged.mapPartitions { rows =>
+      var acc = 0L
+      rows.map { r =>
+        acc += r.getAs[Number](tokIdx).longValue()
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }(Encoders.row(outSchema))
     local
       .join(broadcast(offDf), Seq("__pid"))
       .withColumn("start_off", col("__off") + col("__run") - col(tokensCol))

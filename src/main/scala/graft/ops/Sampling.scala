@@ -31,8 +31,12 @@ object Sampling {
   /** Keep each row with its stratum's rate (`strataCol` value → rate in
     * [0, 1]); strata not listed fall back to `defaultRate`.
     *
-    * @param denom sampling resolution: rates are truncated to whole
-    *              1/denom steps (default 10000 = 0.01% steps)
+    * @param denom sampling resolution: rates are rounded to the
+    *              NEAREST whole 1/denom step (default 10000 = 0.01%
+    *              steps). Rounding, not truncation: `0.29 * 100`
+    *              is `28.999…` in binary floating point, and a
+    *              truncating cast would silently sample an exact
+    *              whole-step rate one step low.
     */
   def stratified(
       df: DataFrame,
@@ -44,9 +48,9 @@ object Sampling {
     require(denom > 0, "denom must be positive")
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
       "rates must be in [0, 1]")
-    val threshold = rates.foldLeft(lit((defaultRate * denom).toLong): Column) {
+    val threshold = rates.foldLeft(lit(math.round(defaultRate * denom)): Column) {
       case (acc, (stratum, rate)) =>
-        when(col(strataCol) === stratum, lit((rate * denom).toLong)).otherwise(acc)
+        when(col(strataCol) === stratum, lit(math.round(rate * denom))).otherwise(acc)
     }
     df.where(pmod(col(idCol), lit(denom.toLong)) < threshold)
   }

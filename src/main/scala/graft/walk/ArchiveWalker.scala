@@ -83,15 +83,26 @@ object ArchiveWalker {
     closing(it, in)
   }
 
-  private def closing(it: Iterator[ArchiveEntry], in: InputStream): Iterator[ArchiveEntry] =
+  private def closing(it: Iterator[ArchiveEntry], in: InputStream): Iterator[ArchiveEntry] = {
+    val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def closeOnce(): Unit =
+      if (closed.compareAndSet(false, true))
+        try in.close() catch { case _: java.io.IOException => () }
+    // Early-stop safety net: a consumer that abandons the iterator
+    // before exhaustion (a `limit`/`take` above the walk — common for
+    // the SQL face) never reaches the eager close below; hook task
+    // completion so the fd is released at stage end, not at GC.
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeOnce())
     new Iterator[ArchiveEntry] {
       override def hasNext: Boolean = {
         val h = it.hasNext
-        if (!h) in.close()
+        if (!h) closeOnce() // eager: tasks walk many inputs in turn
         h
       }
       override def next(): ArchiveEntry = it.next()
     }
+  }
 
   /** Shields an archive stream from decompressor/stream close() calls
     * made while processing one of its entries.
@@ -243,23 +254,43 @@ object ArchiveWalker {
       written += len
     }
 
+    val path = (nested :+ name).mkString("/")
+    // Over-cap policy: an entry that would exceed maxEntryBytes fails
+    // its input loudly (see OversizeEntryException scaladoc) unless
+    // truncateOversize opted into emitting the clamped prefix. The
+    // check fires only when excess bytes actually EXIST — an entry of
+    // exactly maxEntryBytes is fine.
+    var overrun = false
+    def clamp(len: Long): Int = {
+      // clamp in Long space: maxEntryBytes - written can exceed Int.MaxValue
+      val take = math.min(len, opts.maxEntryBytes - written)
+      if (take < len) {
+        overrun = true
+        if (!opts.truncateOversize)
+          throw new graft.core.OversizeEntryException(source, path, opts.maxEntryBytes)
+      }
+      take.toInt
+    }
+
     if (opts.extractStrings && kind == FormatKind.Executable) {
       // content := newline-terminated extracted strings (batch.rs:113-121)
       val it = AsciiStrings.iterate(stream, minLength = 10)
-      while (it.hasNext) {
+      while (it.hasNext && !overrun) {
         val b = (it.next() + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        write(b, 0, b.length)
+        val take = clamp(b.length.toLong)
+        if (take > 0) write(b, 0, take)
       }
     } else {
       val buf = new Array[Byte](64 * 1024)
       var n = stream.read(buf)
-      while (n >= 0 && written < opts.maxEntryBytes) {
-        // clamp in Long space: maxEntryBytes - written can exceed Int.MaxValue
-        if (n > 0) write(buf, 0, math.min(n.toLong, opts.maxEntryBytes - written).toInt)
-        n = stream.read(buf)
+      while (n >= 0 && !overrun) {
+        if (n > 0) {
+          val take = clamp(n.toLong)
+          if (take > 0) write(buf, 0, take)
+        }
+        if (!overrun) n = stream.read(buf)
       }
     }
-    val path = (nested :+ name).mkString("/")
     val content =
       if (direct != null) {
         if (written == direct.length) direct

@@ -360,11 +360,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(got.toSeq == want.toSeq)
     // the scale property: no naive global window — nothing in the plan
-    // may collapse to a single partition
-    val plan = graft.ops.Packing.contiguous(docs, "id", "toks", budget = 1000)
+    // may collapse to a single partition, and the running-sum phase is
+    // genuinely partition-local: the only exchanges anywhere are the
+    // range repartition (inside the cached relation) and the broadcast
+    // of the numPartitions-row offset table — in particular no hash
+    // exchange (a Window.partitionBy(pid) formulation would add one)
+    val exec = graft.ops.Packing.contiguous(docs, "id", "toks", budget = 1000)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange SinglePartition"),
-      s"global-window single-partition collapse:\n$plan")
+    assert(!exec.contains("Exchange SinglePartition"),
+      s"global-window single-partition collapse:\n$exec")
+    assert(!exec.contains("Exchange hashpartitioning"),
+      s"running sum must be partition-local, not a pid-hash window:\n$exec")
   }
 
   test("TextStats.scrubPii: typed placeholders, scrub order, short digit runs kept") {

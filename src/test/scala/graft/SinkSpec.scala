@@ -121,4 +121,49 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = ArchiveConverter.read(spark, out2).collect()
     assert(rows.map(_.getAs[String]("path")).toSeq == Seq("ok.txt"))
   }
+
+  test("over-cap entry under skipErrors: counted input skip, others survive") {
+    import Fixtures._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap").toFile
+    val good = new java.io.File(dir, "good.tar.gz")
+    java.nio.file.Files.write(good.toPath,
+      gzipData(tarArchive(Seq("small.txt" -> "fits".getBytes("UTF-8")))))
+    val bad = new java.io.File(dir, "bad.tar.gz")
+    java.nio.file.Files.write(bad.toPath,
+      gzipData(tarArchive(Seq("huge.bin" -> Array.fill[Byte](4096)(9)))))
+    val out = java.nio.file.Files.createTempDirectory("graft_cap_out").toString
+    val stats = ArchiveConverter.convert(spark,
+      Seq(good.getAbsolutePath, bad.getAbsolutePath), out,
+      ConvertOptions(skipErrors = true, maxEntryBytes = 1024L))
+    assert(stats.rows == 1 && stats.errors == 1)
+    val rows = ArchiveConverter.read(spark, out).collect()
+    assert(rows.map(_.getAs[String]("path")).toSeq == Seq("small.txt"))
+  }
+
+  test("early-stop: abandoned walk iterator closes its input at task completion") {
+    import Fixtures._
+    val f = java.io.File.createTempFile("graft_leak", ".tar")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath,
+      tarArchive((1 to 10).map(i => s"e$i" -> s"entry number $i payload".getBytes("UTF-8"))))
+    val path = f.getAbsolutePath
+    StreamLeakProbe.closed = false
+    val first = spark.sparkContext.range(0L, 1L, 1L, 1).mapPartitions { _ =>
+      val fin = new java.io.FileInputStream(path) {
+        override def close(): Unit = { StreamLeakProbe.closed = true; super.close() }
+      }
+      val it = graft.walk.ArchiveWalker.walk(path, fin, new java.io.File(path).length(), ConvertOptions())
+      Iterator.single(it.next().path) // consume ONE row, abandon the rest
+    }.collect()
+    assert(first.toSeq == Seq("e1"))
+    assert(StreamLeakProbe.closed,
+      "task completion must close a walk input abandoned before exhaustion")
+  }
+}
+
+/** local-mode observability hook for the early-stop close test: the
+  * task runs in this JVM, so a static flag is visible to the driver.
+  */
+object StreamLeakProbe {
+  @volatile var closed = false
 }

@@ -119,6 +119,24 @@ class WalkerSpec extends AnyFunSuite {
     assert(full.head.content.sameElements(TestData))
   }
 
+  test("over-cap entry fails loudly by default; truncateOversize opts into the prefix") {
+    val big = Array.fill[Byte](200)(7)
+    val arch = tarArchive(Seq("big" -> big, "ok" -> TestData))
+    val capped = opts.copy(maxEntryBytes = 100L)
+    // default: loud failure naming the entry — never a wrong-hash row
+    val ex = intercept[graft.core.OversizeEntryException] { walk(arch, o = capped) }
+    assert(ex.getMessage.contains("big") && ex.getMessage.contains("100"))
+    // explicit opt-in: the clamped prefix, with size/hash of the PREFIX
+    val rows = walk(arch, o = capped.copy(truncateOversize = true))
+    assert(rows.map(r => (r.path, r.size)) == Vector(("big", 100L), ("ok", TestData.length.toLong)))
+    assert(rows.head.content.sameElements(big.take(100)))
+    assert(rows.head.hash.sameElements(sha256(big.take(100))))
+    // an entry of EXACTLY the cap is not an overrun
+    val exact = walk(tarArchive(Seq("e" -> big)), o = opts.copy(maxEntryBytes = 200L))
+    assert(exact.map(_.size) == Vector(200L))
+    assert(exact.head.hash.sameElements(sha256(big)))
+  }
+
   test("executable with extractStrings: content = newline-joined runs >= 10 chars") {
     val elf = fakeElf(Seq("short", "a-long-enough-string", "tiny", "another/quite/long/run"))
     val rows = walk(tarArchive(Seq("bin" -> elf)), o = opts.copy(extractStrings = true))
