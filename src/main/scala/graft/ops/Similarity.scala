@@ -107,40 +107,62 @@ object Similarity {
     * ~nprobe/nlist of the data; the probed fraction is re-ranked with
     * exact cosine like [[annLshTopK]].
     */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-      query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    // sequential left-fold dot — the exact IEEE add sequence VecDot
-    // and the oracle's list_sum comprehension perform
-    def seqDot(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0
-      var j = 0
-      while (j < a.length) { acc += a(j) * b(j); j += 1 }
-      acc
-    }
-    val cents: Array[(Long, Array[Double], Double)] = df
-      .orderBy(col(idCol)).limit(nlist)
+  /** (centroid id, vector, L2 norm) codebook entries. */
+  type IvfCodebook = Array[(Long, Array[Double], Double)]
+
+  // sequential left-fold dot — the exact IEEE add sequence VecDot
+  // and the oracle's list_sum comprehension perform
+  private def seqDot(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var j = 0
+    while (j < a.length) { acc += a(j) * b(j); j += 1 }
+    acc
+  }
+
+  /** Deterministic IVF codebook: the `nlist` smallest-id vectors — an
+    * oracle-reproducible stand-in for an offline k-means codebook.
+    * Bounded driver collect (nlist rows), like a real codebook load.
+    */
+  def ivfCodebook(df: DataFrame, idCol: String, vecCol: String, nlist: Int): IvfCodebook =
+    df.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))
       .collect()
       .map { r =>
         val v = r.getSeq[Double](1).toArray
         (r.getLong(0), v, math.sqrt(seqDot(v, v)))
       }
-    // probe list: centroids nearest the query (driver-side, same
-    // arithmetic and tie order as the in-SQL oracle)
-    val qnorm = math.sqrt(seqDot(query, query))
-    val probed = cents
-      .map { case (id, v, n) => (seqDot(v, query) / (qnorm * n), id) }
-      .sortBy { case (cos, id) => (-cos, id) }
-      .take(nprobe).map(_._2)
-    val vnorm = sqrt(GraftFunctions.vec_dot(col(vecCol), col(vecCol)))
-    // argmax over the inlined codebook via an orderable struct:
-    // max (cos, -cent_id) == highest cosine, ties to smallest id
-    val cell = -greatest(cents.map { case (id, v, n) =>
+
+  /** Cell assignment vs an inlined codebook: nearest centroid by
+    * cosine, ties to the smaller centroid id. A narrow, fully-codegen
+    * projection (argmax via an orderable struct: max (cos, -cent_id))
+    * — no shuffle, no join. Write the corpus `partitionBy(thisColumn)`
+    * so probes prune the file listing (asserted in BucketingSpec).
+    */
+  def ivfCell(codebook: IvfCodebook, vec: Column): Column = {
+    val vnorm = sqrt(GraftFunctions.vec_dot(vec, vec))
+    -greatest(codebook.map { case (id, v, n) =>
       struct(
-        (GraftFunctions.vec_dot(col(vecCol), vecLit(v)) / (vnorm * lit(n))).as("c"),
+        (GraftFunctions.vec_dot(vec, vecLit(v)) / (vnorm * lit(n))).as("c"),
         lit(-id).as("nid"))
     }: _*).getField("nid")
-    df.where(cell.isin(probed: _*))
+  }
+
+  /** The `nprobe` cells whose centroids are nearest the query
+    * (driver-side, same arithmetic and tie order as the in-SQL oracle).
+    */
+  def ivfProbed(codebook: IvfCodebook, query: Array[Double], nprobe: Int): Seq[Long] = {
+    val qnorm = math.sqrt(seqDot(query, query))
+    codebook
+      .map { case (id, v, n) => (seqDot(v, query) / (qnorm * n), id) }
+      .sortBy { case (cos, id) => (-cos, id) }
+      .take(nprobe).map(_._2).toSeq
+  }
+
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = ivfCodebook(df, idCol, vecCol, nlist)
+    val probed = ivfProbed(cents, query, nprobe)
+    df.where(ivfCell(cents, col(vecCol)).isin(probed: _*))
       .select(col(idCol), round(cosineTo(col(vecCol), query), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)

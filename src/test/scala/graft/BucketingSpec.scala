@@ -53,4 +53,40 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val unb = facts.join(dims, "key")
     assert(unb.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("IVF at rest: partitionBy(cell) prunes the probe scan to nprobe cells") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    // 64 vectors, dim 4, deterministic; the 8 smallest-id vectors are
+    // the codebook, so every cell holds at least its own centroid
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 64L)
+      .map(i => (i, Array.fill(4)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "vec")
+    val cents = Similarity.ivfCodebook(docs, "id", "vec", nlist = 8)
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf_rest").toString
+    docs.withColumn("cell", Similarity.ivfCell(cents, col("vec")))
+      .write.mode("overwrite").partitionBy("cell").parquet(out)
+    // all 8 cells exist on disk as partition directories
+    val cellDirs = new java.io.File(out).listFiles.count(_.getName.startsWith("cell="))
+    assert(cellDirs == 8, s"expected 8 cell= dirs, found $cellDirs")
+
+    val query = Array.fill(4)(rnd.nextGaussian())
+    val probed = Similarity.ivfProbed(cents, query, nprobe = 2)
+    val probe = spark.read.parquet(out).where(col("cell").isin(probed: _*))
+    val scan = probe.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScan in probe plan"))
+    // the 100 TB property: the probe reads ONLY the nprobe partition
+    // directories — cell is a partition filter, not a post-scan filter
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"probe must scan exactly the ${probed.size} probed cells, " +
+        s"got ${scan.selectedPartitions.partitionCount}")
+    // and the re-rank result inside the probed cells matches a plain
+    // filter over the full corpus (pruning changes I/O, not results)
+    val viaFull = docs.withColumn("cell", Similarity.ivfCell(cents, col("vec")))
+      .where(col("cell").isin(probed: _*)).select("id").as[Long].collect().toSet
+    val viaPruned = probe.select("id").as[Long].collect().toSet
+    assert(viaPruned == viaFull)
+  }
 }

@@ -214,6 +214,20 @@ class WalkerSpec extends AnyFunSuite {
 }
 
 class AsciiStringsSpec extends AnyFunSuite {
+  test("StringsMain: reference bin parity — strings then Total line") {
+    // reference: crates/extract-strings/src/bin/strings.rs:1-17
+    val input = Array[Byte](0) ++ "hello world".getBytes ++ Array[Byte](0) ++
+      "a-long-enough-string".getBytes ++ Array[Byte](0xff.toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    val total = graft.walk.StringsMain.run(
+      new ByteArrayInputStream(input), new java.io.PrintStream(bos, true, "UTF-8"), 4)
+    val lines = new String(bos.toByteArray, "UTF-8").split("\n").toSeq
+    assert(total == lines.size - 1L)
+    assert(lines.last == s"Total strings: $total")
+    assert(lines.init.forall(_.length >= 4))
+    assert(lines.contains("a-long-enough-string"))
+  }
+
   test("reference test vector at min_length=1") {
     // reference: crates/extract-strings/src/ascii.rs:132-146
     val input = Array[Byte](0) ++ "binary".getBytes ++ Array[Byte](0) ++
