@@ -174,16 +174,24 @@ object Bench {
             (System.nanoTime() - t0) / 1e9
           } else -1.0
         // tail-window economy: at 12 runs the three arrays alone cost
-        // ~180 chars, so show first 2 (the JIT ramp) + last 6 of each
-        def arr(f: ((Double, Double, Double)) => Double) = {
-          val vs = if (runs.size > 8) runs.take(2) ++ runs.takeRight(6) else runs
-          vs.map(r => "%.1f".format(f(r))).mkString("[", ",", "]")
+        // ~180 chars, so show first 2 (the JIT ramp) + the last few of
+        // each. `maxShow` is chosen later: the final line must fit the
+        // driver's 2000-char tail, so render() is re-invoked with a
+        // smaller cap if the full form runs long (throttled rounds have
+        // 2-digit run values — the wide case is exactly the one that
+        // must not overflow).
+        def render(maxShow: Int): String = {
+          def arr(f: ((Double, Double, Double)) => Double) = {
+            val vs = if (runs.size > maxShow) runs.take(2) ++ runs.takeRight(maxShow - 2) else runs
+            vs.map(r => "%.1f".format(f(r))).mkString("[", ",", "]")
+          }
+          val bigJson =
+            if (bigRuns.isEmpty) ""
+            else bigRuns.map(w => "%.1f".format(w)).mkString(""","big_runs":[""", ",", "]")
+          f""","convert":{"inputs":${inputs.size},"pass_mb":${passBytes / (1024 * 1024)},"secs":$bestSecs%.3f,"mbps":$bestMbps%.1f,"ratio":${bestMbps / 682.0}%.3f,"runs":${arr(_._1)},"cores":${arr(_._2)},"steal_s":${arr(_._3)}$bigJson,"calm_wait_s":$calmWait%.1f,"walk_secs":$walkSecs%.2f}"""
         }
-        val bigJson =
-          if (bigRuns.isEmpty) ""
-          else bigRuns.map(w => "%.1f".format(w)).mkString(""","big_runs":[""", ",", "]")
-        f""","convert":{"inputs":${inputs.size},"pass_mb":${passBytes / (1024 * 1024)},"secs":$bestSecs%.3f,"mbps":$bestMbps%.1f,"ratio":${bestMbps / 682.0}%.3f,"runs":${arr(_._1)},"cores":${arr(_._2)},"steal_s":${arr(_._3)}$bigJson,"calm_wait_s":$calmWait%.1f,"walk_secs":$walkSecs%.2f}"""
-      } catch { case e: Throwable => s""","convert":{"error":"${e.getClass.getSimpleName}"}""" }
+        render _
+      } catch { case e: Throwable => (_: Int) => s""","convert":{"error":"${e.getClass.getSimpleName}"}""" }
 
     // Warm JIT/codegen and the streaming engine on the tiny sf first so
     // per-query timings measure steady-state execution, not first-call
@@ -217,14 +225,18 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.1f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$sweepJson$convJson}"""
+    // hard 2000-char budget (the driver's tail window): try the full
+    // 8-entry evidence arrays, then shrink to 4 if the line runs long —
+    // a clipped JSON parses as null and zeroes the round's bench
+    def lineWith(maxShow: Int): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$sweepJson${convJson(maxShow)}}"""
+    val line = Seq(8, 4).map(lineWith).find(_.length <= 1970).getOrElse(lineWith(3))
     // Stop Spark and silence loggers BEFORE printing: any shutdown log
     // noise emitted after the JSON line evicts it from the tail window.
     spark.stop()
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.OFF)
-    if (line.length > 1900)
+    if (line.length > 1970)
       System.err.println(s"WARN bench json line is ${line.length} chars; tail window is 2000")
     println(line)
     System.out.flush()
