@@ -44,6 +44,58 @@ object Quality {
     * @return (idCol, words, distinct_words, dup_word_frac,
     *         top_word_frac, top_bigram_frac), one row per input row
     */
+  /** Cross-document line-level dedup — C4-style boilerplate removal
+    * (Raffel et al. 2020 §2.2 drop boilerplate lines; RefinedWeb and
+    * CCNet apply the same idea): delete every line whose EXACT text
+    * occurs in at least `minDocs` distinct documents (cookie banners,
+    * nav menus, license footers), keeping each document's remaining
+    * lines in their original order. Complements [[repetition]] (within
+    * -doc) and [[Dedup]] (whole/near-doc): this removes SHARED
+    * fragments from otherwise-unique documents.
+    *
+    * Contract details:
+    *   - lines are `\n`-separated; blank lines (space-trimmed empty)
+    *     are never dedup candidates — they are structure, and their
+    *     document frequency is meaningless;
+    *   - the count is DOCUMENT frequency (distinct docs containing the
+    *     line), not occurrence count, so one spammy document cannot
+    *     push its own refrain over the threshold;
+    *   - a document whose every line is boilerplate survives with
+    *     empty text — dropping such rows is the caller's filter.
+    *
+    * Scale shape: explode to (id, pos, line); the frequency pass runs
+    * distinct-(id, line) then a (line)-keyed count — both partial-
+    * aggregated, so the wide exchange carries each distinct (doc,
+    * line) once, never per occurrence. The boilerplate set (df >=
+    * minDocs) is tiny on real corpora; Spark/AQE broadcasts the anti-
+    * join side when it is, and no driver collect happens either way.
+    * Reassembly sorts each doc's surviving (pos, line) structs in one
+    * id-keyed aggregate — the single text-carrying exchange.
+    *
+    * @return (idCol, textCol) with textCol rewritten, one row per input
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2 (1 would delete every non-blank line)")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val boiler = lines
+      .where(trim(col("__line")) =!= "")
+      .select(col(idCol), col("__line")).distinct()
+      .groupBy("__line").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select("__line")
+    val rebuilt = lines.join(boiler, Seq("__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line")),
+        "\n").as("__clean"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__clean"), lit("")).as(textCol))
+  }
+
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = df.select(col(idCol), words(col(textCol)).as("__w"))
 

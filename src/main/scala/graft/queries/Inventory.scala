@@ -1132,6 +1132,24 @@ object Inventory {
       FROM rows ORDER BY status""")
   }
 
+  /** Cross-document line-level dedup ([[Quality.stripBoilerplate]] —
+    * C4-style boilerplate removal). Every document gets a shared nav
+    * header and license footer injected; the op must strip exactly
+    * those (document frequency 5000 >> minDocs=10) and return each
+    * original text byte-identical — original lines repeat across far
+    * fewer than 10 docs (the corpus's dup clusters are pairs/triples),
+    * so nothing else crosses the threshold. The oracle restates the
+    * whole pipeline relationally (explode with positions, document-
+    * frequency HAVING, ordered string_agg reassembly).
+    */
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    val injected = t(s, d, "documents").select(col("doc_id"),
+      concat_ws("\n", lit("NAV MENU"), col("text"),
+        lit("COPYRIGHT 2024 EXAMPLE CORP")).as("text2"))
+    Quality.stripBoilerplate(injected, "doc_id", "text2", minDocs = 10)
+      .orderBy(col("doc_id"))
+  }
+
   /** q62 fixture texts — inline literals (the synthetic documents
     * table contains no PII-shaped spans, so like q59 the query is
     * self-contained); chosen to exercise greedy-domain backtracking
@@ -1240,7 +1258,8 @@ object Inventory {
     "q65_map_hof" -> (q65 _),
     "q66_unpivot" -> (q66 _),
     "q67_lateral_topn" -> (q67 _),
-    "q68_hll_sketches" -> (q68 _))
+    "q68_hll_sketches" -> (q68 _),
+    "q69_line_dedup" -> (q69 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1938,6 +1957,30 @@ object Inventory {
           |  UNION ALL
           |  SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT)
           |  FROM orders)
-          |ORDER BY status""".stripMargin)
+          |ORDER BY status""".stripMargin,
+      // same injected boilerplate, relational restatement: positional
+      // explode, document-frequency HAVING over non-blank lines,
+      // NOT IN anti-join, ordered string_agg reassembly; blank-line
+      // immunity via trim() (space-trim in both dialects)
+      "q69_line_dedup" ->
+        """WITH d2 AS (
+          |  SELECT doc_id, 'NAV MENU' || chr(10) || text || chr(10) ||
+          |         'COPYRIGHT 2024 EXAMPLE CORP' AS text2
+          |  FROM documents
+          |), ls AS (
+          |  SELECT doc_id, unnest(parts) AS line,
+          |         generate_subscripts(parts, 1) AS pos
+          |  FROM (SELECT doc_id, string_split(text2, chr(10)) AS parts FROM d2)
+          |), bl AS (
+          |  SELECT line FROM (
+          |    SELECT DISTINCT doc_id, line FROM ls WHERE trim(line) <> '')
+          |  GROUP BY line HAVING count(*) >= 10
+          |)
+          |SELECT d2.doc_id, coalesce(r.text2, '') AS text2
+          |FROM d2 LEFT JOIN (
+          |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text2
+          |  FROM ls WHERE line NOT IN (SELECT line FROM bl)
+          |  GROUP BY doc_id) r USING (doc_id)
+          |ORDER BY d2.doc_id""".stripMargin)
   }
 }

@@ -373,6 +373,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"running sum must be partition-local, not a pid-hash window:\n$exec")
   }
 
+  test("Quality.stripBoilerplate: df-threshold lines removed, order kept, blanks immune") {
+    import spark.implicits._
+    // 13 docs share FOOTER (df=13 >= 10); "rare line" sits in only 2
+    // docs (df=2, kept); blank lines are structure (kept); doc 99 is
+    // ALL boilerplate (survives empty)
+    val docs = ((0 until 12).map { i =>
+      val mid = if (i < 2) "rare line" else s"mid $i"
+      (i.toLong, s"unique $i\n\n$mid\nFOOTER")
+    } :+ (99L, "FOOTER")).toDF("id", "text")
+    val got = graft.ops.Quality.stripBoilerplate(docs, "id", "text", minDocs = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0 until 12).foreach { i =>
+      val mid = if (i < 2) "rare line" else s"mid $i"
+      assert(got(i.toLong) == s"unique $i\n\n$mid", s"doc $i")
+    }
+    assert(got(99L) == "")
+    // document frequency, not occurrences: one doc repeating a line
+    // 20 times does not cross minDocs
+    val spam = Seq((1L, Seq.fill(20)("refrain").mkString("\n")), (2L, "other")).toDF("id", "text")
+    val kept = graft.ops.Quality.stripBoilerplate(spam, "id", "text", minDocs = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept(1L).split("\n").count(_ == "refrain") == 20)
+  }
+
   test("TextStats.scrubPii: typed placeholders, scrub order, short digit runs kept") {
     import spark.implicits._
     val got = Seq(
