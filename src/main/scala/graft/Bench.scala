@@ -238,17 +238,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // hard 2000-char budget (the driver's tail window): try the full
-    // 8-entry evidence arrays, then shrink to 4 if the line runs long —
-    // a clipped JSON parses as null and zeroes the round's bench
+    // 8-entry evidence arrays, then shrink (4, then 2 = first+last) if
+    // the line runs long — a clipped JSON parses as null and zeroes
+    // the round's bench. 71 queries at 1 decimal measured 1969 chars
+    // with 8-entry arrays on a clean run; throttled runs add ~1 char
+    // per slow query and per wide array entry.
     def lineWith(maxShow: Int): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$sweepJson${convJson(maxShow)}}"""
-    val line = Seq(8, 4).map(lineWith).find(_.length <= 1970).getOrElse(lineWith(3))
+    val line = Seq(8, 4, 2).map(lineWith).find(_.length <= 1960).getOrElse(lineWith(0))
     // Stop Spark and silence loggers BEFORE printing: any shutdown log
     // noise emitted after the JSON line evicts it from the tail window.
     spark.stop()
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.OFF)
-    if (line.length > 1970)
+    if (line.length > 1960)
       System.err.println(s"WARN bench json line is ${line.length} chars; tail window is 2000")
     println(line)
     System.out.flush()

@@ -102,4 +102,36 @@ object Packing {
       .withColumn("seq_id", floor(col("start_off") / budget))
       .drop("__pid", "__run", "__off")
   }
+
+  /** Overlapping fixed-size character windows — context-window
+    * chunking for embedding/retrieval pipelines: windows start every
+    * `stride` chars; a document no longer than `window` yields exactly
+    * one chunk; otherwise `ceil((len - window)/stride) + 1` windows,
+    * enough that the last one reaches the document's end (it may
+    * overlap its predecessor by more than `window - stride`).
+    *
+    * Char-based on purpose: `substring` is 1-based and
+    * character-counted identically in Spark and ANSI SQL, so chunk
+    * boundaries are engine-exact (a token-based chunker composes this
+    * with [[graft.functions.TextStats.tokenCount]]-style splitting).
+    *
+    * Scale shape: one narrow `transform` + `posexplode` projection —
+    * zero exchanges; output size is len/stride rows per doc and only
+    * the consumer shuffles them.
+    *
+    * @return (idCol, win_id, chunk), win_id counting from 0
+    */
+  def slidingWindows(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    require(stride <= window, "stride > window would skip text")
+    val len = length(col(textCol)).cast("long")
+    val nwin = when(len <= window, lit(1L))
+      .otherwise(ceil((len - window).cast("double") / stride).cast("long") + 1L)
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0L), nwin - 1),
+          i => col(textCol).substr((i * stride + 1).cast("int"), lit(window)))))
+      .toDF(idCol, "win_id", "chunk")
+      .withColumn("win_id", col("win_id").cast("long"))
+  }
 }

@@ -54,4 +54,43 @@ object Sampling {
     }
     df.where(pmod(col(idCol), lit(denom.toLong)) < threshold)
   }
+
+  /** Deterministic fractional upsampling — the mixture-weighting dual
+    * of [[stratified]] ("2.3 epochs of source X" in a training-data
+    * recipe): every row is replicated `floor(epochs)` times, plus one
+    * more for the stable id-keyed fraction of rows selected by the
+    * same `pmod(id, denom)` predicate — so a 2.3-epoch stratum emits
+    * each row 2× and a fixed 30% of its rows 3×, identically on every
+    * run, engine, and retry (a `rand()`-based upsample changes the
+    * extra-epoch subset per task attempt).
+    *
+    * Output = input columns + `epoch` (1..copies); rows in a 0-epoch
+    * stratum (or outside the fractional subset at epochs < 1)
+    * disappear, so `upsample` subsumes downsampling too.
+    *
+    * Scale shape: a narrow `explode(sequence(...))` — zero exchanges;
+    * replication happens where the row already lives and only the
+    * downstream consumer shuffles the upsampled stream.
+    */
+  def upsample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      epochs: Map[String, Double],
+      defaultEpochs: Double = 1.0,
+      denom: Int = 10000): DataFrame = {
+    require(denom > 0, "denom must be positive")
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0.0 && e <= 100.0),
+      "epochs must be in [0, 100]")
+    val e = epochs.foldLeft(lit(defaultEpochs): Column) {
+      case (acc, (stratum, v)) => when(col(strataCol) === stratum, lit(v)).otherwise(acc)
+    }
+    val copies = floor(e).cast("long") +
+      when(pmod(col(idCol), lit(denom.toLong)) < round((e - floor(e)) * denom), 1L)
+        .otherwise(0L)
+    df.withColumn("__copies", copies)
+      .where(col("__copies") > 0)
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(1L), col("__copies"))).as("epoch"): _*)
+  }
 }

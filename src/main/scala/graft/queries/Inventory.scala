@@ -1150,6 +1150,24 @@ object Inventory {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic fractional upsampling ([[Sampling.upsample]]) —
+    * the data-mixing dual of q61: en documents get 2.3 epochs (2
+    * copies each, a stable id-keyed 30% get 3), zh 0.5 (a stable 50%
+    * appear once), everything else 1. denom=100 for the q61 reason.
+    */
+  private def q70(s: SparkSession, d: String): DataFrame =
+    Sampling.upsample(t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", epochs = Map("en" -> 2.3, "zh" -> 0.5),
+        defaultEpochs = 1.0, denom = 100)
+      .orderBy(col("doc_id"), col("epoch"))
+
+  /** Context-window chunking ([[Packing.slidingWindows]]): 200-char
+    * windows every 150 chars — the embedding-pipeline chunker. */
+  private def q71(s: SparkSession, d: String): DataFrame =
+    Packing.slidingWindows(t(s, d, "documents"), "doc_id", "text",
+        window = 200, stride = 150)
+      .orderBy(col("doc_id"), col("win_id"))
+
   /** q62 fixture texts — inline literals (the synthetic documents
     * table contains no PII-shaped spans, so like q59 the query is
     * self-contained); chosen to exercise greedy-domain backtracking
@@ -1259,7 +1277,9 @@ object Inventory {
     "q66_unpivot" -> (q66 _),
     "q67_lateral_topn" -> (q67 _),
     "q68_hll_sketches" -> (q68 _),
-    "q69_line_dedup" -> (q69 _))
+    "q69_line_dedup" -> (q69 _),
+    "q70_upsample" -> (q70 _),
+    "q71_chunk_windows" -> (q71 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1981,6 +2001,34 @@ object Inventory {
           |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text2
           |  FROM ls WHERE line NOT IN (SELECT line FROM bl)
           |  GROUP BY doc_id) r USING (doc_id)
-          |ORDER BY d2.doc_id""".stripMargin)
+          |ORDER BY d2.doc_id""".stripMargin,
+      // same floor + id-keyed fractional remainder; unnest(range(...))
+      // replicates per-row (range(1,1) is empty, so 0-copy rows vanish
+      // like the engine's where > 0); e cast to DOUBLE so both engines
+      // do the same floating arithmetic before round()
+      "q70_upsample" ->
+        """SELECT doc_id, lang, unnest(range(1, copies + 1)) AS epoch
+          |FROM (
+          |  SELECT doc_id, lang,
+          |    CAST(floor(e) AS BIGINT) +
+          |    CASE WHEN doc_id % 100 < round((e - floor(e)) * 100)
+          |         THEN 1 ELSE 0 END AS copies
+          |  FROM (SELECT doc_id, lang,
+          |    CAST(CASE lang WHEN 'en' THEN 2.3 WHEN 'zh' THEN 0.5
+          |         ELSE 1.0 END AS DOUBLE) AS e
+          |    FROM documents))
+          |ORDER BY doc_id, epoch""".stripMargin,
+      // zipped unnest(range) gives (win_id, dynamic substring) pairs;
+      // substring is 1-based char-counted in both dialects
+      "q71_chunk_windows" ->
+        """SELECT doc_id, unnest(range(0, n)) AS win_id,
+          |  substring(text, CAST(unnest(range(0, n)) * 150 + 1 AS INT), 200)
+          |    AS chunk
+          |FROM (SELECT doc_id, text,
+          |  CASE WHEN length(text) <= 200 THEN 1
+          |       ELSE CAST(ceil((length(text) - 200) / 150.0) AS BIGINT) + 1
+          |  END AS n
+          |  FROM documents)
+          |ORDER BY doc_id, win_id""".stripMargin)
   }
 }

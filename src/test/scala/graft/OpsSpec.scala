@@ -373,6 +373,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"running sum must be partition-local, not a pid-hash window:\n$exec")
   }
 
+  test("Sampling.upsample: floor copies + stable fractional extras, 0-epoch rows vanish") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i =>
+      (i, if (i < 100) "en" else if (i < 150) "zh" else "de")).toDF("id", "lang")
+    val out = graft.ops.Sampling.upsample(docs, "lang", "id",
+      epochs = Map("en" -> 2.3, "zh" -> 0.5), defaultEpochs = 1.0, denom = 100)
+    val counts = out.groupBy("id").count().as[(Long, Long)].collect().toMap
+    (0L until 200L).foreach { i =>
+      val want =
+        if (i < 100) 2L + (if (i % 100 < 30) 1L else 0L)  // en: 2.3 epochs
+        else if (i < 150) (if (i % 100 < 50) 1L else 0L)  // zh: 0.5
+        else 1L                                           // default
+      assert(counts.getOrElse(i, 0L) == want, s"id $i")
+    }
+    // epoch numbering is 1..copies and reruns are identical
+    assert(out.where(col("id") === 0).select("epoch").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(out.count() == out.count())
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "upsample must stay a narrow explode")
+  }
+
+  test("Packing.slidingWindows: coverage, overlap, short and empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefghij"), // len 10, W 5, S 3 -> starts 0,3,6
+      (2L, "abc"),        // shorter than a window -> 1 chunk
+      (3L, "")            // empty -> 1 empty chunk
+    ).toDF("id", "text")
+    val got = graft.ops.Packing.slidingWindows(docs, "id", "text", window = 5, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (1L, 0L, "abcde"), (1L, 1L, "defgh"), (1L, 2L, "ghij"),
+      (2L, 0L, "abc"),
+      (3L, 0L, "")))
+    // every char is covered: concatenating stride-prefixes rebuilds the doc
+    val rebuilt = got.filter(_._1 == 1L).map { case (_, w, c) =>
+      if (w < 2) c.take(3) else c  // last window keeps its full tail
+    }.mkString
+    assert(rebuilt == "abcdefghij")
+  }
+
   test("Quality.stripBoilerplate: df-threshold lines removed, order kept, blanks immune") {
     import spark.implicits._
     // 13 docs share FOOTER (df=13 >= 10); "rare line" sits in only 2
