@@ -1,0 +1,100 @@
+package graft
+
+import graft.ops.{Packing, Quality, Sampling}
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property fuzz of the round-6 pipeline operators against direct
+  * Scala reference computations — same discipline as
+  * [[QualityPropertySpec]]: random inputs with adversarial shapes
+  * (empty texts, tiny alphabets forcing line collisions, fractional
+  * epoch edges), fixed seed for determinism.
+  */
+class OpsPropertySpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("OpsPropertySpec")
+    .getOrCreate()
+
+  private def check(prop: Prop, n: Int = 30): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n).withInitialSeed(Seed(7L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---- stripBoilerplate ------------------------------------------------
+
+  // tiny line alphabet => real cross-document collisions
+  private val lineGen: Gen[String] =
+    Gen.oneOf("alpha", "beta", "gamma", "delta", "", " ", "x y", "zz")
+  private val docGen: Gen[String] =
+    Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, lineGen)).map(_.mkString("\n"))
+
+  private def naiveStrip(docs: Seq[(Long, String)], minDocs: Int): Map[Long, String] = {
+    val df = docs
+      .flatMap { case (id, t) => t.split("\n", -1).filter(_.trim.nonEmpty).distinct.map(id -> _) }
+      .groupBy(_._2).map { case (l, occ) => l -> occ.size }
+    val boiler = df.collect { case (l, c) if c >= minDocs => l }.toSet
+    docs.map { case (id, t) =>
+      id -> t.split("\n", -1).filterNot(boiler).mkString("\n")
+    }.toMap
+  }
+
+  test("stripBoilerplate equals the direct computation on colliding corpora") {
+    check(Prop.forAll(Gen.listOfN(10, docGen)) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Quality.stripBoilerplate(docs.toDF("id", "text"), "id", "text", minDocs = 3)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      got == naiveStrip(docs, minDocs = 3)
+    })
+  }
+
+  // ---- upsample --------------------------------------------------------
+
+  test("upsample counts equal the floor+remainder formula for any epochs") {
+    val epochGen = Gen.chooseNum(0, 37).map(_ / 10.0) // 0.0 .. 3.7 in 0.1 steps
+    check(Prop.forAll(epochGen, epochGen) { (eA, eB) =>
+      import spark.implicits._
+      val docs = (0L until 120L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+      val out = Sampling.upsample(docs, "s", "id", Map("a" -> eA, "b" -> eB), denom = 100)
+        .groupBy("id").count().as[(Long, Long)].collect().toMap
+      (0L until 120L).forall { i =>
+        val e = if (i % 2 == 0) eA else eB
+        val want = math.floor(e).toLong +
+          (if (i % 100 < math.round((e - math.floor(e)) * 100)) 1L else 0L)
+        out.getOrElse(i, 0L) == want
+      }
+    })
+  }
+
+  // ---- slidingWindows --------------------------------------------------
+
+  test("slidingWindows: every chunk is the exact substring; full coverage") {
+    val textGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val cfgGen = for {
+      w <- Gen.chooseNum(1, 12)
+      s <- Gen.chooseNum(1, w)
+    } yield (w, s)
+    check(Prop.forAll(Gen.listOfN(6, textGen), cfgGen) { case (texts, (w, s)) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Packing.slidingWindows(docs.toDF("id", "text"), "id", "text", w, s)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1).map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3).toSeq }
+      docs.forall { case (id, t) =>
+        val n = if (t.length <= w) 1 else math.ceil((t.length - w).toDouble / s).toInt + 1
+        val want = (0 until n).map(i => t.slice(i * s, i * s + w))
+        got(id) == want &&
+          // coverage: the final window reaches the end of the text
+          (t.isEmpty || (n - 1) * s + w >= t.length)
+      }
+    })
+  }
+}
