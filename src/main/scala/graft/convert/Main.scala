@@ -19,6 +19,9 @@ import org.apache.spark.sql.SparkSession
   *   --single-file           one output parquet file (reference parity)
   *   --threads N             input parallelism (default: all cores)
   *   --progress              live in-flight counters on stderr (D2)
+  *   --max-entry-bytes N     per-entry content cap (default 1 GiB)
+  *   --truncate-oversize     emit over-cap entries as clamped prefixes
+  *                           instead of failing the input
   * }}}
   */
 object Main {
@@ -48,6 +51,8 @@ object Main {
         case "--single-file" => opts = opts.copy(singleFile = true)
         case "--progress" => opts = opts.copy(progress = true)
         case "--threads" => opts = opts.copy(parallelism = Some(args(i + 1).toInt)); i += 1
+        case "--max-entry-bytes" => opts = opts.copy(maxEntryBytes = args(i + 1).toLong); i += 1
+        case "--truncate-oversize" => opts = opts.copy(truncateOversize = true)
         case other => inputs :+= other
       }
       i += 1
