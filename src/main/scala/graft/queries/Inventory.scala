@@ -228,6 +228,32 @@ object Inventory {
     val textA = ("graft converter end-to-end fixture line\n" * 20).getBytes("UTF-8")
     val textC = "nested zip member content\n".getBytes("UTF-8")
     val binD = Array.tabulate[Byte](512)(i => (i * 7 % 256).toByte)
+    // S6 transparent-decompression members: a merely-compressed
+    // non-archive entry must be emitted DECOMPRESSED (reference
+    // entry.rs:70-80), with size/hash of the decompressed bytes — one
+    // member per codec beyond the gzip already covering the outer
+    // layer, plus a zstd-compressed NESTED TAR for recursion through a
+    // non-gzip codec. Oracle sizes/digests are computed from these
+    // literal definitions (spec-determined), never from engine output.
+    val textE = ("zstd transparent decompression fixture\n" * 10).getBytes("UTF-8")
+    val textF = ("xz transparent decompression fixture\n" * 10).getBytes("UTF-8")
+    val textG = ("bzip2 transparent decompression fixture\n" * 10).getBytes("UTF-8")
+    val textH = ("zstd-compressed nested tar member\n" * 5).getBytes("UTF-8")
+    def zstd(b: Array[Byte]): Array[Byte] = {
+      val buf = new ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStream(buf)
+      z.write(b); z.close(); buf.toByteArray
+    }
+    def xz(b: Array[Byte]): Array[Byte] = {
+      val buf = new ByteArrayOutputStream()
+      val x = new org.apache.commons.compress.compressors.xz.XZCompressorOutputStream(buf)
+      x.write(b); x.close(); buf.toByteArray
+    }
+    def bz2(b: Array[Byte]): Array[Byte] = {
+      val buf = new ByteArrayOutputStream()
+      val z = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(buf)
+      z.write(b); z.close(); buf.toByteArray
+    }
 
     val zipBuf = new ByteArrayOutputStream()
     val zo = new ZipOutputStream(zipBuf)
@@ -239,14 +265,27 @@ object Inventory {
     }
     zput("b/c.txt", textC); zput("d.bin", binD); zo.close()
 
-    val tarBuf = new ByteArrayOutputStream()
-    val to = new TarArchiveOutputStream(new GZIPOutputStream(tarBuf))
-    def tput(name: String, bytes: Array[Byte]): Unit = {
-      val e = new TarArchiveEntry(name)
-      e.setSize(bytes.length.toLong); e.setModTime(1000000000000L)
-      to.putArchiveEntry(e); to.write(bytes); to.closeArchiveEntry()
+    def tarOf(entries: (String, Array[Byte])*): Array[Byte] = {
+      val buf = new ByteArrayOutputStream()
+      val to = new TarArchiveOutputStream(buf)
+      entries.foreach { case (name, bytes) =>
+        val e = new TarArchiveEntry(name)
+        e.setSize(bytes.length.toLong); e.setModTime(1000000000000L)
+        to.putArchiveEntry(e); to.write(bytes); to.closeArchiveEntry()
+      }
+      to.close(); buf.toByteArray
     }
-    tput("a.txt", textA); tput("inner.zip", zipBuf.toByteArray); to.close()
+
+    val tarBuf = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(tarBuf)
+    gz.write(tarOf(
+      "a.txt" -> textA,
+      "inner.zip" -> zipBuf.toByteArray,
+      "e.txt.zst" -> zstd(textE),
+      "f.txt.xz" -> xz(textF),
+      "g.txt.bz2" -> bz2(textG),
+      "inner2.tar.zst" -> zstd(tarOf("h.txt" -> textH))))
+    gz.close()
 
     // fixed path, rewritten per invocation — repeated bench/verify runs
     // must not accumulate fixture dirs in /tmp (same rule as q41)
@@ -1322,10 +1361,18 @@ object Inventory {
       """SELECT * FROM (VALUES
         |  ('a.txt', CAST(800 AS BIGINT),
         |   '90ce0e91aa6b20a7e755ae3facb82f04410ac992a53fe534e8246a1b7f10a871'),
+        |  ('e.txt.zst', CAST(390 AS BIGINT),
+        |   'be9a5820be89dcdce4b8df97c01cdf2e98ebc407e957ae930a0396a8122ab2cb'),
+        |  ('f.txt.xz', CAST(370 AS BIGINT),
+        |   '14df686258199a2d006cb28a8c51120f12385acd67cc2ef99fb0412be003bc6e'),
+        |  ('g.txt.bz2', CAST(400 AS BIGINT),
+        |   'f2ab80f749efe643b97fe67f91432f8bf7938d4942ed1880fc91e411a2423789'),
         |  ('inner.zip/b/c.txt', CAST(26 AS BIGINT),
         |   '8d9bb0542d7fefd949a9559bd0c68ba0cf3bba93d0d108f6ca2289d789b8a6a5'),
         |  ('inner.zip/d.bin', CAST(512 AS BIGINT),
-        |   'c029dfc944a023bec6662861a4e633237ad3e4f4bca787399fdd487ca52af8f5'))
+        |   'c029dfc944a023bec6662861a4e633237ad3e4f4bca787399fdd487ca52af8f5'),
+        |  ('inner2.tar.zst/h.txt', CAST(170 AS BIGINT),
+        |   '4fd9024cec0e7478e760c58707179f0e6f5680ab92f89cc4d76d730209dd7e1e'))
         |  AS t(path, size, sha256)
         |ORDER BY path""".stripMargin
     // gaps-and-islands sessionization — oracles BOTH the native
