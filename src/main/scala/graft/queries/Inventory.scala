@@ -369,9 +369,28 @@ object Inventory {
     * spec-determined VALUES oracle like q16.
     */
   private def q58(s: SparkSession, d: String): DataFrame = {
-    val path = buildQ58Fixture()
+    // deliberately a file: URL, not a path: S2's URL source streams
+    // through the same sniff/decompress/walk chain, so this row set is
+    // identical to the path spelling — oracle coverage for the URL
+    // face (the http:// variant is WalkerSpec's real-server test)
+    val path = "file://" + buildQ58Fixture()
     ArchiveConverter.filteredEntries(s, Seq(path),
         ConvertOptions(include = IncludeType.Text))
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+  }
+
+  /** F1 half-open size-range filter through the oracle: the q16
+    * fixture converted with `100 <= size < 500` keeps exactly the
+    * four mid-sized members — the spec-filtered subset of the q16
+    * VALUES (a.txt 800 and d.bin 512 fall above, c.txt 26 below;
+    * sizes are DECOMPRESSED sizes, so the filter runs after the
+    * transparent-decompression stage, reference batch.rs:182-197).
+    */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val path = buildFixture()
+    ArchiveConverter.filteredEntries(s, Seq(path),
+        ConvertOptions(minSize = Some(100L), maxSize = Some(500L)))
       .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
       .orderBy(col("path"))
   }
@@ -1318,7 +1337,8 @@ object Inventory {
     "q68_hll_sketches" -> (q68 _),
     "q69_line_dedup" -> (q69 _),
     "q70_upsample" -> (q70 _),
-    "q71_chunk_windows" -> (q71 _))
+    "q71_chunk_windows" -> (q71 _),
+    "q72_size_filter" -> (q72 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -2076,6 +2096,19 @@ object Inventory {
           |       ELSE CAST(ceil((length(text) - 200) / 150.0) AS BIGINT) + 1
           |  END AS n
           |  FROM documents)
-          |ORDER BY doc_id, win_id""".stripMargin)
+          |ORDER BY doc_id, win_id""".stripMargin,
+      // the q16 VALUES rows inside the declared half-open range
+      "q72_size_filter" ->
+        """SELECT * FROM (VALUES
+          |  ('e.txt.zst', CAST(390 AS BIGINT),
+          |   'be9a5820be89dcdce4b8df97c01cdf2e98ebc407e957ae930a0396a8122ab2cb'),
+          |  ('f.txt.xz', CAST(370 AS BIGINT),
+          |   '14df686258199a2d006cb28a8c51120f12385acd67cc2ef99fb0412be003bc6e'),
+          |  ('g.txt.bz2', CAST(400 AS BIGINT),
+          |   'f2ab80f749efe643b97fe67f91432f8bf7938d4942ed1880fc91e411a2423789'),
+          |  ('inner2.tar.zst/h.txt', CAST(170 AS BIGINT),
+          |   '4fd9024cec0e7478e760c58707179f0e6f5680ab92f89cc4d76d730209dd7e1e'))
+          |  AS t(path, size, sha256)
+          |ORDER BY path""".stripMargin)
   }
 }

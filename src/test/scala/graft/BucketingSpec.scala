@@ -18,7 +18,7 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark: SparkSession = {
     warehouse = java.nio.file.Files.createTempDirectory("graft_bucketing_wh")
-    SparkSession.builder()
+    val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir", warehouse.toUri.toString)
@@ -29,6 +29,15 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.ui.enabled", "false")
       .appName("BucketingSpec")
       .getOrCreate()
+    // suites share one JVM and can run in parallel: getOrCreate() may
+    // return ANOTHER suite's session, where the builder configs above
+    // were silently ignored — a default-threshold broadcast join then
+    // plans a BroadcastExchange and trips the no-Exchange assertion.
+    // These are runtime confs; pin them on whatever session we got.
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
   }
 
   override def afterAll(): Unit = spark.stop()
@@ -38,16 +47,24 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = 1000
     val facts = (0 until n).map(i => (i.toLong % 100, s"f$i")).toDF("key", "payload")
     val dims = (0 until 100).map(i => (i.toLong, s"label$i")).toDF("key", "label")
+    // unique table names: the session (and so the warehouse dir) may be
+    // shared with other suites or survive from an earlier JVM, and
+    // saveAsTable(overwrite) cannot replace a LOCATION the catalog has
+    // no table for (LOCATION_ALREADY_EXISTS)
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val (tFacts, tDims) = (s"b_facts_$tag", s"b_dims_$tag")
     facts.write.mode("overwrite")
-      .bucketBy(8, "key").sortBy("key").saveAsTable("b_facts")
+      .bucketBy(8, "key").sortBy("key").saveAsTable(tFacts)
     dims.write.mode("overwrite")
-      .bucketBy(8, "key").sortBy("key").saveAsTable("b_dims")
+      .bucketBy(8, "key").sortBy("key").saveAsTable(tDims)
 
-    val joined = spark.table("b_facts").join(spark.table("b_dims"), "key")
+    val joined = spark.table(tFacts).join(spark.table(tDims), "key")
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
     assert(!plan.contains("Exchange"), s"bucketing must eliminate the shuffle:\n$plan")
     assert(joined.count() == n)
+    spark.sql(s"DROP TABLE IF EXISTS $tFacts")
+    spark.sql(s"DROP TABLE IF EXISTS $tDims")
 
     // control: the same join on unbucketed parquet shuffles both sides
     val unb = facts.join(dims, "key")
