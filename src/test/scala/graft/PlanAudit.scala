@@ -20,6 +20,7 @@ object PlanAudit {
       "q23_ann_lsh", "q28_asof_join", "q29_session_window", "q30_cube",
       "q35_window_frames", "q36_topk_agg", "q37_ann_ivf", "q40_percentile",
       "q44_jaccard_neardup", "q45_pivot", "q47_approx_sketches",
+      "q64_seq_packing", "q69_line_dedup", "q70_upsample", "q71_chunk_windows",
       "q48_outer_join", "q49_setops_all")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
