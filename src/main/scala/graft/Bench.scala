@@ -194,7 +194,9 @@ object Bench {
         // must not overflow).
         def render(maxShow: Int): String = {
           def arr(f: ((Double, Double, Double)) => Double) = {
-            val vs = if (runs.size > maxShow) runs.take(2) ++ runs.takeRight(maxShow - 2) else runs
+            // first run (the JIT ramp) + the most recent maxShow-1:
+            // the tail always carries the steady state and the best
+            val vs = if (runs.size > maxShow) runs.take(1) ++ runs.takeRight(maxShow - 1) else runs
             vs.map(r => "%.1f".format(f(r))).mkString("[", ",", "]")
           }
           val bigJson =

@@ -112,6 +112,15 @@ final case class ConvertOptions(
     // emit the truncated prefix with size/hash describing the PREFIX —
     // only for callers that knowingly want bounded previews.
     truncateOversize: Boolean = false,
+    // Column-pruning hooks for the DataSource V2 face (graft.sources):
+    // when a query projects neither `content` nor `hash`, the walker
+    // still streams every entry (sizes require it, and tar/zip
+    // iteration advances by reading) but skips buffering the bytes
+    // and/or the SHA-256 — `SELECT path, size FROM archive` over
+    // 100 TB allocates no content arrays. The emitted row then carries
+    // an EMPTY content/hash; only the pruned reader sets these.
+    materializeContent: Boolean = true,
+    computeHash: Boolean = true,
     // Reference parity: the reference always writes ONE parquet file
     // (src/sink.rs single ArrowWriter). Default false = one file per
     // task, the cluster-native shape. true inserts a repartition(1)

@@ -1226,6 +1226,19 @@ object Inventory {
         window = 200, stride = 150)
       .orderBy(col("doc_id"), col("win_id"))
 
+  /** The DataSource V2 face (`spark.read.format("archive")`,
+    * [[graft.sources.ArchiveDataSource]]) over the same nested
+    * fixture, against the same spec-determined VALUES oracle as
+    * q16/q42 — the fourth face of the walk core through the gate.
+    * The projection here keeps `hash` but not `content`, so the scan
+    * also exercises the pruned-walk path (digests computed, nothing
+    * buffered) under the hash check.
+    */
+  private def q73(s: SparkSession, d: String): DataFrame =
+    s.read.format("archive").load(buildFixture())
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+
   /** q62 fixture texts — inline literals (the synthetic documents
     * table contains no PII-shaped spans, so like q59 the query is
     * self-contained); chosen to exercise greedy-domain backtracking
@@ -1338,7 +1351,8 @@ object Inventory {
     "q69_line_dedup" -> (q69 _),
     "q70_upsample" -> (q70 _),
     "q71_chunk_windows" -> (q71 _),
-    "q72_size_filter" -> (q72 _))
+    "q72_size_filter" -> (q72 _),
+    "q73_dsv2_source" -> (q73 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1787,6 +1801,7 @@ object Inventory {
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
       "q42_explode_sql" -> fixtureOracle,
+      "q73_dsv2_source" -> fixtureOracle,
       // each event belongs to the two 2h-wide windows whose starts are
       // trunc(ts)-1h and trunc(ts)
       "q43_sliding_window" ->

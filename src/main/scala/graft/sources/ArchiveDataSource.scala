@@ -1,0 +1,183 @@
+package graft.sources
+
+import graft.core.{ArchiveEntry, ArchiveSchema, ConvertOptions}
+import graft.walk.ArchiveWalker
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 face of the archive walker:
+  * `spark.read.format("archive").load(paths*)` — the fourth face of
+  * the same engine core (Dataset API `ArchiveConverter.entries`, SQL
+  * generator `explode_archive`, CLI `Main`), expressed as a
+  * first-class Spark source so Catalyst owns the scan:
+  *
+  *   - **one InputPartition per input archive** — the same morsel
+  *     unit as the converter (task-per-input, no AQE-coalescible
+  *     exchange);
+  *   - **column pruning reaches the walker**: a query that projects
+  *     neither `content` nor `hash` still streams every entry (sizes
+  *     require reading, and tar/zip iteration advances by reading)
+  *     but allocates NO content buffers and computes NO digests —
+  *     `SELECT path, size FROM archive` over 100 TB of archives never
+  *     materializes an entry (`ConvertOptions.materializeContent` /
+  *     `computeHash`, asserted in SourcesSpec);
+  *   - early-stop safe: the walker closes its input on task
+  *     completion (round-6 walker fix), so `LIMIT` above this scan
+  *     leaks nothing.
+  *
+  * Options (all optional): `maxDepth`, `maxEntryBytes`,
+  * `extractStrings`, `skipErrors`, `truncateOversize` — the walker
+  * knobs with the same defaults as [[graft.core.ConvertOptions]].
+  * Paths may be local files, directories (expanded one level), globs,
+  * or http(s)/file URLs (walked via the S2 streaming source).
+  */
+class ArchiveDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "archive"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = ArchiveSchema.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new ArchiveTable(properties)
+}
+
+final class ArchiveTable(properties: java.util.Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = "archive"
+  override def schema(): StructType = ArchiveSchema.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ArchiveScanBuilder(options)
+}
+
+final class ArchiveScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = ArchiveSchema.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Catalyst hands us the projected subset; an empty struct (e.g.
+    // COUNT(*)) is legal and prunes everything
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val names = required.fieldNames
+    val opts = ConvertOptions(
+      maxDepth = Option(options.get("maxDepth")).map(_.toInt).getOrElse(32),
+      maxEntryBytes = Option(options.get("maxEntryBytes")).map(_.toLong).getOrElse(1L << 30),
+      extractStrings = options.getBoolean("extractStrings", false),
+      skipErrors = options.getBoolean("skipErrors", false),
+      truncateOversize = options.getBoolean("truncateOversize", false),
+      materializeContent = names.contains("content"),
+      computeHash = names.contains("hash"))
+    new ArchiveScan(ArchiveScan.expandPaths(options), required, opts)
+  }
+}
+
+object ArchiveScan {
+  /** Driver-side path expansion: `.load(p1, p2)` arrives as a JSON
+    * array under "paths", a single `.load(p)` under "path". URLs pass
+    * through; local entries glob-expand, directories one level.
+    */
+  private[sources] def expandPaths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val raw: Seq[String] = Option(options.get("paths")) match {
+      case Some(json) =>
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(json, classOf[Array[String]]).toSeq
+      case None => Option(options.get("path")).toSeq
+    }
+    require(raw.nonEmpty, "archive source: no path given (use .load(path, ...))")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    raw.flatMap { p =>
+      if (p.startsWith("http://") || p.startsWith("https://") || p.startsWith("file:")) Seq(p)
+      else {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(conf)
+        val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+        if (matched.isEmpty) Seq(p) // defer to the walker's open error
+        else matched.flatMap { st =>
+          if (st.isDirectory)
+            fs.listStatus(st.getPath).filter(_.isFile).map(_.getPath.toUri.getPath).sorted.toSeq
+          else Seq(st.getPath.toUri.getPath)
+        }
+      }
+    }
+  }
+}
+
+final class ArchiveScan(paths: Seq[String], required: StructType, opts: ConvertOptions)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"archive walk of ${paths.size} inputs, columns [${required.fieldNames.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(p => ArchiveInputPartition(p): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArchiveReaderFactory(required.fieldNames, opts)
+}
+
+final case class ArchiveInputPartition(path: String) extends InputPartition
+
+final class ArchiveReaderFactory(fieldNames: Array[String], opts: ConvertOptions)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ArchivePartitionReader(partition.asInstanceOf[ArchiveInputPartition].path, fieldNames, opts)
+}
+
+final class ArchivePartitionReader(path: String, fieldNames: Array[String], opts: ConvertOptions)
+    extends PartitionReader[InternalRow] {
+  private val getters: Array[ArchiveEntry => Any] = fieldNames.map {
+    case "source"  => (e: ArchiveEntry) => UTF8String.fromString(e.source)
+    case "path"    => (e: ArchiveEntry) => UTF8String.fromString(e.path)
+    case "size"    => (e: ArchiveEntry) => e.size
+    case "hash"    => (e: ArchiveEntry) => e.hash
+    case "content" => (e: ArchiveEntry) => e.content
+    case other     => throw new IllegalArgumentException(s"unknown archive column $other")
+  }
+  private val it: Iterator[ArchiveEntry] =
+    if (!opts.skipErrors) ArchiveWalker.walkInput(path, opts)
+    else {
+      // same per-input containment contract as the converter (W7):
+      // a failed input stops contributing rows, the scan continues
+      val opened =
+        try ArchiveWalker.walkInput(path, opts)
+        catch { case t: Throwable => logSkip(t); Iterator.empty }
+      new Iterator[ArchiveEntry] {
+        private var pending: ArchiveEntry = _
+        private var has = false
+        private var dead = false
+        private def advance(): Unit =
+          if (!has && !dead) {
+            try {
+              if (opened.hasNext) { pending = opened.next(); has = true } else dead = true
+            } catch { case t: Throwable => logSkip(t); dead = true }
+          }
+        override def hasNext: Boolean = { advance(); has }
+        override def next(): ArchiveEntry = {
+          advance()
+          if (!has) throw new NoSuchElementException("input ended")
+          has = false
+          pending
+        }
+      }
+    }
+  private var cur: ArchiveEntry = _
+
+  private def logSkip(t: Throwable): Unit =
+    System.err.println(s"[graft] archive source skipping failed input $path: " +
+      s"${t.getClass.getSimpleName}: ${t.getMessage}")
+
+  override def next(): Boolean = it.hasNext && { cur = it.next(); true }
+  override def get(): InternalRow = new GenericInternalRow(getters.map(_(cur)))
+  // the walker closes its stream on exhaustion AND on task completion
+  // (early stop), so there is nothing to release here
+  override def close(): Unit = ()
+}

@@ -231,15 +231,17 @@ object ArchiveWalker {
     // only a hint (compressed inner entries decompress larger), so
     // overflow falls back to a growing buffer.
     val hint =
-      if (claimedSize > 0 && claimedSize <= math.min(opts.maxEntryBytes, Int.MaxValue - 8L))
+      if (opts.materializeContent &&
+          claimedSize > 0 && claimedSize <= math.min(opts.maxEntryBytes, Int.MaxValue - 8L))
         claimedSize.toInt
       else -1
     var direct: Array[Byte] = if (hint > 0) new Array[Byte](hint) else null
-    var overflow: ByteArrayOutputStream = if (hint > 0) null else new ByteArrayOutputStream(8192)
+    var overflow: ByteArrayOutputStream =
+      if (hint > 0 || !opts.materializeContent) null else new ByteArrayOutputStream(8192)
     var written = 0L
 
     def write(b: Array[Byte], off: Int, len: Int): Unit = {
-      md.update(b, off, len)
+      if (opts.computeHash) md.update(b, off, len)
       if (direct != null) {
         if (written + len <= direct.length) {
           System.arraycopy(b, off, direct, written.toInt, len)
@@ -250,7 +252,7 @@ object ArchiveWalker {
           overflow.write(b, off, len)
           direct = null
         }
-      } else overflow.write(b, off, len)
+      } else if (overflow != null) overflow.write(b, off, len)
       written += len
     }
 
@@ -295,7 +297,9 @@ object ArchiveWalker {
       if (direct != null) {
         if (written == direct.length) direct
         else java.util.Arrays.copyOf(direct, written.toInt)
-      } else overflow.toByteArray
-    ArchiveEntry(source, path, written, md.digest(), content)
+      } else if (overflow != null) overflow.toByteArray
+      else Array.emptyByteArray
+    val digest = if (opts.computeHash) md.digest() else Array.emptyByteArray
+    ArchiveEntry(source, path, written, digest, content)
   }
 }
