@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, StringStartsWith}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -59,13 +59,41 @@ final class ArchiveTable(properties: java.util.Map[String, String])
 }
 
 final class ArchiveScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = ArchiveSchema.schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Catalyst hands us the projected subset; an empty struct (e.g.
     // COUNT(*)) is legal and prunes everything
     required = requiredSchema
+
+  /** Input-level pruning: `source` is exactly the expanded input
+    * string a partition walks, so conjuncts on `source` can drop whole
+    * archives at PLANNING time — the archive analogue of Hive
+    * partition pruning (`WHERE source = '/x/a.tar.gz'` over 10k
+    * archives plans ONE partition). Conservative by construction: a
+    * path is dropped only when the predicate provably excludes it, and
+    * every filter is also returned as residual so Spark re-applies it
+    * row-side — pruning can never change results, only skip IO.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("source", _: String)          => true
+      case In("source", _)                       => true
+      case StringStartsWith("source", _)         => true
+      case _                                     => false
+    }
+    filters // all residual: the source column still evaluates row-side
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  private def keep(path: String): Boolean = pushed.forall {
+    case EqualTo("source", v: String)      => path == v
+    case In("source", vs)                  => vs.exists(_ == path)
+    case StringStartsWith("source", p)     => path.startsWith(p)
+    case _                                 => true
+  }
 
   override def build(): Scan = {
     val names = required.fieldNames
@@ -77,7 +105,7 @@ final class ArchiveScanBuilder(options: CaseInsensitiveStringMap)
       truncateOversize = options.getBoolean("truncateOversize", false),
       materializeContent = names.contains("content"),
       computeHash = names.contains("hash"))
-    new ArchiveScan(ArchiveScan.expandPaths(options), required, opts)
+    new ArchiveScan(ArchiveScan.expandPaths(options).filter(keep), required, opts)
   }
 }
 

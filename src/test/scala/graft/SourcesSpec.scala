@@ -86,6 +86,28 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("f1.txt", "f2.txt", "f3.txt"))
   }
 
+  test("source-filter pushdown prunes input partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src_prune").toFile
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.write(new java.io.File(dir, s"in_$i.tar.gz").toPath,
+        gzipData(tarArchive(Seq(s"f$i.txt" -> s"content $i".getBytes("UTF-8")))))
+    }
+    import org.apache.spark.sql.functions.col
+    val all = spark.read.format("archive").load(s"${dir.getAbsolutePath}/*.tar.gz")
+    // equality on source -> ONE planned partition (archive-level pruning)
+    val one = all.where(col("source") === s"${dir.getAbsolutePath}/in_2.tar.gz")
+    assert(one.rdd.getNumPartitions == 1, "source equality must prune to one input")
+    assert(one.select("path").collect().map(_.getString(0)).toSeq == Seq("f2.txt"))
+    // prefix filter keeps matching inputs; a no-match filter plans zero
+    assert(all.where(col("source").startsWith(s"${dir.getAbsolutePath}/in_"))
+      .rdd.getNumPartitions == 3)
+    assert(all.where(col("source") === "no/such/input").count() == 0)
+    // non-source predicates prune nothing and stay row-side
+    val byPath = all.where(col("path") === "f1.txt")
+    assert(byPath.rdd.getNumPartitions == 3)
+    assert(byPath.count() == 1)
+  }
+
   test("skipErrors option: corrupt input contained, scan continues") {
     val good = fixturePath
     val noise = new Array[Byte](64 * 1024)
