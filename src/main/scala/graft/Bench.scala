@@ -199,10 +199,17 @@ object Bench {
             val vs = if (runs.size > maxShow) runs.take(1) ++ runs.takeRight(maxShow - 1) else runs
             vs.map(r => "%.1f".format(f(r))).mkString("[", ",", "]")
           }
+          // last resort (maxShow <= 0): scalar evidence only — nruns +
+          // total steal bound the line no matter how wide the values
+          val evidence =
+            if (maxShow > 0)
+              f""","runs":${arr(_._1)},"cores":${arr(_._2)},"steal_s":${arr(_._3)}"""
+            else
+              f""","nruns":${runs.size},"steal_total_s":${runs.map(_._3).sum}%.1f"""
           val bigJson =
             if (bigRuns.isEmpty) ""
             else bigRuns.map(w => "%.1f".format(w)).mkString(""","big_runs":[""", ",", "]")
-          f""","convert":{"inputs":${inputs.size},"pass_mb":${passBytes / (1024 * 1024)},"secs":$bestSecs%.3f,"mbps":$bestMbps%.1f,"ratio":${bestMbps / 682.0}%.3f,"runs":${arr(_._1)},"cores":${arr(_._2)},"steal_s":${arr(_._3)}$bigJson,"calm_wait_s":$calmWait%.1f,"walk_secs":$walkSecs%.2f}"""
+          f""","convert":{"inputs":${inputs.size},"pass_mb":${passBytes / (1024 * 1024)},"secs":$bestSecs%.3f,"mbps":$bestMbps%.1f,"ratio":${bestMbps / 682.0}%.3f$evidence$bigJson,"calm_wait_s":$calmWait%.1f,"walk_secs":$walkSecs%.2f}"""
         }
         render _
       } catch { case e: Throwable => (_: Int) => s""","convert":{"error":"${e.getClass.getSimpleName}"}""" }
