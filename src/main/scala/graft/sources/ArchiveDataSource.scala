@@ -54,8 +54,14 @@ final class ArchiveTable(properties: java.util.Map[String, String])
   override def schema(): StructType = ArchiveSchema.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ArchiveScanBuilder(options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a catalog table (`CREATE TABLE ... USING archive OPTIONS (...)`)
+    // carries its OPTIONS as table properties; a DataFrameReader scan
+    // carries them here. Merge, scan-time options winning.
+    val merged = new java.util.HashMap[String, String](properties)
+    merged.putAll(options)
+    new ArchiveScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
 }
 
 final class ArchiveScanBuilder(options: CaseInsensitiveStringMap)

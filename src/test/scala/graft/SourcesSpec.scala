@@ -108,6 +108,17 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byPath.count() == 1)
   }
 
+  test("SQL DDL face: CREATE TABLE ... USING archive") {
+    spark.sql("DROP TABLE IF EXISTS graft_arch_sql")
+    spark.sql(
+      s"CREATE TABLE graft_arch_sql USING archive OPTIONS (path '$fixturePath')")
+    val rows = spark.sql(
+      "SELECT path, size FROM graft_arch_sql ORDER BY path")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("a.txt", TestData.length.toLong), ("nested/inner/b.txt", 14L)))
+    spark.sql("DROP TABLE graft_arch_sql")
+  }
+
   test("skipErrors option: corrupt input contained, scan continues") {
     val good = fixturePath
     val noise = new Array[Byte](64 * 1024)
