@@ -116,7 +116,8 @@ object Sniff {
       case k @ Some(FormatKind.Xz) =>
         // multi-stream decode, matching liblzma's new_multi_decoder
         // (reference: compression.rs:58)
-        (k, new org.apache.commons.compress.compressors.xz.XZCompressorInputStream(in, true))
+        (k, org.apache.commons.compress.compressors.xz.XZCompressorInputStream.builder()
+          .setInputStream(in).setDecompressConcatenated(true).get())
       case _ => (None, in)
     }
   }

@@ -90,7 +90,7 @@ object Sampling {
         .otherwise(0L)
     df.withColumn("__copies", copies)
       .where(col("__copies") > 0)
-      .select(df.columns.map(col) :+
+      .select(df.columns.toIndexedSeq.map(col) :+
         explode(sequence(lit(1L), col("__copies"))).as("epoch"): _*)
   }
 }

@@ -48,7 +48,7 @@ object Similarity {
       if (dot >= 0) 1L << i else 0L
     }.reduce(_ | _)
 
-  private def vecLit(v: Array[Double]): Column = array(v.map(lit): _*)
+  private def vecLit(v: Array[Double]): Column = array(v.toIndexedSeq.map(lit): _*)
 
   /** Cosine of each row's vector vs a constant query vector. */
   def cosineTo(vec: Column, query: Array[Double]): Column =
@@ -140,7 +140,7 @@ object Similarity {
     */
   def ivfCell(codebook: IvfCodebook, vec: Column): Column = {
     val vnorm = sqrt(GraftFunctions.vec_dot(vec, vec))
-    -greatest(codebook.map { case (id, v, n) =>
+    -greatest(codebook.toIndexedSeq.map { case (id, v, n) =>
       struct(
         (GraftFunctions.vec_dot(vec, vecLit(v)) / (vnorm * lit(n))).as("c"),
         lit(-id).as("nid"))
