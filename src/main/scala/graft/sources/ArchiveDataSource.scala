@@ -111,7 +111,7 @@ final class ArchiveScanBuilder(options: CaseInsensitiveStringMap)
       truncateOversize = options.getBoolean("truncateOversize", false),
       materializeContent = names.contains("content"),
       computeHash = names.contains("hash"))
-    new ArchiveScan(ArchiveScan.expandPaths(options).filter(keep), required, opts)
+    new ArchiveScan(ArchiveScan.expandPaths(options).filter(keep), required, opts, pushed)
   }
 }
 
@@ -146,12 +146,14 @@ object ArchiveScan {
   }
 }
 
-final class ArchiveScan(paths: Seq[String], required: StructType, opts: ConvertOptions)
+final class ArchiveScan(paths: Seq[String], required: StructType, opts: ConvertOptions,
+    pushed: Array[Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"archive walk of ${paths.size} inputs, columns [${required.fieldNames.mkString(", ")}]"
+    s"archive walk of ${paths.size} inputs, columns [${required.fieldNames.mkString(", ")}]" +
+      (if (pushed.isEmpty) "" else s", PushedFilters: [${pushed.mkString(", ")}]")
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => ArchiveInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
