@@ -126,6 +126,10 @@ object Bench {
         val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
         var bestSecs = Double.MaxValue
         var bestMbps = 0.0
+        // size of the pass that produced bestSecs — a 1 GiB bonus pass
+        // can win, and reporting its wall against the 256 MB pass_mb
+        // made secs/pass_mb/mbps internally inconsistent (r6 ADVICE)
+        var bestPassMb = passBytes / (1024 * 1024)
         var cum = 0.0
         var calmWait = 0.0
         def calm(stormy: Boolean): Boolean = {
@@ -157,7 +161,10 @@ object Bench {
           val wall = (System.nanoTime() - t0) / 1e9
           runs += ((wall, (osBean.getProcessCpuTime - c0) / 1e9 / wall, stealSecs() - s0))
           cum += wall
-          if (wall < bestSecs) { bestSecs = wall; bestMbps = passBytes / 1e6 / wall }
+          if (wall < bestSecs) {
+            bestSecs = wall; bestMbps = passBytes / 1e6 / wall
+            bestPassMb = passBytes / (1024 * 1024)
+          }
         }
         // bonus headline passes: per-pass fixed overhead (~0.25 s of
         // job launch + parquet commit) caps a full-speed 256 MB pass
@@ -176,7 +183,10 @@ object Bench {
           bigRuns += wall
           cum += wall
           val mbps = 4 * passBytes / 1e6 / wall
-          if (mbps > bestMbps) { bestMbps = mbps; bestSecs = wall }
+          if (mbps > bestMbps) {
+            bestMbps = mbps; bestSecs = wall
+            bestPassMb = 4 * passBytes / (1024 * 1024)
+          }
         }
         // stage breakdown: walk+filter only (no Parquet write), JIT-warm
         val walkSecs =
@@ -209,7 +219,7 @@ object Bench {
           val bigJson =
             if (bigRuns.isEmpty) ""
             else bigRuns.map(w => "%.1f".format(w)).mkString(""","big_runs":[""", ",", "]")
-          f""","convert":{"inputs":${inputs.size},"pass_mb":${passBytes / (1024 * 1024)},"secs":$bestSecs%.3f,"mbps":$bestMbps%.1f,"ratio":${bestMbps / 682.0}%.3f$evidence$bigJson,"calm_wait_s":$calmWait%.1f,"walk_secs":$walkSecs%.2f}"""
+          f""","convert":{"inputs":${inputs.size},"pass_mb":$bestPassMb,"secs":$bestSecs%.3f,"mbps":$bestMbps%.1f,"ratio":${bestMbps / 682.0}%.3f$evidence$bigJson,"calm_wait_s":$calmWait%.1f,"walk_secs":$walkSecs%.2f}"""
         }
         render _
       } catch { case e: Throwable => (_: Int) => s""","convert":{"error":"${e.getClass.getSimpleName}"}""" }
@@ -238,30 +248,32 @@ object Bench {
     val sweepJson =
       f""","sweep":{"cores":${(osBean.getProcessCpuTime - swCpu0) / 1e9 / swWall}%.1f,"steal_s":${stealSecs() - swSteal0}%.1f}"""
 
-    // Timings rounded to 1 decimal: the driver parses the JSON from a
-    // 2000-char tail of the process output, and full double precision
-    // pushed the line past that window in earlier rounds (parsed:null);
-    // at 68 queries plus the convert/sweep evidence fields, 2 decimals
-    // measured 1992 chars — one decimal buys the headroom back.
-    val qs = results.map { case (k, v) => f""""$k":$v%.1f""" }
+    // Timings rounded to 1 decimal, keyed by the query's `qNN` prefix:
+    // the driver parses the JSON from a 2000-char tail of the process
+    // output, and at 73 queries the map with full registry names alone
+    // is ~1600 chars — past the budget before any evidence fields.
+    // The numeric prefix is unique and maps 1:1 onto the registry
+    // (SparkEntry.queries) and CORRECTNESS rows.
+    val qs = results.map { case (k, v) => f""""${k.split("_")(0)}":$v%.1f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // hard 2000-char budget (the driver's tail window): try the full
-    // 8-entry evidence arrays, then shrink (4, then 2 = first+last) if
-    // the line runs long — a clipped JSON parses as null and zeroes
-    // the round's bench. 71 queries at 1 decimal measured 1969 chars
-    // with 8-entry arrays on a clean run; throttled runs add ~1 char
-    // per slow query and per wide array entry.
+    // hard length budget: the driver parses a 2000-char tail of the
+    // WHOLE process output, and sbt's own `[success] Total time ...`
+    // footer (~100 chars + newlines) lands AFTER our line inside that
+    // window — round 6 proved a 1960-char budget still overflows (the
+    // line's head was clipped mid-number and parsed:null). Budget the
+    // line to 1850 so line + footer fit with slack; shrink the
+    // evidence arrays (8 -> 4 -> 2 entries -> scalars) until it fits.
     def lineWith(maxShow: Int): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$sweepJson${convJson(maxShow)}}"""
-    val line = Seq(8, 4, 2).map(lineWith).find(_.length <= 1960).getOrElse(lineWith(0))
+    val line = Seq(8, 4, 2).map(lineWith).find(_.length <= 1850).getOrElse(lineWith(0))
     // Stop Spark and silence loggers BEFORE printing: any shutdown log
     // noise emitted after the JSON line evicts it from the tail window.
     spark.stop()
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.OFF)
-    if (line.length > 1960)
-      System.err.println(s"WARN bench json line is ${line.length} chars; tail window is 2000")
+    if (line.length > 1850)
+      System.err.println(s"WARN bench json line is ${line.length} chars; budget is 1850 of the 2000-char tail")
     println(line)
     System.out.flush()
   }

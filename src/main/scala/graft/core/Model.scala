@@ -121,6 +121,25 @@ final case class ConvertOptions(
     // an EMPTY content/hash; only the pruned reader sets these.
     materializeContent: Boolean = true,
     computeHash: Boolean = true,
+    // Filter-pushdown hooks for the DataSource V2 face: size/path
+    // conjuncts Catalyst pushes into the scan land here and the WALKER
+    // enforces them — a pruned entry is never buffered or digested,
+    // and a nested archive whose lineage can't produce a matching
+    // `path` is skipped wholesale (the stream advances without
+    // expanding it). Semantics-preserving by construction: the scan
+    // reports every pushed filter as residual, so Spark re-applies
+    // them row-side; these hints only drop rows the residual would
+    // drop anyway. Distinct from minSize/maxSize (the converter's F1
+    // gate, applied as a DataFrame filter so converter stats keep
+    // counting pre-filter entries).
+    //   pruneSizeMin/Max: half-open [min, max) on the WRITTEN size —
+    //     an entry reaching max stops buffering/hashing immediately
+    //     (it cannot survive the residual filter);
+    //   prunePathPrefixes: every prefix must match (conjunction of
+    //     StringStartsWith filters).
+    pruneSizeMin: Option[Long] = None,
+    pruneSizeMax: Option[Long] = None,
+    prunePathPrefixes: Seq[String] = Nil,
     // Reference parity: the reference always writes ONE parquet file
     // (src/sink.rs single ArrowWriter). Default false = one file per
     // task, the cluster-native shape. true inserts a repartition(1)

@@ -39,9 +39,11 @@ import org.apache.spark.storage.StorageLevel
   *
   * The intermediate stays cached until the returned frame's consumer
   * is done with it (unpersisting eagerly would re-trigger the
-  * boundary-resampling hazard the persist exists to prevent); callers
-  * packing inside a larger job can `spark.catalog.clearCache()` or
-  * unpersist via the catalog when finished.
+  * boundary-resampling hazard the persist exists to prevent). Use
+  * [[Packing.contiguousWithCleanup]] in a long-lived session and call
+  * the returned cleanup once the result is consumed; the plain
+  * [[Packing.contiguous]] leaves the cache to
+  * `spark.catalog.clearCache()`.
   */
 object Packing {
 
@@ -50,6 +52,10 @@ object Packing {
     * of the document in the concatenated stream (exclusive prefix sum
     * of `tokensCol` in ascending `orderCol` order).
     *
+    * The shared-partitioning intermediate stays cached (see object
+    * scaladoc); prefer [[contiguousWithCleanup]] when the caller can
+    * signal consumption.
+    *
     * @param budget tokens per packed training sequence
     * @return input row + (start_off, seq_id), ordered arbitrarily
     */
@@ -57,7 +63,21 @@ object Packing {
       df: DataFrame,
       orderCol: String,
       tokensCol: String,
-      budget: Long): DataFrame = {
+      budget: Long): DataFrame =
+    contiguousWithCleanup(df, orderCol, tokensCol, budget)._1
+
+  /** [[contiguous]] plus an unpersist handle for the internal
+    * range-partitioned cache: call the returned thunk AFTER the
+    * result's consuming action completes (calling it earlier is safe
+    * for correctness — the RangePartitioner's boundaries are fixed at
+    * first execution — but forfeits the cache's recompute protection).
+    * Idempotent, non-blocking.
+    */
+  def contiguousWithCleanup(
+      df: DataFrame,
+      orderCol: String,
+      tokensCol: String,
+      budget: Long): (DataFrame, () => Unit) = {
     require(budget > 0, "budget must be positive")
     import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
     val tokType = df.schema(tokensCol).dataType
@@ -72,9 +92,11 @@ object Packing {
       .withColumn("__pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     // bounded driver collect: one row per partition, like the IVF
-    // codebook — never scales with the data
+    // codebook — never scales with the data. Null token counts sum as
+    // 0 (the semantics a Window `sum` had — it skips nulls; an
+    // all-null partition must yield offset 0, not an NPE).
     val totals = ranged.groupBy("__pid")
-      .agg(sum(col(tokensCol)).as("__total"))
+      .agg(sum(coalesce(col(tokensCol).cast("long"), lit(0L))).as("__total"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .sortBy(_._1)
@@ -92,15 +114,22 @@ object Packing {
     val local = ranged.mapPartitions { rows =>
       var acc = 0L
       rows.map { r =>
-        acc += r.getAs[Number](tokIdx).longValue()
+        // null token count contributes 0, matching the totals agg
+        // above and the null-skipping Window sum this replaced
+        val v = r.get(tokIdx)
+        if (v != null) acc += v.asInstanceOf[Number].longValue()
         Row.fromSeq(r.toSeq :+ acc)
       }
     }(Encoders.row(outSchema))
-    local
+    val out = local
       .join(broadcast(offDf), Seq("__pid"))
-      .withColumn("start_off", col("__off") + col("__run") - col(tokensCol))
+      // a null token count occupies zero tokens: subtract 0, not null
+      // (null would poison start_off/seq_id for that row only)
+      .withColumn("start_off",
+        col("__off") + col("__run") - coalesce(col(tokensCol).cast("long"), lit(0L)))
       .withColumn("seq_id", floor(col("start_off") / budget))
       .drop("__pid", "__run", "__off")
+    (out, () => { ranged.unpersist(blocking = false); () })
   }
 
   /** Overlapping fixed-size character windows — context-window

@@ -233,9 +233,21 @@ object Similarity {
   /** Exact all-pairs variant (for small corpora / oracle checks): a
     * broadcast self-join. O(n²) — NOT the scale path; see
     * [[embeddingNearDupPairs]].
+    *
+    * Guarded: the corpus must have at most `exactMax` rows. The guard
+    * is one bounded CollectLimit job (the [[Dedup.components]] probe
+    * pattern — `limit(max+1)` never scans past max+1 rows), so a user
+    * cannot silently launch an O(n²) broadcast join over a 100 TB
+    * corpus; the refusal message points at the banded scale path.
     */
   def embeddingNearDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, exactMax: Long = 100000L): DataFrame = {
+    require(exactMax > 0 && exactMax < Int.MaxValue, "exactMax must fit an Int limit")
+    val probed = df.select(col(idCol)).limit(exactMax.toInt + 1).count()
+    require(probed <= exactMax,
+      s"embeddingNearDupPairsExact is O(n^2) and gated at exactMax=$exactMax rows " +
+        s"(corpus has at least $probed rows); use embeddingNearDupPairs (banded LSH + exact " +
+        "verify) for large corpora, or raise exactMax deliberately")
     val a = withNorm(df, idCol, vecCol, "id_a", "__va", "__na")
     val b = withNorm(df, idCol, vecCol, "id_b", "__vb", "__nb")
     a.join(broadcast(b), col("id_a") < col("id_b"))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, StringStartsWith}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -44,8 +44,16 @@ class ArchiveDataSource extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
+      properties: java.util.Map[String, String]): Table = {
+    // fixed-schema source: a caller-supplied `.schema(...)` must match
+    // exactly — silently proceeding with the archive schema would hand
+    // the user columns they did not declare (standard TableProvider
+    // behavior for fixed-schema sources)
+    require(schema == ArchiveSchema.schema,
+      s"archive source has a fixed schema ${ArchiveSchema.schema.simpleString}; " +
+        s"got ${schema.simpleString}. Drop .schema(...) and project instead.")
     new ArchiveTable(properties)
+  }
 }
 
 final class ArchiveTable(properties: java.util.Map[String, String])
@@ -74,23 +82,37 @@ final class ArchiveScanBuilder(options: CaseInsensitiveStringMap)
     // COUNT(*)) is legal and prunes everything
     required = requiredSchema
 
-  /** Input-level pruning: `source` is exactly the expanded input
-    * string a partition walks, so conjuncts on `source` can drop whole
-    * archives at PLANNING time — the archive analogue of Hive
-    * partition pruning (`WHERE source = '/x/a.tar.gz'` over 10k
-    * archives plans ONE partition). Conservative by construction: a
-    * path is dropped only when the predicate provably excludes it, and
-    * every filter is also returned as residual so Spark re-applies it
-    * row-side — pruning can never change results, only skip IO.
+  /** Three pushdown families, all conservative — every filter is also
+    * returned as residual so Spark re-applies it row-side; pushing can
+    * never change results, only skip work:
+    *
+    *   - `source` conjuncts drop whole archives at PLANNING time —
+    *     the archive analogue of Hive partition pruning
+    *     (`WHERE source = '/x/a.tar.gz'` over 10k archives plans ONE
+    *     partition);
+    *   - `size` bound conjuncts fold into a half-open
+    *     [pruneSizeMin, pruneSizeMax) the WALKER enforces: an entry
+    *     reaching the upper bound stops buffering and hashing
+    *     mid-stream (it cannot survive the residual filter);
+    *   - `path` StringStartsWith conjuncts prune in-walk: a
+    *     non-matching leaf is never buffered or digested, and a
+    *     nested archive whose lineage cannot produce a matching path
+    *     is skipped without expansion.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter {
-      case EqualTo("source", _: String)          => true
-      case In("source", _)                       => true
-      case StringStartsWith("source", _)         => true
-      case _                                     => false
+      case EqualTo("source", _: String)            => true
+      case In("source", _)                         => true
+      case StringStartsWith("source", _)           => true
+      case StringStartsWith("path", _)             => true
+      case GreaterThan("size", _: Number)          => true
+      case GreaterThanOrEqual("size", _: Number)   => true
+      case LessThan("size", _: Number)             => true
+      case LessThanOrEqual("size", _: Number)      => true
+      case EqualTo("size", _: Number)              => true
+      case _                                       => false
     }
-    filters // all residual: the source column still evaluates row-side
+    filters // all residual: pushed columns still evaluate row-side
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -101,8 +123,28 @@ final class ArchiveScanBuilder(options: CaseInsensitiveStringMap)
     case _                                 => true
   }
 
+  /** Fold the pushed `size` conjuncts into one half-open walker range.
+    * Bounds compose by intersection (max of lower, min of upper).
+    */
+  private def sizeBounds: (Option[Long], Option[Long]) = {
+    var lo = Option.empty[Long]
+    var hi = Option.empty[Long]
+    def raiseLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
+    def lowerHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
+    pushed.foreach {
+      case GreaterThanOrEqual("size", v: Number) => raiseLo(v.longValue)
+      case GreaterThan("size", v: Number)        => raiseLo(v.longValue + 1)
+      case LessThan("size", v: Number)           => lowerHi(v.longValue)
+      case LessThanOrEqual("size", v: Number)    => lowerHi(v.longValue + 1)
+      case EqualTo("size", v: Number)            => raiseLo(v.longValue); lowerHi(v.longValue + 1)
+      case _                                     => ()
+    }
+    (lo, hi)
+  }
+
   override def build(): Scan = {
     val names = required.fieldNames
+    val (lo, hi) = sizeBounds
     val opts = ConvertOptions(
       maxDepth = Option(options.get("maxDepth")).map(_.toInt).getOrElse(32),
       maxEntryBytes = Option(options.get("maxEntryBytes")).map(_.toLong).getOrElse(1L << 30),
@@ -110,12 +152,32 @@ final class ArchiveScanBuilder(options: CaseInsensitiveStringMap)
       skipErrors = options.getBoolean("skipErrors", false),
       truncateOversize = options.getBoolean("truncateOversize", false),
       materializeContent = names.contains("content"),
-      computeHash = names.contains("hash"))
+      computeHash = names.contains("hash"),
+      pruneSizeMin = lo.filter(_ > 0),
+      pruneSizeMax = hi,
+      prunePathPrefixes = pushed.collect { case StringStartsWith("path", p) => p }.toSeq)
     new ArchiveScan(ArchiveScan.expandPaths(options).filter(keep), required, opts, pushed)
   }
 }
 
 object ArchiveScan {
+  /** Local paths stay bare (the walker opens them with File IO and the
+    * `source` column matches the user's input string); any other
+    * filesystem keeps its full scheme+authority — stripping them (the
+    * old `.toUri.getPath`) silently turned `hdfs://nn/x` into `/x`,
+    * which the walker then opened as a (wrong or missing) LOCAL file.
+    * The walker only speaks local files and http(s); other schemes are
+    * rejected here with a clear error instead of a misleading
+    * FileNotFound downstream.
+    */
+  private def walkablePath(p: org.apache.hadoop.fs.Path): String = {
+    val scheme = p.toUri.getScheme
+    if (scheme == null || scheme == "file") p.toUri.getPath
+    else throw new IllegalArgumentException(
+      s"archive source cannot walk $p: scheme '$scheme' is not supported " +
+        "(local paths and http(s) URLs only)")
+  }
+
   /** Driver-side path expansion: `.load(p1, p2)` arrives as a JSON
     * array under "paths", a single `.load(p)` under "path". URLs pass
     * through; local entries glob-expand, directories one level.
@@ -138,8 +200,8 @@ object ArchiveScan {
         if (matched.isEmpty) Seq(p) // defer to the walker's open error
         else matched.flatMap { st =>
           if (st.isDirectory)
-            fs.listStatus(st.getPath).filter(_.isFile).map(_.getPath.toUri.getPath).sorted.toSeq
-          else Seq(st.getPath.toUri.getPath)
+            fs.listStatus(st.getPath).filter(_.isFile).map(p => walkablePath(p.getPath)).sorted.toSeq
+          else Seq(walkablePath(st.getPath))
         }
       }
     }

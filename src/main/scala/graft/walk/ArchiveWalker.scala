@@ -111,6 +111,25 @@ object ArchiveWalker {
     override def close(): Unit = ()
   }
 
+  /** Can a leaf at `path` survive the pushed path-prefix conjunction? */
+  private def pathKept(opts: ConvertOptions, path: String): Boolean =
+    opts.prunePathPrefixes.forall(path.startsWith)
+
+  /** Can ANY descendant of an archive whose lineage is `childNested`
+    * survive the pushed prefixes? Descendant paths all extend
+    * `base = childNested.mkString("/") + "/"`, so a prefix `p` is
+    * satisfiable below iff `p` extends `base` or `base` extends `p`.
+    * An empty lineage (depth 0) prunes nothing.
+    */
+  private def subtreeKept(opts: ConvertOptions, childNested: List[String]): Boolean =
+    opts.prunePathPrefixes.isEmpty || childNested.isEmpty || {
+      val base = childNested.mkString("/") + "/"
+      opts.prunePathPrefixes.forall(p => p.startsWith(base) || base.startsWith(p))
+    }
+
+  private def sizeKept(opts: ConvertOptions, size: Long): Boolean =
+    opts.pruneSizeMin.forall(size >= _) && opts.pruneSizeMax.forall(size < _)
+
   private def walkEntry(
       source: String,
       nested: List[String],
@@ -125,12 +144,18 @@ object ArchiveWalker {
       // entering an archive: its name joins the lineage below the root
       // (the root itself is excluded — utils.rs:49-55 skip(1))
       val childNested = if (depth == 0) nested else nested :+ details.path
-      kind match {
+      if (!subtreeKept(opts, childNested)) Iterator.empty // pushed-prefix prune: skip the whole subtree
+      else kind match {
         case FormatKind.Tar => walkTar(source, childNested, details, stream, depth, opts)
         case _              => walkZip(source, childNested, details, stream, depth, opts)
       }
+    } else if (!pathKept(opts, (nested :+ details.path).mkString("/"))) {
+      // pushed-prefix prune: never buffered, never digested; the
+      // enclosing archive advances past the unread bytes on its own
+      Iterator.empty
     } else {
-      Iterator.single(emit(source, nested, details.path, kind, stream, opts, details.size))
+      val e = emit(source, nested, details.path, kind, stream, opts, details.size)
+      if (sizeKept(opts, e.size)) Iterator.single(e) else Iterator.empty
     }
   }
 
@@ -274,10 +299,17 @@ object ArchiveWalker {
       take.toInt
     }
 
+    // Pushed-filter early stop: once `written` reaches the pushed
+    // size upper bound the row cannot survive the residual filter, so
+    // stop reading/buffering/hashing right here — the caller drops the
+    // row (its reported size >= the bound guarantees that) and the
+    // enclosing archive skips the unread remainder itself.
+    val doomAt: Long = opts.pruneSizeMax.getOrElse(Long.MaxValue)
+
     if (opts.extractStrings && kind == FormatKind.Executable) {
       // content := newline-terminated extracted strings (batch.rs:113-121)
       val it = AsciiStrings.iterate(stream, minLength = 10)
-      while (it.hasNext && !overrun) {
+      while (it.hasNext && !overrun && written < doomAt) {
         val b = (it.next() + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val take = clamp(b.length.toLong)
         if (take > 0) write(b, 0, take)
@@ -285,12 +317,12 @@ object ArchiveWalker {
     } else {
       val buf = new Array[Byte](64 * 1024)
       var n = stream.read(buf)
-      while (n >= 0 && !overrun) {
+      while (n >= 0 && !overrun && written < doomAt) {
         if (n > 0) {
           val take = clamp(n.toLong)
           if (take > 0) write(buf, 0, take)
         }
-        if (!overrun) n = stream.read(buf)
+        if (!overrun && written < doomAt) n = stream.read(buf)
       }
     }
     val content =

@@ -231,6 +231,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.toSeq == Seq((0L, 1L)))
   }
 
+  test("exact embedding near-dup refuses corpora above exactMax") {
+    import spark.implicits._
+    val vecs = (0L until 5L).map(i => (i, Array(i.toFloat, 1.0f))).toDF("vec_id", "embedding")
+    // under the bound: runs
+    assert(Similarity.embeddingNearDupPairsExact(vecs, "vec_id", "embedding", 1.1, exactMax = 5).count() == 0)
+    // over the bound: the guard trips before any O(n^2) join is planned
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embeddingNearDupPairsExact(vecs, "vec_id", "embedding", 0.9, exactMax = 4)
+    }
+    assert(e.getMessage.contains("embeddingNearDupPairs"))
+  }
+
   test("text stats: token count, ratios, quality, lang guess") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox, and the lazy dog!")).toDF("id", "text")

@@ -108,6 +108,46 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byPath.count() == 1)
   }
 
+  test("size and path-prefix filters push into the walk") {
+    import org.apache.spark.sql.functions.col
+    def pushedOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.description()
+      }.getOrElse(fail("no BatchScan in plan"))
+
+    // size bounds reach the scan (visible as pushed filters) and the
+    // result matches the residual-only answer
+    val sized = spark.read.format("archive").load(fixturePath)
+      .where(col("size") >= 14 && col("size") < 1000)
+    assert(pushedOf(sized).contains("GreaterThanOrEqual(size,14)"))
+    assert(pushedOf(sized).contains("LessThan(size,1000)"))
+    assert(sized.select("path").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a.txt", "nested/inner/b.txt").filter { p =>
+        val s = if (p == "a.txt") TestData.length.toLong else 14L
+        s >= 14 && s < 1000
+      })
+
+    // path prefix prunes the nested subtree in-walk; rows still exact
+    val prefixed = spark.read.format("archive").load(fixturePath)
+      .where(col("path").startsWith("nested/"))
+    assert(pushedOf(prefixed).contains("StringStartsWith(path,nested/)"))
+    assert(prefixed.select("path").collect().map(_.getString(0)).toSeq ==
+      Seq("nested/inner/b.txt"))
+
+    // walker-level contract: the prune hints drop rows at the source
+    val walked = ArchiveWalker.walkPath(fixturePath,
+      ConvertOptions(prunePathPrefixes = Seq("nested/"))).toVector
+    assert(walked.map(_.path) == Vector("nested/inner/b.txt"))
+    val sizedWalk = ArchiveWalker.walkPath(fixturePath,
+      ConvertOptions(pruneSizeMin = Some(14L), pruneSizeMax = Some(15L))).toVector
+    assert(sizedWalk.map(_.path) == Vector("nested/inner/b.txt"))
+    // a doomed entry (reaches pruneSizeMax) stops buffering mid-read
+    val doomed = ArchiveWalker.walkPath(fixturePath,
+      ConvertOptions(pruneSizeMax = Some(5L))).toVector
+    assert(doomed.isEmpty)
+  }
+
   test("SQL DDL face: CREATE TABLE ... USING archive") {
     spark.sql("DROP TABLE IF EXISTS graft_arch_sql")
     spark.sql(
