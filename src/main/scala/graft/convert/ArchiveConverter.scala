@@ -57,6 +57,10 @@ object ArchiveConverter {
     */
   final class WalkMetrics(spark: SparkSession) extends Serializable {
     val inputs: LongAccumulator = spark.sparkContext.longAccumulator("graft.inputs")
+    // inputs whose walk ran to exhaustion (reference progress.rs
+    // renders per-input bars; started/finished counters are the
+    // aggregate equivalent)
+    val inputsDone: LongAccumulator = spark.sparkContext.longAccumulator("graft.inputsDone")
     val entries: LongAccumulator = spark.sparkContext.longAccumulator("graft.entries")
     val bytes: LongAccumulator = spark.sparkContext.longAccumulator("graft.bytesRead")
     val errors: LongAccumulator = spark.sparkContext.longAccumulator("graft.inputErrors")
@@ -127,8 +131,46 @@ object ArchiveConverter {
         raw match {
           case it if metrics.isEmpty => it
           case it => val m = metrics.get
-            it.map { e => m.entries.add(1L); m.bytes.add(e.size); e }
+            val counted = it.map { e => m.entries.add(1L); m.bytes.add(e.size); e }
+            // count the input finished when its walk exhausts (an
+            // early-stopped consumer never fires this — started vs
+            // finished then reads as in-flight, which is accurate)
+            new Iterator[ArchiveEntry] {
+              private var fired = false
+              override def hasNext: Boolean = {
+                val h = counted.hasNext
+                if (!h && !fired) { fired = true; m.inputsDone.add(1L) }
+                h
+              }
+              override def next(): ArchiveEntry = counted.next()
+            }
         }
+      }
+  }
+
+  /** Chunked walk Dataset (see [[graft.walk.ArchiveWalker.walkChunked]]):
+    * entries longer than `opts.maxEntryBytes` become multiple rows
+    * indexed by `content_part` instead of failing or truncating — the
+    * ingest shape for corpora with entries beyond the 2 GiB JVM array
+    * cap. Same task-per-input parallel walk as [[entries]].
+    */
+  def chunkedEntries(
+      spark: SparkSession,
+      inputs: Seq[String],
+      opts: ConvertOptions): Dataset[graft.core.ArchiveChunk] = {
+    import spark.implicits._
+    require(inputs.nonEmpty, "no inputs")
+    val par = opts.parallelism.getOrElse(spark.sparkContext.defaultParallelism)
+    val width = math.max(1, math.min(inputs.size, math.max(par, 1)))
+    spark.createDataset(spark.sparkContext.parallelize(inputs, width))
+      .flatMap { p =>
+        if (p.startsWith("http://") || p.startsWith("https://") || p.startsWith("file:")) {
+          val conn = new java.net.URI(p).toURL.openConnection()
+          conn.setConnectTimeout(30000)
+          conn.setReadTimeout(300000)
+          val in = new java.io.BufferedInputStream(conn.getInputStream, 256 * 1024)
+          ArchiveWalker.walkChunked(p, in, conn.getContentLengthLong, opts)
+        } else ArchiveWalker.walkPathChunked(p, opts)
       }
   }
 
@@ -165,12 +207,22 @@ object ArchiveConverter {
   def convert(spark: SparkSession, inputs: Seq[String], out: String, opts: ConvertOptions): ConversionStats = {
     val metrics = new WalkMetrics(spark)
     val obs = new Observation()
+    // --log-file: tee the progress/stats lines to a file (reference
+    // src/main.rs:75-77). Works with or without live stderr progress.
+    val logStream = opts.logFile.map(f =>
+      new java.io.PrintStream(new java.io.FileOutputStream(f), true, "UTF-8"))
     val reporter =
-      if (opts.progress)
-        Some(new ProgressReporter(metrics, inputs.size.toLong, System.err, opts.progressIntervalMs).start())
-      else None
+      if (opts.progress || logStream.nonEmpty) {
+        val primary = if (opts.progress) System.err else logStream.get
+        val tee = if (opts.progress) logStream else None
+        Some(new ProgressReporter(metrics, inputs.size.toLong, primary,
+          opts.progressIntervalMs, tee).start())
+      } else None
     try convertWith(spark, inputs, out, opts, metrics, obs)
-    finally reporter.foreach(_.stop())
+    finally {
+      reporter.foreach(_.stop())
+      logStream.foreach(_.close())
+    }
   }
 
   private def convertWith(

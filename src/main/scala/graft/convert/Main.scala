@@ -19,6 +19,7 @@ import org.apache.spark.sql.SparkSession
   *   --single-file           one output parquet file (reference parity)
   *   --threads N             input parallelism (default: all cores)
   *   --progress              live in-flight counters on stderr (D2)
+  *   --log-file FILE         tee progress + final stats lines to FILE
   *   --max-entry-bytes N     per-entry content cap (default 1 GiB)
   *   --truncate-oversize     emit over-cap entries as clamped prefixes
   *                           instead of failing the input
@@ -30,7 +31,7 @@ object Main {
       System.err.println("usage: graft.convert.Main OUTPUT INPUT... [--urls] [--unique] " +
         "[--include all|text|binary] [--min-size N] [--max-size N] " +
         "[--compression C] [--extract-executable-strings] [--skip-errors] " +
-        "[--single-file] [--threads N] [--progress]")
+        "[--single-file] [--threads N] [--progress] [--log-file FILE]")
       sys.exit(2)
     }
     val out = args.head
@@ -50,6 +51,7 @@ object Main {
         case "--skip-errors" => opts = opts.copy(skipErrors = true)
         case "--single-file" => opts = opts.copy(singleFile = true)
         case "--progress" => opts = opts.copy(progress = true)
+        case "--log-file" => opts = opts.copy(logFile = Some(args(i + 1))); i += 1
         case "--threads" => opts = opts.copy(parallelism = Some(args(i + 1).toInt)); i += 1
         case "--max-entry-bytes" => opts = opts.copy(maxEntryBytes = args(i + 1).toLong); i += 1
         case "--truncate-oversize" => opts = opts.copy(truncateOversize = true)
@@ -77,9 +79,15 @@ object Main {
     try {
       val stats = ArchiveConverter.convert(spark, inputs, out, opts)
       // mirror of the reference's final progress line (src/progress.rs)
-      println(s"[graft] inputs=${stats.inputs} entries_read=${stats.entriesRead} " +
+      val statsLine = s"[graft] inputs=${stats.inputs} entries_read=${stats.entriesRead} " +
         s"bytes_read=${stats.bytesRead} rows_written=${stats.rows} bytes_written=${stats.bytes} " +
-        s"errors=${stats.errors} -> $out")
+        s"errors=${stats.errors} -> $out"
+      println(statsLine)
+      // append (convert() already wrote the progress lines and closed)
+      opts.logFile.foreach { f =>
+        val w = new java.io.FileWriter(f, true)
+        try w.write(statsLine + "\n") finally w.close()
+      }
     } finally spark.stop()
   }
 }

@@ -17,7 +17,8 @@ final class ProgressReporter(
     metrics: WalkMetrics,
     totalInputs: Long,
     out: java.io.PrintStream,
-    intervalMs: Long) {
+    intervalMs: Long,
+    tee: Option[java.io.PrintStream] = None) {
 
   private val t0 = System.nanoTime()
   @volatile private var stopped = false
@@ -26,17 +27,23 @@ final class ProgressReporter(
     val secs = (System.nanoTime() - t0) / 1e9
     val bytes = metrics.bytes.value
     val errs = metrics.errors.value
-    f"$prefix inputs ${metrics.inputs.value}/$totalInputs, " +
+    val done = metrics.inputsDone.value
+    f"$prefix inputs ${metrics.inputs.value}/$totalInputs started ($done finished), " +
       f"entries ${metrics.entries.value}%,d, ${bytes / 1e6}%.1f MB read " +
       f"(${bytes / 1e6 / math.max(secs, 1e-9)}%.1f MB/s)" +
       (if (errs > 0) s", $errs failed" else "")
+  }
+
+  private def emit(s: String): Unit = {
+    out.println(s)
+    tee.foreach(_.println(s))
   }
 
   private val thread = new Thread(() => {
     try {
       while (!stopped) {
         Thread.sleep(intervalMs)
-        if (!stopped) out.println(line("[graft] converting:"))
+        if (!stopped) emit(line("[graft] converting:"))
       }
     } catch { case _: InterruptedException => () }
   }, "graft-progress")
@@ -49,6 +56,6 @@ final class ProgressReporter(
     stopped = true
     thread.interrupt()
     thread.join(1000)
-    out.println(line("[graft] walked:"))
+    emit(line("[graft] walked:"))
   }
 }

@@ -34,6 +34,30 @@ object ArchiveSchema {
   val HashSize = 32
 }
 
+/** Schema addendum: one CHUNK of an extracted entry, emitted by the
+  * chunked walk ([[graft.walk.ArchiveWalker.walkChunked]]) so entries
+  * beyond the 2 GiB JVM array cap (the reference's unbounded
+  * LargeBinary, SURVEY §7 risk) survive without truncation or failure.
+  * Identical to [[ArchiveEntry]] plus a 0-based `content_part` index;
+  * `size`/`hash`/`content` describe the chunk, and an entry
+  * reassembles by concatenating its parts in `content_part` order
+  * (grouping key: source, path). The whole-entry digest is the digest
+  * of that concatenation — carrying it on every part would require
+  * buffering the whole entry, which chunking exists to avoid.
+  */
+final case class ArchiveChunk(
+    source: String,
+    path: String,
+    size: Long,
+    hash: Array[Byte],
+    content: Array[Byte],
+    content_part: Long)
+
+object ArchiveChunkSchema {
+  val schema: StructType =
+    ArchiveSchema.schema.add(StructField("content_part", LongType, nullable = false))
+}
+
 /** Detected input format (reference: src/anyreader/format.rs:87-107). */
 sealed abstract class FormatKind(val name: String) {
   def supportsRecursion: Boolean = this == FormatKind.Tar || this == FormatKind.Zip
@@ -162,6 +186,11 @@ final case class ConvertOptions(
     // accumulators — task completions and executor heartbeats keep
     // them current — so the hot path pays nothing.
     progress: Boolean = false,
-    progressIntervalMs: Long = 1000L) {
+    progressIntervalMs: Long = 1000L,
+    // Tee the progress/stats lines to a file (reference `--log-file`,
+    // src/main.rs:75-77 tees tracing output). Independent of
+    // `progress`: a log file without live stderr output is the batch
+    // mode a scheduled job wants.
+    logFile: Option[String] = None) {
   require(minSize.forall(_ >= 0) && maxSize.forall(_ >= 0), "size bounds must be >= 0")
 }

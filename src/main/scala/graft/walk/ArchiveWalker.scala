@@ -83,7 +83,34 @@ object ArchiveWalker {
     closing(it, in)
   }
 
-  private def closing(it: Iterator[ArchiveEntry], in: InputStream): Iterator[ArchiveEntry] = {
+  /** Chunked walk (SURVEY §7 "2 GB JVM array cap" risk): identical
+    * recursion/lineage/skip semantics to [[walk]], but a leaf longer
+    * than `opts.maxEntryBytes` is emitted as MULTIPLE rows of at most
+    * that many content bytes each, indexed by `content_part` — no
+    * truncation, no failure, any entry size survives. Per-row `size`
+    * and `hash` describe THAT CHUNK (the full-entry digest is the
+    * digest of the parts concatenated in `content_part` order — a
+    * whole-entry hash on every part would force buffering the whole
+    * entry, the exact thing chunking exists to avoid). At most two
+    * chunks are in memory per task (current + read-ahead).
+    * `extractStrings` is not supported in chunked mode.
+    */
+  def walkChunked(source: String, in: InputStream, claimedSize: Long,
+      opts: ConvertOptions): Iterator[graft.core.ArchiveChunk] = {
+    require(!opts.extractStrings, "extractStrings is not supported in chunked mode")
+    val it = walkEntryG(source, Nil, Details(source, claimedSize),
+      parent = None, raw = in, depth = 0, opts, ChunkLeaf)
+    closing(it, in)
+  }
+
+  /** [[walkPath]]'s chunked sibling. */
+  def walkPathChunked(path: String, opts: ConvertOptions): Iterator[graft.core.ArchiveChunk] = {
+    val f = new java.io.File(path)
+    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f), 256 * 1024)
+    walkChunked(path, in, f.length(), opts)
+  }
+
+  private def closing[T](it: Iterator[T], in: InputStream): Iterator[T] = {
     val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
     def closeOnce(): Unit =
       if (closed.compareAndSet(false, true))
@@ -94,13 +121,13 @@ object ArchiveWalker {
     // completion so the fd is released at stage end, not at GC.
     val tc = org.apache.spark.TaskContext.get()
     if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeOnce())
-    new Iterator[ArchiveEntry] {
+    new Iterator[T] {
       override def hasNext: Boolean = {
         val h = it.hasNext
         if (!h) closeOnce() // eager: tasks walk many inputs in turn
         h
       }
-      override def next(): ArchiveEntry = it.next()
+      override def next(): T = it.next()
     }
   }
 
@@ -130,6 +157,19 @@ object ArchiveWalker {
   private def sizeKept(opts: ConvertOptions, size: Long): Boolean =
     opts.pruneSizeMin.forall(size >= _) && opts.pruneSizeMax.forall(size < _)
 
+  /** Leaf-emission strategy: the recursion below is generic over the
+    * produced row type so the plain walk (one [[ArchiveEntry]] per
+    * leaf) and the chunked walk (N [[graft.core.ArchiveChunk]] rows
+    * per leaf) share the sniff/dispatch/lineage/prune machinery.
+    * `nonEmpty` backs the zip unknown-size drop rule.
+    */
+  private trait Leaf[T] {
+    def emit(source: String, nested: List[String], name: String,
+        kind: FormatKind, stream: InputStream, opts: ConvertOptions,
+        claimedSize: Long): Iterator[T]
+    def nonEmpty(t: T): Boolean
+  }
+
   private def walkEntry(
       source: String,
       nested: List[String],
@@ -137,7 +177,79 @@ object ArchiveWalker {
       parent: Option[Details],
       raw: InputStream,
       depth: Int,
-      opts: ConvertOptions): Iterator[ArchiveEntry] = {
+      opts: ConvertOptions): Iterator[ArchiveEntry] =
+    walkEntryG(source, nested, details, parent, raw, depth, opts, EntryLeaf)
+
+  private object EntryLeaf extends Leaf[ArchiveEntry] {
+    override def emit(source: String, nested: List[String], name: String,
+        kind: FormatKind, stream: InputStream, opts: ConvertOptions,
+        claimedSize: Long): Iterator[ArchiveEntry] = {
+      val e = ArchiveWalker.emit(source, nested, name, kind, stream, opts, claimedSize)
+      if (sizeKept(opts, e.size)) Iterator.single(e) else Iterator.empty
+    }
+    override def nonEmpty(e: ArchiveEntry): Boolean = e.size > 0
+  }
+
+  private object ChunkLeaf extends Leaf[graft.core.ArchiveChunk] {
+    override def emit(source: String, nested: List[String], name: String,
+        kind: FormatKind, stream: InputStream, opts: ConvertOptions,
+        claimedSize: Long): Iterator[graft.core.ArchiveChunk] =
+      emitChunks(source, nested, name, stream, opts)
+    // empty chunks are never produced, so the zip unknown-size drop
+    // rule has nothing left to drop
+    override def nonEmpty(c: graft.core.ArchiveChunk): Boolean = true
+  }
+
+  /** Lazy chunk emission for one leaf: read at most `maxEntryBytes`
+    * bytes, yield a row, repeat until EOF. The stream stays valid for
+    * the whole iteration because [[archiveIterator]] drains a leaf's
+    * iterator fully before the enclosing archive advances.
+    */
+  private def emitChunks(source: String, nested: List[String], name: String,
+      stream: InputStream, opts: ConvertOptions): Iterator[graft.core.ArchiveChunk] = {
+    val path = (nested :+ name).mkString("/")
+    val cap = math.min(opts.maxEntryBytes, Int.MaxValue.toLong - 8).toInt
+    require(cap > 0, "maxEntryBytes must be positive")
+    new Iterator[graft.core.ArchiveChunk] {
+      private var part = 0L
+      private var eof = false
+      private var pending: Array[Byte] = readChunk()
+      private def readChunk(): Array[Byte] = {
+        if (eof) return null
+        val out = new ByteArrayOutputStream(math.min(cap, 64 * 1024))
+        val buf = new Array[Byte](64 * 1024)
+        var total = 0
+        var n = 0
+        while (total < cap && { n = stream.read(buf, 0, math.min(buf.length, cap - total)); n >= 0 })
+          if (n > 0) { out.write(buf, 0, n); total += n }
+        if (n < 0) eof = true
+        if (total == 0) null else out.toByteArray
+      }
+      override def hasNext: Boolean = pending != null
+      override def next(): graft.core.ArchiveChunk = {
+        if (pending == null) throw new NoSuchElementException("no more chunks")
+        val c = pending
+        pending = readChunk() // read-ahead: bounded to one extra chunk
+        val digest =
+          if (opts.computeHash) MessageDigest.getInstance("SHA-256").digest(c)
+          else Array.emptyByteArray
+        val row = graft.core.ArchiveChunk(source, path, c.length.toLong,
+          digest, if (opts.materializeContent) c else Array.emptyByteArray, part)
+        part += 1
+        row
+      }
+    }
+  }
+
+  private def walkEntryG[T](
+      source: String,
+      nested: List[String],
+      details: Details,
+      parent: Option[Details],
+      raw: InputStream,
+      depth: Int,
+      opts: ConvertOptions,
+      leaf: Leaf[T]): Iterator[T] = {
     val (kind, stream) = Sniff.open(raw)
     val quine = kind == FormatKind.Zip && parent.contains(details)
     if (kind.supportsRecursion && !quine && depth < opts.maxDepth) {
@@ -146,26 +258,26 @@ object ArchiveWalker {
       val childNested = if (depth == 0) nested else nested :+ details.path
       if (!subtreeKept(opts, childNested)) Iterator.empty // pushed-prefix prune: skip the whole subtree
       else kind match {
-        case FormatKind.Tar => walkTar(source, childNested, details, stream, depth, opts)
-        case _              => walkZip(source, childNested, details, stream, depth, opts)
+        case FormatKind.Tar => walkTar(source, childNested, details, stream, depth, opts, leaf)
+        case _              => walkZip(source, childNested, details, stream, depth, opts, leaf)
       }
     } else if (!pathKept(opts, (nested :+ details.path).mkString("/"))) {
       // pushed-prefix prune: never buffered, never digested; the
       // enclosing archive advances past the unread bytes on its own
       Iterator.empty
     } else {
-      val e = emit(source, nested, details.path, kind, stream, opts, details.size)
-      if (sizeKept(opts, e.size)) Iterator.single(e) else Iterator.empty
+      leaf.emit(source, nested, details.path, kind, stream, opts, details.size)
     }
   }
 
-  private def walkTar(
+  private def walkTar[T](
       source: String,
       nested: List[String],
       self: Details,
       stream: InputStream,
       depth: Int,
-      opts: ConvertOptions): Iterator[ArchiveEntry] = {
+      opts: ConvertOptions,
+      leaf: Leaf[T]): Iterator[T] = {
     val tar = new TarArchiveInputStream(stream)
     archiveIterator {
       () =>
@@ -179,18 +291,19 @@ object ArchiveWalker {
         else if (!e.isFile || e.getSize == 0) Some(Iterator.empty)
         else {
           val d = Details(e.getName, e.getSize)
-          Some(walkEntry(source, nested, d, Some(self), new NonClosing(tar), depth + 1, opts))
+          Some(walkEntryG(source, nested, d, Some(self), new NonClosing(tar), depth + 1, opts, leaf))
         }
     }
   }
 
-  private def walkZip(
+  private def walkZip[T](
       source: String,
       nested: List[String],
       self: Details,
       stream: InputStream,
       depth: Int,
-      opts: ConvertOptions): Iterator[ArchiveEntry] = {
+      opts: ConvertOptions,
+      leaf: Leaf[T]): Iterator[T] = {
     // streaming read of local headers, no central directory — parity
     // with the reference's read_zipfile_from_stream (zipfile.rs:22)
     val zip = new ZipArchiveInputStream(stream, "UTF8", false, true)
@@ -205,8 +318,8 @@ object ArchiveWalker {
         else if (e.isDirectory || e.getSize == 0) Some(Iterator.empty)
         else {
           val d = Details(e.getName, e.getSize)
-          Some(walkEntry(source, nested, d, Some(self), new NonClosing(zip), depth + 1, opts)
-            .filter(r => r.size > 0 || e.getSize > 0))
+          Some(walkEntryG(source, nested, d, Some(self), new NonClosing(zip), depth + 1, opts, leaf)
+            .filter(r => leaf.nonEmpty(r) || e.getSize > 0))
         }
     }
   }
@@ -220,9 +333,9 @@ object ArchiveWalker {
     * Sub-iterators are drained fully before the underlying archive
     * stream advances.
     */
-  private def archiveIterator(nextEntry: () => Option[Iterator[ArchiveEntry]]): Iterator[ArchiveEntry] =
-    new Iterator[ArchiveEntry] {
-      private var cur: Iterator[ArchiveEntry] = Iterator.empty
+  private def archiveIterator[T](nextEntry: () => Option[Iterator[T]]): Iterator[T] =
+    new Iterator[T] {
+      private var cur: Iterator[T] = Iterator.empty
       private var done = false
 
       private def advance(): Unit =
@@ -234,7 +347,7 @@ object ArchiveWalker {
         }
 
       override def hasNext: Boolean = { advance(); cur.hasNext }
-      override def next(): ArchiveEntry = { advance(); cur.next() }
+      override def next(): T = { advance(); cur.next() }
     }
 
   /** Materialize one leaf row: stream-copy content through a SHA-256

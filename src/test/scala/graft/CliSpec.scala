@@ -73,6 +73,20 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getAs[String]("path")).sorted.toSeq == Seq("a.txt", "b.bin"))
   }
 
+  test("--log-file tees progress and final stats lines to the file") {
+    val dir = fixture()
+    val out = new File(dir, "out_logged").getPath
+    val logF = new File(dir, "convert.log")
+    val (rc, _) = runCli(None,
+      out, s"${dir.getPath}/in.tar.gz", "--log-file", logF.getPath)
+    assert(rc == 0)
+    assert(logF.exists(), "log file must be created")
+    val log = new String(Files.readAllBytes(logF.toPath), "UTF-8")
+    // settled reporter totals + the CLI's final stats line, both teed
+    assert(log.contains("[graft] walked:") && log.contains("(1 finished)"), log)
+    assert(log.contains("rows_written=2"), log)
+  }
+
   test("bad usage exits nonzero without writing output") {
     val out = "/tmp/graft_cli_bad_usage_out"
     val (rc, _) = runCli(None, out)

@@ -137,6 +137,35 @@ class WalkerSpec extends AnyFunSuite {
     assert(exact.head.hash.sameElements(sha256(big)))
   }
 
+  test("chunked walk: over-cap entries split into content_part rows, no truncation") {
+    val big = Array.tabulate[Byte](250)(i => (i * 3).toByte)
+    val arch = gzipData(tarArchive(Seq(
+      "big" -> big,
+      "nested" -> tarArchive(Seq("small" -> TestData)))))
+    val capped = opts.copy(maxEntryBytes = 100L)
+    def chunkWalk(o: ConvertOptions) = ArchiveWalker.walkChunked(
+      "input", new ByteArrayInputStream(arch), arch.length.toLong, o).toVector
+    val rows = chunkWalk(capped)
+    // 250 bytes at cap 100 -> parts of 100/100/50; nested recursion,
+    // lineage and order are untouched by chunking
+    assert(rows.map(r => (r.path, r.content_part, r.size)) == Vector(
+      ("big", 0L, 100L), ("big", 1L, 100L), ("big", 2L, 50L),
+      ("nested/small", 0L, TestData.length.toLong)))
+    // reassembly in content_part order restores the entry exactly
+    val joined = rows.filter(_.path == "big").sortBy(_.content_part)
+      .flatMap(_.content.toSeq).toArray
+    assert(joined.sameElements(big))
+    // per-chunk hashes describe the chunk (documented schema addendum)
+    assert(rows.head.hash.sameElements(sha256(big.take(100))))
+    // an under-cap corpus chunks trivially: one part-0 row per entry,
+    // identical to the plain walk's rows
+    val plain = walk(arch, o = opts)
+    val trivially = chunkWalk(opts)
+    assert(trivially.map(r => (r.path, r.size, r.content_part)) ==
+      plain.map(e => (e.path, e.size, 0L)))
+    assert(trivially.zip(plain).forall { case (c, e) => c.hash.sameElements(e.hash) })
+  }
+
   test("executable with extractStrings: content = newline-joined runs >= 10 chars") {
     val elf = fakeElf(Seq("short", "a-long-enough-string", "tiny", "another/quite/long/run"))
     val rows = walk(tarArchive(Seq("bin" -> elf)), o = opts.copy(extractStrings = true))
