@@ -76,11 +76,16 @@ object Dedup {
     *
     * @return columns (id_a, id_b, jaccard) with id_a < id_b
     */
-  def nearDupPairs(
+  /** The MinHash+LSH CANDIDATE pairs (pre-verify) of [[nearDupPairs]]
+    * — exposed so scale runs can measure candidate volume directly
+    * (sub-linear candidate growth is the property that makes the
+    * banding a 100 TB design; counting it must not require re-deriving
+    * the banding).
+    */
+  def nearDupCandidates(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double = 0.8,
       numHashes: Int = 128,
       bands: Int = 32,
       shingleWidth: Int = 3): DataFrame = {
@@ -99,11 +104,21 @@ object Dedup {
 
     val a = banded.select(col("__id").as("id_a"), col("__band"), col("__key"))
     val b = banded.select(col("__id").as("id_b"), col("__band"), col("__key"))
-    val cand = a.join(b, Seq("__band", "__key"))
+    a.join(b, Seq("__band", "__key"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+  }
 
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleWidth: Int = 3): DataFrame = {
+    val cand = nearDupCandidates(df, idCol, textCol, numHashes, bands, shingleWidth)
     val sh = df.select(col(idCol).as("__sid"), shingles(col(textCol), shingleWidth).as("__sh"))
     cand
       .join(sh.select(col("__sid").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
@@ -193,7 +208,11 @@ object Dedup {
     *              (tokenization-free; for scripts without whitespace)
     * @return columns (id_a, id_b, jaccard) with id_a < id_b
     */
-  def jaccardNearDupPairs(
+  /** The AllPairs/PPJoin CANDIDATE pairs (pre-verify) of
+    * [[jaccardNearDupPairs]] — exposed for scale instrumentation like
+    * [[nearDupCandidates]].
+    */
+  def jaccardNearDupCandidates(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -224,12 +243,27 @@ object Dedup {
     // -> ceil 29 would drop boundary-exact J=0.8 pairs); erring low only
     // admits a candidate the exact verify then rejects.
     val alpha = ceil(lit(threshold / (1 + threshold)) * (col("__sa") + col("__sb")) - lit(1e-6))
-    val cand = a.join(b, Seq("__g"))
+    a.join(b, Seq("__g"))
       .where(col("id_a") < col("id_b") &&
         least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) >= alpha)
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+  }
 
+  def jaccardNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      shingleWidth: Int = 3,
+      charN: Option[Int] = None,
+      freqOrder: Boolean = true): DataFrame = {
+    val gram = charN match {
+      case Some(n) => charGrams(col(textCol), n)
+      case None    => array_sort(shingles(col(textCol), shingleWidth))
+    }
+    val gramSets = df.select(col(idCol).as("__id"), gram.as("__sh"))
+    val cand = jaccardNearDupCandidates(df, idCol, textCol, threshold, shingleWidth, charN, freqOrder)
     cand
       .join(gramSets.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
       .join(gramSets.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
@@ -251,12 +285,15 @@ object Dedup {
     *
     * @return the rows of `train` that survive
     */
-  def decontaminate(
+  /** The train x ref CANDIDATE pairs (pre-verify) of [[decontaminate]]
+    * — exposed for scale instrumentation like [[nearDupCandidates]].
+    * Columns (__idT, __idR).
+    */
+  def decontaminationCandidates(
       train: DataFrame,
       ref: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double = 0.8,
       numHashes: Int = 128,
       bands: Int = 32,
       shingleWidth: Int = 3): DataFrame = {
@@ -269,9 +306,21 @@ object Dedup {
         s"transform(sequence(0, $bands - 1), b -> xxhash64(concat_ws(',', transform(slice(__sig, b * $r + 1, $r), x -> cast(x as string)))))")))
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__key")
-    val cand = banded(train, "T").join(banded(ref, "R"), Seq("__band", "__key"))
+    banded(train, "T").join(banded(ref, "R"), Seq("__band", "__key"))
       .select("__idT", "__idR")
       .dropDuplicates("__idT", "__idR")
+  }
+
+  def decontaminate(
+      train: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleWidth: Int = 3): DataFrame = {
+    val cand = decontaminationCandidates(train, ref, idCol, textCol, numHashes, bands, shingleWidth)
     val shT = train.select(col(idCol).as("__idT"), shingles(col(textCol), shingleWidth).as("__shT"))
     val shR = ref.select(col(idCol).as("__idR"), shingles(col(textCol), shingleWidth).as("__shR"))
     val contaminated = cand
@@ -441,11 +490,14 @@ object Dedup {
     *
     * @return (id_a, id_b, hamming) with id_a < id_b
     */
-  def simhashNearDup(
+  /** The chunk-banded CANDIDATE pairs of [[simhashNearDup]] with their
+    * Hamming distance, BEFORE the radius filter — exposed for scale
+    * instrumentation like [[nearDupCandidates]].
+    */
+  def simhashCandidates(
       df: DataFrame,
       idCol: String,
-      textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      textCol: String): DataFrame = {
     val sig = df.select(col(idCol).as("__id"),
       GraftFunctions.simhash64(col(textCol)).as("__sim"))
     val banded = sig.select(
@@ -460,6 +512,14 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", GraftFunctions.hamming64(col("__sa"), col("__sb")).cast("int"))
+  }
+
+  def simhashNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    simhashCandidates(df, idCol, textCol)
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }

@@ -132,6 +132,99 @@ object Similarity {
         (r.getLong(0), v, math.sqrt(seqDot(v, v)))
       }
 
+  /** TRAINED IVF codebook: bounded-iteration distributed spherical
+    * k-means (Lloyd's) under the cosine metric [[ivfCell]] assigns by.
+    *
+    * Shape per iteration — the canonical scalable k-means layout:
+    *   - centroids broadcast read-only (nlist x dim doubles, KB-MB
+    *     even for production codebooks — never data-sized);
+    *   - one narrow pass assigns each vector to its nearest centroid
+    *     (max cosine, ties to the smaller index, mirroring
+    *     [[ivfCell]]) and partial-aggregates per-centroid (sum, count)
+    *     inside each partition (`treeAggregate`): the only bytes that
+    *     leave an executor per iteration are nlist x dim partial sums,
+    *     NEVER rows;
+    *   - the driver re-normalizes means into unit centroids (spherical
+    *     update); an emptied cell keeps its previous centroid.
+    *
+    * Init is a deterministic hash-ordered sample (`nlist` smallest
+    * `xxhash64(id)` — id-order would seed all centroids from one
+    * corner of the corpus, which is exactly the stand-in's weakness).
+    * Stops early when no centroid moves more than `tol` in cosine.
+    * Centroid ids are 0..nlist-1; vectors are unit-norm (norm field
+    * 1.0), so the returned codebook drops into [[ivfCell]] /
+    * [[ivfProbed]] / [[ivfTopK]] unchanged.
+    */
+  // top-level (not nested in trainIvfCodebook): a nested def would pull
+  // the whole method scope — including the non-serializable DataFrame —
+  // into the RDD closure below
+  private def unit(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(seqDot(v, v))
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  def trainIvfCodebook(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
+      maxIters: Int = 10, tol: Double = 1e-6): IvfCodebook = {
+    require(nlist > 0 && maxIters > 0, "nlist and maxIters must be positive")
+    val projected = df.select(
+      col(idCol).cast("long"),
+      transform(col(vecCol), x => x.cast("double")))
+    // unit vectors once, cached: every iteration re-reads them
+    val data = projected.rdd
+      .map(r => unit(r.getSeq[Double](1).toArray))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Array[Array[Double]] = projected
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(nlist)
+        .collect()
+        .map(r => unit(r.getSeq[Double](1).toArray))
+      require(cents.nonEmpty, "cannot train a codebook on an empty corpus")
+      val dim = cents(0).length
+      val sc = df.sparkSession.sparkContext
+      var iter = 0
+      var moved = true
+      while (iter < maxIters && moved) {
+        val bc = sc.broadcast(cents)
+        val k = cents.length
+        val (sums, counts) = data.treeAggregate(
+          (Array.fill(k)(new Array[Double](dim)), new Array[Long](k)))(
+          seqOp = { case ((s, c), v) =>
+            val cb = bc.value
+            var best = 0; var bestDot = seqDot(cb(0), v)
+            var j = 1
+            while (j < k) {
+              val d = seqDot(cb(j), v)
+              if (d > bestDot) { best = j; bestDot = d }
+              j += 1
+            }
+            var i = 0
+            while (i < dim) { s(best)(i) += v(i); i += 1 }
+            c(best) += 1
+            (s, c)
+          },
+          combOp = { case ((s1, c1), (s2, c2)) =>
+            var j = 0
+            while (j < k) {
+              var i = 0
+              while (i < dim) { s1(j)(i) += s2(j)(i); i += 1 }
+              c1(j) += c2(j); j += 1
+            }
+            (s1, c1)
+          })
+        bc.destroy()
+        val next = Array.tabulate(k) { j =>
+          if (counts(j) == 0) cents(j) // emptied cell keeps its centroid
+          else unit(sums(j))
+        }
+        moved = cents.zip(next).exists { case (a, b) => 1.0 - seqDot(a, b) > tol }
+        cents = next
+        iter += 1
+      }
+      cents.zipWithIndex.map { case (v, j) => (j.toLong, v, 1.0) }
+    } finally data.unpersist(blocking = false)
+  }
+
   /** Cell assignment vs an inlined codebook: nearest centroid by
     * cosine, ties to the smaller centroid id. A narrow, fully-codegen
     * projection (argmax via an orderable struct: max (cos, -cent_id))
@@ -158,9 +251,14 @@ object Similarity {
       .take(nprobe).map(_._2).toSeq
   }
 
+  /** `codebook` defaults to the deterministic smallest-id stand-in
+    * (oracle-reproducible); pass [[trainIvfCodebook]]'s output for
+    * real recall.
+    */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-      query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = ivfCodebook(df, idCol, vecCol, nlist)
+      query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4,
+      codebook: Option[IvfCodebook] = None): DataFrame = {
+    val cents = codebook.getOrElse(ivfCodebook(df, idCol, vecCol, nlist))
     val probed = ivfProbed(cents, query, nprobe)
     df.where(ivfCell(cents, col(vecCol)).isin(probed: _*))
       .select(col(idCol), round(cosineTo(col(vecCol), query), 6).as("cos"))

@@ -220,25 +220,39 @@ object Inventory {
   // semantics are covered by WalkerSpec against reference test vectors)
   // -------------------------------------------------------------------
 
+  /** The q16 fixture's expected WALK OUTPUT, as spec literals:
+    * (nested path, decompressed bytes). Oracle sizes/digests — q16's
+    * VALUES and q74's per-chunk VALUES — are computed from these
+    * definitions directly, never from engine output.
+    */
+  private[queries] val FixtureLeaves: Seq[(String, Array[Byte])] = Seq(
+    "a.txt" -> ("graft converter end-to-end fixture line\n" * 20).getBytes("UTF-8"),
+    "inner.zip/b/c.txt" -> "nested zip member content\n".getBytes("UTF-8"),
+    "inner.zip/d.bin" -> Array.tabulate[Byte](512)(i => (i * 7 % 256).toByte),
+    "e.txt.zst" -> ("zstd transparent decompression fixture\n" * 10).getBytes("UTF-8"),
+    "f.txt.xz" -> ("xz transparent decompression fixture\n" * 10).getBytes("UTF-8"),
+    "g.txt.bz2" -> ("bzip2 transparent decompression fixture\n" * 10).getBytes("UTF-8"),
+    "inner2.tar.zst/h.txt" -> ("zstd-compressed nested tar member\n" * 5).getBytes("UTF-8"))
+
   /** Deterministic nested fixture: tar.gz[ a.txt, inner.zip[ b/c.txt, d.bin ] ]. */
   private[queries] def buildFixture(): String = {
     import java.io._
     import java.util.zip._
     import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
-    val textA = ("graft converter end-to-end fixture line\n" * 20).getBytes("UTF-8")
-    val textC = "nested zip member content\n".getBytes("UTF-8")
-    val binD = Array.tabulate[Byte](512)(i => (i * 7 % 256).toByte)
+    val leaves = FixtureLeaves.toMap
+    val textA = leaves("a.txt")
+    val textC = leaves("inner.zip/b/c.txt")
+    val binD = leaves("inner.zip/d.bin")
     // S6 transparent-decompression members: a merely-compressed
     // non-archive entry must be emitted DECOMPRESSED (reference
     // entry.rs:70-80), with size/hash of the decompressed bytes — one
     // member per codec beyond the gzip already covering the outer
     // layer, plus a zstd-compressed NESTED TAR for recursion through a
-    // non-gzip codec. Oracle sizes/digests are computed from these
-    // literal definitions (spec-determined), never from engine output.
-    val textE = ("zstd transparent decompression fixture\n" * 10).getBytes("UTF-8")
-    val textF = ("xz transparent decompression fixture\n" * 10).getBytes("UTF-8")
-    val textG = ("bzip2 transparent decompression fixture\n" * 10).getBytes("UTF-8")
-    val textH = ("zstd-compressed nested tar member\n" * 5).getBytes("UTF-8")
+    // non-gzip codec.
+    val textE = leaves("e.txt.zst")
+    val textF = leaves("f.txt.xz")
+    val textG = leaves("g.txt.bz2")
+    val textH = leaves("inner2.tar.zst/h.txt")
     def zstd(b: Array[Byte]): Array[Byte] = {
       val buf = new ByteArrayOutputStream()
       val z = new com.github.luben.zstd.ZstdOutputStream(buf)
@@ -1239,6 +1253,20 @@ object Inventory {
       .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
       .orderBy(col("path"))
 
+  /** The chunked walk (oversize-entry survival, SURVEY §7 "2 GB JVM
+    * array cap" risk) through the oracle gate: the q16 fixture walked
+    * with a 300-byte cap splits every longer member into content_part
+    * rows; the oracle VALUES are computed from the SAME spec member
+    * definitions ([[FixtureLeaves]]) by slicing each into 300-byte
+    * chunks and digesting independently.
+    */
+  private def q74(s: SparkSession, d: String): DataFrame =
+    ArchiveConverter.chunkedEntries(s, Seq(buildFixture()),
+        ConvertOptions(maxEntryBytes = 300L)).toDF()
+      .select(col("path"), col("content_part"), col("size"),
+        lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"), col("content_part"))
+
   /** q62 fixture texts — inline literals (the synthetic documents
     * table contains no PII-shaped spans, so like q59 the query is
     * self-contained); chosen to exercise greedy-domain backtracking
@@ -1352,7 +1380,8 @@ object Inventory {
     "q70_upsample" -> (q70 _),
     "q71_chunk_windows" -> (q71 _),
     "q72_size_filter" -> (q72 _),
-    "q73_dsv2_source" -> (q73 _))
+    "q73_dsv2_source" -> (q73 _),
+    "q74_chunked_walk" -> (q74 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1802,6 +1831,21 @@ object Inventory {
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
       "q42_explode_sql" -> fixtureOracle,
       "q73_dsv2_source" -> fixtureOracle,
+      "q74_chunked_walk" -> {
+        // per-chunk VALUES from the same spec member definitions:
+        // 300-byte slices, independently digested (q16 rule)
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val rows = FixtureLeaves.sortBy(_._1).flatMap { case (p, bytes) =>
+          bytes.grouped(300).zipWithIndex.map { case (c, i) =>
+            val hex = md.digest(c).map("%02x".format(_)).mkString
+            s"('$p', CAST($i AS BIGINT), CAST(${c.length} AS BIGINT), '$hex')"
+          }
+        }
+        s"""SELECT * FROM (VALUES
+           |  ${rows.mkString(",\n  ")})
+           |  AS t(path, content_part, size, sha256)
+           |ORDER BY path, content_part""".stripMargin
+      },
       // each event belongs to the two 2h-wide windows whose starts are
       // trunc(ts)-1h and trunc(ts)
       "q43_sliding_window" ->

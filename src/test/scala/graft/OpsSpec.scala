@@ -231,6 +231,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.toSeq == Seq((0L, 1L)))
   }
 
+  test("trained IVF codebook beats the smallest-id stand-in on a clustered corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val k = 8
+    // well-separated unit cluster centers + tight noise; ids are laid
+    // out cluster-major so the smallest-id stand-in seeds ALL its
+    // centroids from cluster 0 — the degenerate case training fixes
+    val centers = Array.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = for (c <- 0 until k; j <- 0 until 30) yield {
+      val v = centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      (c.toLong * 30 + j, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val query = centers(5).map(_ + 0.01)
+
+    def recallAt10(codebook: Option[Similarity.IvfCodebook]): Double = {
+      val exact = Similarity.cosineTopK(df, "vec_id", "embedding", query, 10)
+        .collect().map(_.getLong(0)).toSet
+      val approx = Similarity.ivfTopK(df, "vec_id", "embedding", query,
+        k = 10, nlist = k, nprobe = 2, codebook = codebook)
+        .collect().map(_.getLong(0)).toSet
+      (exact & approx).size / 10.0
+    }
+
+    val trained = Similarity.trainIvfCodebook(df, "vec_id", "embedding", nlist = k)
+    assert(trained.length == k && trained.forall(c => math.abs(c._3 - 1.0) < 1e-9))
+    val trainedRecall = recallAt10(Some(trained))
+    val standInRecall = recallAt10(None)
+    // the trained codebook recovers the true clusters: probing 2 of 8
+    // cells finds (nearly) all true neighbors; the id-seeded stand-in
+    // cannot separate the corpus it never sampled
+    assert(trainedRecall >= 0.9, s"trained recall $trainedRecall")
+    assert(trainedRecall > standInRecall,
+      s"trained $trainedRecall must beat stand-in $standInRecall")
+  }
+
   test("exact embedding near-dup refuses corpora above exactMax") {
     import spark.implicits._
     val vecs = (0L until 5L).map(i => (i, Array(i.toFloat, 1.0f))).toDF("vec_id", "embedding")

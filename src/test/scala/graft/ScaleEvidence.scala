@@ -1,0 +1,128 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence harness for the dedup family (q18 minhash-LSH, q21
+  * simhash, q44 jaccard-PPJoin, q57 decontamination): runs each
+  * operator's CANDIDATE generator and full pipeline over a ladder of
+  * corpus sizes and prints one JSON line per (corpus, op) with
+  *
+  *   n_docs, candidate pairs, all-pairs n(n-1)/2, candidate fraction,
+  *   output pairs, seconds
+  *
+  * — the property under test is that candidate volume grows
+  * sub-quadratically (the banding/prefix filter holds as the corpus
+  * scales), which seconds alone cannot show.
+  *
+  * Corpora: the driver's sf dirs, plus generated extensions that
+  * follow the same recipe (shared small vocabulary, ~300-char docs,
+  * 5 langs, 10 sources, ~1% planted near-dups) at sizes the sandbox's
+  * testdata does not provide. Generation is deterministic per doc_id
+  * (pure function of the id), so corpora are reproducible and a
+  * planted near-dup can copy its neighbor's text without reading it.
+  *
+  * Usage: Test/runMain graft.ScaleEvidence [sfdir|gen:N]...
+  * (default: /root/testdata/sf0.001 /root/testdata/sf0.1 gen:20000 gen:50000)
+  */
+object ScaleEvidence {
+
+  /** The testdata corpus's own ~30-word vocabulary — the adversarial
+    * LOW-ENTROPY case: every doc shares most shingles and simhash
+    * signatures concentrate.
+    */
+  private val Vocab: Array[String] =
+    ("spark line column order small sort fast value scan query agg table hash key " +
+      "group stream filter customer part batch vector slow big join window state " +
+      "merge shuffle read write plan").split(" ")
+
+  /** A realistic-entropy vocabulary (2000 distinct words — small for
+    * real text, huge next to Vocab): isolates how much of a candidate
+    * blow-up is signature entropy vs operator design.
+    */
+  private val WideVocab: Array[String] = Array.tabulate(2000)(i => f"word$i%04d")
+
+  private def textOf(id: Long, words: Int, vocab: Array[String]): String = {
+    val rnd = new java.util.Random(id * 2654435761L + 11)
+    val n = 20 + rnd.nextInt(words)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(vocab(rnd.nextInt(vocab.length)))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Deterministic generated corpus, documents-table schema. Every
+    * id with id % 100 == 7 is a planted near-dup of id-1 (one word
+    * appended — shingle Jaccard ~0.95).
+    */
+  def genDocs(spark: SparkSession, n: Long, wide: Boolean): DataFrame = {
+    import spark.implicits._
+    val langs = Array("en", "de", "fr", "es", "zh")
+    val vocab = if (wide) WideVocab else Vocab
+    spark.range(n).map { id =>
+      val base =
+        if (id % 100 == 7 && id > 0) textOf(id - 1, 70, vocab) + " extra"
+        else textOf(id, 70, vocab)
+      (id, base, langs((id % 5).toInt), s"src${id % 10}", base.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def timedCount(df: DataFrame): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val c = df.count()
+    (c, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val corpora =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1", "gen:20000", "gen:50000")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scale-evidence")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    corpora.foreach { c =>
+      val docs = (if (c.startsWith("genwide:")) genDocs(spark, c.drop(8).toLong, wide = true)
+        else if (c.startsWith("gen:")) genDocs(spark, c.drop(4).toLong, wide = false)
+        else spark.read.parquet(s"$c/documents.parquet"))
+        .cache()
+      val n = docs.count()
+      val allPairs = n * (n - 1) / 2
+      val ref = docs.where(col("source").isin("src0", "src1"))
+      val train = docs.where(!col("source").isin("src0", "src1"))
+
+      val ops: Seq[(String, DataFrame, DataFrame)] = Seq(
+        ("q18_minhash_lsh",
+          Dedup.nearDupCandidates(docs, "doc_id", "text"),
+          Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)),
+        ("q21_simhash",
+          Dedup.simhashCandidates(docs, "doc_id", "text"),
+          Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)),
+        ("q44_jaccard_ppjoin",
+          Dedup.jaccardNearDupCandidates(docs, "doc_id", "text", threshold = 0.7),
+          Dedup.jaccardNearDupPairs(docs, "doc_id", "text", threshold = 0.7)),
+        ("q57_decontaminate",
+          Dedup.decontaminationCandidates(train, ref, "doc_id", "text"),
+          Dedup.decontaminate(train, ref, "doc_id", "text", threshold = 0.8)))
+
+      ops.foreach { case (name, cand, full) =>
+        val (nc, ct) = timedCount(cand)
+        val (no, ot) = timedCount(full)
+        println(f"""SCALE {"corpus":"$c","op":"$name","n_docs":$n,"candidates":$nc,"all_pairs":$allPairs,"cand_frac":${nc.toDouble / math.max(allPairs, 1)}%.6f,"output":$no,"cand_secs":$ct%.1f,"full_secs":$ot%.1f}""")
+      }
+      docs.unpersist()
+    }
+    spark.stop()
+  }
+}
