@@ -174,6 +174,30 @@ object ArchiveConverter {
       }
   }
 
+  /** Reassemble a chunked frame ([[chunkedEntries]]' schema) back into
+    * canonical 5-column entries: parts concatenate in `content_part`
+    * order, `size`/`hash` describe the WHOLE entry (the digest the
+    * plain walk would have produced). One (source, path)-keyed
+    * exchange carrying content.
+    *
+    * This is a verification/repair tool for entries that fit a JVM
+    * array (it materializes each whole entry to digest it — the exact
+    * thing chunking avoids); entries whose total size exceeds 2 GiB
+    * must stay chunked.
+    */
+  def reassembleChunks(chunks: DataFrame): DataFrame =
+    chunks.groupBy("source", "path")
+      // array_sort on array<struct> orders by the first field = part
+      .agg(array_sort(collect_list(struct(
+        col("content_part").as("p"), col("content").as("c")))).as("__parts"))
+      .select(col("source"), col("path"),
+        aggregate(col("__parts"), lit(Array.emptyByteArray),
+          (acc, x) => concat(acc, x.getField("c"))).as("content"))
+      .select(col("source"), col("path"),
+        length(col("content")).cast("long").as("size"),
+        unhex(sha2(col("content"), 256)).as("hash"),
+        col("content"))
+
   /** Entries with the reference's F1/F2 predicates applied
     * (half-open size range `min <= size < max`, src/batch.rs:182-197;
     * UTF-8 text/binary content filter, src/batch.rs:162-180).

@@ -266,6 +266,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** The IVF at-rest layout: write the corpus `partitionBy` its cell
+    * assignment so probes prune the FILE LISTING to ~nprobe/nlist of
+    * the data (Hive-style partition pruning — proven in BucketingSpec:
+    * a 2-of-8-cell probe plans exactly 2 partition directories). The
+    * cell column is a narrow codegen'd projection of an inlined
+    * codebook; the write shuffles nothing beyond the writer's own
+    * file-per-cell fan-out.
+    */
+  def writeIvfPartitioned(df: DataFrame, vecCol: String,
+      codebook: IvfCodebook, out: String, cellCol: String = "cell"): Unit =
+    df.withColumn(cellCol, ivfCell(codebook, col(vecCol)))
+      .write.mode("overwrite").partitionBy(cellCol).parquet(out)
+
+  /** ANN top-k over a [[writeIvfPartitioned]] layout: filter on the
+    * partition column (file-listing prune, no data read outside the
+    * probed cells), exact cosine re-rank inside. The codebook must be
+    * the one the layout was written with.
+    */
+  def ivfTopKAtRest(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, codebook: IvfCodebook,
+      query: Array[Double], k: Int, nprobe: Int = 4,
+      cellCol: String = "cell"): DataFrame = {
+    val probed = ivfProbed(codebook, query, nprobe)
+    spark.read.parquet(path)
+      .where(col(cellCol).isin(probed: _*))
+      .select(col(idCol), round(cosineTo(col(vecCol), query), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-row (double vector, L2 norm) projection — computed ONCE per
     * row before a pairwise join. Folding the norm into the per-pair
     * cosine would re-evaluate it per candidate (higher-order array

@@ -132,11 +132,18 @@ final class ArchiveScanBuilder(options: CaseInsensitiveStringMap)
     def raiseLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
     def lowerHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
     pushed.foreach {
+      // the +1 half-open conversions skip Long.MaxValue: overflowing
+      // to a negative bound would make the walker drop EVERY row, and
+      // dropped rows are beyond the residual filter's reach (pushdown
+      // must only ever drop rows the predicate provably excludes)
       case GreaterThanOrEqual("size", v: Number) => raiseLo(v.longValue)
-      case GreaterThan("size", v: Number)        => raiseLo(v.longValue + 1)
+      case GreaterThan("size", v: Number) if v.longValue < Long.MaxValue =>
+        raiseLo(v.longValue + 1)
       case LessThan("size", v: Number)           => lowerHi(v.longValue)
-      case LessThanOrEqual("size", v: Number)    => lowerHi(v.longValue + 1)
-      case EqualTo("size", v: Number)            => raiseLo(v.longValue); lowerHi(v.longValue + 1)
+      case LessThanOrEqual("size", v: Number) if v.longValue < Long.MaxValue =>
+        lowerHi(v.longValue + 1)
+      case EqualTo("size", v: Number) if v.longValue < Long.MaxValue =>
+        raiseLo(v.longValue); lowerHi(v.longValue + 1)
       case _                                     => ()
     }
     (lo, hi)

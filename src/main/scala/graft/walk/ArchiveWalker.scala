@@ -368,9 +368,13 @@ object ArchiveWalker {
     // (one 512 KB entry otherwise costs ~2 extra copies). The claim is
     // only a hint (compressed inner entries decompress larger), so
     // overflow falls back to a growing buffer.
+    // cap the hint at the pushed size bound: an entry that will stop
+    // at pruneSizeMax never needs a buffer past it
+    val hintCap = math.min(
+      math.min(opts.maxEntryBytes, opts.pruneSizeMax.getOrElse(Long.MaxValue)),
+      Int.MaxValue - 8L)
     val hint =
-      if (opts.materializeContent &&
-          claimedSize > 0 && claimedSize <= math.min(opts.maxEntryBytes, Int.MaxValue - 8L))
+      if (opts.materializeContent && claimedSize > 0 && claimedSize <= hintCap)
         claimedSize.toInt
       else -1
     var direct: Array[Byte] = if (hint > 0) new Array[Byte](hint) else null

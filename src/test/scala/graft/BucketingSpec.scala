@@ -106,4 +106,31 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val viaPruned = probe.select("id").as[Long].collect().toSet
     assert(viaPruned == viaFull)
   }
+
+  test("IVF at rest with a TRAINED codebook: helper write/probe, pruned plan, exact top-k") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    // clustered corpus: training recovers the true cells
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(4)(Array.fill(6)(rnd.nextGaussian()))
+    val docs = (for (c <- 0 until 4; j <- 0 until 25) yield
+      (c.toLong * 25 + j, centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)))
+      .toDF("id", "vec")
+    val book = Similarity.trainIvfCodebook(docs, "id", "vec", nlist = 4)
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf_trained").toString
+    Similarity.writeIvfPartitioned(docs, "vec", book, out)
+
+    val query = centers(2).map(_ + 0.01)
+    val got = Similarity.ivfTopKAtRest(spark, out, "id", "vec", book, query, k = 5, nprobe = 1)
+    // pruned plan: exactly 1 of 4 cell directories scanned
+    val scan = got.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScan in probe plan"))
+    assert(scan.selectedPartitions.partitionCount == 1)
+    // with a trained codebook the probed cell IS cluster 2, so the
+    // 1-cell probe already matches the exact brute-force top-k
+    val exact = Similarity.cosineTopK(docs, "id", "vec", query, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.collect().map(_.getLong(0)).toSeq == exact)
+  }
 }

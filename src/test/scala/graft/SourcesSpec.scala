@@ -148,6 +148,21 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(doomed.isEmpty)
   }
 
+  test("chunked entries reassemble to the plain walk's rows, whole-entry digest restored") {
+    val chunked = ArchiveConverter.chunkedEntries(spark, Seq(fixturePath),
+      ConvertOptions(maxEntryBytes = 7L))
+    val back = ArchiveConverter.reassembleChunks(chunked.toDF())
+      .collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("size"),
+        r.getAs[Array[Byte]]("hash").toSeq, r.getAs[Array[Byte]]("content").toSeq))
+      .sortBy(_._1)
+    val plain = ArchiveConverter.entries(spark, Seq(fixturePath), ConvertOptions())
+      .collect()
+      .map(e => (e.path, e.size, e.hash.toSeq, e.content.toSeq))
+      .sortBy(_._1)
+    assert(back.toSeq == plain.toSeq)
+  }
+
   test("SQL DDL face: CREATE TABLE ... USING archive") {
     spark.sql("DROP TABLE IF EXISTS graft_arch_sql")
     spark.sql(
