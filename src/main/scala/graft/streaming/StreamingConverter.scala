@@ -38,6 +38,31 @@ object StreamingConverter {
       .map(_.trim).filter(_.nonEmpty)
   }
 
+  /** The CHUNKED walked entry stream — continuous ingest of corpora
+    * whose entries can exceed the JVM's 2 GiB array cap: same
+    * recursive walk, entries longer than `opts.maxEntryBytes` emitted
+    * as `content_part`-indexed rows (see
+    * [[graft.walk.ArchiveWalker.walkChunked]]). No filters: chunk rows
+    * describe chunks, so F1/F2 predicates over whole entries do not
+    * apply; dedup on the chunk `hash` would split entries — dedup the
+    * reassembled frame instead.
+    */
+  def chunkedEntryStream(spark: SparkSession, pathDir: String,
+      opts: ConvertOptions): DataFrame = {
+    import spark.implicits._
+    pathStream(spark, pathDir)
+      .flatMap { p =>
+        if (p.startsWith("http://") || p.startsWith("https://") || p.startsWith("file:")) {
+          val conn = new java.net.URI(p).toURL.openConnection()
+          conn.setConnectTimeout(30000)
+          conn.setReadTimeout(300000)
+          val in = new java.io.BufferedInputStream(conn.getInputStream, 256 * 1024)
+          graft.walk.ArchiveWalker.walkChunked(p, in, conn.getContentLengthLong, opts)
+        } else graft.walk.ArchiveWalker.walkPathChunked(p, opts)
+      }
+      .toDF()
+  }
+
   /** The walked entry stream: same recursive walker, same filters. */
   def entryStream(spark: SparkSession, pathDir: String, opts: ConvertOptions): DataFrame = {
     import spark.implicits._

@@ -99,6 +99,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("a.txt", "b.txt", "dup.txt"))
   }
 
+  test("chunked streaming ingest: oversize entries survive as content_part rows") {
+    import Fixtures._
+    val big = Array.tabulate[Byte](500)(i => (i * 11).toByte)
+    val arch = new java.io.File(tmp("graft_schunk"), "in.tar.gz")
+    val fos = new java.io.FileOutputStream(arch)
+    fos.write(gzipData(tarArchive(Seq("big.bin" -> big, "small.txt" -> TestData))))
+    fos.close()
+    val pathDir = tmp("graft_schunk_paths")
+    java.nio.file.Files.writeString(
+      new java.io.File(pathDir, "b1.txt").toPath, arch.getAbsolutePath + "\n")
+    val out = tmp("graft_schunk_out").getAbsolutePath
+    val ckpt = tmp("graft_schunk_ckpt").getAbsolutePath
+
+    val chunks = StreamingConverter.chunkedEntryStream(spark, pathDir.getAbsolutePath,
+      graft.core.ConvertOptions(maxEntryBytes = 200L))
+    val q = StreamingConverter.writer(chunks, out, ckpt, availableNow = true).start()
+    q.awaitTermination(120000)
+    q.stop()
+
+    val got = spark.read.parquet(out)
+    // 500 bytes at cap 200 -> 3 parts + the small entry's part 0
+    assert(got.where(col("path") === "big.bin").count() == 3)
+    assert(got.select(sum("size")).head().getLong(0) == 500L + TestData.length)
+    // reassembly restores the exact original entry
+    val back = graft.convert.ArchiveConverter.reassembleChunks(got)
+      .where(col("path") === "big.bin").head()
+    assert(back.getAs[Array[Byte]]("content").sameElements(big))
+  }
+
   test("streaming windowed counts match the batch shape") {
     import spark.implicits._
     val events = Seq(
