@@ -52,18 +52,82 @@ object ArchiveConverter {
       bytesRead: Long,      // content bytes extracted before filters
       errors: Long = 0)     // inputs skipped (skipErrors mode only)
 
+  /** Key-summing accumulator for per-input counters. Bounded by the
+    * input LIST (user-supplied, thousands at most), never the data:
+    * safe to merge driver-side. Updates flow with task completions and
+    * executor heartbeats like any accumulator.
+    */
+  final class MapAccumulator
+      extends org.apache.spark.util.AccumulatorV2[(String, Long), Map[String, Long]] {
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    // explicit Serializable: the accumulator (fields included) ships
+    // inside task closures; a bare SAM lambda would not survive that
+    private val sum = new java.util.function.BiFunction[java.lang.Long, java.lang.Long, java.lang.Long]
+        with Serializable {
+      override def apply(a: java.lang.Long, b: java.lang.Long): java.lang.Long = a + b
+    }
+    override def isZero: Boolean = m.isEmpty
+    override def copy(): MapAccumulator = {
+      val c = new MapAccumulator
+      m.forEach((k, v) => c.m.put(k, v))
+      c
+    }
+    override def reset(): Unit = m.clear()
+    override def add(v: (String, Long)): Unit = m.merge(v._1, v._2, sum)
+    override def merge(
+        other: org.apache.spark.util.AccumulatorV2[(String, Long), Map[String, Long]]): Unit =
+      other match {
+        case o: MapAccumulator => o.m.forEach((k, v) => m.merge(k, v, sum))
+        case o => throw new UnsupportedOperationException(s"cannot merge ${o.getClass}")
+      }
+    override def value: Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      m.forEach((k, v) => b += k -> v.longValue)
+      b.result()
+    }
+  }
+
+  /** Raw-read tap for per-input progress (the reference wraps each
+    * input reader in an indicatif ProgressBarIter the same way,
+    * src/converter/progress.rs:91-106). Ticks in >=1 MiB batches so
+    * the hot read path pays one long-add per buffer, not per call;
+    * flushes the remainder at EOF and close.
+    */
+  private final class TapStream(in: java.io.InputStream, tick: Long => Unit)
+      extends java.io.FilterInputStream(in) {
+    private var pending = 0L
+    private def bump(n: Long): Unit = if (n > 0) {
+      pending += n
+      if (pending >= (1L << 20)) { tick(pending); pending = 0L }
+    }
+    private def flush(): Unit = if (pending > 0) { tick(pending); pending = 0L }
+    override def read(): Int = {
+      val b = super.read(); if (b >= 0) bump(1L) else flush(); b
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val n = super.read(b, off, len); if (n >= 0) bump(n.toLong) else flush(); n
+    }
+    override def close(): Unit = { flush(); super.close() }
+  }
+
   /** Read-side counters incremented inside the walker flatMap
     * (reference: src/progress.rs:11-133, src/channel.rs:28-49).
     */
   final class WalkMetrics(spark: SparkSession) extends Serializable {
     val inputs: LongAccumulator = spark.sparkContext.longAccumulator("graft.inputs")
     // inputs whose walk ran to exhaustion (reference progress.rs
-    // renders per-input bars; started/finished counters are the
-    // aggregate equivalent)
+    // renders per-input bars; started vs finished is the aggregate)
     val inputsDone: LongAccumulator = spark.sparkContext.longAccumulator("graft.inputsDone")
     val entries: LongAccumulator = spark.sparkContext.longAccumulator("graft.entries")
     val bytes: LongAccumulator = spark.sparkContext.longAccumulator("graft.bytesRead")
     val errors: LongAccumulator = spark.sparkContext.longAccumulator("graft.inputErrors")
+    // per-input RAW bytes read off the input stream (compressed size —
+    // what a bar against the on-disk size must count) and per-input
+    // completion, for the multi-bar renderer
+    val perInputBytes: MapAccumulator = new MapAccumulator
+    val perInputDone: MapAccumulator = new MapAccumulator
+    spark.sparkContext.register(perInputBytes, "graft.perInputBytes")
+    spark.sparkContext.register(perInputDone, "graft.perInputDone")
   }
 
   /** Per-input error containment (W7 skip mode): a throw while walking
@@ -119,12 +183,18 @@ object ArchiveConverter {
           System.err.println(
             s"[graft] skipping failed input $p: ${t.getClass.getSimpleName}: ${t.getMessage}")
         }
+        // per-input raw-read tap (reference wraps each input reader,
+        // src/converter/progress.rs:91-106); identity when untracked
+        val tap: java.io.InputStream => java.io.InputStream = metrics match {
+          case Some(m) => in => new TapStream(in, d => m.perInputBytes.add(p -> d))
+          case None    => identity
+        }
         val raw =
-          if (!opts.skipErrors) ArchiveWalker.walkInput(p, opts)
+          if (!opts.skipErrors) ArchiveWalker.walkInput(p, opts, tap)
           else {
             // containment covers open() too, not just mid-walk reads
             val opened =
-              try ArchiveWalker.walkInput(p, opts)
+              try ArchiveWalker.walkInput(p, opts, tap)
               catch { case t: Throwable => failed(t); Iterator.empty }
             contained(opened, failed)
           }
@@ -139,7 +209,9 @@ object ArchiveConverter {
               private var fired = false
               override def hasNext: Boolean = {
                 val h = counted.hasNext
-                if (!h && !fired) { fired = true; m.inputsDone.add(1L) }
+                if (!h && !fired) {
+                  fired = true; m.inputsDone.add(1L); m.perInputDone.add(p -> 1L)
+                }
                 h
               }
               override def next(): ArchiveEntry = counted.next()
@@ -235,12 +307,28 @@ object ArchiveConverter {
     // src/main.rs:75-77). Works with or without live stderr progress.
     val logStream = opts.logFile.map(f =>
       new java.io.PrintStream(new java.io.FileOutputStream(f), true, "UTF-8"))
+    val live = opts.progress || opts.progressBars
     val reporter =
-      if (opts.progress || logStream.nonEmpty) {
-        val primary = if (opts.progress) System.err else logStream.get
-        val tee = if (opts.progress) logStream else None
+      if (live || logStream.nonEmpty) {
+        val primary = if (live) System.err else logStream.get
+        val tee = if (live) logStream else None
+        // per-input bars need each input's on-disk size for the bar
+        // denominator; URLs (Content-Length only known executor-side)
+        // and unstat-able paths render indeterminate
+        val sizes =
+          if (!opts.progressBars) Nil
+          else inputs.map { p =>
+            if (p.startsWith("http://") || p.startsWith("https://") || p.startsWith("file:")) p -> -1L
+            else {
+              val f = new java.io.File(p)
+              p -> (if (f.isFile) f.length() else -1L)
+            }
+          }
+        // repaint in place only on an interactive console; a
+        // redirected stderr (tests, batch logs) gets plain lines
+        val ansi = opts.progressBars && System.console() != null
         Some(new ProgressReporter(metrics, inputs.size.toLong, primary,
-          opts.progressIntervalMs, tee).start())
+          opts.progressIntervalMs, tee, sizes, ansi).start())
       } else None
     try convertWith(spark, inputs, out, opts, metrics, obs)
     finally {

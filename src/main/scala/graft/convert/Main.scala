@@ -19,6 +19,7 @@ import org.apache.spark.sql.SparkSession
   *   --single-file           one output parquet file (reference parity)
   *   --threads N             input parallelism (default: all cores)
   *   --progress              live in-flight counters on stderr (D2)
+  *   --progress-bars         per-input progress bars (reference multi-bar UI)
   *   --log-file FILE         tee progress + final stats lines to FILE
   *   --max-entry-bytes N     per-entry content cap (default 1 GiB)
   *   --truncate-oversize     emit over-cap entries as clamped prefixes
@@ -51,6 +52,7 @@ object Main {
         case "--skip-errors" => opts = opts.copy(skipErrors = true)
         case "--single-file" => opts = opts.copy(singleFile = true)
         case "--progress" => opts = opts.copy(progress = true)
+        case "--progress-bars" => opts = opts.copy(progressBars = true)
         case "--log-file" => opts = opts.copy(logFile = Some(args(i + 1))); i += 1
         case "--threads" => opts = opts.copy(parallelism = Some(args(i + 1).toInt)); i += 1
         case "--max-entry-bytes" => opts = opts.copy(maxEntryBytes = args(i + 1).toLong); i += 1

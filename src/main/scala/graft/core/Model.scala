@@ -187,6 +187,15 @@ final case class ConvertOptions(
     // them current — so the hot path pays nothing.
     progress: Boolean = false,
     progressIntervalMs: Long = 1000L,
+    // Per-input progress bars (reference src/converter/progress.rs:5-30:
+    // one indicatif bar per input over raw bytes read, under a
+    // MultiProgress). Implies `progress`; renders one bar line per
+    // started input — raw COMPRESSED bytes read off each input stream
+    // against its on-disk size — plus the aggregate line. ANSI redraw
+    // only when stderr is an interactive console; otherwise each tick
+    // appends a plain frame (log-friendly, like indicatif's hidden
+    // mode).
+    progressBars: Boolean = false,
     // Tee the progress/stats lines to a file (reference `--log-file`,
     // src/main.rs:75-77 tees tracing output). Independent of
     // `progress`: a log file without live stderr output is the batch

@@ -49,10 +49,14 @@ object ArchiveWalker {
     */
   final case class Details(path: String, size: Long)
 
-  /** Walk one local file. */
-  def walkPath(path: String, opts: ConvertOptions): Iterator[ArchiveEntry] = {
+  /** Walk one local file. `tap` wraps the RAW stream before buffering —
+    * the per-input progress hook (reference src/converter/progress.rs:
+    * 91-106 wraps each input reader the same way); identity by default.
+    */
+  def walkPath(path: String, opts: ConvertOptions,
+      tap: InputStream => InputStream = identity): Iterator[ArchiveEntry] = {
     val f = new java.io.File(path)
-    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f), 256 * 1024)
+    val in = new java.io.BufferedInputStream(tap(new java.io.FileInputStream(f)), 256 * 1024)
     walk(path, in, f.length(), opts)
   }
 
@@ -60,22 +64,24 @@ object ArchiveWalker {
     * into the sniff/decompress/walk chain, never fully materialized
     * (reference S2: src/main.rs:200-220).
     */
-  def walkUrl(url: String, opts: ConvertOptions): Iterator[ArchiveEntry] = {
+  def walkUrl(url: String, opts: ConvertOptions,
+      tap: InputStream => InputStream = identity): Iterator[ArchiveEntry] = {
     val conn = new java.net.URI(url).toURL.openConnection()
     conn.setConnectTimeout(30000)
     conn.setReadTimeout(300000)
     val size = conn.getContentLengthLong
-    val in = new java.io.BufferedInputStream(conn.getInputStream, 256 * 1024)
+    val in = new java.io.BufferedInputStream(tap(conn.getInputStream), 256 * 1024)
     walk(url, in, size, opts)
   }
 
   /** Dispatch on input spelling: URLs walk via [[walkUrl]], everything
     * else is a local path.
     */
-  def walkInput(input: String, opts: ConvertOptions): Iterator[ArchiveEntry] =
+  def walkInput(input: String, opts: ConvertOptions,
+      tap: InputStream => InputStream = identity): Iterator[ArchiveEntry] =
     if (input.startsWith("http://") || input.startsWith("https://") || input.startsWith("file:"))
-      walkUrl(input, opts)
-    else walkPath(input, opts)
+      walkUrl(input, opts, tap)
+    else walkPath(input, opts, tap)
 
   /** Walk one already-open stream named `source`. Consumes and closes it. */
   def walk(source: String, in: InputStream, claimedSize: Long, opts: ConvertOptions): Iterator[ArchiveEntry] = {

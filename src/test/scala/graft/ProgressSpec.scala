@@ -45,6 +45,57 @@ class ProgressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lines.count(_.startsWith("[graft] walked:")) == 1, out)
   }
 
+  test("per-input frames: bars track raw bytes, done inputs fill, unstarted are hidden") {
+    spark.sparkContext
+    val metrics = new ArchiveConverter.WalkMetrics(spark)
+    val sizes = Seq("/data/a.tar" -> 100L * 1000 * 1000, "/data/b.tar" -> -1L, "/data/c.tar" -> 10L)
+    val ps = new java.io.PrintStream(new java.io.ByteArrayOutputStream())
+    val rep = new ProgressReporter(metrics, 3, ps, intervalMs = 100000, None, sizes)
+    metrics.perInputBytes.add("/data/a.tar" -> 45L * 1000 * 1000) // 45% read
+    metrics.perInputBytes.add("/data/b.tar" -> 7L * 1000 * 1000)  // unknown total
+    metrics.perInputDone.add("/data/c.tar" -> 1L)                 // finished
+    val f = rep.frame("[graft] converting:")
+    assert(f.size == 4, f) // aggregate + 3 started inputs
+    assert(f(0).startsWith("[graft] converting:"))
+    val a = f.find(_.endsWith("a.tar")).get
+    assert(a.contains("[#########-----------]") && a.contains("45.0/100.0 MB reading"), a)
+    val b = f.find(_.endsWith("b.tar")).get
+    assert(b.contains("[....................]") && b.contains("7.0 MB reading") && !b.contains("/"), b)
+    val c = f.find(_.endsWith("c.tar")).get
+    assert(c.contains("[####################]") && c.contains("done"), c)
+    // an input with zero bytes and no done mark renders no row
+    metrics.perInputBytes.reset(); metrics.perInputDone.reset()
+    assert(rep.frame("[graft] converting:").size == 1)
+  }
+
+  test("convert with progress bars renders per-input rows to a redirected stderr") {
+    import Fixtures._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bars").toFile
+    val archives = (1 to 2).map { k =>
+      val f = new java.io.File(dir, s"in$k.tar.gz")
+      val fos = new java.io.FileOutputStream(f)
+      fos.write(gzipData(tarArchive((1 to 10).map(i => s"f$i.txt" -> s"row $k-$i".getBytes("UTF-8")))))
+      fos.close()
+      f.getAbsolutePath
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft_bars_out").toString
+    val buf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+    val stats =
+      try ArchiveConverter.convert(spark, archives, out, ConvertOptions(
+        progressBars = true, progressIntervalMs = 10))
+      finally System.setErr(realErr)
+    assert(stats.rows == 20)
+    val err = buf.toString("UTF-8")
+    // the settled frame carries a full bar + done row per input
+    val doneRows = err.linesIterator.filter(l => l.contains("[####################]") && l.contains("done")).toVector
+    assert(archives.forall(a => doneRows.exists(_.endsWith(new java.io.File(a).getName))), err)
+    assert(err.linesIterator.exists(_.startsWith("[graft] walked: inputs 2/2")), err)
+    // redirected stderr is not a console: no ANSI repaint codes
+    assert(!err.contains("\u001b["), err)
+  }
+
   test("convert with progress=true surfaces in-flight lines on stderr") {
     import Fixtures._
     val arch = java.io.File.createTempFile("graft_progress", ".tar.gz")
