@@ -154,6 +154,38 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Near-dup dedup with VERIFIED winner election — the
+    * engine-independent sibling of [[nearDupWinners]]: verified pairs
+    * ([[nearDupPairs]]: banded candidates, exact-Jaccard verify) →
+    * connected components ([[components]]) → drop every id whose
+    * cluster representative (min reachable id) is smaller than itself.
+    * Docs in no verified pair survive untouched.
+    *
+    * [[nearDupWinners]] elects per LSH BUCKET, so its survivor set
+    * depends on the engine's band hash (murmur3) — correct dedup, but
+    * no external oracle can reproduce it. This face's survivor set is
+    * a pure function of the exact Jaccard graph at `threshold`, which
+    * any engine can recompute. Cost: enumerates verified pairs (true
+    * near-dups only — ~linear by the candidate-volume scale evidence)
+    * plus the components pass; both building blocks carry their own
+    * 100 TB story (banded key-only exchanges; bounded probe / label
+    * propagation).
+    */
+  def nearDupWinnersVerified(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleWidth: Int = 3): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, textCol, threshold, numHashes, bands, shingleWidth)
+    val losers = components(pairs.select("id_a", "id_b"))
+      .where(col("cluster") < col("id"))
+      .select(col("id").as("__loser"))
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
   /** Distinct character n-grams of a text column, in lexicographic
     * order. Character grams (vs [[shingles]]' word grams) are the
     * usual unit for n-gram-Jaccard dedup: robust to tokenization and

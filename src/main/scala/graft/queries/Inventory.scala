@@ -1267,6 +1267,19 @@ object Inventory {
         lower(hex(col("hash"))).as("sha256"))
       .orderBy(col("path"), col("content_part"))
 
+  /** Verified-winner near-dup dedup
+    * ([[Dedup.nearDupWinnersVerified]]): survivors of the exact
+    * Jaccard >= 0.8 graph — each doc whose min reachable id through
+    * verified pairs is itself. Unlike the bucket-exact
+    * `nearDupWinners` (band-hash-dependent, rows-only checkable at
+    * best), this survivor set is engine-independent: the oracle
+    * recomputes it from q33's transitive closure with a final
+    * loser anti-join.
+    */
+  private def q75(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupWinnersVerified(t(s, d, "documents"), "doc_id", "text", threshold = 0.8)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+
   /** q62 fixture texts — inline literals (the synthetic documents
     * table contains no PII-shaped spans, so like q59 the query is
     * self-contained); chosen to exercise greedy-domain backtracking
@@ -1381,7 +1394,8 @@ object Inventory {
     "q71_chunk_windows" -> (q71 _),
     "q72_size_filter" -> (q72 _),
     "q73_dsv2_source" -> (q73 _),
-    "q74_chunked_walk" -> (q74 _))
+    "q74_chunked_walk" -> (q74 _),
+    "q75_neardup_winners" -> (q75 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1761,6 +1775,30 @@ object Inventory {
            |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
            |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id
            |ORDER BY id""".stripMargin,
+      // q33's transitive closure + a loser anti-join: survivors are
+      // ids that are their own component minimum (or in no pair)
+      "q75_neardup_winners" ->
+        s"""WITH RECURSIVE
+           |w AS (SELECT doc_id, $toks AS t FROM documents),
+           |sh AS (SELECT doc_id,
+           |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |                        for i in range(1, len(t) - 1)]) AS s
+           |       FROM w),
+           |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |         CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
+           |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+           |p AS (SELECT id_a, id_b FROM pr WHERE round(j, 6) >= 0.8),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM p
+           |      UNION SELECT id_b, id_a FROM p),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM e
+           |  UNION
+           |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+           |losers AS (SELECT id FROM reach GROUP BY id HAVING MIN(r) < id)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT id FROM losers)
+           |ORDER BY doc_id""".stripMargin,
       "q34_salted_agg" ->
         """SELECT event_type, COUNT(*) AS n,
           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

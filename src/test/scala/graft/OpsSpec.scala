@@ -518,4 +518,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sorted
     assert(out.toSeq == Seq((100L, 7.0, 10L), (101L, 1.0, 5L)))
   }
+
+  test("Dedup.nearDupWinnersVerified: min-id survives per verified component, transitively") {
+    import spark.implicits._
+    // chain: 1~2 (J=8/9) and 2~3 (J=9/10), 1~3 (J=8/10=0.8) — one
+    // component either way; 4 shares nothing. Survivors = {1, 4}.
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " kilo"),
+      (3L, base + " kilo lima"),
+      (4L, "nova orbit pluto quark rover sigma tango umbra vesta wharf")
+    ).toDF("doc_id", "text")
+    val survivors = Dedup.nearDupWinnersVerified(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(1L, 4L))
+    // raising the threshold past every pair's similarity keeps everyone
+    val all = Dedup.nearDupWinnersVerified(docs, "doc_id", "text", threshold = 0.95)
+      .select("doc_id").as[Long].collect().sorted
+    assert(all.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
 }
