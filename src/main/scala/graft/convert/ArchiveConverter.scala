@@ -136,10 +136,10 @@ object ArchiveConverter {
     * the default propagates (task failure => Spark retry => job abort,
     * the reference's poisoned-channel semantics).
     */
-  private def contained(
-      it: Iterator[ArchiveEntry], onError: Throwable => Unit): Iterator[ArchiveEntry] =
-    new Iterator[ArchiveEntry] {
-      private var pending: ArchiveEntry = _
+  private def contained[T](
+      it: Iterator[T], onError: Throwable => Unit): Iterator[T] =
+    new Iterator[T] {
+      private var pending: T = _
       private var has = false
       private var dead = false
       private def advance(): Unit =
@@ -149,7 +149,7 @@ object ArchiveConverter {
           } catch { case t: Throwable => onError(t); dead = true }
         }
       override def hasNext: Boolean = { advance(); has }
-      override def next(): ArchiveEntry = {
+      override def next(): T = {
         advance()
         if (!has) throw new NoSuchElementException("input ended")
         has = false
@@ -157,16 +157,20 @@ object ArchiveConverter {
       }
     }
 
-  /** The walked, unfiltered entry Dataset — the engine's logical source.
-    * Inputs may be local paths or http(s)/file URLs (reference S1/S2:
-    * src/converter/mod.rs:20-35, src/main.rs:200-220).
+  /** Shared per-input scaffolding for both walk shapes: one pinned
+    * task per input slice, per-input raw-read tap, skipErrors
+    * containment, and the entries/bytes/done counters. `walkOne`
+    * receives (input, tap) and returns that input's row iterator.
     */
-  def entries(
+  private def walkedDataset[T](
       spark: SparkSession,
       inputs: Seq[String],
       opts: ConvertOptions,
-      metrics: Option[WalkMetrics] = None): Dataset[ArchiveEntry] = {
-    import spark.implicits._
+      metrics: Option[WalkMetrics],
+      walkOne: (String, java.io.InputStream => java.io.InputStream) => Iterator[T],
+      sizeOf: T => Long)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    import spark.implicits._ // Encoder[String] for the path Dataset
     require(inputs.nonEmpty, "no inputs")
     val par = opts.parallelism.getOrElse(spark.sparkContext.defaultParallelism)
     val width = math.max(1, math.min(inputs.size, math.max(par, 1)))
@@ -190,22 +194,22 @@ object ArchiveConverter {
           case None    => identity
         }
         val raw =
-          if (!opts.skipErrors) ArchiveWalker.walkInput(p, opts, tap)
+          if (!opts.skipErrors) walkOne(p, tap)
           else {
             // containment covers open() too, not just mid-walk reads
             val opened =
-              try ArchiveWalker.walkInput(p, opts, tap)
+              try walkOne(p, tap)
               catch { case t: Throwable => failed(t); Iterator.empty }
             contained(opened, failed)
           }
         raw match {
           case it if metrics.isEmpty => it
           case it => val m = metrics.get
-            val counted = it.map { e => m.entries.add(1L); m.bytes.add(e.size); e }
+            val counted = it.map { e => m.entries.add(1L); m.bytes.add(sizeOf(e)); e }
             // count the input finished when its walk exhausts (an
             // early-stopped consumer never fires this — started vs
             // finished then reads as in-flight, which is accurate)
-            new Iterator[ArchiveEntry] {
+            new Iterator[T] {
               private var fired = false
               override def hasNext: Boolean = {
                 val h = counted.hasNext
@@ -214,36 +218,43 @@ object ArchiveConverter {
                 }
                 h
               }
-              override def next(): ArchiveEntry = counted.next()
+              override def next(): T = counted.next()
             }
         }
       }
+  }
+
+  /** The walked, unfiltered entry Dataset — the engine's logical source.
+    * Inputs may be local paths or http(s)/file URLs (reference S1/S2:
+    * src/converter/mod.rs:20-35, src/main.rs:200-220).
+    */
+  def entries(
+      spark: SparkSession,
+      inputs: Seq[String],
+      opts: ConvertOptions,
+      metrics: Option[WalkMetrics] = None): Dataset[ArchiveEntry] = {
+    import spark.implicits._
+    walkedDataset[ArchiveEntry](spark, inputs, opts, metrics,
+      (p, tap) => ArchiveWalker.walkInput(p, opts, tap), _.size)
   }
 
   /** Chunked walk Dataset (see [[graft.walk.ArchiveWalker.walkChunked]]):
     * entries longer than `opts.maxEntryBytes` become multiple rows
     * indexed by `content_part` instead of failing or truncating — the
     * ingest shape for corpora with entries beyond the 2 GiB JVM array
-    * cap. Same task-per-input parallel walk as [[entries]].
+    * cap. Same per-input scaffolding as [[entries]] (pinned task per
+    * input, raw-read tap, containment, counters); note the
+    * entries/bytes counters count CHUNK rows here, so a split entry
+    * counts once per part.
     */
   def chunkedEntries(
       spark: SparkSession,
       inputs: Seq[String],
-      opts: ConvertOptions): Dataset[graft.core.ArchiveChunk] = {
+      opts: ConvertOptions,
+      metrics: Option[WalkMetrics] = None): Dataset[graft.core.ArchiveChunk] = {
     import spark.implicits._
-    require(inputs.nonEmpty, "no inputs")
-    val par = opts.parallelism.getOrElse(spark.sparkContext.defaultParallelism)
-    val width = math.max(1, math.min(inputs.size, math.max(par, 1)))
-    spark.createDataset(spark.sparkContext.parallelize(inputs, width))
-      .flatMap { p =>
-        if (p.startsWith("http://") || p.startsWith("https://") || p.startsWith("file:")) {
-          val conn = new java.net.URI(p).toURL.openConnection()
-          conn.setConnectTimeout(30000)
-          conn.setReadTimeout(300000)
-          val in = new java.io.BufferedInputStream(conn.getInputStream, 256 * 1024)
-          ArchiveWalker.walkChunked(p, in, conn.getContentLengthLong, opts)
-        } else ArchiveWalker.walkPathChunked(p, opts)
-      }
+    walkedDataset[graft.core.ArchiveChunk](spark, inputs, opts, metrics,
+      (p, tap) => ArchiveWalker.walkInputChunked(p, opts, tap), _.size)
   }
 
   /** Reassemble a chunked frame ([[chunkedEntries]]' schema) back into
@@ -340,7 +351,15 @@ object ArchiveConverter {
   private def convertWith(
       spark: SparkSession, inputs: Seq[String], out: String, opts: ConvertOptions,
       metrics: WalkMetrics, obs: Observation): ConversionStats = {
-    val filtered = filteredEntries(spark, inputs, opts, Some(metrics))
+    val filtered =
+      if (opts.chunked) {
+        require(opts.include == IncludeType.All && opts.minSize.isEmpty &&
+            opts.maxSize.isEmpty && !opts.unique,
+          "chunked conversion emits content_part rows describing CHUNKS; " +
+            "include/size filters and unique dedup describe whole entries — " +
+            "filter or dedup after reassembleChunks instead")
+        chunkedEntries(spark, inputs, opts, Some(metrics)).toDF()
+      } else filteredEntries(spark, inputs, opts, Some(metrics))
     val shaped =
       if (opts.singleFile) filtered.repartition(1) // see ConvertOptions scaladoc
       else filtered
@@ -374,6 +393,9 @@ object ArchiveConverter {
       .option("parquet.column.statistics.enabled#path", "true")
       .option("parquet.column.statistics.enabled#size", "true")
       .option("parquet.column.statistics.enabled#hash", "true")
+      // chunked writes only (column absent otherwise — the per-column
+      // property is then simply never consulted): part-range pruning
+      .option("parquet.column.statistics.enabled#content_part", "true")
       // zstd level 1: archive content is often incompressible (media,
       // already-compressed blobs) where higher levels only burn CPU —
       // measured 1.6x faster than the level-3 default on a random-bytes

@@ -24,6 +24,8 @@ import org.apache.spark.sql.SparkSession
   *   --max-entry-bytes N     per-entry content cap (default 1 GiB)
   *   --truncate-oversize     emit over-cap entries as clamped prefixes
   *                           instead of failing the input
+  *   --chunked               emit over-cap entries as content_part-indexed
+  *                           chunk rows (no truncation, any entry size)
   * }}}
   */
 object Main {
@@ -57,6 +59,7 @@ object Main {
         case "--threads" => opts = opts.copy(parallelism = Some(args(i + 1).toInt)); i += 1
         case "--max-entry-bytes" => opts = opts.copy(maxEntryBytes = args(i + 1).toLong); i += 1
         case "--truncate-oversize" => opts = opts.copy(truncateOversize = true)
+        case "--chunked" => opts = opts.copy(chunked = true)
         case other => inputs :+= other
       }
       i += 1

@@ -196,6 +196,13 @@ final case class ConvertOptions(
     // appends a plain frame (log-friendly, like indicatif's hidden
     // mode).
     progressBars: Boolean = false,
+    // Chunked conversion (SURVEY §7 "2 GB JVM array cap"): entries
+    // longer than `maxEntryBytes` are written as multiple
+    // `content_part`-indexed rows (ArchiveChunkSchema) instead of
+    // failing or truncating. Incompatible with the whole-entry
+    // gates (include/size filters, --unique): chunk rows describe
+    // chunks — filter or dedup after reassembly instead.
+    chunked: Boolean = false,
     // Tee the progress/stats lines to a file (reference `--log-file`,
     // src/main.rs:75-77 tees tracing output). Independent of
     // `progress`: a log file without live stderr output is the batch

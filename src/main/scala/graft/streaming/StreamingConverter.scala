@@ -51,15 +51,7 @@ object StreamingConverter {
       opts: ConvertOptions): DataFrame = {
     import spark.implicits._
     pathStream(spark, pathDir)
-      .flatMap { p =>
-        if (p.startsWith("http://") || p.startsWith("https://") || p.startsWith("file:")) {
-          val conn = new java.net.URI(p).toURL.openConnection()
-          conn.setConnectTimeout(30000)
-          conn.setReadTimeout(300000)
-          val in = new java.io.BufferedInputStream(conn.getInputStream, 256 * 1024)
-          graft.walk.ArchiveWalker.walkChunked(p, in, conn.getContentLengthLong, opts)
-        } else graft.walk.ArchiveWalker.walkPathChunked(p, opts)
-      }
+      .flatMap(p => graft.walk.ArchiveWalker.walkInputChunked(p, opts))
       .toDF()
   }
 

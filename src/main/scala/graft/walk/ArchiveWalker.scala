@@ -110,11 +110,30 @@ object ArchiveWalker {
   }
 
   /** [[walkPath]]'s chunked sibling. */
-  def walkPathChunked(path: String, opts: ConvertOptions): Iterator[graft.core.ArchiveChunk] = {
+  def walkPathChunked(path: String, opts: ConvertOptions,
+      tap: InputStream => InputStream = identity): Iterator[graft.core.ArchiveChunk] = {
     val f = new java.io.File(path)
-    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f), 256 * 1024)
+    val in = new java.io.BufferedInputStream(tap(new java.io.FileInputStream(f)), 256 * 1024)
     walkChunked(path, in, f.length(), opts)
   }
+
+  /** [[walkUrl]]'s chunked sibling. */
+  def walkUrlChunked(url: String, opts: ConvertOptions,
+      tap: InputStream => InputStream = identity): Iterator[graft.core.ArchiveChunk] = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(300000)
+    val size = conn.getContentLengthLong
+    val in = new java.io.BufferedInputStream(tap(conn.getInputStream), 256 * 1024)
+    walkChunked(url, in, size, opts)
+  }
+
+  /** [[walkInput]]'s chunked sibling: same URL-vs-path dispatch. */
+  def walkInputChunked(input: String, opts: ConvertOptions,
+      tap: InputStream => InputStream = identity): Iterator[graft.core.ArchiveChunk] =
+    if (input.startsWith("http://") || input.startsWith("https://") || input.startsWith("file:"))
+      walkUrlChunked(input, opts, tap)
+    else walkPathChunked(input, opts, tap)
 
   private def closing[T](it: Iterator[T], in: InputStream): Iterator[T] = {
     val closed = new java.util.concurrent.atomic.AtomicBoolean(false)

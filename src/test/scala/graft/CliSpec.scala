@@ -87,6 +87,31 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.contains("rows_written=2"), log)
   }
 
+  test("--chunked converts oversize entries as content_part rows, reassembly-exact") {
+    val dir = fixture() // b.bin is 500 bytes; cap at 200 -> 3 chunks
+    val out = new File(dir, "out_chunked").getPath
+    val (rc, log) = runCli(None,
+      out, s"${dir.getPath}/in.tar.gz", "--chunked", "--max-entry-bytes", "200")
+    assert(rc == 0, log.takeRight(2000))
+    assert(log.contains("rows_written=4"), log.takeRight(2000)) // 3 + a.txt's 1
+    val rows = spark.read.parquet(out)
+    assert(rows.where(org.apache.spark.sql.functions.col("path") === "b.bin").count() == 3)
+    val back = graft.convert.ArchiveConverter.reassembleChunks(rows)
+    assert(back.count() == 2)
+    val bbin = back.where(org.apache.spark.sql.functions.col("path") === "b.bin").head()
+    assert(bbin.getAs[Array[Byte]]("content").sameElements(
+      Array.tabulate[Byte](500)(i => (i * 7).toByte)))
+  }
+
+  test("--chunked refuses whole-entry gates (--unique)") {
+    val dir = fixture()
+    val out = new File(dir, "out_chunked_bad").getPath
+    val (rc, log) = runCli(None,
+      out, s"${dir.getPath}/in.tar.gz", "--chunked", "--unique")
+    assert(rc != 0)
+    assert(log.contains("reassembleChunks"), log.takeRight(2000))
+  }
+
   test("bad usage exits nonzero without writing output") {
     val out = "/tmp/graft_cli_bad_usage_out"
     val (rc, _) = runCli(None, out)

@@ -15,7 +15,7 @@ cd "$(dirname "$0")/.."
 
 SF=${1:-/root/testdata/sf0.1}
 SLICE=/tmp/sf01_slice
-QUAD=q18_neardup_lsh,q33_components,q44_jaccard_neardup,q57_decontaminate
+QUAD=q18_neardup_lsh,q33_components,q44_jaccard_neardup,q57_decontaminate,q75_neardup_winners
 
 echo "== full $SF sweep =="
 sbt -batch "runMain graft.Verify $SF /tmp/verify_sf01" >/dev/null
