@@ -48,7 +48,9 @@ final class ProgressReporter(
   }
 
   /** One render frame: the aggregate line, then a bar per started
-    * input. Package-visible for direct assertion in tests.
+    * input, capped at [[ProgressReporter.MaxBars]] rows (a 100k-input
+    * manifest must not print 100k lines per tick) with a "+N more"
+    * tail. Package-visible for direct assertion in tests.
     */
   private[graft] def frame(prefix: String): Seq[String] = {
     val head = line(prefix)
@@ -56,7 +58,7 @@ final class ProgressReporter(
     else {
       val read = metrics.perInputBytes.value
       val done = metrics.perInputDone.value
-      head +: inputSizes.flatMap { case (input, total) =>
+      val rows = inputSizes.flatMap { case (input, total) =>
         val b = read.getOrElse(input, 0L)
         val isDone = done.contains(input)
         if (b == 0L && !isDone) None // not started yet — no bar (MultiProgress adds bars lazily too)
@@ -76,6 +78,11 @@ final class ProgressReporter(
           Some(f"[graft]   $bar ${b / 1e6}%.1f$tot MB $state $name")
         }
       }
+      val shown =
+        if (rows.size <= ProgressReporter.MaxBars) rows
+        else rows.take(ProgressReporter.MaxBars) :+
+          s"[graft]   … +${rows.size - ProgressReporter.MaxBars} more inputs"
+      head +: shown
     }
   }
 
@@ -111,4 +118,11 @@ final class ProgressReporter(
     thread.join(1000)
     emit(frame("[graft] walked:"))
   }
+}
+
+object ProgressReporter {
+  /** Most per-input bar rows a frame renders; beyond this a single
+    * "+N more inputs" tail summarizes the rest.
+    */
+  val MaxBars: Int = 64
 }

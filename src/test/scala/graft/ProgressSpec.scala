@@ -68,6 +68,19 @@ class ProgressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep.frame("[graft] converting:").size == 1)
   }
 
+  test("per-input frames cap at MaxBars rows with a +N more tail") {
+    spark.sparkContext
+    val metrics = new ArchiveConverter.WalkMetrics(spark)
+    val n = ProgressReporter.MaxBars + 37
+    val sizes = (1 to n).map(i => s"/data/in$i.tar" -> 1000L)
+    val ps = new java.io.PrintStream(new java.io.ByteArrayOutputStream())
+    val rep = new ProgressReporter(metrics, n.toLong, ps, intervalMs = 100000, None, sizes)
+    sizes.foreach { case (p, _) => metrics.perInputDone.add(p -> 1L) }
+    val f = rep.frame("[graft] converting:")
+    assert(f.size == 1 + ProgressReporter.MaxBars + 1, f.size)
+    assert(f.last == "[graft]   … +37 more inputs", f.last)
+  }
+
   test("convert with progress bars renders per-input rows to a redirected stderr") {
     import Fixtures._
     val dir = java.nio.file.Files.createTempDirectory("graft_bars").toFile
