@@ -93,4 +93,29 @@ object Sampling {
       .select(df.columns.toIndexedSeq.map(col) :+
         explode(sequence(lit(1L), col("__copies"))).as("epoch"): _*)
   }
+
+  /** Deterministic global shuffle — the epoch-ordering primitive: a
+    * reproducible pseudo-random permutation of the corpus, keyed by
+    * `(seed, id)`. Training runs need the SAME shuffle order on every
+    * rerun/resume (a `rand()` sort is re-seeded per task attempt and
+    * not checkpoint-stable), and a different-but-equally-deterministic
+    * order per epoch — vary `seed`.
+    *
+    * Ordering key is `md5(seed || ':' || id)` — md5 because it is the
+    * one keyed hash every engine evaluates identically (the same
+    * reason the simhash/winnowing surfaces build on it), so the
+    * permutation is oracle-reproducible bit-for-bit. Ties are
+    * impossible for distinct ids (equal digests would be a collision);
+    * the id is appended as a tiebreak column anyway so the sort is
+    * total even with duplicate ids.
+    *
+    * Scale shape: one range exchange on the digest (Spark samples
+    * range boundaries, then each partition sorts locally) — the
+    * standard distributed sort; at 100 TB this is exactly the shuffle
+    * a global permutation costs, and nothing more. The output order is
+    * the DATASET order (write it with `sortWithinPartitions`-stable
+    * sinks or zip with a row number downstream).
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    df.orderBy(md5(concat_ws(":", lit(seed), col(idCol))), col(idCol))
 }

@@ -1280,6 +1280,23 @@ object Inventory {
     Dedup.nearDupWinnersVerified(t(s, d, "documents"), "doc_id", "text", threshold = 0.8)
       .select(col("doc_id")).orderBy(col("doc_id"))
 
+  /** Deterministic epoch shuffle ([[Sampling.deterministicShuffle]]):
+    * the reproducible global permutation, checked as an exact
+    * POSITION assignment (the driver compares rows order-insensitively,
+    * so the permutation is materialized as `row_number` over the
+    * shuffle order — the oracle recomputes the same md5 ordering).
+    * The windowed position here is the ORACLE FACE; the operator
+    * itself is a plain range-exchange sort with no global window.
+    */
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    val shuffled = Sampling.deterministicShuffle(t(s, d, "documents"), "doc_id", seed = 42L)
+    shuffled.select(
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(
+        md5(concat_ws(":", lit(42L), col("doc_id"))), col("doc_id"))).as("pos"),
+      col("doc_id"))
+      .orderBy(col("pos"))
+  }
+
   /** q62 fixture texts — inline literals (the synthetic documents
     * table contains no PII-shaped spans, so like q59 the query is
     * self-contained); chosen to exercise greedy-domain backtracking
@@ -1395,7 +1412,8 @@ object Inventory {
     "q72_size_filter" -> (q72 _),
     "q73_dsv2_source" -> (q73 _),
     "q74_chunked_walk" -> (q74 _),
-    "q75_neardup_winners" -> (q75 _))
+    "q75_neardup_winners" -> (q75 _),
+    "q76_epoch_shuffle" -> (q76 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1799,6 +1817,13 @@ object Inventory {
            |SELECT doc_id FROM documents
            |WHERE doc_id NOT IN (SELECT id FROM losers)
            |ORDER BY doc_id""".stripMargin,
+      // same md5-keyed permutation: both engines hash the identical
+      // "seed:id" string and agree on the hex digest ordering
+      "q76_epoch_shuffle" ->
+        """SELECT CAST(row_number() OVER (
+          |         ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+          |       AS INTEGER) AS pos, doc_id
+          |FROM documents ORDER BY pos""".stripMargin,
       "q34_salted_agg" ->
         """SELECT event_type, COUNT(*) AS n,
           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

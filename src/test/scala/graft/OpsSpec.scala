@@ -538,4 +538,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").as[Long].collect().sorted
     assert(all.toSeq == Seq(1L, 2L, 3L, 4L))
   }
+
+  test("Sampling.deterministicShuffle: stable per seed, permutes, varies across seeds") {
+    import spark.implicits._
+    val df = (1L to 200L).toDF("id")
+    def order(seed: Long): Seq[Long] =
+      graft.ops.Sampling.deterministicShuffle(df, "id", seed).as[Long].collect().toSeq
+    val a1 = order(7); val a2 = order(7); val b = order(8)
+    assert(a1 == a2, "same seed must reproduce the same order")
+    assert(a1.sorted == (1L to 200L) && b.sorted == (1L to 200L), "must be a permutation")
+    assert(a1 != b, "different seeds must give different orders")
+    assert(a1 != (1L to 200L).toSeq, "must actually shuffle")
+  }
 }
