@@ -54,8 +54,9 @@ object ArchiveConverter {
 
   /** Key-summing accumulator for per-input counters. Bounded by the
     * input LIST (user-supplied, thousands at most), never the data:
-    * safe to merge driver-side. Updates flow with task completions and
-    * executor heartbeats like any accumulator.
+    * safe to merge driver-side. Like any AccumulatorV2, `value` merges
+    * at task COMPLETION; mid-task reads go through [[LiveWalkCounters]],
+    * which folds in the running-task partials heartbeats deliver.
     */
   final class MapAccumulator
       extends org.apache.spark.util.AccumulatorV2[(String, Long), Map[String, Long]] {
@@ -107,6 +108,9 @@ object ArchiveConverter {
     override def read(b: Array[Byte], off: Int, len: Int): Int = {
       val n = super.read(b, off, len); if (n >= 0) bump(n.toLong) else flush(); n
     }
+    // tar inter-entry padding and trailing blocks are often skip()ed,
+    // not read — count them too or bars under-run the file size
+    override def skip(n: Long): Long = { val s = super.skip(n); bump(s); s }
     override def close(): Unit = { flush(); super.close() }
   }
 
@@ -128,6 +132,69 @@ object ArchiveConverter {
     val perInputDone: MapAccumulator = new MapAccumulator
     spark.sparkContext.register(perInputBytes, "graft.perInputBytes")
     spark.sparkContext.register(perInputDone, "graft.perInputDone")
+  }
+
+  /** Live view over [[WalkMetrics]]: registered `AccumulatorV2.value`
+    * only advances when a TASK COMPLETES (executor heartbeats feed the
+    * listener bus, not the accumulator), and the walk pins one task
+    * per input slice — so raw accumulator reads would freeze until
+    * inputs finish. This listener captures the running-task partials
+    * heartbeats carry (`SparkListenerExecutorMetricsUpdate`, matched
+    * by accumulator id) and merges them with the completed-task values
+    * on read. Partials are cumulative per task, and the walk's input
+    * slices are disjoint, so completed + running never double-counts;
+    * a finished task's partial is dropped on `onTaskEnd` the moment
+    * its final value lands in the accumulator itself. Heartbeat
+    * cadence (spark.executor.heartbeatInterval, default 10 s) bounds
+    * the staleness.
+    */
+  final class LiveWalkCounters(metrics: WalkMetrics)
+      extends org.apache.spark.scheduler.SparkListener {
+    private val trackedIds: Set[Long] = Set(
+      metrics.inputs.id, metrics.inputsDone.id, metrics.entries.id,
+      metrics.bytes.id, metrics.errors.id,
+      metrics.perInputBytes.id, metrics.perInputDone.id)
+    // (taskId, accId) -> that task's cumulative partial value
+    private val partials =
+      new java.util.concurrent.ConcurrentHashMap[(Long, Long), Any]()
+
+    private[graft] def recordPartial(taskId: Long, accId: Long, v: Any): Unit =
+      if (trackedIds.contains(accId)) partials.put((taskId, accId), v)
+
+    private[graft] def dropTask(taskId: Long): Unit =
+      partials.keySet.removeIf(k => k._1 == taskId)
+
+    override def onExecutorMetricsUpdate(
+        e: org.apache.spark.scheduler.SparkListenerExecutorMetricsUpdate): Unit =
+      for {
+        (taskId, _, _, infos) <- e.accumUpdates
+        info <- infos
+        u <- info.update
+      } recordPartial(taskId, info.id, u)
+
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      dropTask(e.taskInfo.taskId)
+
+    private def partialsFor(accId: Long): Iterator[Any] = {
+      import scala.jdk.CollectionConverters._
+      partials.entrySet().iterator().asScala
+        .filter(_.getKey._2 == accId).map(_.getValue)
+    }
+
+    def longValue(acc: LongAccumulator): Long =
+      acc.value + partialsFor(acc.id).map {
+        case l: java.lang.Long => l.longValue
+        case other => other.toString.toLong
+      }.sum
+
+    def mapValue(acc: MapAccumulator): Map[String, Long] =
+      partialsFor(acc.id).foldLeft(acc.value) {
+        case (m, p: Map[_, _]) =>
+          p.asInstanceOf[Map[String, Long]].foldLeft(m) {
+            case (mm, (k, v)) => mm.updated(k, mm.getOrElse(k, 0L) + v)
+          }
+        case (m, _) => m
+      }
   }
 
   /** Per-input error containment (W7 skip mode): a throw while walking
@@ -335,15 +402,22 @@ object ArchiveConverter {
               p -> (if (f.isFile) f.length() else -1L)
             }
           }
-        // repaint in place only on an interactive console; a
-        // redirected stderr (tests, batch logs) gets plain lines
-        val ansi = opts.progressBars && System.console() != null
-        Some(new ProgressReporter(metrics, inputs.size.toLong, primary,
-          opts.progressIntervalMs, tee, sizes, ansi).start())
+        // repaint in place only when STDERR itself is a terminal; a
+        // redirected stderr (tests, `2>log`, batch) gets plain lines
+        val ansi = opts.progressBars && ProgressReporter.stderrIsTty
+        // heartbeat-fed live view: without it every counter freezes
+        // until a task (= one whole input slice) completes
+        val lv = new LiveWalkCounters(metrics)
+        spark.sparkContext.addSparkListener(lv)
+        Some((new ProgressReporter(metrics, inputs.size.toLong, primary,
+          opts.progressIntervalMs, tee, sizes, ansi, Some(lv)).start(), lv))
       } else None
     try convertWith(spark, inputs, out, opts, metrics, obs)
     finally {
-      reporter.foreach(_.stop())
+      reporter.foreach { case (rep, lv) =>
+        rep.stop()
+        spark.sparkContext.removeSparkListener(lv)
+      }
       logStream.foreach(_.close())
     }
   }
@@ -358,6 +432,12 @@ object ArchiveConverter {
           "chunked conversion emits content_part rows describing CHUNKS; " +
             "include/size filters and unique dedup describe whole entries — " +
             "filter or dedup after reassembleChunks instead")
+        // fail at the driver with the same clarity as the gates above —
+        // walkChunked's own require would otherwise surface as a task
+        // failure (or, under skipErrors, as every input silently
+        // "skipped" then an empty-output error)
+        require(!opts.extractStrings,
+          "extractStrings is not supported in chunked mode")
         chunkedEntries(spark, inputs, opts, Some(metrics)).toDF()
       } else filteredEntries(spark, inputs, opts, Some(metrics))
     val shaped =

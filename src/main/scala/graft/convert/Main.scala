@@ -34,7 +34,8 @@ object Main {
       System.err.println("usage: graft.convert.Main OUTPUT INPUT... [--urls] [--unique] " +
         "[--include all|text|binary] [--min-size N] [--max-size N] " +
         "[--compression C] [--extract-executable-strings] [--skip-errors] " +
-        "[--single-file] [--threads N] [--progress] [--log-file FILE]")
+        "[--single-file] [--threads N] [--progress] [--progress-bars] " +
+        "[--log-file FILE] [--max-entry-bytes N] [--truncate-oversize] [--chunked]")
       sys.exit(2)
     }
     val out = args.head

@@ -6,12 +6,14 @@ import graft.convert.ArchiveConverter.WalkMetrics
   * src/progress.rs:11-133, which ticks an indicatif bar with the same
   * counters — entries read, bytes read, archives read).
   *
-  * Driver-side only: a daemon thread polls the walk accumulators at a
-  * fixed interval and prints one status line per tick. Accumulator
-  * values reach the driver with task completions and executor
-  * heartbeats, so the numbers trail execution by at most a heartbeat —
-  * the walker's hot path never synchronizes with the reporter.
-  * `stop()` prints a final line with the settled totals.
+  * Driver-side only: a daemon thread polls the walk counters at a
+  * fixed interval and prints one status line per tick. With a `live`
+  * view ([[ArchiveConverter.LiveWalkCounters]]) the numbers trail
+  * execution by at most a heartbeat (running-task partials merged in);
+  * without it they advance only as tasks complete (bare
+  * `AccumulatorV2.value` semantics). The walker's hot path never
+  * synchronizes with the reporter. `stop()` prints a final line with
+  * the settled totals.
   *
   * Per-input bars (reference src/converter/progress.rs:5-30: one
   * indicatif bar per input under a MultiProgress): pass `inputSizes`
@@ -30,19 +32,27 @@ final class ProgressReporter(
     intervalMs: Long,
     tee: Option[java.io.PrintStream] = None,
     inputSizes: Seq[(String, Long)] = Nil,
-    ansi: Boolean = false) {
+    ansi: Boolean = false,
+    live: Option[ArchiveConverter.LiveWalkCounters] = None) {
 
   private val t0 = System.nanoTime()
   @volatile private var stopped = false
   private var prevHeight = 0 // progress-thread + stop() only
 
+  // read through the live view when present: bare AccumulatorV2.value
+  // only advances at task completion, freezing mid-task progress
+  private def readLong(acc: org.apache.spark.util.LongAccumulator): Long =
+    live.map(_.longValue(acc)).getOrElse(acc.value)
+  private def readMap(acc: ArchiveConverter.MapAccumulator): Map[String, Long] =
+    live.map(_.mapValue(acc)).getOrElse(acc.value)
+
   private def line(prefix: String): String = {
     val secs = (System.nanoTime() - t0) / 1e9
-    val bytes = metrics.bytes.value
-    val errs = metrics.errors.value
-    val done = metrics.inputsDone.value
-    f"$prefix inputs ${metrics.inputs.value}/$totalInputs started ($done finished), " +
-      f"entries ${metrics.entries.value}%,d, ${bytes / 1e6}%.1f MB read " +
+    val bytes = readLong(metrics.bytes)
+    val errs = readLong(metrics.errors)
+    val done = readLong(metrics.inputsDone)
+    f"$prefix inputs ${readLong(metrics.inputs)}/$totalInputs started ($done finished), " +
+      f"entries ${readLong(metrics.entries)}%,d, ${bytes / 1e6}%.1f MB read " +
       f"(${bytes / 1e6 / math.max(secs, 1e-9)}%.1f MB/s)" +
       (if (errs > 0) s", $errs failed" else "")
   }
@@ -56,13 +66,20 @@ final class ProgressReporter(
     val head = line(prefix)
     if (inputSizes.isEmpty) Seq(head)
     else {
-      val read = metrics.perInputBytes.value
-      val done = metrics.perInputDone.value
-      val rows = inputSizes.flatMap { case (input, total) =>
+      val read = readMap(metrics.perInputBytes)
+      val done = readMap(metrics.perInputDone)
+      // per-tick work is O(started) + a capped render, not O(inputs):
+      // the expensive formatting runs for at most MaxBars rows, and
+      // the "+N more" count comes from the accumulator key sets
+      val startedCount = (read.keySet ++ done.keySet).size
+      val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = inputSizes.iterator
+      while (it.hasNext && rows.size < ProgressReporter.MaxBars) {
+        val (input, total) = it.next()
         val b = read.getOrElse(input, 0L)
         val isDone = done.contains(input)
-        if (b == 0L && !isDone) None // not started yet — no bar (MultiProgress adds bars lazily too)
-        else {
+        // not started yet — no bar (MultiProgress adds bars lazily too)
+        if (b > 0L || isDone) {
           val name = input.substring(input.lastIndexOf('/') + 1) match {
             case "" => input
             case s  => s
@@ -75,13 +92,13 @@ final class ProgressReporter(
             } else "[" + "." * 20 + "]" // unknown length: indeterminate
           val tot = if (total > 0) f"/${total / 1e6}%.1f" else ""
           val state = if (isDone) "done" else "reading"
-          Some(f"[graft]   $bar ${b / 1e6}%.1f$tot MB $state $name")
+          rows += f"[graft]   $bar ${b / 1e6}%.1f$tot MB $state $name"
         }
       }
+      val more = startedCount - rows.size
       val shown =
-        if (rows.size <= ProgressReporter.MaxBars) rows
-        else rows.take(ProgressReporter.MaxBars) :+
-          s"[graft]   … +${rows.size - ProgressReporter.MaxBars} more inputs"
+        if (more <= 0) rows.toSeq
+        else rows.toSeq :+ s"[graft]   … +$more more inputs"
       head +: shown
     }
   }
@@ -125,4 +142,21 @@ object ProgressReporter {
     * "+N more inputs" tail summarizes the rest.
     */
   val MaxBars: Int = 64
+
+  /** Best-effort "is the process's STDERR a terminal" — the stream the
+    * bars repaint. `System.console()` reflects stdin/stdout, so
+    * `cmd 2>log` would wrongly ANSI-paint the log through it; on Linux
+    * the `/proc/self/fd/2` symlink answers for the actual fd
+    * (indicatif isattys the same fd). Non-Linux falls back to
+    * `System.console()`.
+    */
+  def stderrIsTty: Boolean =
+    try {
+      val p = java.nio.file.Paths.get("/proc/self/fd/2")
+      if (java.nio.file.Files.isSymbolicLink(p)) {
+        val target = java.nio.file.Files.readSymbolicLink(p).toString
+        target.startsWith("/dev/pts/") || target == "/dev/tty" ||
+          target.startsWith("/dev/console")
+      } else System.console() != null
+    } catch { case _: Throwable => System.console() != null }
 }

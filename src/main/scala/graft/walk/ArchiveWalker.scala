@@ -49,28 +49,48 @@ object ArchiveWalker {
     */
   final case class Details(path: String, size: Long)
 
-  /** Walk one local file. `tap` wraps the RAW stream before buffering —
-    * the per-input progress hook (reference src/converter/progress.rs:
-    * 91-106 wraps each input reader the same way); identity by default.
+  /** Open a local path as a (buffered, tapped) stream + claimed size.
+    * `tap` wraps the RAW stream before buffering — the per-input
+    * progress hook (reference src/converter/progress.rs:91-106 wraps
+    * each input reader the same way).
     */
-  def walkPath(path: String, opts: ConvertOptions,
-      tap: InputStream => InputStream = identity): Iterator[ArchiveEntry] = {
+  private def openPath(path: String,
+      tap: InputStream => InputStream): (InputStream, Long) = {
     val f = new java.io.File(path)
-    val in = new java.io.BufferedInputStream(tap(new java.io.FileInputStream(f)), 256 * 1024)
-    walk(path, in, f.length(), opts)
+    (new java.io.BufferedInputStream(tap(new java.io.FileInputStream(f)), 256 * 1024), f.length())
   }
 
-  /** Walk one http(s)/file URL — the response body streams straight
+  /** Open an http(s)/file URL — the response body streams straight
     * into the sniff/decompress/walk chain, never fully materialized
     * (reference S2: src/main.rs:200-220).
     */
-  def walkUrl(url: String, opts: ConvertOptions,
-      tap: InputStream => InputStream = identity): Iterator[ArchiveEntry] = {
+  private def openUrl(url: String,
+      tap: InputStream => InputStream): (InputStream, Long) = {
     val conn = new java.net.URI(url).toURL.openConnection()
     conn.setConnectTimeout(30000)
     conn.setReadTimeout(300000)
-    val size = conn.getContentLengthLong
-    val in = new java.io.BufferedInputStream(tap(conn.getInputStream), 256 * 1024)
+    (new java.io.BufferedInputStream(tap(conn.getInputStream), 256 * 1024),
+      conn.getContentLengthLong)
+  }
+
+  private def isUrl(input: String): Boolean =
+    input.startsWith("http://") || input.startsWith("https://") || input.startsWith("file:")
+
+  private def openInput(input: String,
+      tap: InputStream => InputStream): (InputStream, Long) =
+    if (isUrl(input)) openUrl(input, tap) else openPath(input, tap)
+
+  /** Walk one local file (see [[openPath]] for `tap`). */
+  def walkPath(path: String, opts: ConvertOptions,
+      tap: InputStream => InputStream = identity): Iterator[ArchiveEntry] = {
+    val (in, size) = openPath(path, tap)
+    walk(path, in, size, opts)
+  }
+
+  /** Walk one http(s)/file URL (see [[openUrl]]). */
+  def walkUrl(url: String, opts: ConvertOptions,
+      tap: InputStream => InputStream = identity): Iterator[ArchiveEntry] = {
+    val (in, size) = openUrl(url, tap)
     walk(url, in, size, opts)
   }
 
@@ -78,10 +98,10 @@ object ArchiveWalker {
     * else is a local path.
     */
   def walkInput(input: String, opts: ConvertOptions,
-      tap: InputStream => InputStream = identity): Iterator[ArchiveEntry] =
-    if (input.startsWith("http://") || input.startsWith("https://") || input.startsWith("file:"))
-      walkUrl(input, opts, tap)
-    else walkPath(input, opts, tap)
+      tap: InputStream => InputStream = identity): Iterator[ArchiveEntry] = {
+    val (in, size) = openInput(input, tap)
+    walk(input, in, size, opts)
+  }
 
   /** Walk one already-open stream named `source`. Consumes and closes it. */
   def walk(source: String, in: InputStream, claimedSize: Long, opts: ConvertOptions): Iterator[ArchiveEntry] = {
@@ -112,28 +132,23 @@ object ArchiveWalker {
   /** [[walkPath]]'s chunked sibling. */
   def walkPathChunked(path: String, opts: ConvertOptions,
       tap: InputStream => InputStream = identity): Iterator[graft.core.ArchiveChunk] = {
-    val f = new java.io.File(path)
-    val in = new java.io.BufferedInputStream(tap(new java.io.FileInputStream(f)), 256 * 1024)
-    walkChunked(path, in, f.length(), opts)
+    val (in, size) = openPath(path, tap)
+    walkChunked(path, in, size, opts)
   }
 
   /** [[walkUrl]]'s chunked sibling. */
   def walkUrlChunked(url: String, opts: ConvertOptions,
       tap: InputStream => InputStream = identity): Iterator[graft.core.ArchiveChunk] = {
-    val conn = new java.net.URI(url).toURL.openConnection()
-    conn.setConnectTimeout(30000)
-    conn.setReadTimeout(300000)
-    val size = conn.getContentLengthLong
-    val in = new java.io.BufferedInputStream(tap(conn.getInputStream), 256 * 1024)
+    val (in, size) = openUrl(url, tap)
     walkChunked(url, in, size, opts)
   }
 
   /** [[walkInput]]'s chunked sibling: same URL-vs-path dispatch. */
   def walkInputChunked(input: String, opts: ConvertOptions,
-      tap: InputStream => InputStream = identity): Iterator[graft.core.ArchiveChunk] =
-    if (input.startsWith("http://") || input.startsWith("https://") || input.startsWith("file:"))
-      walkUrlChunked(input, opts, tap)
-    else walkPathChunked(input, opts, tap)
+      tap: InputStream => InputStream = identity): Iterator[graft.core.ArchiveChunk] = {
+    val (in, size) = openInput(input, tap)
+    walkChunked(input, in, size, opts)
+  }
 
   private def closing[T](it: Iterator[T], in: InputStream): Iterator[T] = {
     val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -220,9 +235,10 @@ object ArchiveWalker {
         kind: FormatKind, stream: InputStream, opts: ConvertOptions,
         claimedSize: Long): Iterator[graft.core.ArchiveChunk] =
       emitChunks(source, nested, name, stream, opts)
-    // empty chunks are never produced, so the zip unknown-size drop
-    // rule has nothing left to drop
-    override def nonEmpty(c: graft.core.ArchiveChunk): Boolean = true
+    // the only zero-size chunk is an empty entry's part-0 (trailing
+    // empty chunks are never produced), so this implements the same
+    // zip unknown-size drop rule as the plain walk's `e.size > 0`
+    override def nonEmpty(c: graft.core.ArchiveChunk): Boolean = c.size > 0
   }
 
   /** Lazy chunk emission for one leaf: read at most `maxEntryBytes`
@@ -238,7 +254,15 @@ object ArchiveWalker {
     new Iterator[graft.core.ArchiveChunk] {
       private var part = 0L
       private var eof = false
-      private var pending: Array[Byte] = readChunk()
+      // an EMPTY entry still emits exactly one part-0 row (size 0,
+      // digest of the empty string) — parity with the plain walk,
+      // which emits every leaf; readChunk's null means "no further
+      // chunk", which for the FIRST read must instead be "one empty
+      // chunk"
+      private var pending: Array[Byte] = {
+        val first = readChunk()
+        if (first == null) Array.emptyByteArray else first
+      }
       private def readChunk(): Array[Byte] = {
         if (eof) return null
         val out = new ByteArrayOutputStream(math.min(cap, 64 * 1024))

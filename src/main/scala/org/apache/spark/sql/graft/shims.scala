@@ -28,4 +28,14 @@ object GraftShims {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
   }
+
+  /** Build an [[org.apache.spark.scheduler.AccumulableInfo]] — its
+    * constructor is `private[spark]`, and the live-progress listener's
+    * tests need to synthesize the heartbeat events executors send
+    * (`SparkListenerExecutorMetricsUpdate`) without running a real
+    * multi-second heartbeat cycle.
+    */
+  def accumulableInfo(id: Long, name: String, update: Any): org.apache.spark.scheduler.AccumulableInfo =
+    org.apache.spark.scheduler.AccumulableInfo(
+      id, Some(name), Some(update), None, internal = false, countFailedValues = false)
 }

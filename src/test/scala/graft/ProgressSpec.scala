@@ -68,6 +68,44 @@ class ProgressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep.frame("[graft] converting:").size == 1)
   }
 
+  test("live view merges running-task heartbeat partials; task end hands off to the accumulator") {
+    spark.sparkContext
+    val metrics = new ArchiveConverter.WalkMetrics(spark)
+    val lv = new ArchiveConverter.LiveWalkCounters(metrics)
+    val sizes = Seq("/d/a.tar" -> 100L * 1000 * 1000)
+    val ps = new java.io.PrintStream(new java.io.ByteArrayOutputStream())
+    val rep = new ProgressReporter(metrics, 1, ps, intervalMs = 100000, None, sizes,
+      ansi = false, live = Some(lv))
+
+    // mid-task: nothing in the accumulators yet, heartbeat partial only —
+    // delivered through the real listener event (AccumulableInfo built
+    // via the shim; its constructor is private[spark])
+    val infos = Seq(
+      org.apache.spark.sql.graft.GraftShims.accumulableInfo(
+        metrics.bytes.id, "graft.bytesRead", java.lang.Long.valueOf(30L * 1000 * 1000)),
+      org.apache.spark.sql.graft.GraftShims.accumulableInfo(
+        metrics.perInputBytes.id, "graft.perInputBytes",
+        Map("/d/a.tar" -> 45L * 1000 * 1000)))
+    lv.onExecutorMetricsUpdate(org.apache.spark.scheduler.SparkListenerExecutorMetricsUpdate(
+      "0", Seq((7L, 0, 0, infos)), Map.empty))
+
+    assert(lv.longValue(metrics.bytes) == 30L * 1000 * 1000)
+    val f = rep.frame("[graft] converting:")
+    val bar = f.find(_.endsWith("a.tar")).get
+    assert(bar.contains("45.0/100.0 MB reading") && bar.contains("[#########-----------]"), bar)
+
+    // a later heartbeat for the same task REPLACES its partial (cumulative)
+    lv.recordPartial(7L, metrics.perInputBytes.id, Map("/d/a.tar" -> 80L * 1000 * 1000))
+    assert(lv.mapValue(metrics.perInputBytes)("/d/a.tar") == 80L * 1000 * 1000)
+
+    // task end: partial dropped, the completed value lives in the accumulator
+    metrics.perInputBytes.add("/d/a.tar" -> 100L * 1000 * 1000)
+    metrics.bytes.add(90L * 1000 * 1000)
+    lv.dropTask(7L)
+    assert(lv.longValue(metrics.bytes) == 90L * 1000 * 1000)
+    assert(lv.mapValue(metrics.perInputBytes)("/d/a.tar") == 100L * 1000 * 1000)
+  }
+
   test("per-input frames cap at MaxBars rows with a +N more tail") {
     spark.sparkContext
     val metrics = new ArchiveConverter.WalkMetrics(spark)

@@ -166,6 +166,31 @@ class WalkerSpec extends AnyFunSuite {
     assert(trivially.zip(plain).forall { case (c, e) => c.hash.sameElements(e.hash) })
   }
 
+  test("chunked walk: empty-entry parity with the plain walk everywhere") {
+    // inside archives both walks SKIP empty members (tar header rule,
+    // zip unknown-size drop rule — reference tarfile.rs:24)
+    val arch = gzipData(tarArchive(Seq(
+      "empty" -> Array.emptyByteArray,
+      "after" -> TestData)))
+    val capped = opts.copy(maxEntryBytes = 100L)
+    val rows = ArchiveWalker.walkChunked(
+      "input", new ByteArrayInputStream(arch), arch.length.toLong, capped).toVector
+    assert(rows.map(r => (r.path, r.content_part, r.size)) == Vector(
+      ("after", 0L, TestData.length.toLong)))
+    val z = zipArchive(Seq("empty" -> Array.emptyByteArray, "full" -> TestData))
+    assert(ArchiveWalker.walkChunked("input", new ByteArrayInputStream(z),
+      z.length.toLong, capped).map(_.path).toVector == Vector("full"))
+    // a 0-byte TOP-LEVEL input emits one row in the plain walk — the
+    // chunked walk must emit its part-0 twin, not silently nothing
+    val plainEmpty = walk(Array.emptyByteArray)
+    assert(plainEmpty.map(e => (e.path, e.size)) == Vector(("input", 0L)))
+    val chunkedEmpty = ArchiveWalker.walkChunked(
+      "input", new ByteArrayInputStream(Array.emptyByteArray), 0L, capped).toVector
+    assert(chunkedEmpty.map(c => (c.path, c.content_part, c.size)) ==
+      Vector(("input", 0L, 0L)))
+    assert(chunkedEmpty.head.hash.sameElements(sha256(Array.emptyByteArray)))
+  }
+
   test("executable with extractStrings: content = newline-joined runs >= 10 chars") {
     val elf = fakeElf(Seq("short", "a-long-enough-string", "tiny", "another/quite/long/run"))
     val rows = walk(tarArchive(Seq("bin" -> elf)), o = opts.copy(extractStrings = true))
