@@ -358,6 +358,57 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): cluster the embedding space
+    * with a k-means codebook, compare pairs only WITHIN a cluster
+    * (exact cosine), and keep one representative per connected group
+    * of semantic duplicates. The survivor election is the
+    * deterministic min-id representative over the within-cell
+    * duplicate graph's connected components ([[Dedup.components]], the
+    * same election as `nearDupWinnersVerified`) — the paper's
+    * keep-lowest-centroid-similarity choice is a heuristic the caller
+    * can swap in by re-ranking survivors; min-id keeps the survivor
+    * set a pure function of the duplicate graph, reproducible by any
+    * engine.
+    *
+    * Scale shape: the clustering bounds candidate generation exactly
+    * like LSH banding — the only exchange before the verify carries
+    * (cell, id, vector) and is keyed on the CELL, and pair enumeration
+    * is quadratic only in the cell population, which the codebook size
+    * controls (the paper runs k=50k clusters on LAION; size nlist
+    * ∝ corpus so cells stay ~constant). Cells are also exactly the
+    * [[writeIvfPartitioned]] layout, so at rest the pair join reads
+    * co-partitioned files with no shuffle at all. A degenerate giant
+    * cell (mass near one centroid) degrades gracefully: compose with
+    * [[embeddingNearDupPairs]] INSIDE the cell — same verify, banded
+    * candidates.
+    *
+    * Returns the surviving rows of `df` with the cell assignment
+    * appended as `cellCol`.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      codebook: IvfCodebook, threshold: Double,
+      cellCol: String = "cell"): DataFrame = {
+    val celled = df.withColumn(cellCol, ivfCell(codebook, col(vecCol)))
+    val sides = celled.select(
+      col(idCol).as("__sid"), col(cellCol).as("__scell"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"),
+      sqrt(GraftFunctions.vec_dot(col(vecCol), col(vecCol))).as("__n"))
+    val pairs = sides
+      .select(col("__sid").as("id_a"), col("__scell").as("__cell"),
+        col("__v").as("__va"), col("__n").as("__na"))
+      .join(sides.select(col("__sid").as("id_b"), col("__scell").as("__cell"),
+        col("__v").as("__vb"), col("__n").as("__nb")), Seq("__cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(pairCos("__va", "__vb", "__na", "__nb") >= threshold)
+      .select("id_a", "id_b")
+    val losers = Dedup.components(pairs)
+      .where(col("cluster") < col("id"))
+      .select(col("id").as("__loser"))
+    celled.join(losers, celled(idCol) === col("__loser"), "left_anti")
+  }
+
   /** Exact all-pairs variant (for small corpora / oracle checks): a
     * broadcast self-join. O(n²) — NOT the scale path; see
     * [[embeddingNearDupPairs]].

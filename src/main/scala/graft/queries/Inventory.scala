@@ -1297,6 +1297,22 @@ object Inventory {
       .orderBy(col("pos"))
   }
 
+  /** SemDeDup ([[Similarity.semDedup]], arXiv:2303.09540): semantic
+    * dedup = IVF-cell clustering (the q37 deterministic codebook, so
+    * the oracle can reproduce the assignment) → within-cell exact
+    * cosine pairs at the q25/q31 threshold → one min-id survivor per
+    * connected duplicate group. Output = (vec_id, cell) of survivors;
+    * the oracle chains q37's assignment CTE, q31's pair arithmetic
+    * (within cells only) and q75's closure + loser anti-join.
+    */
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val cb = Similarity.ivfCodebook(emb, "vec_id", "embedding", nlist = 16)
+    Similarity.semDedup(emb, "vec_id", "embedding", cb, threshold = 0.45)
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q62 fixture texts — inline literals (the synthetic documents
     * table contains no PII-shaped spans, so like q59 the query is
     * self-contained); chosen to exercise greedy-domain backtracking
@@ -1413,7 +1429,8 @@ object Inventory {
     "q73_dsv2_source" -> (q73 _),
     "q74_chunked_walk" -> (q74 _),
     "q75_neardup_winners" -> (q75 _),
-    "q76_epoch_shuffle" -> (q76 _))
+    "q76_epoch_shuffle" -> (q76 _),
+    "q77_semdedup" -> (q77 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1824,6 +1841,39 @@ object Inventory {
           |         ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
           |       AS INTEGER) AS pos, doc_id
           |FROM documents ORDER BY pos""".stripMargin,
+      // SemDeDup: q37's assignment CTE -> within-cell q25 pair
+      // arithmetic -> q75's closure + loser anti-join
+      "q77_semdedup" ->
+        """WITH RECURSIVE cmeta AS (
+          |  SELECT vec_id AS cent_id, embedding AS cvec,
+          |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS cnorm
+          |  FROM embeddings ORDER BY vec_id LIMIT 16),
+          |assigned AS (
+          |  SELECT e.vec_id, e.embedding, c.cent_id,
+          |    list_sum(list_transform(generate_series(1, 64),
+          |             i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE))
+          |      / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in e.embedding])) * c.cnorm)
+          |      AS cos_c
+          |  FROM embeddings e CROSS JOIN cmeta c
+          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          |                             ORDER BY cos_c DESC, c.cent_id) = 1),
+          |nn AS (SELECT vec_id, cent_id, [x::DOUBLE for x in embedding] AS v,
+          |         sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS nrm
+          |       FROM assigned),
+          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          |      FROM nn a JOIN nn b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+          |      WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+          |                  / (a.nrm * b.nrm), 6) >= 0.45),
+          |e2 AS (SELECT id_a AS src, id_b AS dst FROM p
+          |       UNION SELECT id_b, id_a FROM p),
+          |reach(id, r) AS (
+          |  SELECT src, src FROM e2
+          |  UNION
+          |  SELECT e2.src, reach.r FROM e2 JOIN reach ON reach.id = e2.dst),
+          |losers AS (SELECT id FROM reach GROUP BY id HAVING MIN(r) < id)
+          |SELECT a.vec_id, a.cent_id AS cell FROM assigned a
+          |WHERE a.vec_id NOT IN (SELECT id FROM losers)
+          |ORDER BY a.vec_id""".stripMargin,
       "q34_salted_agg" ->
         """SELECT event_type, COUNT(*) AS n,
           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

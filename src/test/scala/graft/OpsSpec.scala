@@ -280,6 +280,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("embeddingNearDupPairs"))
   }
 
+  test("semDedup: within-cell components elect min-id survivors; cross-cell pairs are out of scope") {
+    import spark.implicits._
+    def ang(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat, 0f, 0f)
+    // cell 0 (centroid e1): a 0°/20°/40°/44° chain — consecutive pairs
+    // clear cos >= 0.9 but 0° vs 40° does not, so the survivor set
+    // depends on CONNECTED components, not direct pairs
+    // cell 1 (centroid e2): 46° (a near-dup of 44° ACROSS the cell
+    // boundary — SemDeDup by construction does not see it) and an
+    // e2-aligned dup pair; (0,0,1,0) ties both centroids -> cell 0
+    val rows = Seq(
+      0L -> ang(0), 1L -> ang(20), 2L -> ang(40), 3L -> ang(44),
+      4L -> ang(46),
+      5L -> Array(0f, 1f, 0f, 0f), 6L -> Array(0.02f, 0.9998f, 0f, 0f),
+      7L -> Array(0f, 0f, 1f, 0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val cb: Similarity.IvfCodebook = Array(
+      (0L, Array(1.0, 0.0, 0.0, 0.0), 1.0), (1L, Array(0.0, 1.0, 0.0, 0.0), 1.0))
+    val out = Similarity.semDedup(df, "vec_id", "embedding", cb, threshold = 0.9)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // {0,1,2,3} one chain-component -> 0 survives; 4 survives in cell 1
+    // (its only near-dup, 3, sits across the boundary); {5,6} -> 5; 7 alone
+    assert(out.toSeq == Seq((0L, 0L), (4L, 1L), (5L, 1L), (7L, 0L)))
+  }
+
   test("text stats: token count, ratios, quality, lang guess") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox, and the lazy dog!")).toDF("id", "text")
