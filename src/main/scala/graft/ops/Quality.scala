@@ -96,6 +96,78 @@ object Quality {
       .select(col(idCol), coalesce(col("__clean"), lit("")).as(textCol))
   }
 
+  /** Per-document LM cross-entropy — the CCNet / RedPajama
+    * "perplexity filter" (Wenzek et al. 2020 §3.3 score documents
+    * under a reference-corpus LM and keep the low-perplexity tail;
+    * Gopher and LLaMA reuse the same signal). The production systems
+    * use a KenLM 5-gram; this operator is the same pipeline shape
+    * with an add-one-smoothed BIGRAM model — the model order is a
+    * constant in the dataflow (higher orders only widen the count
+    * tables), and a bigram stays exactly reproducible in the oracle's
+    * SQL dialect.
+    *
+    * Model, per language `l` (languages never share statistics, as in
+    * CCNet's per-language LMs): P(w2|w1) = (c_l(w1 w2) + 1) /
+    * (c_l(w1) + V_l) with counts from `ref`, V_l = distinct unigrams
+    * of `l` in `ref`. Score = -mean ln P over the document's bigrams,
+    * rounded to 6 dp (ln is the one non-correctly-rounded-everywhere
+    * primitive in the engine surface — measured: ~1/50k integer and
+    * ~1/1.5k quotient inputs differ by 1 ulp between libms — so the
+    * score is pinned at a precision 10 orders of magnitude above the
+    * ulp noise). Documents with no bigram (<2 tokens) score
+    * (0, null) — no evidence, caller picks the polarity, same
+    * convention as [[repetition]] — and so do documents in a language
+    * `ref` never saw (no V_l exists to smooth against).
+    *
+    * Scale shape: the count tables are (lang, gram)-keyed partial
+    * aggregates — each distinct gram crosses the wire once per
+    * partition, never per occurrence. Scoring explodes the scored
+    * corpus to (id, lang, w1, w2) rows and joins the three count
+    * relations on their gram keys: Zipf-shaped vocabularies keep the
+    * count sides orders of magnitude smaller than the token stream,
+    * so AQE broadcasts them when they fit and falls back to a
+    * gram-keyed shuffle join (one row per gram on the build side — a
+    * hot token skews the probe side only, which partial-aggregates
+    * per (id, gram) first). No driver materialization; `ref` is
+    * typically a curated slice (CCNet: Wikipedia) orders of magnitude
+    * smaller than the scored corpus.
+    *
+    * @param ref   corpus the LM is trained on (needs textCol, langCol)
+    * @param df    corpus to score (needs idCol, textCol, langCol)
+    * @return (idCol, langCol, bigrams, lm_ce), one row per input row
+    */
+  def lmCrossEntropy(ref: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, langCol: String): DataFrame = {
+    def pairs(src: DataFrame, cols: Column*): DataFrame = {
+      val w = words(col(textCol))
+      val n1 = greatest(size(w) - 1, lit(0))
+      src.select(cols :+ explode(arrays_zip(
+          slice(w, lit(1), n1).as("w1"), slice(w, lit(2), n1).as("w2")))
+        .as("__p"): _*)
+        .select(cols :+ col("__p.w1").as("__w1") :+ col("__p.w2").as("__w2"): _*)
+    }
+    val uni = ref.select(col(langCol), explode(words(col(textCol))).as("__t"))
+      .groupBy(col(langCol), col("__t")).agg(count(lit(1)).as("__cu"))
+    val vocab = uni.groupBy(col(langCol)).agg(count(lit(1)).as("__v"))
+    val bi = pairs(ref, col(langCol))
+      .groupBy(col(langCol), col("__w1"), col("__w2")).agg(count(lit(1)).as("__cb"))
+    val scored = pairs(df, col(idCol), col(langCol))
+      .join(bi, Seq(langCol, "__w1", "__w2"), "left")
+      .join(uni.withColumnRenamed("__t", "__w1"), Seq(langCol, "__w1"), "left")
+      .join(vocab, Seq(langCol))
+      .groupBy(col(idCol), col(langCol))
+      .agg(
+        count(lit(1)).as("bigrams"),
+        round(-avg(log(
+          (coalesce(col("__cb"), lit(0)).cast("double") + lit(1.0)) /
+            (coalesce(col("__cu"), lit(0)).cast("double") + col("__v")))), 6)
+          .as("lm_ce"))
+    df.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol, langCol), "left")
+      .select(col(idCol), col(langCol),
+        coalesce(col("bigrams"), lit(0L)).as("bigrams"), col("lm_ce"))
+  }
+
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = df.select(col(idCol), words(col(textCol)).as("__w"))
 

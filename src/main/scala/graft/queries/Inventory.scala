@@ -1313,6 +1313,21 @@ object Inventory {
       .orderBy(col("vec_id"))
   }
 
+  /** LM perplexity filter ([[Quality.lmCrossEntropy]], CCNet Wenzek
+    * et al. 2020 §3.3): per-language bigram LM trained on the
+    * `src0` slice (the "curated reference" stand-in for CCNet's
+    * Wikipedia), every document scored by cross-entropy under it —
+    * src0 docs exercise the fully-seen path, the other sources the
+    * unseen-gram add-one backoff. Score rounded to 6 dp (ln ulp
+    * variance across libms; see the operator scaladoc).
+    */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    Quality.lmCrossEntropy(docs.where(col("source") === "src0"), docs,
+      "doc_id", "text", "lang")
+      .orderBy(col("doc_id"))
+  }
+
   /** q62 fixture texts — inline literals (the synthetic documents
     * table contains no PII-shaped spans, so like q59 the query is
     * self-contained); chosen to exercise greedy-domain backtracking
@@ -1430,7 +1445,8 @@ object Inventory {
     "q74_chunked_walk" -> (q74 _),
     "q75_neardup_winners" -> (q75 _),
     "q76_epoch_shuffle" -> (q76 _),
-    "q77_semdedup" -> (q77 _))
+    "q77_semdedup" -> (q77 _),
+    "q78_lm_score" -> (q78 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1874,6 +1890,42 @@ object Inventory {
           |SELECT a.vec_id, a.cent_id AS cell FROM assigned a
           |WHERE a.vec_id NOT IN (SELECT id FROM losers)
           |ORDER BY a.vec_id""".stripMargin,
+      // LM perplexity filter: per-lang bigram counts off the src0
+      // slice, add-one smoothing, -avg ln rounded 6dp (ln ulp rule)
+      "q78_lm_score" ->
+        """WITH ws AS (
+          |  SELECT doc_id, lang, source,
+          |         list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+          |                     x -> x <> '') AS w
+          |  FROM documents
+          |), pairs AS (
+          |  SELECT doc_id, lang, source, p.w1 AS w1, p.w2 AS w2
+          |  FROM (SELECT doc_id, lang, source,
+          |          unnest(list_transform(range(1, len(w)),
+          |                 i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
+          |        FROM ws)
+          |), cu AS (
+          |  SELECT lang, tok, count(*) AS c
+          |  FROM (SELECT lang, unnest(w) AS tok FROM ws WHERE source = 'src0')
+          |  GROUP BY 1, 2
+          |), v AS (
+          |  SELECT lang, count(*) AS v FROM cu GROUP BY 1
+          |), cb AS (
+          |  SELECT lang, w1, w2, count(*) AS c
+          |  FROM pairs WHERE source = 'src0' GROUP BY 1, 2, 3
+          |), m AS (
+          |  SELECT p.doc_id, p.lang, count(*) AS bigrams,
+          |         round(-avg(ln((coalesce(cb.c, 0) + 1.0)
+          |                       / (coalesce(cu.c, 0) + v.v))), 6) AS lm_ce
+          |  FROM pairs p
+          |  LEFT JOIN cb ON cb.lang = p.lang AND cb.w1 = p.w1 AND cb.w2 = p.w2
+          |  LEFT JOIN cu ON cu.lang = p.lang AND cu.tok = p.w1
+          |  JOIN v ON v.lang = p.lang
+          |  GROUP BY 1, 2
+          |)
+          |SELECT d.doc_id, d.lang, coalesce(m.bigrams, 0) AS bigrams, m.lm_ce
+          |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id AND m.lang = d.lang
+          |ORDER BY d.doc_id""".stripMargin,
       "q34_salted_agg" ->
         """SELECT event_type, COUNT(*) AS n,
           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -402,6 +402,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(4L).isNullAt(1) && m(4L).isNullAt(3) && m(4L).isNullAt(5))
   }
 
+  test("Quality.lmCrossEntropy: hand-checked bigram LM, backoff, null conventions") {
+    import spark.implicits._
+    // ref "a b a b": unigrams a:2 b:2 (V=2); bigrams (a,b):2 (b,a):1
+    val ref = Seq((100L, "a b a b", "en")).toDF("doc_id", "text", "lang")
+    val docs = Seq(
+      (1L, "a b a", "en"), // P(b|a)=(2+1)/(2+2), P(a|b)=(1+1)/(2+2): -(ln .75 + ln .5)/2
+      (2L, "c a", "en"),   // unseen w1 AND bigram: (0+1)/(0+2) -> -ln .5
+      (3L, "a", "en"),     // <2 tokens -> 0 bigrams, null score
+      (4L, "a b", "fr")    // lang absent from ref -> no statistics, null
+    ).toDF("doc_id", "text", "lang")
+    val m = graft.ops.Quality.lmCrossEntropy(ref, docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(2) == 2 && m(1L).getDouble(3) == 0.490415)
+    assert(m(2L).getLong(2) == 1 && m(2L).getDouble(3) == 0.693147)
+    assert(m(3L).getLong(2) == 0 && m(3L).isNullAt(3))
+    assert(m(4L).getLong(2) == 0 && m(4L).isNullAt(3))
+  }
+
   test("Sampling.stratified: exact deterministic selection per stratum") {
     import spark.implicits._
     val df = (0L until 10000L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "fr"))
