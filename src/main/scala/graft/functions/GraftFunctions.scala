@@ -43,6 +43,13 @@ object GraftFunctions {
   def fingerprint(text: Column, k: Int = 9, window: Int = 4): Column =
     column(Fingerprint(expression(text), expression(lit(k)), expression(lit(window))))
 
+  /** Per-occurrence DSIR hashed unigram+bigram feature buckets. */
+  def hashed_grams(text: Column, buckets: Int): Column =
+    column(HashedGrams(expression(text), expression(lit(buckets))))
+
+  /** Oracle-shared 62-bit md5 hash (= DuckDB `md5_number_lower % 2^62`). */
+  def md5_long62(text: Column): Column = column(Md5Long62(expression(text)))
+
   // ---- vector math (built-in compositions — fully codegen'd) ----
 
   /** Dot product of two array<float|double> columns in double precision.
@@ -93,6 +100,8 @@ object GraftFunctions {
     "minhash_signature" -> (e => MinHashSignature(e.head, e(1), e(2))),
     "simhash64" -> (e => SimHash64(e.head)),
     "fingerprint" -> (e => Fingerprint(e.head, e(1), e(2))),
+    "hashed_grams" -> (e => HashedGrams(e.head, e(1))),
+    "md5_long62" -> (e => Md5Long62(e.head)),
     "explode_archive" -> (e => ExplodeArchive(e.head)))
 
   /** Register the custom expressions for SQL use in an existing session

@@ -98,6 +98,41 @@ case class WordShingles(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `hashed_grams(text, buckets) -> array<bigint>` — per-occurrence
+  * hashed unigram+bigram feature buckets (DSIR importance-resampling
+  * features, Xie et al. NeurIPS 2023; see
+  * [[HashingHelper.dsirBuckets]]). Codegen'd single pass.
+  */
+case class HashedGrams(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hashed_grams"
+  override protected def nullSafeEval(text: Any, b: Any): Any =
+    HashingHelper.dsirBuckets(text.asInstanceOf[UTF8String], b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, b) => s"graft.functions.HashingHelper.dsirBuckets($t, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HashedGrams =
+    copy(left = l, right = r)
+}
+
+/** `md5_long62(text) -> bigint` — the engine's oracle-shared 62-bit
+  * md5 hash ([[HashingHelper.md5lo62]]) as a column function; equals
+  * DuckDB `md5_number_lower(s) % 2^62`. The deterministic-noise
+  * primitive for sampling surfaces (Gumbel keys, tie-free orderings).
+  */
+case class Md5Long62(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_long62"
+  override protected def nullSafeEval(input: Any): Any =
+    HashingHelper.md5Long62(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashingHelper.md5Long62($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Long62 =
+    copy(child = newChild)
+}
+
 /** `lang_guess(text) -> string` — function-word language-ID heuristic
   * (see [[LangIdHelper]]). Codegen'd single pass.
   */

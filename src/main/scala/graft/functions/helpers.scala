@@ -212,6 +212,37 @@ object HashingHelper {
     new GenericArrayData(out)
   }
 
+  /** [[md5lo62]] over a UTF8String column value — the oracle-shared
+    * hash surfaced as a column function (`md5_long62`).
+    */
+  def md5Long62(s: UTF8String): Long = md5lo62(s.toString)
+
+  /** Per-occurrence DSIR feature buckets (Xie et al., NeurIPS 2023
+    * §3: hashed unigram+bigram counts): [[md5lo62]] of every unigram
+    * token and every space-joined bigram, modulo `buckets`. Unigrams
+    * come first in document order, then bigrams — consumers count
+    * occurrences, so order is cosmetic. Equals the oracle recipe
+    * `(md5_number_lower(g) % 2^62) % buckets` over the same grams
+    * built from the shared [[tokenize]] tokenization.
+    */
+  def dsirBuckets(text: UTF8String, buckets: Int): ArrayData = {
+    val toks = tokenize(text.toString)
+    val n = toks.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](2 * n - 1)
+    var i = 0
+    while (i < n) {
+      out(i) = java.lang.Long.valueOf(md5lo62(toks(i)) % buckets)
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      out(n + i) = java.lang.Long.valueOf(md5lo62(toks(i) + " " + toks(i + 1)) % buckets)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit hash of a string: two 32-bit murmur passes with distinct seeds. */
   def hash64(s: CharSequence): Long = {
     val str = s.toString

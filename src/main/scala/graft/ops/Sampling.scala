@@ -118,4 +118,68 @@ object Sampling {
     */
   def deterministicShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame =
     df.orderBy(md5(concat_ws(":", lit(seed), col(idCol))), col(idCol))
+
+  /** DSIR data selection (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): pick `k`
+    * documents from `raw` whose hashed-n-gram distribution resembles
+    * the curated `target` corpus. Features are unigram+bigram counts
+    * hashed into `buckets` bins ([[graft.functions.HashingHelper
+    * .dsirBuckets]]); bucket distributions p (target) and q (raw) get
+    * add-one smoothing; a document's importance weight is
+    * `log w(x) = Σ_b c_b(x)·(ln p_b − ln q_b)`, and selection is
+    * Gumbel-top-k over `log w + g_id` — the exact sample-without-
+    * replacement-∝-w(x) construction the paper uses, with the Gumbel
+    * noise derived from `md5(seed:id)` instead of an RNG so the
+    * selected set is identical on every run, engine, cluster size and
+    * task retry (the [[stratified]]/[[deterministicShuffle]] rule).
+    *
+    * Scale shape: gram hashing is a narrow codegen'd projection; the
+    * three count frames are bucket-keyed partial aggregates (the wide
+    * exchanges carry (bucket, count) / (id, bucket, count), never
+    * text). The per-bucket log-ratio table has at most `buckets` rows
+    * — bounded and broadcast explicitly (10k buckets ≈ 160 KB; the
+    * guard caps it at 2^24) — so scoring is one broadcast-join pass
+    * over the per-doc bucket counts, and the final top-k is
+    * `TakeOrderedAndProject` (per-partition heaps + driver merge of k
+    * rows), never a single-partition sort.
+    *
+    * The weight arithmetic uses `ln`: the selected SET is ulp-robust (keys
+    * collide only at ~1e-14 gaps, measure-zero under Gumbel noise) and
+    * the reported weight is rounded to 6 dp like every ln-derived
+    * surface (see [[Quality.lmCrossEntropy]]).
+    *
+    * Documents with no grams (empty text) have no feature evidence and
+    * are never selected.
+    *
+    * @return (idCol, log_weight) — the k selected rows
+    */
+  def dsirResample(target: DataFrame, raw: DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = 8192, seed: Long = 42L): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(buckets > 0 && buckets <= (1 << 24),
+      "buckets must be in [1, 2^24] (the log-ratio table is broadcast)")
+    import graft.functions.GraftFunctions.{hashed_grams, md5_long62}
+    val bD = lit(buckets.toDouble)
+    val tc = target.select(explode(hashed_grams(col(textCol), buckets)).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__tc"))
+    val dc = raw.select(col(idCol), explode(hashed_grams(col(textCol), buckets)).as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+    val rc = dc.groupBy("__b").agg(sum(col("__c")).as("__rc"))
+    val totals = tc.agg(sum(col("__tc")).cast("double").as("__tt"))
+      .crossJoin(rc.agg(sum(col("__rc")).cast("double").as("__rt")))
+    val lw = rc.join(tc, Seq("__b"), "left").crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (log((coalesce(col("__tc"), lit(0L)).cast("double") + 1.0) / (col("__tt") + bD)) -
+          log((col("__rc").cast("double") + 1.0) / (col("__rt") + bD))).as("__lw"))
+    val scored = dc.join(broadcast(lw), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c").cast("double") * col("__lw")).as("__logw"))
+    // Gumbel(0,1) noise from the shared 62-bit md5: u = (h+1)/(2^62+1)
+    val u = (md5_long62(concat_ws(":", lit(seed), col(idCol))) + lit(1L)).cast("double") /
+      lit(4611686018427387905L).cast("double")
+    scored.withColumn("__key", col("__logw") - log(-log(u)))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("__logw"), 6).as("log_weight"))
+  }
 }

@@ -1328,6 +1328,20 @@ object Inventory {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR importance resampling ([[Sampling.dsirResample]], Xie et
+    * al. NeurIPS 2023): 200 docs selected from the full corpus
+    * ∝ exp(importance weight) toward the `src0` target slice (the
+    * q78 pairing: same curated-reference stand-in). buckets=1024
+    * keeps bucket collisions active at the test vocabulary size;
+    * the md5-derived Gumbel keys make the sample engine-exact.
+    */
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    Sampling.dsirResample(docs.where(col("source") === "src0"), docs,
+      "doc_id", "text", k = 200, buckets = 1024, seed = 7L)
+      .orderBy(col("doc_id"))
+  }
+
   /** q62 fixture texts — inline literals (the synthetic documents
     * table contains no PII-shaped spans, so like q59 the query is
     * self-contained); chosen to exercise greedy-domain backtracking
@@ -1446,7 +1460,8 @@ object Inventory {
     "q75_neardup_winners" -> (q75 _),
     "q76_epoch_shuffle" -> (q76 _),
     "q77_semdedup" -> (q77 _),
-    "q78_lm_score" -> (q78 _))
+    "q78_lm_score" -> (q78 _),
+    "q79_dsir_select" -> (q79 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1926,6 +1941,47 @@ object Inventory {
           |SELECT d.doc_id, d.lang, coalesce(m.bigrams, 0) AS bigrams, m.lm_ce
           |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id AND m.lang = d.lang
           |ORDER BY d.doc_id""".stripMargin,
+      // DSIR: hashed-gram bucket counts (shared md5lo62 % 2^62 % B
+      // recipe), add-one log-ratio weights, md5-Gumbel top-k
+      "q79_dsir_select" ->
+        """WITH tok AS (
+          |  SELECT doc_id, source,
+          |         list_filter(string_split_regex(
+          |             lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ')), ' '),
+          |           x -> x <> '') AS w
+          |  FROM documents
+          |), grams AS (
+          |  SELECT doc_id, source, unnest(w) AS g FROM tok
+          |  UNION ALL
+          |  SELECT doc_id, source,
+          |         unnest(list_transform(range(1, len(w)),
+          |                i -> w[i] || ' ' || w[i + 1])) AS g
+          |  FROM tok
+          |), b AS (
+          |  SELECT doc_id, source,
+          |         CAST((md5_number_lower(g) % 4611686018427387904) % 1024
+          |              AS BIGINT) AS bk
+          |  FROM grams
+          |), tc AS (SELECT bk, count(*) AS c FROM b WHERE source = 'src0' GROUP BY 1),
+          |tt AS (SELECT sum(c)::DOUBLE AS t FROM tc),
+          |dc AS (SELECT doc_id, bk, count(*) AS c FROM b GROUP BY 1, 2),
+          |rc AS (SELECT bk, sum(c) AS c FROM dc GROUP BY 1),
+          |rt AS (SELECT sum(c)::DOUBLE AS t FROM rc),
+          |lw AS (SELECT rc.bk,
+          |         ln((coalesce(tc.c, 0) + 1.0) / (tt.t + 1024))
+          |           - ln((rc.c + 1.0) / (rt.t + 1024)) AS w
+          |       FROM rc LEFT JOIN tc USING (bk), tt, rt),
+          |sc AS (SELECT dc.doc_id, sum(dc.c * lw.w) AS logw
+          |       FROM dc JOIN lw USING (bk) GROUP BY 1),
+          |sel AS (
+          |  SELECT doc_id, logw,
+          |    logw - ln(-ln(((md5_number_lower('7:' || CAST(doc_id AS VARCHAR))
+          |                    % 4611686018427387904) + 1) / 4611686018427387905))
+          |      AS key
+          |  FROM sc
+          |  ORDER BY key DESC, doc_id LIMIT 200)
+          |SELECT doc_id, round(logw, 6) AS log_weight FROM sel
+          |ORDER BY doc_id""".stripMargin,
       "q34_salted_agg" ->
         """SELECT event_type, COUNT(*) AS n,
           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

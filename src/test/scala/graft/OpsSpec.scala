@@ -420,6 +420,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(4L).getLong(2) == 0 && m(4L).isNullAt(3))
   }
 
+  test("Sampling.dsirResample: selects target-like docs, deterministic, distributed top-k") {
+    import spark.implicits._
+    // two disjoint vocabularies; target speaks only vocab A
+    val vocabA = Seq("cat", "dog", "fish", "bird", "horse")
+    val vocabB = Seq("tensor", "matrix", "vector", "scalar", "graph")
+    def doc(vocab: Seq[String], i: Int): String =
+      (0 until 20).map(j => vocab((i + j * j) % vocab.size)).mkString(" ")
+    val raw = ((0 until 100).map(i => (i.toLong, doc(vocabA, i))) ++
+      (100 until 200).map(i => (i.toLong, doc(vocabB, i))) :+ (200L, ""))
+      .toDF("id", "text")
+    val target = (0 until 50).map(i => (1000L + i, doc(vocabA, i + 7))).toDF("id", "text")
+    val sel = graft.ops.Sampling.dsirResample(target, raw, "id", "text",
+      k = 60, buckets = 256, seed = 3L)
+    val ids = sel.select("id").as[Long].collect().toSet
+    assert(ids.size == 60)
+    // Gumbel noise perturbs, but the A-docs' weights dominate
+    assert(ids.count(_ < 100) >= 50, s"expected mostly vocab-A docs, got ${ids.count(_ < 100)}")
+    assert(!ids.contains(200L), "the empty doc has no features and must never be selected")
+    // reruns select the identical set (rand()-based sampling would not)
+    assert(graft.ops.Sampling.dsirResample(target, raw, "id", "text",
+      k = 60, buckets = 256, seed = 3L).select("id").as[Long].collect().toSet == ids)
+    // a different seed re-draws the Gumbel noise: same dominant mass,
+    // not necessarily the same marginal picks
+    val other = graft.ops.Sampling.dsirResample(target, raw, "id", "text",
+      k = 60, buckets = 256, seed = 4L).select("id").as[Long].collect().toSet
+    assert(other.count(_ < 100) >= 50)
+    // top-k must be TakeOrderedAndProject, never a 1-partition sort
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected distributed top-k in plan:\n$plan")
+  }
+
   test("Sampling.stratified: exact deterministic selection per stratum") {
     import spark.implicits._
     val df = (0L until 10000L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "fr"))
