@@ -555,4 +555,58 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Exact shared-substring duplicate pairs — the EXACT-SUBSTRING
+    * dedup family (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better": remove verbatim runs shared
+    * across documents; their suffix-array finds runs ≥50 tokens).
+    * This operator reports every pair of documents sharing at least
+    * one exact `k`-character run of NORMALIZED text (the q22
+    * winnowing normalization: lowercased alphanumeric tokens joined
+    * by single spaces — so punctuation/case noise cannot hide a
+    * verbatim copy), with the number of distinct shared runs.
+    *
+    * Complements the similarity family: Jaccard/MinHash (q18/q44)
+    * score whole-document overlap and miss a long verbatim quote
+    * inside two otherwise-different documents; this catches exactly
+    * that.
+    *
+    * Mechanism: all k-gram rolling hashes per document
+    * ([[graft.functions.HashingHelper.winnow]] with window=1 emits
+    * every position's hash; the fingerprint surface q22 *samples*
+    * these — winnowing is the documented scale knob when full
+    * k-gram sets are too heavy), distinct per doc, gram-keyed
+    * document-frequency filter, then a gram-bucket self-join.
+    *
+    * `maxDf` caps the per-gram bucket (candidate pairs are
+    * Σ_g df(g)² ≤ maxDf·Σ_g df(g) — linear in the gram stream with a
+    * maxDf constant): a run shared by MORE than `maxDf` documents is
+    * boilerplate, the regime [[graft.ops.Quality.stripBoilerplate]]
+    * removes line-wise — pair enumeration over such grams would be
+    * quadratic AND useless for pair-level dedup decisions. The cap is
+    * part of the operator's declared semantics, not a silent
+    * truncation.
+    *
+    * Scale shape: exchanges carry (id, gram-hash) pairs only; the
+    * df filter partial-aggregates map-side; no driver
+    * materialization.
+    *
+    * @return (id_a, id_b, shared_grams), id_a < id_b
+    */
+  def sharedSubstringPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 24, maxDf: Int = 64): DataFrame = {
+    require(k >= 4, "k must be >= 4 (shorter runs are ubiquitous)")
+    require(maxDf >= 2, "maxDf must be >= 2 (pairs need two documents)")
+    val grams = df.select(col(idCol),
+      explode(array_distinct(GraftFunctions.fingerprint(col(textCol), k, 1)))
+        .as("__gh"))
+    val ok = grams.groupBy("__gh").agg(count(lit(1)).as("__df"))
+      .where(col("__df").between(2, maxDf))
+      .select("__gh")
+    val g = grams.join(ok, Seq("__gh"))
+    g.as("a").join(g.as("b"),
+        col("a.__gh") === col("b.__gh") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
 }

@@ -1342,6 +1342,17 @@ object Inventory {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact shared-substring pairs ([[Dedup.sharedSubstringPairs]],
+    * Lee et al. 2021): documents sharing a verbatim 24-char
+    * normalized run, df-capped at 64 docs per gram. Catches the long
+    * quote / copied passage case whole-document Jaccard (q18/q44)
+    * dilutes away.
+    */
+  private def q80(s: SparkSession, d: String): DataFrame =
+    Dedup.sharedSubstringPairs(t(s, d, "documents"), "doc_id", "text",
+      k = 24, maxDf = 64)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** q62 fixture texts — inline literals (the synthetic documents
     * table contains no PII-shaped spans, so like q59 the query is
     * self-contained); chosen to exercise greedy-domain backtracking
@@ -1461,7 +1472,8 @@ object Inventory {
     "q76_epoch_shuffle" -> (q76 _),
     "q77_semdedup" -> (q77 _),
     "q78_lm_score" -> (q78 _),
-    "q79_dsir_select" -> (q79 _))
+    "q79_dsir_select" -> (q79 _),
+    "q80_substring_pairs" -> (q80 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1742,6 +1754,23 @@ object Inventory {
            |SELECT d.doc_id, coalesce(a.n_fp, 0) AS n_fp, a.fp_min, a.fp_max
            |FROM documents d LEFT JOIN agg a USING (doc_id)
            |ORDER BY doc_id""".stripMargin,
+      // shared-substring pairs: every 24-gram hash of the q22
+      // normalization (no winnowing: window=1 keeps all positions),
+      // df-capped gram buckets, bucket self-join
+      "q80_substring_pairs" ->
+        s"""WITH w AS (SELECT doc_id, array_to_string($toks, ' ') AS s FROM documents),
+           |g0 AS (SELECT doc_id, s,
+           |         unnest(range(1, greatest(length(s) - 22, 1))) AS i FROM w),
+           |g AS (SELECT DISTINCT doc_id, ${md5h("s[i:i+23]")} AS gh FROM g0),
+           |d AS (SELECT gh, count(*) AS df FROM g GROUP BY 1),
+           |ok AS (SELECT gh FROM d WHERE df BETWEEN 2 AND 64),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |        CAST(count(*) AS BIGINT) AS shared_grams
+           |      FROM g a JOIN ok USING (gh)
+           |      JOIN g b ON b.gh = a.gh AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2)
+           |SELECT id_a, id_b, shared_grams FROM p
+           |ORDER BY id_a, id_b""".stripMargin,
       "q23_ann_lsh" ->
         s"""WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
            |c AS (SELECT vec_id,

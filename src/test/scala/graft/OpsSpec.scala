@@ -420,6 +420,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(4L).getLong(2) == 0 && m(4L).isNullAt(3))
   }
 
+  test("Dedup.sharedSubstringPairs: verbatim runs found, short overlap and boilerplate not") {
+    import spark.implicits._
+    val quote = "four score and seven years ago our fathers"
+    val boiler = "all rights reserved worldwide"
+    val docs = (Seq(
+      (1L, s"Essay one quotes: $quote. And then diverges entirely, alpha beta."),
+      (2L, s"A different text; '$quote' appears here too, gamma delta epsilon."),
+      (3L, "Shares only the word the with everything, nothing verbatim here."),
+      (4L, "")
+    ) ++ (10L until 20L).map(i => (i, s"unique text $i $boiler"))).toDF("id", "text")
+    val pairs = graft.ops.Dedup.sharedSubstringPairs(docs, "id", "text",
+      k = 20, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L)),
+      s"only the quoting pair shares a 20-char run under the df cap, got ${pairs.keySet}")
+    // expected count from first principles: distinct 20-char substrings
+    // of the normalized texts, intersected
+    def norm(s: String) = s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    def grams20(s: String) = (0 to norm(s).length - 20).map(i => norm(s).substring(i, i + 20)).toSet
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (grams20(texts(1L)) intersect grams20(texts(2L))).size.toLong
+    assert(pairs((1L, 2L)) == want, s"expected $want shared grams, got ${pairs((1L, 2L))}")
+    // with the df cap lifted, the 10 boilerplate docs pair up (45 pairs)
+    val lifted = graft.ops.Dedup.sharedSubstringPairs(docs, "id", "text",
+      k = 20, maxDf = 64)
+    assert(lifted.count() == 1 + 45, "lifting maxDf admits the boilerplate clique")
+  }
+
   test("Sampling.dsirResample: selects target-like docs, deterministic, distributed top-k") {
     import spark.implicits._
     // two disjoint vocabularies; target speaks only vocab A
