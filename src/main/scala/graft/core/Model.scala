@@ -60,7 +60,8 @@ object ArchiveChunkSchema {
 
 /** Detected input format (reference: src/anyreader/format.rs:87-107). */
 sealed abstract class FormatKind(val name: String) {
-  def supportsRecursion: Boolean = this == FormatKind.Tar || this == FormatKind.Zip
+  def supportsRecursion: Boolean =
+    this == FormatKind.Tar || this == FormatKind.Zip || this == FormatKind.Warc
   override def toString: String = name
 }
 
@@ -71,10 +72,15 @@ object FormatKind {
   case object Xz extends FormatKind("xz")
   case object Zip extends FormatKind("zip")
   case object Tar extends FormatKind("tar")
+  /** WARC web-archive container (ISO 28500; the CommonCrawl format) —
+    * an extension beyond the reference's tar/zip, because a
+    * training-data pipeline's largest archive source is WARC.
+    */
+  case object Warc extends FormatKind("warc")
   case object Executable extends FormatKind("executable")
   case object Unknown extends FormatKind("unknown")
 
-  val all: Seq[FormatKind] = Seq(Gzip, Zstd, Bzip2, Xz, Zip, Tar, Executable, Unknown)
+  val all: Seq[FormatKind] = Seq(Gzip, Zstd, Bzip2, Xz, Zip, Tar, Warc, Executable, Unknown)
   def fromName(s: String): FormatKind =
     all.find(_.name == s.toLowerCase).getOrElse(Unknown)
 }

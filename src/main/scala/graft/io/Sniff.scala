@@ -90,9 +90,15 @@ object Sniff {
     else if (isXz(b)) Some(FormatKind.Xz)
     else None
 
+  /** WARC version line prefix (ISO 28500: records start `WARC/1.x`). */
+  def isWarc(b: Array[Byte]): Boolean =
+    b.length >= 5 && at(b, 0) == 'W' && at(b, 1) == 'A' && at(b, 2) == 'R' &&
+      at(b, 3) == 'C' && at(b, 4) == '/'
+
   def detectContainer(b: Array[Byte]): Option[FormatKind] =
     if (isTar(b)) Some(FormatKind.Tar)
     else if (isZip(b)) Some(FormatKind.Zip)
+    else if (isWarc(b)) Some(FormatKind.Warc)
     else if (isExecutable(b)) Some(FormatKind.Executable)
     else None
 

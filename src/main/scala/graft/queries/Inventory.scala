@@ -1353,6 +1353,55 @@ object Inventory {
       k = 24, maxDf = 64)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Deterministic WARC fixture (ISO 28500): warcinfo + response +
+    * gzip-bodied response + request records; the oracle VALUES carry
+    * sizes/digests of the SPEC bodies (the gzip one decompressed),
+    * computed independently of the engine — q16's rule.
+    */
+  private[queries] def buildWarcFixture(): String = {
+    import java.io._
+    val b0 = "software: graft-spark\r\n".getBytes("UTF-8")
+    val b1 = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nhello warc body\n"
+      .getBytes("UTF-8")
+    val b2 = ("compressed warc payload\n" * 4).getBytes("UTF-8")
+    val b3 = "GET /q HTTP/1.1\r\nHost: example.com\r\n\r\n".getBytes("UTF-8")
+    val gz2 = {
+      val buf = new ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(buf)
+      g.write(b2); g.close(); buf.toByteArray
+    }
+    val out = new ByteArrayOutputStream()
+    def rec(hdrs: Seq[(String, String)], body: Array[Byte]): Unit = {
+      val sb = new StringBuilder("WARC/1.0\r\n")
+      hdrs.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
+      sb.append(s"Content-Length: ${body.length}\r\n\r\n")
+      out.write(sb.toString.getBytes("UTF-8"))
+      out.write(body)
+      out.write("\r\n\r\n".getBytes("UTF-8"))
+    }
+    rec(Seq("WARC-Type" -> "warcinfo", "WARC-Record-ID" -> "<urn:uuid:0001>"), b0)
+    rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://example.com/a"), b1)
+    rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://example.com/b.gz"), gz2)
+    rec(Seq("WARC-Type" -> "request", "WARC-Target-URI" -> "http://example.com/q"), b3)
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q81_fixture")
+    dir.mkdirs()
+    val f = new File(dir, "fixture.warc")
+    val fos = new FileOutputStream(f)
+    fos.write(out.toByteArray); fos.close()
+    f.getAbsolutePath
+  }
+
+  /** WARC source (ISO 28500, the CommonCrawl container): the q16
+    * converter chain over [[buildWarcFixture]] — records walk like
+    * tar entries, the gzip record body lands decompressed.
+    */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val path = buildWarcFixture()
+    ArchiveConverter.entries(s, Seq(path), ConvertOptions()).toDF()
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+  }
+
   /** q62 fixture texts — inline literals (the synthetic documents
     * table contains no PII-shaped spans, so like q59 the query is
     * self-contained); chosen to exercise greedy-domain backtracking
@@ -1473,7 +1522,8 @@ object Inventory {
     "q77_semdedup" -> (q77 _),
     "q78_lm_score" -> (q78 _),
     "q79_dsir_select" -> (q79 _),
-    "q80_substring_pairs" -> (q80 _))
+    "q80_substring_pairs" -> (q80 _),
+    "q81_warc_source" -> (q81 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1771,6 +1821,20 @@ object Inventory {
            |      GROUP BY 1, 2)
            |SELECT id_a, id_b, shared_grams FROM p
            |ORDER BY id_a, id_b""".stripMargin,
+      // WARC source: spec-body sizes/digests (gzip body decompressed),
+      // computed independently of the engine — q16's rule
+      "q81_warc_source" ->
+        """SELECT * FROM (VALUES
+          |  ('http://example.com/a', CAST(61 AS BIGINT),
+          |   '2f3babcd61440d11781cee7d50239f8da627c7b3b074b61c18ec7c53901fdf29'),
+          |  ('http://example.com/b.gz', CAST(96 AS BIGINT),
+          |   '5bdb30d6bbce8e6ab66662add7770735fceb75e80a21f59120d86c143f3f99c4'),
+          |  ('http://example.com/q', CAST(38 AS BIGINT),
+          |   '21f029f71caca9496095c89a38cc12b103f1e92d5d21dc98f115804cd0f76fc3'),
+          |  ('urn:uuid:0001', CAST(23 AS BIGINT),
+          |   '751ec4bf1090414242c2120922d78d60406bcdf18c2add84d9dd712b4fbfc235'))
+          |  AS t(path, size, sha256)
+          |ORDER BY path""".stripMargin,
       "q23_ann_lsh" ->
         s"""WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
            |c AS (SELECT vec_id,

@@ -307,8 +307,9 @@ object ArchiveWalker {
       val childNested = if (depth == 0) nested else nested :+ details.path
       if (!subtreeKept(opts, childNested)) Iterator.empty // pushed-prefix prune: skip the whole subtree
       else kind match {
-        case FormatKind.Tar => walkTar(source, childNested, details, stream, depth, opts, leaf)
-        case _              => walkZip(source, childNested, details, stream, depth, opts, leaf)
+        case FormatKind.Tar  => walkTar(source, childNested, details, stream, depth, opts, leaf)
+        case FormatKind.Warc => walkWarc(source, childNested, details, stream, depth, opts, leaf)
+        case _               => walkZip(source, childNested, details, stream, depth, opts, leaf)
       }
     } else if (!pathKept(opts, (nested :+ details.path).mkString("/"))) {
       // pushed-prefix prune: never buffered, never digested; the
@@ -370,6 +371,108 @@ object ArchiveWalker {
           Some(walkEntryG(source, nested, d, Some(self), new NonClosing(zip), depth + 1, opts, leaf)
             .filter(r => leaf.nonEmpty(r) || e.getSize > 0))
         }
+    }
+  }
+
+  /** Reads at most `limit` bytes of `in`, then reports EOF; never
+    * closes the underlying stream. [[skipRest]] discards whatever the
+    * consumer left unread so the enclosing WARC stream lands exactly
+    * at the record boundary.
+    */
+  private final class BoundedStream(in: InputStream, limit: Long) extends InputStream {
+    private var remaining = limit
+    override def read(): Int =
+      if (remaining <= 0) -1
+      else { val c = in.read(); if (c >= 0) remaining -= 1; c }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (remaining <= 0) return -1
+      val n = in.read(b, off, math.min(len.toLong, remaining).toInt)
+      if (n > 0) remaining -= n
+      n
+    }
+    def skipRest(): Unit =
+      while (remaining > 0) {
+        val n = in.skip(remaining)
+        if (n > 0) remaining -= n
+        else if (in.read() >= 0) remaining -= 1
+        else remaining = 0 // truncated record: underlying EOF
+      }
+    override def close(): Unit = ()
+  }
+
+  /** WARC walker (ISO 28500 / WARC 1.1; the CommonCrawl container) —
+    * an extension beyond the reference's tar/zip family, S-parity in
+    * spirit: records are walked sequentially off the stream exactly
+    * like tar entries, and record BODIES go through the same
+    * two-stage sniff recursion, so a gzip-compressed body is emitted
+    * decompressed and a nested archive body expands in place.
+    *
+    *   - record name: `WARC-Target-URI`, else the bare
+    *     `WARC-Record-ID` (urn:uuid), else `record-<ordinal>`;
+    *   - every record type is walked (warcinfo/request/response/...):
+    *     downstream filters select — the walker's job is expansion;
+    *   - `Content-Length: 0` records are skipped (tar `size == 0`
+    *     rule); a missing/corrupt header ends the iteration silently
+    *     (tar corrupt-header parity); bodies left unread (pruned
+    *     leaves) are skipped, never buffered;
+    *   - HTTP response bodies are emitted RAW (headers + payload):
+    *     header-stripping is a downstream projection, not a walk
+    *     concern.
+    *
+    * `.warc.gz` (the CommonCrawl layout: per-record gzip members,
+    * concatenated) decompresses transparently in sniff stage 1 —
+    * `GZIPInputStream` reads concatenated members natively.
+    */
+  private def walkWarc[T](
+      source: String,
+      nested: List[String],
+      self: Details,
+      stream: InputStream,
+      depth: Int,
+      opts: ConvertOptions,
+      leaf: Leaf[T]): Iterator[T] = {
+    var idx = -1L
+    var current: BoundedStream = null
+    // CRLF-terminated header line; null at EOF before any byte
+    def readLine(): String = {
+      val sb = new java.lang.StringBuilder
+      var c = stream.read()
+      if (c < 0) return null
+      while (c >= 0 && c != '\n') { sb.append(c.toChar); c = stream.read() }
+      if (sb.length > 0 && sb.charAt(sb.length - 1) == '\r') sb.setLength(sb.length - 1)
+      sb.toString
+    }
+    archiveIterator { () =>
+      // land on the record boundary: drain the previous body, then
+      // tolerate the inter-record blank lines (spec: two CRLFs)
+      if (current != null) { current.skipRest(); current = null }
+      var line = readLine()
+      while (line != null && line.isEmpty) line = readLine()
+      if (line == null || !line.startsWith("WARC/")) None // EOF or corrupt: silent stop
+      else {
+        idx += 1
+        val headers = scala.collection.mutable.Map.empty[String, String]
+        var corrupt = false
+        var h = readLine()
+        while (h != null && h.nonEmpty) {
+          val i = h.indexOf(':')
+          if (i > 0) headers(h.substring(0, i).trim.toLowerCase) = h.substring(i + 1).trim
+          h = readLine()
+        }
+        corrupt = h == null // EOF inside the header block
+        val len = headers.get("content-length").flatMap(_.toLongOption)
+        if (corrupt || len.isEmpty) None
+        else if (len.get == 0) Some(Iterator.empty)
+        else {
+          val name = headers.get("warc-target-uri")
+            .orElse(headers.get("warc-record-id").map(_.stripPrefix("<").stripSuffix(">")))
+            .getOrElse(s"record-$idx")
+          current = new BoundedStream(stream, len.get)
+          val d = Details(name, len.get)
+          Some(walkEntryG(source, nested, d, Some(self), new NonClosing(current),
+            depth + 1, opts, leaf))
+        }
+      }
     }
   }
 

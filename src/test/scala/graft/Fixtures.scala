@@ -72,6 +72,23 @@ object Fixtures {
     bos.toByteArray
   }
 
+  /** Minimal ISO 28500 WARC: one record per (extra headers, body);
+    * the version line, Content-Length, and the two inter-record
+    * CRLFs are supplied here.
+    */
+  def warcArchive(records: Seq[(Seq[(String, String)], Array[Byte])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    records.foreach { case (hdrs, body) =>
+      val sb = new StringBuilder("WARC/1.0\r\n")
+      hdrs.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
+      sb.append(s"Content-Length: ${body.length}\r\n\r\n")
+      out.write(sb.toString.getBytes("UTF-8"))
+      out.write(body)
+      out.write("\r\n\r\n".getBytes("UTF-8"))
+    }
+    out.toByteArray
+  }
+
   def sha256(data: Array[Byte]): Array[Byte] =
     java.security.MessageDigest.getInstance("SHA-256").digest(data)
 

@@ -43,6 +43,10 @@ class SniffSpec extends AnyFunSuite {
     assert(Sniff.formatKindOfBytes(zstdData(zip)) == FormatKind.Zip)
     assert(Sniff.formatKindOfBytes(xzData(tar)) == FormatKind.Tar)
     assert(Sniff.formatKindOfBytes(bz2Data(tar)) == FormatKind.Tar)
+    val warc = warcArchive(Seq(Seq("WARC-Type" -> "response") -> TestData))
+    assert(Sniff.formatKindOfBytes(warc) == FormatKind.Warc)
+    assert(Sniff.formatKindOfBytes(gzipData(warc)) == FormatKind.Warc,
+      ".warc.gz sniffs through the codec layer")
   }
 
   test("executables are detected (full reference magic table)") {

@@ -246,6 +246,63 @@ class WalkerSpec extends AnyFunSuite {
     assert(walk(data).map(_.path) == names.toVector)
   }
 
+  test("WARC: records walk like tar entries — names, sizes, hashes, skip rules") {
+    val info = "software: graft-spark\r\n".getBytes("UTF-8")
+    val respA = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nhello warc body\n".getBytes("UTF-8")
+    val req = "GET /q HTTP/1.1\r\nHost: example.com\r\n\r\n".getBytes("UTF-8")
+    val warc = warcArchive(Seq(
+      Seq("WARC-Type" -> "warcinfo", "WARC-Record-ID" -> "<urn:uuid:0001>") -> info,
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://example.com/a") -> respA,
+      Seq("WARC-Type" -> "metadata", "WARC-Record-ID" -> "<urn:uuid:0002>") -> Array.emptyByteArray,
+      Seq("WARC-Type" -> "request", "WARC-Target-URI" -> "http://example.com/q") -> req))
+    val rows = walk(warc)
+    assert(rows.map(r => (r.path, r.size)) == Vector(
+      ("urn:uuid:0001", info.length.toLong),
+      ("http://example.com/a", respA.length.toLong),
+      ("http://example.com/q", req.length.toLong)),
+      "zero-length record skipped, names from URI else record-id")
+    assert(rows(1).content.sameElements(respA) && rows(1).hash.sameElements(sha256(respA)))
+  }
+
+  test("WARC: compressed record body emits decompressed; .warc.gz outer layer too") {
+    val payload = ("compressed warc payload\n" * 4).getBytes("UTF-8")
+    val warc = warcArchive(Seq(
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://example.com/b.gz") ->
+        gzipData(payload)))
+    for (outer <- Seq(warc, gzipData(warc))) {
+      val rows = walk(outer)
+      assert(rows.map(r => (r.path, r.size)) ==
+        Vector(("http://example.com/b.gz", payload.length.toLong)))
+      assert(rows.head.content.sameElements(payload))
+      assert(rows.head.hash.sameElements(sha256(payload)))
+    }
+  }
+
+  test("WARC: a nested archive body expands in place with URI lineage") {
+    val inner = Seq("x.txt" -> TestData, "y/z.txt" -> "zee\n".getBytes("UTF-8"))
+    val warc = warcArchive(Seq(
+      Seq("WARC-Type" -> "resource", "WARC-Target-URI" -> "http://example.com/site.tar") ->
+        tarArchive(inner)))
+    val rows = walk(warc)
+    assert(rows.map(_.path) == Vector(
+      "http://example.com/site.tar/x.txt", "http://example.com/site.tar/y/z.txt"))
+    assert(rows.head.content.sameElements(TestData))
+  }
+
+  test("WARC: truncated trailing record ends the walk silently (W7 parity)") {
+    val good = "intact body".getBytes("UTF-8")
+    val full = warcArchive(Seq(
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://a/") -> good,
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://b/") ->
+        "this body will be cut".getBytes("UTF-8")))
+    // cut mid-way through the second record's body
+    val truncated = java.util.Arrays.copyOf(full, full.length - 30)
+    val rows = walk(truncated)
+    assert(rows.map(_.path).head == "http://a/")
+    assert(rows.head.content.sameElements(good))
+    assert(rows.size <= 2, "no spurious rows after truncation")
+  }
+
   test("W7: corrupt header after valid entries ends the archive silently") {
     // reference parity: `while let Some(Ok(entry))` stops on a bad
     // header without failing the input (tarfile.rs:22)
