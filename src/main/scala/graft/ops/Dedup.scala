@@ -594,6 +594,18 @@ object Dedup {
     * @return (id_a, id_b, shared_grams), id_a < id_b
     */
   def sharedSubstringPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 24, maxDf: Int = 64): DataFrame =
+    sharedSubstringCandidates(df, idCol, textCol, k, maxDf)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+
+  /** [[sharedSubstringPairs]]'s pre-aggregate frame — one row per
+    * (pair, shared gram) occurrence, the exact stream the pair
+    * aggregation consumes. Exposed for scale evidence: its row count
+    * is Σ_g df(g)·(df(g)-1)/2 over eligible grams, the quantity the
+    * maxDf cap bounds.
+    */
+  def sharedSubstringCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 24, maxDf: Int = 64): DataFrame = {
     require(k >= 4, "k must be >= 4 (shorter runs are ubiquitous)")
     require(maxDf >= 2, "maxDf must be >= 2 (pairs need two documents)")
@@ -606,7 +618,7 @@ object Dedup {
     val g = grams.join(ok, Seq("__gh"))
     g.as("a").join(g.as("b"),
         col("a.__gh") === col("b.__gh") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .agg(count(lit(1)).as("shared_grams"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.__gh").as("__gh"))
   }
 }

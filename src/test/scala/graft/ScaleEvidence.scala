@@ -114,7 +114,10 @@ object ScaleEvidence {
           Dedup.jaccardNearDupPairs(docs, "doc_id", "text", threshold = 0.7)),
         ("q57_decontaminate",
           Dedup.decontaminationCandidates(train, ref, "doc_id", "text"),
-          Dedup.decontaminate(train, ref, "doc_id", "text", threshold = 0.8)))
+          Dedup.decontaminate(train, ref, "doc_id", "text", threshold = 0.8)),
+        ("q80_substring",
+          Dedup.sharedSubstringCandidates(docs, "doc_id", "text", k = 24, maxDf = 64),
+          Dedup.sharedSubstringPairs(docs, "doc_id", "text", k = 24, maxDf = 64)))
 
       ops.foreach { case (name, cand, full) =>
         val (nc, ct) = timedCount(cand)
