@@ -205,4 +205,61 @@ object Quality {
         col("top_word_frac"),
         col("top_bigram_frac"))
   }
+
+  /** Okapi BM25 relevance of every document against a fixed term set
+    * (Robertson & Walker 1994; the ElasticSearch/Lucene default) — the
+    * retrieval-style scoring a training pipeline uses to mine
+    * topic-targeted subsets from a raw corpus (e.g. phi-style "rank
+    * the crawl by similarity to a seed query").
+    *
+    * score(d) = Σ_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5)) ·
+    *            tf_td·(k1+1) / (tf_td + k1·(1 - b + b·|d|/avgdl))
+    *
+    * summed over `terms` in their given order (the sum order is part
+    * of the definition here: floating-point addition does not
+    * commute, and a pinned order is what lets an external SQL oracle
+    * reproduce the score bit-for-bit before the 6-dp round —
+    * [[lmCrossEntropy]]'s ln rule).
+    *
+    * Tokens are the lowercased alphanumeric runs of the text (the
+    * q79/DSIR normalization). Scale shape: tf/|d| are narrow
+    * codegen'd array projections — no explode, no (doc, term)
+    * shuffle, because the term set is a query-sized constant; the
+    * corpus statistics (N, Σ|d|, df per term) are ONE partial-agg row
+    * broadcast back over the corpus, so the whole operator is two
+    * narrow passes and a single-row exchange. At 100 TB the scan
+    * dominates; there is nothing to skew.
+    *
+    * @param terms distinct query terms, already normalized (lowercase
+    *              alphanumeric)
+    * @return (idCol, dl, bm25) — dl the token count, bm25 rounded 6 dp
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.distinct == terms, "terms must be distinct")
+    require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0, b in [0, 1]")
+    val toks = filter(
+      split(lower(regexp_replace(col(textCol), "[^a-zA-Z0-9]+", " ")), " "),
+      w => w =!= "")
+    val base = df.select(
+      col(idCol) +: size(toks).cast("long").as("__dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, w => w === lit(t))).cast("long").as(s"__tf$i")
+        }: _*)
+    val aggs = count(lit(1)).cast("double").as("__n") +:
+      (sum(col("__dl")).cast("double") / count(lit(1)).cast("double")).as("__avgdl") +:
+      terms.indices.map(i =>
+        sum((col(s"__tf$i") > 0L).cast("long")).cast("double").as(s"__df$i"))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val score = terms.indices.foldLeft(lit(0.0)) { (acc, i) =>
+      val dfT = col(s"__df$i")
+      val tf = col(s"__tf$i").cast("double")
+      val idf = log(lit(1.0) + (col("__n") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      acc + idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl").cast("double") / col("__avgdl")))
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col(idCol), col("__dl").as("dl"), round(score, 6).as("bm25"))
+  }
 }

@@ -182,4 +182,44 @@ object Sampling {
       .limit(k)
       .select(col(idCol), round(col("__logw"), 6).as("log_weight"))
   }
+
+  /** Per-domain quota cap — the FineWeb/RefinedWeb "no single site
+    * dominates the corpus" rule (Penedo et al. 2024 §3.3 dedup+cap
+    * family): keep at most `quota` rows per `keyCol` value, selected
+    * by the smallest md5(seed:id) keys — a deterministic uniform
+    * sample of each domain, reproducible across runs/engines/retries
+    * (the [[stratified]] rule).
+    *
+    * Scale shape: the election is a typed-[[KeepSmallestK]]
+    * aggregation, NOT a `row_number` window — a window would shuffle
+    * every full row grouped by domain (and a 100M-page domain lands
+    * on one task: the exact skew this operator exists to fight),
+    * while the Aggregator's map-side partial caps each partition's
+    * contribution at `quota` (hash, id) PAIRS per domain, so the
+    * domain-keyed exchange carries kilobytes. Survivors then
+    * re-select the full rows with an id-keyed semi-join — uniform on
+    * id, skew-free, and AQE broadcasts the survivor list when
+    * quota × domains is small.
+    *
+    * Ids must be unique corpus-wide (the dedup-operator rule).
+    *
+    * @return the surviving input rows, schema unchanged
+    */
+  def domainCap(df: DataFrame, keyCol: String, idCol: String, quota: Int,
+      seed: Long = 42L): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    import graft.functions.GraftFunctions.md5_long62
+    val s = df.sparkSession
+    import s.implicits._
+    val keyed = df.select(
+        col(keyCol).cast("string").as("_1"),
+        md5_long62(concat_ws(":", lit(seed), col(idCol))).as("_2"),
+        col(idCol).cast("long").as("_3"))
+      .as[(String, Long, Long)]
+    val keep = keyed.groupByKey(_._1)
+      .agg(KeepSmallestK(quota).toColumn.name("__keep"))
+      .flatMap(_._2.map(_._2))
+      .toDF("__kid")
+    df.join(keep, col(idCol) === col("__kid"), "left_semi")
+  }
 }

@@ -41,3 +41,35 @@ final case class TopKByScore(k: Int)
   override def bufferEncoder: Encoder[List[(Double, Long)]] = ExpressionEncoder()
   override def outputEncoder: Encoder[List[(Double, Long)]] = ExpressionEncoder()
 }
+
+/** [[TopKByScore]]'s exact-integer sibling: keep the k smallest
+  * (ord, id) pairs per group, ordered lexicographically. Used where
+  * the rank key is a 62-bit hash ([[Sampling.domainCap]]) — a Double
+  * score would lose the low 9 bits of a 62-bit key to the 53-bit
+  * mantissa and make tie behavior diverge from an integer-ordered
+  * SQL oracle. Same bounded-buffer scale shape as [[TopKByScore]]:
+  * the map-side partial caps every partition's contribution at k
+  * pairs per group.
+  */
+final case class KeepSmallestK(k: Int)
+    extends Aggregator[(String, Long, Long), List[(Long, Long)], List[(Long, Long)]] {
+  require(k > 0, "k must be positive")
+
+  private def beats(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def insert(buf: List[(Long, Long)], e: (Long, Long)): List[(Long, Long)] = {
+    val (pre, post) = buf.span(beats(_, e))
+    if (pre.lengthCompare(k) >= 0) buf
+    else (pre ::: e :: post).take(k)
+  }
+
+  override def zero: List[(Long, Long)] = Nil
+  override def reduce(b: List[(Long, Long)], in: (String, Long, Long)): List[(Long, Long)] =
+    insert(b, (in._2, in._3))
+  override def merge(a: List[(Long, Long)], b: List[(Long, Long)]): List[(Long, Long)] =
+    b.foldLeft(a)(insert)
+  override def finish(r: List[(Long, Long)]): List[(Long, Long)] = r
+  override def bufferEncoder: Encoder[List[(Long, Long)]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[List[(Long, Long)]] = ExpressionEncoder()
+}

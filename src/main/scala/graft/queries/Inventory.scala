@@ -1402,6 +1402,30 @@ object Inventory {
       .orderBy(col("path"))
   }
 
+  /** Per-domain quota cap ([[Sampling.domainCap]], the FineWeb
+    * no-site-dominates rule): at most 10 docs per source, elected by
+    * smallest md5(42:id) — a bounded typed-aggregation election plus
+    * id-keyed semi-join, never a domain-keyed full-row window.
+    */
+  private def q82(s: SparkSession, d: String): DataFrame =
+    Sampling.domainCap(t(s, d, "documents"), "source", "doc_id",
+      quota = 10, seed = 42L)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** BM25 query terms for q83 — drawn from the testdata vocabulary so
+    * tf/df vary across documents at every scale factor.
+    */
+  private[queries] val Bm25Terms = Seq("spark", "join", "window", "hash", "customer")
+
+  /** Okapi BM25 scoring ([[Quality.bm25]]): every document scored
+    * against a fixed 5-term query; corpus stats are one broadcast
+    * row, tf/dl are narrow array projections.
+    */
+  private def q83(s: SparkSession, d: String): DataFrame =
+    Quality.bm25(t(s, d, "documents"), "doc_id", "text", Bm25Terms)
+      .orderBy(col("doc_id"))
+
   /** q62 fixture texts — inline literals (the synthetic documents
     * table contains no PII-shaped spans, so like q59 the query is
     * self-contained); chosen to exercise greedy-domain backtracking
@@ -1523,7 +1547,9 @@ object Inventory {
     "q78_lm_score" -> (q78 _),
     "q79_dsir_select" -> (q79 _),
     "q80_substring_pairs" -> (q80 _),
-    "q81_warc_source" -> (q81 _))
+    "q81_warc_source" -> (q81 _),
+    "q82_domain_cap" -> (q82 _),
+    "q83_bm25_score" -> (q83 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1835,6 +1861,42 @@ object Inventory {
           |   '751ec4bf1090414242c2120922d78d60406bcdf18c2add84d9dd712b4fbfc235'))
           |  AS t(path, size, sha256)
           |ORDER BY path""".stripMargin,
+      "q82_domain_cap" ->
+        s"""SELECT doc_id, source FROM (
+           |  SELECT doc_id, source,
+           |         row_number() OVER (PARTITION BY source ORDER BY
+           |           ${md5h("'42:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+           |  FROM documents)
+           |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+      "q83_bm25_score" -> {
+        // constants interpolated from the SAME Scala doubles the engine
+        // uses (Double.toString round-trips, so both engines compute
+        // with bit-identical k1 / b / k1+1)
+        val k1 = 1.2; val b = 0.75; val k1p1 = k1 + 1.0
+        val tfs = Bm25Terms.zipWithIndex.map { case (t2, i) =>
+          s"len(list_filter(w, x -> x = '$t2')) AS tf$i"
+        }.mkString(",\n  ")
+        val dfs = Bm25Terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+          .mkString(",\n  ")
+        val contribs = Bm25Terms.indices.map(i =>
+          s"""ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5))
+             |      * (CAST(tf$i AS DOUBLE) * $k1p1)
+             |      / (CAST(tf$i AS DOUBLE) + $k1 * (1.0 - $b + $b * CAST(dl AS DOUBLE) / avgdl))"""
+            .stripMargin)
+          .mkString("0.0\n      + ", "\n      + ", "")
+        s"""WITH tok AS (SELECT doc_id, $toks AS w FROM documents),
+           |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+           |  $tfs
+           |  FROM tok),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+           |  $dfs
+           |  FROM base)
+           |SELECT doc_id, dl,
+           |  round($contribs, 6) AS bm25
+           |FROM base, st ORDER BY doc_id""".stripMargin
+      },
       "q23_ann_lsh" ->
         s"""WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
            |c AS (SELECT vec_id,

@@ -499,6 +499,54 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "stratified sampling must stay a narrow filter")
   }
 
+  test("Sampling.domainCap: quota binds per domain, md5-elected, no window") {
+    import spark.implicits._
+    // domain sizes 2 / 5 / 30 against quota 3: under, over, far over
+    val df = ((0L until 2L).map((_, "a")) ++ (10L until 15L).map((_, "b")) ++
+      (100L until 130L).map((_, "c"))).toDF("doc_id", "source")
+    val out = graft.ops.Sampling.domainCap(df, "source", "doc_id", quota = 3, seed = 42L)
+    val got = out.as[(Long, String)].collect().toSet
+    // reference: smallest md5("42:" + id) keys per domain, id tiebreak
+    val want = df.as[(Long, String)].collect().groupBy(_._2).values.flatMap { rows =>
+      rows.sortBy { case (id, _) =>
+        (graft.functions.HashingHelper.md5lo62(s"42:$id"), id)
+      }.take(3)
+    }.toSet
+    assert(got == want)
+    assert(got.count(_._2 == "a") == 2 && got.count(_._2 == "b") == 3 &&
+      got.count(_._2 == "c") == 3)
+    // deterministic across runs
+    assert(graft.ops.Sampling.domainCap(df, "source", "doc_id", 3, 42L)
+      .as[(Long, String)].collect().toSet == got)
+    // the scale property: the election is a bounded aggregation, not a
+    // domain-partitioned full-row sort window
+    val exec = out.queryExecution.executedPlan.toString
+    assert(!exec.contains("Window"), s"domainCap must not plan a window:\n$exec")
+  }
+
+  test("Quality.bm25: hand-checked Okapi scores, absent term scores zero") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "spark join spark"),   // tf(spark)=2, tf(join)=1, dl=3
+      (1L, "join and nothing"),   // tf(join)=1, dl=3
+      (2L, "unrelated words here entirely")  // dl=4, no terms
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Quality.bm25(df, "doc_id", "text", Seq("spark", "join"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val (k1, b) = (1.2, 0.75)
+    val n = 3.0; val avgdl = 10.0 / 3.0
+    def idf(dfT: Double) = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
+    def tfc(tf: Double, dl: Double) =
+      tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w0 = r6(0.0 + idf(1.0) * tfc(2.0, 3.0) + idf(2.0) * tfc(1.0, 3.0))
+    val w1 = r6(0.0 + idf(1.0) * tfc(0.0, 3.0) + idf(2.0) * tfc(1.0, 3.0))
+    assert(out(0) == ((0L, 3L, w0)))
+    assert(out(1) == ((1L, 3L, w1)))
+    assert(out(2) == ((2L, 4L, 0.0)))  // no query term present
+    assert(out(0)._3 > out(1)._3, "rarer matched term must outrank")
+  }
+
   test("Packing.contiguous: equals the naive global prefix sum, never single-partitions") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
