@@ -262,4 +262,86 @@ object Quality {
     base.crossJoin(broadcast(stats))
       .select(col(idCol), col("__dl").as("dl"), round(score, 6).as("bm25"))
   }
+
+  /** Gopher-style document filter rule-pack (Rae et al. 2021 §A1.1) —
+    * the composite keep/drop gate a cleaning pipeline actually runs,
+    * with one boolean per rule so drops are attributable:
+    *
+    *   - `r_words`      word count in [minWords, maxWords]
+    *   - `r_mean_len`   mean word length in [3, 10] (alnum chars/words)
+    *   - `r_alpha`      ≥80% of words contain a letter
+    *   - `r_stop`       ≥2 DISTINCT stopwords present
+    *   - `r_symbol`     (# + ellipsis occurrences)/words ≤ 0.1
+    *   - `r_dup`        repeated-word mass ≤ maxDupFrac (word-level
+    *                    stand-in for Gopher's dup-line family —
+    *                    `array_distinct` keeps it narrow; the
+    *                    line-level siblings are [[lineDedup]]/q69 and
+    *                    [[repetition]]/q60)
+    *
+    * `keep` = every rule passes. All rules are narrow codegen'd array
+    * projections — zero exchanges at any corpus size, the filter runs
+    * at scan speed and pushes behind column pruning. Ratio thresholds
+    * compare IEEE-exact divisions (no ln), so the booleans are
+    * engine-reproducible without rounding.
+    *
+    * @return (idCol, words, r_*, keep), one row per input row
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      maxDupFrac: Double = 0.3): DataFrame = {
+    val w = words(col(textCol))
+    val nw = size(w).cast("long")
+    val nwD = nw.cast("double")
+    val meanLen = length(regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""))
+      .cast("double") / nwD
+    val alphaFrac = size(filter(w, t => t.rlike("[a-zA-Z]"))).cast("double") / nwD
+    val stops = array(graft.functions.TextStats.Stopwords.map(lit): _*)
+    val distinctStops = size(array_intersect(array_distinct(w), stops))
+    val symbols = (length(col(textCol)) - length(regexp_replace(col(textCol), "#", ""))) +
+      (length(col(textCol)) - length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3
+    val dupFrac = lit(1.0) - size(array_distinct(w)).cast("double") / nwD
+    // (nw > 0) && … short-circuits the divide-by-zero NULLs of an
+    // empty document to plain false in both engines' 3VL
+    val rules = Seq(
+      (nw >= minWords && nw <= maxWords).as("r_words"),
+      (nw > 0 && meanLen >= 3.0 && meanLen <= 10.0).as("r_mean_len"),
+      (nw > 0 && alphaFrac >= 0.8).as("r_alpha"),
+      (distinctStops >= 2).as("r_stop"),
+      (nw > 0 && symbols.cast("double") / nwD <= 0.1).as("r_symbol"),
+      (nw > 0 && dupFrac <= maxDupFrac).as("r_dup"))
+    df.select(col(idCol) +: nw.as("words") +: rules: _*)
+      .withColumn("keep",
+        col("r_words") && col("r_mean_len") && col("r_alpha") &&
+          col("r_stop") && col("r_symbol") && col("r_dup"))
+  }
+
+  /** Corpus-wide most-frequent word n-grams — the boilerplate
+    * discovery pass that feeds [[lineDedup]]-style removal and the
+    * df-cap choices of the dedup family (a gram in the top-k here is
+    * exactly the q69-regime content [[graft.ops.Dedup]] caps away).
+    *
+    * Scale shape: (gram)-keyed partial aggregation — hot grams
+    * collapse map-side, the exchange carries (gram, count) — then a
+    * `TakeOrderedAndProject` top-k (per-partition heaps + driver
+    * merge of k rows), never a global sort. Ties break
+    * lexicographically so the result is total-ordered and
+    * engine-reproducible.
+    *
+    * @return (gram, n) — the k most frequent, count desc then gram asc
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    val w = words(col(textCol))
+    // the when-guard matters: sequence(1, size-(n-1)) DESCENDS for a
+    // document shorter than n words (index 0 → element_at error);
+    // explode drops the null branch
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+    df.select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
+  }
 }

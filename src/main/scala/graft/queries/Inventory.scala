@@ -1426,6 +1426,20 @@ object Inventory {
     Quality.bm25(t(s, d, "documents"), "doc_id", "text", Bm25Terms)
       .orderBy(col("doc_id"))
 
+  /** Gopher rule-pack filter ([[Quality.gopherFilter]]): per-rule
+    * boolean flags + composite keep for every document — all narrow
+    * array projections, zero exchanges.
+    */
+  private def q84(s: SparkSession, d: String): DataFrame =
+    Quality.gopherFilter(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Corpus-wide frequent trigrams ([[Quality.topNgrams]]): gram-keyed
+    * partial agg + bounded top-k, lexicographic tiebreak.
+    */
+  private def q85(s: SparkSession, d: String): DataFrame =
+    Quality.topNgrams(t(s, d, "documents"), "text", n = 3, k = 20)
+
   /** q62 fixture texts — inline literals (the synthetic documents
     * table contains no PII-shaped spans, so like q59 the query is
     * self-contained); chosen to exercise greedy-domain backtracking
@@ -1549,7 +1563,9 @@ object Inventory {
     "q80_substring_pairs" -> (q80 _),
     "q81_warc_source" -> (q81 _),
     "q82_domain_cap" -> (q82 _),
-    "q83_bm25_score" -> (q83 _))
+    "q83_bm25_score" -> (q83 _),
+    "q84_gopher_filter" -> (q84 _),
+    "q85_top_ngrams" -> (q85 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1897,6 +1913,43 @@ object Inventory {
            |  round($contribs, 6) AS bm25
            |FROM base, st ORDER BY doc_id""".stripMargin
       },
+      "q84_gopher_filter" -> {
+        // stopword list interpolated from the engine's own constant
+        val stops = graft.functions.TextStats.Stopwords
+          .map(s2 => s"'$s2'").mkString("[", ", ", "]")
+        s"""WITH w AS (SELECT doc_id, text,
+           |    list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS t
+           |  FROM documents),
+           |m AS (SELECT doc_id,
+           |    CAST(len(t) AS BIGINT) AS words,
+           |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) AS alnum,
+           |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) AS alpha,
+           |    len(list_intersect(list_distinct(t), $stops)) AS dstops,
+           |    (length(text) - length(replace(text, '#', '')))
+           |      + (length(text) - length(replace(text, '...', ''))) / 3 AS sym,
+           |    CAST(len(list_distinct(t)) AS DOUBLE) AS dwords
+           |  FROM w),
+           |r AS (SELECT doc_id, words,
+           |    (words >= 50 AND words <= 100000) AS r_words,
+           |    (words > 0 AND alnum / CAST(words AS DOUBLE) >= 3.0
+           |       AND alnum / CAST(words AS DOUBLE) <= 10.0) AS r_mean_len,
+           |    (words > 0 AND alpha / CAST(words AS DOUBLE) >= 0.8) AS r_alpha,
+           |    (dstops >= 2) AS r_stop,
+           |    (words > 0 AND CAST(sym AS DOUBLE) / CAST(words AS DOUBLE) <= 0.1) AS r_symbol,
+           |    (words > 0 AND 1.0 - dwords / CAST(words AS DOUBLE) <= 0.3) AS r_dup
+           |  FROM m)
+           |SELECT doc_id, words, r_words, r_mean_len, r_alpha, r_stop, r_symbol, r_dup,
+           |  (r_words AND r_mean_len AND r_alpha AND r_stop AND r_symbol AND r_dup) AS keep
+           |FROM r ORDER BY doc_id""".stripMargin
+      },
+      "q85_top_ngrams" ->
+        """WITH w AS (SELECT list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+          |                  x -> x <> '') AS t FROM documents),
+          |g AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+          |               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+          |      FROM w WHERE len(t) >= 3)
+          |SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g
+          |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
       "q23_ann_lsh" ->
         s"""WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
            |c AS (SELECT vec_id,

@@ -547,6 +547,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0)._3 > out(1)._3, "rarer matched term must outrank")
   }
 
+  test("Quality.gopherFilter: each rule trips on its designed offender, good doc keeps") {
+    import spark.implicits._
+    val good = ((1 to 52).map(i => f"word$i%02d") ++
+      Seq("the", "a", "of", "and")).mkString(" ")             // 56 distinct words, stopwords, clean
+    val short = "too short to keep"                           // r_words
+    val symbols = ("the a " + "### ... " * 20).trim           // r_symbol (and words<50)
+    val repeat = ("the a " + "word " * 60).trim               // r_dup: 62 words, 3 distinct
+    val df = Seq((0L, good), (1L, short), (2L, symbols), (3L, repeat), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Quality.gopherFilter(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8)))
+      .toMap
+    // good: every rule green
+    assert(out(0L) == ((56L, true, true, true, true, true, true, true)))
+    assert(!out(1L)._2 && !out(1L)._8, "short doc fails r_words")
+    assert(!out(2L)._6 && !out(2L)._8, "symbol-heavy doc fails r_symbol")
+    assert(out(3L)._1 == 62L && !out(3L)._7 && !out(3L)._8, "repeated doc fails r_dup")
+    // empty doc: division rules are false, not null
+    assert(out(4L) == ((0L, false, false, false, false, false, false, false)))
+    // the scale property: zero exchanges — the filter runs at scan speed
+    val exec = graft.ops.Quality.gopherFilter(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("Exchange"), s"gopherFilter must stay narrow:\n$exec")
+  }
+
+  test("Quality.topNgrams: exact counts, lexicographic tiebreak, short docs skipped") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b c a b c"),   // trigrams: "a b c" x2, "b c a", "c a b"
+      (1L, "a b c"),         // "a b c" once more
+      (2L, "x y")            // too short for a trigram
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Quality.topNgrams(df, "text", n = 3, k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a b c", 3L), ("b c a", 1L), ("c a b", 1L)))
+    // top-k must plan as TakeOrderedAndProject, not a global sort
+    val exec = graft.ops.Quality.topNgrams(df, "text", 3, 3)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("TakeOrderedAndProject"), s"expected bounded top-k:\n$exec")
+  }
+
   test("Packing.contiguous: equals the naive global prefix sum, never single-partitions") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
