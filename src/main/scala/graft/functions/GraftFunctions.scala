@@ -50,6 +50,12 @@ object GraftFunctions {
   /** Oracle-shared 62-bit md5 hash (= DuckDB `md5_number_lower % 2^62`). */
   def md5_long62(text: Column): Column = column(Md5Long62(expression(text)))
 
+  /** Natural-log Shannon entropy of the code-point distribution —
+    * reference-free quality signal (both tails are junk: ~0 =
+    * degenerate repetition, high = random/compressed noise).
+    */
+  def char_entropy(text: Column): Column = column(CharEntropy(expression(text)))
+
   // ---- vector math (built-in compositions — fully codegen'd) ----
 
   /** Dot product of two array<float|double> columns in double precision.
@@ -102,6 +108,7 @@ object GraftFunctions {
     "fingerprint" -> (e => Fingerprint(e.head, e(1), e(2))),
     "hashed_grams" -> (e => HashedGrams(e.head, e(1))),
     "md5_long62" -> (e => Md5Long62(e.head)),
+    "char_entropy" -> (e => CharEntropy(e.head)),
     "explode_archive" -> (e => ExplodeArchive(e.head)))
 
   /** Register the custom expressions for SQL use in an existing session

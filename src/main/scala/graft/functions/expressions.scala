@@ -133,6 +133,26 @@ case class Md5Long62(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `char_entropy(text) -> double` — natural-log Shannon entropy of the
+  * character (code point) distribution; the classic reference-free
+  * quality signal (near-0 = degenerate repetition, high = encrypted /
+  * compressed / random junk — both tails are cut in web-corpus
+  * cleaning). Single codegen'd pass; codepoint-ordered accumulation
+  * makes the double bit-reproducible against an ANSI oracle (see
+  * [[EntropyHelper.charEntropy]]).
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_entropy"
+  override protected def nullSafeEval(input: Any): Any =
+    EntropyHelper.charEntropy(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.EntropyHelper.charEntropy($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 /** `lang_guess(text) -> string` — function-word language-ID heuristic
   * (see [[LangIdHelper]]). Codegen'd single pass.
   */

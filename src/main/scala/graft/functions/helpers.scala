@@ -119,6 +119,42 @@ object VecHelper {
   }
 }
 
+/** Shannon character entropy, invoked from generated code. */
+object EntropyHelper {
+  /** Natural-log Shannon entropy of the code-point distribution of
+    * `text`. Oracle-reproducible by construction: the per-character
+    * terms `-(n/N)*ln(n/N)` are accumulated in ASCENDING CODE POINT
+    * order (= UTF-8 byte order, the binary collation an ANSI engine
+    * sorts strings by), starting from +0.0, so the IEEE add sequence
+    * matches a `list_sum` over a codepoint-ordered list exactly. Empty
+    * or all-same-character text scores 0.0 (the +0.0 seed normalizes
+    * the `-(1.0 * 0.0) = -0.0` single-symbol term). Surrogate pairs
+    * count as ONE character, matching codepoint-wise SQL splitting.
+    */
+  def charEntropy(text: UTF8String): Double = {
+    val s = text.toString
+    val n = s.length
+    if (n == 0) return 0.0
+    val hist = new java.util.TreeMap[Integer, Long]()
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      hist.merge(cp, 1L, (a, b) => a + b)
+      total += 1
+      i += Character.charCount(cp)
+    }
+    val totalD = total.toDouble
+    var acc = 0.0
+    val it = hist.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / totalD
+      acc += -(p * Math.log(p))
+    }
+    acc
+  }
+}
+
 /** MinHash / SimHash / fingerprint primitives.
   *
   * Two hash families, both public algorithms, both deterministic and

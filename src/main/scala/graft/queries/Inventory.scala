@@ -1440,6 +1440,22 @@ object Inventory {
   private def q85(s: SparkSession, d: String): DataFrame =
     Quality.topNgrams(t(s, d, "documents"), "text", n = 3, k = 20)
 
+  /** Character-entropy quality signal
+    * ([[graft.functions.GraftFunctions.char_entropy]]): per-document
+    * Shannon entropy (nats) of the code-point distribution — the
+    * reference-free junk detector (near-0 = degenerate repetition,
+    * high = random/compressed noise; both tails are cut in web-corpus
+    * cleaning). One codegen'd projection, zero exchanges, scan speed
+    * at any corpus size; the codepoint-ordered accumulation inside the
+    * expression makes the double oracle-reproducible before the 6-dp
+    * round (q78's ln rule).
+    */
+  private def q86(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        round(GraftFunctions.char_entropy(col("text")), 6).as("entropy"))
+      .orderBy(col("doc_id"))
+
   /** q62 fixture texts — inline literals (the synthetic documents
     * table contains no PII-shaped spans, so like q59 the query is
     * self-contained); chosen to exercise greedy-domain backtracking
@@ -1565,7 +1581,8 @@ object Inventory {
     "q82_domain_cap" -> (q82 _),
     "q83_bm25_score" -> (q83 _),
     "q84_gopher_filter" -> (q84 _),
-    "q85_top_ngrams" -> (q85 _))
+    "q85_top_ngrams" -> (q85 _),
+    "q86_char_entropy" -> (q86 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1950,6 +1967,27 @@ object Inventory {
           |      FROM w WHERE len(t) >= 3)
           |SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g
           |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+      // char_entropy parity: string_split(text,'') yields code points;
+      // list(n ORDER BY ch) pins the fold to UTF-8 binary order (=
+      // codepoint order, the engine's TreeMap iteration); list_sum is
+      // a sequential left fold (q51's rule) seeded here with `0.0 +`
+      // so a single-symbol doc's -0.0 term normalizes to +0.0 exactly
+      // as the engine's 0.0-seeded accumulator does
+      "q86_char_entropy" ->
+        """WITH hist AS (
+          |  SELECT doc_id, ch, count(*)::DOUBLE AS n
+          |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+          |        FROM documents) c
+          |  GROUP BY 1, 2),
+          |agg AS (
+          |  SELECT doc_id, list(n ORDER BY ch) AS ns, sum(n) AS total
+          |  FROM hist GROUP BY 1)
+          |SELECT d.doc_id,
+          |       round(0.0 + coalesce(list_sum(
+          |         list_transform(a.ns, x -> -(x / a.total) * ln(x / a.total))),
+          |         0.0), 6) AS entropy
+          |FROM documents d LEFT JOIN agg a USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
       "q23_ann_lsh" ->
         s"""WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
            |c AS (SELECT vec_id,

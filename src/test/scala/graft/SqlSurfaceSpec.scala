@@ -35,7 +35,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         |       extract_strings(exe, 10) AS strs,
         |       simhash64(txt) AS sh,
         |       size(fingerprint(txt, 3, 2)) AS nfp,
-        |       size(minhash_signature(txt, 16, 1)) AS nmh
+        |       size(minhash_signature(txt, 16, 1)) AS nmh,
+        |       char_entropy('ab') AS ent
         |FROM t""".stripMargin).head()
     assert(r.getAs[Boolean]("u"))
     assert(r.getAs[String]("k") == "executable")
@@ -44,6 +45,7 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getSeq[String](2) == Seq("ELFembedded_string_one"))
     assert(r.getAs[Long]("sh") >= 0L) // 62-bit simhash is never negative
     assert(r.getAs[Int]("nfp") > 0 && r.getAs[Int]("nmh") == 16)
+    assert(r.getAs[Double]("ent") == math.log(2.0))
   }
 
   test("LATERAL VIEW explode_archive walks nested archives from SQL") {
