@@ -61,7 +61,8 @@ object ArchiveChunkSchema {
 /** Detected input format (reference: src/anyreader/format.rs:87-107). */
 sealed abstract class FormatKind(val name: String) {
   def supportsRecursion: Boolean =
-    this == FormatKind.Tar || this == FormatKind.Zip || this == FormatKind.Warc
+    this == FormatKind.Tar || this == FormatKind.Zip || this == FormatKind.Warc ||
+      this == FormatKind.Ar
   override def toString: String = name
 }
 
@@ -77,10 +78,15 @@ object FormatKind {
     * training-data pipeline's largest archive source is WARC.
     */
   case object Warc extends FormatKind("warc")
+  /** Unix `ar` archive (the `.a` / `.deb` container; format is the
+    * public System V / GNU / BSD spec) — S-family extension beyond the
+    * reference's tar/zip, same walk semantics.
+    */
+  case object Ar extends FormatKind("ar")
   case object Executable extends FormatKind("executable")
   case object Unknown extends FormatKind("unknown")
 
-  val all: Seq[FormatKind] = Seq(Gzip, Zstd, Bzip2, Xz, Zip, Tar, Warc, Executable, Unknown)
+  val all: Seq[FormatKind] = Seq(Gzip, Zstd, Bzip2, Xz, Zip, Tar, Warc, Ar, Executable, Unknown)
   def fromName(s: String): FormatKind =
     all.find(_.name == s.toLowerCase).getOrElse(Unknown)
 }

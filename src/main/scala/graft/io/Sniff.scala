@@ -95,10 +95,17 @@ object Sniff {
     b.length >= 5 && at(b, 0) == 'W' && at(b, 1) == 'A' && at(b, 2) == 'R' &&
       at(b, 3) == 'C' && at(b, 4) == '/'
 
+  /** Unix ar global magic `!<arch>\n` (System V / GNU / BSD spec). */
+  def isAr(b: Array[Byte]): Boolean =
+    b.length >= 8 && at(b, 0) == '!' && at(b, 1) == '<' && at(b, 2) == 'a' &&
+      at(b, 3) == 'r' && at(b, 4) == 'c' && at(b, 5) == 'h' && at(b, 6) == '>' &&
+      at(b, 7) == 0x0a
+
   def detectContainer(b: Array[Byte]): Option[FormatKind] =
     if (isTar(b)) Some(FormatKind.Tar)
     else if (isZip(b)) Some(FormatKind.Zip)
     else if (isWarc(b)) Some(FormatKind.Warc)
+    else if (isAr(b)) Some(FormatKind.Ar)
     else if (isExecutable(b)) Some(FormatKind.Executable)
     else None
 

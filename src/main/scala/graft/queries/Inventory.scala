@@ -1402,6 +1402,74 @@ object Inventory {
       .orderBy(col("path"))
   }
 
+  /** Deterministic Unix ar fixture (System V/GNU dialect, the ar(5)
+    * spec): a symbol-table member, a GNU `//` long-name table, a
+    * short-named text member (odd size — exercises the 2-byte data
+    * alignment), a long-named member resolved through the table, a
+    * gzip member (emitted decompressed), and a nested tar member
+    * (expands in place with ar-member lineage). Byte-stable across
+    * runs: fixed header fields, fixed bodies.
+    */
+  private[queries] def buildArFixture(): String = {
+    import java.io._
+    import java.util.zip.GZIPOutputStream
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val out = new ByteArrayOutputStream()
+    out.write("!<arch>\n".getBytes("US-ASCII"))
+    def header(name: String, size: Long): Unit = {
+      val sb = new StringBuilder
+      sb.append(name.padTo(16, ' '))
+      sb.append("0".padTo(12, ' ')).append("0".padTo(6, ' '))
+        .append("0".padTo(6, ' ')).append("100644".padTo(8, ' '))
+      sb.append(size.toString.padTo(10, ' ')).append("`\n")
+      out.write(sb.toString.getBytes("US-ASCII"))
+    }
+    def member(storedName: String, data: Array[Byte]): Unit = {
+      header(storedName, data.length.toLong)
+      out.write(data)
+      if (data.length % 2 == 1) out.write('\n')
+    }
+    member("/", Array[Byte](0, 0, 0, 0)) // empty symtab: consumed, never emitted
+    val longName = "training-shards/shard-000001.txt"
+    member("//", (longName + "/\n").getBytes("US-ASCII"))
+    member("readme.txt/", "ar member readme\n".getBytes("UTF-8"))
+    member("/0", "long name payload\n".getBytes("UTF-8"))
+    val gzBuf = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(gzBuf)
+    gz.write("deterministic gzip payload in ar\n".getBytes("UTF-8")); gz.close()
+    member("data.bin.gz/", gzBuf.toByteArray)
+    val tarBuf = new ByteArrayOutputStream()
+    val to = new TarArchiveOutputStream(tarBuf)
+    Seq("docs/a.txt" -> "alpha doc\n", "docs/b.txt" -> "bravo doc\n").foreach {
+      case (n, body) =>
+        val e = new TarArchiveEntry(n)
+        val b = body.getBytes("UTF-8")
+        e.setSize(b.length.toLong); e.setModTime(1000000000000L)
+        to.putArchiveEntry(e); to.write(b); to.closeArchiveEntry()
+    }
+    to.close()
+    member("inner.tar/", tarBuf.toByteArray)
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q87_fixture")
+    dir.mkdirs()
+    val f = new File(dir, "fixture.a")
+    val fos = new FileOutputStream(f)
+    fos.write(out.toByteArray); fos.close()
+    f.getAbsolutePath
+  }
+
+  /** Unix ar source (the `.a` / `.deb` container, ar(5) spec): the
+    * q16 converter chain over [[buildArFixture]] — GNU long names
+    * resolve, structural members (symtab, name table) are consumed
+    * not emitted, a gzip member lands decompressed, and a nested tar
+    * expands with ar-member lineage.
+    */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val path = buildArFixture()
+    ArchiveConverter.entries(s, Seq(path), ConvertOptions()).toDF()
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+  }
+
   /** Per-domain quota cap ([[Sampling.domainCap]], the FineWeb
     * no-site-dominates rule): at most 10 docs per source, elected by
     * smallest md5(42:id) — a bounded typed-aggregation election plus
@@ -1582,7 +1650,8 @@ object Inventory {
     "q83_bm25_score" -> (q83 _),
     "q84_gopher_filter" -> (q84 _),
     "q85_top_ngrams" -> (q85 _),
-    "q86_char_entropy" -> (q86 _))
+    "q86_char_entropy" -> (q86 _),
+    "q87_ar_source" -> (q87 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1892,6 +1961,22 @@ object Inventory {
           |   '21f029f71caca9496095c89a38cc12b103f1e92d5d21dc98f115804cd0f76fc3'),
           |  ('urn:uuid:0001', CAST(23 AS BIGINT),
           |   '751ec4bf1090414242c2120922d78d60406bcdf18c2add84d9dd712b4fbfc235'))
+          |  AS t(path, size, sha256)
+          |ORDER BY path""".stripMargin,
+      // ar source: spec-member sizes/digests (gzip member decompressed,
+      // nested tar expanded), computed independently — q16's rule
+      "q87_ar_source" ->
+        """SELECT * FROM (VALUES
+          |  ('data.bin.gz', CAST(33 AS BIGINT),
+          |   'fecb96dd0fe45acee8a8f44f64e60953138573711cc16ef91fc0b6307579dff4'),
+          |  ('inner.tar/docs/a.txt', CAST(10 AS BIGINT),
+          |   '753a892fa27fce3ea4683c2a27e1f8b651c9e1352d4b0b14382c812019bc6a2a'),
+          |  ('inner.tar/docs/b.txt', CAST(10 AS BIGINT),
+          |   '73ecc37823096f6ac0b9cddb338a1bfe9b659e74061635e436c69d882dc144ce'),
+          |  ('readme.txt', CAST(17 AS BIGINT),
+          |   '9e119fbb07d022af2ab53207a88e17695e9e863e4ff4a464f0eb37fd2f0512f5'),
+          |  ('training-shards/shard-000001.txt', CAST(18 AS BIGINT),
+          |   '445e3b9daabe086ed18195aebdfa29ebbf819775923cbb6c8dcbb8e0212545e3'))
           |  AS t(path, size, sha256)
           |ORDER BY path""".stripMargin,
       "q82_domain_cap" ->

@@ -309,6 +309,7 @@ object ArchiveWalker {
       else kind match {
         case FormatKind.Tar  => walkTar(source, childNested, details, stream, depth, opts, leaf)
         case FormatKind.Warc => walkWarc(source, childNested, details, stream, depth, opts, leaf)
+        case FormatKind.Ar   => walkAr(source, childNested, details, stream, depth, opts, leaf)
         case _               => walkZip(source, childNested, details, stream, depth, opts, leaf)
       }
     } else if (!pathKept(opts, (nested :+ details.path).mkString("/"))) {
@@ -471,6 +472,115 @@ object ArchiveWalker {
           val d = Details(name, len.get)
           Some(walkEntryG(source, nested, d, Some(self), new NonClosing(current),
             depth + 1, opts, leaf))
+        }
+      }
+    }
+  }
+
+  /** Unix `ar` walker (System V / GNU / BSD `.a` / `.deb` container;
+    * the format is the public ar(5) spec) — S-family extension in the
+    * WARC walker's mold: members stream sequentially off the raw
+    * stream, bodies recurse through the same two-stage sniff, and the
+    * tar error rules apply.
+    *
+    *   - 60-byte fixed ASCII headers; a missing/short header or a bad
+    *     `` `\n `` end magic ends the iteration silently (tar
+    *     corrupt-header parity); member data is 2-byte aligned (the
+    *     pad byte is consumed, never emitted);
+    *   - naming covers all three dialects: GNU trailing-`/` names are
+    *     stripped; `/N` references resolve through the GNU long-name
+    *     table (`//` member); BSD `#1/len` names read `len` bytes off
+    *     the data area (body = declared size − len);
+    *   - the GNU symbol table (`/`), its 64-bit form (`/SYM64/`), and
+    *     the `//` name table are structural members — consumed, never
+    *     emitted; zero-length members are skipped (tar `size == 0`
+    *     rule).
+    */
+  private def walkAr[T](
+      source: String,
+      nested: List[String],
+      self: Details,
+      stream: InputStream,
+      depth: Int,
+      opts: ConvertOptions,
+      leaf: Leaf[T]): Iterator[T] = {
+    var nameTable: Array[Byte] = null
+    var current: BoundedStream = null
+    var pad = 0
+    // the sniff leaves the stream at position 0: consume the global magic
+    val magic = new Array[Byte](8)
+    var got = 0
+    var r = 0
+    while (got < 8 && r >= 0) { r = stream.read(magic, got, 8 - got); if (r > 0) got += r }
+    def readExact(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n)
+      var off = 0
+      var k = 0
+      while (off < n && k >= 0) { k = stream.read(b, off, n - off); if (k > 0) off += k }
+      if (off == n) b else null
+    }
+    def ascii(b: Array[Byte], from: Int, until: Int): String =
+      new String(b, from, until - from, "US-ASCII").trim
+    if (got < 8) Iterator.empty
+    else archiveIterator { () =>
+      if (current != null) { current.skipRest(); current = null }
+      while (pad > 0) { if (stream.read() < 0) pad = 0 else pad -= 1 }
+      val hdr = readExact(60)
+      if (hdr == null || (hdr(58) & 0xff) != 0x60 || (hdr(59) & 0xff) != 0x0a) None
+      else {
+        val rawName = ascii(hdr, 0, 16)
+        val size = ascii(hdr, 48, 58).toLongOption.filter(_ >= 0)
+        if (size.isEmpty) None // corrupt size field: silent stop
+        else {
+          pad = (size.get % 2).toInt
+          if (rawName == "//") {
+            // GNU long-name table: buffer it (bounded: it holds member
+            // NAMES, not data), never emit
+            val t = readExact(size.get.toInt)
+            if (t == null) None else { nameTable = t; Some(Iterator.empty) }
+          } else if (rawName == "/" || rawName == "/SYM64/" || rawName.isEmpty) {
+            // symbol table / empty name: structural, skip the body
+            current = new BoundedStream(stream, size.get)
+            Some(Iterator.empty)
+          } else {
+            // resolve the member name and the actual body size; None
+            // marks a corrupt naming header (silent stop, tar parity)
+            var bodySize = size.get
+            val name: Option[String] =
+              if (rawName.startsWith("#1/")) { // BSD: name prepends the data
+                val nameLen = rawName.drop(3).toIntOption.getOrElse(-1)
+                if (nameLen < 0 || nameLen > bodySize) None
+                else Option(readExact(nameLen)).map { nb =>
+                  bodySize -= nameLen
+                  // BSD NUL-pads the stored name to the declared len
+                  new String(nb, "UTF-8").takeWhile(_ != '\u0000')
+                }
+              } else if (rawName.length > 1 && rawName.head == '/' &&
+                  rawName.tail.forall(_.isDigit) && nameTable != null) {
+                // GNU: /offset into the // table, entry ends "/\n" or "\n"
+                val off = rawName.tail.toInt
+                if (off >= nameTable.length) Some(rawName)
+                else {
+                  var end = off
+                  while (end < nameTable.length && nameTable(end) != '\n') end += 1
+                  if (end > off && nameTable(end - 1) == '/') end -= 1
+                  Some(new String(nameTable, off, end - off, "UTF-8"))
+                }
+              } else {
+                Some(if (rawName.endsWith("/")) rawName.dropRight(1) else rawName)
+              }
+            name match {
+              case None => None // corrupt BSD header / truncated name
+              case Some(n) if bodySize == 0 || n.isEmpty =>
+                current = new BoundedStream(stream, bodySize)
+                Some(Iterator.empty) // zero-length member: tar skip rule
+              case Some(n) =>
+                current = new BoundedStream(stream, bodySize)
+                val d = Details(n, bodySize)
+                Some(walkEntryG(source, nested, d, Some(self), new NonClosing(current),
+                  depth + 1, opts, leaf))
+            }
+          }
         }
       }
     }

@@ -89,6 +89,68 @@ object Fixtures {
     out.toByteArray
   }
 
+  private def arHeader(out: ByteArrayOutputStream, name: String, size: Long): Unit = {
+    val sb = new StringBuilder
+    sb.append(name.padTo(16, ' '))
+    sb.append("0".padTo(12, ' '))     // mtime
+    sb.append("0".padTo(6, ' '))      // uid
+    sb.append("0".padTo(6, ' '))      // gid
+    sb.append("100644".padTo(8, ' ')) // mode
+    sb.append(size.toString.padTo(10, ' '))
+    sb.append("`\n")
+    out.write(sb.toString.getBytes("US-ASCII"))
+  }
+
+  /** Unix ar, System V/GNU dialect: short names stored `name/`, names
+    * >15 chars through the GNU `//` long-name table, data 2-byte
+    * aligned with a `\n` pad. `withSymtab` prepends a `/` symbol-table
+    * member (structural — a walker must consume, never emit it).
+    */
+  def arArchive(entries: Seq[(String, Array[Byte])],
+      withSymtab: Boolean = false): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("!<arch>\n".getBytes("US-ASCII"))
+    if (withSymtab) {
+      val sym = Array[Byte](0, 0, 0, 0) // empty ranlib table
+      arHeader(out, "/", sym.length.toLong)
+      out.write(sym)
+    }
+    val longNames = entries.map(_._1).filter(_.length > 15)
+    val offsets = {
+      var off = 0
+      longNames.map { n => val o = off; off += n.length + 2; n -> o }.toMap
+    }
+    val table = longNames.map(_ + "/\n").mkString.getBytes("US-ASCII")
+    if (table.nonEmpty) {
+      arHeader(out, "//", table.length.toLong)
+      out.write(table)
+      if (table.length % 2 == 1) out.write('\n')
+    }
+    entries.foreach { case (name, data) =>
+      val stored = if (name.length > 15) s"/${offsets(name)}" else s"$name/"
+      arHeader(out, stored, data.length.toLong)
+      out.write(data)
+      if (data.length % 2 == 1) out.write('\n')
+    }
+    out.toByteArray
+  }
+
+  /** Unix ar, BSD dialect: every name stored `#1/<len>` with the name
+    * bytes prepended to the member data (declared size includes them).
+    */
+  def arArchiveBsd(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("!<arch>\n".getBytes("US-ASCII"))
+    entries.foreach { case (name, data) =>
+      val nb = name.getBytes("UTF-8")
+      arHeader(out, s"#1/${nb.length}", (nb.length + data.length).toLong)
+      out.write(nb)
+      out.write(data)
+      if ((nb.length + data.length) % 2 == 1) out.write('\n')
+    }
+    out.toByteArray
+  }
+
   def sha256(data: Array[Byte]): Array[Byte] =
     java.security.MessageDigest.getInstance("SHA-256").digest(data)
 

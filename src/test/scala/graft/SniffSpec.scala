@@ -47,6 +47,10 @@ class SniffSpec extends AnyFunSuite {
     assert(Sniff.formatKindOfBytes(warc) == FormatKind.Warc)
     assert(Sniff.formatKindOfBytes(gzipData(warc)) == FormatKind.Warc,
       ".warc.gz sniffs through the codec layer")
+    val ar = arArchive(Seq("a.txt" -> TestData))
+    assert(Sniff.formatKindOfBytes(ar) == FormatKind.Ar)
+    assert(Sniff.formatKindOfBytes(gzipData(ar)) == FormatKind.Ar,
+      ".a.gz sniffs through the codec layer")
   }
 
   test("executables are detected (full reference magic table)") {

@@ -303,6 +303,64 @@ class WalkerSpec extends AnyFunSuite {
     assert(rows.size <= 2, "no spurious rows after truncation")
   }
 
+  test("ar: GNU members walk like tar entries — naming dialects, padding, skip rules") {
+    val odd = "seven b".getBytes("UTF-8") // odd size => '\n' pad byte
+    val even = "eight by".getBytes("UTF-8")
+    val long = "payload under a long name\n".getBytes("UTF-8")
+    val ar = arArchive(Seq(
+      "readme.txt" -> odd,
+      "a-name-well-beyond-sixteen-chars.txt" -> long, // via the // table
+      "empty.bin" -> Array.emptyByteArray,            // zero-size: skipped
+      "data.bin" -> even), withSymtab = true)
+    val rows = walk(ar)
+    assert(rows.map(r => (r.path, r.size)) == Vector(
+      ("readme.txt", odd.length.toLong),
+      ("a-name-well-beyond-sixteen-chars.txt", long.length.toLong),
+      ("data.bin", even.length.toLong)),
+      "symtab + name table consumed not emitted; trailing / stripped; pad byte not in content")
+    assert(rows(0).content.sameElements(odd) && rows(0).hash.sameElements(sha256(odd)))
+    assert(rows(1).content.sameElements(long))
+    assert(rows(2).content.sameElements(even))
+  }
+
+  test("ar: BSD #1/len names read off the data area; body = size - len") {
+    val body = "bsd dialect body\n".getBytes("UTF-8")
+    val rows = walk(arArchiveBsd(Seq("bsd-named-member.txt" -> body)))
+    assert(rows.map(r => (r.path, r.size)) ==
+      Vector(("bsd-named-member.txt", body.length.toLong)))
+    assert(rows.head.content.sameElements(body))
+    assert(rows.head.hash.sameElements(sha256(body)))
+  }
+
+  test("ar: member bodies recurse through the sniff — gzip leaf, nested tar, lineage") {
+    val payload = ("ar gzip member payload\n" * 3).getBytes("UTF-8")
+    val inner = Seq("docs/a.txt" -> TestData, "docs/b.txt" -> "bee\n".getBytes("UTF-8"))
+    val ar = arArchive(Seq(
+      "blob.gz" -> gzipData(payload),
+      "site.tar" -> tarArchive(inner)))
+    for (outer <- Seq(ar, gzipData(ar))) { // .a and .a.gz both sniff
+      val rows = walk(outer)
+      assert(rows.map(r => (r.path, r.size)) == Vector(
+        ("blob.gz", payload.length.toLong),
+        ("site.tar/docs/a.txt", TestData.length.toLong),
+        ("site.tar/docs/b.txt", 4L)),
+        "gzip member decompressed; nested tar expands with ar-member lineage")
+      assert(rows.head.content.sameElements(payload))
+    }
+  }
+
+  test("ar: truncated trailing member ends the walk silently (W7 parity)") {
+    val good = "intact ar body".getBytes("UTF-8")
+    val full = arArchive(Seq(
+      "good.txt" -> good,
+      "cut.txt" -> "this member will be cut off".getBytes("UTF-8")))
+    val truncated = java.util.Arrays.copyOf(full, full.length - 20)
+    val rows = walk(truncated)
+    assert(rows.map(_.path).head == "good.txt")
+    assert(rows.head.content.sameElements(good))
+    assert(rows.size <= 2, "no spurious rows after truncation")
+  }
+
   test("W7: corrupt header after valid entries ends the archive silently") {
     // reference parity: `while let Some(Ok(entry))` stops on a bad
     // header without failing the input (tarfile.rs:22)
