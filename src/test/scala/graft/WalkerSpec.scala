@@ -349,6 +349,27 @@ class WalkerSpec extends AnyFunSuite {
     }
   }
 
+  test("ar: deb-shaped archive (debian-binary + control.tar.gz + data.tar.xz) expands") {
+    // a .deb IS an ar archive; the nested compressed tars must expand
+    // through the shared sniff with ar-member lineage
+    val control = tarArchive(Seq("control" -> "Package: demo\n".getBytes("UTF-8")))
+    val data = tarArchive(Seq(
+      "usr/bin/demo" -> "#!/bin/sh\necho demo\n".getBytes("UTF-8"),
+      "usr/share/doc/demo/README" -> TestData))
+    val deb = arArchive(Seq(
+      "debian-binary" -> "2.0\n".getBytes("UTF-8"),
+      "control.tar.gz" -> gzipData(control),
+      "data.tar.xz" -> xzData(data)))
+    val rows = walk(deb)
+    assert(rows.map(_.path) == Vector(
+      "debian-binary",
+      "control.tar.gz/control",
+      "data.tar.xz/usr/bin/demo",
+      "data.tar.xz/usr/share/doc/demo/README"))
+    assert(rows(1).content.sameElements("Package: demo\n".getBytes("UTF-8")))
+    assert(rows(3).content.sameElements(TestData))
+  }
+
   test("ar: truncated trailing member ends the walk silently (W7 parity)") {
     val good = "intact ar body".getBytes("UTF-8")
     val full = arArchive(Seq(
