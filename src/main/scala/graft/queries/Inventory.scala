@@ -1524,6 +1524,26 @@ object Inventory {
         round(GraftFunctions.char_entropy(col("text")), 6).as("entropy"))
       .orderBy(col("doc_id"))
 
+  /** Incremental Bloom dedup gate ([[graft.ops.Bloom.bloomGate]]):
+    * incoming = re-keyed copies of corpus texts (must ALL drop — the
+    * no-false-negative guarantee) + genuinely-new odd docs (kept
+    * modulo the declared md5-deterministic false positives). The
+    * corpus reduces to one 2^20-bit bitmap (map-side partial OR — the
+    * only corpus-side exchange is one 128 KiB word array per
+    * partition); the incoming side filters at scan speed against the
+    * bitmap literal, zero exchanges.
+    */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val corpus = docs.where(col("doc_id") % 2 === 0).select(col("text"))
+    val incoming = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionAll(docs.where(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")))
+    graft.ops.Bloom.bloomGate(corpus, incoming, "text")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q62 fixture texts — inline literals (the synthetic documents
     * table contains no PII-shaped spans, so like q59 the query is
     * self-contained); chosen to exercise greedy-domain backtracking
@@ -1651,7 +1671,8 @@ object Inventory {
     "q84_gopher_filter" -> (q84 _),
     "q85_top_ngrams" -> (q85 _),
     "q86_char_entropy" -> (q86 _),
-    "q87_ar_source" -> (q87 _))
+    "q87_ar_source" -> (q87 _),
+    "q88_bloom_gate" -> (q88 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1979,6 +2000,28 @@ object Inventory {
           |   '445e3b9daabe086ed18195aebdfa29ebbf819775923cbb6c8dcbb8e0212545e3'))
           |  AS t(path, size, sha256)
           |ORDER BY path""".stripMargin,
+      // Bloom gate: a bitmap bit p is set iff SOME corpus position
+      // hashes to p, so "all k probe bits set" == "no probe position
+      // missing from the corpus position set" — the oracle states the
+      // latter (anti-join on md5-derived positions), exactly the
+      // engine's bitmap semantics including the declared FP set
+      "q88_bloom_gate" -> {
+        val m = 1 << 20
+        def p(i: Int, rel: String) =
+          s"CAST(md5_number_lower('$i:' || $rel.text) % 4611686018427387904 AS BIGINT) % $m"
+        s"""WITH corpus AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+           |inc AS (
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+           |  UNION ALL
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+           |cpos AS (SELECT DISTINCT unnest([${(0 until 4).map(p(_, "corpus")).mkString(", ")}]) AS p
+           |         FROM corpus),
+           |ipos AS (SELECT doc_id, unnest([${(0 until 4).map(p(_, "inc")).mkString(", ")}]) AS p
+           |         FROM inc)
+           |SELECT DISTINCT ipos.doc_id FROM ipos LEFT JOIN cpos ON ipos.p = cpos.p
+           |WHERE cpos.p IS NULL
+           |ORDER BY ipos.doc_id""".stripMargin
+      },
       "q82_domain_cap" ->
         s"""SELECT doc_id, source FROM (
            |  SELECT doc_id, source,

@@ -734,6 +734,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("Bloom.bloomGate: no false negatives, deterministic keeps, scan-speed incoming plan") {
+    import spark.implicits._
+    val corpus = Seq("alpha doc text", "bravo doc text", "charlie doc text")
+      .toDF("text")
+    val incoming = Seq(
+      10L -> "alpha doc text",   // exact corpus dup: MUST drop
+      11L -> "bravo doc text",   // exact corpus dup: MUST drop
+      12L -> "delta brand new",  // new: kept (FP odds ~1e-20 at m=2^20)
+      13L -> "echo also new"     // new: kept
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Bloom.bloomGate(corpus, incoming, "text")
+    val kept = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(12L, 13L),
+      "corpus texts always probe all-set bits; new texts keep deterministically")
+    // rerun is bit-identical (md5-derived positions, no RNG state)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == kept)
+    // the incoming side is a pure narrow filter against the bitmap
+    // literal — no exchange, no broadcast join in the executed plan
+    val exec = out.queryExecution.executedPlan.toString
+    assert(!exec.contains("Exchange") && !exec.contains("BroadcastHashJoin"),
+      s"bloomGate incoming side must stay narrow:\n$exec")
+    // bitmap aggregator: reduce sets bits, merge ORs word-wise
+    val bm = graft.ops.Bloom.BloomBitmap(4)
+    val a = bm.reduce(bm.zero, 0L); val b = bm.reduce(bm.zero, 65L)
+    val m = bm.merge(a, b)
+    assert(m(0) == 1L && m(1) == 2L && m(2) == 0L)
+  }
+
   test("Sampling.deterministicShuffle: stable per seed, permutes, varies across seeds") {
     import spark.implicits._
     val df = (1L to 200L).toDF("id")
