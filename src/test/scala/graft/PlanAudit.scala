@@ -21,7 +21,9 @@ object PlanAudit {
       "q35_window_frames", "q36_topk_agg", "q37_ann_ivf", "q40_percentile",
       "q44_jaccard_neardup", "q45_pivot", "q47_approx_sketches",
       "q64_seq_packing", "q69_line_dedup", "q70_upsample", "q71_chunk_windows",
-      "q48_outer_join", "q49_setops_all")
+      "q48_outer_join", "q49_setops_all",
+      "q82_domain_cap", "q83_bm25_score", "q84_gopher_filter", "q85_top_ngrams",
+      "q86_char_entropy", "q88_bloom_gate")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
