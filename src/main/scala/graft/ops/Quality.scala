@@ -239,14 +239,19 @@ object Quality {
     require(terms.nonEmpty, "terms must be non-empty")
     require(terms.distinct == terms, "terms must be distinct")
     require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0, b in [0, 1]")
-    val toks = filter(
-      split(lower(regexp_replace(col(textCol), "[^a-zA-Z0-9]+", " ")), " "),
-      w => w =!= "")
-    val base = df.select(
-      col(idCol) +: size(toks).cast("long").as("__dl") +:
-        terms.zipWithIndex.map { case (t, i) =>
-          size(filter(toks, w => w === lit(t))).cast("long").as(s"__tf$i")
-        }: _*)
+    // tokenize ONCE per row behind an aliased projection (q85's
+    // lesson): the terms loop references the token array per term,
+    // and an inline tokenizer expression would re-split per reference
+    val toks = col("__toks")
+    val base = df
+      .select(col(idCol), filter(
+        split(lower(regexp_replace(col(textCol), "[^a-zA-Z0-9]+", " ")), " "),
+        w => w =!= "").as("__toks"))
+      .select(
+        col(idCol) +: size(toks).cast("long").as("__dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(toks, w => w === lit(t))).cast("long").as(s"__tf$i")
+          }: _*)
     val aggs = count(lit(1)).cast("double").as("__n") +:
       (sum(col("__dl")).cast("double") / count(lit(1)).cast("double")).as("__avgdl") +:
       terms.indices.map(i =>
@@ -289,7 +294,10 @@ object Quality {
   def gopherFilter(df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000,
       maxDupFrac: Double = 0.3): DataFrame = {
-    val w = words(col(textCol))
+    // tokenize ONCE per row behind an aliased projection (q85's
+    // lesson): four of the six rules reference the token array, and an
+    // inline tokenizer expression would re-split per reference
+    val w = col("__w")
     val nw = size(w).cast("long")
     val nwD = nw.cast("double")
     val meanLen = length(regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""))
@@ -309,7 +317,8 @@ object Quality {
       (distinctStops >= 2).as("r_stop"),
       (nw > 0 && symbols.cast("double") / nwD <= 0.1).as("r_symbol"),
       (nw > 0 && dupFrac <= maxDupFrac).as("r_dup"))
-    df.select(col(idCol) +: nw.as("words") +: rules: _*)
+    df.select(col(idCol), col(textCol), words(col(textCol)).as("__w"))
+      .select(col(idCol) +: nw.as("words") +: rules: _*)
       .withColumn("keep",
         col("r_words") && col("r_mean_len") && col("r_alpha") &&
           col("r_stop") && col("r_symbol") && col("r_dup"))
@@ -332,14 +341,20 @@ object Quality {
   def topNgrams(df: DataFrame, textCol: String, n: Int = 3, k: Int = 20): DataFrame = {
     require(n >= 1, "n must be >= 1")
     require(k >= 1, "k must be >= 1")
-    val w = words(col(textCol))
+    // Tokenize ONCE per row behind an aliased projection: referencing
+    // the tokenizer expression directly inside the transform lambda
+    // would re-evaluate the split per element_at — O(tokens²) per
+    // document (measured: 14-17 s → 1.5 s at sf0.1). The multi-use
+    // non-cheap alias stops CollapseProject from inlining it back.
+    val toks = df.select(words(col(textCol)).as("__w"))
+    val w = col("__w")
     // the when-guard matters: sequence(1, size-(n-1)) DESCENDS for a
     // document shorter than n words (index 0 → element_at error);
     // explode drops the null branch
     val grams = when(size(w) >= n,
       transform(sequence(lit(1), size(w) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
-    df.select(explode(grams).as("gram"))
+    toks.select(explode(grams).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram"))
       .limit(k)
