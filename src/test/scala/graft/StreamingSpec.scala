@@ -172,6 +172,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0).getAs[Long]("n") == 2 && got(1).getAs[Long]("n") == 1)
   }
 
+  test("bloom gate filters a stream against a historical corpus bitmap") {
+    // the gate's incoming side is a pure narrow filter (literal
+    // bitmap), so it composes with readStream unchanged — the
+    // incremental-ingestion shape: batch corpus, streaming shard
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val corpus = Seq("seen doc one", "seen doc two").toDF("text")
+    val srcDir = tmp("graft_bloom_src")
+    Seq(10L -> "seen doc one", 11L -> "fresh doc a", 12L -> "fresh doc b")
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val incoming = spark.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+    val gated = graft.ops.Bloom.bloomGate(corpus, incoming, "text")
+    assert(gated.isStreaming, "gating must not break the streaming plan")
+    val q = gated.writeStream.format("memory").queryName("graft_bloom_sink")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("graft_bloom_sink").orderBy("doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(11L, 12L), "corpus duplicate dropped, fresh docs pass")
+  }
+
   test("multimodal: meta struct, features, resize, frame sampling") {
     import spark.implicits._
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 0, 0, 0) ++ Array.fill[Byte](100)(7)

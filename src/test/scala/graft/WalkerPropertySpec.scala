@@ -7,7 +7,7 @@ import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Property-based fuzz of the recursive walker: for a RANDOM nested
-  * archive (random container kinds, compressions, names, payloads,
+  * archive (random container kinds incl. ar, compressions, names, payloads,
   * nesting), the walk must emit exactly the leaf entries with correct
   * lineage paths, sizes, and SHA-256 digests — the expected listing is
   * computed independently while the fixture is built. Fixed seed =>
@@ -44,7 +44,7 @@ class WalkerPropertySpec extends AnyFunSuite {
       2 -> Gen.zip(nameGen, payloadGen).map { case (n, b) => Leaf(n + ".bin", b) },
       1 -> (for {
         name <- nameGen
-        kind <- Gen.chooseNum(0, 1)   // 0 = tar, 1 = zip
+        kind <- Gen.chooseNum(0, 2)   // 0 = tar, 1 = zip, 2 = ar
         codec <- Gen.chooseNum(0, 3)  // none/gzip/zstd/bz2
         width <- Gen.chooseNum(1, 3)
         children <- Gen.listOfN(width, nodeGen(depth - 1))
@@ -57,14 +57,18 @@ class WalkerPropertySpec extends AnyFunSuite {
     case Leaf(n, b) => (n, b)
     case Container(n, kind, codec, children) =>
       val entries = children.map(build)
-      val arch = if (kind == 0) tarArchive(entries) else zipArchive(entries)
+      val arch = kind match {
+        case 0 => tarArchive(entries)
+        case 1 => zipArchive(entries)
+        case _ => arArchive(entries) // names >15 chars exercise the // table
+      }
       val wrapped = codec match {
         case 1 => gzipData(arch)
         case 2 => zstdData(arch)
         case 3 => bz2Data(arch)
         case _ => arch
       }
-      val ext = (if (kind == 0) ".tar" else ".zip") +
+      val ext = (kind match { case 0 => ".tar"; case 1 => ".zip"; case _ => ".a" }) +
         (codec match { case 1 => ".gz"; case 2 => ".zst"; case 3 => ".bz2"; case _ => "" })
       (n + ext, wrapped)
   }
