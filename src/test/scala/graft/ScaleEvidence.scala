@@ -124,6 +124,33 @@ object ScaleEvidence {
         val (no, ot) = timedCount(full)
         println(f"""SCALE {"corpus":"$c","op":"$name","n_docs":$n,"candidates":$nc,"all_pairs":$allPairs,"cand_frac":${nc.toDouble / math.max(allPairs, 1)}%.6f,"output":$no,"cand_secs":$ct%.1f,"full_secs":$ot%.1f}""")
       }
+
+      // q88 bloom gate: the property is NOT candidate growth (there
+      // are no candidates) but (a) zero false negatives at every n,
+      // (b) measured FP drops tracking the textbook (1-e^{-kn/m})^k,
+      // (c) build cost one corpus scan + constant-size merge.
+      {
+        val mBits = 1 << 20; val k = 4
+        // re-keyed corpus texts (must ALL drop) + guaranteed-novel texts
+        val dups = docs.where(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 2000000000L).as("doc_id"), col("text"))
+        val fresh = docs.where(col("doc_id") % 10 === 4)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" zz-novel-"), col("doc_id")).as("text"))
+        val incoming = dups.unionAll(fresh).cache()
+        val nDup = dups.count(); val nFresh = fresh.count()
+        val t0 = System.nanoTime()
+        val gated = graft.ops.Bloom.bloomGate(
+          docs.select(col("text")), incoming, "text", mBits, k)
+        val buildSecs = (System.nanoTime() - t0) / 1e9 // bitmap agg runs here
+        val (kept, gateSecs) = timedCount(gated)
+        val keptDups = gated.where(col("doc_id") >= 2000000000L).count()
+        val fpDropped = nFresh - (kept - keptDups)
+        val pBit = 1.0 - math.exp(-k.toDouble * n / mBits)
+        val fpExpected = math.pow(pBit, k) * nFresh
+        println(f"""SCALE {"corpus":"$c","op":"q88_bloom_gate","n_docs":$n,"dups_in":$nDup,"dups_kept":$keptDups,"fresh_in":$nFresh,"fp_dropped":$fpDropped,"fp_expected":$fpExpected%.1f,"build_secs":$buildSecs%.1f,"gate_secs":$gateSecs%.1f}""")
+        incoming.unpersist()
+      }
       docs.unpersist()
     }
     spark.stop()
