@@ -72,6 +72,28 @@ object Fixtures {
     bos.toByteArray
   }
 
+  /** Zip with zip64 forced on every entry: local headers carry
+    * 0xFFFFFFFF in the 4-byte size fields and the real sizes in the
+    * 0x0001 extended-information extra field — the layout any member
+    * >4 GiB uses. Lets the walker prove it reads zip64 headers
+    * without a multi-GiB fixture.
+    */
+  def zip64Archive(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    import org.apache.commons.compress.archivers.zip.Zip64Mode
+    val bos = new ByteArrayOutputStream()
+    val zip = new ZipArchiveOutputStream(bos)
+    zip.setUseZip64(Zip64Mode.Always)
+    entries.foreach { case (path, data) =>
+      val e = new ZipArchiveEntry(path)
+      e.setSize(data.length.toLong)
+      zip.putArchiveEntry(e)
+      zip.write(data)
+      zip.closeArchiveEntry()
+    }
+    zip.close()
+    bos.toByteArray
+  }
+
   /** Minimal ISO 28500 WARC: one record per (extra headers, body);
     * the version line, Content-Length, and the two inter-record
     * CRLFs are supplied here.

@@ -55,6 +55,21 @@ class WalkerSpec extends AnyFunSuite {
     assert(walk(nested).map(_.path) == Vector("file", "inner.zip/test"))
   }
 
+  test("zip64: forced zip64 local headers (the >4 GiB layout) walk like plain zip") {
+    val bytes = zip64Archive(Seq("big" -> TestData, "dir/also" -> TestData))
+    // sanity: the fixture really is zip64 — local header sizes are
+    // 0xFFFFFFFF and a 0x0001 extra field is present
+    assert((0 until bytes.length - 4).exists(i =>
+      bytes(i) == -1 && bytes(i + 1) == -1 && bytes(i + 2) == -1 && bytes(i + 3) == -1))
+    val rows = walk(bytes)
+    assert(rows.map(_.path) == Vector("big", "dir/also"))
+    assert(rows.forall(_.size == TestData.length.toLong))
+    assert(rows.forall(_.hash.sameElements(sha256(TestData))))
+    // and nested: a zip64 inside a tar expands in place
+    val nested = walk(tarArchive(Seq("inner.zip" -> bytes)))
+    assert(nested.map(_.path) == Vector("inner.zip/big", "inner.zip/dir/also"))
+  }
+
   test("mixed nesting: tar.gz containing a zip containing files") {
     val inner = zipArchive(Seq("deep/a.txt" -> TestData))
     val data = gzipData(tarArchive(Seq("innerzip" -> inner)))
