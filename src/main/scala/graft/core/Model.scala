@@ -62,7 +62,7 @@ object ArchiveChunkSchema {
 sealed abstract class FormatKind(val name: String) {
   def supportsRecursion: Boolean =
     this == FormatKind.Tar || this == FormatKind.Zip || this == FormatKind.Warc ||
-      this == FormatKind.Ar
+      this == FormatKind.Ar || this == FormatKind.Cpio
   override def toString: String = name
 }
 
@@ -83,10 +83,16 @@ object FormatKind {
     * reference's tar/zip, same walk semantics.
     */
   case object Ar extends FormatKind("ar")
+  /** cpio archive (POSIX pax ASCII dialects: newc `070701`, crc
+    * `070702`, odc `070707`) — the initramfs / RPM-payload container;
+    * S-family extension beyond the reference's tar/zip, same walk
+    * semantics.
+    */
+  case object Cpio extends FormatKind("cpio")
   case object Executable extends FormatKind("executable")
   case object Unknown extends FormatKind("unknown")
 
-  val all: Seq[FormatKind] = Seq(Gzip, Zstd, Bzip2, Xz, Zip, Tar, Warc, Ar, Executable, Unknown)
+  val all: Seq[FormatKind] = Seq(Gzip, Zstd, Bzip2, Xz, Zip, Tar, Warc, Ar, Cpio, Executable, Unknown)
   def fromName(s: String): FormatKind =
     all.find(_.name == s.toLowerCase).getOrElse(Unknown)
 }

@@ -101,11 +101,21 @@ object Sniff {
       at(b, 3) == 'r' && at(b, 4) == 'c' && at(b, 5) == 'h' && at(b, 6) == '>' &&
       at(b, 7) == 0x0a
 
+  /** cpio ASCII magics: `070701` (newc), `070702` (newc+crc),
+    * `070707` (odc/portable). Binary cpio (0x71C7) is deliberately
+    * not sniffed — its 2-byte magic collides with ordinary data.
+    */
+  def isCpio(b: Array[Byte]): Boolean =
+    b.length >= 6 && at(b, 0) == '0' && at(b, 1) == '7' && at(b, 2) == '0' &&
+      at(b, 3) == '7' && at(b, 4) == '0' &&
+      (at(b, 5) == '1' || at(b, 5) == '2' || at(b, 5) == '7')
+
   def detectContainer(b: Array[Byte]): Option[FormatKind] =
     if (isTar(b)) Some(FormatKind.Tar)
     else if (isZip(b)) Some(FormatKind.Zip)
     else if (isWarc(b)) Some(FormatKind.Warc)
     else if (isAr(b)) Some(FormatKind.Ar)
+    else if (isCpio(b)) Some(FormatKind.Cpio)
     else if (isExecutable(b)) Some(FormatKind.Executable)
     else None
 

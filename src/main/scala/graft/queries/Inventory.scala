@@ -1470,6 +1470,74 @@ object Inventory {
       .orderBy(col("path"))
   }
 
+  /** Deterministic cpio newc fixture (POSIX pax `070701` dialect —
+    * the initramfs / RPM-payload layout): a directory record
+    * (skipped), an odd-size text member (exercises the 4-byte data
+    * alignment), a gzip member (emitted decompressed), and a nested
+    * tar member (expands in place with cpio-member lineage).
+    * Byte-stable across runs: fixed header fields, fixed bodies.
+    */
+  private[queries] def buildCpioFixture(): String = {
+    import java.io._
+    import java.util.zip.GZIPOutputStream
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val out = new ByteArrayOutputStream()
+    var ino = 1
+    def record(name: String, data: Array[Byte], mode: Int): Unit = {
+      val nameBytes = name.getBytes("UTF-8")
+      val nameSize = nameBytes.length + 1
+      val sb = new StringBuilder("070701")
+      def hex(v: Long): Unit = sb.append(f"$v%08x")
+      hex(ino.toLong); ino += 1
+      hex(mode.toLong); hex(0); hex(0); hex(1); hex(0)
+      hex(data.length.toLong); hex(0); hex(0); hex(0); hex(0)
+      hex(nameSize.toLong); hex(0)
+      out.write(sb.toString.getBytes("US-ASCII"))
+      out.write(nameBytes); out.write(0)
+      var n = (110 + nameSize) % 4
+      while (n % 4 != 0) { out.write(0); n += 1 }
+      out.write(data)
+      var m = data.length % 4
+      while (m % 4 != 0) { out.write(0); m += 1 }
+    }
+    record("etc", Array.emptyByteArray, 0x41ED)
+    record("etc/motd.txt", "cpio member motd\n".getBytes("UTF-8"), 0x81A4)
+    val gzBuf = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(gzBuf)
+    gz.write("deterministic gzip payload in cpio\n".getBytes("UTF-8")); gz.close()
+    record("usr/share/data.bin.gz", gzBuf.toByteArray, 0x81A4)
+    val tarBuf = new ByteArrayOutputStream()
+    val to = new TarArchiveOutputStream(tarBuf)
+    Seq("docs/a.txt" -> "alpha doc\n", "docs/b.txt" -> "bravo doc\n").foreach {
+      case (n, body) =>
+        val e = new TarArchiveEntry(n)
+        val b = body.getBytes("UTF-8")
+        e.setSize(b.length.toLong); e.setModTime(1000000000000L)
+        to.putArchiveEntry(e); to.write(b); to.closeArchiveEntry()
+    }
+    to.close()
+    record("inner.tar", tarBuf.toByteArray, 0x81A4)
+    record("TRAILER!!!", Array.emptyByteArray, 0)
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q89_fixture")
+    dir.mkdirs()
+    val f = new File(dir, "fixture.cpio")
+    val fos = new FileOutputStream(f)
+    fos.write(out.toByteArray); fos.close()
+    f.getAbsolutePath
+  }
+
+  /** cpio source (the initramfs / RPM-payload container, POSIX pax
+    * spec): the q16 converter chain over [[buildCpioFixture]] —
+    * directory records are skipped, a gzip member lands decompressed,
+    * and a nested tar expands with cpio-member lineage.
+    */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val path = buildCpioFixture()
+    ArchiveConverter.entries(s, Seq(path), ConvertOptions()).toDF()
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+  }
+
   /** Per-domain quota cap ([[Sampling.domainCap]], the FineWeb
     * no-site-dominates rule): at most 10 docs per source, elected by
     * smallest md5(42:id) — a bounded typed-aggregation election plus
@@ -1672,7 +1740,8 @@ object Inventory {
     "q85_top_ngrams" -> (q85 _),
     "q86_char_entropy" -> (q86 _),
     "q87_ar_source" -> (q87 _),
-    "q88_bloom_gate" -> (q88 _))
+    "q88_bloom_gate" -> (q88 _),
+    "q89_cpio_source" -> (q89 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -2022,6 +2091,21 @@ object Inventory {
            |WHERE cpos.p IS NULL
            |ORDER BY ipos.doc_id""".stripMargin
       },
+      // cpio source: spec-member sizes/digests (directory record
+      // skipped, gzip member decompressed, nested tar expanded),
+      // computed independently — q16's rule
+      "q89_cpio_source" ->
+        """SELECT * FROM (VALUES
+          |  ('etc/motd.txt', CAST(17 AS BIGINT),
+          |   'ea6c3233b65b3d2f9d9d134908d5f783d5d371e7828517e5cffde90a51a9024a'),
+          |  ('inner.tar/docs/a.txt', CAST(10 AS BIGINT),
+          |   '753a892fa27fce3ea4683c2a27e1f8b651c9e1352d4b0b14382c812019bc6a2a'),
+          |  ('inner.tar/docs/b.txt', CAST(10 AS BIGINT),
+          |   '73ecc37823096f6ac0b9cddb338a1bfe9b659e74061635e436c69d882dc144ce'),
+          |  ('usr/share/data.bin.gz', CAST(35 AS BIGINT),
+          |   '64397d7ab7259e4d29f8e2647c2a5ba6d375ebb3cbdb90febdc158005a20a3e6'))
+          |  AS t(path, size, sha256)
+          |ORDER BY path""".stripMargin,
       "q82_domain_cap" ->
         s"""SELECT doc_id, source FROM (
            |  SELECT doc_id, source,

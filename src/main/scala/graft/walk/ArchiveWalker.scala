@@ -310,6 +310,7 @@ object ArchiveWalker {
         case FormatKind.Tar  => walkTar(source, childNested, details, stream, depth, opts, leaf)
         case FormatKind.Warc => walkWarc(source, childNested, details, stream, depth, opts, leaf)
         case FormatKind.Ar   => walkAr(source, childNested, details, stream, depth, opts, leaf)
+        case FormatKind.Cpio => walkCpio(source, childNested, details, stream, depth, opts, leaf)
         case _               => walkZip(source, childNested, details, stream, depth, opts, leaf)
       }
     } else if (!pathKept(opts, (nested :+ details.path).mkString("/"))) {
@@ -582,6 +583,121 @@ object ArchiveWalker {
             }
           }
         }
+      }
+    }
+  }
+
+  /** cpio walker (POSIX pax interchange ASCII dialects — the
+    * initramfs / RPM-payload container). Streams record-by-record
+    * with no buffering beyond the current header/name:
+    *
+    *   - newc `070701` / crc `070702`: 110-byte all-hex header, name
+    *     and body each NUL-padded to 4-byte alignment;
+    *   - odc `070707`: 76-byte all-octal header, no padding.
+    *
+    * Walk rules match tar: only regular files (c_mode & 0xF000 ==
+    * 0x8000) with nonzero size are emitted (directories, symlinks,
+    * devices, and hardlink placeholders — nlink>1 with size 0 — skip
+    * naturally); `TRAILER!!!` or a corrupt header ends the archive
+    * silently (W7 parity); bodies re-enter the two-stage sniff, so
+    * nested archives expand in place with cpio-member lineage.
+    */
+  private def walkCpio[T](
+      source: String,
+      nested: List[String],
+      self: Details,
+      stream: InputStream,
+      depth: Int,
+      opts: ConvertOptions,
+      leaf: Leaf[T]): Iterator[T] = {
+    var current: BoundedStream = null
+    var pad = 0
+    def readExact(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n)
+      var off = 0
+      var k = 0
+      while (off < n && k >= 0) { k = stream.read(b, off, n - off); if (k > 0) off += k }
+      if (off == n) b else null
+    }
+    // strict fixed-radix field parse; -1 marks a corrupt header
+    def field(b: Array[Byte], from: Int, len: Int, radix: Int): Long = {
+      var v = 0L
+      var i = from
+      while (i < from + len) {
+        val d = Character.digit(b(i).toChar, radix)
+        if (d < 0) return -1L
+        v = v * radix + d
+        i += 1
+      }
+      v
+    }
+    archiveIterator { () =>
+      if (current != null) { current.skipRest(); current = null }
+      while (pad > 0) { if (stream.read() < 0) pad = 0 else pad -= 1 }
+      val magic = readExact(6)
+      if (magic == null) None
+      else new String(magic, "US-ASCII") match {
+        case m @ ("070701" | "070702") =>
+          val hdr = readExact(104) // 13 x 8 hex chars after the magic
+          if (hdr == null) None
+          else {
+            val mode = field(hdr, 8, 8, 16)
+            val size = field(hdr, 48, 8, 16)
+            val nameSize = field(hdr, 88, 8, 16)
+            // name length includes its NUL; bound it (it names ONE
+            // member — anything huge is a corrupt header)
+            if (mode < 0 || size < 0 || nameSize <= 0 || nameSize > (1 << 16)) None
+            else {
+              val nameBuf = readExact(nameSize.toInt)
+              if (nameBuf == null) None
+              else {
+                val name = new String(nameBuf, 0, nameSize.toInt - 1, "UTF-8")
+                // header+name NUL-padded to 4; body likewise
+                val namePad = (4 - (110 + nameSize) % 4) % 4
+                var skipped = 0L
+                while (skipped < namePad && stream.read() >= 0) skipped += 1
+                pad = ((4 - size % 4) % 4).toInt
+                if (name == "TRAILER!!!") None
+                else if ((mode & 0xF000L) != 0x8000L || size == 0 || name.isEmpty) {
+                  current = new BoundedStream(stream, size)
+                  Some(Iterator.empty)
+                } else {
+                  current = new BoundedStream(stream, size)
+                  val d = Details(name, size)
+                  Some(walkEntryG(source, nested, d, Some(self), new NonClosing(current),
+                    depth + 1, opts, leaf))
+                }
+              }
+            }
+          }
+        case "070707" =>
+          val hdr = readExact(70) // odc: octal fields after the magic
+          if (hdr == null) None
+          else {
+            val mode = field(hdr, 12, 6, 8)
+            val nameSize = field(hdr, 53, 6, 8)
+            val size = field(hdr, 59, 11, 8)
+            if (mode < 0 || size < 0 || nameSize <= 0 || nameSize > (1 << 16)) None
+            else {
+              val nameBuf = readExact(nameSize.toInt)
+              if (nameBuf == null) None
+              else {
+                val name = new String(nameBuf, 0, nameSize.toInt - 1, "UTF-8")
+                pad = 0 // odc has no alignment padding
+                if (name == "TRAILER!!!") None
+                else if ((mode & 0xF000L) != 0x8000L || size == 0 || name.isEmpty) {
+                  current = new BoundedStream(stream, size)
+                  Some(Iterator.empty)
+                } else {
+                  current = new BoundedStream(stream, size)
+                  val d = Details(name, size)
+                  Some(walkEntryG(source, nested, d, Some(self), new NonClosing(current),
+                    depth + 1, opts, leaf))
+                }
+              }
+            }
+          }
+        case _ => None // corrupt magic: silent stop (W7 parity)
       }
     }
   }

@@ -94,6 +94,65 @@ object Fixtures {
     bos.toByteArray
   }
 
+  /** cpio newc (`070701`) archive: 110-byte hex headers, name and
+    * body NUL-padded to 4-byte alignment, `TRAILER!!!` terminator.
+    * `mode` defaults to a regular file; pass e.g. 0x41ED for a
+    * directory record.
+    */
+  def cpioArchive(entries: Seq[(String, Array[Byte])],
+      modeOf: String => Int = _ => 0x81A4): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var ino = 1
+    def record(name: String, data: Array[Byte], mode: Int): Unit = {
+      val nameBytes = name.getBytes("UTF-8")
+      val nameSize = nameBytes.length + 1
+      val sb = new StringBuilder("070701")
+      def hex(v: Long): Unit = sb.append(f"$v%08x")
+      hex(ino.toLong); ino += 1       // c_ino
+      hex(mode.toLong)                // c_mode
+      hex(0); hex(0); hex(1)          // uid, gid, nlink
+      hex(0)                          // mtime
+      hex(data.length.toLong)         // filesize
+      hex(0); hex(0); hex(0); hex(0)  // devmajor/minor, rdevmajor/minor
+      hex(nameSize.toLong)            // namesize (incl NUL)
+      hex(0)                          // check (newc: always 0)
+      out.write(sb.toString.getBytes("US-ASCII"))
+      out.write(nameBytes); out.write(0)
+      var n = (110 + nameSize) % 4
+      while (n % 4 != 0) { out.write(0); n += 1 }
+      out.write(data)
+      var m = data.length % 4
+      while (m % 4 != 0) { out.write(0); m += 1 }
+    }
+    entries.foreach { case (p, d) => record(p, d, modeOf(p)) }
+    record("TRAILER!!!", Array.emptyByteArray, 0)
+    out.toByteArray
+  }
+
+  /** cpio odc (`070707`, portable ASCII) archive: 76-byte octal
+    * headers, no padding.
+    */
+  def cpioOdcArchive(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var ino = 1
+    def record(name: String, data: Array[Byte], mode: Int): Unit = {
+      val nameBytes = name.getBytes("UTF-8")
+      val sb = new StringBuilder("070707")
+      def oct(v: Long, w: Int): Unit = sb.append(("%0" + w + "o").format(v))
+      oct(0, 6); oct(ino.toLong, 6); ino += 1
+      oct(mode.toLong, 6); oct(0, 6); oct(0, 6); oct(1, 6); oct(0, 6)
+      oct(0, 11)
+      oct(nameBytes.length + 1L, 6)
+      oct(data.length.toLong, 11)
+      out.write(sb.toString.getBytes("US-ASCII"))
+      out.write(nameBytes); out.write(0)
+      out.write(data)
+    }
+    entries.foreach { case (p, d) => record(p, d, 0x81A4) }
+    record("TRAILER!!!", Array.emptyByteArray, 0)
+    out.toByteArray
+  }
+
   /** Minimal ISO 28500 WARC: one record per (extra headers, body);
     * the version line, Content-Length, and the two inter-record
     * CRLFs are supplied here.

@@ -51,6 +51,11 @@ class SniffSpec extends AnyFunSuite {
     assert(Sniff.formatKindOfBytes(ar) == FormatKind.Ar)
     assert(Sniff.formatKindOfBytes(gzipData(ar)) == FormatKind.Ar,
       ".a.gz sniffs through the codec layer")
+    val cpio = cpioArchive(Seq("a.txt" -> TestData))
+    assert(Sniff.formatKindOfBytes(cpio) == FormatKind.Cpio)
+    assert(Sniff.formatKindOfBytes(gzipData(cpio)) == FormatKind.Cpio,
+      "initramfs shape (.cpio.gz) sniffs through the codec layer")
+    assert(Sniff.formatKindOfBytes(cpioOdcArchive(Seq("a" -> TestData))) == FormatKind.Cpio)
   }
 
   test("executables are detected (full reference magic table)") {

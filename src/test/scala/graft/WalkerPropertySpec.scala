@@ -7,7 +7,7 @@ import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Property-based fuzz of the recursive walker: for a RANDOM nested
-  * archive (random container kinds incl. ar, compressions, names, payloads,
+  * archive (random container kinds incl. ar/cpio, compressions, names, payloads,
   * nesting), the walk must emit exactly the leaf entries with correct
   * lineage paths, sizes, and SHA-256 digests — the expected listing is
   * computed independently while the fixture is built. Fixed seed =>
@@ -44,7 +44,7 @@ class WalkerPropertySpec extends AnyFunSuite {
       2 -> Gen.zip(nameGen, payloadGen).map { case (n, b) => Leaf(n + ".bin", b) },
       1 -> (for {
         name <- nameGen
-        kind <- Gen.chooseNum(0, 2)   // 0 = tar, 1 = zip, 2 = ar
+        kind <- Gen.chooseNum(0, 3)   // 0 = tar, 1 = zip, 2 = ar, 3 = cpio
         codec <- Gen.chooseNum(0, 3)  // none/gzip/zstd/bz2
         width <- Gen.chooseNum(1, 3)
         children <- Gen.listOfN(width, nodeGen(depth - 1))
@@ -60,7 +60,8 @@ class WalkerPropertySpec extends AnyFunSuite {
       val arch = kind match {
         case 0 => tarArchive(entries)
         case 1 => zipArchive(entries)
-        case _ => arArchive(entries) // names >15 chars exercise the // table
+        case 2 => arArchive(entries) // names >15 chars exercise the // table
+        case _ => cpioArchive(entries)
       }
       val wrapped = codec match {
         case 1 => gzipData(arch)
@@ -68,7 +69,8 @@ class WalkerPropertySpec extends AnyFunSuite {
         case 3 => bz2Data(arch)
         case _ => arch
       }
-      val ext = (kind match { case 0 => ".tar"; case 1 => ".zip"; case _ => ".a" }) +
+      val ext = (kind match {
+        case 0 => ".tar"; case 1 => ".zip"; case 2 => ".a"; case _ => ".cpio" }) +
         (codec match { case 1 => ".gz"; case 2 => ".zst"; case 3 => ".bz2"; case _ => "" })
       (n + ext, wrapped)
   }

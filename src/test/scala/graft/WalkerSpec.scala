@@ -385,6 +385,61 @@ class WalkerSpec extends AnyFunSuite {
     assert(rows(3).content.sameElements(TestData))
   }
 
+  test("cpio newc: members walk like tar entries — alignment, skip rules") {
+    val odd = "123".getBytes("UTF-8")   // 3 bytes => 1 NUL pad
+    val even = "12345678".getBytes("UTF-8")
+    val bytes = cpioArchive(
+      Seq(
+        "etc" -> Array.emptyByteArray,          // directory: skipped
+        "etc/conf.txt" -> odd,
+        "empty.bin" -> Array.emptyByteArray,    // zero-size: skipped
+        "usr/lib/data.bin" -> even),
+      modeOf = p => if (p == "etc") 0x41ED else 0x81A4)
+    val rows = walk(bytes)
+    assert(rows.map(r => (r.path, r.size)) == Vector(
+      ("etc/conf.txt", odd.length.toLong),
+      ("usr/lib/data.bin", even.length.toLong)),
+      "directories and zero-size members skipped; trailer not emitted; pad NULs not in content")
+    assert(rows(0).content.sameElements(odd) && rows(0).hash.sameElements(sha256(odd)))
+    assert(rows(1).content.sameElements(even))
+  }
+
+  test("cpio odc: portable-ASCII octal headers walk the same members") {
+    val bytes = cpioOdcArchive(Seq(
+      "a.txt" -> TestData,
+      "deep/b.txt" -> "odc body".getBytes("UTF-8")))
+    val rows = walk(bytes)
+    assert(rows.map(_.path) == Vector("a.txt", "deep/b.txt"))
+    assert(rows(0).content.sameElements(TestData))
+    assert(rows(0).hash.sameElements(sha256(TestData)))
+  }
+
+  test("cpio: member bodies recurse through the sniff — gzip leaf, nested tar, lineage") {
+    val inner = tarArchive(Seq("docs/x.txt" -> TestData))
+    val bytes = cpioArchive(Seq(
+      "payload.gz" -> gzipData(TestData),
+      "bundle.tar" -> inner))
+    val rows = walk(bytes)
+    assert(rows.map(_.path) == Vector("payload.gz", "bundle.tar/docs/x.txt"))
+    assert(rows(0).content.sameElements(TestData), "gzip member emitted decompressed")
+    assert(rows(1).content.sameElements(TestData))
+    // and the whole cpio nests inside other containers (initramfs.gz shape)
+    val viaGz = walk(gzipData(cpioArchive(Seq("init" -> TestData))))
+    assert(viaGz.map(_.path) == Vector("init"))
+  }
+
+  test("cpio: truncated trailing member ends the walk silently (W7 parity)") {
+    val good = "intact cpio body".getBytes("UTF-8")
+    val full = cpioArchive(Seq(
+      "good.txt" -> good,
+      "cut.txt" -> "this member will be cut off".getBytes("UTF-8")))
+    val truncated = java.util.Arrays.copyOf(full, full.length - 40)
+    val rows = walk(truncated)
+    assert(rows.map(_.path).head == "good.txt")
+    assert(rows.head.content.sameElements(good))
+    assert(rows.size <= 2, "no spurious rows after truncation")
+  }
+
   test("ar: truncated trailing member ends the walk silently (W7 parity)") {
     val good = "intact ar body".getBytes("UTF-8")
     val full = arArchive(Seq(
