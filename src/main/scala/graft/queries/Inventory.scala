@@ -32,12 +32,10 @@ object Inventory {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // the events table stores TIMESTAMP(NANOS), which Spark's parquet
-      // reader rejects; read the raw int64 nanos and truncate to
-      // microseconds (exactly what DuckDB does internally on read)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // the generator has shipped events.ts as both TIMESTAMP(NANOS)
+      // and timestamp[us] across rounds — sniff the footer and adapt
+      // (see graft.sources.EventsTable)
+      graft.sources.EventsTable.read(spark, s"$dir/$name.parquet")
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
@@ -531,14 +529,11 @@ object Inventory {
     // Structured Streaming parity: the same tumbling-window aggregation
     // as q15, computed BY THE STREAMING ENGINE (file source ->
     // availableNow trigger -> complete-mode memory sink) and checked
-    // against the batch DuckDB oracle. Schema is declared (file stream
-    // sources don't infer), ts arrives as raw int64 nanos.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // against the batch DuckDB oracle. Schema is footer-derived (file
+    // stream sources don't infer) and ts layout-adaptive.
     val name = "graft_q27_sink"
     withStagedTable(d, "events") { stageDir =>
-      val stream = s.readStream
-        .schema(graft.streaming.StreamJoins.eventsSchema).parquet(stageDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val stream = graft.sources.EventsTable.readStream(s, stageDir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("ws"), col("event_type"), col("n"))

@@ -10,19 +10,14 @@ import org.apache.spark.sql.types._
   */
 object StreamJoins {
 
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** For each 'view', the same user's 'purchase's within the following
     * hour: two file-source streams over `srcDir`, per-side watermarks
     * (which bound join state to rate x window), event-time range join.
+    * Source schema is footer-derived and ts layout-adaptive
+    * ([[graft.sources.EventsTable]]).
     */
   def viewPurchaseJoin(s: SparkSession, srcDir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def src = s.readStream.schema(eventsSchema).parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def src = graft.sources.EventsTable.readStream(s, srcDir)
     val views = src.where(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
       .withWatermark("vts", "2 hours")
