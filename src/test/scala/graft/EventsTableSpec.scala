@@ -1,0 +1,93 @@
+package graft
+
+import graft.sources.EventsTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The layout-adaptive events source: the generator has shipped
+  * `ts` both as int64 nanos and as timestamp[us] across rounds, so
+  * both branches of the sniff must read to identical micros — batch
+  * and streaming, and a streaming restart must recover from its
+  * checkpoint on the current layout.
+  */
+class EventsTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("EventsTableSpec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(prefix: String): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit(); d
+  }
+
+  test("batch read: int64-nanos layout truncates to the same micros as typed layout") {
+    import spark.implicits._
+    val nanos = 1700000000123456789L // 2023-11-14T22:13:20.123456789
+    val longDir = new java.io.File(tmp("graft_ev_long"), "events.parquet")
+    Seq((1L, nanos)).toDF("event_id", "ts")
+      .write.parquet(longDir.getAbsolutePath)
+    val tsDir = new java.io.File(tmp("graft_ev_ts"), "events.parquet")
+    Seq((1L, nanos / 1000))
+      .toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+      .write.parquet(tsDir.getAbsolutePath)
+
+    val fromLong = EventsTable.read(spark, longDir.getAbsolutePath)
+    val fromTs = EventsTable.read(spark, tsDir.getAbsolutePath)
+    for (df <- Seq(fromLong, fromTs)) {
+      assert(df.schema("ts").dataType == TimestampType)
+      assert(df.select(unix_micros(col("ts"))).head().getLong(0) == nanos / 1000)
+    }
+  }
+
+  test("streaming source adapts the layout and restarts from its checkpoint") {
+    import spark.implicits._
+    // current generator layout: typed micros timestamps
+    def mkBatch(dir: java.io.File, name: String, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("event_id", "us")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          lit("view").as("event_type"))
+        .coalesce(1).write.mode("append").parquet(new java.io.File(dir, name).getParent)
+
+    val srcDir = tmp("graft_ev_stream")
+    val out = tmp("graft_ev_out").getAbsolutePath
+    val ckpt = tmp("graft_ev_ckpt").getAbsolutePath
+    val base = 1700000000000000L
+    def runOnce(): Unit = {
+      val q = EventsTable.readStream(spark, srcDir.getAbsolutePath)
+        .select(col("event_id"), col("ts"))
+        .dropDuplicates("event_id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q.stop()
+    }
+
+    mkBatch(srcDir, "b1.parquet", Seq(1L -> base, 2L -> (base + 1000), 1L -> base))
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2)
+
+    // backlog arrives while "down": a cross-batch duplicate plus fresh
+    mkBatch(srcDir, "b2.parquet", Seq(2L -> (base + 1000), 3L -> (base + 2000)))
+    runOnce()
+
+    val got = spark.read.parquet(out)
+    // exactly-once across the restart, dedup state recovered: ids 1..3 once
+    assert(got.count() == 3, got.collect().mkString(", "))
+    assert(got.schema("ts").dataType == TimestampType)
+    assert(got.select(max(unix_micros(col("ts")))).head().getLong(0) == base + 2000)
+  }
+}
