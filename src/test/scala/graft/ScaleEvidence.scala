@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   * (pure function of the id), so corpora are reproducible and a
   * planted near-dup can copy its neighbor's text without reading it.
   *
-  * Usage: Test/runMain graft.ScaleEvidence [sfdir|gen:N]...
+  * Usage: Test/runMain graft.ScaleEvidence [sfdir|gen:N|genwide:N|realx<k>:sfdir]...
   * (default: /root/testdata/sf0.001 /root/testdata/sf0.1 gen:20000 gen:50000)
   */
 object ScaleEvidence {
@@ -72,6 +72,33 @@ object ScaleEvidence {
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** The sf1-sized rung anchored to REAL data: the corpus's documents
+    * plus k-1 deterministically mutated replicas (each word rewritten
+    * with p=0.4 to a replica-unique token, so a replica shares ~43%
+    * Jaccard with its original — relatives stay within a family of k,
+    * never across families). Real text statistics at 10x the rows:
+    * candidate volume must grow ~linearly (with all-pairs up 100x),
+    * or the banding/prefix-filter story does not hold.
+    */
+  def replicatedDocs(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)]
+      .flatMap { case (id, text, lang, src) =>
+        (0 until k).map { r =>
+          if (r == 0) (id, text, lang, src, text.length.toLong)
+          else {
+            val rnd = new java.util.Random(id * 2654435761L + r)
+            val mut = text.split(" ")
+              .map(w => if (rnd.nextDouble() < 0.4) f"r$r%02dx${rnd.nextInt(100000)}" else w)
+              .mkString(" ")
+            (id + r.toLong * 100000000L, mut, lang, src, mut.length.toLong)
+          }
+        }
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   private def timedCount(df: DataFrame): (Long, Double) = {
     val t0 = System.nanoTime()
     val c = df.count()
@@ -93,10 +120,13 @@ object ScaleEvidence {
     spark.sparkContext.setLogLevel("WARN")
 
     corpora.foreach { c =>
-      val docs = (if (c.startsWith("genwide:")) genDocs(spark, c.drop(8).toLong, wide = true)
-        else if (c.startsWith("gen:")) genDocs(spark, c.drop(4).toLong, wide = false)
-        else spark.read.parquet(s"$c/documents.parquet"))
-        .cache()
+      val RealX = "realx(\\d+):(.*)".r
+      val docs = (c match {
+        case s if s.startsWith("genwide:") => genDocs(spark, s.drop(8).toLong, wide = true)
+        case s if s.startsWith("gen:") => genDocs(spark, s.drop(4).toLong, wide = false)
+        case RealX(k, dir) => replicatedDocs(spark, dir, k.toInt)
+        case dir => spark.read.parquet(s"$dir/documents.parquet")
+      }).cache()
       val n = docs.count()
       val allPairs = n * (n - 1) / 2
       val ref = docs.where(col("source").isin("src0", "src1"))
