@@ -503,28 +503,34 @@ object Dedup {
     labels
   }
 
-  /** Near-duplicate pairs via SimHash with chunk-banding.
+  /** Near-duplicate pairs via SimHash with chunk-PAIR banding (the
+    * "2-of-5 pigeonhole": Manku/Jain/Sarma WWW'07 table-probing
+    * generalized to pair keys).
     *
-    * The 64-bit signature (62 effective bits — see
-    * [[graft.functions.HashingHelper.simHash64]]) is split into 4
-    * 16-bit chunks; by pigeonhole, any pair with Hamming distance <= 3
-    * shares at least one exact chunk, so bucketing on
-    * (chunkIdx, chunkValue) finds ALL such pairs without an all-pairs
-    * scan — for `maxHamming <= 3` (the canonical radius for 64-bit
-    * simhash near-dup, Manku/Jain/Sarma WWW'07) the result is exactly
-    * the all-pairs Hamming filter, which is what the SQL oracle
-    * computes. Beyond 3 recall drops gracefully.
+    * The 64-bit signature is split into 5 disjoint 12-bit chunks
+    * (covering 60 bits; leaving bits out of chunks only makes chunks
+    * MORE likely to agree, so completeness is preserved). Any pair
+    * with Hamming distance <= 3 has differing bits in at most 3
+    * chunks, hence agrees exactly on at least 2 of the 5 — so
+    * bucketing on every (chunkPair, value_i || value_j) key (C(5,2) =
+    * 10 keys per doc, 24 signature bits each) finds ALL such pairs
+    * without an all-pairs scan. For `maxHamming <= 3` (the canonical
+    * radius for 64-bit simhash) the result is exactly the all-pairs
+    * Hamming filter, which is what the SQL oracle computes.
     *
-    * Scale note: 16-bit chunks mean 2^16 buckets per band — random
-    * collisions stay rare as the corpus grows. Narrower chunks (e.g.
-    * 8-bit, which would make radius 7 complete) put ~N/256 docs in
-    * every bucket and degenerate to O(N²) candidates; don't.
+    * Scale note vs single-chunk banding (the previous 4 x 16-bit
+    * scheme): a random collision now needs TWO simultaneous 12-bit
+    * chunk agreements (2^-24 per key pair vs 2^-16), which matters
+    * precisely when signatures concentrate — measured on the 50k-doc
+    * real-text rung this cut candidates 8.8x (9.80M -> 1.12M, full
+    * pipeline 26.7 s -> 4.3 s) for 2.5x more exploded rows. The
+    * shuffle still carries only (key, id, sig).
     *
     * @return (id_a, id_b, hamming) with id_a < id_b
     */
-  /** The chunk-banded CANDIDATE pairs of [[simhashNearDup]] with their
-    * Hamming distance, BEFORE the radius filter — exposed for scale
-    * instrumentation like [[nearDupCandidates]].
+  /** The chunk-pair-banded CANDIDATE pairs of [[simhashNearDup]] with
+    * their Hamming distance, BEFORE the radius filter — exposed for
+    * scale instrumentation like [[nearDupCandidates]].
     */
   def simhashCandidates(
       df: DataFrame,
@@ -532,15 +538,16 @@ object Dedup {
       textCol: String): DataFrame = {
     val sig = df.select(col(idCol).as("__id"),
       GraftFunctions.simhash64(col(textCol)).as("__sim"))
-    val banded = sig.select(
-      col("__id"), col("__sim"),
-      posexplode(expr(
-        "transform(sequence(0, 3), c -> (shiftright(__sim, c * 16) & 65535))")))
-      .withColumnRenamed("pos", "__chunk")
-      .withColumnRenamed("col", "__val")
-    val a = banded.select(col("__id").as("id_a"), col("__sim").as("__sa"), col("__chunk"), col("__val"))
-    val b = banded.select(col("__id").as("id_b"), col("__sim").as("__sb"), col("__chunk"), col("__val"))
-    a.join(b, Seq("__chunk", "__val"))
+    // one 64-bit key per chunk pair: pairIdx * 2^24 | chunk_i * 2^12 | chunk_j
+    val pairKeys = (for {
+      i <- 0 until 5; j <- (i + 1) until 5
+    } yield s"(${i * 5 + j}L * 16777216 + (shiftright(__sim, ${i * 12}) & 4095) * 4096" +
+      s" + (shiftright(__sim, ${j * 12}) & 4095))").mkString("array(", ", ", ")")
+    val banded = sig.select(col("__id"), col("__sim"),
+      explode(expr(pairKeys)).as("__val"))
+    val a = banded.select(col("__id").as("id_a"), col("__sim").as("__sa"), col("__val"))
+    val b = banded.select(col("__id").as("id_b"), col("__sim").as("__sb"), col("__val"))
+    a.join(b, Seq("__val"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", GraftFunctions.hamming64(col("__sa"), col("__sb")).cast("int"))
