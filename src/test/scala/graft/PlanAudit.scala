@@ -16,8 +16,10 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val interesting = Seq("q01_filter_project", "q02_tpch_q1_agg", "q03_broadcast_join",
-      "q04_multi_join", "q06_window_topk", "q14_cosine_topk", "q18_neardup_lsh",
+      "q04_multi_join", "q06_window_topk", "q14_cosine_topk", "q15_time_window",
+      "q18_neardup_lsh",
       "q23_ann_lsh", "q28_asof_join", "q29_session_window", "q30_cube",
+      "q32_range_join", "q43_sliding_window",
       "q35_window_frames", "q36_topk_agg", "q37_ann_ivf", "q40_percentile",
       "q44_jaccard_neardup", "q45_pivot", "q47_approx_sketches",
       "q64_seq_packing", "q69_line_dedup", "q70_upsample", "q71_chunk_windows",

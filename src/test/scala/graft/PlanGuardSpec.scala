@@ -56,6 +56,16 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Window"), p)
   }
 
+  test("q32: filters push to the events scan through the adaptive ts projection") {
+    // the layout-adaptive read (EventsTable) wraps the scan in a ts
+    // normalization; a regression that blocks predicate pushdown
+    // through that projection would re-read the full events table
+    val p = plan("q32_range_join")
+    assert(p.contains("EqualTo(event_type,click)"), s"lost pushdown:\n$p")
+    assert(p.contains("EqualTo(event_type,purchase)"), s"lost pushdown:\n$p")
+    assert(exchanges(p) <= 2, s"q32 grew a shuffle:\n$p")
+  }
+
   test("q09/q14: global top-k never sorts the full input") {
     for (q <- Seq("q09_topk_limit", "q14_cosine_topk")) {
       val p = plan(q)
