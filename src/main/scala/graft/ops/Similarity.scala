@@ -330,8 +330,12 @@ object Similarity {
     *
     * @return (id_a, id_b, cos) with id_a < id_b
     */
-  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int, tables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
+  /** The multi-table-banded CANDIDATE pairs of
+    * [[embeddingNearDupPairs]] BEFORE the exact-cosine verify —
+    * exposed for scale instrumentation like [[Dedup.nearDupCandidates]].
+    */
+  def embeddingNearDupCandidates(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, tables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
     val planes = hyperplanes(dim, tables * bitsPerTable)
     def codeOf(vec: Column, t: Int): Column =
       (0 until bitsPerTable).map { b =>
@@ -343,12 +347,17 @@ object Similarity {
       posexplode(array((0 until tables).map(t => codeOf(col(vecCol), t)): _*)))
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__code")
-    val cand = banded.select(col("__id").as("id_a"), col("__band"), col("__code"))
+    banded.select(col("__id").as("id_a"), col("__band"), col("__code"))
       .join(banded.select(col("__id").as("id_b"), col("__band"), col("__code")),
         Seq("__band", "__code"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+  }
+
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, tables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
+    val cand = embeddingNearDupCandidates(df, idCol, vecCol, dim, tables, bitsPerTable)
     val sides = withNorm(df, idCol, vecCol, "__sid", "__v", "__n")
     cand
       .join(sides.select(col("__sid").as("id_a"), col("__v").as("__va"), col("__n").as("__na")), Seq("id_a"))

@@ -99,6 +99,33 @@ object ScaleEvidence {
       }.toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Embeddings sibling of [[replicatedDocs]]: real vectors plus k-1
+    * deterministic mixtures e' = 0.7·e + 0.3·(unit-matched gaussian) —
+    * cos(e, e') ≈ 0.92 (a planted near-dup of the ORIGINAL only;
+    * replica-replica ≈ 0.85 stays under a 0.9 threshold), so the true
+    * pair set grows linearly with n while all-pairs grows n².
+    */
+  def replicatedEmbeddings(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, e) =>
+        (0 until k).map { r =>
+          if (r == 0) (id, e)
+          else {
+            val rnd = new java.util.Random(id * 2654435761L + r)
+            val g = Array.fill(e.length)(rnd.nextGaussian())
+            val ne = math.sqrt(e.map(x => x * x).sum)
+            val ng = math.sqrt(g.map(x => x * x).sum)
+            val mixed = Array.tabulate(e.length)(i => 0.7 * e(i) + 0.3 * g(i) * ne / ng)
+            (id + r.toLong * 100000000L, mixed)
+          }
+        }
+      }.toDF("vec_id", "embedding")
+  }
+
   private def timedCount(df: DataFrame): (Long, Double) = {
     val t0 = System.nanoTime()
     val c = df.count()
@@ -182,6 +209,62 @@ object ScaleEvidence {
         incoming.unpersist()
       }
       docs.unpersist()
+
+      // similarity/ANN family ladder over the embeddings table (only
+      // for corpora that have one: sf dirs and their realx replicas).
+      // The scale properties: (a) q31's multi-table banding candidate
+      // fraction falls as n grows, (b) q77's within-cell pair volume
+      // stays ~1/nlist of all-pairs when nlist ∝ corpus (the SemDeDup
+      // sizing rule), (c) q37's probe re-ranks only the nprobe cells'
+      // population.
+      val embOpt = c match {
+        case RealX(k, dir) => Some(graft.ops.Similarity -> replicatedEmbeddings(spark, dir, k.toInt))
+        case dir if !dir.contains(":") =>
+          Some(graft.ops.Similarity -> spark.read.parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id"),
+              transform(col("embedding"), x => x.cast("double")).as("embedding")))
+        case _ => None
+      }
+      embOpt.foreach { case (sim, embRaw) =>
+        val emb = embRaw.cache()
+        val ne = emb.count()
+        val embPairs = ne * (ne - 1) / 2
+        val (nc, ct) = timedCount(
+          sim.embeddingNearDupCandidates(emb, "vec_id", "embedding", dim = 64))
+        val (no, ot) = timedCount(
+          sim.embeddingNearDupPairs(emb, "vec_id", "embedding", threshold = 0.9, dim = 64))
+        println(f"""SCALE {"corpus":"$c","op":"q31_embedding_lsh","n_docs":$ne,"candidates":$nc,"all_pairs":$embPairs,"cand_frac":${nc.toDouble / math.max(embPairs, 1)}%.6f,"output":$no,"cand_secs":$ct%.1f,"full_secs":$ot%.1f}""")
+        // the banding SCALE KNOB: fixed (tables, bits) collides a
+        // constant fraction of random pairs, so large corpora widen
+        // the codes (and add tables to hold recall) exactly as
+        // SemDeDup grows nlist — demonstrate at 12x12 vs the 8x8 base
+        if (ne > 10000) {
+          val (nc12, ct12) = timedCount(sim.embeddingNearDupCandidates(
+            emb, "vec_id", "embedding", dim = 64, tables = 12, bitsPerTable = 12))
+          val (no12, ot12) = timedCount(sim.embeddingNearDupPairs(
+            emb, "vec_id", "embedding", threshold = 0.9, dim = 64,
+            tables = 12, bitsPerTable = 12))
+          println(f"""SCALE {"corpus":"$c","op":"q31_embedding_lsh_12x12","n_docs":$ne,"candidates":$nc12,"all_pairs":$embPairs,"cand_frac":${nc12.toDouble / math.max(embPairs, 1)}%.6f,"output":$no12,"cand_secs":$ct12%.1f,"full_secs":$ot12%.1f}""")
+        }
+
+        val nlist = math.max(16L, ne / 125).toInt
+        val cb = sim.ivfCodebook(emb, "vec_id", "embedding", nlist)
+        val cellPairs = emb
+          .select(sim.ivfCell(cb, col("embedding")).as("cell"))
+          .groupBy("cell").count()
+          .agg(sum(expr("count * (count - 1) div 2")).as("cp"))
+          .head().getLong(0)
+        val t0 = System.nanoTime()
+        val survivors = sim.semDedup(emb, "vec_id", "embedding", cb, threshold = 0.9).count()
+        val sdSecs = (System.nanoTime() - t0) / 1e9
+        println(f"""SCALE {"corpus":"$c","op":"q77_semdedup","n_docs":$ne,"nlist":$nlist,"candidates":$cellPairs,"all_pairs":$embPairs,"cand_frac":${cellPairs.toDouble / math.max(embPairs, 1)}%.6f,"survivors":$survivors,"full_secs":$sdSecs%.1f}""")
+
+        val probedCells = sim.ivfProbed(cb, Array.fill(64)(1.0), nprobe = 4)
+        val probedRows = emb
+          .where(sim.ivfCell(cb, col("embedding")).isin(probedCells: _*)).count()
+        println(f"""SCALE {"corpus":"$c","op":"q37_ivf_probe","n_docs":$ne,"nlist":$nlist,"probed_rows":$probedRows,"probe_frac":${probedRows.toDouble / ne}%.6f}""")
+        emb.unpersist()
+      }
     }
     spark.stop()
   }
