@@ -90,4 +90,40 @@ class EventsTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.schema("ts").dataType == TimestampType)
     assert(got.select(max(unix_micros(col("ts")))).head().getLong(0) == base + 2000)
   }
+
+  test("stateful streaming runs on the RocksDB state store (the 100 TB provider)") {
+    // the HDFS-backed default keeps state on the executor heap; a real
+    // large-state deployment runs RocksDB. Same q46-shaped pipeline,
+    // provider swapped — results must be identical.
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val srcDir = tmp("graft_ev_rocks")
+      val base = 1700000000000000L
+      Seq((1L, base, "view"), (2L, base + 60_000_000L, "purchase"),
+        (3L, base + 7200_000_000L, "view"))
+        .toDF("event_id", "us", "event_type")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("event_type"), lit(7L).as("user_id"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+      val joined = graft.streaming.StreamJoins.viewPurchaseJoin(spark, srcDir.getAbsolutePath)
+      val q = joined.writeStream.format("memory").queryName("graft_rocks_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q.stop()
+      val got = spark.table("graft_rocks_sink").collect()
+      // exactly the one view->purchase pair inside the hour
+      assert(got.length == 1 && got(0).getAs[Long]("view_id") == 1L
+        && got(0).getAs[Long]("purchase_id") == 2L, got.mkString(", "))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
