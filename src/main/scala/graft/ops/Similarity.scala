@@ -119,6 +119,33 @@ object Similarity {
     acc
   }
 
+  /** The SemDeDup/IVF sizing rule, programmatic: nlist grows with the
+    * corpus so cells stay ~`targetCell` rows and within-cell pair
+    * volume stays ~targetCell/2 per row regardless of n (measured on
+    * the scale ladder: cell-pair fraction 6.3e-2 → 6.4e-3 → 3.3e-3 at
+    * n = 2k/20k/40k with this rule; see PLANS_r09 §3b).
+    */
+  def recommendedNlist(n: Long, targetCell: Int = 125): Int =
+    math.max(16L, n / targetCell).toInt
+
+  /** The sign-LSH banding sizing rule, programmatic: per-table random
+    * collision is ~2^-bits, so total candidates ≈ tables·n²/2·2^-bits;
+    * widen codes until candidates ≈ `candidatesPerRow`·n, growing
+    * tables with bits to hold recall (the measured 8×8 → 12×12 step
+    * kept 96% of output while cutting candidates 8.2x). Capped at 16
+    * bits — beyond that per-pair recall at cos 0.9 decays, which is
+    * the regime where IVF cells ([[semDedup]], [[recommendedNlist]])
+    * are the right candidate generator instead.
+    *
+    * @return (tables, bitsPerTable)
+    */
+  def recommendedBanding(n: Long, candidatesPerRow: Int = 64): (Int, Int) = {
+    var bits = 8
+    while (bits < 16 && bits.toDouble * n / 2 * math.pow(2.0, -bits) > candidatesPerRow)
+      bits += 1
+    (bits, bits)
+  }
+
   /** Deterministic IVF codebook: the `nlist` smallest-id vectors — an
     * oracle-reproducible stand-in for an offline k-means codebook.
     * Bounded driver collect (nlist rows), like a real codebook load.

@@ -773,4 +773,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a1 != b, "different seeds must give different orders")
     assert(a1 != (1L to 200L).toSeq, "must actually shuffle")
   }
+
+  test("Similarity sizing rules reproduce the measured ladder configs") {
+    import graft.ops.Similarity
+    // nlist ∝ n: the exact configs the scale ladder measured
+    assert(Similarity.recommendedNlist(2000) == 16)
+    assert(Similarity.recommendedNlist(20000) == 160)
+    assert(Similarity.recommendedNlist(40000) == 320)
+    // banding: 8x8 at the 2k corpus; the 20k/40k rungs land at 11-12
+    // bits (the ladder measured the 12x12 step there: candidates ÷8.2
+    // at 96% recall)
+    assert(Similarity.recommendedBanding(2000) == ((8, 8)))
+    assert(Similarity.recommendedBanding(20000) == ((11, 11)))
+    assert(Similarity.recommendedBanding(40000) == ((12, 12)))
+    // monotone, and capped where banding stops being the right tool
+    assert(Similarity.recommendedBanding(10_000_000_000L) == ((16, 16)))
+  }
 }
