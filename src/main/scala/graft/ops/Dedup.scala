@@ -578,12 +578,19 @@ object Dedup {
     * inside two otherwise-different documents; this catches exactly
     * that.
     *
-    * Mechanism: all k-gram rolling hashes per document
-    * ([[graft.functions.HashingHelper.winnow]] with window=1 emits
-    * every position's hash; the fingerprint surface q22 *samples*
-    * these — winnowing is the documented scale knob when full
-    * k-gram sets are too heavy), distinct per doc, gram-keyed
-    * document-frequency filter, then a gram-bucket self-join.
+    * Mechanism: k-gram rolling hashes per document
+    * ([[graft.functions.HashingHelper.winnow]]; the default
+    * `window=1` emits every position's hash), distinct per doc,
+    * gram-keyed document-frequency filter, then a gram-bucket
+    * self-join.
+    *
+    * `window` is the SCALE knob: winnowing selects the minimal hash
+    * in every `window` consecutive positions, keeping ~2/(window+1)
+    * of the gram stream while GUARANTEEING (Schleimer et al. 2003)
+    * that any shared run of >= k+window-1 characters still shares a
+    * selected gram — so window trades the detection threshold
+    * (k -> k+window-1) for a proportional cut in gram volume and
+    * every downstream exchange. window=1 detects at exactly k.
     *
     * `maxDf` caps the per-gram bucket (candidate pairs are
     * Σ_g df(g)² ≤ maxDf·Σ_g df(g) — linear in the gram stream with a
@@ -601,8 +608,8 @@ object Dedup {
     * @return (id_a, id_b, shared_grams), id_a < id_b
     */
   def sharedSubstringPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 24, maxDf: Int = 64): DataFrame =
-    sharedSubstringCandidates(df, idCol, textCol, k, maxDf)
+      k: Int = 24, maxDf: Int = 64, window: Int = 1): DataFrame =
+    sharedSubstringCandidates(df, idCol, textCol, k, maxDf, window)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_grams"))
 
@@ -613,11 +620,12 @@ object Dedup {
     * maxDf cap bounds.
     */
   def sharedSubstringCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 24, maxDf: Int = 64): DataFrame = {
+      k: Int = 24, maxDf: Int = 64, window: Int = 1): DataFrame = {
     require(k >= 4, "k must be >= 4 (shorter runs are ubiquitous)")
     require(maxDf >= 2, "maxDf must be >= 2 (pairs need two documents)")
+    require(window >= 1, "window must be >= 1 (1 = every gram, no sampling)")
     val grams = df.select(col(idCol),
-      explode(array_distinct(GraftFunctions.fingerprint(col(textCol), k, 1)))
+      explode(array_distinct(GraftFunctions.fingerprint(col(textCol), k, window)))
         .as("__gh"))
     val ok = grams.groupBy("__gh").agg(count(lit(1)).as("__df"))
       .where(col("__df").between(2, maxDf))

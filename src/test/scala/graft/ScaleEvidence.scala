@@ -174,7 +174,13 @@ object ScaleEvidence {
           Dedup.decontaminate(train, ref, "doc_id", "text", threshold = 0.8)),
         ("q80_substring",
           Dedup.sharedSubstringCandidates(docs, "doc_id", "text", k = 24, maxDf = 64),
-          Dedup.sharedSubstringPairs(docs, "doc_id", "text", k = 24, maxDf = 64)))
+          Dedup.sharedSubstringPairs(docs, "doc_id", "text", k = 24, maxDf = 64))) ++
+        // the winnowing SCALE KNOB at the big rungs: window=8 keeps
+        // ~2/9 of the gram stream, detection threshold 24 -> 31 chars
+        (if (n > 10000) Seq(("q80_substring_w8",
+          Dedup.sharedSubstringCandidates(docs, "doc_id", "text", k = 24, maxDf = 64, window = 8),
+          Dedup.sharedSubstringPairs(docs, "doc_id", "text", k = 24, maxDf = 64, window = 8)))
+         else Seq.empty)
 
       ops.foreach { case (name, cand, full) =>
         val (nc, ct) = timedCount(cand)
