@@ -62,7 +62,7 @@ object ArchiveChunkSchema {
 sealed abstract class FormatKind(val name: String) {
   def supportsRecursion: Boolean =
     this == FormatKind.Tar || this == FormatKind.Zip || this == FormatKind.Warc ||
-      this == FormatKind.Ar || this == FormatKind.Cpio
+      this == FormatKind.Ar || this == FormatKind.Cpio || this == FormatKind.Rpm
   override def toString: String = name
 }
 
@@ -89,10 +89,16 @@ object FormatKind {
     * semantics.
     */
   case object Cpio extends FormatKind("cpio")
+  /** RPM package (the rpm.org file-format spec: 96-byte lead, two
+    * `0x8EADE801` index headers, compressed cpio payload) — S-family
+    * extension; the walker consumes the framing and recurses into the
+    * payload. (`.deb` needs no own kind: ar + tar already walk.)
+    */
+  case object Rpm extends FormatKind("rpm")
   case object Executable extends FormatKind("executable")
   case object Unknown extends FormatKind("unknown")
 
-  val all: Seq[FormatKind] = Seq(Gzip, Zstd, Bzip2, Xz, Zip, Tar, Warc, Ar, Cpio, Executable, Unknown)
+  val all: Seq[FormatKind] = Seq(Gzip, Zstd, Bzip2, Xz, Zip, Tar, Warc, Ar, Cpio, Rpm, Executable, Unknown)
   def fromName(s: String): FormatKind =
     all.find(_.name == s.toLowerCase).getOrElse(Unknown)
 }

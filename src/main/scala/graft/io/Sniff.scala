@@ -110,12 +110,18 @@ object Sniff {
       at(b, 3) == '7' && at(b, 4) == '0' &&
       (at(b, 5) == '1' || at(b, 5) == '2' || at(b, 5) == '7')
 
+  /** RPM lead magic 0xEDABEEDB (rpm.org file-format spec). */
+  def isRpm(b: Array[Byte]): Boolean =
+    b.length >= 4 && at(b, 0) == 0xed && at(b, 1) == 0xab &&
+      at(b, 2) == 0xee && at(b, 3) == 0xdb
+
   def detectContainer(b: Array[Byte]): Option[FormatKind] =
     if (isTar(b)) Some(FormatKind.Tar)
     else if (isZip(b)) Some(FormatKind.Zip)
     else if (isWarc(b)) Some(FormatKind.Warc)
     else if (isAr(b)) Some(FormatKind.Ar)
     else if (isCpio(b)) Some(FormatKind.Cpio)
+    else if (isRpm(b)) Some(FormatKind.Rpm)
     else if (isExecutable(b)) Some(FormatKind.Executable)
     else None
 

@@ -1474,6 +1474,20 @@ object Inventory {
     */
   private[queries] def buildCpioFixture(): String = {
     import java.io._
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q89_fixture")
+    dir.mkdirs()
+    val f = new File(dir, "fixture.cpio")
+    val fos = new FileOutputStream(f)
+    fos.write(cpioFixtureBytes()); fos.close()
+    f.getAbsolutePath
+  }
+
+  /** The q89 fixture's raw cpio bytes — shared with [[buildRpmFixture]]
+    * (the RPM wraps exactly this payload, so q90's expected members
+    * are q89's VALUES verbatim).
+    */
+  private def cpioFixtureBytes(): Array[Byte] = {
+    import java.io._
     import java.util.zip.GZIPOutputStream
     import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
     val out = new ByteArrayOutputStream()
@@ -1513,12 +1527,59 @@ object Inventory {
     to.close()
     record("inner.tar", tarBuf.toByteArray, 0x81A4)
     record("TRAILER!!!", Array.emptyByteArray, 0)
-    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q89_fixture")
+    out.toByteArray
+  }
+
+  /** Deterministic RPM fixture (rpm.org file-format spec): 96-byte
+    * lead, signature header (one INT32 index entry, store 8-aligned),
+    * main header (same shape, unpadded), then the gzipped
+    * [[cpioFixtureBytes]] payload — so the walked members (and the
+    * oracle VALUES) are exactly q89's, proving the rpm framing is
+    * consumed transparently.
+    */
+  private[queries] def buildRpmFixture(): String = {
+    import java.io._
+    import java.util.zip.GZIPOutputStream
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte](0xed.toByte, 0xab.toByte, 0xee.toByte, 0xdb.toByte, 3, 0, 0, 0, 0, 1))
+    val name = "graft-fixture-1.0-1".getBytes("US-ASCII")
+    out.write(name); out.write(new Array[Byte](66 - name.length))
+    out.write(Array[Byte](0, 1, 0, 5))
+    out.write(new Array[Byte](16))
+    def header(store: Array[Byte], align8: Boolean): Unit = {
+      def be32(v: Int): Unit =
+        out.write(Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+      out.write(Array[Byte](0x8e.toByte, 0xad.toByte, 0xe8.toByte, 1, 0, 0, 0, 0))
+      be32(1); be32(store.length)
+      be32(1000); be32(4); be32(0); be32(1)
+      out.write(store)
+      if (align8) out.write(new Array[Byte]((8 - store.length % 8) % 8))
+    }
+    header(Array[Byte](0, 0, 0, 42), align8 = true)
+    header(Array[Byte](0, 0, 1, 7), align8 = false)
+    val gzBuf = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(gzBuf)
+    gz.write(cpioFixtureBytes()); gz.close()
+    out.write(gzBuf.toByteArray)
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q90_fixture")
     dir.mkdirs()
-    val f = new File(dir, "fixture.cpio")
+    val f = new File(dir, "fixture.rpm")
     val fos = new FileOutputStream(f)
     fos.write(out.toByteArray); fos.close()
     f.getAbsolutePath
+  }
+
+  /** RPM source (the fifth container family; rpm.org file-format
+    * spec): the q16 converter chain over [[buildRpmFixture]] — lead
+    * and both index headers consumed as framing, the gzipped cpio
+    * payload expands with NO artificial payload path segment, so the
+    * member rows equal q89's exactly (same oracle VALUES).
+    */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    val path = buildRpmFixture()
+    ArchiveConverter.entries(s, Seq(path), ConvertOptions()).toDF()
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
   }
 
   /** cpio source (the initramfs / RPM-payload container, POSIX pax
@@ -1736,7 +1797,8 @@ object Inventory {
     "q86_char_entropy" -> (q86 _),
     "q87_ar_source" -> (q87 _),
     "q88_bloom_gate" -> (q88 _),
-    "q89_cpio_source" -> (q89 _))
+    "q89_cpio_source" -> (q89 _),
+    "q90_rpm_source" -> (q90 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -2090,6 +2152,21 @@ object Inventory {
       // skipped, gzip member decompressed, nested tar expanded),
       // computed independently — q16's rule
       "q89_cpio_source" ->
+        """SELECT * FROM (VALUES
+          |  ('etc/motd.txt', CAST(17 AS BIGINT),
+          |   'ea6c3233b65b3d2f9d9d134908d5f783d5d371e7828517e5cffde90a51a9024a'),
+          |  ('inner.tar/docs/a.txt', CAST(10 AS BIGINT),
+          |   '753a892fa27fce3ea4683c2a27e1f8b651c9e1352d4b0b14382c812019bc6a2a'),
+          |  ('inner.tar/docs/b.txt', CAST(10 AS BIGINT),
+          |   '73ecc37823096f6ac0b9cddb338a1bfe9b659e74061635e436c69d882dc144ce'),
+          |  ('usr/share/data.bin.gz', CAST(35 AS BIGINT),
+          |   '64397d7ab7259e4d29f8e2647c2a5ba6d375ebb3cbdb90febdc158005a20a3e6'))
+          |  AS t(path, size, sha256)
+          |ORDER BY path""".stripMargin,
+      // rpm source: the framing (lead + two index headers) must be
+      // consumed transparently, so the walked members are EXACTLY the
+      // q89 cpio fixture's — same independently-derived VALUES
+      "q90_rpm_source" ->
         """SELECT * FROM (VALUES
           |  ('etc/motd.txt', CAST(17 AS BIGINT),
           |   'ea6c3233b65b3d2f9d9d134908d5f783d5d371e7828517e5cffde90a51a9024a'),

@@ -311,6 +311,7 @@ object ArchiveWalker {
         case FormatKind.Warc => walkWarc(source, childNested, details, stream, depth, opts, leaf)
         case FormatKind.Ar   => walkAr(source, childNested, details, stream, depth, opts, leaf)
         case FormatKind.Cpio => walkCpio(source, childNested, details, stream, depth, opts, leaf)
+        case FormatKind.Rpm  => walkRpm(source, childNested, details, stream, depth, opts, leaf)
         case _               => walkZip(source, childNested, details, stream, depth, opts, leaf)
       }
     } else if (!pathKept(opts, (nested :+ details.path).mkString("/"))) {
@@ -698,6 +699,82 @@ object ArchiveWalker {
             }
           }
         case _ => None // corrupt magic: silent stop (W7 parity)
+      }
+    }
+  }
+
+  /** RPM package walker (rpm.org file-format spec — the fifth
+    * container family; `.deb` needs no walker of its own because
+    * ar + tar already walk). RPM is pure framing in front of an
+    * archive we already handle:
+    *
+    *   - 96-byte lead (magic 0xEDABEEDB — re-validated here, the
+    *     sniff only peeked);
+    *   - signature header: magic `8E AD E8 01`, reserved(4),
+    *     nindex(BE32), hsize(BE32), nindex x 16-byte index entries,
+    *     hsize-byte store, store padded to 8 (the lead is 96 = 8k,
+    *     and 16 + 16·nindex is 8-aligned, so the pad depends on
+    *     hsize alone);
+    *   - main header: same structure, no padding;
+    *   - payload: conventionally gzip/xz/zstd-compressed cpio newc.
+    *
+    * Both headers are consumed (structural, like ar's `//` table),
+    * then the payload re-enters the shared two-stage sniff and walks
+    * as cpio/tar AT THIS NESTING LEVEL — members surface with
+    * rpm-name lineage and no artificial "payload" segment. A corrupt
+    * or truncated lead/header stops silently (W7 parity); an
+    * unrecognizable payload emits nothing.
+    */
+  private def walkRpm[T](
+      source: String,
+      nested: List[String],
+      self: Details,
+      stream: InputStream,
+      depth: Int,
+      opts: ConvertOptions,
+      leaf: Leaf[T]): Iterator[T] = {
+    def readExact(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n)
+      var off = 0
+      var k = 0
+      while (off < n && k >= 0) { k = stream.read(b, off, n - off); if (k > 0) off += k }
+      if (off == n) b else null
+    }
+    def be32(b: Array[Byte], i: Int): Long =
+      (((b(i) & 0xff).toLong << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)) & 0xffffffffL
+    def skipN(n: Long): Boolean = {
+      var left = n
+      val buf = new Array[Byte](64 * 1024)
+      while (left > 0) {
+        val k = stream.read(buf, 0, math.min(buf.length.toLong, left).toInt)
+        if (k < 0) return false
+        left -= k
+      }
+      true
+    }
+    def skipHeader(alignStore: Boolean): Boolean = {
+      val h = readExact(16)
+      if (h == null || (h(0) & 0xff) != 0x8e || (h(1) & 0xff) != 0xad ||
+        (h(2) & 0xff) != 0xe8 || h(3) != 1) return false
+      val nindex = be32(h, 8)
+      val hsize = be32(h, 12)
+      // sanity bounds: a header indexes package METADATA, not data
+      if (nindex > (1L << 20) || hsize > (1L << 30)) return false
+      val body = nindex * 16 + hsize
+      skipN(body + (if (alignStore) (8 - body % 8) % 8 else 0L))
+    }
+    val lead = readExact(96)
+    if (lead == null || (lead(0) & 0xff) != 0xed || (lead(1) & 0xff) != 0xab ||
+      (lead(2) & 0xff) != 0xee || (lead(3) & 0xff) != 0xdb) Iterator.empty
+    else if (!skipHeader(alignStore = true) || !skipHeader(alignStore = false))
+      Iterator.empty
+    else {
+      val (kind, payload) = Sniff.open(stream)
+      kind match {
+        case FormatKind.Cpio => walkCpio(source, nested, self, payload, depth, opts, leaf)
+        case FormatKind.Tar  => walkTar(source, nested, self, payload, depth, opts, leaf)
+        case _               => Iterator.empty // no recognizable payload
       }
     }
   }

@@ -129,6 +129,37 @@ object Fixtures {
     out.toByteArray
   }
 
+  /** RPM package (rpm.org file-format spec): 96-byte lead, signature
+    * header (store 8-aligned), main header, then `payload` verbatim
+    * (conventionally a gzipped cpio built with [[cpioArchive]]).
+    * Headers carry one trivial INT32 index entry each — enough to
+    * exercise the index arithmetic without real metadata.
+    */
+  def rpmPackage(payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    // lead: magic, version 3.0, type 0 (binary), arch 1, name[66],
+    // os 1, signature type 5, reserved[16]
+    out.write(Array[Byte](0xed.toByte, 0xab.toByte, 0xee.toByte, 0xdb.toByte, 3, 0, 0, 0, 0, 1))
+    val name = "graft-fixture-1.0-1".getBytes("US-ASCII")
+    out.write(name); out.write(new Array[Byte](66 - name.length))
+    out.write(Array[Byte](0, 1, 0, 5))
+    out.write(new Array[Byte](16))
+    def header(storeBytes: Array[Byte], align8: Boolean): Unit = {
+      def be32(v: Int): Unit =
+        out.write(Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+      out.write(Array[Byte](0x8e.toByte, 0xad.toByte, 0xe8.toByte, 1, 0, 0, 0, 0))
+      be32(1)                 // nindex
+      be32(storeBytes.length) // hsize
+      be32(1000); be32(4); be32(0); be32(1) // one INT32 tag at offset 0
+      out.write(storeBytes)
+      if (align8) out.write(new Array[Byte]((8 - storeBytes.length % 8) % 8))
+    }
+    header(Array[Byte](0, 0, 0, 42), align8 = true)
+    header(Array[Byte](0, 0, 1, 7), align8 = false)
+    out.write(payload)
+    out.toByteArray
+  }
+
   /** cpio odc (`070707`, portable ASCII) archive: 76-byte octal
     * headers, no padding.
     */

@@ -428,6 +428,36 @@ class WalkerSpec extends AnyFunSuite {
     assert(viaGz.map(_.path) == Vector("init"))
   }
 
+  test("rpm: lead + headers consumed, gzipped cpio payload walks with rpm lineage") {
+    val payload = gzipData(cpioArchive(Seq(
+      "usr/bin/tool" -> TestData,
+      "etc/tool.conf" -> "conf body\n".getBytes("UTF-8"),
+      "bundle.tar" -> tarArchive(Seq("docs/x.txt" -> TestData)))))
+    val rows = walk(rpmPackage(payload))
+    assert(rows.map(_.path) == Vector(
+      "usr/bin/tool", "etc/tool.conf", "bundle.tar/docs/x.txt"),
+      "framing consumed, no artificial payload segment, nested tar expands")
+    assert(rows(0).content.sameElements(TestData))
+    assert(rows(0).hash.sameElements(sha256(TestData)))
+    // nested inside a tar: members carry the rpm member's lineage
+    val viaTar = walk(tarArchive(Seq("pkgs/demo.rpm" -> rpmPackage(payload))))
+    assert(viaTar.map(_.path).contains("pkgs/demo.rpm/usr/bin/tool"))
+  }
+
+  test("rpm: uncompressed tar payload, and corrupt/truncated framing stops silently") {
+    // tar payload (the spec allows non-cpio payloads)
+    val tarRows = walk(rpmPackage(tarArchive(Seq("a.txt" -> TestData))))
+    assert(tarRows.map(_.path) == Vector("a.txt"))
+    // truncated mid-signature-header: nothing emitted, no exception
+    val full = rpmPackage(gzipData(cpioArchive(Seq("x" -> TestData))))
+    assert(walk(java.util.Arrays.copyOf(full, 100)).isEmpty)
+    // corrupt header magic after a valid lead: silent stop
+    val bad = full.clone(); bad(96) = 0x00
+    assert(walk(bad).isEmpty)
+    // unrecognizable payload: framing walks, nothing to emit
+    assert(walk(rpmPackage("just some plain bytes".getBytes("UTF-8"))).isEmpty)
+  }
+
   test("cpio: truncated trailing member ends the walk silently (W7 parity)") {
     val good = "intact cpio body".getBytes("UTF-8")
     val full = cpioArchive(Seq(
