@@ -448,6 +448,10 @@ class WalkerSpec extends AnyFunSuite {
     // tar payload (the spec allows non-cpio payloads)
     val tarRows = walk(rpmPackage(tarArchive(Seq("a.txt" -> TestData))))
     assert(tarRows.map(_.path) == Vector("a.txt"))
+    // zstd-compressed cpio payload (rpm's modern default compressor)
+    val zstdRows = walk(rpmPackage(zstdData(cpioArchive(Seq("z.txt" -> TestData)))))
+    assert(zstdRows.map(_.path) == Vector("z.txt"))
+    assert(zstdRows(0).content.sameElements(TestData))
     // truncated mid-signature-header: nothing emitted, no exception
     val full = rpmPackage(gzipData(cpioArchive(Seq("x" -> TestData))))
     assert(walk(java.util.Arrays.copyOf(full, 100)).isEmpty)
