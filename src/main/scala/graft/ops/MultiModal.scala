@@ -11,12 +11,21 @@ import org.apache.spark.sql.types._
   * over the binary column — the Scala analogue of `mapInPandas`
   * batch UDFs.
   *
-  * The actual codec work is STUBBED with a deterministic fake (this
-  * environment ships no image/audio libraries): `FakeCodec` derives
-  * metadata and "pixels" from the bytes alone, so results are stable,
-  * testable, and schema-faithful. Swap `FakeCodec` for a real decoder
-  * (javax.imageio / ffmpeg bindings) without touching the Spark
-  * plumbing — schema, partitioning, batch shape are the real design.
+  * Two codecs back the same plumbing:
+  *
+  *  - `FakeCodec` — a deterministic, ANSI-SQL-expressible fake used by
+  *    the oracle-checked queries (q26/q50): DuckDB cannot decode JPEG,
+  *    so the oracle face must be arithmetic over the raw bytes.
+  *  - `ImageCodec` — a REAL decoder built on `javax.imageio` (shipped
+  *    with every JDK, offline-safe): JPEG + PNG header metadata
+  *    (width/height/channels without a full pixel decode) and
+  *    per-channel mean/std pixel features from the decoded raster.
+  *    Exposed via `withDecodedImageMeta` / `decodedImageFeatures`;
+  *    undecodable bytes yield a null struct/array rather than failing
+  *    the task (corpus-scale media is always partly corrupt).
+  *
+  * Audio/video remain stub-only (no ffmpeg in a bare JVM); the frame
+  * sampler operates on the byte stream.
   *
   * Scale notes: every operator here is narrow (no shuffle); content
   * bytes stay within their partition. Decoded features are small fixed
@@ -68,6 +77,145 @@ object MultiModal {
       }
       Array.tabulate(channels)(c => if (counts(c) == 0) 0.0 else sums(c).toDouble / counts(c))
     }
+  }
+
+  /** REAL image codec on `javax.imageio` (JDK-shipped; no external
+    * deps, works headless). Decodes any format an installed ImageIO
+    * plugin handles — JPEG, PNG, GIF, BMP on a stock JDK 17.
+    *
+    * Executor notes: the file-backed ImageIO cache is disabled (pure
+    * in-memory streams); readers are created per call (ImageIO reader
+    * instances are not thread-safe) and always disposed.
+    */
+  private[graft] object ImageCodec {
+    import java.io.ByteArrayInputStream
+    import javax.imageio.ImageIO
+    import scala.util.control.NonFatal
+
+    ImageIO.setUseCache(false)
+
+    final case class Meta(format: String, width: Int, height: Int, channels: Int)
+
+    /** Header-only metadata: width/height come from the image header
+      * via `ImageReader.getWidth/getHeight` — no pixel decode, so this
+      * is cheap even for large images. Returns None for bytes no
+      * installed reader claims.
+      */
+    def decodeMeta(b: Array[Byte]): Option[Meta] = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(b))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val w = r.getWidth(0)
+            val h = r.getHeight(0)
+            val fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT)
+            val ch = {
+              val raw = r.getRawImageType(0) // may be null (some JPEGs)
+              if (raw != null) raw.getNumComponents
+              else {
+                val it = r.getImageTypes(0)
+                if (it.hasNext) it.next().getNumComponents else 3
+              }
+            }
+            Some(Meta(fmt, w, h, ch))
+          } finally r.dispose()
+        }
+      } catch { case NonFatal(_) => None } finally iis.close()
+    }
+
+    /** Full decode: metadata + per-band mean and population std over
+      * every pixel sample. One pass through the raster; the feature
+      * vector is O(channels), never the pixels themselves.
+      */
+    def decodeStats(b: Array[Byte]): Option[(Meta, Array[Double], Array[Double])] = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(b))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT)
+            val img = r.read(0)
+            val raster = img.getRaster
+            val bands = raster.getNumBands
+            val w = img.getWidth
+            val h = img.getHeight
+            val sum = new Array[Double](bands)
+            val sumSq = new Array[Double](bands)
+            val line = new Array[Int](w)
+            var band = 0
+            while (band < bands) {
+              var y = 0
+              while (y < h) {
+                raster.getSamples(0, y, w, 1, band, line)
+                var x = 0
+                while (x < w) {
+                  val v = line(x).toDouble
+                  sum(band) += v
+                  sumSq(band) += v * v
+                  x += 1
+                }
+                y += 1
+              }
+              band += 1
+            }
+            val n = w.toDouble * h
+            val means = Array.tabulate(bands)(c => sum(c) / n)
+            val stds = Array.tabulate(bands) { c =>
+              val m = means(c)
+              math.sqrt(math.max(sumSq(c) / n - m * m, 0.0))
+            }
+            Some((Meta(fmt, w, h, bands), means, stds))
+          } finally r.dispose()
+        }
+      } catch { case NonFatal(_) => None } finally iis.close()
+    }
+  }
+
+  /** Attach a REAL image-metadata struct (javax.imageio header decode)
+    * from `bytesCol`; null struct for undecodable bytes. Narrow map —
+    * same plumbing as the stub variant, real codec.
+    */
+  def withDecodedImageMeta(df: DataFrame, bytesCol: String, metaCol: String = "meta"): DataFrame = {
+    val metaType = StructType(ImageMetaType.fields.map(_.copy(nullable = false)))
+    val schema = StructType(df.schema.fields :+ StructField(metaCol, metaType, nullable = true))
+    val idx = df.schema.fieldIndex(bytesCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](idx)
+        val meta = ImageCodec.decodeMeta(b)
+          .map(m => Row(m.format, m.width, m.height, m.channels, b.length.toLong))
+          .orNull
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** REAL per-channel pixel features: mean and std per band plus
+    * log1p(byte length) — `2*channels + 1` doubles per image, computed
+    * from the decoded raster. Null array for undecodable bytes.
+    */
+  def decodedImageFeatures(df: DataFrame, bytesCol: String, featCol: String = "features"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(featCol, ArrayType(DoubleType, containsNull = false), nullable = true))
+    val idx = df.schema.fieldIndex(bytesCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](idx)
+        val feats = ImageCodec.decodeStats(b).map { case (_, means, stds) =>
+          (means ++ stds :+ math.log1p(b.length.toDouble)).toSeq
+        }.orNull
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
   }
 
   /** Attach an image-metadata struct column decoded (fake) from

@@ -1,0 +1,130 @@
+package graft
+
+import graft.ops.MultiModal
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+/** Golden tests for the REAL javax.imageio codec behind
+  * `MultiModal.withDecodedImageMeta` / `decodedImageFeatures`: the
+  * fixture bytes are genuine PNG / JPEG streams produced by the JDK's
+  * own encoders, so the decode path (header metadata + raster stats)
+  * is exercised on real image formats, not the deterministic stub.
+  */
+class ImageCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("ImageCodecSpec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Solid-color w×h TYPE_INT_RGB image encoded with the JDK encoder. */
+  private def encode(fmt: String, w: Int, h: Int, rgb: (Int, Int, Int)): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val (r, g, b) = rgb
+    val px = (r << 16) | (g << 8) | b
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px)
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, bos), s"JDK has no $fmt writer")
+    bos.toByteArray
+  }
+
+  /** Two-tone image (left half c1, right half c2) for non-zero std. */
+  private def encodeTwoTone(fmt: String, w: Int, h: Int, c1: Int, c2: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (x < w / 2) c1 else c2
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, bos), s"JDK has no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("real codec: PNG header meta is exact (width/height/channels)") {
+    val png = encode("png", 8, 4, (10, 100, 200))
+    // sanity: these are real PNG bytes (magic)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val m = MultiModal.ImageCodec.decodeMeta(png).get
+    assert(m.format == "png")
+    assert(m.width == 8 && m.height == 4)
+    assert(m.channels == 3)
+  }
+
+  test("real codec: PNG pixel features are exact (lossless)") {
+    val png = encode("png", 8, 4, (10, 100, 200))
+    val (meta, means, stds) = MultiModal.ImageCodec.decodeStats(png).get
+    assert(meta.width == 8 && meta.height == 4 && meta.channels == 3)
+    // raster band order for RGB is R,G,B; solid color => exact means, zero std
+    assert(means.toSeq == Seq(10.0, 100.0, 200.0))
+    assert(stds.forall(_ == 0.0))
+  }
+
+  test("real codec: JPEG meta exact, features within lossy tolerance") {
+    val jpg = encode("jpeg", 16, 9, (128, 64, 32))
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8) // SOI marker
+    val m = MultiModal.ImageCodec.decodeMeta(jpg).get
+    assert(m.format.contains("jpeg"))
+    assert(m.width == 16 && m.height == 9)
+    assert(m.channels == 3)
+    val (_, means, _) = MultiModal.ImageCodec.decodeStats(jpg).get
+    val expect = Seq(128.0, 64.0, 32.0)
+    means.zip(expect).foreach { case (got, want) =>
+      assert(math.abs(got - want) <= 4.0, s"JPEG mean $got vs $want drifted > 4")
+    }
+  }
+
+  test("real codec: two-tone PNG has the analytic std") {
+    // half 40, half 120 => mean 80, std 40 exactly, every band
+    val png = encodeTwoTone("png", 10, 6, 40, 120)
+    val (_, means, stds) = MultiModal.ImageCodec.decodeStats(png).get
+    assert(means.forall(_ == 80.0))
+    assert(stds.forall(s => math.abs(s - 40.0) < 1e-9))
+  }
+
+  test("real codec: undecodable bytes yield None, not an exception") {
+    assert(MultiModal.ImageCodec.decodeMeta(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(MultiModal.ImageCodec.decodeStats(Array.fill[Byte](64)(42)).isEmpty)
+    assert(MultiModal.ImageCodec.decodeMeta(Array.empty[Byte]).isEmpty)
+    // truncated PNG: valid magic, garbage after
+    val broken = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 0, 0)
+    assert(MultiModal.ImageCodec.decodeStats(broken).isEmpty)
+  }
+
+  test("dataframe plumbing: withDecodedImageMeta + decodedImageFeatures over mixed rows") {
+    import spark.implicits._
+    val png = encode("png", 8, 4, (10, 100, 200))
+    val jpg = encode("jpeg", 16, 9, (128, 64, 32))
+    val garbage = Array.fill[Byte](512)(7)
+    val df = Seq((1L, png), (2L, jpg), (3L, garbage)).toDF("id", "bytes")
+
+    val meta = MultiModal.withDecodedImageMeta(df, "bytes").orderBy("id")
+      .select("id", "meta.format", "meta.width", "meta.height", "meta.channels", "meta.n_bytes")
+    val rows = meta.collect()
+    assert(rows(0).getString(1) == "png" && rows(0).getInt(2) == 8 && rows(0).getInt(3) == 4)
+    assert(rows(0).getLong(5) == png.length.toLong)
+    assert(rows(1).getString(1).contains("jpeg") && rows(1).getInt(2) == 16 && rows(1).getInt(3) == 9)
+
+    // garbage row: whole struct is null
+    val g = MultiModal.withDecodedImageMeta(df, "bytes")
+      .where(col("id") === 3).select("meta").head()
+    assert(g.isNullAt(0))
+
+    val feats = MultiModal.decodedImageFeatures(df, "bytes").orderBy("id").select("features").collect()
+    val fPng = feats(0).getSeq[Double](0)
+    assert(fPng.length == 7) // 3 means + 3 stds + log1p(len)
+    assert(fPng.take(3) == Seq(10.0, 100.0, 200.0))
+    assert(fPng.slice(3, 6).forall(_ == 0.0))
+    assert(math.abs(fPng(6) - math.log1p(png.length.toDouble)) < 1e-12)
+    assert(feats(2).isNullAt(0))
+  }
+}
