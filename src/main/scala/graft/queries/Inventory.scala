@@ -469,7 +469,9 @@ object Inventory {
       .orderBy(col("lang"))
 
   private def q21(s: SparkSession, d: String): DataFrame =
-    // maxHamming=3 with 4x16-bit banding is pigeonhole-complete, so the
+    // maxHamming=3 with 5-chunk PAIR banding (C(5,2)=10 keys) is
+    // pigeonhole-complete: <=3 flipped bits touch <=3 of the 5 chunks,
+    // so >=2 chunks survive intact and their pair key collides — the
     // result equals the all-pairs Hamming filter the oracle computes
     Dedup.simhashNearDup(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))

@@ -24,13 +24,26 @@ object EventsTable {
 
   /** Footer schema, sniffed with nanosAsLong enabled so a
     * TIMESTAMP(NANOS) footer infers `ts` as LongType instead of
-    * throwing at inference. Harmless for micros files (the conf only
-    * affects the NANOS logical type) and left enabled for the scan —
-    * the physical reader consults it again at execution.
+    * throwing at inference. The previous conf value is restored unless
+    * the footer really is int64-nanos: in that one case the conf must
+    * stay enabled because the physical reader consults it again at
+    * execution time (the DataFrame is lazy) and Spark 4.1 exposes no
+    * per-read ParquetOptions equivalent. Micros files — the common
+    * case — therefore no longer leak the session-global shim into
+    * unrelated parquet reads.
     */
   def sniffSchema(s: SparkSession, path: String): StructType = {
+    val prev = s.conf.getOption(NanosConf)
+    def restore(): Unit = prev match {
+      case Some(v) => s.conf.set(NanosConf, v)
+      case None    => s.conf.unset(NanosConf)
+    }
     s.conf.set(NanosConf, "true")
-    s.read.parquet(path).schema
+    val schema =
+      try s.read.parquet(path).schema
+      catch { case t: Throwable => restore(); throw t }
+    if (!schema.fields.exists(f => f.name == "ts" && f.dataType == LongType)) restore()
+    schema
   }
 
   /** Normalize whatever layout the scan produced to TimestampType

@@ -517,8 +517,10 @@ object ArchiveWalker {
     def readExact(n: Int): Array[Byte] = {
       val b = new Array[Byte](n)
       var off = 0
-      var k = 0
-      while (off < n && k >= 0) { k = stream.read(b, off, n - off); if (k > 0) off += k }
+      // k == 0 from read(b,off,len>0) is non-conforming but seen in the
+      // wild; treat it as EOF (-> null -> malformed) instead of spinning.
+      var k = 1
+      while (off < n && k > 0) { k = stream.read(b, off, n - off); if (k > 0) off += k }
       if (off == n) b else null
     }
     def ascii(b: Array[Byte], from: Int, until: Int): String =
@@ -616,8 +618,10 @@ object ArchiveWalker {
     def readExact(n: Int): Array[Byte] = {
       val b = new Array[Byte](n)
       var off = 0
-      var k = 0
-      while (off < n && k >= 0) { k = stream.read(b, off, n - off); if (k > 0) off += k }
+      // k == 0 from read(b,off,len>0) is non-conforming but seen in the
+      // wild; treat it as EOF (-> null -> malformed) instead of spinning.
+      var k = 1
+      while (off < n && k > 0) { k = stream.read(b, off, n - off); if (k > 0) off += k }
       if (off == n) b else null
     }
     // strict fixed-radix field parse; -1 marks a corrupt header
@@ -736,8 +740,10 @@ object ArchiveWalker {
     def readExact(n: Int): Array[Byte] = {
       val b = new Array[Byte](n)
       var off = 0
-      var k = 0
-      while (off < n && k >= 0) { k = stream.read(b, off, n - off); if (k > 0) off += k }
+      // k == 0 from read(b,off,len>0) is non-conforming but seen in the
+      // wild; treat it as EOF (-> null -> malformed) instead of spinning.
+      var k = 1
+      while (off < n && k > 0) { k = stream.read(b, off, n - off); if (k > 0) off += k }
       if (off == n) b else null
     }
     def be32(b: Array[Byte], i: Int): Long =
