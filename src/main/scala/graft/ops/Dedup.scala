@@ -446,13 +446,17 @@ object Dedup {
     // expensive part
     val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .toDF("id_a", "id_b").cache()
-    // ONE bounded action decides the regime AND fetches the small-graph
-    // edges: limit(max+1) returning <= max rows proves the fetch is the
-    // complete pair set (a separate count() gate would materialize the
-    // cache in one extra full pass — measured as q33's dominant cost)
-    val probe = p.limit(smallGraphMax.toInt + 1).collect()
-    if (probe.length <= smallGraphMax) {
-      val edges = probe.map(r => (r.getLong(0), r.getLong(1)))
+    // ONE bounded action decides the regime: limit(max+1).count()
+    // short-circuits exactly like the limit+collect it replaces, but
+    // ships only a count — the big-graph regime no longer pays a
+    // ~smallGraphMax-row driver transfer whose Row array then stays
+    // referenced for the whole distributed run (measured: ~0.5 GB of
+    // driver heap held hostage at the 4M default). The small regime
+    // re-reads the now-cached pair set, so its second pass is cheap.
+    val probeN = p.limit(smallGraphMax.toInt + 1).count()
+    if (probeN <= smallGraphMax) {
+      // complete fetch: probeN proved the cached pair set fits
+      val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
       p.unpersist()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -473,13 +477,32 @@ object Dedup {
       return s.createDataset(parent.keys.toSeq.sorted.map(id => (id, find(id))))
         .toDF("id", "cluster")
     }
+    val labels = componentsDistributed(p, maxIter)._1
+    p.unpersist()
+    labels
+  }
+
+  /** The distributed min-label-propagation regime of [[components]],
+    * split out so scale-evidence runs can record the iteration count
+    * alongside the wall clock. Returns (labels, iterations) where
+    * iterations includes the final no-change convergence probe.
+    */
+  private[graft] def componentsDistributed(p: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
     // undirected edge list, both directions
     val edges = p.unionAll(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst")
       .distinct()
       .cache()
+    // eager localCheckpoint, not cache(): each iteration's frame joins
+    // the previous one, so a cached chain keeps the full logical
+    // lineage — the analyzed plan roughly triples per iteration and
+    // planning/explain cost blows up long before the data does.
+    // Checkpointing truncates both the logical plan and the RDD
+    // lineage to a constant size per iteration; superseded iterations'
+    // blocks are reclaimed by the ContextCleaner once unreferenced.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -490,17 +513,15 @@ object Dedup {
         .agg(min(col("cluster")).as("__n"))
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), least(col("cluster"), coalesce(col("__n"), col("cluster"))).as("cluster"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster", "__old"), "id")
         .where(col("cluster") =!= col("__old")).limit(1).count()
-      labels.unpersist() // drop the superseded iteration's cache
       labels = next
       converged = changed == 0
       iter += 1
     }
-    p.unpersist()
     edges.unpersist()
-    labels
+    (labels, iter)
   }
 
   /** Near-duplicate pairs via SimHash with chunk-PAIR banding (the

@@ -144,6 +144,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dist == expect)
   }
 
+  test("components: distributed path at its real regime (> 4M edges, default threshold)") {
+    // 450k 10-node clusters x 9 edges = 4.05M edges: the default
+    // smallGraphMax probe (4M + 1) proves the graph is too big and the
+    // call takes the distributed label-prop branch for real — no
+    // lowered-threshold shortcut. Star topology keeps convergence at 2
+    // iterations so the case stays unit-test sized. Every node's true
+    // label is analytically id - id % 16 (min of its 16-stride block),
+    // checked with one aggregation, never a collect.
+    val nClusters = 450000L
+    val pairs = ScaleEvidence.componentsGraph(spark, nClusters)
+    val labels = Dedup.components(pairs) // default smallGraphMax = 4M
+    val (nNodes, wrong) = {
+      val r = labels.agg(
+        count(lit(1)),
+        sum(when(col("cluster") =!= col("id") - (col("id") % 16), 1L).otherwise(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(nNodes == nClusters * 10, s"expected ${nClusters * 10} labeled nodes, got $nNodes")
+    assert(wrong == 0L, s"$wrong nodes got a non-min-id cluster label")
+  }
+
   test("simhashNearDup finds exact dup at hamming 0") {
     val pairs = Dedup.simhashNearDup(docs(), "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

@@ -126,6 +126,50 @@ object ScaleEvidence {
       }.toDF("vec_id", "embedding")
   }
 
+  /** Deterministic pair graph sized to force the distributed regime of
+    * `Dedup.components` (> smallGraphMax = 4M edges): `nClusters`
+    * 10-node clusters on an id stride of 16 — 9 edges per cluster, 90%
+    * stars (diameter 2, the near-dup-clique shape) and 10% paths
+    * (diameter 9, the worst case for min-label hop count). Every
+    * node's true component label is analytically `id - id % 16`, so
+    * correctness at any scale is one aggregation, never a collect.
+    */
+  def componentsGraph(spark: SparkSession, nClusters: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(nClusters).flatMap { c =>
+      val base = c * 16
+      if (c % 10 == 0) (0 until 9).map(i => (base + i, base + i + 1)) // path
+      else (1 to 9).map(i => (base, base + i)) // star
+    }.toDF("id_a", "id_b")
+  }
+
+  /** The distributed-components rung (r9 verdict #2): run min-label
+    * propagation at its REAL regime (> 4M edges), assert every label
+    * against the analytic expectation plus union-find parity on a
+    * 1000-cluster subgraph, and report iterations + wall.
+    */
+  private def componentsRung(spark: SparkSession, nClusters: Long): Unit = {
+    val pairs = componentsGraph(spark, nClusters)
+    val nEdges = nClusters * 9
+    val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .toDF("id_a", "id_b").cache()
+    val t0 = System.nanoTime()
+    val (labels, iters) = Dedup.componentsDistributed(p)
+    val lab = labels.cache()
+    val nNodes = lab.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // full-graph analytic check: cluster == min id of the 16-stride block
+    val wrong = lab.where(col("cluster") =!= col("id") - (col("id") % 16)).count()
+    // parity with the driver union-find path on a 1000-cluster subgraph
+    val subPairs = pairs.where(col("id_a") < 16 * 1000)
+    val smallPath = Dedup.components(subPairs)
+    val distSub = lab.where(col("id") < 16 * 1000)
+    val parityDiff = smallPath.toDF("id", "cluster").exceptAll(distSub).count() +
+      distSub.exceptAll(smallPath.toDF("id", "cluster")).count()
+    p.unpersist(); lab.unpersist()
+    println(f"""SCALE {"corpus":"cc:$nClusters","op":"q33_components_dist","n_nodes":$nNodes,"n_edges":$nEdges,"iterations":$iters,"wrong_labels":$wrong,"unionfind_parity_diff":$parityDiff,"secs":$secs%.1f}""")
+  }
+
   private def timedCount(df: DataFrame): (Long, Double) = {
     val t0 = System.nanoTime()
     val c = df.count()
@@ -146,7 +190,10 @@ object ScaleEvidence {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    corpora.foreach { c =>
+    val (ccArgs, docCorpora) = corpora.partition(_.startsWith("cc:"))
+    ccArgs.foreach(a => componentsRung(spark, a.drop(3).toLong))
+
+    docCorpora.foreach { c =>
       val RealX = "realx(\\d+):(.*)".r
       val docs = (c match {
         case s if s.startsWith("genwide:") => genDocs(spark, s.drop(8).toLong, wide = true)
