@@ -50,6 +50,51 @@ class EventsTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q15/q28/q43 are layout-invariant across int64-nanos, micros and millis ts") {
+    // r9 verdict next-5: the adaptive reader had exactly two exercised
+    // layout branches; pin all three shapes the generator could
+    // plausibly ship (raw int64 nanos, typed micros, typed millis)
+    // from ONE canonical fixture and assert the real registered
+    // queries — q15 tumbling window, q28 as-of join, q43 sliding
+    // window — return identical rows on each. A fourth drift (e.g.
+    // seconds, or a string ts) now fails these asserts loudly instead
+    // of silently shifting query output.
+    val nanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(nanosConf)
+    // canonical events at millisecond precision (so the millis layout
+    // is lossless and cross-layout equality is exact)
+    val canonical = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_millis(unix_millis(col("ts").cast(TimestampType))))
+    val base = tmp("graft_ev_layouts")
+    def dirOf(name: String) = new java.io.File(base, name).getAbsolutePath
+    canonical.write.parquet(dirOf("micros") + "/events.parquet")
+    canonical.withColumn("ts", unix_micros(col("ts")) * 1000)
+      .write.parquet(dirOf("nanos") + "/events.parquet")
+    val outTypeConf = "spark.sql.parquet.outputTimestampType"
+    val prevOutType = spark.conf.getOption(outTypeConf)
+    spark.conf.set(outTypeConf, "TIMESTAMP_MILLIS")
+    try canonical.write.parquet(dirOf("millis") + "/events.parquet")
+    finally prevOutType match {
+      case Some(v) => spark.conf.set(outTypeConf, v)
+      case None    => spark.conf.unset(outTypeConf)
+    }
+
+    // micros read must not leak the session-global nanos shim (r9 advice)
+    EventsTable.read(spark, dirOf("micros") + "/events.parquet").count()
+    assert(spark.conf.get(nanosConf, "false") != "true",
+      "sniffSchema leaked nanosAsLong=true after a micros read")
+
+    for (q <- Seq("q15_time_window", "q28_asof_join", "q43_sliding_window")) {
+      val fn = SparkEntry.queries(q)
+      val ref = fn(spark, dirOf("micros")).collect().toSeq
+      assert(ref.nonEmpty, s"$q returned no rows on the micros layout")
+      for (layout <- Seq("nanos", "millis")) {
+        val got = fn(spark, dirOf(layout)).collect().toSeq
+        assert(got == ref, s"$q differs between micros and $layout layouts")
+      }
+    }
+  }
+
   test("streaming source adapts the layout and restarts from its checkpoint") {
     import spark.implicits._
     // current generator layout: typed micros timestamps
