@@ -62,7 +62,8 @@ object ArchiveChunkSchema {
 sealed abstract class FormatKind(val name: String) {
   def supportsRecursion: Boolean =
     this == FormatKind.Tar || this == FormatKind.Zip || this == FormatKind.Warc ||
-      this == FormatKind.Ar || this == FormatKind.Cpio || this == FormatKind.Rpm
+      this == FormatKind.Ar || this == FormatKind.Cpio || this == FormatKind.Rpm ||
+      this == FormatKind.SevenZ
   override def toString: String = name
 }
 
@@ -71,6 +72,16 @@ object FormatKind {
   case object Zstd extends FormatKind("zstd")
   case object Bzip2 extends FormatKind("bzip2")
   case object Xz extends FormatKind("xz")
+  /** LZ4 frame format (lz4.org spec, magic `04 22 4D 18`) — a
+    * stage-1 codec extension beyond the reference's four; `.tar.lz4`
+    * is a common fast-compression archive shape.
+    */
+  case object Lz4 extends FormatKind("lz4")
+  /** Snappy framing format (google/snappy framing_format.txt, stream
+    * identifier `FF 06 00 00 sNaPpY`) — stage-1 codec extension; the
+    * `.sz` shape Hadoop-adjacent tooling emits.
+    */
+  case object SnappyFramed extends FormatKind("snappy")
   case object Zip extends FormatKind("zip")
   case object Tar extends FormatKind("tar")
   /** WARC web-archive container (ISO 28500; the CommonCrawl format) —
@@ -95,10 +106,19 @@ object FormatKind {
     * payload. (`.deb` needs no own kind: ar + tar already walk.)
     */
   case object Rpm extends FormatKind("rpm")
+  /** 7z archive (the 7-zip.org file-format spec, magic
+    * `37 7A BC AF 27 1C`) — the sixth container family. The ONE
+    * family whose metadata lives at the END of the file, so the
+    * walker spools the stream to a seekable spill first (memory
+    * below [[ConvertOptions.sevenZMemSpoolMax]], else a task-local
+    * temp file) — a documented deviation from the otherwise
+    * pure-streaming walk, like zip64's.
+    */
+  case object SevenZ extends FormatKind("7z")
   case object Executable extends FormatKind("executable")
   case object Unknown extends FormatKind("unknown")
 
-  val all: Seq[FormatKind] = Seq(Gzip, Zstd, Bzip2, Xz, Zip, Tar, Warc, Ar, Cpio, Rpm, Executable, Unknown)
+  val all: Seq[FormatKind] = Seq(Gzip, Zstd, Bzip2, Xz, Lz4, SnappyFramed, Zip, Tar, Warc, Ar, Cpio, Rpm, SevenZ, Executable, Unknown)
   def fromName(s: String): FormatKind =
     all.find(_.name == s.toLowerCase).getOrElse(Unknown)
 }
@@ -155,6 +175,13 @@ final case class ConvertOptions(
     parallelism: Option[Int] = None,
     maxDepth: Int = 32,
     maxEntryBytes: Long = 1L << 30,
+    // 7z spool threshold: 7z metadata sits at the END of the archive
+    // (7-zip.org spec), so a 7z member found mid-stream must be
+    // spooled to something seekable before it can be walked. At or
+    // below this many bytes the spool is an in-memory channel; above
+    // it, a task-local temp file on local disk (the shuffle-spill
+    // discipline), deleted at archive end and at task completion.
+    sevenZMemSpoolMax: Long = 64L << 20,
     // Over-cap entries: false (default) = throw OversizeEntryException
     // (contained to a counted input skip under skipErrors); true =
     // emit the truncated prefix with size/hash describing the PREFIX —

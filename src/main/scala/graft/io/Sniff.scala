@@ -52,6 +52,21 @@ object Sniff {
     b.length >= 6 && at(b, 0) == 0xfd && at(b, 1) == '7' && at(b, 2) == 'z' &&
       at(b, 3) == 'X' && at(b, 4) == 'Z' && at(b, 5) == 0x00
 
+  /** LZ4 frame magic `04 22 4D 18` (lz4.org frame-format spec) —
+    * stage-1 extension beyond the reference's four codecs.
+    */
+  def isLz4(b: Array[Byte]): Boolean =
+    b.length >= 4 && at(b, 0) == 0x04 && at(b, 1) == 0x22 &&
+      at(b, 2) == 0x4d && at(b, 3) == 0x18
+
+  /** Snappy framing stream identifier `FF 06 00 00` + "sNaPpY"
+    * (google/snappy framing_format.txt) — the 6-byte compression peek
+    * sees `FF 06 00 00 73 4E`, unambiguous already.
+    */
+  def isSnappyFramed(b: Array[Byte]): Boolean =
+    b.length >= 6 && at(b, 0) == 0xff && at(b, 1) == 0x06 &&
+      at(b, 2) == 0x00 && at(b, 3) == 0x00 && at(b, 4) == 's' && at(b, 5) == 'N'
+
   /** "ustar" at offset 257 (POSIX/GNU tar). */
   def isTar(b: Array[Byte]): Boolean =
     b.length >= 262 && at(b, 257) == 'u' && at(b, 258) == 's' && at(b, 259) == 't' &&
@@ -88,6 +103,8 @@ object Sniff {
     else if (isZstd(b)) Some(FormatKind.Zstd)
     else if (isBzip2(b)) Some(FormatKind.Bzip2)
     else if (isXz(b)) Some(FormatKind.Xz)
+    else if (isLz4(b)) Some(FormatKind.Lz4)
+    else if (isSnappyFramed(b)) Some(FormatKind.SnappyFramed)
     else None
 
   /** WARC version line prefix (ISO 28500: records start `WARC/1.x`). */
@@ -115,6 +132,11 @@ object Sniff {
     b.length >= 4 && at(b, 0) == 0xed && at(b, 1) == 0xab &&
       at(b, 2) == 0xee && at(b, 3) == 0xdb
 
+  /** 7z signature `37 7A BC AF 27 1C` (7-zip.org file-format spec). */
+  def isSevenZ(b: Array[Byte]): Boolean =
+    b.length >= 6 && at(b, 0) == '7' && at(b, 1) == 'z' && at(b, 2) == 0xbc &&
+      at(b, 3) == 0xaf && at(b, 4) == 0x27 && at(b, 5) == 0x1c
+
   def detectContainer(b: Array[Byte]): Option[FormatKind] =
     if (isTar(b)) Some(FormatKind.Tar)
     else if (isZip(b)) Some(FormatKind.Zip)
@@ -122,6 +144,7 @@ object Sniff {
     else if (isAr(b)) Some(FormatKind.Ar)
     else if (isCpio(b)) Some(FormatKind.Cpio)
     else if (isRpm(b)) Some(FormatKind.Rpm)
+    else if (isSevenZ(b)) Some(FormatKind.SevenZ)
     else if (isExecutable(b)) Some(FormatKind.Executable)
     else None
 
@@ -147,6 +170,11 @@ object Sniff {
         // (reference: compression.rs:58)
         (k, org.apache.commons.compress.compressors.xz.XZCompressorInputStream.builder()
           .setInputStream(in).setDecompressConcatenated(true).get())
+      case k @ Some(FormatKind.Lz4) =>
+        // concatenated frames decode fully (the gzip/xz multi-member rule)
+        (k, new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorInputStream(in, true))
+      case k @ Some(FormatKind.SnappyFramed) =>
+        (k, new org.apache.commons.compress.compressors.snappy.FramedSnappyCompressorInputStream(in))
       case _ => (None, in)
     }
   }

@@ -1571,6 +1571,145 @@ object Inventory {
     f.getAbsolutePath
   }
 
+  /** Deterministic 7z fixture (7-zip.org file-format spec, written
+    * with commons-compress `SevenZOutputFile`, LZMA2-coded): a
+    * directory entry (skipped), an odd-size text member, a gzip
+    * member (emitted decompressed), and a nested tar member (expands
+    * with 7z-member lineage). The walked ROWS are byte-stable across
+    * runs (fixed member bodies) even though the container's own
+    * compressed bytes need not be.
+    */
+  private[queries] def buildSevenZFixture(): String = {
+    import java.io._
+    import java.util.zip.GZIPOutputStream
+    import org.apache.commons.compress.archivers.sevenz.{SevenZArchiveEntry, SevenZOutputFile}
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q91_fixture")
+    dir.mkdirs()
+    val f = new File(dir, "fixture.7z")
+    // SevenZOutputFile opens "rw" without truncating: a stale longer
+    // file would leave trailing garbage past the new end header
+    if (f.exists()) f.delete()
+    val out = new SevenZOutputFile(f)
+    def add(name: String, data: Array[Byte], isDir: Boolean = false): Unit = {
+      val e = new SevenZArchiveEntry()
+      e.setName(name); e.setDirectory(isDir)
+      out.putArchiveEntry(e)
+      if (!isDir) out.write(data)
+      out.closeArchiveEntry()
+    }
+    add("notes", Array.emptyByteArray, isDir = true)
+    add("notes/readme.txt", "7z member readme\n".getBytes("UTF-8"))
+    val gzBuf = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(gzBuf)
+    gz.write("deterministic gzip payload in 7z\n".getBytes("UTF-8")); gz.close()
+    add("data.bin.gz", gzBuf.toByteArray)
+    val tarBuf = new ByteArrayOutputStream()
+    val to = new TarArchiveOutputStream(tarBuf)
+    Seq("docs/a.txt" -> "alpha doc\n", "docs/b.txt" -> "bravo doc\n").foreach {
+      case (n, body) =>
+        val e = new TarArchiveEntry(n)
+        val b = body.getBytes("UTF-8")
+        e.setSize(b.length.toLong); e.setModTime(1000000000000L)
+        to.putArchiveEntry(e); to.write(b); to.closeArchiveEntry()
+    }
+    to.close()
+    add("inner.tar", tarBuf.toByteArray)
+    out.close()
+    f.getAbsolutePath
+  }
+
+  /** 7z source (the sixth container family; 7-zip.org spec): the q16
+    * converter chain over [[buildSevenZFixture]] — the end-header
+    * metadata forces the walker's seekable spool (the documented
+    * streaming deviation), directory entries are skipped, a gzip
+    * member lands decompressed, and a nested tar expands with
+    * 7z-member lineage.
+    */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val path = buildSevenZFixture()
+    ArchiveConverter.entries(s, Seq(path), ConvertOptions()).toDF()
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+  }
+
+  /** Deterministic codec-matrix fixture: one tar whose members are
+    * the SAME 21-byte payload under every stage-1 codec the sniff
+    * recognizes — gzip, zstd, bzip2, xz, lz4-frame, snappy-framed —
+    * plus the plain bytes. Every member must emit decompressed with
+    * the identical size and sha256; only the paths differ.
+    */
+  private[queries] def buildCodecMatrixFixture(): String = {
+    import java.io._
+    import java.util.zip.GZIPOutputStream
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val payload = "codec matrix payload\n".getBytes("UTF-8")
+    def gz(d: Array[Byte]) = {
+      val b = new ByteArrayOutputStream(); val o = new GZIPOutputStream(b)
+      o.write(d); o.close(); b.toByteArray
+    }
+    def zstd(d: Array[Byte]) = {
+      val b = new ByteArrayOutputStream()
+      val o = new com.github.luben.zstd.ZstdOutputStream(b)
+      o.write(d); o.close(); b.toByteArray
+    }
+    def bz2(d: Array[Byte]) = {
+      val b = new ByteArrayOutputStream()
+      val o = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(b)
+      o.write(d); o.close(); b.toByteArray
+    }
+    def xz(d: Array[Byte]) = {
+      val b = new ByteArrayOutputStream()
+      val o = new org.apache.commons.compress.compressors.xz.XZCompressorOutputStream(b)
+      o.write(d); o.close(); b.toByteArray
+    }
+    def lz4(d: Array[Byte]) = {
+      val b = new ByteArrayOutputStream()
+      val o = new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorOutputStream(b)
+      o.write(d); o.close(); b.toByteArray
+    }
+    def sz(d: Array[Byte]) = {
+      val b = new ByteArrayOutputStream()
+      val o = new org.apache.commons.compress.compressors.snappy.FramedSnappyCompressorOutputStream(b)
+      o.write(d); o.close(); b.toByteArray
+    }
+    val members = Seq(
+      "payload.bz2" -> bz2(payload),
+      "payload.gz" -> gz(payload),
+      "payload.lz4" -> lz4(payload),
+      "payload.sz" -> sz(payload),
+      "payload.txt" -> payload,
+      "payload.xz" -> xz(payload),
+      "payload.zst" -> zstd(payload))
+    val tarBuf = new ByteArrayOutputStream()
+    val to = new TarArchiveOutputStream(tarBuf)
+    members.foreach { case (n, b) =>
+      val e = new TarArchiveEntry(n)
+      e.setSize(b.length.toLong); e.setModTime(1000000000000L)
+      to.putArchiveEntry(e); to.write(b); to.closeArchiveEntry()
+    }
+    to.close()
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q92_fixture")
+    dir.mkdirs()
+    val f = new File(dir, "fixture.tar")
+    val fos = new FileOutputStream(f)
+    fos.write(tarBuf.toByteArray); fos.close()
+    f.getAbsolutePath
+  }
+
+  /** Codec matrix (stage-1 sniff coverage: the reference's four
+    * codecs + the lz4-frame and snappy-framed extensions): the q16
+    * converter chain over [[buildCodecMatrixFixture]] — all seven
+    * members must land with the SAME decompressed size and sha256,
+    * proving every codec decodes transparently in-walk.
+    */
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    val path = buildCodecMatrixFixture()
+    ArchiveConverter.entries(s, Seq(path), ConvertOptions()).toDF()
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+  }
+
   /** RPM source (the fifth container family; rpm.org file-format
     * spec): the q16 converter chain over [[buildRpmFixture]] — lead
     * and both index headers consumed as framing, the gzipped cpio
@@ -1800,7 +1939,9 @@ object Inventory {
     "q87_ar_source" -> (q87 _),
     "q88_bloom_gate" -> (q88 _),
     "q89_cpio_source" -> (q89 _),
-    "q90_rpm_source" -> (q90 _))
+    "q90_rpm_source" -> (q90 _),
+    "q91_sevenz_source" -> (q91 _),
+    "q92_codec_matrix" -> (q92 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -2180,6 +2321,34 @@ object Inventory {
           |   '64397d7ab7259e4d29f8e2647c2a5ba6d375ebb3cbdb90febdc158005a20a3e6'))
           |  AS t(path, size, sha256)
           |ORDER BY path""".stripMargin,
+      // 7z source: spec-member sizes/digests (directory entry skipped,
+      // gzip member decompressed, nested tar expanded) computed
+      // independently of the engine — q16's rule
+      "q91_sevenz_source" ->
+        """SELECT * FROM (VALUES
+          |  ('data.bin.gz', CAST(33 AS BIGINT),
+          |   '784c5de712e270a4187f3cba5b16e445a748b4222b23f4c956d931761fce8c63'),
+          |  ('inner.tar/docs/a.txt', CAST(10 AS BIGINT),
+          |   '753a892fa27fce3ea4683c2a27e1f8b651c9e1352d4b0b14382c812019bc6a2a'),
+          |  ('inner.tar/docs/b.txt', CAST(10 AS BIGINT),
+          |   '73ecc37823096f6ac0b9cddb338a1bfe9b659e74061635e436c69d882dc144ce'),
+          |  ('notes/readme.txt', CAST(17 AS BIGINT),
+          |   '0538a722a4a87b685be24dc429d5f9b4ff171e2c2c75390e77a26a59cf372757'))
+          |  AS t(path, size, sha256)
+          |ORDER BY path""".stripMargin,
+      // codec matrix: all seven members decode to the identical
+      // 21-byte payload — size/sha256 computed independently (q16's
+      // rule); only the member paths differ
+      "q92_codec_matrix" -> {
+        val d = "18ecefc60581a79ed08523df6b91d3d4205bc48c07aed4f6196f7802db13575e"
+        val exts = Seq("bz2", "gz", "lz4", "sz", "txt", "xz", "zst")
+        val rows = exts.map(e => s"  ('payload.$e', CAST(21 AS BIGINT), '$d')")
+          .mkString(",\n")
+        s"""SELECT * FROM (VALUES
+           |$rows)
+           |  AS t(path, size, sha256)
+           |ORDER BY path""".stripMargin
+      },
       "q82_domain_cap" ->
         s"""SELECT doc_id, source FROM (
            |  SELECT doc_id, source,

@@ -312,6 +312,7 @@ object ArchiveWalker {
         case FormatKind.Ar   => walkAr(source, childNested, details, stream, depth, opts, leaf)
         case FormatKind.Cpio => walkCpio(source, childNested, details, stream, depth, opts, leaf)
         case FormatKind.Rpm  => walkRpm(source, childNested, details, stream, depth, opts, leaf)
+        case FormatKind.SevenZ => walkSevenZ(source, childNested, details, stream, depth, opts, leaf)
         case _               => walkZip(source, childNested, details, stream, depth, opts, leaf)
       }
     } else if (!pathKept(opts, (nested :+ details.path).mkString("/"))) {
@@ -781,6 +782,96 @@ object ArchiveWalker {
         case FormatKind.Cpio => walkCpio(source, nested, self, payload, depth, opts, leaf)
         case FormatKind.Tar  => walkTar(source, nested, self, payload, depth, opts, leaf)
         case _               => Iterator.empty // no recognizable payload
+      }
+    }
+  }
+
+  /** 7z walker (7-zip.org file-format spec — the sixth container
+    * family). 7z is the one family that CANNOT stream: the entry
+    * metadata (names, sizes, codec chains) lives in an end header at
+    * the tail of the file, so the walker first spools the
+    * already-decompressed stream to a seekable spill —
+    * an in-memory channel at or below
+    * [[graft.core.ConvertOptions.sevenZMemSpoolMax]] bytes, else a
+    * task-local temp file on local disk (the shuffle-spill
+    * discipline; deleted at archive end AND at task completion, so an
+    * abandoned iterator never leaks disk). This is a documented
+    * deviation from the otherwise pure-streaming walk, in zip64's
+    * mold.
+    *
+    * Walk rules are tar's: only non-directory entries with real
+    * content streams and size > 0 are walked; entry bodies re-enter
+    * the two-stage sniff recursion, so nested archives expand in
+    * place with 7z-member lineage. A corrupt end header (open
+    * failure) or corrupt entry metadata ends the archive silently
+    * (W7 parity); errors while reading entry CONTENT propagate and
+    * fail the input. Decoding uses commons-compress `SevenZFile`
+    * (LZMA/LZMA2 via the public XZ-for-Java library); encrypted
+    * archives fail at content-read like any other read error.
+    */
+  private def walkSevenZ[T](
+      source: String,
+      nested: List[String],
+      self: Details,
+      stream: InputStream,
+      depth: Int,
+      opts: ConvertOptions,
+      leaf: Leaf[T]): Iterator[T] = {
+    import org.apache.commons.compress.archivers.sevenz.SevenZFile
+    import org.apache.commons.compress.utils.SeekableInMemoryByteChannel
+
+    // Spool phase: buffer to memory up to the threshold; past it,
+    // switch to a temp file and stream-copy the remainder (at most
+    // one 64 KB copy buffer in flight — the spool never holds more
+    // than `sevenZMemSpoolMax` heap regardless of archive size).
+    val memCap = math.min(opts.sevenZMemSpoolMax, Int.MaxValue.toLong - 8).toInt
+    val memBuf = new ByteArrayOutputStream(math.min(memCap, 256 * 1024))
+    val copyBuf = new Array[Byte](64 * 1024)
+    var n = 0
+    while (memBuf.size <= memCap && { n = stream.read(copyBuf); n >= 0 })
+      if (n > 0) memBuf.write(copyBuf, 0, n)
+    var tmp: java.io.File = null
+    val channel: java.nio.channels.SeekableByteChannel =
+      if (n < 0) new SeekableInMemoryByteChannel(memBuf.toByteArray)
+      else {
+        tmp = java.io.File.createTempFile("graft-7z-spool-", ".7z")
+        tmp.deleteOnExit() // driver/test backstop; tasks clean up below
+        val fos = new java.io.FileOutputStream(tmp)
+        try {
+          memBuf.writeTo(fos)
+          var k = stream.read(copyBuf)
+          while (k >= 0) { if (k > 0) fos.write(copyBuf, 0, k); k = stream.read(copyBuf) }
+        } finally fos.close()
+        java.nio.channels.FileChannel.open(tmp.toPath,
+          java.nio.file.StandardOpenOption.READ)
+      }
+
+    val cleaned = new java.util.concurrent.atomic.AtomicBoolean(false)
+    var sz: SevenZFile = null
+    def cleanup(): Unit =
+      if (cleaned.compareAndSet(false, true)) {
+        try { if (sz != null) sz.close() else channel.close() }
+        catch { case _: java.io.IOException => () }
+        if (tmp != null) tmp.delete()
+      }
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => cleanup())
+
+    // corrupt end header => silent stop (tar corrupt-header parity)
+    try sz = SevenZFile.builder().setSeekableByteChannel(channel).get()
+    catch { case _: java.io.IOException => cleanup(); return Iterator.empty }
+
+    archiveIterator { () =>
+      // corrupt entry metadata => silent stop; content-read errors
+      // inside the expansion propagate (W7)
+      val e = try sz.getNextEntry catch { case _: java.io.IOException => null }
+      if (e == null) { cleanup(); None }
+      else if (e.isDirectory || !e.hasStream || e.getSize == 0) Some(Iterator.empty)
+      else {
+        val d = Details(e.getName, e.getSize)
+        val in = sz.getInputStream(e)
+        Some(walkEntryG(source, nested, d, Some(self), new NonClosing(in),
+          depth + 1, opts, leaf))
       }
     }
   }

@@ -43,6 +43,20 @@ object Fixtures {
     bos.toByteArray
   }
 
+  def lz4Data(data: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val l = new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorOutputStream(bos)
+    l.write(data); l.close()
+    bos.toByteArray
+  }
+
+  def snappyData(data: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val s = new org.apache.commons.compress.compressors.snappy.FramedSnappyCompressorOutputStream(bos)
+    s.write(data); s.close()
+    bos.toByteArray
+  }
+
   def tarArchive(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val tar = new TarArchiveOutputStream(bos)
@@ -261,6 +275,29 @@ object Fixtures {
       if ((nb.length + data.length) % 2 == 1) out.write('\n')
     }
     out.toByteArray
+  }
+
+  /** 7z archive written via commons-compress `SevenZOutputFile`
+    * (LZMA2-coded, end-header layout per the 7-zip.org spec). Names
+    * ending `/` become directory entries with no stream.
+    */
+  def sevenZArchive(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    import org.apache.commons.compress.archivers.sevenz.{SevenZArchiveEntry, SevenZOutputFile}
+    val f = java.io.File.createTempFile("graft-7z-fixture-", ".7z")
+    try {
+      val out = new SevenZOutputFile(f)
+      entries.foreach { case (name, data) =>
+        val e = new SevenZArchiveEntry()
+        val isDir = name.endsWith("/")
+        e.setName(if (isDir) name.dropRight(1) else name)
+        e.setDirectory(isDir)
+        out.putArchiveEntry(e)
+        if (!isDir) out.write(data)
+        out.closeArchiveEntry()
+      }
+      out.close()
+      java.nio.file.Files.readAllBytes(f.toPath)
+    } finally f.delete()
   }
 
   def sha256(data: Array[Byte]): Array[Byte] =

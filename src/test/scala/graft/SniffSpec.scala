@@ -26,6 +26,8 @@ class SniffSpec extends AnyFunSuite {
       (zstdData(TestData), FormatKind.Zstd),
       (bz2Data(TestData), FormatKind.Bzip2),
       (xzData(TestData), FormatKind.Xz),
+      (lz4Data(TestData), FormatKind.Lz4),
+      (snappyData(TestData), FormatKind.SnappyFramed),
       (TestData, FormatKind.Unknown))
     cases.foreach { case (data, expected) =>
       val (kind, stream) = Sniff.open(new ByteArrayInputStream(data))
@@ -56,6 +58,10 @@ class SniffSpec extends AnyFunSuite {
     assert(Sniff.formatKindOfBytes(gzipData(cpio)) == FormatKind.Cpio,
       "initramfs shape (.cpio.gz) sniffs through the codec layer")
     assert(Sniff.formatKindOfBytes(cpioOdcArchive(Seq("a" -> TestData))) == FormatKind.Cpio)
+    val sevenZ = sevenZArchive(Seq("a.txt" -> TestData))
+    assert(Sniff.formatKindOfBytes(sevenZ) == FormatKind.SevenZ)
+    assert(Sniff.formatKindOfBytes(gzipData(sevenZ)) == FormatKind.SevenZ,
+      ".7z.gz sniffs through the codec layer")
   }
 
   test("executables are detected (full reference magic table)") {

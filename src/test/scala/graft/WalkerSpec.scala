@@ -462,6 +462,57 @@ class WalkerSpec extends AnyFunSuite {
     assert(walk(rpmPackage("just some plain bytes".getBytes("UTF-8"))).isEmpty)
   }
 
+  test("7z: members walk like tar entries — skip rules, digests, nesting") {
+    val odd = "odd body\n".getBytes("UTF-8")
+    val bytes = sevenZArchive(Seq(
+      "docs/" -> Array.emptyByteArray,      // directory: skipped
+      "docs/a.txt" -> odd,
+      "empty.bin" -> Array.emptyByteArray,  // zero-size: skipped
+      "payload.gz" -> gzipData(TestData),   // emitted decompressed
+      "bundle.tar" -> tarArchive(Seq("deep/x.txt" -> TestData))))
+    val rows = walk(bytes)
+    assert(rows.map(r => (r.path, r.size)) == Vector(
+      ("docs/a.txt", odd.length.toLong),
+      ("payload.gz", TestData.length.toLong),
+      ("bundle.tar/deep/x.txt", TestData.length.toLong)))
+    assert(rows(0).content.sameElements(odd) && rows(0).hash.sameElements(sha256(odd)))
+    assert(rows(1).content.sameElements(TestData), "gzip member emitted decompressed")
+    // and the 7z nests inside other containers (spool engages mid-stream)
+    val viaTar = walk(tarArchive(Seq("pkgs/archive.7z" -> bytes)))
+    assert(viaTar.map(_.path) == Vector(
+      "pkgs/archive.7z/docs/a.txt",
+      "pkgs/archive.7z/payload.gz",
+      "pkgs/archive.7z/bundle.tar/deep/x.txt"))
+  }
+
+  test("7z: temp-file spool path (sevenZMemSpoolMax=1) walks identically, no leak") {
+    val bytes = sevenZArchive(Seq(
+      "a.txt" -> TestData,
+      "inner.7z" -> sevenZArchive(Seq("b.txt" -> TestData))))
+    val before = sevenZSpoolFiles()
+    val rows = walk(bytes, o = opts.copy(sevenZMemSpoolMax = 1L))
+    assert(rows.map(_.path) == Vector("a.txt", "inner.7z/b.txt"),
+      "file-spooled walk matches the in-memory walk, incl. nested 7z")
+    assert(rows.forall(_.content.sameElements(TestData)))
+    assert(sevenZSpoolFiles() == before, "spool temp files deleted at archive end")
+  }
+
+  test("7z: corrupt/truncated archive ends silently (W7 parity)") {
+    val full = sevenZArchive(Seq("x.txt" -> TestData))
+    // truncated past the signature: the end header is gone => silent empty
+    assert(walk(java.util.Arrays.copyOf(full, 40)).isEmpty)
+    // magic + garbage: open fails => silent empty
+    val garbage = full.clone()
+    java.util.Arrays.fill(garbage, 32, garbage.length, 0x5a.toByte)
+    assert(walk(garbage).isEmpty)
+  }
+
+  private def sevenZSpoolFiles(): Set[String] = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(dir.list()).getOrElse(Array.empty[String])
+      .filter(_.startsWith("graft-7z-spool-")).toSet
+  }
+
   test("cpio: truncated trailing member ends the walk silently (W7 parity)") {
     val good = "intact cpio body".getBytes("UTF-8")
     val full = cpioArchive(Seq(
