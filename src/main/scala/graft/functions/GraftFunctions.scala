@@ -56,6 +56,14 @@ object GraftFunctions {
     */
   def char_entropy(text: Column): Column = column(CharEntropy(expression(text)))
 
+  /** Unicode NFC normalization (UAX #15; = DuckDB `nfc_normalize`). */
+  def nfc_normalize(text: Column): Column = column(NfcNormalize(expression(text)))
+
+  /** Diacritic removal, utf8proc STRIPMARK semantics (= DuckDB
+    * `strip_accents`): NFD → drop Mn/Mc/Me → NFC recompose.
+    */
+  def strip_accents(text: Column): Column = column(StripAccents(expression(text)))
+
   // ---- vector math (built-in compositions — fully codegen'd) ----
 
   /** Dot product of two array<float|double> columns in double precision.
@@ -109,6 +117,8 @@ object GraftFunctions {
     "hashed_grams" -> (e => HashedGrams(e.head, e(1))),
     "md5_long62" -> (e => Md5Long62(e.head)),
     "char_entropy" -> (e => CharEntropy(e.head)),
+    "nfc_normalize" -> (e => NfcNormalize(e.head)),
+    "strip_accents" -> (e => StripAccents(e.head)),
     "explode_archive" -> (e => ExplodeArchive(e.head)))
 
   /** Register the custom expressions for SQL use in an existing session

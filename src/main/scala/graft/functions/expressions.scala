@@ -153,6 +153,40 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `nfc_normalize(text) -> string` — Unicode NFC normalization
+  * (UAX #15): the canonical-composition pass a pipeline runs before
+  * hashing/dedup so composed and decomposed spellings of the same
+  * text collide. Semantics = DuckDB `nfc_normalize` (golden-tested).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(input: Any): Any =
+    NormalizeHelper.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormalizeHelper.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+/** `strip_accents(text) -> string` — diacritic removal (NFD → drop
+  * Mn/Mc/Me marks → NFC recompose, utf8proc's STRIPMARK semantics =
+  * DuckDB `strip_accents`, golden-tested incl. Hangul recomposition).
+  * The accent-folding pass before language-ID / fuzzy matching.
+  */
+case class StripAccents(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "strip_accents"
+  override protected def nullSafeEval(input: Any): Any =
+    NormalizeHelper.stripAccents(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormalizeHelper.stripAccents($c)")
+  override protected def withNewChildInternal(newChild: Expression): StripAccents =
+    copy(child = newChild)
+}
+
 /** `lang_guess(text) -> string` — function-word language-ID heuristic
   * (see [[LangIdHelper]]). Codegen'd single pass.
   */

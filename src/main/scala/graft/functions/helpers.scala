@@ -119,6 +119,48 @@ object VecHelper {
   }
 }
 
+/** Unicode normalization, invoked from generated code. Matches the
+  * published Unicode normalization forms (UAX #15, via the JDK's
+  * `java.text.Normalizer`), pinned to DuckDB semantics by golden
+  * tests: `nfc_normalize` = NFC; `strip_accents` = NFD decompose →
+  * drop mark codepoints (Mn/Mc/Me, utf8proc's STRIPMARK set) → NFC
+  * recompose (so Hangul survives intact while stacked diacritics all
+  * strip). ASCII fast path: the common corpus case pays one scan and
+  * zero allocations.
+  */
+object NormalizeHelper {
+  private def isAscii(s: UTF8String): Boolean = {
+    val n = s.numBytes
+    var i = 0
+    while (i < n) {
+      if ((s.getByte(i) & 0x80) != 0) return false
+      i += 1
+    }
+    true
+  }
+
+  def nfc(s: UTF8String): UTF8String =
+    if (isAscii(s)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+
+  def stripAccents(s: UTF8String): UTF8String = {
+    if (isAscii(s)) return s
+    val d = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var i = 0
+    while (i < d.length) {
+      val cp = d.codePointAt(i)
+      val t = Character.getType(cp)
+      if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK &&
+        t != Character.ENCLOSING_MARK) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** Shannon character entropy, invoked from generated code. */
 object EntropyHelper {
   /** Natural-log Shannon entropy of the code-point distribution of

@@ -1710,6 +1710,32 @@ object Inventory {
       .orderBy(col("path"))
   }
 
+  /** Unicode-bearing prefixes for q93, spelled in \u escapes so the
+    * composed-vs-decomposed distinction survives any editor. Each row
+    * concatenates these ahead of the (ASCII) document text, so the
+    * normalizers do real work on EVERY row, not just on a constant:
+    * nfc must compose the decomposed e+acute / ring / umlaut and
+    * recompose the jamo; strip must drop every stacked combining
+    * mark entirely.
+    */
+  private[queries] val NfcPrefix = "Cafe\u0301 A\u030angstro\u0308m \u1112\u1161\u11ab "
+  private[queries] val StripPrefix = "Cafe\u0301 \u1eb7 e\u0301\u0302 \ud55c "
+
+  /** Unicode normalization surface ([[GraftFunctions.nfc_normalize]] /
+    * [[GraftFunctions.strip_accents]]): the pre-dedup canonicalization
+    * pass — composed and decomposed spellings of the same text must
+    * hash identically after NFC, and accent-folded text after
+    * strip_accents. Output is md5 of the normalized strings (compact,
+    * and any codepoint divergence from the oracle's utf8proc is a
+    * hash mismatch). Codegen'd projections, zero exchanges.
+    */
+  private def q93(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        md5(GraftFunctions.nfc_normalize(concat(lit(NfcPrefix), col("text")))).as("nfc_md5"),
+        md5(GraftFunctions.strip_accents(concat(lit(StripPrefix), col("text")))).as("strip_md5"))
+      .orderBy(col("doc_id"))
+
   /** RPM source (the fifth container family; rpm.org file-format
     * spec): the q16 converter chain over [[buildRpmFixture]] — lead
     * and both index headers consumed as framing, the gzipped cpio
@@ -1941,7 +1967,8 @@ object Inventory {
     "q89_cpio_source" -> (q89 _),
     "q90_rpm_source" -> (q90 _),
     "q91_sevenz_source" -> (q91 _),
-    "q92_codec_matrix" -> (q92 _))
+    "q92_codec_matrix" -> (q92 _),
+    "q93_normalize" -> (q93 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -2349,6 +2376,16 @@ object Inventory {
            |  AS t(path, size, sha256)
            |ORDER BY path""".stripMargin
       },
+      // unicode normalization: the SQL interpolates the SAME Scala
+      // prefix vals the engine query uses, so the bytes reaching
+      // DuckDB's utf8proc and the engine's java.text.Normalizer are
+      // identical; md5 of the normalized strings makes any codepoint
+      // divergence a hash mismatch
+      "q93_normalize" ->
+        s"""SELECT doc_id,
+           |  md5(nfc_normalize('$NfcPrefix' || text)) AS nfc_md5,
+           |  md5(strip_accents('$StripPrefix' || text)) AS strip_md5
+           |FROM documents ORDER BY doc_id""".stripMargin,
       "q82_domain_cap" ->
         s"""SELECT doc_id, source FROM (
            |  SELECT doc_id, source,

@@ -48,6 +48,36 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Double]("ent") == math.log(2.0))
   }
 
+  test("nfc_normalize / strip_accents: DuckDB-golden semantics (incl. Hangul)") {
+    // (input, expected nfc_normalize, expected strip_accents) — the
+    // expected strings are DuckDB's own outputs on the same inputs,
+    // captured this round (utf8proc STRIPMARK semantics: NFD -> drop
+    // Mn/Mc/Me -> NFC recompose). Everything is spelled in \\u
+    // escapes: composed-vs-decomposed inputs are the POINT of the
+    // test and must survive any editor normalization.
+    val cases = Seq(
+      ("Cafe\u0301", "Caf\u00e9", "Cafe"), // decomposed e+acute: composes under nfc, strips
+      ("Caf\u00e9", "Caf\u00e9", "Cafe"), // composed e-acute
+      ("m\u00fchleisen", "m\u00fchleisen", "muhleisen"), // u-umlaut
+      ("\u00f8", "\u00f8", "\u00f8"), // o-slash: no decomposition, survives strip
+      ("\ufb01n", "\ufb01n", "\ufb01n"), // fi ligature: NFC/NFD keep it (not NFKD)
+      ("A\u030angstro\u0308m", "\u00c5ngstr\u00f6m", "Angstrom"), // decomposed ring+umlaut
+      ("\u1eb7", "\u1eb7", "a"), // a + breve + dot-below: both marks strip
+      ("\u00df", "\u00df", "\u00df"), // sharp-s survives
+      ("e\u0301\u0302", "\u00e9\u0302", "e"), // stacked marks all strip
+      ("\u1112\u1161\u11ab", "\ud55c", "\ud55c"), // decomposed jamo recompose
+      ("\ud55c", "\ud55c", "\ud55c"), // composed Hangul untouched
+      ("plain ascii", "plain ascii", "plain ascii")) // ascii fast path
+    cases.foreach { case (in, nfcExp, stripExp) =>
+      import spark.implicits._
+      Seq(Tuple1(in)).toDF("t").createOrReplaceTempView("norm_t")
+      val r = spark.sql("SELECT nfc_normalize(t) AS n, strip_accents(t) AS s FROM norm_t").head()
+      def esc(s: String) = s.map(c => f"\\u${c.toInt}%04x").mkString
+      assert(r.getString(0) == nfcExp, s"nfc of ${esc(in)}: got ${esc(r.getString(0))}")
+      assert(r.getString(1) == stripExp, s"strip of ${esc(in)}: got ${esc(r.getString(1))}")
+    }
+  }
+
   test("LATERAL VIEW explode_archive walks nested archives from SQL") {
     import spark.implicits._
     val nested = Fixtures.zipArchive(Seq(
