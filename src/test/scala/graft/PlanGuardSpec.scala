@@ -106,6 +106,17 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q93: normalization is a narrow codegen'd projection (sort exchange only)") {
+    val p = plan("q93_normalize")
+    // nfc_normalize/strip_accents are codegen'd scalar expressions:
+    // the only exchange allowed is the presentation sort's range
+    // partitioning, and the projection must run inside codegen (no
+    // interpreted-UDF BatchEvalPython/eval node)
+    assert(exchanges(p) <= 1, s"q93 grew a shuffle:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"q93 hash-shuffled:\n$p")
+    assert(p.contains("WholeStageCodegen"), s"q93 fell out of codegen:\n$p")
+  }
+
   test("q16: converter plan has no exchange at all (narrow walk -> write)") {
     // the converter itself (no --unique) is shuffle-free by design;
     // q16's presentation sort adds exactly one range exchange

@@ -170,6 +170,56 @@ object ScaleEvidence {
     println(f"""SCALE {"corpus":"cc:$nClusters","op":"q33_components_dist","n_nodes":$nNodes,"n_edges":$nEdges,"iterations":$iters,"wrong_labels":$wrong,"unionfind_parity_diff":$parityDiff,"secs":$secs%.1f}""")
   }
 
+  /** 7z rung (`sevenz:<MB>`): the sixth container family at a real
+    * size, measuring BOTH spool regimes on the same archive — the
+    * in-memory channel (archive below `sevenZMemSpoolMax`) and the
+    * forced task-local temp-file spill (`sevenZMemSpoolMax = 1`).
+    * Members are deterministic pseudo-random (incompressible) 256 KiB
+    * blocks stored with the COPY method so the build is fast and the
+    * measured cost is the SPOOL + walk, not LZMA2 codec throughput
+    * (q91 pins the LZMA2 decode path). Asserts row-count parity
+    * across regimes and zero leaked spool temp files.
+    */
+  private def sevenZRung(spark: SparkSession, mb: Int): Unit = {
+    import org.apache.commons.compress.archivers.sevenz.{SevenZArchiveEntry, SevenZMethod, SevenZOutputFile}
+    val dir = java.nio.file.Files.createTempDirectory("graft-7z-rung").toFile
+    val f = new java.io.File(dir, s"rung-$mb.7z")
+    val out = new SevenZOutputFile(f)
+    out.setContentMethods(java.util.List.of(
+      new org.apache.commons.compress.archivers.sevenz.SevenZMethodConfiguration(SevenZMethod.COPY)))
+    val rnd = new java.util.Random(42)
+    val members = mb * 4
+    val buf = new Array[Byte](256 * 1024)
+    (0 until members).foreach { i =>
+      rnd.nextBytes(buf)
+      val e = new SevenZArchiveEntry()
+      e.setName(f"blocks/m$i%05d.bin")
+      out.putArchiveEntry(e); out.write(buf); out.closeArchiveEntry()
+    }
+    out.close()
+    def spoolFiles(): Set[String] = {
+      val t = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(t.list()).getOrElse(Array.empty[String]).filter(_.startsWith("graft-7z-spool-")).toSet
+    }
+    val before = spoolFiles()
+    def walkOnce(o: graft.core.ConvertOptions): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = graft.convert.ArchiveConverter
+        .entries(spark, Seq(f.getAbsolutePath), o).toDF().count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val (nMem, sMem) = walkOnce(graft.core.ConvertOptions(
+      sevenZMemSpoolMax = 1L << 30, materializeContent = false))
+    val (nFile, sFile) = walkOnce(graft.core.ConvertOptions(
+      sevenZMemSpoolMax = 1L, materializeContent = false))
+    val leaked = (spoolFiles() -- before).size
+    require(nMem == members && nFile == members,
+      s"7z rung row mismatch: mem=$nMem file=$nFile expected=$members")
+    require(leaked == 0, s"7z rung leaked $leaked spool files")
+    val totMb = mb.toDouble
+    println(f"""SCALE {"corpus":"sevenz:$mb","op":"walk_sevenz","members":$members,"mb":$totMb%.0f,"mem_secs":$sMem%.2f,"mem_mbps":${totMb / sMem}%.1f,"file_secs":$sFile%.2f,"file_mbps":${totMb / sFile}%.1f,"leaked_spools":$leaked}""")
+  }
+
   private def timedCount(df: DataFrame): (Long, Double) = {
     val t0 = System.nanoTime()
     val c = df.count()
@@ -190,8 +240,10 @@ object ScaleEvidence {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (ccArgs, docCorpora) = corpora.partition(_.startsWith("cc:"))
+    val (ccArgs, rest0) = corpora.partition(_.startsWith("cc:"))
     ccArgs.foreach(a => componentsRung(spark, a.drop(3).toLong))
+    val (szArgs, docCorpora) = rest0.partition(_.startsWith("sevenz:"))
+    szArgs.foreach(a => sevenZRung(spark, a.drop(7).toInt))
 
     docCorpora.foreach { c =>
       val RealX = "realx(\\d+):(.*)".r
