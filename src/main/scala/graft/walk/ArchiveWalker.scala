@@ -172,10 +172,21 @@ object ArchiveWalker {
   }
 
   /** Shields an archive stream from decompressor/stream close() calls
-    * made while processing one of its entries.
+    * made while processing one of its entries. Also REFUSES mark/reset
+    * even when the underlying stream supports it: the sniff peeks via
+    * mark/reset, and resetting a shared archive stream is only safe
+    * through the sniff's OWN BufferedInputStream — an underlying
+    * stream with side-effect observers (7z wraps COPY-method entries
+    * in a CRC-counting stream whose checksum does not rewind on
+    * reset) would double-count the peeked bytes and fail entry
+    * verification.
     */
   private final class NonClosing(in: InputStream) extends FilterInputStream(in) {
     override def close(): Unit = ()
+    override def markSupported: Boolean = false
+    override def mark(readlimit: Int): Unit = ()
+    override def reset(): Unit =
+      throw new java.io.IOException("mark/reset not supported on archive entry streams")
   }
 
   /** Can a leaf at `path` survive the pushed path-prefix conjunction? */

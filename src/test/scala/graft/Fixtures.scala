@@ -281,11 +281,17 @@ object Fixtures {
     * (LZMA2-coded, end-header layout per the 7-zip.org spec). Names
     * ending `/` become directory entries with no stream.
     */
-  def sevenZArchive(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
-    import org.apache.commons.compress.archivers.sevenz.{SevenZArchiveEntry, SevenZOutputFile}
+  def sevenZArchive(entries: Seq[(String, Array[Byte])],
+      store: Boolean = false): Array[Byte] = {
+    import org.apache.commons.compress.archivers.sevenz.{SevenZArchiveEntry, SevenZMethod, SevenZMethodConfiguration, SevenZOutputFile}
     val f = java.io.File.createTempFile("graft-7z-fixture-", ".7z")
     try {
       val out = new SevenZOutputFile(f)
+      // store=true => COPY method: the entry stream commons-compress
+      // hands back is then mark-capable, the shape that exposed the
+      // peek-vs-CRC walker bug (see NonClosing scaladoc)
+      if (store) out.setContentMethods(java.util.List.of(
+        new SevenZMethodConfiguration(SevenZMethod.COPY)))
       entries.foreach { case (name, data) =>
         val e = new SevenZArchiveEntry()
         val isDir = name.endsWith("/")

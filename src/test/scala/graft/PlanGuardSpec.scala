@@ -107,14 +107,20 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q93: normalization is a narrow codegen'd projection (sort exchange only)") {
-    val p = plan("q93_normalize")
     // nfc_normalize/strip_accents are codegen'd scalar expressions:
     // the only exchange allowed is the presentation sort's range
-    // partitioning, and the projection must run inside codegen (no
-    // interpreted-UDF BatchEvalPython/eval node)
+    // partitioning, and the projection must run inside a
+    // WholeStageCodegen span. Codegen spans only appear in the FINAL
+    // adaptive plan, so execute first (sf0.001 = 500 rows).
+    val df = SparkEntry.queries("q93_normalize")(spark, sfDir)
+    df.collect() // count() would plan a SEPARATE query; collect() runs this one
+    // executed AQE toString renders Final Plan + Initial Plan; keep the
+    // final section only or every exchange counts twice
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(exchanges(p) <= 1, s"q93 grew a shuffle:\n$p")
     assert(!p.contains("Exchange hashpartitioning"), s"q93 hash-shuffled:\n$p")
-    assert(p.contains("WholeStageCodegen"), s"q93 fell out of codegen:\n$p")
+    // codegen'd operators render as `*(n) Op` in the final plan
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined, s"q93 fell out of codegen:\n$p")
   }
 
   test("q16: converter plan has no exchange at all (narrow walk -> write)") {

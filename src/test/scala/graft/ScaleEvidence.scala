@@ -208,6 +208,10 @@ object ScaleEvidence {
         .entries(spark, Seq(f.getAbsolutePath), o).toDF().count()
       (n, (System.nanoTime() - t0) / 1e9)
     }
+    // JIT warm-up pass (discarded) so the two measured regimes are
+    // compared like-for-like, not cold-vs-warm
+    walkOnce(graft.core.ConvertOptions(
+      sevenZMemSpoolMax = 1L << 30, materializeContent = false))
     val (nMem, sMem) = walkOnce(graft.core.ConvertOptions(
       sevenZMemSpoolMax = 1L << 30, materializeContent = false))
     val (nFile, sFile) = walkOnce(graft.core.ConvertOptions(

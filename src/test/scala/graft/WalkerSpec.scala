@@ -497,6 +497,20 @@ class WalkerSpec extends AnyFunSuite {
     assert(sevenZSpoolFiles() == before, "spool temp files deleted at archive end")
   }
 
+  test("7z: COPY-method entries with mark-capable CRC streams walk intact") {
+    // regression: COPY-method 7z entry streams support mark/reset, and
+    // the sniff's peek through a shared mark would double-count bytes
+    // into commons-compress's CRC check (NonClosing now refuses mark).
+    // Member > one 64 KB read buffer so emit() crosses read boundaries.
+    val big = new Array[Byte](200 * 1024)
+    new java.util.Random(7).nextBytes(big)
+    val rows = walk(sevenZArchive(Seq("big.bin" -> big, "small.txt" -> TestData), store = true))
+    assert(rows.map(r => (r.path, r.size)) == Vector(
+      ("big.bin", big.length.toLong), ("small.txt", TestData.length.toLong)))
+    assert(rows(0).hash.sameElements(sha256(big)))
+    assert(rows(1).content.sameElements(TestData))
+  }
+
   test("7z: corrupt/truncated archive ends silently (W7 parity)") {
     val full = sevenZArchive(Seq("x.txt" -> TestData))
     // truncated past the signature: the end header is gone => silent empty
