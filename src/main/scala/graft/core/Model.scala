@@ -261,3 +261,15 @@ final case class ConvertOptions(
     logFile: Option[String] = None) {
   require(minSize.forall(_ >= 0) && maxSize.forall(_ >= 0), "size bounds must be >= 0")
 }
+
+object ConvertOptions {
+  /** Exact reference-default behavior for users migrating from the
+    * reference CLI. The ONLY documented behavioral deviation of the
+    * defaults is the output codec (zstd here vs the reference's
+    * SNAPPY, src/lib.rs:44 — see the `compression` field note for the
+    * measured 15x parquet-java reason); this preset restores SNAPPY
+    * so output files match the reference's size/speed/compatibility
+    * profile byte-for-byte in codec terms.
+    */
+  def referenceParity: ConvertOptions = ConvertOptions(compression = "snappy")
+}

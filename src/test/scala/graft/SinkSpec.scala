@@ -76,6 +76,30 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally reader.close()
   }
 
+  test("ConvertOptions.referenceParity restores the reference's SNAPPY codec") {
+    import Fixtures._
+    val o = graft.core.ConvertOptions.referenceParity
+    assert(o.compression == "snappy", "codec is the one documented deviation")
+    assert(o == graft.core.ConvertOptions(compression = "snappy"),
+      "every other default must match the engine's")
+    val arch = java.io.File.createTempFile("graft_refpar", ".tar")
+    arch.deleteOnExit()
+    val fos = new java.io.FileOutputStream(arch)
+    fos.write(tarArchive(Seq("a.txt" -> "reference parity body".getBytes("UTF-8"))))
+    fos.close()
+    val out = java.nio.file.Files.createTempDirectory("graft_refpar_out").toString
+    ArchiveConverter.convert(spark, Seq(arch.getAbsolutePath), out, o)
+    val part = new java.io.File(out).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(part.getAbsolutePath), new Configuration()))
+    try {
+      val cols = reader.getFooter.getBlocks.asScala.head.getColumns.asScala
+      assert(cols.forall(_.getCodec.name().equalsIgnoreCase("snappy")),
+        cols.map(c => c.getPath.toDotString -> c.getCodec.name()).toString)
+    } finally reader.close()
+  }
+
   test("singleFile writes exactly one parquet part (reference parity)") {
     import Fixtures._
     val dir = java.nio.file.Files.createTempDirectory("graft_single").toFile

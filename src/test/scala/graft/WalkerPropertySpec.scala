@@ -7,7 +7,7 @@ import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Property-based fuzz of the recursive walker: for a RANDOM nested
-  * archive (random container kinds incl. ar/cpio, compressions, names, payloads,
+  * archive (random container kinds incl. ar/cpio/7z, six compressions, names, payloads,
   * nesting), the walk must emit exactly the leaf entries with correct
   * lineage paths, sizes, and SHA-256 digests — the expected listing is
   * computed independently while the fixture is built. Fixed seed =>
@@ -44,8 +44,8 @@ class WalkerPropertySpec extends AnyFunSuite {
       2 -> Gen.zip(nameGen, payloadGen).map { case (n, b) => Leaf(n + ".bin", b) },
       1 -> (for {
         name <- nameGen
-        kind <- Gen.chooseNum(0, 3)   // 0 = tar, 1 = zip, 2 = ar, 3 = cpio
-        codec <- Gen.chooseNum(0, 3)  // none/gzip/zstd/bz2
+        kind <- Gen.chooseNum(0, 4)   // 0 = tar, 1 = zip, 2 = ar, 3 = cpio, 4 = 7z
+        codec <- Gen.chooseNum(0, 5)  // none/gzip/zstd/bz2/lz4/snappy
         width <- Gen.chooseNum(1, 3)
         children <- Gen.listOfN(width, nodeGen(depth - 1))
       } yield Container(name, kind, codec, children)))
@@ -61,17 +61,22 @@ class WalkerPropertySpec extends AnyFunSuite {
         case 0 => tarArchive(entries)
         case 1 => zipArchive(entries)
         case 2 => arArchive(entries) // names >15 chars exercise the // table
-        case _ => cpioArchive(entries)
+        case 3 => cpioArchive(entries)
+        case _ => sevenZArchive(entries) // end-header: exercises the spool
       }
       val wrapped = codec match {
         case 1 => gzipData(arch)
         case 2 => zstdData(arch)
         case 3 => bz2Data(arch)
+        case 4 => lz4Data(arch)
+        case 5 => snappyData(arch)
         case _ => arch
       }
       val ext = (kind match {
-        case 0 => ".tar"; case 1 => ".zip"; case 2 => ".a"; case _ => ".cpio" }) +
-        (codec match { case 1 => ".gz"; case 2 => ".zst"; case 3 => ".bz2"; case _ => "" })
+        case 0 => ".tar"; case 1 => ".zip"; case 2 => ".a"; case 3 => ".cpio"
+        case _ => ".7z" }) +
+        (codec match { case 1 => ".gz"; case 2 => ".zst"; case 3 => ".bz2"
+          case 4 => ".lz4"; case 5 => ".sz"; case _ => "" })
       (n + ext, wrapped)
   }
 
