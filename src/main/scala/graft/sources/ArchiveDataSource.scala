@@ -33,8 +33,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     leaks nothing.
   *
   * Options (all optional): `maxDepth`, `maxEntryBytes`,
-  * `extractStrings`, `skipErrors`, `truncateOversize` — the walker
-  * knobs with the same defaults as [[graft.core.ConvertOptions]].
+  * `extractStrings`, `skipErrors`, `truncateOversize`,
+  * `sevenZMemSpoolMax` — the walker knobs with the same defaults as
+  * [[graft.core.ConvertOptions]].
   * Paths may be local files, directories (expanded one level), globs,
   * or http(s)/file URLs (walked via the S2 streaming source).
   */
@@ -158,6 +159,8 @@ final class ArchiveScanBuilder(options: CaseInsensitiveStringMap)
       extractStrings = options.getBoolean("extractStrings", false),
       skipErrors = options.getBoolean("skipErrors", false),
       truncateOversize = options.getBoolean("truncateOversize", false),
+      sevenZMemSpoolMax = Option(options.get("sevenZMemSpoolMax"))
+        .map(_.toLong).getOrElse(64L << 20),
       materializeContent = names.contains("content"),
       computeHash = names.contains("hash"),
       pruneSizeMin = lo.filter(_ > 0),

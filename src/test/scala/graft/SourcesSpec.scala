@@ -163,6 +163,22 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.toSeq == plain.toSeq)
   }
 
+  test("7z input through the DSV2 face; sevenZMemSpoolMax option reaches the walker") {
+    val sevenZ = sevenZArchive(Seq(
+      "a.txt" -> TestData,
+      "inner.tar" -> tarArchive(Seq("docs/b.txt" -> "seven zip body".getBytes("UTF-8")))))
+    val p = writeFixture("graft_7z_src", sevenZ)
+    // in-memory spool (default) and forced temp-file spool must agree
+    val mem = spark.read.format("archive").load(p)
+      .selectExpr("path", "size").collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val file = spark.read.format("archive").option("sevenZMemSpoolMax", "1").load(p)
+      .selectExpr("path", "size").collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(mem.toSeq == Seq(
+      ("a.txt", TestData.length.toLong),
+      ("inner.tar/docs/b.txt", "seven zip body".length.toLong)))
+    assert(file.toSeq == mem.toSeq)
+  }
+
   test("SQL DDL face: CREATE TABLE ... USING archive") {
     spark.sql("DROP TABLE IF EXISTS graft_arch_sql")
     spark.sql(
