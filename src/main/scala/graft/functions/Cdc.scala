@@ -1,0 +1,142 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** FastCDC-style content-defined chunking (Xia et al., USENIX ATC'16):
+  * a gear rolling hash with normalized chunking — a harder-to-match
+  * mask before the average target size and an easier one after it —
+  * bounded by hard min/max chunk sizes. Cut points depend only on a
+  * ~`log2(avg)+2`-byte sliding window of local content, so an insertion
+  * or deletion re-aligns within about one chunk and duplicated regions
+  * across documents re-emit IDENTICAL chunk hashes. That is the property
+  * binary-level dedup at corpus scale needs and that fixed-size
+  * chunking fundamentally lacks (one shifted byte re-keys every
+  * following block).
+  *
+  * Determinism contract: the gear table derives from the splitmix64
+  * finalizer over a fixed seed, so cut points are bit-stable across
+  * JVMs, engines and releases; the q95 oracle re-derives them in an
+  * independent implementation of this spec.
+  */
+object CdcHelper {
+  private final val Gamma = 0x9E3779B97F4A7C15L
+  private final val GearSeed = 0x6772616674636463L // "graftcdc"
+
+  /** splitmix64 finalizer (public domain, Steele et al.) — the same
+    * mix both the gear table and the q95 fixture stream are built on.
+    */
+  def mix64(v: Long): Long = {
+    var x = v
+    x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+    x ^= x >>> 27; x *= 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  private val gear: Array[Long] =
+    Array.tabulate(256)(i => mix64(GearSeed ^ (i.toLong * Gamma)))
+
+  /** Cut `data` into content-defined chunks; returns rows of
+    * (offset: long, size: int, sha256: string). `avg` must be a power
+    * of two ≥ 16 and min < avg ≤ max must hold (analysis-time check in
+    * [[CdcChunks]]).
+    */
+  def chunks(data: Array[Byte], min: Int, avg: Int, max: Int): GenericArrayData = {
+    val bits = 31 - Integer.numberOfLeadingZeros(avg)
+    val maskS = (1L << (bits + 2)) - 1L
+    val maskL = (1L << (bits - 2)) - 1L
+    val n = data.length
+    val md = MessageDigest.getInstance("SHA-256")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var off = 0
+    while (off < n) {
+      val end = math.min(off + max, n)
+      var boundary = end
+      if (end - off > min) {
+        val normal = math.min(off + avg, end)
+        var fp = 0L
+        var i = off + min
+        var found = false
+        while (i < normal && !found) {
+          fp = (fp << 1) + gear(data(i) & 0xFF)
+          if ((fp & maskS) == 0L) { boundary = i + 1; found = true }
+          i += 1
+        }
+        while (i < end && !found) {
+          fp = (fp << 1) + gear(data(i) & 0xFF)
+          if ((fp & maskL) == 0L) { boundary = i + 1; found = true }
+          i += 1
+        }
+      }
+      val size = boundary - off
+      md.reset()
+      md.update(data, off, size)
+      out += InternalRow(off.toLong, size, UTF8String.fromString(hex(md.digest())))
+      off = boundary
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private def hex(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      sb.append(Character.forDigit((b(i) >> 4) & 0xF, 16))
+      sb.append(Character.forDigit(b(i) & 0xF, 16))
+      i += 1
+    }
+    sb.toString
+  }
+}
+
+/** `cdc_chunks(content, min, avg, max) ->
+  * array<struct<offset:bigint, size:int, sha256:string>>` — FastCDC
+  * content-defined chunking of a binary value (see [[CdcHelper]]).
+  * Codegen'd scalar: the per-row loop runs inside whole-stage codegen
+  * via the static helper, the same pattern as [[Fingerprint]].
+  */
+case class CdcChunks(first: Expression, second: Expression, third: Expression,
+    fourth: Expression) extends QuaternaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("size", IntegerType, nullable = false),
+    StructField("sha256", StringType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_chunks"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    def intLit(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, IntegerType) => Some(v)
+      case _ => None
+    }
+    if (first.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure("cdc_chunks expects a binary content column")
+    else (intLit(second), intLit(third), intLit(fourth)) match {
+      case (Some(mn), Some(avg), Some(mx)) =>
+        if (avg < 16 || Integer.bitCount(avg) != 1)
+          TypeCheckResult.TypeCheckFailure(s"avg chunk size must be a power of two >= 16, got $avg")
+        else if (!(mn > 0 && mn < avg && avg <= mx))
+          TypeCheckResult.TypeCheckFailure(s"need 0 < min < avg <= max, got ($mn, $avg, $mx)")
+        else TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure("cdc_chunks sizes must be integer literals")
+    }
+  }
+
+  override protected def nullSafeEval(content: Any, mn: Any, avg: Any, mx: Any): Any =
+    CdcHelper.chunks(content.asInstanceOf[Array[Byte]],
+      mn.asInstanceOf[Int], avg.asInstanceOf[Int], mx.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, mn, avg, mx) =>
+      s"graft.functions.CdcHelper.chunks($c, $mn, $avg, $mx)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): CdcChunks =
+    copy(first = f, second = s, third = t, fourth = q)
+}

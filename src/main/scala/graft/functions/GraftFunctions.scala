@@ -43,6 +43,14 @@ object GraftFunctions {
   def fingerprint(text: Column, k: Int = 9, window: Int = 4): Column =
     column(Fingerprint(expression(text), expression(lit(k)), expression(lit(window))))
 
+  /** FastCDC content-defined chunking of a binary column — see
+    * [[CdcHelper]]. Sizes are analysis-time-checked literals.
+    */
+  def cdc_chunks(content: Column, min: Int = 2048, avg: Int = 8192,
+      max: Int = 65536): Column =
+    column(CdcChunks(expression(content), expression(lit(min)),
+      expression(lit(avg)), expression(lit(max))))
+
   /** Per-occurrence DSIR hashed unigram+bigram feature buckets. */
   def hashed_grams(text: Column, buckets: Int): Column =
     column(HashedGrams(expression(text), expression(lit(buckets))))

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Content-defined-chunking dedup over binary/document content
+  * (FastCDC, Xia et al. USENIX ATC'16 — see
+  * [[graft.functions.CdcHelper]]). Where minhash/simhash find NEAR
+  * duplicate *documents*, CDC finds byte-identical *regions* shared
+  * across documents (boilerplate headers, re-posted articles, vendored
+  * files inside archives) even when the surrounding bytes shifted —
+  * insertions re-align within ~one chunk because cut points depend
+  * only on a small sliding window of local content.
+  *
+  * 100 TB scale story:
+  *   - chunking is a codegen'd narrow projection ([[CdcChunks]]):
+  *     scan speed, zero exchanges, no state;
+  *   - the only shuffle key is the 32-byte chunk hash with a 1-word
+  *     count — map-side partial aggregation collapses each partition
+  *     to its distinct chunk set before the exchange, so the shuffle
+  *     carries the distinct-chunk cardinality, never the corpus bytes;
+  *   - dedup accounting (`dedupStats`) reduces to a single row; the
+  *     per-hash winner election for chunk-store construction is the
+  *     same (hash → min id) shape as [[Dedup.exactWinners]].
+  */
+object Cdc {
+
+  /** Explode each row's content into its content-defined chunks:
+    * (idCol, offset, size, sha256). One narrow generate — no shuffle.
+    */
+  def chunkTable(df: DataFrame, idCol: String, contentCol: String,
+      min: Int = 2048, avg: Int = 8192, max: Int = 65536): DataFrame =
+    df.select(col(idCol),
+        explode(GraftFunctions.cdc_chunks(col(contentCol), min, avg, max)).as("c"))
+      .select(col(idCol), col("c.offset").as("offset"),
+        col("c.size").as("size"), col("c.sha256").as("sha256"))
+
+  /** One-row corpus dedup accounting over a [[chunkTable]]: total vs
+    * distinct chunks and bytes, and the byte-level dedup ratio a
+    * chunk-store would achieve. Hash-keyed partial agg, single
+    * exchange on the chunk hash, one-row result.
+    */
+  def dedupStats(chunks: DataFrame): DataFrame =
+    chunks.groupBy(col("sha256"))
+      .agg(count(lit(1)).as("occurrences"), first(col("size")).as("chunk_size"))
+      .agg(
+        sum(col("occurrences")).as("total_chunks"),
+        count(lit(1)).as("distinct_chunks"),
+        sum(col("occurrences") * col("chunk_size")).as("total_bytes"),
+        sum(col("chunk_size")).as("distinct_bytes"))
+      .withColumn("dedup_ratio",
+        col("distinct_bytes").cast("double") / col("total_bytes"))
+}

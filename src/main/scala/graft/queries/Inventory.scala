@@ -1749,6 +1749,123 @@ object Inventory {
       .orderBy(col("path"))
   }
 
+  /** Deterministic Debian package fixture (deb(5) layout): the common
+    * ar dialect (plain member names, no GNU terminators — the dialect
+    * dpkg actually writes), `debian-binary`, a gzipped control tarball
+    * and an xz data tarball whose members use dpkg's `./`-anchored
+    * paths. Byte-stable: fixed bodies, fixed mtimes.
+    */
+  private[queries] def buildDebFixture(): String = {
+    import java.io._
+    import java.util.zip.GZIPOutputStream
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    import org.apache.commons.compress.compressors.xz.XZCompressorOutputStream
+    def tarOf(dirs: Seq[String], members: Seq[(String, Array[Byte])]): Array[Byte] = {
+      val buf = new ByteArrayOutputStream()
+      val to = new TarArchiveOutputStream(buf)
+      dirs.foreach { d =>
+        val e = new TarArchiveEntry(d)
+        e.setModTime(1000000000000L)
+        to.putArchiveEntry(e); to.closeArchiveEntry()
+      }
+      members.foreach { case (n, b) =>
+        val e = new TarArchiveEntry(n)
+        e.setSize(b.length.toLong); e.setModTime(1000000000000L)
+        to.putArchiveEntry(e); to.write(b); to.closeArchiveEntry()
+      }
+      to.close(); buf.toByteArray
+    }
+    val out = new ByteArrayOutputStream()
+    out.write("!<arch>\n".getBytes("US-ASCII"))
+    def member(name: String, data: Array[Byte]): Unit = {
+      val sb = new StringBuilder
+      sb.append(name.padTo(16, ' '))
+      sb.append("0".padTo(12, ' ')).append("0".padTo(6, ' '))
+        .append("0".padTo(6, ' ')).append("100644".padTo(8, ' '))
+      sb.append(data.length.toString.padTo(10, ' ')).append("`\n")
+      out.write(sb.toString.getBytes("US-ASCII"))
+      out.write(data)
+      if (data.length % 2 == 1) out.write('\n')
+    }
+    member("debian-binary", "2.0\n".getBytes("US-ASCII"))
+    val control = ("Package: graft-fixture\nVersion: 1.0-1\nArchitecture: all\n" +
+      "Maintainer: Graft <graft@example.org>\nDescription: deterministic fixture\n")
+      .getBytes("UTF-8")
+    val md5sums =
+      "0123456789abcdef0123456789abcdef  usr/share/doc/graft/readme.txt\n".getBytes("UTF-8")
+    val gzBuf = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(gzBuf)
+    gz.write(tarOf(Seq("./"), Seq("./control" -> control, "./md5sums" -> md5sums)))
+    gz.close()
+    member("control.tar.gz", gzBuf.toByteArray)
+    val conf = "option = value\n".getBytes("UTF-8")
+    val readme = "deb data member readme\n".getBytes("UTF-8")
+    val xzBuf = new ByteArrayOutputStream()
+    val xz = new XZCompressorOutputStream(xzBuf)
+    xz.write(tarOf(Seq("./", "./etc/", "./usr/", "./usr/share/", "./usr/share/doc/",
+      "./usr/share/doc/graft/"),
+      Seq("./etc/graft.conf" -> conf, "./usr/share/doc/graft/readme.txt" -> readme)))
+    xz.close()
+    member("data.tar.xz", xzBuf.toByteArray)
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q94_fixture")
+    dir.mkdirs()
+    val f = new File(dir, "fixture.deb")
+    val fos = new FileOutputStream(f)
+    fos.write(out.toByteArray); fos.close()
+    f.getAbsolutePath
+  }
+
+  /** Debian package source (the seventh container family, deb(5)):
+    * the q16 converter chain over [[buildDebFixture]]. Nothing in the
+    * walker special-cases deb — the family works by COMPOSITION:
+    * ar dispatch → per-member sniff → gzip/xz transparent decode →
+    * tar expansion, each stage an already-proven operator, which is
+    * exactly the recursive-dispatch design claim (SURVEY §2.2 W1).
+    */
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val path = buildDebFixture()
+    ArchiveConverter.entries(s, Seq(path), ConvertOptions()).toDF()
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+  }
+
+  /** q95 fixture stream: 256 KiB of splitmix64-derived bytes with the
+    * 96 KiB region [32768, 131072) duplicated at [163840, 262144) —
+    * the CDC resync property makes the chunker re-emit identical
+    * chunk hashes inside the copy even though it starts mid-chunk.
+    */
+  private[queries] def cdcFixtureBytes(): Array[Byte] = {
+    val n = 262144
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      out(i) = graft.functions.CdcHelper.mix64(
+        0x51AB3C9DE0F17245L ^ (i.toLong * 0x9E3779B97F4A7C15L)).toByte
+      i += 1
+    }
+    System.arraycopy(out, 32768, out, 163840, 98304)
+    out
+  }
+
+  /** FastCDC content-defined chunking
+    * ([[GraftFunctions.cdc_chunks]] / [[graft.ops.Cdc]]): the
+    * byte-level dedup primitive — chunk boundaries depend only on
+    * local content, so the fixture's duplicated 96 KiB tail re-emits
+    * the original region's chunk hashes (9 of the 29 chunks below are
+    * exact repeats). Oracle rows are derived from an independent
+    * implementation of the published algorithm (q16's rule — DuckDB
+    * cannot roll a gear hash).
+    */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val df = Seq(Tuple1(cdcFixtureBytes())).toDF("content")
+    df.select(explode(GraftFunctions.cdc_chunks(col("content"))).as("c"))
+      // "offset" is a DuckDB reserved word — chunk_offset on both sides
+      .select(col("c.offset").as("chunk_offset"),
+        col("c.size").cast("bigint").as("size"), col("c.sha256").as("sha256"))
+      .orderBy(col("chunk_offset"))
+  }
+
   /** cpio source (the initramfs / RPM-payload container, POSIX pax
     * spec): the q16 converter chain over [[buildCpioFixture]] —
     * directory records are skipped, a gzip member lands decompressed,
@@ -1968,7 +2085,9 @@ object Inventory {
     "q90_rpm_source" -> (q90 _),
     "q91_sevenz_source" -> (q91 _),
     "q92_codec_matrix" -> (q92 _),
-    "q93_normalize" -> (q93 _))
+    "q93_normalize" -> (q93 _),
+    "q94_deb_source" -> (q94 _),
+    "q95_cdc_chunks" -> (q95 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -2386,6 +2505,65 @@ object Inventory {
            |  md5(nfc_normalize('$NfcPrefix' || text)) AS nfc_md5,
            |  md5(strip_accents('$StripPrefix' || text)) AS strip_md5
            |FROM documents ORDER BY doc_id""".stripMargin,
+      // deb source: member sizes/digests computed independently of the
+      // engine (q16's rule) — control/data tar members keep dpkg's
+      // ./-anchored names under their tarball member's lineage prefix
+      "q94_deb_source" ->
+        """SELECT * FROM (VALUES
+          |  ('control.tar.gz/./control', CAST(129 AS BIGINT),
+          |   'ac4466d20fb96c741f49675d80165b4b2a0b4656c78c2ce3fa631d3a9ce0e1bf'),
+          |  ('control.tar.gz/./md5sums', CAST(65 AS BIGINT),
+          |   '7a6cdeef27efc6908375ef84b73d73c42e59a59979c638e0f6525f59da4de3fd'),
+          |  ('data.tar.xz/./etc/graft.conf', CAST(15 AS BIGINT),
+          |   '04e990da6aad57cdd8da0fe4d2863da0d24a4ac282b1397b407c6d689b66806c'),
+          |  ('data.tar.xz/./usr/share/doc/graft/readme.txt', CAST(23 AS BIGINT),
+          |   'edc5499fe0f0eec5e6d2b2657e6525da9f4e22ec84b01127037d3c93e1739351'),
+          |  ('debian-binary', CAST(4 AS BIGINT),
+          |   'd526eb4e878a23ef26ae190031b4efd2d58ed66789ac049ea3dbaf74c9df7402'))
+          |  AS t(path, size, sha256)
+          |ORDER BY path""".stripMargin,
+      // cdc chunks: offsets/sizes/digests derived from an INDEPENDENT
+      // implementation of the published FastCDC spec (gear table =
+      // splitmix64 finalizer over seed 0x6772616674636463, maskS =
+      // 2^(bits+2)-1, maskL = 2^(bits-2)-1, min/avg/max =
+      // 2048/8192/65536) run over the same splitmix64 fixture bytes —
+      // any drift in the engine's gear table, mask policy, min-skip or
+      // boundary-off-by-one breaks sizes, offsets AND digests at once.
+      // Rows 20-28 repeat rows 6-14's digests: the planted 96 KiB
+      // duplicate region re-chunks identically after one resync chunk.
+      "q95_cdc_chunks" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(0 AS BIGINT), CAST(3169 AS BIGINT), 'a50211b0fe237d28aa31e37158bfffed7609b7c775a60b08aaa38a9093230553'),
+          |  (CAST(3169 AS BIGINT), CAST(9764 AS BIGINT), '7565ad4b3af97a42313a548f5bd432d5149f2067811daa16ae8438c5a430fef3'),
+          |  (CAST(12933 AS BIGINT), CAST(8956 AS BIGINT), 'e04b7ea04cb5defabb7c0f3b6d3ffa7e5ba38917591e2a382c36829717c78623'),
+          |  (CAST(21889 AS BIGINT), CAST(9059 AS BIGINT), 'fd15b34625a07d2fe137e0d27a3094c591053ae25f236ce7d23ec1d8e78b646f'),
+          |  (CAST(30948 AS BIGINT), CAST(7627 AS BIGINT), 'c5e3fbd6979e26a01acc09153e637b68d994980460ae29e98f5620c364890dd0'),
+          |  (CAST(38575 AS BIGINT), CAST(9343 AS BIGINT), '2e708c9cb7b97ffbc2640308852339931d342e37660466ceee0137fb67008dc1'),
+          |  (CAST(47918 AS BIGINT), CAST(10944 AS BIGINT), '6e805faefb1052197ca9b3e329b9c7264c500bb06ac36a2c311ae1c63d5e96fe'),
+          |  (CAST(58862 AS BIGINT), CAST(9807 AS BIGINT), 'ccddeb924b264680728ee5a6640ca753a42735e8aa2adba3fa847144e1b61d14'),
+          |  (CAST(68669 AS BIGINT), CAST(9039 AS BIGINT), 'eeb3d4a60d4a48899d78cfc35c998f53067ee48f8d616f6507ae67ec1e023116'),
+          |  (CAST(77708 AS BIGINT), CAST(9430 AS BIGINT), '6dc21a0607564ba93bc27806af0387754339edae88b571d43453012f5aa89123'),
+          |  (CAST(87138 AS BIGINT), CAST(9097 AS BIGINT), '69c438d17d02226bc44a688e9f671f321608d65294153523cacab9311d3ff85c'),
+          |  (CAST(96235 AS BIGINT), CAST(6128 AS BIGINT), '5f583cff1acd2f6464307f4b765be9fd3fc578b6b553f81099c355a476a903d2'),
+          |  (CAST(102363 AS BIGINT), CAST(8267 AS BIGINT), 'e910d5e38dad670abae78784b830f8b99fa5484448402a0e8612721d538c0cc8'),
+          |  (CAST(110630 AS BIGINT), CAST(10790 AS BIGINT), '2916794353d85790e116a733ab49b8fa271d3793409b4664808fbfb590fffd85'),
+          |  (CAST(121420 AS BIGINT), CAST(9772 AS BIGINT), '682e5938cc42146587c0dc7c4bea0fa631a49fe19c86c562c38a0c7216f61ede'),
+          |  (CAST(131192 AS BIGINT), CAST(9250 AS BIGINT), '2337beb7e659a8674a01258caeb90d0791e306512229157e37047b9a07734272'),
+          |  (CAST(140442 AS BIGINT), CAST(11023 AS BIGINT), 'd504b12cb502c742cbce41f196162f6c3628e38feb68a3941ec8e50b182674d2'),
+          |  (CAST(151465 AS BIGINT), CAST(11586 AS BIGINT), 'fc208f157478e865296026461b26074f9791045984b4ba79aa1fdf1d59d31b5f'),
+          |  (CAST(163051 AS BIGINT), CAST(6596 AS BIGINT), 'e0050bdec60380f4393e5e0556cb1c87a3da454cd867fc011b2e6ba7cf618d6c'),
+          |  (CAST(169647 AS BIGINT), CAST(9343 AS BIGINT), '2e708c9cb7b97ffbc2640308852339931d342e37660466ceee0137fb67008dc1'),
+          |  (CAST(178990 AS BIGINT), CAST(10944 AS BIGINT), '6e805faefb1052197ca9b3e329b9c7264c500bb06ac36a2c311ae1c63d5e96fe'),
+          |  (CAST(189934 AS BIGINT), CAST(9807 AS BIGINT), 'ccddeb924b264680728ee5a6640ca753a42735e8aa2adba3fa847144e1b61d14'),
+          |  (CAST(199741 AS BIGINT), CAST(9039 AS BIGINT), 'eeb3d4a60d4a48899d78cfc35c998f53067ee48f8d616f6507ae67ec1e023116'),
+          |  (CAST(208780 AS BIGINT), CAST(9430 AS BIGINT), '6dc21a0607564ba93bc27806af0387754339edae88b571d43453012f5aa89123'),
+          |  (CAST(218210 AS BIGINT), CAST(9097 AS BIGINT), '69c438d17d02226bc44a688e9f671f321608d65294153523cacab9311d3ff85c'),
+          |  (CAST(227307 AS BIGINT), CAST(6128 AS BIGINT), '5f583cff1acd2f6464307f4b765be9fd3fc578b6b553f81099c355a476a903d2'),
+          |  (CAST(233435 AS BIGINT), CAST(8267 AS BIGINT), 'e910d5e38dad670abae78784b830f8b99fa5484448402a0e8612721d538c0cc8'),
+          |  (CAST(241702 AS BIGINT), CAST(10790 AS BIGINT), '2916794353d85790e116a733ab49b8fa271d3793409b4664808fbfb590fffd85'),
+          |  (CAST(252492 AS BIGINT), CAST(9652 AS BIGINT), 'c44fc6530c12e29ad9b7e3c16a95eb2859f912c1feac36ee54b5322354ffcf5f'))
+          |  AS t(chunk_offset, size, sha256)
+          |ORDER BY chunk_offset""".stripMargin,
       "q82_domain_cap" ->
         s"""SELECT doc_id, source FROM (
            |  SELECT doc_id, source,
