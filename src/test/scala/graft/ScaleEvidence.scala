@@ -224,6 +224,49 @@ object ScaleEvidence {
     println(f"""SCALE {"corpus":"sevenz:$mb","op":"walk_sevenz","members":$members,"mb":$totMb%.0f,"mem_secs":$sMem%.2f,"mem_mbps":${totMb / sMem}%.1f,"file_secs":$sFile%.2f,"file_mbps":${totMb / sFile}%.1f,"leaked_spools":$leaked}""")
   }
 
+  /** CDC rung (`cdc:<mb>`): chunk `mb` MiB of splitmix64-generated
+    * binary docs (4 MiB each, generated in parallel, 1 in 4 docs a
+    * byte-identical copy of its neighbor) through
+    * [[graft.ops.Cdc.chunkTable]] + [[graft.ops.Cdc.dedupStats]].
+    * Properties measured: (a) chunking throughput at full width —
+    * it is a narrow codegen'd projection, so this IS the scan-speed
+    * claim; (b) the accounting detects exactly the planted 25%
+    * duplicate bytes; (c) mean chunk size lands near the 8 KiB
+    * target (the mask calibration check).
+    */
+  private def cdcRung(spark: SparkSession, mb: Int): Unit = {
+    import spark.implicits._
+    val docBytes = 4 << 20
+    val nDocs = math.max(4, mb / 4)
+    val docs = spark.range(nDocs.toLong).map { id =>
+      val src: Long = if (id % 4 == 3) id - 1 else id // planted byte-identical copy
+      val out = new Array[Byte](docBytes)
+      var w = 0
+      while (w < docBytes / 8) {
+        var v = graft.functions.CdcHelper.mix64(src * 0x9E3779B97F4A7C15L + w)
+        var b = 0
+        while (b < 8) { out(w * 8 + b) = v.toByte; v >>>= 8; b += 1 }
+        w += 1
+      }
+      (id, out)
+    }.toDF("doc_id", "content").cache()
+    docs.count() // materialize: measure chunking, not generation
+    val chunked = graft.ops.Cdc.chunkTable(docs, "doc_id", "content")
+    val (warmChunks, _) = timedCount(chunked) // JIT warm-up, discarded
+    val (nChunks, cSecs) = timedCount(chunked)
+    val t0 = System.nanoTime()
+    val stats = graft.ops.Cdc.dedupStats(chunked).collect().head
+    val sSecs = (System.nanoTime() - t0) / 1e9
+    val totMb = nDocs.toDouble * 4
+    val ratio = stats.getAs[Double]("dedup_ratio")
+    val meanChunk = stats.getAs[Long]("total_bytes").toDouble / nChunks
+    require(warmChunks == nChunks, "cdc rung nondeterminism")
+    require(ratio > 0.70 && ratio < 0.80,
+      s"planted 25% duplicate bytes must surface in dedup_ratio, got $ratio")
+    docs.unpersist()
+    println(f"""SCALE {"corpus":"cdc:$mb","op":"q95_cdc_chunks","n_docs":$nDocs,"mb":$totMb%.0f,"chunks":$nChunks,"mean_chunk_bytes":$meanChunk%.0f,"chunk_secs":$cSecs%.2f,"chunk_mbps":${totMb / cSecs}%.1f,"stats_secs":$sSecs%.2f,"dedup_ratio":$ratio%.4f}""")
+  }
+
   private def timedCount(df: DataFrame): (Long, Double) = {
     val t0 = System.nanoTime()
     val c = df.count()
@@ -246,8 +289,10 @@ object ScaleEvidence {
 
     val (ccArgs, rest0) = corpora.partition(_.startsWith("cc:"))
     ccArgs.foreach(a => componentsRung(spark, a.drop(3).toLong))
-    val (szArgs, docCorpora) = rest0.partition(_.startsWith("sevenz:"))
+    val (szArgs, rest1) = rest0.partition(_.startsWith("sevenz:"))
     szArgs.foreach(a => sevenZRung(spark, a.drop(7).toInt))
+    val (cdcArgs, docCorpora) = rest1.partition(_.startsWith("cdc:"))
+    cdcArgs.foreach(a => cdcRung(spark, a.drop(4).toInt))
 
     docCorpora.foreach { c =>
       val RealX = "realx(\\d+):(.*)".r
