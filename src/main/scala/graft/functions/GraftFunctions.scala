@@ -64,6 +64,16 @@ object GraftFunctions {
     */
   def char_entropy(text: Column): Column = column(CharEntropy(expression(text)))
 
+  /** Never-throwing URL decomposition — see [[UrlHelper.parts]]. */
+  def url_parts(url: Column): Column = column(UrlParts(expression(url)))
+
+  /** eTLD+1 under the inline suffix shortlist — the grouping key for
+    * per-domain quota caps ([[graft.ops.Sampling.domainCap]]) and
+    * domain-level dedup. See [[UrlHelper.registeredDomain]].
+    */
+  def registered_domain(host: Column): Column =
+    column(RegisteredDomain(expression(host)))
+
   /** Unicode NFC normalization (UAX #15; = DuckDB `nfc_normalize`). */
   def nfc_normalize(text: Column): Column = column(NfcNormalize(expression(text)))
 
@@ -127,6 +137,8 @@ object GraftFunctions {
     "char_entropy" -> (e => CharEntropy(e.head)),
     "nfc_normalize" -> (e => NfcNormalize(e.head)),
     "strip_accents" -> (e => StripAccents(e.head)),
+    "url_parts" -> (e => UrlParts(e.head)),
+    "registered_domain" -> (e => RegisteredDomain(e.head)),
     "explode_archive" -> (e => ExplodeArchive(e.head)))
 
   /** Register the custom expressions for SQL use in an existing session

@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** URL decomposition for web-corpus pipelines (RFC 3986-lite): the
+  * primitive under per-domain quota caps ([[graft.ops.Sampling.domainCap]]),
+  * URL-keyed exact dedup and crawl-frontier accounting. Hand-rolled
+  * rather than `java.net.URI` because real crawl data is full of URLs
+  * URI rejects with exceptions — this parser never throws, it returns
+  * null for anything without a recognizable `scheme://host` shape and
+  * parses the rest permissively.
+  */
+object UrlHelper {
+
+  /** Country-code second-level suffixes treated as part of the public
+    * suffix (the high-traffic subset of the public-suffix list's
+    * ccSLD section — a deliberate inline shortlist, documented
+    * deviation: the full PSL is a data file, not an algorithm).
+    */
+  private[graft] val MultiLabelSuffixes: Set[String] = Set(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
+    "co.in", "co.kr", "co.za", "co.nz", "co.id", "co.th")
+
+  private def isSchemeChar(c: Char, first: Boolean): Boolean =
+    if (first) c.isLetter
+    else c.isLetterOrDigit || c == '+' || c == '-' || c == '.'
+
+  /** Parse into (scheme, host, port, path, query, fragment) — an
+    * InternalRow matching [[UrlParts.dataType]]; null if the value has
+    * no `scheme://host` shape. scheme/host are lowercased; userinfo is
+    * dropped; port/query/fragment are null when absent; path is the
+    * raw (possibly empty) segment between authority and query.
+    */
+  def parts(url: UTF8String): InternalRow = {
+    if (url == null) return null
+    val u = url.toString
+    val sep = u.indexOf("://")
+    if (sep <= 0) return null
+    var i = 0
+    while (i < sep) {
+      if (!isSchemeChar(u.charAt(i), i == 0)) return null
+      i += 1
+    }
+    val scheme = u.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+    val rest = u.substring(sep + 3)
+    var aEnd = rest.length
+    var j = 0
+    var done = false
+    while (j < rest.length && !done) {
+      val c = rest.charAt(j)
+      if (c == '/' || c == '?' || c == '#') { aEnd = j; done = true }
+      j += 1
+    }
+    val auth = rest.substring(0, aEnd)
+    val tail = rest.substring(aEnd)
+    val at = auth.lastIndexOf('@')
+    val hostPort = auth.substring(at + 1)
+    var host: String = null
+    var port = -1
+    if (hostPort.startsWith("[")) { // IPv6 literal
+      val close = hostPort.indexOf(']')
+      if (close < 0) return null
+      host = hostPort.substring(0, close + 1)
+      val after = hostPort.substring(close + 1)
+      if (after.startsWith(":") && after.length > 1 && after.drop(1).forall(_.isDigit))
+        port = after.drop(1).toInt
+      else if (after.nonEmpty) return null
+    } else {
+      val colon = hostPort.lastIndexOf(':')
+      if (colon >= 0 && colon < hostPort.length - 1 &&
+          hostPort.substring(colon + 1).forall(_.isDigit)) {
+        host = hostPort.substring(0, colon)
+        port = hostPort.substring(colon + 1).toInt
+      } else if (colon >= 0 && colon == hostPort.length - 1) {
+        host = hostPort.substring(0, colon) // trailing bare colon
+      } else {
+        host = hostPort
+      }
+    }
+    if (host.isEmpty) return null
+    host = host.toLowerCase(java.util.Locale.ROOT)
+    val q = tail.indexOf('?')
+    val h = tail.indexOf('#')
+    val pathEnd =
+      if (q >= 0 && (h < 0 || q < h)) q
+      else if (h >= 0) h
+      else tail.length
+    val path = tail.substring(0, pathEnd)
+    val query =
+      if (q >= 0 && (h < 0 || q < h))
+        tail.substring(q + 1, if (h > q) h else tail.length)
+      else null
+    val fragment = if (h >= 0) tail.substring(h + 1) else null
+    InternalRow(
+      UTF8String.fromString(scheme),
+      UTF8String.fromString(host),
+      if (port >= 0) port else null,
+      UTF8String.fromString(path),
+      if (query != null) UTF8String.fromString(query) else null,
+      if (fragment != null) UTF8String.fromString(fragment) else null)
+  }
+
+  /** eTLD+1 under the inline suffix shortlist: IP literals and 1–2
+    * label hosts pass through; hosts whose last two labels are a known
+    * multi-label suffix keep three labels, every other host keeps two.
+    */
+  def registeredDomain(host: UTF8String): UTF8String = {
+    if (host == null) return null
+    val hs = host.toString
+    if (hs.startsWith("[") || hs.forall(c => c.isDigit || c == '.')) return host
+    val labels = hs.split('.')
+    if (labels.length <= 2) return host
+    val last2 = labels(labels.length - 2) + "." + labels(labels.length - 1)
+    val keep = if (MultiLabelSuffixes.contains(last2)) 3 else 2
+    UTF8String.fromString(labels.takeRight(keep).mkString("."))
+  }
+}
+
+/** `url_parts(url) -> struct<scheme,host,port,path,query,fragment>` —
+  * never-throwing URL decomposition (see [[UrlHelper.parts]]); null
+  * for values without a `scheme://host` shape.
+  */
+case class UrlParts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("scheme", StringType, nullable = false),
+    StructField("host", StringType, nullable = false),
+    StructField("port", IntegerType, nullable = true),
+    StructField("path", StringType, nullable = false),
+    StructField("query", StringType, nullable = true),
+    StructField("fragment", StringType, nullable = true)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "url_parts"
+  override protected def nullSafeEval(url: Any): Any =
+    UrlHelper.parts(url.asInstanceOf[UTF8String])
+  // parts() returns null for unparseable input, so the generated code
+  // must propagate it into isNull (defineCodeGen would not)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.UrlHelper.parts($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): UrlParts =
+    copy(child = newChild)
+}
+
+/** `registered_domain(host) -> string` — eTLD+1 election under the
+  * documented inline suffix shortlist (see [[UrlHelper.registeredDomain]]):
+  * the key per-domain quota caps and domain-level dedup group on.
+  */
+case class RegisteredDomain(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "registered_domain"
+  override protected def nullSafeEval(host: Any): Any =
+    UrlHelper.registeredDomain(host.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlHelper.registeredDomain($c)")
+  override protected def withNewChildInternal(newChild: Expression): RegisteredDomain =
+    copy(child = newChild)
+}

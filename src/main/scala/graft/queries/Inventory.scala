@@ -1866,6 +1866,43 @@ object Inventory {
       .orderBy(col("chunk_offset"))
   }
 
+  /** URL decomposition + eTLD+1
+    * ([[GraftFunctions.url_parts]] / [[GraftFunctions.registered_domain]]):
+    * the web-corpus keying primitive (per-domain quota caps, URL-keyed
+    * dedup). URLs are synthesized deterministically from doc_id/source
+    * ON BOTH SIDES (mixed-case scheme+host, optional userinfo, port,
+    * query, fragment, and multi-label ccSLD suffixes), so the oracle
+    * compares a full parse, not a fixed literal. Narrow codegen'd
+    * projections, zero exchanges.
+    */
+  private def q96(s: SparkSession, d: String): DataFrame = {
+    val tld = element_at(
+      array(lit("com"), lit("org"), lit("co.uk"), lit("com.au"), lit("io")),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val url = concat(
+      when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("http")),
+      lit("://"),
+      when(col("doc_id") % 5 === 0, lit("user:pw@")).otherwise(lit("")),
+      lit("WWW"), (col("doc_id") % 7).cast("string"),
+      lit("."), col("source"), lit("."), tld,
+      when(col("doc_id") % 4 === 0, lit(":8443")).otherwise(lit("")),
+      lit("/p/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("?utm_source=x&id="), col("doc_id").cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 6 === 0, lit("#s2")).otherwise(lit("")))
+    val p = GraftFunctions.url_parts(url)
+    t(s, d, "documents").select(col("doc_id"),
+      p.getField("scheme").as("scheme"),
+      p.getField("host").as("host"),
+      p.getField("port").cast("bigint").as("port"),
+      p.getField("path").as("path"),
+      p.getField("query").as("qstring"),
+      p.getField("fragment").as("fragment"),
+      GraftFunctions.registered_domain(p.getField("host")).as("reg_domain"))
+      .orderBy(col("doc_id"))
+  }
+
   /** cpio source (the initramfs / RPM-payload container, POSIX pax
     * spec): the q16 converter chain over [[buildCpioFixture]] —
     * directory records are skipped, a gzip member lands decompressed,
@@ -2087,7 +2124,8 @@ object Inventory {
     "q92_codec_matrix" -> (q92 _),
     "q93_normalize" -> (q93 _),
     "q94_deb_source" -> (q94 _),
-    "q95_cdc_chunks" -> (q95 _))
+    "q95_cdc_chunks" -> (q95 _),
+    "q96_url_parse" -> (q96 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -2564,6 +2602,43 @@ object Inventory {
           |  (CAST(252492 AS BIGINT), CAST(9652 AS BIGINT), 'c44fc6530c12e29ad9b7e3c16a95eb2859f912c1feac36ee54b5322354ffcf5f'))
           |  AS t(chunk_offset, size, sha256)
           |ORDER BY chunk_offset""".stripMargin,
+      // url parse: the SAME deterministic URL synthesis on both sides,
+      // then DuckDB re-implements the parse grammar as one regex and
+      // the eTLD+1 election as a CASE over the SAME Scala suffix
+      // shortlist the engine uses (q83's constant-interpolation rule)
+      "q96_url_parse" -> {
+        // non-interpolated vals so the regex's $ anchor and \? survive
+        val rx = """^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"""
+        val suffixes = graft.functions.UrlHelper.MultiLabelSuffixes
+          .toSeq.sorted.map(x => s"'$x'").mkString(",")
+        s"""WITH u AS (
+           |  SELECT doc_id,
+           |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+           |    (CASE WHEN doc_id % 5 = 0 THEN 'user:pw@' ELSE '' END) ||
+           |    'WWW' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || '.' ||
+           |    (['com','org','co.uk','com.au','io'])[CAST(doc_id % 5 AS INT) + 1] ||
+           |    (CASE WHEN doc_id % 4 = 0 THEN ':8443' ELSE '' END) ||
+           |    '/p/' || CAST(doc_id AS VARCHAR) ||
+           |    (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&id=' || CAST(doc_id AS VARCHAR) ELSE '' END) ||
+           |    (CASE WHEN doc_id % 6 = 0 THEN '#s2' ELSE '' END) AS url
+           |  FROM documents),
+           |p AS (
+           |  SELECT doc_id,
+           |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           |    lower(regexp_extract(url, '$rx', 1)) AS host,
+           |    CAST(NULLIF(regexp_extract(url, '$rx', 2), '') AS BIGINT) AS port,
+           |    regexp_extract(url, '$rx', 3) AS path,
+           |    NULLIF(regexp_extract(url, '$rx', 4), '') AS qstring,
+           |    NULLIF(regexp_extract(url, '$rx', 5), '') AS fragment
+           |  FROM u)
+           |SELECT doc_id, scheme, host, port, path, qstring, fragment,
+           |  CASE WHEN regexp_matches(host, '^[0-9.]+${"$"}') THEN host
+           |       WHEN len(string_split(host, '.')) <= 2 THEN host
+           |       WHEN array_to_string(string_split(host, '.')[-2:], '.') IN ($suffixes)
+           |         THEN array_to_string(string_split(host, '.')[-3:], '.')
+           |       ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS reg_domain
+           |FROM p ORDER BY doc_id""".stripMargin
+      },
       "q82_domain_cap" ->
         s"""SELECT doc_id, source FROM (
            |  SELECT doc_id, source,

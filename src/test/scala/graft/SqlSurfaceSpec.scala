@@ -36,7 +36,9 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         |       simhash64(txt) AS sh,
         |       size(fingerprint(txt, 3, 2)) AS nfp,
         |       size(minhash_signature(txt, 16, 1)) AS nmh,
-        |       char_entropy('ab') AS ent
+        |       char_entropy('ab') AS ent,
+        |       url_parts('http://User@WWW.a.co.uk:81/p?q#f').host AS uh,
+        |       registered_domain('www.a.co.uk') AS rdom
         |FROM t""".stripMargin).head()
     assert(r.getAs[Boolean]("u"))
     assert(r.getAs[String]("k") == "executable")
@@ -46,6 +48,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("sh") >= 0L) // 62-bit simhash is never negative
     assert(r.getAs[Int]("nfp") > 0 && r.getAs[Int]("nmh") == 16)
     assert(r.getAs[Double]("ent") == math.log(2.0))
+    assert(r.getAs[String]("uh") == "www.a.co.uk")
+    assert(r.getAs[String]("rdom") == "a.co.uk")
   }
 
   test("nfc_normalize / strip_accents: DuckDB-golden semantics (incl. Hangul)") {

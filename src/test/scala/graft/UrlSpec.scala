@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.UrlHelper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** URL decomposition edge cases the q96 oracle fixture cannot reach
+  * (garbage, IPv6, IPs, bare colons) — the never-throwing contract.
+  */
+class UrlSpec extends AnyFunSuite {
+
+  private def p(u: String): Option[(String, String, Option[Int], String, Option[String], Option[String])] =
+    Option(UrlHelper.parts(UTF8String.fromString(u))).map { r =>
+      val row = r.asInstanceOf[InternalRow]
+      (row.getUTF8String(0).toString, row.getUTF8String(1).toString,
+        if (row.isNullAt(2)) None else Some(row.getInt(2)),
+        row.getUTF8String(3).toString,
+        if (row.isNullAt(4)) None else Some(row.getUTF8String(4).toString),
+        if (row.isNullAt(5)) None else Some(row.getUTF8String(5).toString))
+    }
+
+  private def rd(h: String): String =
+    UrlHelper.registeredDomain(UTF8String.fromString(h)).toString
+
+  test("full parse: userinfo dropped, case folded, all parts split") {
+    assert(p("HtTpS://User:PW@WWW.Example.CO.UK:8443/a/b?x=1&y=2#frag") ==
+      Some(("https", "www.example.co.uk", Some(8443), "/a/b", Some("x=1&y=2"), Some("frag"))))
+  }
+
+  test("minimal and partial shapes") {
+    assert(p("http://h") == Some(("http", "h", None, "", None, None)))
+    assert(p("http://h/") == Some(("http", "h", None, "/", None, None)))
+    assert(p("http://h?q") == Some(("http", "h", None, "", Some("q"), None)))
+    assert(p("http://h#f") == Some(("http", "h", None, "", None, Some("f"))))
+    assert(p("http://h/#f") == Some(("http", "h", None, "/", None, Some("f"))))
+    // '?' after '#' belongs to the fragment (RFC 3986 order)
+    assert(p("http://h/p#f?notquery") ==
+      Some(("http", "h", None, "/p", None, Some("f?notquery"))))
+    // empty-but-present query and fragment stay distinct from absent
+    assert(p("http://h/p?") == Some(("http", "h", None, "/p", Some(""), None)))
+    assert(p("http://h/p#") == Some(("http", "h", None, "/p", None, Some(""))))
+  }
+
+  test("ports: numeric split, non-numeric tail stays in host, bare colon dropped") {
+    assert(p("http://h:80/x").get._3 == Some(80))
+    assert(p("http://h:/x") == Some(("http", "h", None, "/x", None, None)))
+    assert(p("http://h:notaport/x").map(_._2) == Some("h:notaport"))
+  }
+
+  test("IPv6 and IPv4 literals") {
+    assert(p("http://[2001:db8::1]:8080/x") ==
+      Some(("http", "[2001:db8::1]", Some(8080), "/x", None, None)))
+    assert(p("http://[2001:db8::1]/x").map(r => (r._2, r._3)) ==
+      Some(("[2001:db8::1]", None)))
+    assert(p("http://[2001:db8::1") == None) // unterminated literal
+    assert(p("http://192.168.0.1/x").map(_._2) == Some("192.168.0.1"))
+  }
+
+  test("garbage never throws, returns null") {
+    for (u <- Seq("", "no-scheme", "://host", "1http://h", "ht tp://h",
+        "http//h", "http://", "http://@", "http://user@", "relative/path?q=1"))
+      assert(p(u) == None, u)
+  }
+
+  test("registered_domain: label election under the suffix shortlist") {
+    assert(rd("www.example.co.uk") == "example.co.uk")
+    assert(rd("a.b.c.example.com.au") == "example.com.au")
+    assert(rd("www.example.com") == "example.com")
+    assert(rd("example.com") == "example.com")
+    assert(rd("localhost") == "localhost")
+    assert(rd("192.168.0.1") == "192.168.0.1")
+    assert(rd("[2001:db8::1]") == "[2001:db8::1]")
+    // co.uk itself is a suffix, not a registrable host — passes through
+    // under the <=2-label rule (matches the oracle CASE exactly)
+    assert(rd("co.uk") == "co.uk")
+  }
+}
