@@ -74,6 +74,31 @@ object Quality {
     *
     * @return (idCol, textCol) with textCol rewritten, one row per input
     */
+  /** HTML → text extraction (the first step of every web-corpus
+    * pipeline): drop comments, script and style blocks whole (their
+    * bodies are code, not text — including any raw `<` inside), strip
+    * remaining tags, decode the six ubiquitous entities (`&amp;` LAST
+    * so `&amp;lt;` cannot double-decode), collapse whitespace, trim.
+    *
+    * Composed ENTIRELY from codegen'd Spark built-ins (regexp_replace
+    * / replace / trim) — no custom expression, one narrow projection,
+    * zero exchanges, scan speed at any corpus size. The pattern set is
+    * deliberately restricted to syntax Java regex and RE2 interpret
+    * identically (lazy quantifiers, inline (?is) flags, `[^>]` classes,
+    * explicit `[ \t\n\r]` whitespace — NOT `\s`, whose class differs
+    * between the engines), so the q97 oracle mirrors it verbatim.
+    */
+  def htmlToText(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
+  }
+
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
       minDocs: Int): DataFrame = {
     require(minDocs >= 2, "minDocs must be >= 2 (1 would delete every non-blank line)")

@@ -1903,6 +1903,28 @@ object Inventory {
       .orderBy(col("doc_id"))
   }
 
+  /** HTML → text extraction ([[Quality.htmlToText]]): HTML pages are
+    * synthesized deterministically from doc_id/text ON BOTH SIDES
+    * (title, style block, script block carrying a raw `<`, headings,
+    * entities, a comment, a self-closing tag), then extracted — so the
+    * oracle exercises comment/script/style elision, tag stripping,
+    * entity decoding and whitespace collapse on every row. Codegen'd
+    * built-ins only, zero exchanges.
+    */
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><title>T"), did,
+      lit("</title><style type=\"text/css\">p{color:red}</style></head>"),
+      lit("<body><script>var x = 1 < 2;</script><h1>Doc "), did,
+      lit("</h1><p>"), col("text"),
+      lit(" &amp;x &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p><!-- note --><br/></body></html>"))
+    t(s, d, "documents")
+      .select(col("doc_id"), Quality.htmlToText(html).as("extracted"))
+      .withColumn("n_extracted", length(col("extracted")).cast("bigint"))
+      .orderBy(col("doc_id"))
+  }
+
   /** cpio source (the initramfs / RPM-payload container, POSIX pax
     * spec): the q16 converter chain over [[buildCpioFixture]] —
     * directory records are skipped, a gzip member lands decompressed,
@@ -2125,7 +2147,8 @@ object Inventory {
     "q93_normalize" -> (q93 _),
     "q94_deb_source" -> (q94 _),
     "q95_cdc_chunks" -> (q95 _),
-    "q96_url_parse" -> (q96 _))
+    "q96_url_parse" -> (q96 _),
+    "q97_html_extract" -> (q97 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -2639,6 +2662,35 @@ object Inventory {
            |       ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS reg_domain
            |FROM p ORDER BY doc_id""".stripMargin
       },
+      // html extract: the SAME page synthesis on both sides, the SAME
+      // restricted pattern set (Java-regex/RE2-identical: lazy
+      // quantifiers, (?is) inline flags, [^>] classes, explicit
+      // [ \t\n\r] whitespace), the SAME entity order (&amp; last)
+      "q97_html_extract" ->
+        """WITH h AS (
+          |  SELECT doc_id,
+          |    '<html><head><title>T' || CAST(doc_id AS VARCHAR) || '</title><style type="text/css">p{color:red}</style></head>' ||
+          |    '<body><script>var x = 1 < 2;</script><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+          |    ' &amp;x &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p><!-- note --><br/></body></html>' AS html
+          |  FROM documents),
+          |x AS (
+          |  SELECT doc_id,
+          |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+          |      '(?s)<!--.*?-->', ' ', 'g'),
+          |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+          |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+          |      '<[^>]+>', ' ', 'g') AS t
+          |  FROM h)
+          |SELECT doc_id,
+          |  trim(regexp_replace(
+          |    replace(replace(replace(replace(replace(replace(t,
+          |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+          |    '[ \t\n\r]+', ' ', 'g')) AS extracted,
+          |  CAST(length(trim(regexp_replace(
+          |    replace(replace(replace(replace(replace(replace(t,
+          |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+          |    '[ \t\n\r]+', ' ', 'g'))) AS BIGINT) AS n_extracted
+          |FROM x ORDER BY doc_id""".stripMargin,
       "q82_domain_cap" ->
         s"""SELECT doc_id, source FROM (
            |  SELECT doc_id, source,

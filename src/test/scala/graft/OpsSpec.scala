@@ -810,4 +810,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // monotone, and capped where banding stops being the right tool
     assert(Similarity.recommendedBanding(10_000_000_000L) == ((16, 16)))
   }
+
+  test("htmlToText: elision, entity order, whitespace — the q97 contract") {
+    import spark.implicits._
+    def x(html: String): String =
+      Seq(Tuple1(html)).toDF("h")
+        .select(graft.ops.Quality.htmlToText(col("h"))).head().getString(0)
+    // script/style bodies (incl. a raw '<') vanish whole; comments too
+    assert(x("<body><script>if (1 < 2) alert('x')</script>a<style>b{}</style>c<!-- d\n e -->f</body>")
+      == "a c f")
+    // case-insensitive block tags, attributes on the open tag
+    assert(x("A<SCRIPT type=\"x\">s</ScRiPt>B") == "A B")
+    // &amp; decodes LAST: '&amp;lt;' must NOT double-decode to '<'
+    assert(x("&amp;lt; &lt; &nbsp;&#39;q&#39;") == "&lt; < 'q'")
+    // tags become separators; whitespace collapses; ends trim
+    assert(x(" <p>a</p>\n\t<p>b</p> ") == "a b")
+    // plain text with no markup passes through trimmed
+    assert(x("  just text  ") == "just text")
+    // unterminated '<' tail is not a tag — [^>]+> needs the close
+    assert(x("a <unclosed") == "a <unclosed")
+  }
 }
