@@ -1911,17 +1911,49 @@ object Inventory {
     * entity decoding and whitespace collapse on every row. Codegen'd
     * built-ins only, zero exchanges.
     */
-  private def q97(s: SparkSession, d: String): DataFrame = {
+  /** The synthesized HTML page both q97 and q98 extract from (and the
+    * q97/q98 oracles re-synthesize in SQL — keep in sync with
+    * [[HtmlSyntheticSql]]).
+    */
+  private def syntheticHtml: Column = {
     val did = col("doc_id").cast("string")
-    val html = concat(
+    concat(
       lit("<html><head><title>T"), did,
       lit("</title><style type=\"text/css\">p{color:red}</style></head>"),
       lit("<body><script>var x = 1 < 2;</script><h1>Doc "), did,
       lit("</h1><p>"), col("text"),
       lit(" &amp;x &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p><!-- note --><br/></body></html>"))
+  }
+
+  private def q97(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
-      .select(col("doc_id"), Quality.htmlToText(html).as("extracted"))
+      .select(col("doc_id"), Quality.htmlToText(syntheticHtml).as("extracted"))
       .withColumn("n_extracted", length(col("extracted")).cast("bigint"))
+      .orderBy(col("doc_id"))
+
+  /** End-to-end corpus-cleaning pipeline (the production composition
+    * every training-data run executes): HTML → text
+    * ([[Quality.htmlToText]]) → NFC canonicalization
+    * ([[GraftFunctions.nfc_normalize]], with q93's decomposed-unicode
+    * prefix so the normalizer does real work on every row) → length
+    * gate → exact-dedup winner election ([[Dedup.exactWinners]]) →
+    * deterministic md5-keyed 30% sample (q61's oracle-shared rule).
+    * One shuffle total (the dedup hash agg + semi-join; AQE broadcasts
+    * the winner side) — everything else narrow. The oracle re-runs all
+    * five stages in SQL, so STAGE COMPOSITION is what is checked, not
+    * any one operator.
+    */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      .select(col("doc_id"), Quality.htmlToText(syntheticHtml).as("extracted"))
+      .withColumn("clean",
+        GraftFunctions.nfc_normalize(concat(lit(NfcPrefix), col("extracted"))))
+      .where(length(col("clean")) >= 120)
+    Dedup.exactWinners(base, "doc_id", "clean")
+      .where(GraftFunctions.md5_long62(
+        concat(lit("s:"), col("doc_id").cast("string"))) % 10 < 3)
+      .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+        length(col("clean")).cast("bigint").as("n_clean"))
       .orderBy(col("doc_id"))
   }
 
@@ -2148,7 +2180,8 @@ object Inventory {
     "q94_deb_source" -> (q94 _),
     "q95_cdc_chunks" -> (q95 _),
     "q96_url_parse" -> (q96 _),
-    "q97_html_extract" -> (q97 _))
+    "q97_html_extract" -> (q97 _),
+    "q98_clean_pipeline" -> (q98 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -2205,6 +2238,24 @@ object Inventory {
         |   '4fd9024cec0e7478e760c58707179f0e6f5680ab92f89cc4d76d730209dd7e1e'))
         |  AS t(path, size, sha256)
         |ORDER BY path""".stripMargin
+    // q97/q98 shared page synthesis + extraction chain (keep in sync
+    // with Inventory.syntheticHtml and Quality.htmlToText — the
+    // pattern set is restricted to Java-regex/RE2-identical syntax)
+    val htmlSyn =
+      """'<html><head><title>T' || CAST(doc_id AS VARCHAR) || '</title><style type="text/css">p{color:red}</style></head>' ||
+        |    '<body><script>var x = 1 < 2;</script><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+        |    ' &amp;x &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p><!-- note --><br/></body></html>'""".stripMargin
+    val tagStrip = (c: String) =>
+      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace($c,
+         |      '(?s)<!--.*?-->', ' ', 'g'),
+         |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |      '<[^>]+>', ' ', 'g')""".stripMargin
+    val entityWs = (c: String) =>
+      s"""trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(replace($c,
+         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+         |    '[ \t\n\r]+', ' ', 'g'))""".stripMargin
     // gaps-and-islands sessionization — oracles BOTH the native
     // session_window (q29) and the flatMapGroupsWithState (q39) paths
     val sessionOracle =
@@ -2667,30 +2718,34 @@ object Inventory {
       // quantifiers, (?is) inline flags, [^>] classes, explicit
       // [ \t\n\r] whitespace), the SAME entity order (&amp; last)
       "q97_html_extract" ->
-        """WITH h AS (
-          |  SELECT doc_id,
-          |    '<html><head><title>T' || CAST(doc_id AS VARCHAR) || '</title><style type="text/css">p{color:red}</style></head>' ||
-          |    '<body><script>var x = 1 < 2;</script><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
-          |    ' &amp;x &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p><!-- note --><br/></body></html>' AS html
-          |  FROM documents),
-          |x AS (
-          |  SELECT doc_id,
-          |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-          |      '(?s)<!--.*?-->', ' ', 'g'),
-          |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-          |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-          |      '<[^>]+>', ' ', 'g') AS t
-          |  FROM h)
-          |SELECT doc_id,
-          |  trim(regexp_replace(
-          |    replace(replace(replace(replace(replace(replace(t,
-          |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-          |    '[ \t\n\r]+', ' ', 'g')) AS extracted,
-          |  CAST(length(trim(regexp_replace(
-          |    replace(replace(replace(replace(replace(replace(t,
-          |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-          |    '[ \t\n\r]+', ' ', 'g'))) AS BIGINT) AS n_extracted
-          |FROM x ORDER BY doc_id""".stripMargin,
+        s"""WITH h AS (
+           |  SELECT doc_id, $htmlSyn AS html
+           |  FROM documents),
+           |x AS (
+           |  SELECT doc_id, ${tagStrip("html")} AS t
+           |  FROM h)
+           |SELECT doc_id,
+           |  ${entityWs("t")} AS extracted,
+           |  CAST(length(${entityWs("t")}) AS BIGINT) AS n_extracted
+           |FROM x ORDER BY doc_id""".stripMargin,
+      // clean pipeline: the five cleaning stages re-run in SQL — what
+      // is checked is the COMPOSITION (html extract -> nfc -> length
+      // gate -> exact-dedup winner election -> deterministic sample),
+      // each stage reusing its own query's proven oracle form
+      "q98_clean_pipeline" ->
+        s"""WITH h AS (
+           |  SELECT doc_id, $htmlSyn AS html
+           |  FROM documents),
+           |x AS (SELECT doc_id, ${tagStrip("html")} AS t FROM h),
+           |c AS (SELECT doc_id,
+           |        nfc_normalize('$NfcPrefix' || ${entityWs("t")}) AS clean FROM x),
+           |f AS (SELECT doc_id, clean FROM c WHERE length(clean) >= 120),
+           |w AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(clean))
+           |SELECT f.doc_id, md5(f.clean) AS clean_md5,
+           |  CAST(length(f.clean) AS BIGINT) AS n_clean
+           |FROM f JOIN w ON f.doc_id = w.doc_id
+           |WHERE ${md5h("'s:' || CAST(f.doc_id AS VARCHAR)")} % 10 < 3
+           |ORDER BY f.doc_id""".stripMargin,
       "q82_domain_cap" ->
         s"""SELECT doc_id, source FROM (
            |  SELECT doc_id, source,

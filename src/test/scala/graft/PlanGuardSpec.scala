@@ -123,6 +123,29 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined, s"q93 fell out of codegen:\n$p")
   }
 
+  test("q95/q96/q97: chunking, url parse and html extract stay narrow") {
+    for (q <- Seq("q95_cdc_chunks", "q96_url_parse", "q97_html_extract")) {
+      val p = plan(q)
+      // pure codegen'd projection (q96/q97) or projection + generate
+      // (q95): the only exchange allowed is the presentation sort
+      assert(exchanges(p) <= 1, s"$q grew a shuffle:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"), s"$q hash-shuffled:\n$p")
+    }
+  }
+
+  test("q98: the cleaning pipeline dedups on ONE hash exchange, winners broadcast back") {
+    // html extract + nfc + length gate + sample are all narrow; the
+    // exact-dedup winner election is the single hash exchange, and the
+    // winner semi-join must come back as a broadcast (AQE), never a
+    // second full shuffle of the cleaned text
+    val df = SparkEntry.queries("q98_clean_pipeline")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"q98 must hash-shuffle once (the dedup election):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q98 winner join must broadcast:\n$p")
+  }
+
   test("q16: converter plan has no exchange at all (narrow walk -> write)") {
     // the converter itself (no --unique) is shuffle-free by design;
     // q16's presentation sort adds exactly one range exchange
