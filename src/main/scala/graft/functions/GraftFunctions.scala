@@ -139,6 +139,7 @@ object GraftFunctions {
     "strip_accents" -> (e => StripAccents(e.head)),
     "url_parts" -> (e => UrlParts(e.head)),
     "registered_domain" -> (e => RegisteredDomain(e.head)),
+    "cdc_chunks" -> (e => CdcChunks(e.head, e(1), e(2), e(3))),
     "explode_archive" -> (e => ExplodeArchive(e.head)))
 
   /** Register the custom expressions for SQL use in an existing session

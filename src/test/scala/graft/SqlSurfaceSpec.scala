@@ -38,7 +38,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         |       size(minhash_signature(txt, 16, 1)) AS nmh,
         |       char_entropy('ab') AS ent,
         |       url_parts('http://User@WWW.a.co.uk:81/p?q#f').host AS uh,
-        |       registered_domain('www.a.co.uk') AS rdom
+        |       registered_domain('www.a.co.uk') AS rdom,
+        |       size(cdc_chunks(cast(txt AS binary), 2, 16, 64)) AS nc
         |FROM t""".stripMargin).head()
     assert(r.getAs[Boolean]("u"))
     assert(r.getAs[String]("k") == "executable")
@@ -50,6 +51,7 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Double]("ent") == math.log(2.0))
     assert(r.getAs[String]("uh") == "www.a.co.uk")
     assert(r.getAs[String]("rdom") == "a.co.uk")
+    assert(r.getAs[Int]("nc") >= 1) // 7-byte payload -> at least one chunk
   }
 
   test("nfc_normalize / strip_accents: DuckDB-golden semantics (incl. Hangul)") {

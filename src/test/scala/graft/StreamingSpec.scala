@@ -220,4 +220,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fr.length == 3)
     assert(fr.forall(_.getAs[Array[Byte]]("frame").length == 1000))
   }
+
+  test("cleaning pipeline runs as a stream: narrow stages + stateful dedup, batch parity") {
+    // the q98 composition is streaming-executable as-is: html extract /
+    // nfc / length gate are stateless projections, the exact-dedup
+    // stage swaps the batch groupBy election for the streaming-native
+    // dropDuplicates(hash) state store. availableNow over a parquet
+    // dir must reproduce the batch run's kept id set.
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    import graft.ops.Quality
+    val srcDir = tmp("graft_cleansrc")
+    val docs = (0L until 60L).map { i =>
+      // plant exact duplicates: ids 40-59 repeat the text of 0-19
+      val text = s"document body number ${i % 40} with enough words to pass the gate " * 4
+      (i, text)
+    }.toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+
+    def clean(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("doc_id"),
+          GraftFunctions.nfc_normalize(
+            Quality.htmlToText(concat(lit("<p>"), col("text"), lit("</p>")))).as("clean"))
+        .where(length(col("clean")) >= 120)
+        .withColumn("h", md5(col("clean")))
+
+    val stream = clean(spark.readStream
+        .schema(docs.schema).parquet(srcDir.getAbsolutePath))
+      .dropDuplicates("h")
+    val q = stream.writeStream
+      .format("memory").queryName("clean_stream")
+      .option("checkpointLocation", tmp("graft_cleanckpt").getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.table("clean_stream")
+      .select("h").collect().map(_.getString(0)).toSet
+    val batch = clean(spark.read.parquet(srcDir.getAbsolutePath))
+      .select("h").distinct().collect().map(_.getString(0)).toSet
+    // 40 distinct texts, 20 of them duplicated: both modes keep one
+    // representative per hash
+    assert(batch.size == 40)
+    assert(streamed == batch)
+  }
 }
