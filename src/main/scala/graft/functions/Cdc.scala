@@ -56,7 +56,8 @@ object CdcHelper {
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var off = 0
     while (off < n) {
-      val end = math.min(off + max, n)
+      // long-side min: off + max overflows Int on multi-GB values
+      val end = math.min(off.toLong + max, n.toLong).toInt
       var boundary = end
       if (end - off > min) {
         val normal = math.min(off + avg, end)

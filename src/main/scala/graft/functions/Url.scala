@@ -66,24 +66,32 @@ object UrlHelper {
     val hostPort = auth.substring(at + 1)
     var host: String = null
     var port = -1
+    // a valid port is 1-5 digits and <= 65535; -1 = not a port (an
+    // overlong digit run must NOT throw — the never-throw contract)
+    def portOf(s: String): Int =
+      if (s.nonEmpty && s.length <= 5 && s.forall(_.isDigit)) {
+        val v = s.toInt
+        if (v <= 65535) v else -1
+      } else -1
     if (hostPort.startsWith("[")) { // IPv6 literal
       val close = hostPort.indexOf(']')
       if (close < 0) return null
       host = hostPort.substring(0, close + 1)
       val after = hostPort.substring(close + 1)
-      if (after.startsWith(":") && after.length > 1 && after.drop(1).forall(_.isDigit))
-        port = after.drop(1).toInt
-      else if (after.nonEmpty) return null
+      if (after.startsWith(":")) {
+        port = portOf(after.drop(1))
+        if (port < 0) return null // malformed authority after the literal
+      } else if (after.nonEmpty) return null
     } else {
       val colon = hostPort.lastIndexOf(':')
-      if (colon >= 0 && colon < hostPort.length - 1 &&
-          hostPort.substring(colon + 1).forall(_.isDigit)) {
+      val p = if (colon >= 0) portOf(hostPort.substring(colon + 1)) else -1
+      if (p >= 0) {
         host = hostPort.substring(0, colon)
-        port = hostPort.substring(colon + 1).toInt
+        port = p
       } else if (colon >= 0 && colon == hostPort.length - 1) {
         host = hostPort.substring(0, colon) // trailing bare colon
       } else {
-        host = hostPort
+        host = hostPort // incl. a non-port digit-run or text after ':'
       }
     }
     if (host.isEmpty) return null
@@ -115,10 +123,14 @@ object UrlHelper {
     */
   def registeredDomain(host: UTF8String): UTF8String = {
     if (host == null) return null
-    val hs = host.toString
-    if (hs.startsWith("[") || hs.forall(c => c.isDigit || c == '.')) return host
+    val raw = host.toString
+    // canonicalize the FQDN trailing dot FIRST so 'example.com.' and
+    // 'example.com' elect the same grouping key
+    val hs = if (raw.length > 1 && raw.endsWith(".")) raw.dropRight(1) else raw
+    if (hs.startsWith("[") || hs.forall(c => c.isDigit || c == '.'))
+      return UTF8String.fromString(hs)
     val labels = hs.split('.')
-    if (labels.length <= 2) return host
+    if (labels.length <= 2) return UTF8String.fromString(hs)
     val last2 = labels(labels.length - 2) + "." + labels(labels.length - 1)
     val keep = if (MultiLabelSuffixes.contains(last2)) 3 else 2
     UTF8String.fromString(labels.takeRight(keep).mkString("."))

@@ -20,30 +20,31 @@ object Quality {
   private def words(text: Column): Column =
     filter(split(text, "[ \\t\\n\\r\\f]+"), w => w =!= "")
 
-  /** Per-document repetition metrics:
+  /** HTML → text extraction (the first step of every web-corpus
+    * pipeline): drop comments, script and style blocks whole (their
+    * bodies are code, not text — including any raw `<` inside), strip
+    * remaining tags, decode the six ubiquitous entities (`&amp;` LAST
+    * so `&amp;lt;` cannot double-decode), collapse whitespace, trim.
     *
-    *   - `words` / `distinct_words` — token counts;
-    *   - `dup_word_frac` — 1 - distinct/total: mass of repeated tokens;
-    *   - `top_word_frac` — mass of the single most frequent token;
-    *   - `top_bigram_frac` — mass of the most frequent word bigram.
-    *
-    * Null metrics for an empty document (no tokens carries no
-    * repetition evidence either way — callers decide the polarity).
-    * Assumes `idCol` is unique (like the dedup operators): duplicate
-    * ids would pool their tokens into one metric row per input row.
-    *
-    * Scale shape: two aggregation chains off the tokenized frame —
-    * (id, token) partial-agg then (id) — so the wide exchanges carry
-    * (id, token, count) partial rows, never document text; identical
-    * tokens within a partition collapse map-side. Bigram arrays come
-    * from `zip_with` over two slices of the SAME split (constant
-    * re-evaluations under Catalyst's projection collapse — unlike
-    * per-index `element_at(transform(sequence(...)))`, which is
-    * O(tokens²) per row).
-    *
-    * @return (idCol, words, distinct_words, dup_word_frac,
-    *         top_word_frac, top_bigram_frac), one row per input row
+    * Composed ENTIRELY from codegen'd Spark built-ins (regexp_replace
+    * / replace / trim) — no custom expression, one narrow projection,
+    * zero exchanges, scan speed at any corpus size. The pattern set is
+    * deliberately restricted to syntax Java regex and RE2 interpret
+    * identically (lazy quantifiers, inline (?is) flags, `[^>]` classes,
+    * explicit `[ \t\n\r]` whitespace — NOT `\s`, whose class differs
+    * between the engines), so the q97 oracle mirrors it verbatim.
     */
+  def htmlToText(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
+  }
+
   /** Cross-document line-level dedup — C4-style boilerplate removal
     * (Raffel et al. 2020 §2.2 drop boilerplate lines; RefinedWeb and
     * CCNet apply the same idea): delete every line whose EXACT text
@@ -74,31 +75,6 @@ object Quality {
     *
     * @return (idCol, textCol) with textCol rewritten, one row per input
     */
-  /** HTML → text extraction (the first step of every web-corpus
-    * pipeline): drop comments, script and style blocks whole (their
-    * bodies are code, not text — including any raw `<` inside), strip
-    * remaining tags, decode the six ubiquitous entities (`&amp;` LAST
-    * so `&amp;lt;` cannot double-decode), collapse whitespace, trim.
-    *
-    * Composed ENTIRELY from codegen'd Spark built-ins (regexp_replace
-    * / replace / trim) — no custom expression, one narrow projection,
-    * zero exchanges, scan speed at any corpus size. The pattern set is
-    * deliberately restricted to syntax Java regex and RE2 interpret
-    * identically (lazy quantifiers, inline (?is) flags, `[^>]` classes,
-    * explicit `[ \t\n\r]` whitespace — NOT `\s`, whose class differs
-    * between the engines), so the q97 oracle mirrors it verbatim.
-    */
-  def htmlToText(html: Column): Column = {
-    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
-    val noScript = regexp_replace(noComment, "(?is)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
-    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
-    trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
-  }
-
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
       minDocs: Int): DataFrame = {
     require(minDocs >= 2, "minDocs must be >= 2 (1 would delete every non-blank line)")
@@ -193,6 +169,30 @@ object Quality {
         coalesce(col("bigrams"), lit(0L)).as("bigrams"), col("lm_ce"))
   }
 
+  /** Per-document repetition metrics:
+    *
+    *   - `words` / `distinct_words` — token counts;
+    *   - `dup_word_frac` — 1 - distinct/total: mass of repeated tokens;
+    *   - `top_word_frac` — mass of the single most frequent token;
+    *   - `top_bigram_frac` — mass of the most frequent word bigram.
+    *
+    * Null metrics for an empty document (no tokens carries no
+    * repetition evidence either way — callers decide the polarity).
+    * Assumes `idCol` is unique (like the dedup operators): duplicate
+    * ids would pool their tokens into one metric row per input row.
+    *
+    * Scale shape: two aggregation chains off the tokenized frame —
+    * (id, token) partial-agg then (id) — so the wide exchanges carry
+    * (id, token, count) partial rows, never document text; identical
+    * tokens within a partition collapse map-side. Bigram arrays come
+    * from `zip_with` over two slices of the SAME split (constant
+    * re-evaluations under Catalyst's projection collapse — unlike
+    * per-index `element_at(transform(sequence(...)))`, which is
+    * O(tokens²) per row).
+    *
+    * @return (idCol, words, distinct_words, dup_word_frac,
+    *         top_word_frac, top_bigram_frac), one row per input row
+    */
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = df.select(col(idCol), words(col(textCol)).as("__w"))
 

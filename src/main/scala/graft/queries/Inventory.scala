@@ -1810,8 +1810,14 @@ object Inventory {
     val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q94_fixture")
     dir.mkdirs()
     val f = new File(dir, "fixture.deb")
-    val fos = new FileOutputStream(f)
-    fos.write(out.toByteArray); fos.close()
+    // write-then-atomic-rename: a concurrent JVM running q94 reads
+    // either the old or the new COMPLETE fixture, never a truncation
+    val tmp = File.createTempFile("fixture", ".deb.part", dir)
+    val fos = new FileOutputStream(tmp)
+    try fos.write(out.toByteArray) finally fos.close()
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     f.getAbsolutePath
   }
 
@@ -1834,7 +1840,7 @@ object Inventory {
     * the CDC resync property makes the chunker re-emit identical
     * chunk hashes inside the copy even though it starts mid-chunk.
     */
-  private[queries] def cdcFixtureBytes(): Array[Byte] = {
+  private[graft] def cdcFixtureBytes(): Array[Byte] = {
     val n = 262144
     val out = new Array[Byte](n)
     var i = 0

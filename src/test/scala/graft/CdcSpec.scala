@@ -79,11 +79,7 @@ class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q95 fixture: the planted 96 KiB duplicate re-emits 9 chunk hashes") {
-    // rebuilt here byte-for-byte (Inventory.cdcFixtureBytes is
-    // package-private): splitmix64 stream + the 96 KiB tail copy
-    val fix = bytes(0x51AB3C9DE0F17245L, 262144)
-    System.arraycopy(fix, 32768, fix, 163840, 98304)
-    val cs = chunksOf(fix)
+    val cs = chunksOf(graft.queries.Inventory.cdcFixtureBytes())
     assert(cs.size == 29)
     assert(cs.map(_._2.toLong).sum == 262144L)
     val dupOccurrences = cs.groupBy(_._3).values.map(_.size - 1).sum

@@ -237,7 +237,9 @@ object ScaleEvidence {
   private def cdcRung(spark: SparkSession, mb: Int): Unit = {
     import spark.implicits._
     val docBytes = 4 << 20
-    val nDocs = math.max(4, mb / 4)
+    // a multiple of 4 docs, so the id%4==3 planting is exactly 25% of
+    // bytes and the ratio require below is well-defined for any mb
+    val nDocs = math.max(4, mb / 4 / 4 * 4)
     val docs = spark.range(nDocs.toLong).map { id =>
       val src: Long = if (id % 4 == 3) id - 1 else id // planted byte-identical copy
       val out = new Array[Byte](docBytes)

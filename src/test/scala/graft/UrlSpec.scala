@@ -46,6 +46,14 @@ class UrlSpec extends AnyFunSuite {
     assert(p("http://h:80/x").get._3 == Some(80))
     assert(p("http://h:/x") == Some(("http", "h", None, "/x", None, None)))
     assert(p("http://h:notaport/x").map(_._2) == Some("h:notaport"))
+    // a digit run that is not a valid port (overlong or > 65535) must
+    // NOT throw — it stays in the host like any non-port tail
+    assert(p("http://h:99999999999999/x").map(r => (r._2, r._3)) ==
+      Some(("h:99999999999999", None)))
+    assert(p("http://h:70000/x").map(r => (r._2, r._3)) == Some(("h:70000", None)))
+    assert(p("http://h:65535/x").get._3 == Some(65535))
+    // ...but after an IPv6 literal the authority grammar is strict
+    assert(p("http://[::1]:99999999999999/") == None)
   }
 
   test("IPv6 and IPv4 literals") {
@@ -74,5 +82,9 @@ class UrlSpec extends AnyFunSuite {
     // co.uk itself is a suffix, not a registrable host — passes through
     // under the <=2-label rule (matches the oracle CASE exactly)
     assert(rd("co.uk") == "co.uk")
+    // FQDN trailing dot canonicalizes: both spellings elect ONE key
+    assert(rd("www.example.com.") == "example.com")
+    assert(rd("example.com.") == "example.com")
+    assert(rd("192.168.0.1.") == "192.168.0.1")
   }
 }
