@@ -60,7 +60,10 @@ object CdcHelper {
       val end = math.min(off.toLong + max, n.toLong).toInt
       var boundary = end
       if (end - off > min) {
-        val normal = math.min(off + avg, end)
+        // long-side min like `end`: off + avg overflows Int within avg
+        // bytes of Int.MaxValue, which would silently skip the maskS
+        // loop and break the bit-stable determinism contract
+        val normal = math.min(off.toLong + avg, end.toLong).toInt
         var fp = 0L
         var i = off + min
         var found = false

@@ -67,9 +67,10 @@ object GraftFunctions {
   /** Never-throwing URL decomposition — see [[UrlHelper.parts]]. */
   def url_parts(url: Column): Column = column(UrlParts(expression(url)))
 
-  /** eTLD+1 under the inline suffix shortlist — the grouping key for
-    * per-domain quota caps ([[graft.ops.Sampling.domainCap]]) and
-    * domain-level dedup. See [[UrlHelper.registeredDomain]].
+  /** eTLD+1 under the vendored Public Suffix List ([[Psl]]) — the
+    * grouping key for per-domain quota caps
+    * ([[graft.ops.Sampling.domainCap]]) and domain-level dedup. See
+    * [[UrlHelper.registeredDomain]].
     */
   def registered_domain(host: Column): Column =
     column(RegisteredDomain(expression(host)))

@@ -16,23 +16,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object UrlHelper {
 
-  /** Country-code second-level suffixes treated as part of the public
-    * suffix (the high-traffic subset of the public-suffix list's
-    * ccSLD section — a deliberate inline shortlist, documented
-    * deviation: the full PSL is a data file, not an algorithm).
+  /** Suffix data lives in [[Psl]] — a vendored snapshot of the full
+    * Mozilla Public Suffix List (exact + wildcard + exception rules,
+    * ICANN and private sections), replacing the round-10 inline
+    * 36-entry ccSLD shortlist.
     */
-  private[graft] val MultiLabelSuffixes: Set[String] = Set(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.br", "net.br", "org.br",
-    "com.cn", "net.cn", "org.cn", "gov.cn",
-    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
-    "co.in", "co.kr", "co.za", "co.nz", "co.id", "co.th")
 
+  // ASCII-only per RFC 3986 `ALPHA *( ALPHA / DIGIT / "+" / "-" / "." )`
+  // — Char.isLetter would admit non-ASCII schemes the grammar (and the
+  // q96 oracle regex `[A-Za-z][A-Za-z0-9+.-]*`) rejects
+  private def isAsciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
   private def isSchemeChar(c: Char, first: Boolean): Boolean =
-    if (first) c.isLetter
-    else c.isLetterOrDigit || c == '+' || c == '-' || c == '.'
+    if (first) isAsciiLetter(c)
+    else isAsciiLetter(c) || (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
 
   /** Parse into (scheme, host, port, path, query, fragment) — an
     * InternalRow matching [[UrlParts.dataType]]; null if the value has
@@ -117,23 +114,22 @@ object UrlHelper {
       if (fragment != null) UTF8String.fromString(fragment) else null)
   }
 
-  /** eTLD+1 under the inline suffix shortlist: IP literals and 1–2
-    * label hosts pass through; hosts whose last two labels are a known
-    * multi-label suffix keep three labels, every other host keeps two.
+  /** eTLD+1 under the vendored Public Suffix List ([[Psl]]): IP
+    * literals pass through, hosts that ARE a public suffix pass
+    * through (grouping stays total), everything else keeps public
+    * suffix + 1 label. Input is case-canonicalized here (lowercase +
+    * FQDN-dot strip) so the grouping key is stable regardless of
+    * whether the caller pre-lowercased (r10 ADVICE).
     */
   def registeredDomain(host: UTF8String): UTF8String = {
     if (host == null) return null
-    val raw = host.toString
+    val raw = host.toString.toLowerCase(java.util.Locale.ROOT)
     // canonicalize the FQDN trailing dot FIRST so 'example.com.' and
     // 'example.com' elect the same grouping key
     val hs = if (raw.length > 1 && raw.endsWith(".")) raw.dropRight(1) else raw
     if (hs.startsWith("[") || hs.forall(c => c.isDigit || c == '.'))
       return UTF8String.fromString(hs)
-    val labels = hs.split('.')
-    if (labels.length <= 2) return UTF8String.fromString(hs)
-    val last2 = labels(labels.length - 2) + "." + labels(labels.length - 1)
-    val keep = if (MultiLabelSuffixes.contains(last2)) 3 else 2
-    UTF8String.fromString(labels.takeRight(keep).mkString("."))
+    UTF8String.fromString(Psl.registrableDomain(hs))
   }
 }
 
@@ -166,8 +162,9 @@ case class UrlParts(child: Expression) extends UnaryExpression {
 }
 
 /** `registered_domain(host) -> string` — eTLD+1 election under the
-  * documented inline suffix shortlist (see [[UrlHelper.registeredDomain]]):
-  * the key per-domain quota caps and domain-level dedup group on.
+  * vendored Public Suffix List (see [[UrlHelper.registeredDomain]] and
+  * [[Psl]]): the key per-domain quota caps and domain-level dedup
+  * group on.
   */
 case class RegisteredDomain(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType

@@ -2684,13 +2684,19 @@ object Inventory {
           |ORDER BY chunk_offset""".stripMargin,
       // url parse: the SAME deterministic URL synthesis on both sides,
       // then DuckDB re-implements the parse grammar as one regex and
-      // the eTLD+1 election as a CASE over the SAME Scala suffix
-      // shortlist the engine uses (q83's constant-interpolation rule)
+      // the eTLD+1 election as a CASE over the multi-label subset of
+      // the fixture's own five suffixes, DERIVED from the vendored PSL
+      // at oracle-build time (q83's constant-interpolation rule): the
+      // fixture hosts are wwwN.srcM.<suffix>, srcM never collides with
+      // a PSL rule, so the full PSL algorithm reduces to exactly this
+      // CASE on the fixture domain — any drift in the Psl loader or
+      // matcher for these rules breaks the interpolated subset
       "q96_url_parse" -> {
         // non-interpolated vals so the regex's $ anchor and \? survive
         val rx = """^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"""
-        val suffixes = graft.functions.UrlHelper.MultiLabelSuffixes
-          .toSeq.sorted.map(x => s"'$x'").mkString(",")
+        val suffixes = Seq("com", "org", "co.uk", "com.au", "io")
+          .filter(s => graft.functions.Psl.publicSuffixLabels(("x." + s).split('.')) > 1)
+          .sorted.map(x => s"'$x'").mkString(",")
         s"""WITH u AS (
            |  SELECT doc_id,
            |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||

@@ -71,7 +71,7 @@ class UrlSpec extends AnyFunSuite {
       assert(p(u) == None, u)
   }
 
-  test("registered_domain: label election under the suffix shortlist") {
+  test("registered_domain: label election under the vendored PSL") {
     assert(rd("www.example.co.uk") == "example.co.uk")
     assert(rd("a.b.c.example.com.au") == "example.com.au")
     assert(rd("www.example.com") == "example.com")
@@ -79,12 +79,41 @@ class UrlSpec extends AnyFunSuite {
     assert(rd("localhost") == "localhost")
     assert(rd("192.168.0.1") == "192.168.0.1")
     assert(rd("[2001:db8::1]") == "[2001:db8::1]")
-    // co.uk itself is a suffix, not a registrable host — passes through
-    // under the <=2-label rule (matches the oracle CASE exactly)
+    // co.uk itself is a public suffix, not a registrable host — passes
+    // through (the grouping key stays total)
     assert(rd("co.uk") == "co.uk")
     // FQDN trailing dot canonicalizes: both spellings elect ONE key
     assert(rd("www.example.com.") == "example.com")
     assert(rd("example.com.") == "example.com")
     assert(rd("192.168.0.1.") == "192.168.0.1")
+    // case-canonical regardless of caller pre-lowercasing (r10 ADVICE)
+    assert(rd("WWW.Example.CO.UK") == "example.co.uk")
+  }
+
+  test("registered_domain: PSL wildcard, exception, private and IDN rules") {
+    // wildcard `*.ck`: every <label>.ck is itself a public suffix
+    assert(rd("shop.example.ck") == "shop.example.ck")
+    assert(rd("www.shop.example.ck") == "shop.example.ck")
+    // exception `!www.ck` overrides the wildcard: ps is bare `ck`
+    assert(rd("www.ck") == "www.ck")
+    assert(rd("foo.www.ck") == "www.ck")
+    // nested geo wildcard `*.kawasaki.jp`: <label>.kawasaki.jp is itself
+    // a public suffix, so eTLD+1 keeps FOUR labels there...
+    assert(rd("ward.kawasaki.jp") == "ward.kawasaki.jp")
+    assert(rd("www.ward.kawasaki.jp") == "www.ward.kawasaki.jp")
+    // ...except under the exception `!city.kawasaki.jp`
+    assert(rd("www.city.kawasaki.jp") == "city.kawasaki.jp")
+    // private-section rule `github.io`: pages sites are distinct publishers
+    assert(rd("alice.github.io") == "alice.github.io")
+    assert(rd("www.alice.github.io") == "alice.github.io")
+    assert(rd("blog.blogspot.com") == "blog.blogspot.com")
+    // multi-label exact ICANN rule beyond the old shortlist
+    assert(rd("example.pvt.k12.ma.us") == "example.pvt.k12.ma.us")
+    assert(rd("www.example.pvt.k12.ma.us") == "example.pvt.k12.ma.us")
+    // unicode rule indexed under its punycode form (公司.cn = xn--55qx5d.cn)
+    assert(rd("foo.xn--55qx5d.cn") == "foo.xn--55qx5d.cn")
+    assert(rd("bar.foo.xn--55qx5d.cn") == "foo.xn--55qx5d.cn")
+    // bare TLD under the default `*` rule passes through
+    assert(rd("com") == "com")
   }
 }
