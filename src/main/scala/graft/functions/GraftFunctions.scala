@@ -67,6 +67,12 @@ object GraftFunctions {
   /** Never-throwing URL decomposition — see [[UrlHelper.parts]]. */
   def url_parts(url: Column): Column = column(UrlParts(expression(url)))
 
+  /** URL canonicalization for URL-keyed dedup — see
+    * [[UrlHelper.normalize]] (case/IDN fold, default-port and fragment
+    * strip, percent-encoding normalization).
+    */
+  def url_normalize(url: Column): Column = column(UrlNormalize(expression(url)))
+
   /** eTLD+1 under the vendored Public Suffix List ([[Psl]]) — the
     * grouping key for per-domain quota caps
     * ([[graft.ops.Sampling.domainCap]]) and domain-level dedup. See
@@ -139,6 +145,7 @@ object GraftFunctions {
     "nfc_normalize" -> (e => NfcNormalize(e.head)),
     "strip_accents" -> (e => StripAccents(e.head)),
     "url_parts" -> (e => UrlParts(e.head)),
+    "url_normalize" -> (e => UrlNormalize(e.head)),
     "registered_domain" -> (e => RegisteredDomain(e.head)),
     "cdc_chunks" -> (e => CdcChunks(e.head, e(1), e(2), e(3))),
     "explode_archive" -> (e => ExplodeArchive(e.head)))

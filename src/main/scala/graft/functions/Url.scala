@@ -114,6 +114,93 @@ object UrlHelper {
       if (fragment != null) UTF8String.fromString(fragment) else null)
   }
 
+  private def isUnreserved(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  /** RFC 3986 §6.2.2.2 percent-encoding normalization: decode triplets
+    * whose octet is an unreserved ASCII character, uppercase the hex of
+    * every other (reserved or non-ASCII) triplet, copy an invalid `%`
+    * (not followed by two hex digits) verbatim — never throw.
+    */
+  private[graft] def pctNormalize(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val h = hexVal(s.charAt(i + 1)); val l = hexVal(s.charAt(i + 2))
+        if (h >= 0 && l >= 0) {
+          val b = (h << 4) | l
+          if (b < 0x80 && isUnreserved(b.toChar)) sb.append(b.toChar)
+          else {
+            sb.append('%')
+            sb.append(Character.toUpperCase(s.charAt(i + 1)))
+            sb.append(Character.toUpperCase(s.charAt(i + 2)))
+          }
+          i += 3
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Default ports stripped by [[normalize]], keyed by scheme. */
+  private val DefaultPorts = Map(
+    "http" -> 80, "https" -> 443, "ws" -> 80, "wss" -> 443, "ftp" -> 21)
+
+  /** URL canonicalization for URL-keyed dedup and frontier accounting —
+    * the spellings crawl data uses interchangeably collapse to ONE key:
+    *
+    *   - scheme and host lowercased (via [[parts]]), userinfo dropped;
+    *   - host IDN-folded to punycode (`java.net.IDN.toASCII` — JDK-
+    *     shipped public API; fold failure keeps the lowercased host:
+    *     never throw), FQDN trailing dot stripped;
+    *   - default port stripped (http:80, https:443, ws/wss, ftp:21);
+    *   - percent-encoding normalized in path and query
+    *     ([[pctNormalize]]: `%7Ex` = `~x`, `%2f` = `%2F`);
+    *   - empty path becomes `/`;
+    *   - the fragment is DROPPED (never sent to the server — two URLs
+    *     differing only there fetch the same resource);
+    *   - an empty query (`?` with nothing after) is dropped; a present
+    *     query is kept byte-for-byte otherwise (no parameter sorting —
+    *     `?a=1&b=2` vs `?b=2&a=1` may be different resources).
+    *
+    * Unparseable input (no `scheme://host` shape) returns null, the
+    * same contract as [[parts]]. Dot-segment removal (`/a/../b`) is
+    * deliberately NOT applied: outside a resolution context it can
+    * change which resource a path names on real servers.
+    */
+  def normalize(url: UTF8String): UTF8String = {
+    val row = parts(url)
+    if (row == null) return null
+    val scheme = row.getUTF8String(0).toString
+    var host = row.getUTF8String(1).toString
+    if (host.length > 1 && host.endsWith(".")) host = host.dropRight(1)
+    if (!host.startsWith("[")) {
+      try {
+        val folded = java.net.IDN.toASCII(host)
+        host = folded.toLowerCase(java.util.Locale.ROOT)
+      } catch { case _: IllegalArgumentException => () }
+    }
+    val port = if (row.isNullAt(2)) -1 else row.getInt(2)
+    val path = pctNormalize(row.getUTF8String(3).toString)
+    val query = if (row.isNullAt(4)) null else pctNormalize(row.getUTF8String(4).toString)
+    val sb = new java.lang.StringBuilder(url.numBytes())
+    sb.append(scheme).append("://").append(host)
+    if (port >= 0 && !DefaultPorts.get(scheme).contains(port))
+      sb.append(':').append(port)
+    sb.append(if (path.isEmpty) "/" else path)
+    if (query != null && query.nonEmpty) sb.append('?').append(query)
+    UTF8String.fromString(sb.toString)
+  }
+
   /** eTLD+1 under the vendored Public Suffix List ([[Psl]]): IP
     * literals pass through, hosts that ARE a public suffix pass
     * through (grouping stays total), everything else keeps public
@@ -166,6 +253,29 @@ case class UrlParts(child: Expression) extends UnaryExpression {
   * [[Psl]]): the key per-domain quota caps and domain-level dedup
   * group on.
   */
+/** `url_normalize(url) -> string` — URL canonicalization for URL-keyed
+  * dedup (see [[UrlHelper.normalize]]): case/IDN-folds the authority,
+  * strips default ports and fragments, normalizes percent-encoding.
+  * Null for values without a `scheme://host` shape.
+  */
+case class UrlNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "url_normalize"
+  override protected def nullSafeEval(url: Any): Any =
+    UrlHelper.normalize(url.asInstanceOf[UTF8String])
+  // normalize() returns null for unparseable input — propagate into
+  // isNull (defineCodeGen would not)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.UrlHelper.normalize($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): UrlNormalize =
+    copy(child = newChild)
+}
+
 case class RegisteredDomain(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true

@@ -1963,6 +1963,53 @@ object Inventory {
       .orderBy(col("doc_id"))
   }
 
+  /** URL-canonicalization-keyed exact dedup
+    * ([[GraftFunctions.url_normalize]]): pairs of URL spellings that
+    * crawl data uses interchangeably — mixed-case scheme/host, FQDN
+    * trailing dot, unicode vs punycode host (IDN fold), explicit
+    * default port, percent-encoded unreserved chars, lowercase vs
+    * uppercase reserved triplets, empty-vs-absent path and query,
+    * userinfo, fragments — are synthesized deterministically from
+    * doc_id (variant = doc_id parity, logical key = doc_id/2) and must
+    * collapse to ONE canonical key. The oracle constructs the expected
+    * canonical string DIRECTLY from the synthesis parameters (punycode
+    * constant interpolated from the same `java.net.IDN.toASCII` call
+    * the engine makes) and runs the same min-id winner election — any
+    * normalization drift splits a group and breaks rows, winners and
+    * counts at once. Narrow codegen'd projection + one hash agg.
+    */
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    val k = floor(col("doc_id") / 2).cast("long")
+    val v1 = col("doc_id") % 2 === 1
+    val scheme = when(k % 5 === 0, when(v1, lit("HTTPS")).otherwise(lit("https")))
+      .otherwise(when(v1, lit("HTTP")).otherwise(lit("http")))
+    val host = when(k % 3 === 0,
+        when(v1, lit("EXAMPLE.COM.")).otherwise(lit("example.com")))
+      .when(k % 3 === 1,
+        when(v1, lit("MÜNCHEN.de")).otherwise(lit("xn--mnchen-3ya.de")))
+      .otherwise(when(v1, lit("SHOP.Example.Co.UK")).otherwise(lit("shop.example.co.uk")))
+    val port = when((k % 4 === 0) && v1,
+        when(k % 5 === 0, lit(":443")).otherwise(lit(":80")))
+      .when(k % 4 === 2, lit(":8080"))
+      .otherwise(lit(""))
+    val path = when(k % 7 === 0, when(v1, lit("/")).otherwise(lit("")))
+      .otherwise(concat(lit("/p/"), k.cast("string"),
+        when(v1, lit("/%61%7Eb%2fq")).otherwise(lit("/a~b%2Fq"))))
+    val query = when(k % 2 === 0,
+        concat(lit("?id="), k.cast("string"),
+          when(v1, lit("&t=%63%20d")).otherwise(lit("&t=c%20d"))))
+      .otherwise(when(v1, lit("?")).otherwise(lit("")))
+    val frag = when(v1, concat(lit("#sec"), k.cast("string"))).otherwise(lit(""))
+    val raw = concat(scheme, lit("://"),
+      when(v1, lit("user@")).otherwise(lit("")), host, port, path, query, frag)
+    t(s, d, "documents")
+      .select(col("doc_id"), GraftFunctions.url_normalize(raw).as("url_norm"))
+      .groupBy(col("url_norm"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
+      .select(col("doc_id"), col("url_norm"), col("n_variants"))
+      .orderBy(col("doc_id"))
+  }
+
   /** cpio source (the initramfs / RPM-payload container, POSIX pax
     * spec): the q16 converter chain over [[buildCpioFixture]] —
     * directory records are skipped, a gzip member lands decompressed,
@@ -2187,7 +2234,8 @@ object Inventory {
     "q95_cdc_chunks" -> (q95 _),
     "q96_url_parse" -> (q96 _),
     "q97_html_extract" -> (q97 _),
-    "q98_clean_pipeline" -> (q98 _))
+    "q98_clean_pipeline" -> (q98 _),
+    "q99_url_normalize" -> (q99 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -2758,6 +2806,32 @@ object Inventory {
            |FROM f JOIN w ON f.doc_id = w.doc_id
            |WHERE ${md5h("'s:' || CAST(f.doc_id AS VARCHAR)")} % 10 < 3
            |ORDER BY f.doc_id""".stripMargin,
+      // url normalize: the oracle builds the EXPECTED canonical string
+      // directly from the synthesis parameters (doc_id//2 is the
+      // logical key; both raw spellings of a pair must collapse onto
+      // it) — the punycode host constant comes from the same
+      // java.net.IDN.toASCII call the engine makes (q83's
+      // constant-interpolation rule), then the same min-id winner
+      // election runs on both sides
+      "q99_url_normalize" -> {
+        val puny = java.net.IDN.toASCII("münchen.de")
+        s"""WITH u AS (SELECT doc_id, doc_id // 2 AS k FROM documents),
+           |n AS (
+           |  SELECT doc_id,
+           |    (CASE WHEN k % 5 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+           |    (CASE WHEN k % 3 = 0 THEN 'example.com'
+           |          WHEN k % 3 = 1 THEN '$puny'
+           |          ELSE 'shop.example.co.uk' END) ||
+           |    (CASE WHEN k % 4 = 2 THEN ':8080' ELSE '' END) ||
+           |    (CASE WHEN k % 7 = 0 THEN '/'
+           |          ELSE '/p/' || CAST(k AS VARCHAR) || '/a~b%2Fq' END) ||
+           |    (CASE WHEN k % 2 = 0
+           |          THEN '?id=' || CAST(k AS VARCHAR) || '&t=c%20d'
+           |          ELSE '' END) AS url_norm
+           |  FROM u)
+           |SELECT min(doc_id) AS doc_id, url_norm, count(*) AS n_variants
+           |FROM n GROUP BY url_norm ORDER BY doc_id""".stripMargin
+      },
       "q82_domain_cap" ->
         s"""SELECT doc_id, source FROM (
            |  SELECT doc_id, source,

@@ -71,6 +71,37 @@ class UrlSpec extends AnyFunSuite {
       assert(p(u) == None, u)
   }
 
+  private def nz(u: String): Option[String] =
+    Option(UrlHelper.normalize(UTF8String.fromString(u))).map(_.toString)
+
+  test("url_normalize: interchangeable spellings collapse to one key") {
+    // case fold + userinfo drop + FQDN dot + default port + unreserved
+    // percent-decode + reserved-triplet hex uppercase + empty-query and
+    // fragment drop — all at once
+    assert(nz("HTTP://User@EXAMPLE.COM.:80/%61%7Eb%2fq?#x") ==
+      Some("http://example.com/a~b%2Fq"))
+    assert(nz("http://example.com/a~b%2Fq") ==
+      Some("http://example.com/a~b%2Fq"))
+    // scheme-keyed default ports: stripped only when they match
+    assert(nz("https://h:443/") == Some("https://h/"))
+    assert(nz("http://h:443/") == Some("http://h:443/"))
+    assert(nz("https://h:8443/") == Some("https://h:8443/"))
+    // IDN fold: unicode host -> punycode; punycode unchanged
+    assert(nz("http://MÜNCHEN.de") == Some("http://xn--mnchen-3ya.de/"))
+    assert(nz("http://xn--mnchen-3ya.de/") == Some("http://xn--mnchen-3ya.de/"))
+    // empty path becomes '/', present query kept byte-for-byte
+    assert(nz("http://h?id=1&t=c%20d") == Some("http://h/?id=1&t=c%20d"))
+    // invalid percent triplets copied verbatim, never throw
+    assert(nz("http://h/%zz%4") == Some("http://h/%zz%4"))
+    // multi-byte UTF-8 octets stay encoded (only unreserved ASCII decodes)
+    assert(nz("http://h/%c3%a9") == Some("http://h/%C3%A9"))
+    // IPv6 literal: no IDN fold, default-port strip still applies
+    assert(nz("http://[2001:DB8::1]:80/x") == Some("http://[2001:db8::1]/x"))
+    // unparseable input -> null (same contract as url_parts)
+    assert(nz("not a url") == None)
+    assert(nz("://host") == None)
+  }
+
   test("registered_domain: label election under the vendored PSL") {
     assert(rd("www.example.co.uk") == "example.co.uk")
     assert(rd("a.b.c.example.com.au") == "example.com.au")
