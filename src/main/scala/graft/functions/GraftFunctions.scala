@@ -81,6 +81,12 @@ object GraftFunctions {
   def registered_domain(host: Column): Column =
     column(RegisteredDomain(expression(host)))
 
+  /** Single-pass HTML character-reference decode — see
+    * [[HtmlEntityHelper.decode]] (named + numeric, decode-once).
+    */
+  def decode_html_entities(text: Column): Column =
+    column(DecodeHtmlEntities(expression(text)))
+
   /** Unicode NFC normalization (UAX #15; = DuckDB `nfc_normalize`). */
   def nfc_normalize(text: Column): Column = column(NfcNormalize(expression(text)))
 
@@ -142,6 +148,7 @@ object GraftFunctions {
     "hashed_grams" -> (e => HashedGrams(e.head, e(1))),
     "md5_long62" -> (e => Md5Long62(e.head)),
     "char_entropy" -> (e => CharEntropy(e.head)),
+    "decode_html_entities" -> (e => DecodeHtmlEntities(e.head)),
     "nfc_normalize" -> (e => NfcNormalize(e.head)),
     "strip_accents" -> (e => StripAccents(e.head)),
     "url_parts" -> (e => UrlParts(e.head)),

@@ -170,6 +170,23 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `decode_html_entities(text) -> string` — single-pass HTML character
+  * -reference decode (see [[HtmlEntityHelper]]): six named entities +
+  * decimal/hex numeric references, double-encoded input decodes
+  * exactly once, malformed references copied verbatim.
+  */
+case class DecodeHtmlEntities(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "decode_html_entities"
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlEntityHelper.decode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlEntityHelper.decode($c)")
+  override protected def withNewChildInternal(newChild: Expression): DecodeHtmlEntities =
+    copy(child = newChild)
+}
+
 /** `strip_accents(text) -> string` — diacritic removal (NFD → drop
   * Mn/Mc/Me marks → NFC recompose, utf8proc's STRIPMARK semantics =
   * DuckDB `strip_accents`, golden-tested incl. Hangul recomposition).

@@ -439,3 +439,73 @@ object HashingHelper {
     new GenericArrayData(out.toArray)
   }
 }
+
+/** Single-pass HTML character-reference decoder backing
+  * [[DecodeHtmlEntities]] (the entity step of
+  * [[graft.ops.Quality.htmlToText]]).
+  *
+  * One left-to-right scan, continuing AFTER each decoded reference, so
+  * double-encoded input decodes exactly once (`&amp;#65;` → `&#65;`,
+  * never `A`) — the property a replace-chain only gets by ordering
+  * `&amp;` last. Decodes the six ubiquitous named references (`&amp;
+  * &lt; &gt; &quot; &apos; &nbsp;`) plus decimal (`&#233;`) and hex
+  * (`&#xE9;`) numeric references for any Unicode scalar value
+  * (1..0x10FFFF excluding surrogates). Anything else — unknown names,
+  * out-of-range or malformed numerics, a bare `&` — is copied
+  * verbatim: never throw on crawl data.
+  */
+object HtmlEntityHelper {
+
+  def decode(s: UTF8String): UTF8String = {
+    val in = s.toString
+    if (in.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(in.length)
+    var i = 0
+    val n = in.length
+    while (i < n) {
+      val c = in.charAt(i)
+      if (c != '&') { sb.append(c); i += 1 }
+      else {
+        val semi = in.indexOf(';', i + 1)
+        // references are short — a far-away ';' means this '&' is bare
+        if (semi < 0 || semi - i > 9) { sb.append(c); i += 1 }
+        else {
+          val body = in.substring(i + 1, semi)
+          val decoded: Int = body match {
+            case "amp" => '&'
+            case "lt" => '<'
+            case "gt" => '>'
+            case "quot" => '"'
+            case "apos" => '\''
+            case "nbsp" => ' ' // to plain space: pre-collapse convention
+            case _ if body.length > 1 && body.charAt(0) == '#' =>
+              numeric(body)
+            case _ => -1
+          }
+          if (decoded >= 0) { sb.appendCodePoint(decoded); i = semi + 1 }
+          else { sb.append(c); i += 1 }
+        }
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Code point of `#123` / `#x7B` / `#X7B`, or -1 when malformed or
+    * not a Unicode scalar value.
+    */
+  private def numeric(body: String): Int = {
+    val hexMode = body.length > 2 && (body.charAt(1) == 'x' || body.charAt(1) == 'X')
+    val digits = body.substring(if (hexMode) 2 else 1)
+    if (digits.isEmpty || digits.length > 7) return -1
+    var cp = 0
+    var i = 0
+    while (i < digits.length) {
+      val d = Character.digit(digits.charAt(i), if (hexMode) 16 else 10)
+      if (d < 0) return -1
+      cp = cp * (if (hexMode) 16 else 10) + d
+      if (cp > 0x10FFFF) return -1
+      i += 1
+    }
+    if (cp == 0 || (cp >= 0xD800 && cp <= 0xDFFF)) -1 else cp
+  }
+}

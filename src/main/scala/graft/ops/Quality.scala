@@ -20,28 +20,39 @@ object Quality {
   private def words(text: Column): Column =
     filter(split(text, "[ \\t\\n\\r\\f]+"), w => w =!= "")
 
+  /** Tag body that survives quoted attribute values containing `>`
+    * (`<a href="a>b">`): a tag is a run of non-delimiter chars or
+    * whole quoted strings. Alternation + classes only — Java regex and
+    * RE2 interpret it identically, so the q97 oracle reuses it
+    * verbatim.
+    */
+  private[graft] val TagBody = """(?:[^>"']|"[^"]*"|'[^']*')*"""
+
   /** HTML → text extraction (the first step of every web-corpus
     * pipeline): drop comments, script and style blocks whole (their
     * bodies are code, not text — including any raw `<` inside), strip
-    * remaining tags, decode the six ubiquitous entities (`&amp;` LAST
-    * so `&amp;lt;` cannot double-decode), collapse whitespace, trim.
+    * remaining tags (quoted attribute values may contain `>` —
+    * [[TagBody]]), decode character references
+    * ([[graft.functions.HtmlEntityHelper]]: named + decimal/hex
+    * numeric, single-pass so double-encoded input decodes exactly
+    * once), collapse whitespace, trim.
     *
-    * Composed ENTIRELY from codegen'd Spark built-ins (regexp_replace
-    * / replace / trim) — no custom expression, one narrow projection,
-    * zero exchanges, scan speed at any corpus size. The pattern set is
-    * deliberately restricted to syntax Java regex and RE2 interpret
-    * identically (lazy quantifiers, inline (?is) flags, `[^>]` classes,
-    * explicit `[ \t\n\r]` whitespace — NOT `\s`, whose class differs
-    * between the engines), so the q97 oracle mirrors it verbatim.
+    * Everything stays inside whole-stage codegen: regex passes are
+    * Spark built-ins, the entity step is the codegen'd
+    * `decode_html_entities` expression — one narrow projection, zero
+    * exchanges, scan speed at any corpus size. The regex pattern set
+    * is deliberately restricted to syntax Java regex and RE2 interpret
+    * identically (lazy quantifiers, inline (?is) flags, `[^>]`-family
+    * classes, alternation, explicit `[ \t\n\r]` whitespace — NOT `\s`,
+    * whose class differs between the engines), so the q97 oracle
+    * mirrors it verbatim.
     */
   def htmlToText(html: Column): Column = {
     val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
-    val noScript = regexp_replace(noComment, "(?is)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
-    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    val noScript = regexp_replace(noComment, s"(?is)<script$TagBody>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, s"(?is)<style$TagBody>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, s"<$TagBody>", " ")
+    val decoded = graft.functions.GraftFunctions.decode_html_entities(noTags)
     trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
   }
 

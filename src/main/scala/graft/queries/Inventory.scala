@@ -1928,7 +1928,12 @@ object Inventory {
       lit("</title><style type=\"text/css\">p{color:red}</style></head>"),
       lit("<body><script>var x = 1 < 2;</script><h1>Doc "), did,
       lit("</h1><p>"), col("text"),
-      lit(" &amp;x &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p><!-- note --><br/></body></html>"))
+      lit(" &amp;x &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
+      // hardening surface (r10 verdict #4): quoted attribute values
+      // containing '>', numeric character references (dec + hex), a
+      // double-encoded reference that must decode exactly once, and a
+      // malformed reference that must pass through verbatim
+      lit(" <a href=\"x>y\" title='z>w'>L</a> caf&#233; &#xE9; &amp;#65; &apos;a&apos; &#xZZ;</p><!-- note --><br/></body></html>"))
   }
 
   private def q97(s: SparkSession, d: String): DataFrame =
@@ -2293,21 +2298,30 @@ object Inventory {
         |  AS t(path, size, sha256)
         |ORDER BY path""".stripMargin
     // q97/q98 shared page synthesis + extraction chain (keep in sync
-    // with Inventory.syntheticHtml and Quality.htmlToText — the
-    // pattern set is restricted to Java-regex/RE2-identical syntax)
+    // with Inventory.syntheticHtml and Quality.htmlToText — the regex
+    // pattern set is restricted to Java-regex/RE2-identical syntax,
+    // incl. the quoted-attribute tag body, and the entity replace
+    // chain emulates the engine's single-pass decode-once scan on
+    // exactly the references the synthesis inserts: numeric literals
+    // first, `&amp;` LAST, so the double-encoded `&amp;#65;` decodes
+    // once to `&#65;` on both sides and `&#xZZ;` survives verbatim)
     val htmlSyn =
       """'<html><head><title>T' || CAST(doc_id AS VARCHAR) || '</title><style type="text/css">p{color:red}</style></head>' ||
         |    '<body><script>var x = 1 < 2;</script><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
-        |    ' &amp;x &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p><!-- note --><br/></body></html>'""".stripMargin
+        |    ' &amp;x &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end' ||
+        |    ' <a href="x>y" title=''z>w''>L</a> caf&#233; &#xE9; &amp;#65; &apos;a&apos; &#xZZ;</p><!-- note --><br/></body></html>'""".stripMargin
+    // SQL-quoted form of Quality.TagBody (single quotes doubled)
+    val tagBodySql = graft.ops.Quality.TagBody.replace("'", "''")
     val tagStrip = (c: String) =>
       s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace($c,
          |      '(?s)<!--.*?-->', ' ', 'g'),
-         |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-         |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-         |      '<[^>]+>', ' ', 'g')""".stripMargin
+         |      '(?is)<script$tagBodySql>.*?</script>', ' ', 'g'),
+         |      '(?is)<style$tagBodySql>.*?</style>', ' ', 'g'),
+         |      '<$tagBodySql>', ' ', 'g')""".stripMargin
     val entityWs = (c: String) =>
       s"""trim(regexp_replace(
-         |    replace(replace(replace(replace(replace(replace($c,
+         |    replace(replace(replace(replace(replace(replace(replace(replace(replace($c,
+         |      '&#233;', 'é'), '&#xE9;', 'é'), '&apos;', ''''),
          |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
          |    '[ \t\n\r]+', ' ', 'g'))""".stripMargin
     // gaps-and-islands sessionization — oracles BOTH the native

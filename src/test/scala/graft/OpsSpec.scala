@@ -827,7 +827,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(x(" <p>a</p>\n\t<p>b</p> ") == "a b")
     // plain text with no markup passes through trimmed
     assert(x("  just text  ") == "just text")
-    // unterminated '<' tail is not a tag — [^>]+> needs the close
+    // unterminated '<' tail is not a tag — the tag body needs the close
     assert(x("a <unclosed") == "a <unclosed")
+  }
+
+  test("htmlToText: quoted attributes and numeric references — the r10 hardening") {
+    import spark.implicits._
+    def x(html: String): String =
+      Seq(Tuple1(html)).toDF("h")
+        .select(graft.ops.Quality.htmlToText(col("h"))).head().getString(0)
+    // a quoted attribute value containing '>' no longer leaks into text
+    assert(x("""a <a href="x>y">L</a> b""") == "a L b")
+    assert(x("""a <img src="u>v" alt='w>z'/> b""") == "a b")
+    // ...including on script/style open tags
+    assert(x("""A<script data-x="1>2">s</script>B""") == "A B")
+    // numeric references decode: decimal, hex (both cases), astral
+    assert(x("caf&#233; &#xE9; &#XE9; &#x1F600;") == "café é é 😀")
+    // double-encoded decodes exactly once
+    assert(x("&amp;#65; &amp;amp;") == "&#65; &amp;")
+    // malformed / out-of-range / surrogate references survive verbatim
+    assert(x("&#xZZ; &#2000000; &#xD800; &#; &unknown; a & b")
+      == "&#xZZ; &#2000000; &#xD800; &#; &unknown; a & b")
+    // &apos; joins the named set
+    assert(x("&apos;q&apos;") == "'q'")
   }
 }
