@@ -42,42 +42,54 @@ object CdcHelper {
   private val gear: Array[Long] =
     Array.tabulate(256)(i => mix64(GearSeed ^ (i.toLong * Gamma)))
 
+  /** The FastCDC cut decision for the chunk starting at `off` in
+    * `data[0, n)`: the boundary index of that chunk. Depends ONLY on
+    * bytes in `[off, boundary)` — the property the streaming variant
+    * ([[chunksStream]]) relies on to re-run it over a carry buffer and
+    * get bit-identical cuts.
+    */
+  private def nextBoundary(data: Array[Byte], off: Int, n: Int,
+      min: Int, avg: Int, max: Int): Int = {
+    val bits = 31 - Integer.numberOfLeadingZeros(avg)
+    val maskS = (1L << (bits + 2)) - 1L
+    val maskL = (1L << (bits - 2)) - 1L
+    // long-side min: off + max overflows Int on multi-GB values
+    val end = math.min(off.toLong + max, n.toLong).toInt
+    var boundary = end
+    if (end - off > min) {
+      // long-side min like `end`: off + avg overflows Int within avg
+      // bytes of Int.MaxValue, which would silently skip the maskS
+      // loop and break the bit-stable determinism contract
+      val normal = math.min(off.toLong + avg, end.toLong).toInt
+      var fp = 0L
+      var i = off + min
+      var found = false
+      while (i < normal && !found) {
+        fp = (fp << 1) + gear(data(i) & 0xFF)
+        if ((fp & maskS) == 0L) { boundary = i + 1; found = true }
+        i += 1
+      }
+      while (i < end && !found) {
+        fp = (fp << 1) + gear(data(i) & 0xFF)
+        if ((fp & maskL) == 0L) { boundary = i + 1; found = true }
+        i += 1
+      }
+    }
+    boundary
+  }
+
   /** Cut `data` into content-defined chunks; returns rows of
     * (offset: long, size: int, sha256: string). `avg` must be a power
     * of two ≥ 16 and min < avg ≤ max must hold (analysis-time check in
     * [[CdcChunks]]).
     */
   def chunks(data: Array[Byte], min: Int, avg: Int, max: Int): GenericArrayData = {
-    val bits = 31 - Integer.numberOfLeadingZeros(avg)
-    val maskS = (1L << (bits + 2)) - 1L
-    val maskL = (1L << (bits - 2)) - 1L
     val n = data.length
     val md = MessageDigest.getInstance("SHA-256")
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var off = 0
     while (off < n) {
-      // long-side min: off + max overflows Int on multi-GB values
-      val end = math.min(off.toLong + max, n.toLong).toInt
-      var boundary = end
-      if (end - off > min) {
-        // long-side min like `end`: off + avg overflows Int within avg
-        // bytes of Int.MaxValue, which would silently skip the maskS
-        // loop and break the bit-stable determinism contract
-        val normal = math.min(off.toLong + avg, end.toLong).toInt
-        var fp = 0L
-        var i = off + min
-        var found = false
-        while (i < normal && !found) {
-          fp = (fp << 1) + gear(data(i) & 0xFF)
-          if ((fp & maskS) == 0L) { boundary = i + 1; found = true }
-          i += 1
-        }
-        while (i < end && !found) {
-          fp = (fp << 1) + gear(data(i) & 0xFF)
-          if ((fp & maskL) == 0L) { boundary = i + 1; found = true }
-          i += 1
-        }
-      }
+      val boundary = nextBoundary(data, off, n, min, avg, max)
       val size = boundary - off
       md.reset()
       md.update(data, off, size)
@@ -85,6 +97,75 @@ object CdcHelper {
       off = boundary
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** Chunk a logical byte stream that arrives as ordered parts (the
+    * chunked walk's `content_part` rows), producing EXACTLY the cut
+    * points of chunking the concatenation — chunk seams never align to
+    * the artificial part seams, which is the whole point of CDC (a
+    * per-part `cdc_chunks` would re-key every oversize entry at its
+    * `maxEntryBytes` boundaries, the fixed-block failure mode).
+    *
+    * State is bounded: only the tail bytes after the last CONFIRMED
+    * cut carry over to the next part. A cut is confirmed when it falls
+    * strictly before the buffered end (it was mask- or max-forced, and
+    * [[nextBoundary]] depends only on bytes before it) or exactly at
+    * the end with size == max (max-forced). A chunk that merely ran
+    * out of buffer is tentative — re-cutting it with more data
+    * appended reproduces every confirmed decision bit-identically.
+    * Since any `max` consecutive bytes force a cut, the carry is
+    * always < `max` + one part length.
+    */
+  def chunksStream(parts: Iterator[Array[Byte]], min: Int, avg: Int,
+      max: Int): Iterator[(Long, Int, String)] = {
+    // locals: inside the anonymous Iterator, `min`/`max` would resolve
+    // to Iterator's own min/max methods
+    val (mn, av, mx) = (min, avg, max)
+    new Iterator[(Long, Int, String)] {
+      private val md = MessageDigest.getInstance("SHA-256")
+      private var buf: Array[Byte] = Array.emptyByteArray
+      private var off = 0
+      private var base = 0L
+      private var exhausted = !parts.hasNext
+      private var nextChunk: (Long, Int, String) = _
+
+      // drop consumed bytes, append the next part — O(carry + part)
+      private def pull(): Unit = {
+        val part = parts.next()
+        exhausted = !parts.hasNext
+        val rem = buf.length - off
+        val b = new Array[Byte](rem + part.length)
+        System.arraycopy(buf, off, b, 0, rem)
+        System.arraycopy(part, 0, b, rem, part.length)
+        base += off
+        buf = b
+        off = 0
+      }
+
+      private def advance(): Unit = {
+        nextChunk = null
+        while (nextChunk == null) {
+          if (off < buf.length) {
+            val boundary = nextBoundary(buf, off, buf.length, mn, av, mx)
+            if (exhausted || boundary < buf.length || boundary - off == mx) {
+              md.reset()
+              md.update(buf, off, boundary - off)
+              nextChunk = ((base + off, boundary - off, hex(md.digest())))
+              off = boundary
+            } else pull() // tentative tail: extend before deciding
+          } else if (!exhausted) pull()
+          else return // stream fully consumed
+        }
+      }
+
+      advance()
+      override def hasNext: Boolean = nextChunk != null
+      override def next(): (Long, Int, String) = {
+        val c = nextChunk
+        advance()
+        c
+      }
+    }
   }
 
   private def hex(b: Array[Byte]): String = {

@@ -36,6 +36,44 @@ object Cdc {
       .select(col(idCol), col("c.offset").as("offset"),
         col("c.size").as("size"), col("c.sha256").as("sha256"))
 
+  /** [[chunkTable]] for entries that arrive as ORDERED PARTS — the
+    * chunked walk's oversize rows
+    * ([[graft.walk.ArchiveWalker.walkChunked]], `content_part` index):
+    * produces EXACTLY the chunks of each entry's concatenated content
+    * ([[graft.functions.CdcHelper.chunksStream]]), so cut points and
+    * hashes are invariant to where `maxEntryBytes` split the entry —
+    * a per-row `cdc_chunks` would re-key every oversize entry at its
+    * artificial part seams, the fixed-block failure mode CDC exists
+    * to avoid.
+    *
+    * Scale shape: ONE exchange keyed by the entry id (parts of one
+    * entry must meet), sorted-group streaming after it —
+    * `flatMapSortedGroups` hands each group's parts in `content_part`
+    * order without buffering the group, and the chunker's state is
+    * bounded by `max` + one part regardless of entry size. Chunks for
+    * a 100 GB entry stream out lazily; nothing driver-side.
+    *
+    * @param idCol column identifying the logical entry (e.g. a
+    *              `concat_ws(source, path)` — parts of one entry must
+    *              share it)
+    */
+  def chunkTableOverParts(df: DataFrame, idCol: String, partIdxCol: String,
+      contentCol: String, min: Int = 2048, avg: Int = 8192,
+      max: Int = 65536): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(idCol).cast("string").as("__id"),
+        col(partIdxCol).cast("long").as("__pidx"),
+        col(contentCol).as("__content"))
+      .as[(String, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("__pidx")) { (id, parts) =>
+        graft.functions.CdcHelper.chunksStream(parts.map(_._3), min, avg, max)
+          .map { case (off, size, sha) => (id, off, size, sha) }
+      }
+      .toDF(idCol, "offset", "size", "sha256")
+  }
+
   /** One-row corpus dedup accounting over a [[chunkTable]]: total vs
     * distinct chunks and bytes, and the byte-level dedup ratio a
     * chunk-store would achieve. Hash-keyed partial agg, single

@@ -110,6 +110,70 @@ class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats.getAs[Long]("total_bytes") == 3L * 40000 + 2L * 65536)
   }
 
+  test("chunksStream: part seams never move a cut (boundary invariance)") {
+    val data = bytes(0xCA11L, 700001)
+    val whole = chunksOf(data)
+    // several unaligned part sizes, incl. smaller than min and one
+    // giant part — every split must reproduce the whole-entry cuts
+    for (partSize <- Seq(1000, 65536, 100000, 1 << 17 | 13, 700001, 1000000)) {
+      val parts = data.grouped(partSize).toSeq
+      val streamed = CdcHelper.chunksStream(parts.iterator, 2048, 8192, 65536).toSeq
+      assert(streamed == whole, s"partSize=$partSize")
+    }
+    // degenerate shapes
+    assert(CdcHelper.chunksStream(Iterator.empty, 2048, 8192, 65536).isEmpty)
+    assert(CdcHelper.chunksStream(Iterator(Array.emptyByteArray), 2048, 8192, 65536).isEmpty)
+    // constant bytes: every cut is max-forced exactly at the buffer end
+    // sometimes — the size==max confirmation path
+    val flat = Array.fill[Byte](262144)(0x41)
+    assert(CdcHelper.chunksStream(flat.grouped(65536).iterator, 2048, 8192, 65536).toSeq
+      == chunksOf(flat))
+  }
+
+  test("chunkTableOverParts: chunked-walk parts chunk as the whole entry") {
+    import spark.implicits._
+    // an entry split at an artificial 100 KB seam (the maxEntryBytes
+    // shape) + a small single-part entry; shuffled part order to prove
+    // the sorted-group reassembly
+    val big = bytes(0xB16L, 350003)
+    val partsDf = (big.grouped(100000).zipWithIndex.map { case (p, i) =>
+      ("big", i.toLong, p)
+    }.toSeq.reverse :+ (("small", 0L, bytes(0x5AL, 5000))))
+      .toDF("entry", "content_part", "content")
+    val got = Cdc.chunkTableOverParts(partsDf, "entry", "content_part", "content")
+      .orderBy(col("entry"), col("offset"))
+      .as[(String, Long, Int, String)].collect().toSeq
+    val want = chunksOf(big).map { case (o, s2, h) => ("big", o, s2, h) } ++
+      chunksOf(bytes(0x5AL, 5000)).map { case (o, s2, h) => ("small", o, s2, h) }
+    assert(got == want)
+  }
+
+  test("chunked walk -> chunkTableOverParts: CDC invariant to maxEntryBytes") {
+    import graft.core.ConvertOptions
+    import graft.convert.ArchiveConverter
+    import java.io.{File, FileOutputStream}
+    import java.util.zip.GZIPOutputStream
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    // a tar.gz with one 300 KB member — walked with a 100 KB cap it
+    // splits into 3 content_part rows at artificial seams
+    val payload = bytes(0xFEEDL, 300000)
+    val f = File.createTempFile("cdcwalk", ".tar.gz")
+    f.deleteOnExit()
+    val tar = new TarArchiveOutputStream(new GZIPOutputStream(new FileOutputStream(f)))
+    val e = new TarArchiveEntry("big.bin")
+    e.setSize(payload.length.toLong)
+    tar.putArchiveEntry(e); tar.write(payload); tar.closeArchiveEntry(); tar.close()
+    val parts = ArchiveConverter.chunkedEntries(spark, Seq(f.getAbsolutePath),
+      ConvertOptions(maxEntryBytes = 100000L)).toDF()
+    assert(parts.count() == 3, "expected the entry split into 3 parts")
+    val got = Cdc.chunkTableOverParts(parts, "path", "content_part", "content")
+      .orderBy(col("offset"))
+      .select(col("offset"), col("size"), col("sha256"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got == chunksOf(payload),
+      "cut points must not move at the 100 KB part seams")
+  }
+
   test("null content yields null; bad sizes fail at analysis") {
     import spark.implicits._
     val df = Seq(Tuple1(Option.empty[Array[Byte]])).toDF("content")
