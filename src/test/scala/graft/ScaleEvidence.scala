@@ -269,6 +269,82 @@ object ScaleEvidence {
     println(f"""SCALE {"corpus":"cdc:$mb","op":"q95_cdc_chunks","n_docs":$nDocs,"mb":$totMb%.0f,"chunks":$nChunks,"mean_chunk_bytes":$meanChunk%.0f,"chunk_secs":$cSecs%.2f,"chunk_mbps":${totMb / cSecs}%.1f,"stats_secs":$sSecs%.2f,"dedup_ratio":$ratio%.4f}""")
   }
 
+  /** Composed web-pipeline rung (`webpipe:<k>:<sfdir>`, r10 verdict
+    * #7): the production cleaning composition with the round-11 URL
+    * primitives chained in, over the realx-k corpus —
+    *
+    *   HTML extract → NFC → length gate → url_normalize →
+    *   registered_domain → exact-dedup winner election (clean text) →
+    *   per-domain quota cap → deterministic 30% sample
+    *
+    * Every doc gets a synthesized page (q98's shape) and a q96/q99-
+    * style URL whose spelling is obfuscated on odd ids (mixed case,
+    * explicit default port, fragment, percent-encoded path) — the
+    * pipeline must (a) collapse spelling variants onto one canonical
+    * key, (b) stay within its exchange budget: ONE hash exchange for
+    * the dedup election (AQE broadcasts the winner side back), one
+    * aggregation exchange + broadcast semi-join for the domain cap.
+    * Reported: stage row counts, exchange count from the FINAL plan,
+    * wall seconds.
+    */
+  private def webPipeRung(spark: SparkSession, dir: String, k: Int): Unit = {
+    import graft.functions.GraftFunctions
+    import graft.ops.{Dedup, Quality, Sampling}
+    val docs = replicatedDocs(spark, dir, k).cache()
+    val nIn = docs.count()
+    val did = col("doc_id")
+    val v1 = did % 2 === 1
+    // all content-bearing URL selectors key on the PAIR id (doc_id with
+    // parity dropped): an odd id's URL is the obfuscated spelling of
+    // its even neighbor's, so canonicalization must halve the key space
+    val pid = did - (did % 2)
+    val html = concat(
+      lit("<html><body><h1>D"), did.cast("string"),
+      lit("</h1><p>"), col("text"),
+      lit(" &amp; caf&#233;</p><!-- c --><a href=\"x>y\">L</a></body></html>"))
+    val tld = element_at(
+      array(lit("com"), lit("org"), lit("co.uk"), lit("com.au"), lit("github.io")),
+      (pid % 5 + 1).cast("int"))
+    val hostLabel = concat(lit("site"), (pid % 20).cast("string"))
+    val rawUrl = concat(
+      when(v1, lit("HTTP")).otherwise(lit("http")), lit("://"),
+      when(v1, upper(hostLabel)).otherwise(hostLabel),
+      lit("."), tld,
+      when(v1, lit(":80")).otherwise(lit("")),
+      lit("/d/"), when(v1, lit("%64oc/")).otherwise(lit("doc/")),
+      (pid % 1000).cast("string"),
+      when(v1, lit("#frag")).otherwise(lit("")))
+    val t0 = System.nanoTime()
+    val cleaned = docs
+      .select(did.as("doc_id"), rawUrl.as("url"),
+        GraftFunctions.nfc_normalize(Quality.htmlToText(html)).as("clean"))
+      .where(length(col("clean")) >= 50)
+      .withColumn("url_norm", GraftFunctions.url_normalize(col("url")))
+      .withColumn("domain", GraftFunctions.registered_domain(
+        GraftFunctions.url_parts(col("url_norm")).getField("host")))
+    val unique = Dedup.exactWinners(cleaned, "doc_id", "clean")
+    val capped = Sampling.domainCap(unique, "domain", "doc_id", quota = 500, seed = 42L)
+    val sampled = capped.where(GraftFunctions.md5_long62(
+      concat(lit("s:"), col("doc_id").cast("string"))) % 10 < 3)
+    val nOut = sampled.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val nClean = cleaned.count()
+    val nUnique = unique.count()
+    val nCapped = capped.count()
+    val nDomains = capped.select(col("domain")).distinct().count()
+    val plan = sampled.queryExecution.executedPlan.toString
+    val nEx = "(?m)^\\s*(?:[+:][- ]*)*Exchange ".r.findAllIn(plan).size
+    // canonicalization must collapse the odd-id spellings: the URL-norm
+    // key space is the EVEN-id key space (url depends on doc_id%1000,
+    // source, doc_id%5 — parity only via spelling)
+    val nKeys = cleaned.select(col("url_norm")).distinct().count()
+    val nKeysEven = cleaned.where(did % 2 === 0).select(col("url_norm")).distinct().count()
+    require(nKeys == nKeysEven,
+      s"url_normalize failed to collapse spelling variants: $nKeys keys vs $nKeysEven even-id keys")
+    docs.unpersist()
+    println(f"""SCALE {"corpus":"webpipe-realx$k","op":"web_pipeline","n_in":$nIn,"n_clean":$nClean,"n_unique":$nUnique,"n_capped":$nCapped,"n_domains":$nDomains,"n_out":$nOut,"url_keys":$nKeys,"exchanges":$nEx,"secs":$secs%.1f}""")
+  }
+
   private def timedCount(df: DataFrame): (Long, Double) = {
     val t0 = System.nanoTime()
     val c = df.count()
@@ -293,8 +369,11 @@ object ScaleEvidence {
     ccArgs.foreach(a => componentsRung(spark, a.drop(3).toLong))
     val (szArgs, rest1) = rest0.partition(_.startsWith("sevenz:"))
     szArgs.foreach(a => sevenZRung(spark, a.drop(7).toInt))
-    val (cdcArgs, docCorpora) = rest1.partition(_.startsWith("cdc:"))
+    val (cdcArgs, rest2) = rest1.partition(_.startsWith("cdc:"))
     cdcArgs.foreach(a => cdcRung(spark, a.drop(4).toInt))
+    val WebPipe = "webpipe:(\\d+):(.*)".r
+    val (wpArgs, docCorpora) = rest2.partition(_.startsWith("webpipe:"))
+    wpArgs.foreach { case WebPipe(k, dir) => webPipeRung(spark, dir, k.toInt) }
 
     docCorpora.foreach { c =>
       val RealX = "realx(\\d+):(.*)".r
