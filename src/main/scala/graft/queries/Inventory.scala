@@ -1840,6 +1840,45 @@ object Inventory {
     * the CDC resync property makes the chunker re-emit identical
     * chunk hashes inside the copy even though it starts mid-chunk.
     */
+  /** The independently-derived FastCDC rows over [[cdcFixtureBytes]]
+    * — the shared oracle of q95 (whole-stream chunking) and q100 (the
+    * same stream arriving as six 50000-byte parts): seam invariance
+    * means both queries must land on EXACTLY these rows.
+    */
+  private val CdcChunkOracle: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), CAST(3169 AS BIGINT), 'a50211b0fe237d28aa31e37158bfffed7609b7c775a60b08aaa38a9093230553'),
+      |  (CAST(3169 AS BIGINT), CAST(9764 AS BIGINT), '7565ad4b3af97a42313a548f5bd432d5149f2067811daa16ae8438c5a430fef3'),
+      |  (CAST(12933 AS BIGINT), CAST(8956 AS BIGINT), 'e04b7ea04cb5defabb7c0f3b6d3ffa7e5ba38917591e2a382c36829717c78623'),
+      |  (CAST(21889 AS BIGINT), CAST(9059 AS BIGINT), 'fd15b34625a07d2fe137e0d27a3094c591053ae25f236ce7d23ec1d8e78b646f'),
+      |  (CAST(30948 AS BIGINT), CAST(7627 AS BIGINT), 'c5e3fbd6979e26a01acc09153e637b68d994980460ae29e98f5620c364890dd0'),
+      |  (CAST(38575 AS BIGINT), CAST(9343 AS BIGINT), '2e708c9cb7b97ffbc2640308852339931d342e37660466ceee0137fb67008dc1'),
+      |  (CAST(47918 AS BIGINT), CAST(10944 AS BIGINT), '6e805faefb1052197ca9b3e329b9c7264c500bb06ac36a2c311ae1c63d5e96fe'),
+      |  (CAST(58862 AS BIGINT), CAST(9807 AS BIGINT), 'ccddeb924b264680728ee5a6640ca753a42735e8aa2adba3fa847144e1b61d14'),
+      |  (CAST(68669 AS BIGINT), CAST(9039 AS BIGINT), 'eeb3d4a60d4a48899d78cfc35c998f53067ee48f8d616f6507ae67ec1e023116'),
+      |  (CAST(77708 AS BIGINT), CAST(9430 AS BIGINT), '6dc21a0607564ba93bc27806af0387754339edae88b571d43453012f5aa89123'),
+      |  (CAST(87138 AS BIGINT), CAST(9097 AS BIGINT), '69c438d17d02226bc44a688e9f671f321608d65294153523cacab9311d3ff85c'),
+      |  (CAST(96235 AS BIGINT), CAST(6128 AS BIGINT), '5f583cff1acd2f6464307f4b765be9fd3fc578b6b553f81099c355a476a903d2'),
+      |  (CAST(102363 AS BIGINT), CAST(8267 AS BIGINT), 'e910d5e38dad670abae78784b830f8b99fa5484448402a0e8612721d538c0cc8'),
+      |  (CAST(110630 AS BIGINT), CAST(10790 AS BIGINT), '2916794353d85790e116a733ab49b8fa271d3793409b4664808fbfb590fffd85'),
+      |  (CAST(121420 AS BIGINT), CAST(9772 AS BIGINT), '682e5938cc42146587c0dc7c4bea0fa631a49fe19c86c562c38a0c7216f61ede'),
+      |  (CAST(131192 AS BIGINT), CAST(9250 AS BIGINT), '2337beb7e659a8674a01258caeb90d0791e306512229157e37047b9a07734272'),
+      |  (CAST(140442 AS BIGINT), CAST(11023 AS BIGINT), 'd504b12cb502c742cbce41f196162f6c3628e38feb68a3941ec8e50b182674d2'),
+      |  (CAST(151465 AS BIGINT), CAST(11586 AS BIGINT), 'fc208f157478e865296026461b26074f9791045984b4ba79aa1fdf1d59d31b5f'),
+      |  (CAST(163051 AS BIGINT), CAST(6596 AS BIGINT), 'e0050bdec60380f4393e5e0556cb1c87a3da454cd867fc011b2e6ba7cf618d6c'),
+      |  (CAST(169647 AS BIGINT), CAST(9343 AS BIGINT), '2e708c9cb7b97ffbc2640308852339931d342e37660466ceee0137fb67008dc1'),
+      |  (CAST(178990 AS BIGINT), CAST(10944 AS BIGINT), '6e805faefb1052197ca9b3e329b9c7264c500bb06ac36a2c311ae1c63d5e96fe'),
+      |  (CAST(189934 AS BIGINT), CAST(9807 AS BIGINT), 'ccddeb924b264680728ee5a6640ca753a42735e8aa2adba3fa847144e1b61d14'),
+      |  (CAST(199741 AS BIGINT), CAST(9039 AS BIGINT), 'eeb3d4a60d4a48899d78cfc35c998f53067ee48f8d616f6507ae67ec1e023116'),
+      |  (CAST(208780 AS BIGINT), CAST(9430 AS BIGINT), '6dc21a0607564ba93bc27806af0387754339edae88b571d43453012f5aa89123'),
+      |  (CAST(218210 AS BIGINT), CAST(9097 AS BIGINT), '69c438d17d02226bc44a688e9f671f321608d65294153523cacab9311d3ff85c'),
+      |  (CAST(227307 AS BIGINT), CAST(6128 AS BIGINT), '5f583cff1acd2f6464307f4b765be9fd3fc578b6b553f81099c355a476a903d2'),
+      |  (CAST(233435 AS BIGINT), CAST(8267 AS BIGINT), 'e910d5e38dad670abae78784b830f8b99fa5484448402a0e8612721d538c0cc8'),
+      |  (CAST(241702 AS BIGINT), CAST(10790 AS BIGINT), '2916794353d85790e116a733ab49b8fa271d3793409b4664808fbfb590fffd85'),
+      |  (CAST(252492 AS BIGINT), CAST(9652 AS BIGINT), 'c44fc6530c12e29ad9b7e3c16a95eb2859f912c1feac36ee54b5322354ffcf5f'))
+      |  AS t(chunk_offset, size, sha256)
+      |ORDER BY chunk_offset""".stripMargin
+
   private[graft] def cdcFixtureBytes(): Array[Byte] = {
     val n = 262144
     val out = new Array[Byte](n)
@@ -1869,6 +1908,26 @@ object Inventory {
       // "offset" is a DuckDB reserved word — chunk_offset on both sides
       .select(col("c.offset").as("chunk_offset"),
         col("c.size").cast("bigint").as("size"), col("c.sha256").as("sha256"))
+      .orderBy(col("chunk_offset"))
+  }
+
+  /** CDC over chunked-walk part rows
+    * ([[graft.ops.Cdc.chunkTableOverParts]] /
+    * [[graft.functions.CdcHelper.chunksStream]]): the q95 fixture
+    * arriving as six 50000-byte `content_part` rows — every seam lands
+    * mid-chunk — must reproduce EXACTLY the whole-stream rows of the
+    * shared independent oracle, proving cut points are invariant to
+    * where `maxEntryBytes` split the entry. One entry-keyed exchange +
+    * sorted-group streaming, state bounded by max + one part.
+    */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parts = cdcFixtureBytes().grouped(50000).zipWithIndex
+      .map { case (p, i) => ("fx", i.toLong, p) }.toSeq
+    val df = parts.toDF("entry", "content_part", "content")
+    graft.ops.Cdc.chunkTableOverParts(df, "entry", "content_part", "content")
+      .select(col("offset").as("chunk_offset"),
+        col("size").cast("bigint").as("size"), col("sha256"))
       .orderBy(col("chunk_offset"))
   }
 
@@ -2240,7 +2299,8 @@ object Inventory {
     "q96_url_parse" -> (q96 _),
     "q97_html_extract" -> (q97 _),
     "q98_clean_pipeline" -> (q98 _),
-    "q99_url_normalize" -> (q99 _))
+    "q99_url_normalize" -> (q99 _),
+    "q100_cdc_parts" -> (q100 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -2711,39 +2771,15 @@ object Inventory {
       // boundary-off-by-one breaks sizes, offsets AND digests at once.
       // Rows 20-28 repeat rows 6-14's digests: the planted 96 KiB
       // duplicate region re-chunks identically after one resync chunk.
-      "q95_cdc_chunks" ->
-        """SELECT * FROM (VALUES
-          |  (CAST(0 AS BIGINT), CAST(3169 AS BIGINT), 'a50211b0fe237d28aa31e37158bfffed7609b7c775a60b08aaa38a9093230553'),
-          |  (CAST(3169 AS BIGINT), CAST(9764 AS BIGINT), '7565ad4b3af97a42313a548f5bd432d5149f2067811daa16ae8438c5a430fef3'),
-          |  (CAST(12933 AS BIGINT), CAST(8956 AS BIGINT), 'e04b7ea04cb5defabb7c0f3b6d3ffa7e5ba38917591e2a382c36829717c78623'),
-          |  (CAST(21889 AS BIGINT), CAST(9059 AS BIGINT), 'fd15b34625a07d2fe137e0d27a3094c591053ae25f236ce7d23ec1d8e78b646f'),
-          |  (CAST(30948 AS BIGINT), CAST(7627 AS BIGINT), 'c5e3fbd6979e26a01acc09153e637b68d994980460ae29e98f5620c364890dd0'),
-          |  (CAST(38575 AS BIGINT), CAST(9343 AS BIGINT), '2e708c9cb7b97ffbc2640308852339931d342e37660466ceee0137fb67008dc1'),
-          |  (CAST(47918 AS BIGINT), CAST(10944 AS BIGINT), '6e805faefb1052197ca9b3e329b9c7264c500bb06ac36a2c311ae1c63d5e96fe'),
-          |  (CAST(58862 AS BIGINT), CAST(9807 AS BIGINT), 'ccddeb924b264680728ee5a6640ca753a42735e8aa2adba3fa847144e1b61d14'),
-          |  (CAST(68669 AS BIGINT), CAST(9039 AS BIGINT), 'eeb3d4a60d4a48899d78cfc35c998f53067ee48f8d616f6507ae67ec1e023116'),
-          |  (CAST(77708 AS BIGINT), CAST(9430 AS BIGINT), '6dc21a0607564ba93bc27806af0387754339edae88b571d43453012f5aa89123'),
-          |  (CAST(87138 AS BIGINT), CAST(9097 AS BIGINT), '69c438d17d02226bc44a688e9f671f321608d65294153523cacab9311d3ff85c'),
-          |  (CAST(96235 AS BIGINT), CAST(6128 AS BIGINT), '5f583cff1acd2f6464307f4b765be9fd3fc578b6b553f81099c355a476a903d2'),
-          |  (CAST(102363 AS BIGINT), CAST(8267 AS BIGINT), 'e910d5e38dad670abae78784b830f8b99fa5484448402a0e8612721d538c0cc8'),
-          |  (CAST(110630 AS BIGINT), CAST(10790 AS BIGINT), '2916794353d85790e116a733ab49b8fa271d3793409b4664808fbfb590fffd85'),
-          |  (CAST(121420 AS BIGINT), CAST(9772 AS BIGINT), '682e5938cc42146587c0dc7c4bea0fa631a49fe19c86c562c38a0c7216f61ede'),
-          |  (CAST(131192 AS BIGINT), CAST(9250 AS BIGINT), '2337beb7e659a8674a01258caeb90d0791e306512229157e37047b9a07734272'),
-          |  (CAST(140442 AS BIGINT), CAST(11023 AS BIGINT), 'd504b12cb502c742cbce41f196162f6c3628e38feb68a3941ec8e50b182674d2'),
-          |  (CAST(151465 AS BIGINT), CAST(11586 AS BIGINT), 'fc208f157478e865296026461b26074f9791045984b4ba79aa1fdf1d59d31b5f'),
-          |  (CAST(163051 AS BIGINT), CAST(6596 AS BIGINT), 'e0050bdec60380f4393e5e0556cb1c87a3da454cd867fc011b2e6ba7cf618d6c'),
-          |  (CAST(169647 AS BIGINT), CAST(9343 AS BIGINT), '2e708c9cb7b97ffbc2640308852339931d342e37660466ceee0137fb67008dc1'),
-          |  (CAST(178990 AS BIGINT), CAST(10944 AS BIGINT), '6e805faefb1052197ca9b3e329b9c7264c500bb06ac36a2c311ae1c63d5e96fe'),
-          |  (CAST(189934 AS BIGINT), CAST(9807 AS BIGINT), 'ccddeb924b264680728ee5a6640ca753a42735e8aa2adba3fa847144e1b61d14'),
-          |  (CAST(199741 AS BIGINT), CAST(9039 AS BIGINT), 'eeb3d4a60d4a48899d78cfc35c998f53067ee48f8d616f6507ae67ec1e023116'),
-          |  (CAST(208780 AS BIGINT), CAST(9430 AS BIGINT), '6dc21a0607564ba93bc27806af0387754339edae88b571d43453012f5aa89123'),
-          |  (CAST(218210 AS BIGINT), CAST(9097 AS BIGINT), '69c438d17d02226bc44a688e9f671f321608d65294153523cacab9311d3ff85c'),
-          |  (CAST(227307 AS BIGINT), CAST(6128 AS BIGINT), '5f583cff1acd2f6464307f4b765be9fd3fc578b6b553f81099c355a476a903d2'),
-          |  (CAST(233435 AS BIGINT), CAST(8267 AS BIGINT), 'e910d5e38dad670abae78784b830f8b99fa5484448402a0e8612721d538c0cc8'),
-          |  (CAST(241702 AS BIGINT), CAST(10790 AS BIGINT), '2916794353d85790e116a733ab49b8fa271d3793409b4664808fbfb590fffd85'),
-          |  (CAST(252492 AS BIGINT), CAST(9652 AS BIGINT), 'c44fc6530c12e29ad9b7e3c16a95eb2859f912c1feac36ee54b5322354ffcf5f'))
-          |  AS t(chunk_offset, size, sha256)
-          |ORDER BY chunk_offset""".stripMargin,
+      // SHARED with q100_cdc_parts: seam invariance means the part-wise
+      // chunker must land on EXACTLY these rows.
+      "q95_cdc_chunks" -> CdcChunkOracle,
+      // cdc over chunked-walk parts: the same fixture arriving as six
+      // 50000-byte content_part rows (every seam lands mid-chunk) must
+      // reproduce the independent whole-stream rows above — any carry
+      // or confirmation defect in the streaming chunker moves a cut
+      // and breaks offsets, sizes AND digests at once
+      "q100_cdc_parts" -> CdcChunkOracle,
       // url parse: the SAME deterministic URL synthesis on both sides,
       // then DuckDB re-implements the parse grammar as one regex and
       // the eTLD+1 election as a CASE over the multi-label subset of
