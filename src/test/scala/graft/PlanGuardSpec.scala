@@ -146,6 +146,25 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), s"q98 winner join must broadcast:\n$p")
   }
 
+  test("q99: url-normalize dedup is one hash exchange over a narrow projection") {
+    // synthesis + url_normalize are codegen'd scalar work; the winner
+    // election is the single hash agg exchange, plus the presentation
+    // sort's range exchange
+    val p = plan("q99_url_normalize")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"q99 must hash-shuffle once (the winner election):\n$p")
+    assert(exchanges(p) <= 2, s"q99 grew a shuffle:\n$p")
+  }
+
+  test("q100: part-wise CDC is one entry-keyed exchange + sorted groups") {
+    val p = plan("q100_cdc_parts")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"q100 must shuffle once (parts of one entry must meet):\n$p")
+    // flatMapSortedGroups renders as MapGroups over a sort WITHIN the
+    // exchange's partitions — no extra exchange for the ordering
+    assert(p.contains("MapGroups"), s"q100 lost its sorted-group operator:\n$p")
+  }
+
   test("q16: converter plan has no exchange at all (narrow walk -> write)") {
     // the converter itself (no --unique) is shuffle-free by design;
     // q16's presentation sort adds exactly one range exchange
