@@ -102,6 +102,28 @@ class UrlSpec extends AnyFunSuite {
     assert(nz("://host") == None)
   }
 
+  test("url_normalize is idempotent over fuzzed URL shapes") {
+    // canonical output must be a fixed point: normalize(normalize(u))
+    // == normalize(u) for every parseable input — a second pass that
+    // changes anything means the first didn't canonicalize
+    val schemes = Seq("http", "HTTP", "https", "ftp", "svn+ssh", "ws")
+    val hosts = Seq("example.com", "EXAMPLE.COM.", "münchen.de",
+      "xn--mnchen-3ya.de", "h%41x", "[2001:DB8::1]", "a..b", "h")
+    val ports = Seq("", ":80", ":443", ":0", ":8080", ":65535", ":notaport")
+    val paths = Seq("", "/", "/a/b", "/%61%7Eb", "/%2f", "/%zz", "/a%4")
+    val queries = Seq("", "?", "?q=1", "?t=c%20d", "?%63")
+    val frags = Seq("", "#f", "#%41")
+    val rnd = new scala.util.Random(42)
+    (0 until 2000).foreach { _ =>
+      val u = schemes(rnd.nextInt(schemes.size)) + "://" +
+        (if (rnd.nextBoolean()) "user:pw@" else "") +
+        hosts(rnd.nextInt(hosts.size)) + ports(rnd.nextInt(ports.size)) +
+        paths(rnd.nextInt(paths.size)) + queries(rnd.nextInt(queries.size)) +
+        frags(rnd.nextInt(frags.size))
+      nz(u).foreach { n => assert(nz(n) == Some(n), s"not a fixed point: $u -> $n -> ${nz(n)}") }
+    }
+  }
+
   test("registered_domain: label election under the vendored PSL") {
     assert(rd("www.example.co.uk") == "example.co.uk")
     assert(rd("a.b.c.example.com.au") == "example.com.au")
