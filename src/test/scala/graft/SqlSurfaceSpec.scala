@@ -39,6 +39,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         |       char_entropy('ab') AS ent,
         |       url_parts('http://User@WWW.a.co.uk:81/p?q#f').host AS uh,
         |       registered_domain('www.a.co.uk') AS rdom,
+        |       url_normalize('HTTP://A.com.:80/%61#f') AS un,
+        |       decode_html_entities('caf&#233; &amp;#65;') AS de,
         |       size(cdc_chunks(cast(txt AS binary), 2, 16, 64)) AS nc
         |FROM t""".stripMargin).head()
     assert(r.getAs[Boolean]("u"))
@@ -51,6 +53,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Double]("ent") == math.log(2.0))
     assert(r.getAs[String]("uh") == "www.a.co.uk")
     assert(r.getAs[String]("rdom") == "a.co.uk")
+    assert(r.getAs[String]("un") == "http://a.com/a")
+    assert(r.getAs[String]("de") == "café &#65;")
     assert(r.getAs[Int]("nc") >= 1) // 7-byte payload -> at least one chunk
   }
 
