@@ -1941,8 +1941,10 @@ object Inventory {
     * projections, zero exchanges.
     */
   private def q96(s: SparkSession, d: String): DataFrame = {
+    // github.io exercises a PRIVATE-section PSL rule through the
+    // oracle gate: wwwN.srcM.github.io must keep three labels
     val tld = element_at(
-      array(lit("com"), lit("org"), lit("co.uk"), lit("com.au"), lit("io")),
+      array(lit("com"), lit("org"), lit("co.uk"), lit("com.au"), lit("github.io")),
       (col("doc_id") % 5 + 1).cast("int"))
     val url = concat(
       when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("http")),
@@ -2792,7 +2794,7 @@ object Inventory {
       "q96_url_parse" -> {
         // non-interpolated vals so the regex's $ anchor and \? survive
         val rx = """^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"""
-        val suffixes = Seq("com", "org", "co.uk", "com.au", "io")
+        val suffixes = Seq("com", "org", "co.uk", "com.au", "github.io")
           .filter(s => graft.functions.Psl.publicSuffixLabels(("x." + s).split('.')) > 1)
           .sorted.map(x => s"'$x'").mkString(",")
         s"""WITH u AS (
@@ -2800,7 +2802,7 @@ object Inventory {
            |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
            |    (CASE WHEN doc_id % 5 = 0 THEN 'user:pw@' ELSE '' END) ||
            |    'WWW' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || '.' ||
-           |    (['com','org','co.uk','com.au','io'])[CAST(doc_id % 5 AS INT) + 1] ||
+           |    (['com','org','co.uk','com.au','github.io'])[CAST(doc_id % 5 AS INT) + 1] ||
            |    (CASE WHEN doc_id % 4 = 0 THEN ':8443' ELSE '' END) ||
            |    '/p/' || CAST(doc_id AS VARCHAR) ||
            |    (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&id=' || CAST(doc_id AS VARCHAR) ELSE '' END) ||
