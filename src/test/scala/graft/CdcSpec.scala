@@ -128,6 +128,21 @@ class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     val flat = Array.fill[Byte](262144)(0x41)
     assert(CdcHelper.chunksStream(flat.grouped(65536).iterator, 2048, 8192, 65536).toSeq
       == chunksOf(flat))
+    // fuzz: 50 seeded RANDOM split vectors (parts of 1..150000 bytes,
+    // incl. empty parts) must all reproduce the whole-stream cuts
+    val rnd = new scala.util.Random(7)
+    (0 until 50).foreach { trial =>
+      val splits = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var off = 0
+      while (off < data.length) {
+        val take = if (rnd.nextInt(10) == 0) 0 else 1 + rnd.nextInt(150000)
+        val end = math.min(off + take, data.length)
+        splits += java.util.Arrays.copyOfRange(data, off, end)
+        off = end
+      }
+      assert(CdcHelper.chunksStream(splits.iterator, 2048, 8192, 65536).toSeq == whole,
+        s"trial=$trial parts=${splits.map(_.length).mkString(",")}")
+    }
   }
 
   test("chunkTableOverParts: chunked-walk parts chunk as the whole entry") {
