@@ -28,6 +28,11 @@ object Cdc {
 
   /** Explode each row's content into its content-defined chunks:
     * (idCol, offset, size, sha256). One narrow generate — no shuffle.
+    *
+    * NOT for the chunked walk's `content_part` rows: chunking each
+    * part independently re-keys every oversize entry at its artificial
+    * `maxEntryBytes` seams — use [[chunkTableOverParts]] there, which
+    * reproduces the whole-entry cut points across seams.
     */
   def chunkTable(df: DataFrame, idCol: String, contentCol: String,
       min: Int = 2048, avg: Int = 8192, max: Int = 65536): DataFrame =
