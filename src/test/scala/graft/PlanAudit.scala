@@ -25,7 +25,8 @@ object PlanAudit {
       "q64_seq_packing", "q69_line_dedup", "q70_upsample", "q71_chunk_windows",
       "q48_outer_join", "q49_setops_all",
       "q82_domain_cap", "q83_bm25_score", "q84_gopher_filter", "q85_top_ngrams",
-      "q86_char_entropy", "q88_bloom_gate")
+      "q86_char_entropy", "q88_bloom_gate",
+      "q96_url_parse", "q97_html_extract", "q99_url_normalize", "q100_cdc_parts")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
