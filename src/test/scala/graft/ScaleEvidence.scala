@@ -328,6 +328,12 @@ object ScaleEvidence {
       concat(lit("s:"), col("doc_id").cast("string"))) % 10 < 3)
     val nOut = sampled.count()
     val secs = (System.nanoTime() - t0) / 1e9
+    // AQE-final exchange count: run THIS frame (count() above planned a
+    // separate query) and keep only the final-plan section
+    sampled.collect()
+    val finalPlan = sampled.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val nExFinal = "(?m)^\\s*(?:[+:][- ]*)*Exchange ".r.findAllIn(finalPlan).size
     val nClean = cleaned.count()
     val nUnique = unique.count()
     val nCapped = capped.count()
@@ -342,7 +348,7 @@ object ScaleEvidence {
     require(nKeys == nKeysEven,
       s"url_normalize failed to collapse spelling variants: $nKeys keys vs $nKeysEven even-id keys")
     docs.unpersist()
-    println(f"""SCALE {"corpus":"webpipe-realx$k","op":"web_pipeline","n_in":$nIn,"n_clean":$nClean,"n_unique":$nUnique,"n_capped":$nCapped,"n_domains":$nDomains,"n_out":$nOut,"url_keys":$nKeys,"exchanges":$nEx,"secs":$secs%.1f}""")
+    println(f"""SCALE {"corpus":"webpipe-realx$k","op":"web_pipeline","n_in":$nIn,"n_clean":$nClean,"n_unique":$nUnique,"n_capped":$nCapped,"n_domains":$nDomains,"n_out":$nOut,"url_keys":$nKeys,"exchanges_planned":$nEx,"exchanges_final":$nExFinal,"secs":$secs%.1f}""")
   }
 
   private def timedCount(df: DataFrame): (Long, Double) = {
