@@ -44,7 +44,10 @@ object Psl {
       src.getLines().foreach { raw =>
         val line = raw.trim
         if (line.nonEmpty && !line.startsWith("//")) {
-          val rule = line.toLowerCase(java.util.Locale.ROOT)
+          // the PSL format spec reads each line only up to the first
+          // whitespace — a refreshed snapshot with trailing annotations
+          // must not index bogus rules (r11 ADVICE)
+          val rule = line.split("\\s+")(0).toLowerCase(java.util.Locale.ROOT)
           def add(set: java.util.HashSet[String], r: String): Unit = {
             set.add(r)
             // index the punycode form too, so already-IDN-encoded hosts

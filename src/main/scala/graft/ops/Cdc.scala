@@ -60,13 +60,21 @@ object Cdc {
     *
     * @param idCol column identifying the logical entry (e.g. a
     *              `concat_ws(source, path)` — parts of one entry must
-    *              share it)
+    *              share it). The output id column keeps this column's
+    *              ORIGINAL type: grouping keys on a string render
+    *              internally (typed-encoder key), but the result casts
+    *              back, so joining the chunk table to the source needs
+    *              no caller-side cast (r11 ADVICE). Requires a type
+    *              whose values round-trip through their string render
+    *              (string/numeric/date — true of every id the walk
+    *              family emits; binary ids would not).
     */
   def chunkTableOverParts(df: DataFrame, idCol: String, partIdxCol: String,
       contentCol: String, min: Int = 2048, avg: Int = 8192,
       max: Int = 65536): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
+    val idType = df.schema(idCol).dataType
     df.select(col(idCol).cast("string").as("__id"),
         col(partIdxCol).cast("long").as("__pidx"),
         col(contentCol).as("__content"))
@@ -77,6 +85,7 @@ object Cdc {
           .map { case (off, size, sha) => (id, off, size, sha) }
       }
       .toDF(idCol, "offset", "size", "sha256")
+      .withColumn(idCol, col(idCol).cast(idType))
   }
 
   /** One-row corpus dedup accounting over a [[chunkTable]]: total vs

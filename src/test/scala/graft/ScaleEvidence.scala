@@ -338,8 +338,12 @@ object ScaleEvidence {
     val nUnique = unique.count()
     val nCapped = capped.count()
     val nDomains = capped.select(col("domain")).distinct().count()
-    val plan = sampled.queryExecution.executedPlan.toString
-    val nEx = "(?m)^\\s*(?:[+:][- ]*)*Exchange ".r.findAllIn(plan).size
+    // planned (pre-AQE) exchange count: ONLY the '== Initial Plan =='
+    // section — the full AdaptiveSparkPlan string holds final+initial
+    // and counting both inflated the figure (r11 ADVICE)
+    val planStr = sampled.queryExecution.executedPlan.toString
+    val initialPlan = planStr.split("== Initial Plan ==").lift(1).getOrElse(planStr)
+    val nEx = "(?m)^\\s*(?:[+:][- ]*)*Exchange ".r.findAllIn(initialPlan).size
     // canonicalization must collapse the odd-id spellings: the URL-norm
     // key space is the EVEN-id key space (url depends on doc_id%1000,
     // source, doc_id%5 — parity only via spelling)
