@@ -447,14 +447,56 @@ object HashingHelper {
   * One left-to-right scan, continuing AFTER each decoded reference, so
   * double-encoded input decodes exactly once (`&amp;#65;` → `&#65;`,
   * never `A`) — the property a replace-chain only gets by ordering
-  * `&amp;` last. Decodes the six ubiquitous named references (`&amp;
-  * &lt; &gt; &quot; &apos; &nbsp;`) plus decimal (`&#233;`) and hex
-  * (`&#xE9;`) numeric references for any Unicode scalar value
-  * (1..0x10FFFF excluding surrogates). Anything else — unknown names,
-  * out-of-range or malformed numerics, a bare `&` — is copied
-  * verbatim: never throw on crawl data.
+  * `&amp;` last. Decodes the full WHATWG named-reference table
+  * (2125 `;`-terminated names from the HTML spec's public
+  * entities.json list, vendored at
+  * `resources/graft/html_entities.tsv` — PSL-style public-data
+  * vendoring; 93 names expand to TWO code points) plus decimal
+  * (`&#233;`) and hex (`&#xE9;`) numeric references for any Unicode
+  * scalar value (1..0x10FFFF excluding surrogates). A reference
+  * REQUIRES its terminating semicolon (the spec's legacy
+  * no-semicolon forms are ambiguous in running text). One deliberate
+  * deviation: `&nbsp;` decodes to a PLAIN space, not U+00A0, so the
+  * downstream whitespace collapse treats it as the separator it
+  * visually is (pre-collapse convention, r10). Anything else —
+  * unknown names, out-of-range or malformed numerics, a bare `&` —
+  * is copied verbatim: never throw on crawl data.
+  *
+  * The table is a per-JVM static hash map (~2k entries): no
+  * broadcast, no shuffle, safe inside whole-stage codegen — the same
+  * design as [[Psl]].
   */
 object HtmlEntityHelper {
+
+  /** name → replacement, loaded from the vendored WHATWG table.
+    * Longest name is 31 chars — [[MaxBody]] bounds the `;` scan.
+    */
+  private val entities: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String](4096)
+    val in = getClass.getResourceAsStream("/graft/html_entities.tsv")
+    require(in != null, "vendored html_entities.tsv missing from resources")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      src.getLines().foreach { line =>
+        if (line.nonEmpty && !line.startsWith("#")) {
+          val tab = line.indexOf('\t')
+          val name = line.substring(0, tab)
+          val sb = new java.lang.StringBuilder(2)
+          line.substring(tab + 1).split(' ')
+            .foreach(h => sb.appendCodePoint(Integer.parseInt(h, 16)))
+          m.put(name, sb.toString)
+        }
+      }
+    } finally src.close()
+    m.put("nbsp", " ") // to plain space: pre-collapse convention
+    m
+  }
+
+  /** Longest decodable body: 31-char names ([[entities]]), 9-char
+    * numerics (`#x10FFFF` + headroom). A `;` farther out means the
+    * `&` is bare.
+    */
+  private val MaxBody = 32
 
   def decode(s: UTF8String): UTF8String = {
     val in = s.toString
@@ -467,22 +509,15 @@ object HtmlEntityHelper {
       if (c != '&') { sb.append(c); i += 1 }
       else {
         val semi = in.indexOf(';', i + 1)
-        // references are short — a far-away ';' means this '&' is bare
-        if (semi < 0 || semi - i > 9) { sb.append(c); i += 1 }
+        if (semi < 0 || semi - i - 1 > MaxBody) { sb.append(c); i += 1 }
         else {
           val body = in.substring(i + 1, semi)
-          val decoded: Int = body match {
-            case "amp" => '&'
-            case "lt" => '<'
-            case "gt" => '>'
-            case "quot" => '"'
-            case "apos" => '\''
-            case "nbsp" => ' ' // to plain space: pre-collapse convention
-            case _ if body.length > 1 && body.charAt(0) == '#' =>
-              numeric(body)
-            case _ => -1
-          }
-          if (decoded >= 0) { sb.appendCodePoint(decoded); i = semi + 1 }
+          val repl: String =
+            if (body.length > 1 && body.charAt(0) == '#') {
+              val cp = numeric(body)
+              if (cp >= 0) new String(Character.toChars(cp)) else null
+            } else entities.get(body)
+          if (repl != null) { sb.append(repl); i = semi + 1 }
           else { sb.append(c); i += 1 }
         }
       }

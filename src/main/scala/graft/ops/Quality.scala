@@ -32,10 +32,14 @@ object Quality {
     * pipeline): drop comments, script and style blocks whole (their
     * bodies are code, not text — including any raw `<` inside), strip
     * remaining tags (quoted attribute values may contain `>` —
-    * [[TagBody]]), decode character references
-    * ([[graft.functions.HtmlEntityHelper]]: named + decimal/hex
-    * numeric, single-pass so double-encoded input decodes exactly
-    * once), collapse whitespace, trim.
+    * [[TagBody]] — and a second `<[^>]+>` pass then cleans up
+    * sloppy-but-common tags the quote-aware pass must skip, e.g.
+    * `<p title=don't>` with a bare apostrophe in an unquoted
+    * attribute: the r11 hardening would otherwise leak the whole tag
+    * into the text), decode character references
+    * ([[graft.functions.HtmlEntityHelper]]: the full WHATWG named
+    * table + decimal/hex numeric, single-pass so double-encoded input
+    * decodes exactly once), collapse whitespace, trim.
     *
     * Everything stays inside whole-stage codegen: regex passes are
     * Spark built-ins, the entity step is the codegen'd
@@ -52,7 +56,8 @@ object Quality {
     val noScript = regexp_replace(noComment, s"(?is)<script$TagBody>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, s"(?is)<style$TagBody>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, s"<$TagBody>", " ")
-    val decoded = graft.functions.GraftFunctions.decode_html_entities(noTags)
+    val noSloppy = regexp_replace(noTags, "<[^>]+>", " ")
+    val decoded = graft.functions.GraftFunctions.decode_html_entities(noSloppy)
     trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
   }
 

@@ -1994,7 +1994,14 @@ object Inventory {
       // containing '>', numeric character references (dec + hex), a
       // double-encoded reference that must decode exactly once, and a
       // malformed reference that must pass through verbatim
-      lit(" <a href=\"x>y\" title='z>w'>L</a> caf&#233; &#xE9; &amp;#65; &apos;a&apos; &#xZZ;</p><!-- note --><br/></body></html>"))
+      lit(" <a href=\"x>y\" title='z>w'>L</a> caf&#233; &#xE9; &amp;#65; &apos;a&apos; &#xZZ;</p>"),
+      // r12 hardening: WHATWG named references beyond the classic six
+      // (incl. the longest table name), a double-encoded NAMED ref
+      // (decode-once), an unknown name (verbatim), and a sloppy
+      // unpaired-quote tag that only the `<[^>]+>` cleanup pass strips
+      // (placed after the last quoted attribute so the quote-aware
+      // pass cannot pair its apostrophe with an earlier quote)
+      lit("<p>caf&eacute; A&hellip;B &mdash; &copy;7 x&CounterClockwiseContourIntegral;y &amp;eacute; &notareal; <i title=don't>it</i></p><!-- note --><br/></body></html>"))
   }
 
   private def q97(s: SparkSession, d: String): DataFrame =
@@ -2371,19 +2378,26 @@ object Inventory {
       """'<html><head><title>T' || CAST(doc_id AS VARCHAR) || '</title><style type="text/css">p{color:red}</style></head>' ||
         |    '<body><script>var x = 1 < 2;</script><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
         |    ' &amp;x &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end' ||
-        |    ' <a href="x>y" title=''z>w''>L</a> caf&#233; &#xE9; &amp;#65; &apos;a&apos; &#xZZ;</p><!-- note --><br/></body></html>'""".stripMargin
+        |    ' <a href="x>y" title=''z>w''>L</a> caf&#233; &#xE9; &amp;#65; &apos;a&apos; &#xZZ;</p>' ||
+        |    '<p>caf&eacute; A&hellip;B &mdash; &copy;7 x&CounterClockwiseContourIntegral;y &amp;eacute; &notareal; <i title=don''t>it</i></p><!-- note --><br/></body></html>'""".stripMargin
     // SQL-quoted form of Quality.TagBody (single quotes doubled)
     val tagBodySql = graft.ops.Quality.TagBody.replace("'", "''")
+    // quote-aware pass, then the r12 sloppy-tag cleanup `<[^>]+>`
+    // (unpaired-quote tags the hardened TagBody must skip)
     val tagStrip = (c: String) =>
-      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace($c,
+      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace($c,
          |      '(?s)<!--.*?-->', ' ', 'g'),
          |      '(?is)<script$tagBodySql>.*?</script>', ' ', 'g'),
          |      '(?is)<style$tagBodySql>.*?</style>', ' ', 'g'),
-         |      '<$tagBodySql>', ' ', 'g')""".stripMargin
+         |      '<$tagBodySql>', ' ', 'g'),
+         |      '<[^>]+>', ' ', 'g')""".stripMargin
     val entityWs = (c: String) =>
       s"""trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(
          |    replace(replace(replace(replace(replace(replace(replace(replace(replace($c,
          |      '&#233;', 'é'), '&#xE9;', 'é'), '&apos;', ''''),
+         |      '&eacute;', 'é'), '&hellip;', '…'), '&mdash;', '—'), '&copy;', '©'),
+         |      '&CounterClockwiseContourIntegral;', '∳'),
          |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
          |    '[ \t\n\r]+', ' ', 'g'))""".stripMargin
     // gaps-and-islands sessionization — oracles BOTH the native

@@ -851,4 +851,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // &apos; joins the named set
     assert(x("&apos;q&apos;") == "'q'")
   }
+
+  test("htmlToText: WHATWG named table + sloppy-tag cleanup — the r12 hardening") {
+    import spark.implicits._
+    def x(html: String): String =
+      Seq(Tuple1(html)).toDF("h")
+        .select(graft.ops.Quality.htmlToText(col("h"))).head().getString(0)
+    // the full vendored table: accents, punctuation, symbols
+    assert(x("caf&eacute; &mdash; A&hellip;B &copy;7 &Eacute;") == "café — A…B ©7 É")
+    // the longest table name (31 chars) — the scan window must reach it
+    assert(x("x&CounterClockwiseContourIntegral;y") == "x∳y")
+    // two-code-point expansions (93 names do this)
+    assert(x("&NotEqualTilde;") == "≂̸")
+    // WHATWG names are case-sensitive: the unknown casing stays verbatim
+    assert(x("&EACUTE;") == "&EACUTE;")
+    // double-encoded NAMED reference decodes exactly once
+    assert(x("&amp;eacute;") == "&eacute;")
+    // nbsp decodes to a PLAIN space (pre-collapse convention), so it
+    // collapses with its neighbors
+    assert(x("a&nbsp; b") == "a b")
+    // an unpaired-quote tag (bare apostrophe in an unquoted attribute)
+    // is cleaned up by the second pass instead of leaking into text
+    assert(x("a <p title=don't>x</p> b") == "a x b")
+    assert(x("a <p title=don't>x</p> 'q' b") == "a x 'q' b")
+  }
 }
