@@ -81,6 +81,14 @@ object GraftFunctions {
   def registered_domain(host: Column): Column =
     column(RegisteredDomain(expression(host)))
 
+  /** HTTP response-message projection — see [[HttpHelper.payload]]:
+    * `struct<status, content_type, payload>` with chunked framing and
+    * gzip/deflate/zstd content codings reversed; non-HTTP input passes
+    * through as `(null, null, input)`. The step between the WARC
+    * walker's raw record bodies and [[graft.ops.Quality.htmlToText]].
+    */
+  def http_payload(content: Column): Column = column(HttpPayload(expression(content)))
+
   /** Single-pass HTML character-reference decode — see
     * [[HtmlEntityHelper.decode]] (named + numeric, decode-once).
     */
@@ -153,6 +161,7 @@ object GraftFunctions {
     "strip_accents" -> (e => StripAccents(e.head)),
     "url_parts" -> (e => UrlParts(e.head)),
     "url_normalize" -> (e => UrlNormalize(e.head)),
+    "http_payload" -> (e => HttpPayload(e.head)),
     "registered_domain" -> (e => RegisteredDomain(e.head)),
     "cdc_chunks" -> (e => CdcChunks(e.head, e(1), e(2), e(3))),
     "explode_archive" -> (e => ExplodeArchive(e.head)))

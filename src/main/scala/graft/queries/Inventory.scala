@@ -1399,6 +1399,118 @@ object Inventory {
       .orderBy(col("path"))
   }
 
+  /** Deterministic WARC fixture for the HTTP pipeline (q101): response
+    * records exercising every [[graft.functions.HttpHelper]] decode
+    * path — plain, chunked transfer framing (with a chunk extension
+    * and a trailer), gzip / deflate / zstd content codings, gzip UNDER
+    * chunked, an undecodable coding (`br` — payload must pass through
+    * encoded), a malformed status line, a truncated header block — and
+    * a request record (non-response pass-through). The oracle VALUES
+    * carry sizes/digests of the SPEC payload strings, computed
+    * independently of the engine — q16's rule.
+    */
+  private[queries] def buildHttpWarcFixture(): String = {
+    import java.io._
+    val crlf = "\r\n"
+    def resp(hdrs: String, body: Array[Byte]): Array[Byte] =
+      (hdrs + crlf + crlf).getBytes("ISO-8859-1") ++ body
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    def zlib(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val buf = new Array[Byte](b.length + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    def zstd(b: Array[Byte]): Array[Byte] = {
+      val bo = new ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStream(bo)
+      z.write(b); z.close(); bo.toByteArray
+    }
+    def chunk(b: Array[Byte], at: Int): Array[Byte] = {
+      // two chunks (the second with an extension), a trailer field
+      val bo = new ByteArrayOutputStream()
+      val (c1, c2) = b.splitAt(math.min(at, b.length))
+      bo.write(f"${c1.length}%x$crlf".getBytes("ISO-8859-1"))
+      bo.write(c1); bo.write(crlf.getBytes("ISO-8859-1"))
+      if (c2.nonEmpty) {
+        bo.write(f"${c2.length}%x;ext=1$crlf".getBytes("ISO-8859-1"))
+        bo.write(c2); bo.write(crlf.getBytes("ISO-8859-1"))
+      }
+      bo.write(s"0${crlf}X-Trailer: t$crlf$crlf".getBytes("ISO-8859-1"))
+      bo.toByteArray
+    }
+    def u(s: String): Array[Byte] = s.getBytes("UTF-8")
+    val bodies: Seq[(String, String, Array[Byte])] = Seq(
+      ("response", "http://t/plain", resp(
+        s"HTTP/1.1 200 OK${crlf}Content-Type: text/html; charset=UTF-8",
+        u("hello http payload\n"))),
+      ("response", "http://t/chunked", resp(
+        s"HTTP/1.1 200 OK${crlf}Content-Type: text/plain${crlf}Transfer-Encoding: chunked",
+        chunk(u("chunked transfer body ABCDEFGHIJ\n"), 17))),
+      ("response", "http://t/gzip", resp(
+        s"HTTP/1.1 200 OK${crlf}Content-Type: text/html${crlf}Content-Encoding: gzip",
+        gz(u("gzip encoded body 0123456789\n" * 3)))),
+      ("response", "http://t/gzip-chunked", resp(
+        s"HTTP/1.1 200 OK${crlf}Content-Type: text/html${crlf}Content-Encoding: gzip${crlf}Transfer-Encoding: chunked",
+        chunk(gz(u("gzip under chunked\n" * 4)), 20))),
+      ("response", "http://t/deflate", resp(
+        s"HTTP/1.1 200 OK${crlf}Content-Type: text/html${crlf}Content-Encoding: deflate",
+        zlib(u("deflate encoded body\n" * 2)))),
+      ("response", "http://t/zstd", resp(
+        s"HTTP/1.1 200 OK${crlf}Content-Type: text/html${crlf}Content-Encoding: zstd",
+        zstd(u("zstd encoded body\n" * 5)))),
+      ("response", "http://t/brotli", resp(
+        s"HTTP/1.1 200 OK${crlf}Content-Type: text/html${crlf}Content-Encoding: br",
+        u("BROTLI-OPAQUE-BYTES"))),
+      ("response", "http://t/badstatus", resp(
+        s"HTTP/banana${crlf}Content-Type: x/y", u("odd body\n"))),
+      ("request", "http://t/req", u(s"GET /q HTTP/1.1${crlf}Host: t$crlf$crlf")),
+      ("response", "http://t/trunc",
+        "HTTP/1.1 204 No Content\r\nContent-Type: text/empty".getBytes("ISO-8859-1")))
+    val out = new ByteArrayOutputStream()
+    bodies.foreach { case (typ, uri, body) =>
+      val sb = new StringBuilder("WARC/1.0\r\n")
+      sb.append(s"WARC-Type: $typ\r\n")
+      sb.append(s"WARC-Target-URI: $uri\r\n")
+      sb.append(s"Content-Length: ${body.length}\r\n\r\n")
+      out.write(sb.toString.getBytes("ISO-8859-1"))
+      out.write(body)
+      out.write("\r\n\r\n".getBytes("ISO-8859-1"))
+    }
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q101_fixture")
+    dir.mkdirs()
+    val f = new File(dir, "fixture.warc")
+    val fos = new FileOutputStream(f)
+    fos.write(out.toByteArray); fos.close()
+    f.getAbsolutePath
+  }
+
+  /** WARC → HTTP payload pipeline ([[GraftFunctions.http_payload]]):
+    * the converter chain over [[buildHttpWarcFixture]], then the
+    * response-message projection — status, Content-Type, and the
+    * entity payload with chunked framing and gzip/deflate/zstd
+    * content codings reversed (the step between the WARC walker's
+    * raw-emission contract and [[Quality.htmlToText]]). One narrow
+    * codegen'd projection over the walk — no exchange beyond the
+    * q16 chain's own.
+    */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val path = buildHttpWarcFixture()
+    ArchiveConverter.entries(s, Seq(path), ConvertOptions()).toDF()
+      .select(col("path"), GraftFunctions.http_payload(col("content")).as("h"))
+      .select(col("path"),
+        col("h.status").cast("bigint").as("status"),
+        col("h.content_type").as("content_type"),
+        length(col("h.payload")).cast("bigint").as("payload_size"),
+        sha2(col("h.payload"), 256).as("payload_sha256"))
+      .orderBy(col("path"))
+  }
+
   /** Deterministic Unix ar fixture (System V/GNU dialect, the ar(5)
     * spec): a symbol-table member, a GNU `//` long-name table, a
     * short-named text member (odd size — exercises the 2-byte data
@@ -2309,7 +2421,8 @@ object Inventory {
     "q97_html_extract" -> (q97 _),
     "q98_clean_pipeline" -> (q98 _),
     "q99_url_normalize" -> (q99 _),
-    "q100_cdc_parts" -> (q100 _))
+    "q100_cdc_parts" -> (q100 _),
+    "q101_http_payload" -> (q101 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -2654,6 +2767,34 @@ object Inventory {
           |  ('urn:uuid:0001', CAST(23 AS BIGINT),
           |   '751ec4bf1090414242c2120922d78d60406bcdf18c2add84d9dd712b4fbfc235'))
           |  AS t(path, size, sha256)
+          |ORDER BY path""".stripMargin,
+      // WARC -> HTTP payload: spec-payload sizes/sha256 digests
+      // (chunked framing reversed, gzip/deflate/zstd decoded, br kept
+      // encoded, request/trunc edge rows), computed independently of
+      // the engine — q16's rule
+      "q101_http_payload" ->
+        """SELECT * FROM (VALUES
+          |  ('http://t/badstatus', CAST(NULL AS BIGINT), 'x/y', CAST(9 AS BIGINT),
+          |   'c4a804aab7d55989f3eaaf1e09f1e524a24ec47c352a5caa3ba63c46e1d17aed'),
+          |  ('http://t/brotli', CAST(200 AS BIGINT), 'text/html', CAST(19 AS BIGINT),
+          |   '328eae1ba9403bf4226450ba9bf2ec39ac03934879e10f0549e30dca00d970d0'),
+          |  ('http://t/chunked', CAST(200 AS BIGINT), 'text/plain', CAST(33 AS BIGINT),
+          |   'ffae2152cdbac81cfb16a497598f561a84edb3acd4b22531ca75fc46de368f7e'),
+          |  ('http://t/deflate', CAST(200 AS BIGINT), 'text/html', CAST(42 AS BIGINT),
+          |   '586d7a508d5d281e7afbdad827c294c96f9803715a413a08e2018070b215b9a2'),
+          |  ('http://t/gzip', CAST(200 AS BIGINT), 'text/html', CAST(87 AS BIGINT),
+          |   'f33351fcef8898a404a4eaa0598fcb8e6df3750e607ba4c3e3df4ff5213d135d'),
+          |  ('http://t/gzip-chunked', CAST(200 AS BIGINT), 'text/html', CAST(76 AS BIGINT),
+          |   'cfb522aae2e305d686722d495d6464a9d5d4b7383bbe40e57a196d96b30e73d6'),
+          |  ('http://t/plain', CAST(200 AS BIGINT), 'text/html; charset=UTF-8', CAST(19 AS BIGINT),
+          |   'e1e54bf71542cb04326c1be75988ebcadcd3a8c6cbba44209d68b3ef03399673'),
+          |  ('http://t/req', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(28 AS BIGINT),
+          |   '7dee6ae752438d978cdb1bbc796fff60f5be3ce1faa90553949639eb86e0c18f'),
+          |  ('http://t/trunc', CAST(204 AS BIGINT), 'text/empty', CAST(0 AS BIGINT),
+          |   'e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855'),
+          |  ('http://t/zstd', CAST(200 AS BIGINT), 'text/html', CAST(90 AS BIGINT),
+          |   'c781b6607968bca0e7baa6d86081fb2da7e66c823e5a49199265c12588e529d2'))
+          |  AS t(path, status, content_type, payload_size, payload_sha256)
           |ORDER BY path""".stripMargin,
       // ar source: spec-member sizes/digests (gzip member decompressed,
       // nested tar expanded), computed independently — q16's rule
