@@ -73,6 +73,15 @@ object GraftFunctions {
     */
   def url_normalize(url: Column): Column = column(UrlNormalize(expression(url)))
 
+  /** [[url_normalize]] with opt-in query-parameter sorting — the
+    * crawler convention that treats `?a=1&b=2` ≡ `?b=2&a=1` as one
+    * resource. Default-off because reordered params MAY name different
+    * resources on some servers.
+    */
+  def url_normalize(url: Column, sortQuery: Boolean): Column =
+    column(UrlNormalize(expression(url),
+      org.apache.spark.sql.catalyst.expressions.Literal(sortQuery)))
+
   /** eTLD+1 under the vendored Public Suffix List ([[Psl]]) — the
     * grouping key for per-domain quota caps
     * ([[graft.ops.Sampling.domainCap]]) and domain-level dedup. See
@@ -160,7 +169,8 @@ object GraftFunctions {
     "nfc_normalize" -> (e => NfcNormalize(e.head)),
     "strip_accents" -> (e => StripAccents(e.head)),
     "url_parts" -> (e => UrlParts(e.head)),
-    "url_normalize" -> (e => UrlNormalize(e.head)),
+    "url_normalize" -> (e =>
+      if (e.length > 1) UrlNormalize(e.head, e(1)) else UrlNormalize(e.head)),
     "http_payload" -> (e => HttpPayload(e.head)),
     "registered_domain" -> (e => RegisteredDomain(e.head)),
     "cdc_chunks" -> (e => CdcChunks(e.head, e(1), e(2), e(3))),

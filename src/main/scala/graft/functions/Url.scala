@@ -170,14 +170,21 @@ object UrlHelper {
     *     differing only there fetch the same resource);
     *   - an empty query (`?` with nothing after) is dropped; a present
     *     query is kept byte-for-byte otherwise (no parameter sorting —
-    *     `?a=1&b=2` vs `?b=2&a=1` may be different resources).
+    *     `?a=1&b=2` vs `?b=2&a=1` may be different resources). Opt in
+    *     to the crawler convention that treats them as one resource
+    *     with `sortQuery = true`: `&`-separated parameters sort by
+    *     their full percent-normalized text (duplicates included), so
+    *     `?b=2&a=1&a=0` and `?a=1&a=0&b=2` both canonicalize to
+    *     `?a=0&a=1&b=2`.
     *
     * Unparseable input (no `scheme://host` shape) returns null, the
     * same contract as [[parts]]. Dot-segment removal (`/a/../b`) is
     * deliberately NOT applied: outside a resolution context it can
     * change which resource a path names on real servers.
     */
-  def normalize(url: UTF8String): UTF8String = {
+  def normalize(url: UTF8String): UTF8String = normalize(url, sortQuery = false)
+
+  def normalize(url: UTF8String, sortQuery: Boolean): UTF8String = {
     val row = parts(url)
     if (row == null) return null
     val scheme = row.getUTF8String(0).toString
@@ -191,7 +198,12 @@ object UrlHelper {
     }
     val port = if (row.isNullAt(2)) -1 else row.getInt(2)
     val path = pctNormalize(row.getUTF8String(3).toString)
-    val query = if (row.isNullAt(4)) null else pctNormalize(row.getUTF8String(4).toString)
+    var query = if (row.isNullAt(4)) null else pctNormalize(row.getUTF8String(4).toString)
+    if (sortQuery && query != null && query.indexOf('&') >= 0) {
+      val toks = query.split("&", -1)
+      java.util.Arrays.sort(toks, java.util.Comparator.naturalOrder[String]())
+      query = String.join("&", toks: _*)
+    }
     val sb = new java.lang.StringBuilder(url.numBytes())
     sb.append(scheme).append("://").append(host)
     if (port >= 0 && !DefaultPorts.get(scheme).contains(port))
@@ -253,27 +265,36 @@ case class UrlParts(child: Expression) extends UnaryExpression {
   * [[Psl]]): the key per-domain quota caps and domain-level dedup
   * group on.
   */
-/** `url_normalize(url) -> string` — URL canonicalization for URL-keyed
-  * dedup (see [[UrlHelper.normalize]]): case/IDN-folds the authority,
-  * strips default ports and fragments, normalizes percent-encoding.
-  * Null for values without a `scheme://host` shape.
+/** `url_normalize(url[, sort_query]) -> string` — URL canonicalization
+  * for URL-keyed dedup (see [[UrlHelper.normalize]]): case/IDN-folds
+  * the authority, strips default ports and fragments, normalizes
+  * percent-encoding; with `sort_query = true` (default false) also
+  * sorts `&`-separated query parameters, the crawler convention that
+  * treats `?a=1&b=2` ≡ `?b=2&a=1`. Null for values without a
+  * `scheme://host` shape.
   */
-case class UrlNormalize(child: Expression) extends UnaryExpression {
+case class UrlNormalize(left: Expression, right: Expression)
+    extends BinaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "url_normalize"
-  override protected def nullSafeEval(url: Any): Any =
-    UrlHelper.normalize(url.asInstanceOf[UTF8String])
+  override protected def nullSafeEval(url: Any, sortQ: Any): Any =
+    UrlHelper.normalize(url.asInstanceOf[UTF8String], sortQ.asInstanceOf[Boolean])
   // normalize() returns null for unparseable input — propagate into
   // isNull (defineCodeGen would not)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.UrlHelper.normalize($c);
+    nullSafeCodeGen(ctx, ev, (c, s) => s"""
+      ${ev.value} = graft.functions.UrlHelper.normalize($c, $s);
       if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
-  override protected def withNewChildInternal(newChild: Expression): UrlNormalize =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): UrlNormalize =
+    copy(left = l, right = r)
+}
+
+object UrlNormalize {
+  def apply(url: Expression): UrlNormalize =
+    UrlNormalize(url, org.apache.spark.sql.catalyst.expressions.Literal(false))
 }
 
 case class RegisteredDomain(child: Expression) extends UnaryExpression {

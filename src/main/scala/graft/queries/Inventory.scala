@@ -2195,6 +2195,34 @@ object Inventory {
       .orderBy(col("doc_id"))
   }
 
+  /** Opt-in query-parameter sorting
+    * ([[GraftFunctions.url_normalize]]`(url, sortQuery = true)`, the
+    * crawler convention treating `?a=1&b=2` ≡ `?b=2&a=1`): pairs of
+    * URL spellings differing ONLY in parameter order (duplicate keys
+    * included, so full-token sort — not stable-by-key — is what is
+    * checked) plus a fragment and mixed-case host on the odd variant
+    * must collapse to ONE canonical key. The oracle constructs the
+    * expected canonical string directly from the synthesis parameters
+    * and runs the same min-id winner election (q99's pattern). Narrow
+    * codegen'd projection + one hash agg.
+    */
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    val k = floor(col("doc_id") / 2).cast("long")
+    val v1 = col("doc_id") % 2 === 1
+    val host = when(v1, concat(lit("H"), (k % 10).cast("string"), lit(".Example.COM")))
+      .otherwise(concat(lit("h"), (k % 10).cast("string"), lit(".example.com")))
+    val query = when(v1, lit("?b=2&a=1&a=0")).otherwise(lit("?a=1&a=0&b=2"))
+    val raw = concat(lit("http://"), host, lit("/p/"), k.cast("string"), query,
+      when(v1, lit("#frag")).otherwise(lit("")))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        GraftFunctions.url_normalize(raw, sortQuery = true).as("url_norm"))
+      .groupBy(col("url_norm"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
+      .select(col("doc_id"), col("url_norm"), col("n_variants"))
+      .orderBy(col("doc_id"))
+  }
+
   /** cpio source (the initramfs / RPM-payload container, POSIX pax
     * spec): the q16 converter chain over [[buildCpioFixture]] —
     * directory records are skipped, a gzip member lands decompressed,
@@ -2422,7 +2450,8 @@ object Inventory {
     "q98_clean_pipeline" -> (q98 _),
     "q99_url_normalize" -> (q99 _),
     "q100_cdc_parts" -> (q100 _),
-    "q101_http_payload" -> (q101 _))
+    "q101_http_payload" -> (q101 _),
+    "q102_url_sortquery" -> (q102 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -3039,6 +3068,19 @@ object Inventory {
            |SELECT min(doc_id) AS doc_id, url_norm, count(*) AS n_variants
            |FROM n GROUP BY url_norm ORDER BY doc_id""".stripMargin
       },
+      // sort-query normalize: the expected canonical string is built
+      // directly from the synthesis parameters (both raw spellings of
+      // a pair must collapse onto it), then the same min-id winner
+      // election runs on both sides — q99's pattern
+      "q102_url_sortquery" ->
+        """WITH u AS (SELECT doc_id, doc_id // 2 AS k FROM documents),
+          |n AS (
+          |  SELECT doc_id,
+          |    'http://h' || CAST(k % 10 AS VARCHAR) || '.example.com/p/' ||
+          |    CAST(k AS VARCHAR) || '?a=0&a=1&b=2' AS url_norm
+          |  FROM u)
+          |SELECT min(doc_id) AS doc_id, url_norm, count(*) AS n_variants
+          |FROM n GROUP BY url_norm ORDER BY doc_id""".stripMargin,
       "q82_domain_cap" ->
         s"""SELECT doc_id, source FROM (
            |  SELECT doc_id, source,

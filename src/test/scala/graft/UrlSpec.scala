@@ -102,6 +102,28 @@ class UrlSpec extends AnyFunSuite {
     assert(nz("://host") == None)
   }
 
+  private def nzs(u: String): Option[String] =
+    Option(UrlHelper.normalize(UTF8String.fromString(u), sortQuery = true))
+      .map(_.toString)
+
+  test("url_normalize sort_query: parameter order collapses, default off") {
+    // permuted parameters (duplicate keys included) sort by full token
+    assert(nzs("http://h/p?b=2&a=1&a=0") == Some("http://h/p?a=0&a=1&b=2"))
+    assert(nzs("http://h/p?a=1&a=0&b=2") == Some("http://h/p?a=0&a=1&b=2"))
+    // the default (1-arg) form keeps parameter order byte-for-byte
+    assert(nz("http://h/p?b=2&a=1") == Some("http://h/p?b=2&a=1"))
+    // sorting happens AFTER percent normalization, so equivalent
+    // spellings land in the same sort position
+    assert(nzs("http://h/p?t=%63&s=1") == Some("http://h/p?s=1&t=c"))
+    // single parameter, empty query, and valueless tokens never throw
+    assert(nzs("http://h/p?only=1") == Some("http://h/p?only=1"))
+    assert(nzs("http://h/p?") == Some("http://h/p"))
+    assert(nzs("http://h/p?b&&a") == Some("http://h/p?&a&b"))
+    // idempotent: sorting a sorted query is a no-op
+    val once = nzs("http://H/p?z=9&y=8&z=1").get
+    assert(nzs(once) == Some(once))
+  }
+
   test("url_normalize is idempotent over fuzzed URL shapes") {
     // canonical output must be a fixed point: normalize(normalize(u))
     // == normalize(u) for every parseable input — a second pass that
