@@ -9,17 +9,17 @@
 #   2. round-11 ceiling probe result: q18/q44/q57 verify at the FULL
 #      5000-doc table within a 2400 s per-oracle budget (measured
 #      2026-08-14: 3/5 full-table green), so they run full-table here;
-#   3. q33/q75 exceed 2400 s at 5000 docs; they run on a deterministic
-#      3500-doc slice (doc_id % 10 < 7 — a pure modular predicate both
-#      engines compute identically; raised from 2500 in round 11),
-#      other tables symlinked.
+#   3. q33/q75: DuckDB's recursive-CTE closure exceeds 2400 s at 5000
+#      docs, so they verify full-table against tools/closure_oracle.py
+#      — the SAME DuckDB pair set (the q18-verified face) with only
+#      the closure step replaced by an independent union-find (the
+#      q16 trusted-local-implementation rule). Replaces the r11
+#      3500-doc slice: zero slice caveats left.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 SF=${1:-/root/testdata/sf0.1}
-SLICE=/tmp/sf01_slice35
 QUAD_FULL=q18_neardup_lsh,q44_jaccard_neardup,q57_decontaminate
-QUAD_SLICE=q33_components,q75_neardup_winners
 
 echo "== full $SF sweep =="
 sbt -batch "runMain graft.Verify $SF /tmp/verify_sf01" >/dev/null
@@ -28,19 +28,5 @@ python3 tools/compare_oracle.py /tmp/verify_sf01 "$SF" 90
 echo "== full-table quadratic oracles (q18/q44/q57, 2400 s budget) =="
 python3 tools/compare_oracle.py /tmp/verify_sf01 "$SF" 2400 "$QUAD_FULL"
 
-echo "== building 3500-doc slice =="
-mkdir -p "$SLICE"
-for t in region nation customer supplier part orders lineitem events embeddings; do
-  ln -sf "$SF/$t.parquet" "$SLICE/$t.parquet"
-done
-python3 - "$SF" "$SLICE" <<'EOF'
-import sys, duckdb
-sf, sl = sys.argv[1], sys.argv[2]
-duckdb.connect().execute(
-    f"COPY (SELECT * FROM '{sf}/documents.parquet' WHERE doc_id % 10 < 7) "
-    f"TO '{sl}/documents.parquet' (FORMAT PARQUET)")
-EOF
-
-echo "== q33/q75 on the 3500-doc slice =="
-sbt -batch "runMain graft.Verify $SLICE /tmp/verify_slice35 $QUAD_SLICE" >/dev/null
-python3 tools/compare_oracle.py /tmp/verify_slice35 "$SLICE" 2400 "$QUAD_SLICE"
+echo "== q33/q75 full-table closure oracle (union-find over the verified pair set) =="
+python3 tools/closure_oracle.py /tmp/verify_sf01 "$SF"
