@@ -355,6 +355,145 @@ object ScaleEvidence {
     println(f"""SCALE {"corpus":"webpipe-realx$k","op":"web_pipeline","n_in":$nIn,"n_clean":$nClean,"n_unique":$nUnique,"n_capped":$nCapped,"n_domains":$nDomains,"n_out":$nOut,"url_keys":$nKeys,"exchanges_planned":$nEx,"exchanges_final":$nExFinal,"secs":$secs%.1f}""")
   }
 
+  /** WARC-fed web-pipeline rung (`warcpipe:<files>:<recs>`, r11
+    * verdict #6): the [[webPipeRung]] composition fed from REAL WARC
+    * ingestion instead of a pre-built DataFrame —
+    *
+    *   .warc.gz corpus (CommonCrawl layout: per-record gzip members,
+    *   one file per task) → converter walk → http_payload (status
+    *   gate, chunked/gzip reversal) → HTML extract → NFC → length
+    *   gate → url_normalize → registered_domain → exact-dedup winner
+    *   election → per-domain quota cap → deterministic 30% sample
+    *
+    * Record mix per id: 5%% requests (must fall to the status gate),
+    * and responses alternating plain / gzip Content-Encoding /
+    * chunked transfer framing. Page text and URL key on the PAIR id
+    * (odd id = obfuscated spelling + identical content of its even
+    * neighbor), so the pipeline must collapse both the URL key space
+    * and the dedup winner set to exactly the pair count — checked
+    * with `require`, not just reported. Exchange counts (planned =
+    * pre-AQE initial plan, final = AQE) reported like the webpipe
+    * rung; the walk itself is task-per-input fan-out with zero
+    * exchanges.
+    */
+  private def warcPipeRung(spark: SparkSession, files: Int, recs: Int): Unit = {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    import graft.ops.{Dedup, Quality, Sampling}
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-rung").toFile
+    val dirPath = dir.getAbsolutePath
+    val nIds = files.toLong * recs
+    // corpus generation IS a Spark job: one task per output file, the
+    // same fan-out shape the converter uses to read it back
+    val paths = spark.range(files.toLong).map { f =>
+      val file = new java.io.File(dirPath, f"part-$f%05d.warc.gz")
+      val fos = new java.io.BufferedOutputStream(new java.io.FileOutputStream(file), 1 << 16)
+      var id = f * recs
+      val end = (f + 1) * recs
+      while (id < end) {
+        val pid = id - (id % 2)
+        val v1 = id % 2 == 1
+        // ~50 distinct REGISTERED domains (multi-label + private-section
+        // suffixes included), so the quota-cap stage caps real groups
+        val tld = Array("com", "org", "co.uk", "com.au", "github.io").apply((pid % 5).toInt)
+        val host = s"site${pid % 50}.$tld"
+        val uri =
+          if (v1) s"HTTP://${host.toUpperCase}:80/d/$pid#f"
+          else s"http://$host/d/$pid"
+        val (warcType, body) =
+          if (id % 20 == 13)
+            ("request", s"GET /d/$pid HTTP/1.1\r\nHost: $host\r\n\r\n".getBytes("UTF-8"))
+          else {
+            val text = textOf(pid, 70, Vocab)
+            val payload =
+              (s"<html><body><h1>D$pid</h1><p>$text &amp; caf&#233; &mdash;</p>" +
+                "<!-- c --><a href=\"x>y\">L</a></body></html>").getBytes("UTF-8")
+            val msg = (id % 4) match {
+              case 1 | 3 => // gzip content coding (all odd non-request ids)
+                val bo = new java.io.ByteArrayOutputStream()
+                val g = new java.util.zip.GZIPOutputStream(bo)
+                g.write(payload); g.close()
+                ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Encoding: gzip\r\n\r\n"
+                  .getBytes("ISO-8859-1")) ++ bo.toByteArray
+              case 2 => // chunked transfer framing, two chunks
+                val bo = new java.io.ByteArrayOutputStream()
+                val (c1, c2) = payload.splitAt(payload.length / 2)
+                bo.write(f"${c1.length}%x\r\n".getBytes("ISO-8859-1"))
+                bo.write(c1); bo.write("\r\n".getBytes("ISO-8859-1"))
+                bo.write(f"${c2.length}%x\r\n".getBytes("ISO-8859-1"))
+                bo.write(c2); bo.write("\r\n0\r\n\r\n".getBytes("ISO-8859-1"))
+                ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nTransfer-Encoding: chunked\r\n\r\n"
+                  .getBytes("ISO-8859-1")) ++ bo.toByteArray
+              case _ =>
+                ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                  .getBytes("ISO-8859-1")) ++ payload
+            }
+            ("response", msg)
+          }
+        val rec = (s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Target-URI: $uri\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+          body ++ "\r\n\r\n".getBytes("ISO-8859-1")
+        // one gzip member per record — the CommonCrawl .warc.gz layout
+        val gz = new java.util.zip.GZIPOutputStream(fos)
+        gz.write(rec); gz.finish()
+        id += 1
+      }
+      fos.close()
+      file.getAbsolutePath
+    }.collect().toSeq
+    val totalMb = paths.map(p => new java.io.File(p).length()).sum / 1e6
+
+    val t0 = System.nanoTime()
+    val entries = graft.convert.ArchiveConverter
+      .entries(spark, paths, graft.core.ConvertOptions()).toDF()
+    val projected = entries
+      .select(col("path").as("url"), GraftFunctions.http_payload(col("content")).as("h"))
+      .where(col("h.status") === 200)
+    val cleaned = projected
+      .select(col("url"),
+        GraftFunctions.nfc_normalize(
+          Quality.htmlToText(col("h.payload").cast("string"))).as("clean"))
+      .where(length(col("clean")) >= 50)
+      .withColumn("url_norm", GraftFunctions.url_normalize(col("url")))
+      .withColumn("domain", GraftFunctions.registered_domain(
+        GraftFunctions.url_parts(col("url_norm")).getField("host")))
+      // the numeric record id the dedup/cap/sample stages key on — a
+      // real crawl pipeline's synthetic id, derived from the RAW url
+      // (unique per record; the NORMALIZED url is the dedup key space)
+      .withColumn("rec_id", GraftFunctions.md5_long62(col("url")))
+    val unique = Dedup.exactWinners(cleaned, "rec_id", "clean")
+    val capped = Sampling.domainCap(unique, "domain", "rec_id", quota = 500, seed = 42L)
+    val sampled = capped.where(GraftFunctions.md5_long62(
+      concat(lit("s:"), col("rec_id").cast("string"))) % 10 < 3)
+    val nOut = sampled.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    sampled.collect()
+    val planStr = sampled.queryExecution.executedPlan.toString
+    val finalPlan = planStr.split("== Initial Plan ==")(0)
+    val nExFinal = "(?m)^\\s*(?:[+:][- ]*)*Exchange ".r.findAllIn(finalPlan).size
+    val initialPlan = planStr.split("== Initial Plan ==").lift(1).getOrElse(planStr)
+    val nEx = "(?m)^\\s*(?:[+:][- ]*)*Exchange ".r.findAllIn(initialPlan).size
+    val nWalked = entries.count()
+    val nResp = projected.count()
+    val nClean = cleaned.count()
+    val nUnique = unique.count()
+    val nCapped = capped.count()
+    val nDomains = capped.select(col("domain")).distinct().count()
+    val nKeys = cleaned.select(col("url_norm")).distinct().count()
+    // every pair has an even-id response carrying the pair's content,
+    // so BOTH the URL key space and the winner set must be exactly
+    // the pair count — canonicalization and payload decode at once
+    val nPairs = nIds / 2
+    require(nWalked == nIds, s"warc walk lost records: $nWalked != $nIds")
+    require(nKeys == nPairs,
+      s"url_normalize failed to collapse WARC spelling variants: $nKeys keys vs $nPairs pairs")
+    require(nUnique == nPairs,
+      s"payload decode broke dedup keys: $nUnique winners vs $nPairs pairs")
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    dir.delete()
+    println(f"""SCALE {"corpus":"warcpipe:$files:$recs","op":"warc_pipeline","n_recs":$nWalked,"mb_gz":$totalMb%.1f,"n_resp":$nResp,"n_clean":$nClean,"n_unique":$nUnique,"n_capped":$nCapped,"n_domains":$nDomains,"url_keys":$nKeys,"n_out":$nOut,"exchanges_planned":$nEx,"exchanges_final":$nExFinal,"secs":$secs%.1f,"mbps_gz":${totalMb / secs}%.1f}""")
+  }
+
   private def timedCount(df: DataFrame): (Long, Double) = {
     val t0 = System.nanoTime()
     val c = df.count()
@@ -382,8 +521,11 @@ object ScaleEvidence {
     val (cdcArgs, rest2) = rest1.partition(_.startsWith("cdc:"))
     cdcArgs.foreach(a => cdcRung(spark, a.drop(4).toInt))
     val WebPipe = "webpipe:(\\d+):(.*)".r
-    val (wpArgs, docCorpora) = rest2.partition(_.startsWith("webpipe:"))
+    val (wpArgs, rest3) = rest2.partition(_.startsWith("webpipe:"))
     wpArgs.foreach { case WebPipe(k, dir) => webPipeRung(spark, dir, k.toInt) }
+    val WarcPipe = "warcpipe:(\\d+):(\\d+)".r
+    val (wcArgs, docCorpora) = rest3.partition(_.startsWith("warcpipe:"))
+    wcArgs.foreach { case WarcPipe(f, r) => warcPipeRung(spark, f.toInt, r.toInt) }
 
     docCorpora.foreach { c =>
       val RealX = "realx(\\d+):(.*)".r
