@@ -48,6 +48,8 @@ object MultiModal {
     def sniffFormat(b: Array[Byte]): String =
       if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P') "png"
       else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+      else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+      else if (b.length >= 14 && b(0) == 'B' && b(1) == 'M') "bmp"
       else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') "wav"
       else "raw"
 

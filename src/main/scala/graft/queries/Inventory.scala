@@ -3204,7 +3204,9 @@ object Inventory {
       // reproducible from the text column
       "q26_multimodal" ->
         """WITH m AS (SELECT doc_id,
-          |    CASE WHEN substr(text, 1, 4) = 'RIFF' THEN 'wav' ELSE 'raw' END AS format,
+          |    CASE WHEN substr(text, 1, 4) = 'GIF8' AND length(text) >= 6 THEN 'gif'
+          |         WHEN substr(text, 1, 2) = 'BM' AND length(text) >= 14 THEN 'bmp'
+          |         WHEN substr(text, 1, 4) = 'RIFF' THEN 'wav' ELSE 'raw' END AS format,
           |    16 + CAST(list_sum(list_transform(range(1, least(length(text), 16) + 1),
           |                       i -> unicode(substr(text, CAST(i AS INT), 1)))) % 241 AS INT) AS width,
           |    list_transform(range(1, length(text) + 1, 3),

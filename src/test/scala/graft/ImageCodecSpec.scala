@@ -91,6 +91,38 @@ class ImageCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stds.forall(s => math.abs(s - 40.0) < 1e-9))
   }
 
+  test("real codec: GIF meta + indexed-raster features (crawl-format coverage)") {
+    // GIF: palette-indexed — the raster carries ONE band of palette
+    // indices, and a solid-color image has zero variance in it
+    val gif = encode("gif", 12, 5, (10, 100, 200))
+    assert(gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F' && gif(3) == '8')
+    val m = MultiModal.ImageCodec.decodeMeta(gif).get
+    assert(m.format == "gif")
+    assert(m.width == 12 && m.height == 5)
+    val (ms, means, stds) = MultiModal.ImageCodec.decodeStats(gif).get
+    assert(ms.width == 12 && ms.height == 5)
+    assert(means.length == stds.length && means.nonEmpty)
+    assert(stds.forall(_ == 0.0)) // solid color: every band constant
+  }
+
+  test("real codec: BMP meta + exact features (crawl-format coverage)") {
+    // BMP: uncompressed — gray 100 lands exactly on every band
+    val bmp = encode("bmp", 9, 6, (100, 100, 100))
+    assert(bmp(0) == 'B' && bmp(1) == 'M')
+    val m = MultiModal.ImageCodec.decodeMeta(bmp).get
+    assert(m.format == "bmp")
+    assert(m.width == 9 && m.height == 6 && m.channels == 3)
+    val (_, means, stds) = MultiModal.ImageCodec.decodeStats(bmp).get
+    assert(means.length == 3)
+    assert(means.forall(_ == 100.0))
+    assert(stds.forall(_ == 0.0))
+    // two-tone BMP: lossless, so the analytic mean/std are exact
+    val tt = encodeTwoTone("bmp", 8, 4, 40, 200)
+    val (_, m2, s2) = MultiModal.ImageCodec.decodeStats(tt).get
+    assert(m2.forall(_ == 120.0))
+    assert(s2.forall(_ == 80.0))
+  }
+
   test("real codec: undecodable bytes yield None, not an exception") {
     assert(MultiModal.ImageCodec.decodeMeta(Array[Byte](1, 2, 3, 4)).isEmpty)
     assert(MultiModal.ImageCodec.decodeStats(Array.fill[Byte](64)(42)).isEmpty)
