@@ -302,8 +302,13 @@ object Bench {
     val results = pass1._1.map { case (name, v1) =>
       name -> math.min(v1, pass2._1.getOrElse(name, v1))
     }
+    // "method":"best2" marks the r11 methodology change IN the
+    // evidence: pass 2 runs page-cache/JIT-warm, so per-query minima
+    // are systematically faster than pre-r11 single-pass numbers —
+    // cross-round totals are apples-to-apples only against other
+    // best2 rounds (r11 ADVICE; raw_totals carry the per-pass walls)
     val sweepJson =
-      f""","sweep":{"raw_totals":[${pass1._2}%.1f,${pass2._2}%.1f],"cores":[${pass1._3}%.1f,${pass2._3}%.1f],"steal_s":[${pass1._4}%.1f,${pass2._4}%.1f],"calm_wait_s":$sweepCalmWait%.1f}"""
+      f""","sweep":{"method":"best2","raw_totals":[${pass1._2}%.1f,${pass2._2}%.1f],"cores":[${pass1._3}%.1f,${pass2._3}%.1f],"steal_s":[${pass1._4}%.1f,${pass2._4}%.1f],"calm_wait_s":$sweepCalmWait%.1f}"""
 
     // Timings rounded to 1 decimal, keyed by the query's `qNN` prefix:
     // the driver parses the JSON from a 2000-char tail of the process

@@ -156,6 +156,24 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges(p) <= 2, s"q99 grew a shuffle:\n$p")
   }
 
+  test("q101: http_payload projection adds no exchange to the walk chain") {
+    // the WARC walk is task-per-input fan-out (no exchange) and
+    // http_payload is a codegen'd scalar — the only exchange allowed
+    // is the presentation sort's range partitioning
+    val p = plan("q101_http_payload")
+    assert(exchanges(p) <= 1, s"q101 grew a shuffle:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"q101 hash-shuffled:\n$p")
+  }
+
+  test("q102: sort-query dedup is one hash exchange over a narrow projection") {
+    // q99's shape: synthesis + url_normalize(sort) codegen'd, winner
+    // election = the single hash agg exchange + presentation sort
+    val p = plan("q102_url_sortquery")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"q102 must hash-shuffle once (the winner election):\n$p")
+    assert(exchanges(p) <= 2, s"q102 grew a shuffle:\n$p")
+  }
+
   test("q100: part-wise CDC is one entry-keyed exchange + sorted groups") {
     val p = plan("q100_cdc_parts")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
