@@ -40,7 +40,9 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         |       url_parts('http://User@WWW.a.co.uk:81/p?q#f').host AS uh,
         |       registered_domain('www.a.co.uk') AS rdom,
         |       url_normalize('HTTP://A.com.:80/%61#f') AS un,
-        |       decode_html_entities('caf&#233; &amp;#65;') AS de,
+        |       url_normalize('http://a.com/p?b=2&a=1', true) AS uns,
+        |       decode_html_entities('caf&#233; &amp;#65; &mdash;') AS de,
+        |       http_payload(cast(concat('HTTP/1.1 200 OK\r\nContent-Type: t/x\r\n\r\nBODY') AS binary)) AS hp,
         |       size(cdc_chunks(cast(txt AS binary), 2, 16, 64)) AS nc
         |FROM t""".stripMargin).head()
     assert(r.getAs[Boolean]("u"))
@@ -54,7 +56,12 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[String]("uh") == "www.a.co.uk")
     assert(r.getAs[String]("rdom") == "a.co.uk")
     assert(r.getAs[String]("un") == "http://a.com/a")
-    assert(r.getAs[String]("de") == "café &#65;")
+    assert(r.getAs[String]("uns") == "http://a.com/p?a=1&b=2")
+    assert(r.getAs[String]("de") == "café &#65; —")
+    val hp = r.getAs[org.apache.spark.sql.Row]("hp")
+    assert(hp.getAs[Int]("status") == 200)
+    assert(hp.getAs[String]("content_type") == "t/x")
+    assert(new String(hp.getAs[Array[Byte]]("payload"), "UTF-8") == "BODY")
     assert(r.getAs[Int]("nc") >= 1) // 7-byte payload -> at least one chunk
   }
 
