@@ -358,6 +358,22 @@ object ArchiveConverter {
       opts: ConvertOptions,
       metrics: Option[WalkMetrics] = None): DataFrame = {
     var df = entries(spark, inputs, opts, metrics).toDF()
+    if (opts.httpPayload) {
+      // WARC/HTTP mode: content becomes the decoded response payload
+      // (size/hash recomputed over it), status + Content-Type ride
+      // along as nullable extension columns, non-HTTP entries pass
+      // through with null status (see ConvertOptions.httpPayload).
+      // One codegen'd scalar per row; subexpression elimination shares
+      // the decode across the three field reads. The include/size/
+      // unique gates below then operate on the PAYLOAD.
+      val h = GraftFunctions.http_payload(col("content"))
+      df = df.select(col("source"), col("path"),
+        length(h.getField("payload")).cast("long").as("size"),
+        unhex(sha2(h.getField("payload"), 256)).as("hash"),
+        h.getField("payload").as("content"),
+        h.getField("status").as("http_status"),
+        h.getField("content_type").as("http_content_type"))
+    }
     opts.include match {
       case IncludeType.All    =>
       case IncludeType.Text   => df = df.filter(GraftFunctions.is_utf8(col("content")))
@@ -438,6 +454,10 @@ object ArchiveConverter {
         // "skipped" then an empty-output error)
         require(!opts.extractStrings,
           "extractStrings is not supported in chunked mode")
+        require(!opts.httpPayload,
+          "httpPayload decodes WHOLE HTTP messages; chunked rows are " +
+            "content slices — reassembleChunks first, then project " +
+            "http_payload over the reassembled entries")
         chunkedEntries(spark, inputs, opts, Some(metrics)).toDF()
       } else filteredEntries(spark, inputs, opts, Some(metrics))
     val shaped =

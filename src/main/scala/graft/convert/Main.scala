@@ -26,6 +26,10 @@ import org.apache.spark.sql.SparkSession
   *                           instead of failing the input
   *   --chunked               emit over-cap entries as content_part-indexed
   *                           chunk rows (no truncation, any entry size)
+  *   --http-payload          decode WARC/HTTP response bodies: content becomes
+  *                           the entity payload (chunked framing + gzip/deflate/
+  *                           zstd codings reversed), size/hash recomputed,
+  *                           http_status/http_content_type columns added
   * }}}
   */
 object Main {
@@ -35,7 +39,8 @@ object Main {
         "[--include all|text|binary] [--min-size N] [--max-size N] " +
         "[--compression C] [--extract-executable-strings] [--skip-errors] " +
         "[--single-file] [--threads N] [--progress] [--progress-bars] " +
-        "[--log-file FILE] [--max-entry-bytes N] [--truncate-oversize] [--chunked]")
+        "[--log-file FILE] [--max-entry-bytes N] [--truncate-oversize] [--chunked] " +
+        "[--http-payload]")
       sys.exit(2)
     }
     val out = args.head
@@ -61,6 +66,7 @@ object Main {
         case "--max-entry-bytes" => opts = opts.copy(maxEntryBytes = args(i + 1).toLong); i += 1
         case "--truncate-oversize" => opts = opts.copy(truncateOversize = true)
         case "--chunked" => opts = opts.copy(chunked = true)
+        case "--http-payload" => opts = opts.copy(httpPayload = true)
         case other => inputs :+= other
       }
       i += 1

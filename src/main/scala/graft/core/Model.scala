@@ -258,7 +258,19 @@ final case class ConvertOptions(
     // src/main.rs:75-77 tees tracing output). Independent of
     // `progress`: a log file without live stderr output is the batch
     // mode a scheduled job wants.
-    logFile: Option[String] = None) {
+    logFile: Option[String] = None,
+    // WARC/HTTP mode: project every entry's content through
+    // `http_payload` BEFORE the include/size filters and `--unique` —
+    // content becomes the decoded HTTP payload (chunked framing and
+    // gzip/deflate/zstd content codings reversed), size/hash are
+    // recomputed over it, and two extension columns (`http_status`,
+    // `http_content_type`, both nullable) ride along. Non-HTTP
+    // entries (requests, warcinfo, plain files) pass through with
+    // null status, so the option is safe over mixed inputs. The
+    // filters then see the PAYLOAD: `--include text --http-payload`
+    // keeps decoded text bodies, and `--unique` dedups by payload
+    // digest — the CommonCrawl → clean-text ingestion shape.
+    httpPayload: Boolean = false) {
   require(minSize.forall(_ >= 0) && maxSize.forall(_ >= 0), "size bounds must be >= 0")
 }
 

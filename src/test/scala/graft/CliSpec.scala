@@ -103,6 +103,52 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       Array.tabulate[Byte](500)(i => (i * 7).toByte)))
   }
 
+  test("--http-payload decodes WARC response bodies into payload rows") {
+    val dir = Files.createTempDirectory("graft_cli_http").toFile
+    val p1 = "hello payload body\n"
+    val p2 = "gzip coded body\n" * 3
+    val gz2 = Fixtures.gzipData(p2.getBytes("UTF-8"))
+    val req = "GET /q HTTP/1.1\r\nHost: t\r\n\r\n"
+    def rec(typ: String, uri: String, body: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        body ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val warcBytes =
+      rec("response", "http://t/plain",
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + p1).getBytes("ISO-8859-1")) ++
+      rec("response", "http://t/gz",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Encoding: gzip\r\n\r\n"
+          .getBytes("ISO-8859-1") ++ gz2) ++
+      rec("request", "http://t/q", req.getBytes("ISO-8859-1"))
+    val warc = Paths.get(dir.getPath, "in.warc")
+    Files.write(warc, warcBytes)
+    val out = new File(dir, "out").getPath
+    val (rc, log) = runCli(None, out, warc.toString, "--http-payload")
+    assert(rc == 0, log)
+    val rows = spark.read.parquet(out).orderBy("path").collect()
+    assert(rows.length == 3)
+    def sha(b: Array[Byte]): Seq[Byte] =
+      java.security.MessageDigest.getInstance("SHA-256").digest(b).toSeq
+    // gz: payload decoded, size/hash describe the PAYLOAD, status rides
+    val g = rows(0)
+    assert(g.getAs[String]("path") == "http://t/gz")
+    assert(new String(g.getAs[Array[Byte]]("content"), "UTF-8") == p2)
+    assert(g.getAs[Long]("size") == p2.length.toLong)
+    assert(g.getAs[Array[Byte]]("hash").toSeq == sha(p2.getBytes("UTF-8")))
+    assert(g.getAs[Int]("http_status") == 200)
+    assert(g.getAs[String]("http_content_type") == "text/html")
+    val p = rows(1)
+    assert(p.getAs[String]("path") == "http://t/plain")
+    assert(new String(p.getAs[Array[Byte]]("content"), "UTF-8") == p1)
+    assert(p.getAs[String]("http_content_type") == "text/plain")
+    // the request record passes through whole with null status/type
+    val r = rows(2)
+    assert(r.getAs[String]("path") == "http://t/q")
+    assert(new String(r.getAs[Array[Byte]]("content"), "ISO-8859-1") == req)
+    assert(r.isNullAt(r.fieldIndex("http_status")))
+    assert(r.isNullAt(r.fieldIndex("http_content_type")))
+  }
+
   test("--chunked refuses whole-entry gates (--unique)") {
     val dir = fixture()
     val out = new File(dir, "out_chunked_bad").getPath
