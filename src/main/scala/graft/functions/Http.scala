@@ -95,6 +95,8 @@ object HttpHelper {
       val sp = l0.indexOf(' ')
       if (sp > 0) {
         var j = sp + 1
+        // sloppy servers emit runs of spaces before the code
+        while (j < l0.length && l0.charAt(j) == ' ') j += 1
         var code = 0
         var nd = 0
         while (j < l0.length && nd < 4 && Character.isDigit(l0.charAt(j))) {
