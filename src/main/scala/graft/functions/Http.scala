@@ -82,6 +82,9 @@ object HttpHelper {
         } else if (i + 1 < content.length && content(i + 1) == '\n') {
           hdrEnd = i; bodyStart = i + 2; found = true
         }
+        // exclude the line's own CR so the last header line (often the
+        // status line itself) never carries a trailing '\r'
+        if (found && hdrEnd > 0 && content(hdrEnd - 1) == '\r') hdrEnd -= 1
       }
       i += 1
     }
@@ -102,7 +105,7 @@ object HttpHelper {
         while (j < l0.length && nd < 4 && Character.isDigit(l0.charAt(j))) {
           code = code * 10 + (l0.charAt(j) - '0'); j += 1; nd += 1
         }
-        val terminated = j >= l0.length || l0.charAt(j) == ' '
+        val terminated = j >= l0.length || l0.charAt(j) == ' ' || l0.charAt(j) == '\r'
         if (nd == 3 && terminated && code >= 100) status = code
       }
     }
