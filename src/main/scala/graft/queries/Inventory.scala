@@ -1511,6 +1511,26 @@ object Inventory {
       .orderBy(col("path"))
   }
 
+  /** The `--http-payload` converter MODE (vs q101's bare expression):
+    * [[ArchiveConverter.filteredEntries]] with
+    * `ConvertOptions(httpPayload = true)` over the same fixture —
+    * content becomes the decoded payload and `size`/`hash` are
+    * RECOMPUTED over it (the mode's contract), so the oracle checks
+    * the converter's projection, not just the expression. The VALUES
+    * reuse q101's independently-computed spec digests: the recomputed
+    * hex sha-256 must equal the spec payload digest exactly.
+    */
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    val path = buildHttpWarcFixture()
+    ArchiveConverter.filteredEntries(s, Seq(path),
+        ConvertOptions(httpPayload = true))
+      .select(col("path"), col("size"),
+        lower(hex(col("hash"))).as("payload_sha256"),
+        col("http_status").cast("bigint").as("status"),
+        col("http_content_type").as("content_type"))
+      .orderBy(col("path"))
+  }
+
   /** Deterministic Unix ar fixture (System V/GNU dialect, the ar(5)
     * spec): a symbol-table member, a GNU `//` long-name table, a
     * short-named text member (odd size — exercises the 2-byte data
@@ -2451,7 +2471,8 @@ object Inventory {
     "q99_url_normalize" -> (q99 _),
     "q100_cdc_parts" -> (q100 _),
     "q101_http_payload" -> (q101 _),
-    "q102_url_sortquery" -> (q102 _))
+    "q102_url_sortquery" -> (q102 _),
+    "q103_http_convert" -> (q103 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -2824,6 +2845,43 @@ object Inventory {
           |  ('http://t/zstd', CAST(200 AS BIGINT), 'text/html', CAST(90 AS BIGINT),
           |   'c781b6607968bca0e7baa6d86081fb2da7e66c823e5a49199265c12588e529d2'))
           |  AS t(path, status, content_type, payload_size, payload_sha256)
+          |ORDER BY path""".stripMargin,
+      // --http-payload converter mode: the same independently-computed
+      // spec digests as q101 — the converter's RECOMPUTED hash must
+      // land on them exactly
+      "q103_http_convert" ->
+        """SELECT * FROM (VALUES
+          |  ('http://t/badstatus', CAST(9 AS BIGINT),
+          |   'c4a804aab7d55989f3eaaf1e09f1e524a24ec47c352a5caa3ba63c46e1d17aed',
+          |   CAST(NULL AS BIGINT), 'x/y'),
+          |  ('http://t/brotli', CAST(19 AS BIGINT),
+          |   '328eae1ba9403bf4226450ba9bf2ec39ac03934879e10f0549e30dca00d970d0',
+          |   CAST(200 AS BIGINT), 'text/html'),
+          |  ('http://t/chunked', CAST(33 AS BIGINT),
+          |   'ffae2152cdbac81cfb16a497598f561a84edb3acd4b22531ca75fc46de368f7e',
+          |   CAST(200 AS BIGINT), 'text/plain'),
+          |  ('http://t/deflate', CAST(42 AS BIGINT),
+          |   '586d7a508d5d281e7afbdad827c294c96f9803715a413a08e2018070b215b9a2',
+          |   CAST(200 AS BIGINT), 'text/html'),
+          |  ('http://t/gzip', CAST(87 AS BIGINT),
+          |   'f33351fcef8898a404a4eaa0598fcb8e6df3750e607ba4c3e3df4ff5213d135d',
+          |   CAST(200 AS BIGINT), 'text/html'),
+          |  ('http://t/gzip-chunked', CAST(76 AS BIGINT),
+          |   'cfb522aae2e305d686722d495d6464a9d5d4b7383bbe40e57a196d96b30e73d6',
+          |   CAST(200 AS BIGINT), 'text/html'),
+          |  ('http://t/plain', CAST(19 AS BIGINT),
+          |   'e1e54bf71542cb04326c1be75988ebcadcd3a8c6cbba44209d68b3ef03399673',
+          |   CAST(200 AS BIGINT), 'text/html; charset=UTF-8'),
+          |  ('http://t/req', CAST(28 AS BIGINT),
+          |   '7dee6ae752438d978cdb1bbc796fff60f5be3ce1faa90553949639eb86e0c18f',
+          |   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)),
+          |  ('http://t/trunc', CAST(0 AS BIGINT),
+          |   'e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855',
+          |   CAST(204 AS BIGINT), 'text/empty'),
+          |  ('http://t/zstd', CAST(90 AS BIGINT),
+          |   'c781b6607968bca0e7baa6d86081fb2da7e66c823e5a49199265c12588e529d2',
+          |   CAST(200 AS BIGINT), 'text/html'))
+          |  AS t(path, size, payload_sha256, status, content_type)
           |ORDER BY path""".stripMargin,
       // ar source: spec-member sizes/digests (gzip member decompressed,
       // nested tar expanded), computed independently — q16's rule
