@@ -98,6 +98,15 @@ object GraftFunctions {
     */
   def http_payload(content: Column): Column = column(HttpPayload(expression(content)))
 
+  /** Charset decode under a BOM / Content-Type hint — see
+    * [[CharsetHelper.decode]] (U+FFFD replacement, never throws; a
+    * null hint means "no hint", not a null result). The step between
+    * [[http_payload]] and [[graft.ops.Quality.htmlToText]] for
+    * non-UTF-8 pages.
+    */
+  def charset_decode(content: Column, hint: Column): Column =
+    column(CharsetDecode.withNullSafeHint(expression(content), expression(hint)))
+
   /** Single-pass HTML character-reference decode — see
     * [[HtmlEntityHelper.decode]] (named + numeric, decode-once).
     */
@@ -172,6 +181,12 @@ object GraftFunctions {
     "url_normalize" -> (e =>
       if (e.length > 1) UrlNormalize(e.head, e(1)) else UrlNormalize(e.head)),
     "http_payload" -> (e => HttpPayload(e.head)),
+    "charset_decode" -> (e =>
+      if (e.length > 1) CharsetDecode.withNullSafeHint(e.head, e(1))
+      else CharsetDecode.withNullSafeHint(e.head,
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(""),
+          org.apache.spark.sql.types.StringType))),
     "registered_domain" -> (e => RegisteredDomain(e.head)),
     "cdc_chunks" -> (e => CdcChunks(e.head, e(1), e(2), e(3))),
     "explode_archive" -> (e => ExplodeArchive(e.head)))

@@ -14,8 +14,13 @@ object Utf8 {
     * and > U+10FFFF — same acceptance set as the reference's simdutf8
     * check (reference: src/batch.rs:157-160).
     */
-  def isValid(b: Array[Byte]): Boolean = {
-    var i = 0
+  def isValid(b: Array[Byte]): Boolean = isValid(b, 0)
+
+  /** [[isValid]] from `from` (the BOM-skip entry of
+    * [[CharsetHelper.decode]]'s UTF-8 fast path).
+    */
+  def isValid(b: Array[Byte], from: Int): Boolean = {
+    var i = from
     val n = b.length
     while (i < n) {
       val c = b(i) & 0xff

@@ -1531,6 +1531,39 @@ object Inventory {
       .orderBy(col("path"))
   }
 
+  /** Charset decoding under BOM / Content-Type hints
+    * ([[GraftFunctions.charset_decode]]): the step between
+    * `http_payload` and `htmlToText` for the large non-UTF-8 fraction
+    * of real crawl data. The case table (bytes as hex + hint) is the
+    * OPERATOR'S DEFINITION, shared verbatim by both sides; the
+    * expected md5/length literals in the oracle are computed by an
+    * independent implementation (Python codecs) — the q16 rule.
+    * Covers ISO-8859-1, windows-1252 (the 0x80-0x9F quirk range),
+    * UTF-8/UTF-16LE/UTF-16BE BOMs (BOM beats a lying header),
+    * malformed UTF-8 → U+FFFD, unknown charset fallback, bare-name
+    * and quoted-parameter hints, Shift_JIS, and a NULL hint.
+    */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cases: Seq[(String, String, Option[String])] = Seq(
+      ("c01_latin1", "636166E9206DFC6E6368656E", Some("text/html; charset=ISO-8859-1")),
+      ("c02_win1252", "9371756F74656494208520646173682097", Some("text/html; charset=windows-1252")),
+      ("c03_bom_utf8", "EFBBBF626F6D2077696E7320C3A9", Some("text/plain; charset=iso-8859-1")),
+      ("c04_bom_utf16le", "FFFE7500740066003100360020007400650078007400", Some("")),
+      ("c05_bad_utf8", "6F6B20C328", Some("")),
+      ("c06_unknown_cs", "706C61696E207574663820C3A9", Some("text/html; charset=klingon-8")),
+      ("c07_bare_hint", "636166E9", Some("iso-8859-1")),
+      ("c08_sjis", "93FA967B8CEA836583588367", Some("text/html; charset=\"Shift_JIS\"")),
+      ("c09_bom_utf16be", "FEFF0062006500200074006500780074", Some("text/html")),
+      ("c10_no_hint", "6E6F2068696E7420C3BC", None))
+    cases.toDF("case_id", "hex", "hint")
+      .select(col("case_id"),
+        GraftFunctions.charset_decode(unhex(col("hex")), col("hint")).as("txt"))
+      .select(col("case_id"), md5(col("txt").cast("binary")).as("text_md5"),
+        length(col("txt")).cast("bigint").as("n_chars"))
+      .orderBy(col("case_id"))
+  }
+
   /** Deterministic Unix ar fixture (System V/GNU dialect, the ar(5)
     * spec): a symbol-table member, a GNU `//` long-name table, a
     * short-named text member (odd size — exercises the 2-byte data
@@ -2472,7 +2505,8 @@ object Inventory {
     "q100_cdc_parts" -> (q100 _),
     "q101_http_payload" -> (q101 _),
     "q102_url_sortquery" -> (q102 _),
-    "q103_http_convert" -> (q103 _))
+    "q103_http_convert" -> (q103 _),
+    "q104_charset_decode" -> (q104 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -2883,6 +2917,23 @@ object Inventory {
           |   CAST(200 AS BIGINT), 'text/html'))
           |  AS t(path, size, payload_sha256, status, content_type)
           |ORDER BY path""".stripMargin,
+      // charset decode: expected md5/length of each decoded case,
+      // computed by an INDEPENDENT implementation (Python codecs) over
+      // the shared case table — q16's rule
+      "q104_charset_decode" ->
+        """SELECT * FROM (VALUES
+          |  ('c01_latin1', '22cfb630e1da4ea27cc0456222465dd5', CAST(12 AS BIGINT)),
+          |  ('c02_win1252', '397cb062c97d15bc18329ff5c1510776', CAST(17 AS BIGINT)),
+          |  ('c03_bom_utf8', '6396cddad62ed4cd1df3419571efb86d', CAST(10 AS BIGINT)),
+          |  ('c04_bom_utf16le', 'bdf89c9c0ad0f5ed6aa134d0ff9f57b8', CAST(10 AS BIGINT)),
+          |  ('c05_bad_utf8', 'ac525cea2347e2b88736ebae779ce0b0', CAST(5 AS BIGINT)),
+          |  ('c06_unknown_cs', '829fba0739e1936f4bc07b8441b60069', CAST(12 AS BIGINT)),
+          |  ('c07_bare_hint', '07117fe4a1ebd544965dc19573183da2', CAST(4 AS BIGINT)),
+          |  ('c08_sjis', 'f95716c1bda20a02d24c31e402d795d2', CAST(6 AS BIGINT)),
+          |  ('c09_bom_utf16be', '905824030bde0411ad3d686a5aaf2630', CAST(7 AS BIGINT)),
+          |  ('c10_no_hint', 'f15c50559ebf770bb32bf3a048051570', CAST(9 AS BIGINT)))
+          |  AS t(case_id, text_md5, n_chars)
+          |ORDER BY case_id""".stripMargin,
       // ar source: spec-member sizes/digests (gzip member decompressed,
       // nested tar expanded), computed independently — q16's rule
       "q87_ar_source" ->

@@ -451,8 +451,9 @@ object ScaleEvidence {
       .where(col("h.status") === 200)
     val cleaned = projected
       .select(col("url"),
-        GraftFunctions.nfc_normalize(
-          Quality.htmlToText(col("h.payload").cast("string"))).as("clean"))
+        GraftFunctions.nfc_normalize(Quality.htmlToText(
+          GraftFunctions.charset_decode(col("h.payload"), col("h.content_type"))))
+          .as("clean"))
       .where(length(col("clean")) >= 50)
       .withColumn("url_norm", GraftFunctions.url_normalize(col("url")))
       .withColumn("domain", GraftFunctions.registered_domain(

@@ -43,6 +43,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         |       url_normalize('http://a.com/p?b=2&a=1', true) AS uns,
         |       decode_html_entities('caf&#233; &amp;#65; &mdash;') AS de,
         |       http_payload(cast(concat('HTTP/1.1 200 OK\r\nContent-Type: t/x\r\n\r\nBODY') AS binary)) AS hp,
+        |       charset_decode(unhex('636166E9'), 'text/html; charset=ISO-8859-1') AS cd,
+        |       charset_decode(unhex('C3A9')) AS cd1,
         |       size(cdc_chunks(cast(txt AS binary), 2, 16, 64)) AS nc
         |FROM t""".stripMargin).head()
     assert(r.getAs[Boolean]("u"))
@@ -58,6 +60,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[String]("un") == "http://a.com/a")
     assert(r.getAs[String]("uns") == "http://a.com/p?a=1&b=2")
     assert(r.getAs[String]("de") == "café &#65; —")
+    assert(r.getAs[String]("cd") == "café")
+    assert(r.getAs[String]("cd1") == "é")
     val hp = r.getAs[org.apache.spark.sql.Row]("hp")
     assert(hp.getAs[Int]("status") == 200)
     assert(hp.getAs[String]("content_type") == "t/x")
