@@ -13,15 +13,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * read those bytes as broken UTF-8 and corrupt every downstream
   * dedup key and quality feature.
   *
-  * Detection order (the WHATWG encoding-sniff precedence, restricted
-  * to its transport-level steps):
+  * Detection order (the WHATWG encoding-sniff precedence):
   *   1. a byte-order mark wins outright — UTF-8 (EF BB BF),
   *      UTF-16LE (FF FE), UTF-16BE (FE FF) — and is not emitted;
   *   2. else the `charset=` parameter of the hint (a Content-Type
   *      value like `text/html; charset=ISO-8859-1`, quotes stripped,
   *      case-insensitive), or the whole hint when it IS a bare
   *      charset name (no `/`);
-  *   3. else UTF-8.
+  *   3. else a meta prescan of the first 1024 bytes for an embedded
+  *      `charset=` declaration (`<meta charset="x">` or the
+  *      http-equiv `content="text/html; charset=x"` form) —
+  *      header-less pages declare their encoding in markup, the
+  *      common case in real crawls; the scan is ASCII-byte-wise, so
+  *      it is safe over any ASCII-superset input;
+  *   4. else UTF-8.
   *
   * Never throws (the crawl-data contract): an unknown or unsupported
   * charset name falls back to UTF-8; malformed and unmappable input
@@ -70,6 +75,38 @@ object CharsetHelper {
     else null
   }
 
+  /** WHATWG meta prescan, step 3: find an ASCII `charset=` run in the
+    * first 1024 bytes and read the name after it (quotes stripped,
+    * terminated by quote/`;`/`>`/whitespace). Byte-wise and
+    * case-insensitive — correct over any ASCII-superset encoding,
+    * which is every encoding this helper can name.
+    */
+  private def fromMeta(b: Array[Byte]): java.nio.charset.Charset = {
+    val n = math.min(b.length, 1024)
+    val pat = "charset="
+    var i = 0
+    while (i <= n - pat.length) {
+      var k = 0
+      while (k < pat.length &&
+        Character.toLowerCase((b(i + k) & 0xff).toChar) == pat.charAt(k)) k += 1
+      if (k == pat.length) {
+        var j = i + pat.length
+        val sb = new java.lang.StringBuilder(16)
+        var stop = false
+        while (!stop && j < n && sb.length < 40) {
+          val c = (b(j) & 0xff).toChar
+          if (c == '"' || c == '\'') { if (sb.length > 0) stop = true }
+          else if (c == ';' || c == '>' || c == '/' || Character.isWhitespace(c)) stop = true
+          else sb.append(Character.toLowerCase(c))
+          j += 1
+        }
+        if (sb.length > 0) return charsetFor(sb.toString)
+      }
+      i += 1
+    }
+    null
+  }
+
   def decode(b: Array[Byte], hint: UTF8String): UTF8String = {
     // BOM wins over any header claim (WHATWG sniff step 1)
     val utf8Bom =
@@ -82,7 +119,11 @@ object CharsetHelper {
         java.nio.charset.StandardCharsets.UTF_16BE
       else {
         val hinted = if (hint == null) null else fromHint(hint.toString)
-        if (hinted == null) Utf8 else hinted
+        if (hinted != null) hinted
+        else {
+          val meta = fromMeta(b)
+          if (meta == null) Utf8 else meta
+        }
       }
     val bomSkip = if (utf8Bom) 3 else if (cs ne Utf8) {
       if (cs == java.nio.charset.StandardCharsets.UTF_16LE ||

@@ -1555,7 +1555,17 @@ object Inventory {
       ("c07_bare_hint", "636166E9", Some("iso-8859-1")),
       ("c08_sjis", "93FA967B8CEA836583588367", Some("text/html; charset=\"Shift_JIS\"")),
       ("c09_bom_utf16be", "FEFF0062006500200074006500780074", Some("text/html")),
-      ("c10_no_hint", "6E6F2068696E7420C3BC", None))
+      ("c10_no_hint", "6E6F2068696E7420C3BC", None),
+      // WHATWG step-3 meta prescan: markup declares what the missing
+      // header didn't; the transport header still beats meta (c13 —
+      // the E9 byte proves which charset actually decoded)
+      ("c11_meta", "3C6D65746120636861727365743D2269736F2D383835392D31223E636166E9",
+        Some("text/html")),
+      ("c12_meta_httpequiv",
+        "3C6D65746120687474702D65717569763D22436F6E74656E742D547970652220636F6E74656E743D22746578742F68746D6C3B20636861727365743D77696E646F77732D31323532223E97",
+        None),
+      ("c13_header_beats_meta", "636166E9203C6D65746120636861727365743D227574662D38223E",
+        Some("text/html; charset=iso-8859-1")))
     cases.toDF("case_id", "hex", "hint")
       .select(col("case_id"),
         GraftFunctions.charset_decode(unhex(col("hex")), col("hint")).as("txt"))
@@ -2931,7 +2941,10 @@ object Inventory {
           |  ('c07_bare_hint', '07117fe4a1ebd544965dc19573183da2', CAST(4 AS BIGINT)),
           |  ('c08_sjis', 'f95716c1bda20a02d24c31e402d795d2', CAST(6 AS BIGINT)),
           |  ('c09_bom_utf16be', '905824030bde0411ad3d686a5aaf2630', CAST(7 AS BIGINT)),
-          |  ('c10_no_hint', 'f15c50559ebf770bb32bf3a048051570', CAST(9 AS BIGINT)))
+          |  ('c10_no_hint', 'f15c50559ebf770bb32bf3a048051570', CAST(9 AS BIGINT)),
+          |  ('c11_meta', 'd598178d8c6663decd0f9cf7c10a34e3', CAST(31 AS BIGINT)),
+          |  ('c12_meta_httpequiv', '0adb32cb24b4ececbd13f6c0e436635d', CAST(75 AS BIGINT)),
+          |  ('c13_header_beats_meta', '1cf9d3fa166e508ce19aa19b90fc6ca6', CAST(27 AS BIGINT)))
           |  AS t(case_id, text_md5, n_chars)
           |ORDER BY case_id""".stripMargin,
       // ar source: spec-member sizes/digests (gzip member decompressed,
