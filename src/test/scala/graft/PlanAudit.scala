@@ -27,7 +27,8 @@ object PlanAudit {
       "q82_domain_cap", "q83_bm25_score", "q84_gopher_filter", "q85_top_ngrams",
       "q86_char_entropy", "q88_bloom_gate",
       "q96_url_parse", "q97_html_extract", "q99_url_normalize", "q100_cdc_parts",
-      "q101_http_payload", "q102_url_sortquery")
+      "q101_http_payload", "q102_url_sortquery", "q103_http_convert",
+      "q104_charset_decode")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -174,6 +174,12 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges(p) <= 2, s"q102 grew a shuffle:\n$p")
   }
 
+  test("q104: charset decode is a narrow codegen'd projection") {
+    val p = plan("q104_charset_decode")
+    assert(exchanges(p) <= 1, s"q104 grew a shuffle:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"q104 hash-shuffled:\n$p")
+  }
+
   test("q100: part-wise CDC is one entry-keyed exchange + sorted groups") {
     val p = plan("q100_cdc_parts")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,

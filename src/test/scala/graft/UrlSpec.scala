@@ -133,7 +133,8 @@ class UrlSpec extends AnyFunSuite {
       "xn--mnchen-3ya.de", "h%41x", "[2001:DB8::1]", "a..b", "h")
     val ports = Seq("", ":80", ":443", ":0", ":8080", ":65535", ":notaport")
     val paths = Seq("", "/", "/a/b", "/%61%7Eb", "/%2f", "/%zz", "/a%4")
-    val queries = Seq("", "?", "?q=1", "?t=c%20d", "?%63")
+    val queries = Seq("", "?", "?q=1", "?t=c%20d", "?%63",
+      "?b=2&a=1", "?b=2&a=1&a=0", "?x&&y", "?=v&k=")
     val frags = Seq("", "#f", "#%41")
     val rnd = new scala.util.Random(42)
     (0 until 2000).foreach { _ =>
@@ -143,6 +144,13 @@ class UrlSpec extends AnyFunSuite {
         paths(rnd.nextInt(paths.size)) + queries(rnd.nextInt(queries.size)) +
         frags(rnd.nextInt(frags.size))
       nz(u).foreach { n => assert(nz(n) == Some(n), s"not a fixed point: $u -> $n -> ${nz(n)}") }
+      // the sort_query variant is a fixed point of BOTH forms: sorting
+      // a sorted query changes nothing, and the plain pass must not
+      // re-order what sort_query produced
+      nzs(u).foreach { n =>
+        assert(nzs(n) == Some(n), s"sorted not a fixed point: $u -> $n -> ${nzs(n)}")
+        assert(nz(n) == Some(n), s"plain pass moved sorted output: $u -> $n -> ${nz(n)}")
+      }
     }
   }
 
