@@ -51,14 +51,97 @@ object Quality {
     * whose class differs between the engines), so the q97 oracle
     * mirrors it verbatim.
     */
-  def htmlToText(html: Column): Column = {
+  def htmlToText(html: Column): Column = cleanFragment(stripNonText(html))
+
+  /** The non-text removal half of [[htmlToText]]: comments, script and
+    * style blocks dropped whole (bodies are code, not text). Shared
+    * with [[mainContent]], which must remove them BEFORE splitting
+    * into blocks — a `<p` inside a script literal must never open a
+    * block.
+    */
+  private def stripNonText(html: Column): Column = {
     val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
     val noScript = regexp_replace(noComment, s"(?is)<script$TagBody>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, s"(?is)<style$TagBody>.*?</style>", " ")
-    val noTags = regexp_replace(noStyle, s"<$TagBody>", " ")
+    regexp_replace(noScript, s"(?is)<style$TagBody>.*?</style>", " ")
+  }
+
+  /** The tag-strip + entity-decode + whitespace half of [[htmlToText]],
+    * applied per-block by [[mainContent]]. Same pass order as the
+    * composed pipeline: quote-aware strip, sloppy-tag cleanup, decode
+    * entities once, collapse `[ \t\n\r]` runs, trim.
+    */
+  private def cleanFragment(c: Column): Column = {
+    val noTags = regexp_replace(c, s"<$TagBody>", " ")
     val noSloppy = regexp_replace(noTags, "<[^>]+>", " ")
     val decoded = graft.functions.GraftFunctions.decode_html_entities(noSloppy)
     trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
+  }
+
+  /** HTML block-level elements that open a new text block for
+    * [[mainContent]] (the block/inline split of the HTML spec's
+    * flow-content model — inline markup like `<a> <b> <span>` flows
+    * inside a block, these start one). Alternation backtracks, so
+    * one-letter prefixes (`p` vs `pre`) still match via the longer
+    * alternative when `\b` rejects the short one.
+    */
+  private[graft] val BlockTags: String =
+    "p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|dl|dt|dd|nav|header|footer|article|" +
+      "section|aside|main|table|tr|td|th|blockquote|pre|figure|figcaption|form"
+
+  /** jusText/Boilerpipe-style main-content extraction (Kohlschütter et
+    * al., WSDM 2010; Pomikálek 2011): real pages are mostly chrome —
+    * nav menus, footers, related-links rails — and the two features
+    * that separate chrome from body text in those papers are BLOCK
+    * LENGTH and LINK DENSITY. This operator splits a page into
+    * block-level segments, scores each, and keeps blocks that are
+    * long enough (`>= minLen` chars after tag-strip + entity decode)
+    * and link-poor enough (chars inside `<a>` elements / total chars
+    * `<= maxLinkDensity`): a nav `<li>` is 100% link text, a footer is
+    * link-heavy boilerplate, the article `<p>` is neither.
+    *
+    * Mechanics: comments/script/style are removed first (a `<p` inside
+    * a script literal must not open a block), then a marker is
+    * inserted before every [[BlockTags]] opener and the page is split
+    * on it. Per block: text via the [[htmlToText]] cleanup chain, link
+    * chars by summing the cleaned `<a>…</a>` inner texts. Blocks whose
+    * cleaned text is empty (pure-markup segments like `<nav><ul>`) are
+    * not blocks.
+    *
+    * Everything is Spark built-ins + the codegen'd entity decoder in
+    * ONE narrow projection — no exchange, no UDF; at 100 TB this runs
+    * at scan speed next to [[htmlToText]]. The regex subset is the
+    * same Java/RE2-identical dialect as [[htmlToText]] (q97 rule).
+    *
+    * @return struct(n_blocks, n_content, content_len, content_text):
+    *         total non-empty blocks, blocks classified content, their
+    *         total cleaned length, and their texts joined with " " in
+    *         document order
+    */
+  def mainContent(html: Column, minLen: Int, maxLinkDensity: Double): Column = {
+    require(minLen > 0, "minLen must be positive")
+    require(maxLinkDensity >= 0.0 && maxLinkDensity <= 1.0,
+      "maxLinkDensity must be in [0,1]")
+    val marked = regexp_replace(stripNonText(html), s"(?i)<(?:$BlockTags)\\b", "\u0001$0")
+    // <a> then whitespace+attributes or an immediate '>' — the
+    // optional group keeps <abbr>/<article> from matching
+    val anchorPat = s"(?is)<a(?:[ \\t\\n\\r]$TagBody)?>(.*?)</a>"
+    val blocks = filter(
+      transform(split(marked, "\u0001"), b =>
+        struct(
+          cleanFragment(b).as("txt"),
+          aggregate(regexp_extract_all(b, lit(anchorPat), lit(1)), lit(0),
+            (acc, a) => acc + length(cleanFragment(a))).as("link_chars"))),
+      b => b.getField("txt") =!= "")
+    val content = filter(blocks, b =>
+      length(b.getField("txt")) >= minLen &&
+        b.getField("link_chars").cast("double") / length(b.getField("txt")) <= maxLinkDensity)
+    struct(
+      size(blocks).cast("long").as("n_blocks"),
+      size(content).cast("long").as("n_content"),
+      coalesce(
+        aggregate(content, lit(0L), (acc, b) => acc + length(b.getField("txt")).cast("long")),
+        lit(0L)).as("content_len"),
+      array_join(transform(content, _.getField("txt")), " ").as("content_text"))
   }
 
   /** Cross-document line-level dedup — C4-style boilerplate removal

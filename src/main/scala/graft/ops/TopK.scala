@@ -51,6 +51,63 @@ final case class TopKByScore(k: Int)
   * the map-side partial caps every partition's contribution at k
   * pairs per group.
   */
+/** Misra–Gries frequent-items sketch as a typed [[Aggregator]] (Misra
+  * & Gries 1982; merge rule from Agarwal et al., "Mergeable
+  * Summaries", PODS 2012 §3): at most `k` (item, counter) pairs, with
+  * the two classic guarantees that hold REGARDLESS of input order,
+  * partitioning, or merge-tree shape —
+  *
+  *   - underestimate: `est(x) <= true(x)` for every item, and
+  *   - bounded error: `true(x) - est(x) <= n / (k+1)` (n = stream
+  *     length), so every item with `true(x) > n/k` is guaranteed
+  *     present in the sketch.
+  *
+  * Reduce is the textbook step: tracked item +1; untracked item into a
+  * free slot; no slot → decrement ALL counters by 1 (the new
+  * occurrence and one unit of each tracked counter cancel — each such
+  * event consumes k+1 units of total count, hence the bound).
+  * Merge sums the two summaries and, if more than `k` items remain,
+  * subtracts the (k+1)-th largest counter from every counter and drops
+  * the non-positive ones — the PODS'12 rule that keeps the summed
+  * error bound.
+  *
+  * Scale: this is the heavy-hitters alternative to a full
+  * `groupBy(item).count()` — the map-side partial caps every
+  * partition's contribution at k counters, so the exchange carries
+  * O(k × partitions) rows instead of the item cardinality, and the
+  * result fits on the driver by construction. The sketch CONTENT is
+  * order-dependent (only the guarantees above are deterministic), so
+  * oracle-checked queries must emit the guarantee booleans + exact
+  * counts (q68's sketch rule), never raw estimates.
+  */
+final case class FreqItems(k: Int)
+    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  require(k > 0, "k must be positive")
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+    b.get(item) match {
+      case Some(c) => b.updated(item, c + 1L)
+      case None if b.size < k => b.updated(item, 1L)
+      case None => b.collect { case (t, c) if c > 1L => t -> (c - 1L) }
+    }
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val sum = b.foldLeft(a) { case (m, (t, c)) => m.updated(t, m.getOrElse(t, 0L) + c) }
+    if (sum.size <= k) sum
+    else {
+      // (k+1)-th largest counter; at most k counters strictly exceed it
+      val kth = sum.valuesIterator.toArray.sortWith(_ > _).apply(k)
+      sum.collect { case (t, c) if c > kth => t -> (c - kth) }
+    }
+  }
+
+  override def finish(r: Map[String, Long]): Map[String, Long] = r
+  override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+}
+
 final case class KeepSmallestK(k: Int)
     extends Aggregator[(String, Long, Long), List[(Long, Long)], List[(Long, Long)]] {
   require(k > 0, "k must be positive")

@@ -2410,6 +2410,109 @@ object Inventory {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** q105 classification knobs + the spec pieces its oracle derives
+    * from: the content block is `text` + a small inline link, so after
+    * cleanup its length is `length(text) + MainContentSuffix.length`
+    * and its link chars are `MainContentLinkText.length` — the oracle
+    * computes the expected classification from THIS arithmetic while
+    * the engine parses the actual HTML generically (q16-rule
+    * independent-path check).
+    */
+  private val MainContentMinLen = 150
+  private val MainContentMaxLinkDensity = 0.2
+  private val MainContentLinkText = "details here"
+  private val MainContentSuffix = " see " + MainContentLinkText + " now"
+
+  /** The q105 page: realistic chrome around one content paragraph.
+    * Blocks after cleanup — title `T{id}` (short), `3 + doc_id % 5`
+    * nav `<li>`s that are 100% link text (density 1.0), a short
+    * `<h1>`, the content `<p>` (the doc text + one inline link), and a
+    * link-heavy footer whose cleaned length is 128 with 36 link chars
+    * (density 0.28125 > 0.2 — boilerplate by DENSITY at adequate
+    * length, exercising the rule the short blocks don't). Empty-markup
+    * segments (`<nav><ul>`, `</ul></nav>` leftovers) must vanish.
+    */
+  private def mainContentHtml: Column = {
+    val did = col("doc_id").cast("string")
+    val navItems = array_join(
+      transform(sequence(lit(1L), lit(3L) + col("doc_id") % 5),
+        i => concat(lit("<li><a href=\"/p"), i.cast("string"),
+          lit("\">nav item "), i.cast("string"), lit("</a></li>"))), "")
+    val footer = "copyright <a href=\"/l\">example corp</a> all rights reserved "
+    concat(
+      lit("<html><head><title>T"), did,
+      lit("</title><style>body{margin:0}</style></head><body>" +
+        "<script>if (1 < 2) { track(); }</script><nav><ul>"),
+      navItems,
+      lit("</ul></nav><h1>Doc "), did,
+      lit("</h1><p>"), col("text"),
+      lit(" see <a href=\"/more\">" + MainContentLinkText + "</a> now</p><footer>" +
+        footer * 3 + "</footer></body></html>"))
+  }
+
+  /** Main-content extraction ([[Quality.mainContent]] — jusText-style
+    * block length + link density classification) over a synthesized
+    * chrome-heavy page. The oracle derives every output from the
+    * synthesis spec (block count `7 + doc_id % 5`, content iff the
+    * text block passes the length gate), never parsing HTML — so the
+    * engine's generic block split, per-block link accounting and
+    * classification are checked against an independent computation.
+    */
+  private def q105(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        Quality.mainContent(mainContentHtml, MainContentMinLen,
+          MainContentMaxLinkDensity).as("mc"))
+      .select(col("doc_id"),
+        col("mc.n_blocks").as("n_blocks"),
+        col("mc.n_content").as("n_content"),
+        col("mc.content_len").as("content_len"),
+        md5(col("mc.content_text")).as("content_md5"))
+      .orderBy(col("doc_id"))
+
+  /** [[graft.ops.FreqItems]] sketch size for q106: smaller than the
+    * key cardinality at every SF (76 at sf0.001, 764 at sf0.1), so the
+    * sketch genuinely approximates; exactly 3 keys sit above the n/k
+    * guarantee threshold at every SF.
+    */
+  private val FreqItemsK = 16
+
+  /** Misra–Gries heavy hitters over a zipf-like key. The key
+    * `m DIV l_orderkey` (m = max key) of a ~uniform positive integer
+    * is the classic power-law synthesis: P(v) ≈ 1/(v(v+1)), so item 1
+    * carries ~50% of the stream, item 2 ~17%, item 3 ~8% — the domain
+    * -frequency shape of a real crawl. Output follows q68's sketch
+    * rule: the rows are the EXACT heavy hitters (count·k > n, from a
+    * real groupBy) and the sketch contributes its two order-
+    * independent guarantees as booleans — present-in-sketch and
+    * underestimate-within-n/k — which the oracle states as TRUE.
+    * Estimates themselves are merge-order-dependent and never emitted.
+    */
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, d, "lineitem").where(col("l_orderkey") > 0)
+    val keys = li
+      .crossJoin(broadcast(li.agg(max(col("l_orderkey")).as("m"))))
+      .select(concat(lit("pg"), expr("CAST(m DIV l_orderkey AS STRING)")).as("tok"))
+    // n derives from the grouped counts, not a second raw-keys pass —
+    // the two identical groupBy subtrees collapse into one shuffle via
+    // exchange reuse, so the exact side scans lineitem once
+    val grouped = keys.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    val n = grouped.agg(sum(col("exact_cnt")).as("n"))
+    val sk = keys.as[String]
+      .select(graft.ops.FreqItems(FreqItemsK).toColumn.name("sk"))
+    val est = element_at(col("sk"), col("tok"))
+    grouped
+      .crossJoin(broadcast(n))
+      .where(col("exact_cnt") * FreqItemsK > col("n"))
+      .crossJoin(broadcast(sk))
+      .select(col("tok"), col("exact_cnt"),
+        est.isNotNull.as("in_sketch"),
+        (est <= col("exact_cnt") &&
+          (col("exact_cnt") - est) * FreqItemsK <= col("n")).as("within_bound"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2516,7 +2619,9 @@ object Inventory {
     "q101_http_payload" -> (q101 _),
     "q102_url_sortquery" -> (q102 _),
     "q103_http_convert" -> (q103 _),
-    "q104_charset_decode" -> (q104 _))
+    "q104_charset_decode" -> (q104 _),
+    "q105_main_content" -> (q105 _),
+    "q106_freq_items" -> (q106 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -2947,6 +3052,44 @@ object Inventory {
           |  ('c13_header_beats_meta', '1cf9d3fa166e508ce19aa19b90fc6ca6', CAST(27 AS BIGINT)))
           |  AS t(case_id, text_md5, n_chars)
           |ORDER BY case_id""".stripMargin,
+      // q105: every output derived from the page-synthesis spec, not
+      // from parsing HTML (q16-rule independent path). Blocks = title
+      // + (3 + doc_id%5) nav lis + h1 + content p + footer = 7 +
+      // doc_id%5; only the content <p> can classify as content: its
+      // cleaned text is text||' see details here now' (length+21,
+      // 12 link chars), title/h1/lis fail the 150-char gate (lis are
+      // density 1.0 too) and the 128-char footer carries 36 link
+      // chars = density 0.28125 > 0.2. Same IEEE double division on
+      // both sides; md5('') is the no-content sentinel.
+      "q105_main_content" ->
+        s"""SELECT doc_id,
+           |  CAST(7 + doc_id % 5 AS BIGINT) AS n_blocks,
+           |  CAST(CASE WHEN ok THEN 1 ELSE 0 END AS BIGINT) AS n_content,
+           |  CAST(CASE WHEN ok THEN length(text) + ${MainContentSuffix.length}
+           |       ELSE 0 END AS BIGINT) AS content_len,
+           |  CASE WHEN ok THEN md5(text || '$MainContentSuffix')
+           |       ELSE md5('') END AS content_md5
+           |FROM (SELECT doc_id, text,
+           |  length(text) + ${MainContentSuffix.length} >= $MainContentMinLen
+           |  AND ${MainContentLinkText.length}.0 /
+           |      (length(text) + ${MainContentSuffix.length})
+           |      <= $MainContentMaxLinkDensity AS ok
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin,
+      // q106: exact heavy hitters (count·k > n) from a real GROUP BY
+      // over the same zipf-like key derivation; the sketch guarantees
+      // (membership above n/k, underestimate within n/k) are
+      // order-independent theorems, stated as TRUE — q68's rule
+      "q106_freq_items" ->
+        s"""WITH li AS (SELECT l_orderkey FROM lineitem WHERE l_orderkey > 0),
+           |m AS (SELECT max(l_orderkey) AS m, count(*) AS n FROM li),
+           |keys AS (SELECT 'pg' || CAST(m.m // l_orderkey AS VARCHAR) AS tok
+           |         FROM li, m)
+           |SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt,
+           |       TRUE AS in_sketch, TRUE AS within_bound
+           |FROM keys, m GROUP BY tok, m.n
+           |HAVING count(*) * $FreqItemsK > m.n
+           |ORDER BY exact_cnt DESC, tok""".stripMargin,
       // ar source: spec-member sizes/digests (gzip member decompressed,
       // nested tar expanded), computed independently — q16's rule
       "q87_ar_source" ->

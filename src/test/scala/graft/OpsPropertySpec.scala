@@ -45,6 +45,38 @@ class OpsPropertySpec extends AnyFunSuite {
     }.toMap
   }
 
+  // ---- FreqItems (Misra–Gries) ----------------------------------------
+
+  // zipf-ish item weights so heavy hitters genuinely exist
+  private val mgStreamGen: Gen[List[String]] =
+    Gen.chooseNum(0, 400).flatMap(n => Gen.listOfN(n, Gen.frequency(
+      (50, Gen.const("a")), (17, Gen.const("b")), (8, Gen.const("c")),
+      (5, Gen.const("d")), (4, Gen.const("e")), (4, Gen.const("f")),
+      (3, Gen.const("g")), (3, Gen.const("h")), (3, Gen.const("i")),
+      (3, Gen.const("j")))))
+
+  test("FreqItems: MG guarantees hold for any chunking and merge order") {
+    val k = 4
+    val agg = graft.ops.FreqItems(k)
+    val prop = Prop.forAll(mgStreamGen, Gen.chooseNum(1, 8), Gen.long) {
+      (stream, nChunks, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val chunks = stream.groupBy(_ => rnd.nextInt(nChunks)).values.toList
+        val partials = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+        val sk = rnd.shuffle(partials).foldLeft(agg.zero)(agg.merge)
+        val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val n = stream.size.toLong
+        val bound = n / (k + 1)
+        sk.size <= k &&
+          exact.forall { case (t, c) =>
+            val est = sk.getOrElse(t, 0L)
+            est <= c && c - est <= bound
+          } &&
+          exact.collect { case (t, c) if c * k > n => t }.forall(sk.contains)
+    }
+    check(prop, 60)
+  }
+
   test("stripBoilerplate equals the direct computation on colliding corpora") {
     check(Prop.forAll(Gen.listOfN(10, docGen)) { texts =>
       import spark.implicits._

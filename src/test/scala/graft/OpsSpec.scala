@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{GraftFunctions, TextStats}
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Quality, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -348,6 +348,67 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = Seq(Tuple1("a b c d a b c d")).toDF("text")
     val got = df.select(GraftFunctions.word_shingles(col("text"), 3)).head().getSeq[String](0)
     assert(got == Seq("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("mainContent: length + link-density classification over blocks") {
+    import spark.implicits._
+    val body = Seq.fill(20)("lorem ipsum").mkString(" ") // 239 chars
+    val html =
+      "<html><head><title>Site</title><style>p{x}</style></head><body>" +
+        "<script>if (a < b) { p('<p>'); }</p></script>" +
+        "<nav><ul><li><a href='/a'>home</a></li>" +
+        "<li><a href='/b'>about&nbsp;us</a></li></ul></nav>" +
+        s"<p>$body see <a href='/m'>more info</a> here</p>" +
+        "<div>" + ("read <a href='/x'>the docs</a> now " * 5) + "</div>" +
+        "<p>short</p></body></html>"
+    val r = Seq(Tuple1(html)).toDF("html")
+      .select(Quality.mainContent(col("html"), 50, 0.2).as("mc"))
+      .select("mc.*").head()
+    // blocks: title, 2 nav lis (density 1.0), the content <p>, the
+    // link-heavy <div> (40/89 = 0.449 > 0.2 at adequate length),
+    // "short" — the empty <nav>/<ul> segments and the script (whose
+    // body contains '<p>') are not blocks
+    assert(r.getAs[Long]("n_blocks") == 6L)
+    assert(r.getAs[Long]("n_content") == 1L)
+    assert(r.getAs[Long]("content_len") == 258L)
+    assert(r.getAs[String]("content_text") == body + " see more info here")
+  }
+
+  test("mainContent: all-chrome page yields empty content, not null") {
+    import spark.implicits._
+    val html = "<body><script>document.write('<p>fake');</script>" +
+      "<li><a href='/'>only links</a></li></body>"
+    val r = Seq(Tuple1(html)).toDF("html")
+      .select(Quality.mainContent(col("html"), 50, 0.2).as("mc"))
+      .select("mc.*").head()
+    assert(r.getAs[Long]("n_blocks") == 1L)
+    assert(r.getAs[Long]("n_content") == 0L)
+    assert(r.getAs[Long]("content_len") == 0L)
+    assert(r.getAs[String]("content_text") == "")
+  }
+
+  test("mainContent: link chars count the CLEANED anchor text") {
+    import spark.implicits._
+    // anchor text carries markup + an entity: cleaned it is
+    // "bold&link" = 9 chars of a 60-char block => density 0.15
+    val html = "<p>alpha beta <a href='/x'><b>bold&amp;link</b></a> tail " +
+      "gamma delta epsilon zeta eta theta</p>"
+    def run(maxD: Double) = Seq(Tuple1(html)).toDF("html")
+      .select(Quality.mainContent(col("html"), 20, maxD).as("mc"))
+      .select("mc.*").head()
+    assert(run(0.2).getAs[Long]("n_content") == 1L)
+    assert(run(0.1).getAs[Long]("n_content") == 0L)
+  }
+
+  test("FreqItems: exact on small-cardinality input through Spark partial aggregation") {
+    import spark.implicits._
+    // cardinality 3 <= k=8: no decrement and no merge truncation can
+    // ever fire, so the sketch must equal the exact counts for ANY
+    // partitioning — 7 partitions forces real partial/merge traffic
+    val data = Seq.fill(60)("x") ++ Seq.fill(25)("y") ++ Seq.fill(15)("z")
+    val sk = spark.createDataset(data).repartition(7)
+      .select(graft.ops.FreqItems(8).toColumn.name("sk")).head()
+    assert(sk == Map("x" -> 60L, "y" -> 25L, "z" -> 15L))
   }
 
   test("AsOf.join: nullable right value columns carry from the SAME matched row") {

@@ -165,6 +165,34 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange hashpartitioning"), s"q101 hash-shuffled:\n$p")
   }
 
+  test("q105: main-content extraction is a zero-shuffle narrow projection") {
+    // synthesis + block split + classification are all scalar work —
+    // the only exchange allowed is the presentation sort's range
+    // partitioning (q97's shape)
+    val p = plan("q105_main_content")
+    assert(exchanges(p) <= 1, s"q105 grew a shuffle:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"q105 hash-shuffled:\n$p")
+  }
+
+  test("q106: raw keys cross the wire only as bounded partial aggregates") {
+    // one hash exchange of the grouped counts (key-cardinality-
+    // bounded) which the n-subtree REUSES at runtime, single-partition
+    // exchanges carry only per-partition MG maps (<= k entries) /
+    // one-row stats — so the executed final plan must show exchange
+    // reuse and at most one live hash shuffle
+    val df = SparkEntry.queries("q106_freq_items")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // a ReusedExchange line cites the original's "Exchange
+    // hashpartitioning" text — count only LIVE exchanges
+    assert("(?m)^(?!.*ReusedExchange).*Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"q106 must hash-shuffle the grouped counts once:\n$p")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"q106 n-subtree must reuse the grouped-count shuffle:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"q106 sketch must partial-aggregate map-side:\n$p")
+  }
+
   test("q102: sort-query dedup is one hash exchange over a narrow projection") {
     // q99's shape: synthesis + url_normalize(sort) codegen'd, winner
     // election = the single hash agg exchange + presentation sort
