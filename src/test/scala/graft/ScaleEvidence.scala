@@ -361,13 +361,17 @@ object ScaleEvidence {
     *
     *   .warc.gz corpus (CommonCrawl layout: per-record gzip members,
     *   one file per task) → converter walk → http_payload (status
-    *   gate, chunked/gzip reversal) → HTML extract → NFC → length
-    *   gate → url_normalize → registered_domain → exact-dedup winner
+    *   gate, chunked/gzip reversal) → charset decode → main-content
+    *   block extraction (nav/footer chrome dropped by the jusText
+    *   length + link-density rule) → NFC → length gate →
+    *   url_normalize → registered_domain → exact-dedup winner
     *   election → per-domain quota cap → deterministic 30% sample
     *
     * Record mix per id: 5%% requests (must fall to the status gate),
     * and responses alternating plain / gzip Content-Encoding /
-    * chunked transfer framing. Page text and URL key on the PAIR id
+    * chunked transfer framing; every page carries link-dense nav +
+    * footer chrome that [[graft.ops.Quality.mainContent]] must drop
+    * (zero-leak `require`d). Page text and URL key on the PAIR id
     * (odd id = obfuscated spelling + identical content of its even
     * neighbor), so the pipeline must collapse both the URL key space
     * and the dedup winner set to exactly the pair count — checked
@@ -405,9 +409,19 @@ object ScaleEvidence {
             ("request", s"GET /d/$pid HTTP/1.1\r\nHost: $host\r\n\r\n".getBytes("UTF-8"))
           else {
             val text = textOf(pid, 70, Vocab)
+            // realistic page chrome (keyed on the PAIR id so the
+            // pair-collapse invariants are untouched): a nav whose
+            // <li>s are 100% link text and a 128-char footer carrying
+            // 36 link chars (density 0.28125) — mainContent must drop
+            // both and keep only the article <p>
+            val nav = s"<nav><ul><li><a href=\"/h\">home</a></li>" +
+              s"<li><a href=\"/s${pid % 7}\">section ${pid % 7}</a></li></ul></nav>"
+            val foot = "<footer>" +
+              ("copyright <a href=\"/l\">example corp</a> all rights reserved " * 3) +
+              "</footer>"
             val payload =
-              (s"<html><body><h1>D$pid</h1><p>$text &amp; caf&#233; &mdash;</p>" +
-                "<!-- c --><a href=\"x>y\">L</a></body></html>").getBytes("UTF-8")
+              (s"<html><body>$nav<h1>D$pid</h1><p>$text &amp; caf&#233; &mdash;</p>" +
+                s"<!-- c --><a href=\"x>y\">L</a>$foot</body></html>").getBytes("UTF-8")
             val msg = (id % 4) match {
               case 1 | 3 => // gzip content coding (all odd non-request ids)
                 val bo = new java.io.ByteArrayOutputStream()
@@ -451,8 +465,9 @@ object ScaleEvidence {
       .where(col("h.status") === 200)
     val cleaned = projected
       .select(col("url"),
-        GraftFunctions.nfc_normalize(Quality.htmlToText(
-          GraftFunctions.charset_decode(col("h.payload"), col("h.content_type"))))
+        GraftFunctions.nfc_normalize(Quality.mainContent(
+          GraftFunctions.charset_decode(col("h.payload"), col("h.content_type")),
+          minLen = 50, maxLinkDensity = 0.2).getField("content_text"))
           .as("clean"))
       .where(length(col("clean")) >= 50)
       .withColumn("url_norm", GraftFunctions.url_normalize(col("url")))
@@ -490,6 +505,11 @@ object ScaleEvidence {
       s"url_normalize failed to collapse WARC spelling variants: $nKeys keys vs $nPairs pairs")
     require(nUnique == nPairs,
       s"payload decode broke dedup keys: $nUnique winners vs $nPairs pairs")
+    // main-content classification must drop the nav/footer chrome at
+    // every scale — no boilerplate fragment may reach the clean text
+    val nLeaked = cleaned.where(col("clean").contains("all rights reserved")
+      .or(col("clean").contains("section "))).count()
+    require(nLeaked == 0, s"mainContent leaked chrome into $nLeaked rows")
     Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
     dir.delete()
     println(f"""SCALE {"corpus":"warcpipe:$files:$recs","op":"warc_pipeline","n_recs":$nWalked,"mb_gz":$totalMb%.1f,"n_resp":$nResp,"n_clean":$nClean,"n_unique":$nUnique,"n_capped":$nCapped,"n_domains":$nDomains,"url_keys":$nKeys,"n_out":$nOut,"exchanges_planned":$nEx,"exchanges_final":$nExFinal,"secs":$secs%.1f,"mbps_gz":${totalMb / secs}%.1f}""")
