@@ -90,6 +90,20 @@ object GraftFunctions {
   def registered_domain(host: Column): Column =
     column(RegisteredDomain(expression(host)))
 
+  /** RFC 3986 §5 reference resolution — see [[UrlHelper.resolve]]:
+    * `<a href>` value + page URL → absolute target URL (null for
+    * `mailto:`/`javascript:`/… references). The step between
+    * [[extract_links]] and [[url_normalize]] in link-graph builds.
+    */
+  def url_resolve(base: Column, ref: Column): Column =
+    column(UrlResolve(expression(base), expression(ref)))
+
+  /** `<a href>` extraction in document order — see
+    * [[HtmlLinkHelper.extractLinks]] (entity-decoded, comments and
+    * script/style bodies skipped, unquoted values handled).
+    */
+  def extract_links(html: Column): Column = column(ExtractLinks(expression(html)))
+
   /** HTTP response-message projection — see [[HttpHelper.payload]]:
     * `struct<status, content_type, payload>` with chunked framing and
     * gzip/deflate/zstd content codings reversed; non-HTTP input passes
@@ -188,6 +202,8 @@ object GraftFunctions {
           org.apache.spark.unsafe.types.UTF8String.fromString(""),
           org.apache.spark.sql.types.StringType))),
     "registered_domain" -> (e => RegisteredDomain(e.head)),
+    "url_resolve" -> (e => UrlResolve(e.head, e(1))),
+    "extract_links" -> (e => ExtractLinks(e.head)),
     "cdc_chunks" -> (e => CdcChunks(e.head, e(1), e(2), e(3))),
     "explode_archive" -> (e => ExplodeArchive(e.head)))
 

@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hyperlink extraction for web-corpus pipelines: the primitive under
+  * outlink/host-graph construction (crawl frontier ranking, PageRank-
+  * style host quality weights — the CommonCrawl host-level graph is
+  * exactly this operator run at corpus scale). A single-pass scanner
+  * rather than a regex so the sloppy-markup cases regexes get wrong
+  * stay correct: unquoted `href=/x` values, unpaired quotes elsewhere
+  * in the tag, `<a` inside comments or script/style bodies (never
+  * links — an `<a href` in a JS string literal must not be extracted,
+  * the same rule [[graft.ops.Quality.mainContent]] applies to `<p`).
+  */
+object HtmlLinkHelper {
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  /** Case-insensitive match of `word` at `i`, followed by a character
+    * that ends a tag name (whitespace, '>', '/', or EOF) — so
+    * `<script` matches but `<scripting` does not.
+    */
+  private def tagAt(s: String, i: Int, word: String): Boolean = {
+    if (i + word.length > s.length) return false
+    var k = 0
+    while (k < word.length) {
+      val a = Character.toLowerCase(s.charAt(i + k))
+      if (a != word.charAt(k)) return false
+      k += 1
+    }
+    val j = i + word.length
+    j >= s.length || isWs(s.charAt(j)) || s.charAt(j) == '>' || s.charAt(j) == '/'
+  }
+
+  /** Index just past the closing `</word...>`, or the string length
+    * when the element is never closed (rest of input skipped — the
+    * browser rule for an unterminated script).
+    */
+  private def skipRawText(s: String, from: Int, word: String): Int = {
+    var i = from
+    while (i < s.length) {
+      if (s.charAt(i) == '<' && i + 1 < s.length && s.charAt(i + 1) == '/' &&
+        tagAt(s, i + 2, word)) {
+        val gt = s.indexOf('>', i + 2)
+        return if (gt < 0) s.length else gt + 1
+      }
+      i += 1
+    }
+    s.length
+  }
+
+  /** All `<a href>` values in document order, HTML-entity-decoded
+    * ([[HtmlEntityHelper]] — `href="/s?a=1&amp;b=2"` yields
+    * `/s?a=1&b=2`), one per anchor tag (the first `href` attribute
+    * wins, the HTML duplicate-attribute rule). Comments and
+    * script/style bodies are skipped whole. Empty array when the input
+    * has no anchors; null input → null. Never throws.
+    */
+  def extractLinks(html: UTF8String): ArrayData = {
+    if (html == null) return null
+    val s = html.toString
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0 || lt + 1 >= n) i = n
+      else if (s.regionMatches(lt + 1, "!--", 0, 3)) {
+        val end = s.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else if (tagAt(s, lt + 1, "script")) i = skipRawText(s, lt + 1, "script")
+      else if (tagAt(s, lt + 1, "style")) i = skipRawText(s, lt + 1, "style")
+      else if (tagAt(s, lt + 1, "a")) {
+        // attribute scan until the tag's '>' (a '>' inside a quoted
+        // value does not end the tag); first href wins
+        var j = lt + 2
+        var href: String = null
+        var open = true
+        while (open && j < n) {
+          val c = s.charAt(j)
+          if (c == '>') { open = false; j += 1 }
+          else if (isWs(c) || c == '/') j += 1
+          else {
+            // attribute name
+            val nameStart = j
+            while (j < n && !isWs(s.charAt(j)) && s.charAt(j) != '=' &&
+              s.charAt(j) != '>' && s.charAt(j) != '/') j += 1
+            val name = s.substring(nameStart, j)
+            while (j < n && isWs(s.charAt(j))) j += 1
+            var value: String = null
+            if (j < n && s.charAt(j) == '=') {
+              j += 1
+              while (j < n && isWs(s.charAt(j))) j += 1
+              if (j < n && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
+                val quote = s.charAt(j)
+                val end = s.indexOf(quote, j + 1)
+                if (end < 0) { value = s.substring(j + 1); j = n }
+                else { value = s.substring(j + 1, end); j = end + 1 }
+              } else {
+                val valStart = j
+                while (j < n && !isWs(s.charAt(j)) && s.charAt(j) != '>') j += 1
+                value = s.substring(valStart, j)
+              }
+            }
+            if (href == null && name.equalsIgnoreCase("href") && value != null)
+              href = value
+          }
+        }
+        if (href != null)
+          out.add(HtmlEntityHelper.decode(UTF8String.fromString(href)))
+        i = j
+      } else {
+        // any other tag: skip past its '>', honoring quoted values so
+        // `<img alt="a>b">` does not end early. A quote only OPENS a
+        // value region when it follows '=' (modulo whitespace) — the
+        // HTML rule; a bare apostrophe inside an unquoted value
+        // (`<p title=don't>`) is value text, not a delimiter (the
+        // TagBody sloppy-quote lesson). An unterminated tag consumes
+        // the rest (nothing after it can be well-formed).
+        var j = lt + 1
+        var open = true
+        var lastSig = ' ' // last non-whitespace char seen
+        while (open && j < n) {
+          val c = s.charAt(j)
+          if (c == '>') open = false
+          else if ((c == '"' || c == '\'') && lastSig == '=') {
+            val end = s.indexOf(c, j + 1)
+            j = if (end < 0) n - 1 else end
+            lastSig = c
+          } else if (!isWs(c)) lastSig = c
+          j += 1
+        }
+        i = if (open) n else j
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `extract_links(html) -> array<string>` — `<a href>` values in
+  * document order, entity-decoded, comments/script/style skipped (see
+  * [[HtmlLinkHelper.extractLinks]]). Pair with `url_resolve` +
+  * `url_normalize` + `registered_domain` to build the host-level link
+  * graph.
+  */
+case class ExtractLinks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "extract_links"
+  override protected def nullSafeEval(html: Any): Any =
+    HtmlLinkHelper.extractLinks(html.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlLinkHelper.extractLinks($c)")
+  override protected def withNewChildInternal(newChild: Expression): ExtractLinks =
+    copy(child = newChild)
+}

@@ -213,6 +213,121 @@ object UrlHelper {
     UTF8String.fromString(sb.toString)
   }
 
+  /** RFC 3986 §5.2.4 remove_dot_segments, applied to a path in a
+    * resolution context only ([[normalize]] deliberately skips it —
+    * see its scaladoc). Iterative over the input, never throws.
+    */
+  private[graft] def removeDotSegments(path: String): String = {
+    val out = new java.lang.StringBuilder(path.length)
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../") || in == "/..") {
+        in = if (in == "/..") "/" else "/" + in.substring(4)
+        // pop the last complete segment (back to the previous '/')
+        val slash = out.lastIndexOf("/")
+        out.setLength(if (slash >= 0) slash else 0)
+      } else if (in == "." || in == "..") in = ""
+      else {
+        // move the first segment (incl. its leading '/') to output
+        val from = if (in.charAt(0) == '/') 1 else 0
+        val next = in.indexOf('/', from)
+        if (next < 0) { out.append(in); in = "" }
+        else { out.append(in, 0, next); in = in.substring(next) }
+      }
+    }
+    out.toString
+  }
+
+  /** Scheme-prefix length of a reference (`scheme:` per the RFC 3986
+    * grammar), or -1 if the reference has none. Used to distinguish
+    * absolute references from relative ones without requiring the
+    * `://host` shape [[parts]] needs.
+    */
+  private def schemePrefixLen(s: String): Int = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ':') return if (i > 0) i else -1
+      if (!isSchemeChar(c, i == 0)) return -1
+      i += 1
+    }
+    -1
+  }
+
+  /** RFC 3986 §5 reference resolution for link extraction: resolve an
+    * `<a href>` value against the page URL it appeared on. Covers every
+    * reference class real pages use — absolute (`https://h/p`, returned
+    * verbatim), network-path (`//h/p`, takes the base scheme),
+    * absolute-path (`/p`), relative-path (`../p`, merged per §5.2.3),
+    * query-only (`?q`) and fragment-only (`#f`, the base without its
+    * fragment plus the new one). Dot segments ARE removed here (§5.2.4
+    * mandates it in a resolution context; [[normalize]] outside one
+    * skips it, see its scaladoc).
+    *
+    * Crawl-oriented deviations, both deliberate: a reference with a
+    * non-hierarchical scheme (`mailto:`, `javascript:`, `data:`, …)
+    * returns null — it is not a fetchable link target, and downstream
+    * [[parts]]/[[normalize]] would null it anyway; the base's userinfo
+    * is dropped (the [[parts]] contract). Null for a base without the
+    * `scheme://host` shape; never throws.
+    */
+  def resolve(base: UTF8String, ref: UTF8String): UTF8String = {
+    if (base == null || ref == null) return null
+    val r = ref.toString.trim
+    val sp = schemePrefixLen(r)
+    if (sp >= 0)
+      // absolute reference: hierarchical → verbatim; mailto:/javascript:/
+      // data:/… → null (not a fetch target)
+      return if (r.regionMatches(sp, "://", 0, 3)) UTF8String.fromString(r) else null
+    val row = parts(base)
+    if (row == null) return null
+    val scheme = row.getUTF8String(0).toString
+    if (r.startsWith("//")) return UTF8String.fromString(scheme + ":" + r)
+    val host = row.getUTF8String(1).toString
+    val port = if (row.isNullAt(2)) -1 else row.getInt(2)
+    val basePath = row.getUTF8String(3).toString
+    val baseQuery = if (row.isNullAt(4)) null else row.getUTF8String(4).toString
+    val sb = new java.lang.StringBuilder(base.numBytes() + r.length)
+    sb.append(scheme).append("://").append(host)
+    if (port >= 0) sb.append(':').append(port)
+    // split the reference into path / ?query#fragment halves
+    var pEnd = r.length
+    var k = 0
+    while (k < pEnd) {
+      val c = r.charAt(k)
+      if (c == '?' || c == '#') pEnd = k
+      k += 1
+    }
+    val rPath = r.substring(0, pEnd)
+    val rTail = r.substring(pEnd) // "", "?...", "#...", "?...#..."
+    if (rPath.isEmpty) {
+      // query-only / fragment-only / empty: keep the base path; keep
+      // the base query unless the reference carries its own
+      sb.append(basePath)
+      if (rTail.startsWith("?")) sb.append(rTail)
+      else {
+        if (baseQuery != null) sb.append('?').append(baseQuery)
+        sb.append(rTail)
+      }
+    } else {
+      val merged =
+        if (rPath.charAt(0) == '/') rPath
+        else {
+          // §5.2.3 merge: base path up to its last '/' (or "/" when the
+          // base has an authority and an empty path)
+          val slash = basePath.lastIndexOf('/')
+          if (slash < 0) "/" + rPath
+          else basePath.substring(0, slash + 1) + rPath
+        }
+      sb.append(removeDotSegments(merged)).append(rTail)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** eTLD+1 under the vendored Public Suffix List ([[Psl]]): IP
     * literals pass through, hosts that ARE a public suffix pass
     * through (grouping stays total), everything else keeps public
@@ -295,6 +410,31 @@ case class UrlNormalize(left: Expression, right: Expression)
 object UrlNormalize {
   def apply(url: Expression): UrlNormalize =
     UrlNormalize(url, org.apache.spark.sql.catalyst.expressions.Literal(false))
+}
+
+/** `url_resolve(base, ref) -> string` — RFC 3986 §5 reference
+  * resolution (see [[UrlHelper.resolve]]): turns an `<a href>` value
+  * into the absolute URL it names on the page `base`. Null for an
+  * unparseable base or a non-fetchable reference scheme (`mailto:`,
+  * `javascript:`, …); never throws.
+  */
+case class UrlResolve(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "url_resolve"
+  override protected def nullSafeEval(base: Any, ref: Any): Any =
+    UrlHelper.resolve(base.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String])
+  // resolve() returns null for unparseable/non-fetchable input —
+  // propagate into isNull (defineCodeGen would not)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, r) => s"""
+      ${ev.value} = graft.functions.UrlHelper.resolve($b, $r);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): UrlResolve =
+    copy(left = l, right = r)
 }
 
 case class RegisteredDomain(child: Expression) extends UnaryExpression {

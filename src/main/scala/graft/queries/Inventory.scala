@@ -2513,6 +2513,169 @@ object Inventory {
       .orderBy(col("exact_cnt").desc, col("tok"))
   }
 
+  private val LinkGraphDamping = 0.85
+  private val LinkGraphIters = 3
+
+  /** The q107/q108 oracle's edge derivation: the (dst eTLD+1,
+    * normalized URL) rows each document's synthesized page MUST yield
+    * per the [[linkGraphEdges]] spec — resolution and sort-query
+    * normalization applied by hand, independent of the engine's
+    * scanner/resolver (q16 rule).
+    */
+  private val linkEdgesSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, doc_id % 25 AS m, (doc_id * 7 + 1) % 25 AS a
+      |  FROM documents),
+      |links AS (
+      |  -- absolute, mixed case + :443 + unsorted query, normalized
+      |  SELECT doc_id, 'site' || CAST(a AS VARCHAR) || '.com' AS dst,
+      |         'https://site' || CAST(a AS VARCHAR) || '.com/p/x?a=1&b=2' AS u
+      |  FROM docs
+      |  UNION ALL -- relative ../s/k: dot segment removed in resolution
+      |  SELECT doc_id, 'site' || CAST(m AS VARCHAR) || '.com',
+      |         'https://www.site' || CAST(m AS VARCHAR) || '.com/p/s/' ||
+      |         CAST(doc_id % 7 AS VARCHAR)
+      |  FROM docs
+      |  UNION ALL -- query-only ?page=2: base path kept
+      |  SELECT doc_id, 'site' || CAST(m AS VARCHAR) || '.com',
+      |         'https://www.site' || CAST(m AS VARCHAR) || '.com/p/' ||
+      |         CAST(doc_id AS VARCHAR) || '/index.html?page=2'
+      |  FROM docs
+      |  UNION ALL -- fragment-only #top: normalize drops it (self link)
+      |  SELECT doc_id, 'site' || CAST(m AS VARCHAR) || '.com',
+      |         'https://www.site' || CAST(m AS VARCHAR) || '.com/p/' ||
+      |         CAST(doc_id AS VARCHAR) || '/index.html'
+      |  FROM docs
+      |  UNION ALL -- unquoted href=/plain/k
+      |  SELECT doc_id, 'site' || CAST(m AS VARCHAR) || '.com',
+      |         'https://www.site' || CAST(m AS VARCHAR) || '.com/plain/' ||
+      |         CAST(doc_id % 3 AS VARCHAR)
+      |  FROM docs
+      |  UNION ALL -- &amp; decoded, then sort_query orders the tokens
+      |  SELECT doc_id, 'site' || CAST(m AS VARCHAR) || '.com',
+      |         'https://www.site' || CAST(m AS VARCHAR) || '.com/search?b&q=a'
+      |  FROM docs
+      |  UNION ALL -- protocol-relative //cdnK.net takes the base scheme
+      |  SELECT doc_id, 'cdn' || CAST(doc_id % 5 AS VARCHAR) || '.net',
+      |         'https://cdn' || CAST(doc_id % 5 AS VARCHAR) || '.net/lib.js'
+      |  FROM docs
+      |  UNION ALL -- co.uk target: the PSL rule keeps shopK.co.uk whole
+      |  SELECT doc_id, 'shop' || CAST(doc_id % 4 AS VARCHAR) || '.co.uk',
+      |         'http://shop' || CAST(doc_id % 4 AS VARCHAR) || '.co.uk/'
+      |  FROM docs)""".stripMargin
+
+  /** Chained-CTE restatement of [[graft.ops.Graph.pageRank]]'s fixed
+    * power iteration (dangling mass redistributed uniformly), appended
+    * after [[linkEdgesSql]]: defines edges/nodes/srcs/frac and r0..rK.
+    */
+  private def pageRankIterSql(iters: Int, damping: Double): String = {
+    val steps = (0 until iters).map { i =>
+      s"""d$i AS (SELECT COALESCE(sum(pr), 0) AS dm FROM r$i
+         |        WHERE node NOT IN (SELECT node FROM srcs)),
+         |c$i AS (SELECT f.dst AS node, sum(r.pr * f.frac) AS ip
+         |        FROM frac f JOIN r$i r ON f.src = r.node GROUP BY f.dst),
+         |r${i + 1} AS (SELECT n.node,
+         |        (1 - $damping) / nn.n + $damping *
+         |        (COALESCE(c$i.ip, 0) + d$i.dm / nn.n) AS pr
+         |        FROM nodes n LEFT JOIN c$i ON n.node = c$i.node, nn, d$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""edges AS (
+       |  SELECT 'site' || CAST(d.m AS VARCHAR) || '.com' AS src,
+       |         l.dst AS dst, CAST(count(*) AS DOUBLE) AS w
+       |  FROM links l JOIN docs d USING (doc_id) GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |srcs AS (SELECT DISTINCT src AS node FROM edges),
+       |outw AS (SELECT src, sum(w) AS tw FROM edges GROUP BY src),
+       |frac AS (SELECT e.src, e.dst, e.w / o.tw AS frac
+       |         FROM edges e JOIN outw o ON e.src = o.src),
+       |r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn),
+       |$steps""".stripMargin
+  }
+
+  /** Shared q107/q108 synthesis + extraction: one page per document
+    * whose anchors cover every href class a crawler meets — absolute
+    * with mixed case / default port / unsorted query, relative with a
+    * dot segment, query-only, fragment-only, an UNQUOTED href, an
+    * entity-encoded query (`&amp;`), protocol-relative, a co.uk
+    * target (PSL rule), a `mailto:` (must drop), and two decoys inside
+    * a comment and a script body (must not extract). The engine runs
+    * the real chain — [[GraftFunctions.extract_links]] →
+    * [[GraftFunctions.url_resolve]] → `url_normalize(sortQuery)` →
+    * `registered_domain` — while the oracle derives every edge
+    * directly from the synthesis spec (q16 rule: extraction,
+    * resolution and canonicalization are all load-bearing, down to
+    * distinct-URL counts).
+    */
+  private def linkGraphEdges(s: SparkSession, d: String): DataFrame = {
+    val ds = (c: Column) => c.cast("string")
+    val m = ds(col("doc_id") % 25)
+    val a = ds((col("doc_id") * 7 + 1) % 25)
+    val base = concat(lit("https://www.site"), m, lit(".com/p/"),
+      ds(col("doc_id")), lit("/index.html"))
+    val html = concat(
+      lit("<html><body><nav><a href=\"HTTPS://SiTe"), a,
+      lit(".CoM:443/p/x?b=2&a=1\">f</a>"),
+      lit("<a href='../s/"), ds(col("doc_id") % 7), lit("'>r</a>"),
+      lit("<a href=\"?page=2\">q</a><a href=\"#top\">t</a>"),
+      lit("<a href=/plain/"), ds(col("doc_id") % 3), lit(">u</a>"),
+      lit("<a href=\"/search?q=a&amp;b\">e</a>"),
+      lit("<a href=\"//cdn"), ds(col("doc_id") % 5), lit(".net/lib.js\">c</a>"),
+      lit("</nav><a href=\"http://shop"), ds(col("doc_id") % 4),
+      lit(".co.uk/\">s</a>"),
+      lit("<a href=\"mailto:x@y.example\">m</a>"),
+      lit("<!-- <a href=\"http://never-comment.example/\">x</a> -->"),
+      lit("<script>var s='<a href=\"http://never-script.example/\">x</a>';</script>"),
+      lit("<p>"), col("text"), lit("</p></body></html>"))
+    t(s, d, "documents")
+      .select(col("doc_id"), base.as("base"), html.as("html"))
+      .select(col("base"),
+        explode(GraftFunctions.extract_links(col("html"))).as("href"))
+      .select(col("base"),
+        GraftFunctions.url_resolve(col("base"), col("href")).as("resolved"))
+      .where(col("resolved").isNotNull)
+      .select(
+        GraftFunctions.registered_domain(
+          GraftFunctions.url_parts(col("base")).getField("host")).as("src_domain"),
+        GraftFunctions.url_normalize(col("resolved"), sortQuery = true).as("url_norm"))
+      .select(col("src_domain"),
+        GraftFunctions.registered_domain(
+          GraftFunctions.url_parts(col("url_norm")).getField("host")).as("dst_domain"),
+        col("url_norm"))
+  }
+
+  /** Host-level outlink graph ([[linkGraphEdges]] rolled up): edge
+    * multiplicity and distinct-target-URL count per (src eTLD+1,
+    * dst eTLD+1) — the CommonCrawl host-graph build as one narrow
+    * extraction stage plus ONE hash aggregation.
+    */
+  private def q107(s: SparkSession, d: String): DataFrame =
+    linkGraphEdges(s, d)
+      .groupBy(col("src_domain"), col("dst_domain"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("url_norm")).as("n_urls"))
+      .orderBy(col("src_domain"), col("dst_domain"))
+
+  /** Weighted host PageRank ([[graft.ops.Graph.pageRank]], fixed
+    * [[LinkGraphIters]] power iterations, damping [[LinkGraphDamping]],
+    * dangling mass redistributed uniformly) over the q107 edge set —
+    * the crawl-frontier / sampling-weight prior. The cdn/shop targets
+    * never link out, so the dangling-node path is load-bearing. The
+    * oracle restates the same fixed-iteration recurrence as chained
+    * CTEs from the spec-derived edges.
+    */
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    val edges = linkGraphEdges(s, d)
+      .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("weight"))
+    graft.ops.Graph.pageRank(edges, LinkGraphIters, LinkGraphDamping)
+      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("node"))
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2621,7 +2784,9 @@ object Inventory {
     "q103_http_convert" -> (q103 _),
     "q104_charset_decode" -> (q104 _),
     "q105_main_content" -> (q105 _),
-    "q106_freq_items" -> (q106 _))
+    "q106_freq_items" -> (q106 _),
+    "q107_link_graph" -> (q107 _),
+    "q108_pagerank" -> (q108 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -3090,6 +3255,24 @@ object Inventory {
            |FROM keys, m GROUP BY tok, m.n
            |HAVING count(*) * $FreqItemsK > m.n
            |ORDER BY exact_cnt DESC, tok""".stripMargin,
+      // q107/q108: edges derived from the linkGraphEdges synthesis
+      // spec — per doc, the 8 fetchable targets with their resolved +
+      // sort-query-normalized URL (the mailto/comment/script anchors
+      // contribute nothing by construction)
+      "q107_link_graph" ->
+        s"""$linkEdgesSql
+           |SELECT 'site' || CAST(d.m AS VARCHAR) || '.com' AS src_domain,
+           |       l.dst AS dst_domain,
+           |       CAST(count(*) AS BIGINT) AS n_links,
+           |       CAST(count(DISTINCT l.u) AS BIGINT) AS n_urls
+           |FROM links l JOIN docs d USING (doc_id)
+           |GROUP BY 1, 2
+           |ORDER BY 1, 2""".stripMargin,
+      "q108_pagerank" ->
+        s"""$linkEdgesSql,
+           |${pageRankIterSql(LinkGraphIters, LinkGraphDamping)}
+           |SELECT node, round(pr, 6) AS pr FROM r$LinkGraphIters
+           |ORDER BY node""".stripMargin,
       // ar source: spec-member sizes/digests (gzip member decompressed,
       // nested tar expanded), computed independently — q16's rule
       "q87_ar_source" ->

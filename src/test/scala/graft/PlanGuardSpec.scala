@@ -208,6 +208,29 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange hashpartitioning"), s"q104 hash-shuffled:\n$p")
   }
 
+  test("q107: link extraction stays narrow; rollup is the count-distinct pair") {
+    // synthesis + extract_links + url_resolve + normalize + PSL are
+    // all codegen'd scalar work feeding ONE aggregation — the exact
+    // count(DISTINCT url) plans as Spark's canonical two-exchange
+    // distinct agg ((src,dst,url) then (src,dst)), plus the
+    // presentation sort. Anything beyond that is a regression.
+    val p = plan("q107_link_graph")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"q107 must shuffle only for the distinct-agg pair:\n$p")
+    assert(exchanges(p) <= 3, s"q107 grew a shuffle:\n$p")
+    assert(p.contains("extract_links"), s"q107 lost the extraction stage:\n$p")
+  }
+
+  test("q108: pagerank output is the checkpointed iteration result + sort") {
+    // the fixed power iterations run eagerly inside pageRank (each
+    // truncated by localCheckpoint); the query's own plan must be
+    // nothing but the checkpoint scan, the rounding projection and
+    // the presentation sort
+    val p = plan("q108_pagerank")
+    assert(exchanges(p) <= 1, s"q108 re-planned iteration work:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"q108 hash-shuffled:\n$p")
+  }
+
   test("q100: part-wise CDC is one entry-keyed exchange + sorted groups") {
     val p = plan("q100_cdc_parts")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,

@@ -45,6 +45,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         |       http_payload(cast(concat('HTTP/1.1 200 OK\r\nContent-Type: t/x\r\n\r\nBODY') AS binary)) AS hp,
         |       charset_decode(unhex('636166E9'), 'text/html; charset=ISO-8859-1') AS cd,
         |       charset_decode(unhex('C3A9')) AS cd1,
+        |       url_resolve('http://a/b/c', '../g?x') AS ur,
+        |       extract_links('<a href="/a">x</a><a href=/b>y</a>') AS lk,
         |       size(cdc_chunks(cast(txt AS binary), 2, 16, 64)) AS nc
         |FROM t""".stripMargin).head()
     assert(r.getAs[Boolean]("u"))
@@ -62,6 +64,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[String]("de") == "café &#65; —")
     assert(r.getAs[String]("cd") == "café")
     assert(r.getAs[String]("cd1") == "é")
+    assert(r.getAs[String]("ur") == "http://a/g?x")
+    assert(r.getSeq[String](r.fieldIndex("lk")) == Seq("/a", "/b"))
     val hp = r.getAs[org.apache.spark.sql.Row]("hp")
     assert(hp.getAs[Int]("status") == 200)
     assert(hp.getAs[String]("content_type") == "t/x")
