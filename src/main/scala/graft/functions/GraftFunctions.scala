@@ -104,6 +104,16 @@ object GraftFunctions {
     */
   def extract_links(html: Column): Column = column(ExtractLinks(expression(html)))
 
+  /** RFC 9309 robots.txt fetch-permission check — see
+    * [[RobotsHelper.allowed]] (group selection by product token,
+    * longest-match `*`/`$` rules, Allow wins ties; null robots =
+    * no restrictions). The admission gate between link extraction
+    * and the crawl frontier.
+    */
+  def robots_allowed(robots: Column, agent: Column, path: Column): Column =
+    column(RobotsAllowed.withNullSafeDefaults(
+      expression(robots), expression(agent), expression(path)))
+
   /** HTTP response-message projection — see [[HttpHelper.payload]]:
     * `struct<status, content_type, payload>` with chunked framing and
     * gzip/deflate/zstd content codings reversed; non-HTTP input passes
@@ -204,6 +214,7 @@ object GraftFunctions {
     "registered_domain" -> (e => RegisteredDomain(e.head)),
     "url_resolve" -> (e => UrlResolve(e.head, e(1))),
     "extract_links" -> (e => ExtractLinks(e.head)),
+    "robots_allowed" -> (e => RobotsAllowed.withNullSafeDefaults(e.head, e(1), e(2))),
     "cdc_chunks" -> (e => CdcChunks(e.head, e(1), e(2), e(3))),
     "explode_archive" -> (e => ExplodeArchive(e.head)))
 

@@ -24,8 +24,11 @@ import org.apache.spark.sql.types._
   *    undecodable bytes yield a null struct/array rather than failing
   *    the task (corpus-scale media is always partly corrupt).
   *
-  * Audio/video remain stub-only (no ffmpeg in a bare JVM); the frame
-  * sampler operates on the byte stream.
+  * `AudioCodec` — a REAL audio decoder built on `javax.sound.sampled`
+  * (also JDK-shipped): WAV/AIFF/AU header metadata and per-channel
+  * mean/RMS/peak sample features for 8/16-bit PCM. Video remains
+  * stub-only (no ffmpeg in a bare JVM); the frame sampler operates on
+  * the byte stream.
   *
   * Scale notes: every operator here is narrow (no shuffle); content
   * bytes stay within their partition. Decoded features are small fixed
@@ -178,6 +181,184 @@ object MultiModal {
         }
       } catch { case NonFatal(_) => None } finally iis.close()
     }
+  }
+
+  val AudioMetaType: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("frames", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  private[graft] object AudioCodec {
+    import java.io.ByteArrayInputStream
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    import scala.util.control.NonFatal
+
+    final case class Meta(format: String, channels: Int, sampleRate: Int,
+        bits: Int, frames: Long)
+
+    /** Header-only metadata via `AudioSystem.getAudioFileFormat` — no
+      * sample decode. None for bytes no installed provider claims
+      * (JDK providers: wave, aiff, au).
+      */
+    def decodeMeta(b: Array[Byte]): Option[Meta] =
+      try {
+        val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(b))
+        val f = aff.getFormat
+        Some(Meta(aff.getType.getExtension.toLowerCase(java.util.Locale.ROOT),
+          f.getChannels, f.getSampleRate.toInt, f.getSampleSizeInBits,
+          aff.getFrameLength.toLong))
+      } catch { case NonFatal(_) => None }
+
+    /** Full sample decode for 8/16-bit PCM: per-channel mean, RMS
+      * (loudness) and absolute peak over the raw sample domain
+      * (8-bit unsigned: 0..255; 16-bit signed: -32768..32767). One
+      * pass over the frames; feature size is O(channels), never the
+      * samples. None for non-PCM or unclaimed bytes.
+      */
+    def decodeStats(b: Array[Byte]): Option[(Meta, Array[Double], Array[Double], Array[Double])] =
+      try {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(b))
+        try {
+          val f = ais.getFormat
+          val enc = f.getEncoding
+          val bits = f.getSampleSizeInBits
+          val ch = f.getChannels
+          val pcm = enc == AudioFormat.Encoding.PCM_SIGNED ||
+            enc == AudioFormat.Encoding.PCM_UNSIGNED
+          if (!pcm || (bits != 8 && bits != 16) || ch <= 0) None
+          else {
+            val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+            val big = f.isBigEndian
+            val bytesPerSample = bits / 8
+            val frameSize = bytesPerSample * ch
+            val sum = new Array[Double](ch)
+            val sumSq = new Array[Double](ch)
+            val peak = new Array[Double](ch)
+            var frames = 0L
+            val buf = new Array[Byte](frameSize * 1024)
+            var read = ais.read(buf)
+            var carry = 0 // partial frame bytes carried between reads
+            while (read > 0) {
+              val avail = carry + read
+              val nFrames = avail / frameSize
+              var fi = 0
+              while (fi < nFrames) {
+                var c = 0
+                while (c < ch) {
+                  val off = fi * frameSize + c * bytesPerSample
+                  val v: Double =
+                    if (bits == 8) {
+                      if (unsigned) (buf(off) & 0xFF).toDouble
+                      else buf(off).toDouble
+                    } else {
+                      val b0 = buf(off) & 0xFF
+                      val b1 = buf(off + 1) & 0xFF
+                      val s = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
+                      (if (unsigned) s - 32768 else s.toShort.toInt).toDouble
+                    }
+                  sum(c) += v
+                  sumSq(c) += v * v
+                  if (math.abs(v) > peak(c)) peak(c) = math.abs(v)
+                  c += 1
+                }
+                fi += 1
+              }
+              frames += nFrames
+              carry = avail - nFrames * frameSize
+              if (carry > 0)
+                System.arraycopy(buf, nFrames * frameSize, buf, 0, carry)
+              read = ais.read(buf, carry, buf.length - carry)
+            }
+            if (frames == 0) None
+            else {
+              val n = frames.toDouble
+              val means = Array.tabulate(ch)(c => sum(c) / n)
+              val rms = Array.tabulate(ch)(c => math.sqrt(sumSq(c) / n))
+              val fmt =
+                try AudioSystem.getAudioFileFormat(new ByteArrayInputStream(b))
+                  .getType.getExtension.toLowerCase(java.util.Locale.ROOT)
+                catch { case NonFatal(_) => "pcm" }
+              Some((Meta(fmt, ch, f.getSampleRate.toInt, bits, frames),
+                means, rms, peak))
+            }
+          }
+        } finally ais.close()
+      } catch { case NonFatal(_) => None }
+  }
+
+  /** Minimal canonical-header WAV encoder (PCM) for fixtures and the
+    * oracle-checked audio query: 8-bit samples live in the WAV
+    * unsigned 0..255 domain, 16-bit samples are signed little-endian;
+    * `samples` is channel-interleaved frame order.
+    */
+  private[graft] def wavPcm(channels: Int, sampleRate: Int, bits: Int,
+      samples: Array[Int]): Array[Byte] = {
+    require(bits == 8 || bits == 16, "wavPcm supports 8/16-bit PCM")
+    val bytesPerSample = bits / 8
+    val dataLen = samples.length * bytesPerSample
+    val blockAlign = channels * bytesPerSample
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort)
+      .putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach { v =>
+      if (bits == 8) out.put((v & 0xFF).toByte)
+      else out.putShort(v.toShort)
+    }
+    out.array()
+  }
+
+  /** Attach a REAL audio-metadata struct (javax.sound header decode:
+    * WAV/AIFF/AU) from `bytesCol`; null struct for undecodable bytes.
+    * Narrow map — the image plumbing, audio codec.
+    */
+  def withDecodedAudioMeta(df: DataFrame, bytesCol: String, metaCol: String = "meta"): DataFrame = {
+    val metaType = StructType(AudioMetaType.fields.map(_.copy(nullable = false)))
+    val schema = StructType(df.schema.fields :+ StructField(metaCol, metaType, nullable = true))
+    val idx = df.schema.fieldIndex(bytesCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](idx)
+        val meta = AudioCodec.decodeMeta(b)
+          .map(m => Row(m.format, m.channels, m.sampleRate, m.bits, m.frames,
+            b.length.toLong))
+          .orNull
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** REAL per-channel audio features: mean, RMS and peak per channel
+    * plus log1p(byte length) — `3*channels + 1` doubles per clip from
+    * the decoded PCM samples. Null array for undecodable/non-PCM
+    * bytes.
+    */
+  def decodedAudioFeatures(df: DataFrame, bytesCol: String, featCol: String = "features"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(featCol, ArrayType(DoubleType, containsNull = false), nullable = true))
+    val idx = df.schema.fieldIndex(bytesCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](idx)
+        val feats = AudioCodec.decodeStats(b).map { case (_, means, rms, peak) =>
+          (means ++ rms ++ peak :+ math.log1p(b.length.toDouble)).toSeq
+        }.orNull
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
   }
 
   /** Attach a REAL image-metadata struct (javax.imageio header decode)

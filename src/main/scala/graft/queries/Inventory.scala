@@ -2676,6 +2676,81 @@ object Inventory {
       .orderBy(col("node"))
   }
 
+  /** robots.txt admission gate ([[GraftFunctions.robots_allowed]],
+    * RFC 9309): per document, a synthesized robots file (Disallow
+    * section varying with `doc_id%3`, a `$`-anchored Allow carve-out,
+    * a `*.gif$` wildcard rule, and a catch-all `*` group present only
+    * on EVEN ids) probed six ways. Every verdict is a closed-form
+    * function of doc_id, so the oracle states the expected booleans
+    * straight from the synthesis spec while the engine runs the real
+    * parser: group selection, longest-match, anchors, wildcards and
+    * the no-group-permitted fallthrough are each load-bearing.
+    */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    val ds = (c: Column) => c.cast("string")
+    val k = ds(col("doc_id") % 3)
+    val robots = concat(
+      lit("User-agent: graftbot\nDisallow: /private"), k,
+      lit("/\nAllow: /private"), k, lit("/ok$\nDisallow: *.gif$\n"),
+      when(col("doc_id") % 2 === 0, lit("\nUser-agent: *\nDisallow: /\n"))
+        .otherwise(lit("")))
+    val ra = (agent: String, path: Column) =>
+      GraftFunctions.robots_allowed(robots, lit(agent), path)
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        ra("graftbot/1.0", concat(lit("/private"), ds(col("doc_id") % 2), lit("/x")))
+          .as("a_sect"),
+        ra("GraftBot", concat(lit("/private"), k, lit("/ok"))).as("a_allow"),
+        ra("graftbot", concat(lit("/private"), k, lit("/ok/deep"))).as("a_deep"),
+        ra("graftbot", concat(lit("/img"), ds(col("doc_id") % 5), lit(".gif")))
+          .as("a_gif"),
+        ra("graftbot", concat(lit("/img"), ds(col("doc_id") % 5), lit(".gifx")))
+          .as("a_gifx"),
+        ra("otherbot", concat(lit("/anything/"), ds(col("doc_id") % 7)))
+          .as("a_star"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** REAL audio decode ([[MultiModal.AudioCodec]], `javax.sound`):
+    * per document a canonical-header PCM WAV is synthesized — even ids
+    * 8-bit (WAV's unsigned domain), odd ids 16-bit signed LE, frame
+    * count varying with `doc_id%5` — and decoded by the real JDK
+    * audio stack: header metadata plus per-channel mean/RMS/peak
+    * sample features. Every sample value is spec-determined integer
+    * arithmetic, and integer-valued double sums at these sizes are
+    * EXACT (< 2^53), so the oracle recomputes mean/RMS/peak from the
+    * same arithmetic over `range(n)` — bit-identical, no summation-
+    * order caveat. The mapPartitions plumbing is the q26 multimodal
+    * shape with the stub swapped for the real codec.
+    */
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 800 + (id % 5).toInt * 80
+          val bits = if (id % 2 == 0) 8 else 16
+          val samples = Array.tabulate(n) { i =>
+            if (bits == 8) ((id + i) % 256).toInt
+            else ((id * 31 + i.toLong * 7) % 65536 - 32768).toInt
+          }
+          (id, MultiModal.wavPcm(1, 8000, bits, samples))
+        }
+      }.toDF("doc_id", "bytes")
+    val decoded = MultiModal.decodedAudioFeatures(
+      MultiModal.withDecodedAudioMeta(media, "bytes"), "bytes")
+    decoded.select(col("doc_id"),
+      col("meta.format").as("format"),
+      col("meta.channels").as("channels"),
+      col("meta.sample_rate").as("sample_rate"),
+      col("meta.bits").as("bits"),
+      col("meta.frames").as("frames"),
+      round(element_at(col("features"), 1), 6).as("mean_c0"),
+      round(element_at(col("features"), 2), 6).as("rms_c0"),
+      element_at(col("features"), 3).as("peak_c0"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2786,7 +2861,9 @@ object Inventory {
     "q105_main_content" -> (q105 _),
     "q106_freq_items" -> (q106 _),
     "q107_link_graph" -> (q107 _),
-    "q108_pagerank" -> (q108 _))
+    "q108_pagerank" -> (q108 _),
+    "q109_robots_gate" -> (q109 _),
+    "q110_audio_decode" -> (q110 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -3273,6 +3350,47 @@ object Inventory {
            |${pageRankIterSql(LinkGraphIters, LinkGraphDamping)}
            |SELECT node, round(pr, 6) AS pr FROM r$LinkGraphIters
            |ORDER BY node""".stripMargin,
+      // q109: every verdict is spec-determined — the section probe is
+      // denied iff it hits the doc's own Disallow section, the $-
+      // anchored Allow admits the exact path and nothing deeper, the
+      // *.gif$ wildcard anchors on the extension, and the otherbot
+      // probe falls to the catch-all only where the synthesis emits
+      // one (even ids)
+      "q109_robots_gate" ->
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 2 = doc_id % 3 THEN FALSE ELSE TRUE END AS a_sect,
+          |  TRUE AS a_allow,
+          |  FALSE AS a_deep,
+          |  FALSE AS a_gif,
+          |  TRUE AS a_gifx,
+          |  CASE WHEN doc_id % 2 = 0 THEN FALSE ELSE TRUE END AS a_star
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin,
+      // q110: sample values are spec-determined integers; their sums
+      // stay below 2^53 so double aggregation is exact on both
+      // engines regardless of order — mean/RMS/peak recompute from
+      // the same arithmetic over range(n)
+      "q110_audio_decode" ->
+        """WITH f AS (
+          |  SELECT doc_id, 800 + (doc_id % 5) * 80 AS n,
+          |         doc_id % 2 = 0 AS is8
+          |  FROM documents),
+          |s AS (
+          |  SELECT f.doc_id, f.n, f.is8,
+          |         CASE WHEN f.is8 THEN CAST((f.doc_id + t.i) % 256 AS DOUBLE)
+          |              ELSE CAST((f.doc_id * 31 + t.i * 7) % 65536 - 32768 AS DOUBLE)
+          |         END AS v
+          |  FROM f, range(1120) t(i) WHERE t.i < f.n)
+          |SELECT doc_id, 'wav' AS format,
+          |       CAST(1 AS INTEGER) AS channels,
+          |       CAST(8000 AS INTEGER) AS sample_rate,
+          |       CAST(CASE WHEN is8 THEN 8 ELSE 16 END AS INTEGER) AS bits,
+          |       CAST(n AS BIGINT) AS frames,
+          |       round(avg(v), 6) AS mean_c0,
+          |       round(sqrt(avg(v * v)), 6) AS rms_c0,
+          |       max(abs(v)) AS peak_c0
+          |FROM s GROUP BY doc_id, n, is8
+          |ORDER BY doc_id""".stripMargin,
       // ar source: spec-member sizes/digests (gzip member decompressed,
       // nested tar expanded), computed independently — q16's rule
       "q87_ar_source" ->

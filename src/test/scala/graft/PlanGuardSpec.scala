@@ -231,6 +231,23 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange hashpartitioning"), s"q108 hash-shuffled:\n$p")
   }
 
+  test("q109: robots evaluation is a narrow codegen'd projection") {
+    // six robots_allowed probes are pure scalar work over the
+    // documents scan — the only exchange is the presentation sort
+    val p = plan("q109_robots_gate")
+    assert(exchanges(p) <= 1, s"q109 grew a shuffle:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"q109 hash-shuffled:\n$p")
+  }
+
+  test("q110: audio decode is narrow mapPartitions work (sort exchange only)") {
+    // synthesis + real javax.sound decode run inside the partition;
+    // features are O(channels) doubles — only the presentation sort
+    // may exchange
+    val p = plan("q110_audio_decode")
+    assert(exchanges(p) <= 1, s"q110 grew a shuffle:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"q110 hash-shuffled:\n$p")
+  }
+
   test("q100: part-wise CDC is one entry-keyed exchange + sorted groups") {
     val p = plan("q100_cdc_parts")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,

@@ -1,0 +1,117 @@
+package graft
+
+import graft.functions.RobotsHelper
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RFC 9309 robots.txt evaluation: grouping, group selection,
+  * longest-match rules, wildcard/anchor patterns, malformed input.
+  */
+class RobotsSpec extends AnyFunSuite {
+
+  private def ok(robots: String, agent: String, path: String): Boolean =
+    RobotsHelper.allowed(UTF8String.fromString(robots),
+      UTF8String.fromString(agent), UTF8String.fromString(path))
+
+  private val basic =
+    """User-agent: graftbot
+      |Disallow: /private/
+      |Allow: /private/ok
+      |
+      |User-agent: *
+      |Disallow: /
+      |""".stripMargin
+
+  test("group selection: exact token beats *; unmatched falls to *") {
+    assert(ok(basic, "graftbot", "/public"))
+    assert(!ok(basic, "graftbot", "/private/x"))
+    assert(!ok(basic, "otherbot", "/public")) // * group: everything denied
+  }
+
+  test("longest match wins; Allow wins on equal length") {
+    assert(ok(basic, "graftbot", "/private/ok"))     // Allow longer
+    assert(ok(basic, "graftbot", "/private/ok/deep"))
+    val tie =
+      """User-agent: a
+        |Disallow: /dir/
+        |Allow: /dir*
+        |""".stripMargin
+    // equal-length patterns (5 octets each): Allow wins the tie
+    assert(ok(tie, "a", "/dir/x"))
+  }
+
+  test("agent matching is case-insensitive and version-stripped") {
+    assert(!ok(basic, "GraftBot/2.1", "/private/x"))
+    assert(ok(basic, "GRAFTBOT", "/private/ok"))
+    val uc = basic.replace("User-agent: graftbot", "USER-AGENT: GraftBot")
+    assert(!ok(uc, "graftbot", "/private/x"))
+  }
+
+  test("consecutive user-agent lines share a group; split groups combine") {
+    val multi =
+      """User-agent: abot
+        |User-agent: bbot
+        |Disallow: /shared/
+        |
+        |User-agent: bbot
+        |Disallow: /extra/
+        |""".stripMargin
+    assert(!ok(multi, "abot", "/shared/x"))
+    assert(!ok(multi, "bbot", "/shared/x"))
+    assert(!ok(multi, "bbot", "/extra/x"))  // both bbot groups combine
+    assert(ok(multi, "abot", "/extra/x"))
+  }
+
+  test("wildcard * spans octets; $ anchors the end") {
+    val r =
+      """User-agent: a
+        |Disallow: *.gif$
+        |Disallow: /tmp*.log
+        |Disallow: /exact$
+        |""".stripMargin
+    assert(!ok(r, "a", "/img/x.gif"))
+    assert(ok(r, "a", "/img/x.gifx"))      // $ means end-of-path
+    assert(!ok(r, "a", "/tmp/a.log"))
+    assert(!ok(r, "a", "/tmpX.log.old"))   // unanchored: prefix+contains
+    assert(!ok(r, "a", "/exact"))
+    assert(ok(r, "a", "/exact/sub"))       // anchored: exact only
+  }
+
+  test("empty Disallow matches nothing; unknown directives ignored") {
+    val r =
+      """User-agent: a
+        |Crawl-delay: 10
+        |Disallow:
+        |Sitemap: https://h/x.xml
+        |Disallow: /blocked
+        |""".stripMargin
+    assert(ok(r, "a", "/anything"))
+    assert(!ok(r, "a", "/blocked/page"))
+  }
+
+  test("comments, CRLF, junk lines and missing groups never throw") {
+    val r = "User-agent: a # our bot\r\nDisallow: /x # no\r\nnonsense line\r\n:::\r\n"
+    assert(!ok(r, "a", "/x/y"))
+    assert(ok(r, "a", "/y"))
+    assert(ok(r, "unmatched", "/x"))       // no * group -> permitted
+    assert(ok("", "a", "/x"))
+    assert(RobotsHelper.allowed(null, UTF8String.fromString("a"),
+      UTF8String.fromString("/x")))
+    // garbage soup: parse + probe must never throw
+    val rnd = new java.util.Random(11)
+    val toks = Array("User-agent:", "Disallow:", "Allow:", "*", "$", "/",
+      "a", "\n", "\r\n", ":", "#c", " ", "%2F", "..")
+    (0 until 2000).foreach { _ =>
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(30)).foreach(_ => sb.append(toks(rnd.nextInt(toks.length))))
+      ok(sb.toString, "graftbot/1.0", "/a/*b$")
+    }
+  }
+
+  test("rules before any user-agent line are ignored; empty path probes /") {
+    assert(ok("Disallow: /\n", "a", "/x")) // headerless rules: no group
+    val r = "User-agent: a\nDisallow: /$\n"
+    assert(!RobotsHelper.allowed(UTF8String.fromString(r),
+      UTF8String.fromString("a"), UTF8String.fromString("")))
+  }
+}
