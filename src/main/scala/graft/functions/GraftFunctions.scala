@@ -104,6 +104,15 @@ object GraftFunctions {
     */
   def extract_links(html: Column): Column = column(ExtractLinks(expression(html)))
 
+  /** sitemaps.org sitemap parsing — see [[SitemapHelper.extract]]:
+    * `array<struct<loc, kind, lastmod, changefreq, priority>>` from a
+    * urlset, a sitemapindex (`kind = sitemap` entries to recurse
+    * into), or a plain-text URL list. The crawl-seeding seat next to
+    * [[robots_allowed]]'s admission gate.
+    */
+  def extract_sitemap_urls(content: Column): Column =
+    column(ExtractSitemapUrls(expression(content)))
+
   /** RFC 9309 robots.txt fetch-permission check — see
     * [[RobotsHelper.allowed]] (group selection by product token,
     * longest-match `*`/`$` rules, Allow wins ties; null robots =
@@ -215,6 +224,7 @@ object GraftFunctions {
     "url_resolve" -> (e => UrlResolve(e.head, e(1))),
     "extract_links" -> (e => ExtractLinks(e.head)),
     "robots_allowed" -> (e => RobotsAllowed.withNullSafeDefaults(e.head, e(1), e(2))),
+    "extract_sitemap_urls" -> (e => ExtractSitemapUrls(e.head)),
     "cdc_chunks" -> (e => CdcChunks(e.head, e(1), e(2), e(3))),
     "explode_archive" -> (e => ExplodeArchive(e.head)))
 

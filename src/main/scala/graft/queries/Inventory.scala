@@ -2751,6 +2751,57 @@ object Inventory {
       .orderBy(col("doc_id"))
   }
 
+  /** sitemap parsing ([[GraftFunctions.extract_sitemap_urls]],
+    * sitemaps.org protocol — the crawl-seeding seat next to q109's
+    * robots gate): ids divisible by 5 synthesize a 2-entry
+    * sitemapindex, the rest a urlset of `2 + doc_id%3` url entries
+    * exercising entity-escaped locs, CDATA wrapping, optional
+    * lastmod/changefreq, and one malformed priority (→ null, never an
+    * error). Every output field is a closed-form function of
+    * (doc_id, ord), so the oracle restates the rows straight from the
+    * synthesis spec (q16 rule) while the engine runs the real scanner.
+    */
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val ds = (c: Column) => c.cast("string")
+    val host = concat(lit("http://s"), ds(id % 7), lit(".example.com"))
+    val lastmod =
+      concat(lit("<lastmod>2024-0"), ds(id % 9 + 1), lit("-15</lastmod>"))
+    val freq = when(id % 3 === 0, "daily")
+      .when(id % 3 === 1, "weekly").otherwise("monthly")
+    def prio(i: Int) =
+      concat(lit("<priority>0."), ds((id + i) % 10), lit("</priority>"))
+    def urlEntry(i: Int): Column = {
+      val core = i match {
+        case 0 => concat(lit("<url><loc>"), host, lit("/p?a=1&amp;b="),
+          ds(id % 4), lit("</loc>"), lastmod, prio(0), lit("</url>"))
+        case 1 => concat(lit("<url><loc><![CDATA["), host, lit("/c/"),
+          ds(id % 3), lit("]]></loc><changefreq>"), freq,
+          lit("</changefreq>"), prio(1), lit("</url>"))
+        case 2 => concat(lit("<url><loc>"), host, lit("/p"), ds(id),
+          lit("/2</loc>"), lastmod, prio(2), lit("</url>"))
+        case _ => concat(lit("<url><loc>"), host, lit("/p"), ds(id),
+          lit("/3</loc><priority>high</priority></url>"))
+      }
+      when(lit(i) < id % 3 + 2, core).otherwise(lit(""))
+    }
+    val urlset = concat(
+      lit("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+      urlEntry(0), urlEntry(1), urlEntry(2), urlEntry(3), lit("</urlset>"))
+    val index = concat(lit("<sitemapindex><sitemap><loc>"), host,
+      lit("/sm0.xml</loc>"), lastmod, lit("</sitemap><sitemap><loc>"), host,
+      lit("/sm1.xml</loc></sitemap></sitemapindex>"))
+    val xml = when(id % 5 === 0, index).otherwise(urlset)
+    t(s, d, "documents")
+      .select(id, posexplode(GraftFunctions.extract_sitemap_urls(xml)))
+      .select(id, col("pos").cast("long").as("ord"),
+        col("col.loc").as("loc"), col("col.kind").as("kind"),
+        col("col.lastmod").as("lastmod"),
+        col("col.changefreq").as("changefreq"),
+        round(col("col.priority"), 1).as("priority"))
+      .orderBy(id, col("ord"))
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2863,7 +2914,8 @@ object Inventory {
     "q107_link_graph" -> (q107 _),
     "q108_pagerank" -> (q108 _),
     "q109_robots_gate" -> (q109 _),
-    "q110_audio_decode" -> (q110 _))
+    "q110_audio_decode" -> (q110 _),
+    "q111_sitemap" -> (q111 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -3391,6 +3443,41 @@ object Inventory {
           |       max(abs(v)) AS peak_c0
           |FROM s GROUP BY doc_id, n, is8
           |ORDER BY doc_id""".stripMargin,
+      // q111: every field is spec-determined from (doc_id, ord) — the
+      // urlset face enumerates 2 + doc_id%3 entries (entity-escaped
+      // loc at ord 0, CDATA at 1, malformed priority at 3 → null),
+      // the index face (doc_id%5=0) two sitemap entries
+      "q111_sitemap" ->
+        """WITH u AS (
+          |  SELECT doc_id, CAST(t.i AS BIGINT) AS ord,
+          |         'http://s' || (doc_id % 7) || '.example.com' AS host
+          |  FROM documents, range(4) t(i)
+          |  WHERE doc_id % 5 <> 0 AND t.i < 2 + doc_id % 3),
+          |x AS (
+          |  SELECT doc_id, ord,
+          |    CASE ord
+          |      WHEN 0 THEN host || '/p?a=1&b=' || (doc_id % 4)
+          |      WHEN 1 THEN host || '/c/' || (doc_id % 3)
+          |      WHEN 2 THEN host || '/p' || doc_id || '/2'
+          |      ELSE host || '/p' || doc_id || '/3' END AS loc,
+          |    'url' AS kind,
+          |    CASE WHEN ord IN (0, 2)
+          |         THEN '2024-0' || (doc_id % 9 + 1) || '-15' END AS lastmod,
+          |    CASE WHEN ord = 1 THEN
+          |      CASE doc_id % 3 WHEN 0 THEN 'daily'
+          |           WHEN 1 THEN 'weekly' ELSE 'monthly' END END AS changefreq,
+          |    CASE WHEN ord < 3
+          |         THEN round(((doc_id + ord) % 10) / 10.0, 1) END AS priority
+          |  FROM u
+          |  UNION ALL
+          |  SELECT doc_id, CAST(t.j AS BIGINT) AS ord,
+          |    'http://s' || (doc_id % 7) || '.example.com/sm' || t.j || '.xml',
+          |    'sitemap',
+          |    CASE WHEN t.j = 0 THEN '2024-0' || (doc_id % 9 + 1) || '-15' END,
+          |    CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+          |  FROM documents, range(2) t(j) WHERE doc_id % 5 = 0)
+          |SELECT doc_id, ord, loc, kind, lastmod, changefreq, priority
+          |FROM x ORDER BY doc_id, ord""".stripMargin,
       // ar source: spec-member sizes/digests (gzip member decompressed,
       // nested tar expanded), computed independently — q16's rule
       "q87_ar_source" ->

@@ -248,6 +248,14 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange hashpartitioning"), s"q110 hash-shuffled:\n$p")
   }
 
+  test("q111: sitemap parse + posexplode is narrow (sort exchange only)") {
+    // synthesis, the scanner and the generator all run inside the
+    // partition — the only exchange is the presentation sort
+    val p = plan("q111_sitemap")
+    assert(exchanges(p) <= 1, s"q111 grew a shuffle:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"q111 hash-shuffled:\n$p")
+  }
+
   test("q100: part-wise CDC is one entry-keyed exchange + sorted groups") {
     val p = plan("q100_cdc_parts")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,

@@ -47,6 +47,7 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         |       charset_decode(unhex('C3A9')) AS cd1,
         |       url_resolve('http://a/b/c', '../g?x') AS ur,
         |       robots_allowed('User-agent: *\nDisallow: /p/', 'bot', '/p/x') AS rb,
+        |       extract_sitemap_urls('<urlset><url><loc>http://e.com/a</loc></url></urlset>')[0].loc AS sm,
         |       extract_links('<a href="/a">x</a><a href=/b>y</a>') AS lk,
         |       size(cdc_chunks(cast(txt AS binary), 2, 16, 64)) AS nc
         |FROM t""".stripMargin).head()
@@ -67,6 +68,7 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[String]("cd1") == "é")
     assert(r.getAs[String]("ur") == "http://a/g?x")
     assert(!r.getAs[Boolean]("rb"))
+    assert(r.getAs[String]("sm") == "http://e.com/a")
     assert(r.getSeq[String](r.fieldIndex("lk")) == Seq("/a", "/b"))
     val hp = r.getAs[org.apache.spark.sql.Row]("hp")
     assert(hp.getAs[Int]("status") == 200)
