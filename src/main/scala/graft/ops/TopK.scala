@@ -42,6 +42,38 @@ final case class TopKByScore(k: Int)
   override def outputEncoder: Encoder[List[(Double, Long)]] = ExpressionEncoder()
 }
 
+/** [[TopKByScore]]'s string-payload sibling: (group, payload, score)
+  * rows, keep the top-k payloads per group ordered score desc then
+  * payload asc. The crawl-frontier shape — payloads are URLs, so a
+  * Long-id round-trip would force an extra join just to restore the
+  * string. Same bounded-buffer scale argument: the map-side partial
+  * caps every partition at k (score, payload) pairs per group, so the
+  * per-host frontier election shuffles kilobytes, not the distinct-URL
+  * set.
+  */
+final case class TopKStrByScore(k: Int)
+    extends Aggregator[(String, String, Double), List[(Double, String)], List[(Double, String)]] {
+  require(k > 0, "k must be positive")
+
+  private def beats(a: (Double, String), b: (Double, String)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def insert(buf: List[(Double, String)], e: (Double, String)): List[(Double, String)] = {
+    val (pre, post) = buf.span(beats(_, e))
+    if (pre.lengthCompare(k) >= 0) buf
+    else (pre ::: e :: post).take(k)
+  }
+
+  override def zero: List[(Double, String)] = Nil
+  override def reduce(b: List[(Double, String)], in: (String, String, Double)): List[(Double, String)] =
+    insert(b, (in._3, in._2))
+  override def merge(a: List[(Double, String)], b: List[(Double, String)]): List[(Double, String)] =
+    b.foldLeft(a)(insert)
+  override def finish(r: List[(Double, String)]): List[(Double, String)] = r
+  override def bufferEncoder: Encoder[List[(Double, String)]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[List[(Double, String)]] = ExpressionEncoder()
+}
+
 /** [[TopKByScore]]'s exact-integer sibling: keep the k smallest
   * (ord, id) pairs per group, ordered lexicographically. Used where
   * the rank key is a 62-bit hash ([[Sampling.domainCap]]) — a Double

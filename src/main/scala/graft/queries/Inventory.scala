@@ -2761,8 +2761,12 @@ object Inventory {
     * (doc_id, ord), so the oracle restates the rows straight from the
     * synthesis spec (q16 rule) while the engine runs the real scanner.
     */
-  private def q111(s: SparkSession, d: String): DataFrame = {
-    val id = col("doc_id")
+  /** The q111/q112 shared sitemap synthesis — one spec, restated by
+    * both oracles: ids divisible by 5 get a 2-entry sitemapindex, the
+    * rest a urlset of `2 + doc_id%3` url entries (entity-escaped loc
+    * at ord 0, CDATA at 1, malformed priority at 3).
+    */
+  private def sitemapXml(id: Column): Column = {
     val ds = (c: Column) => c.cast("string")
     val host = concat(lit("http://s"), ds(id % 7), lit(".example.com"))
     val lastmod =
@@ -2791,7 +2795,12 @@ object Inventory {
     val index = concat(lit("<sitemapindex><sitemap><loc>"), host,
       lit("/sm0.xml</loc>"), lastmod, lit("</sitemap><sitemap><loc>"), host,
       lit("/sm1.xml</loc></sitemap></sitemapindex>"))
-    val xml = when(id % 5 === 0, index).otherwise(urlset)
+    when(id % 5 === 0, index).otherwise(urlset)
+  }
+
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val xml = sitemapXml(id)
     t(s, d, "documents")
       .select(id, posexplode(GraftFunctions.extract_sitemap_urls(xml)))
       .select(id, col("pos").cast("long").as("ord"),
@@ -2800,6 +2809,48 @@ object Inventory {
         col("col.changefreq").as("changefreq"),
         round(col("col.priority"), 1).as("priority"))
       .orderBy(id, col("ord"))
+  }
+
+  /** Crawl-frontier admission — the composed seed pipeline the whole
+    * crawl stack exists for: sitemap seeds ([[sitemapXml]], the q111
+    * spec verbatim) → sitemaps.org default priority 0.5 for entries
+    * without one → RFC 9309 robots gate over path+query
+    * ([[GraftFunctions.robots_allowed]]; the `/p?*b=2` wildcard rule
+    * makes the glob matcher load-bearing, `Allow: /c/0` the
+    * longest-match tie) → per-(host, URL) dedup keeping max priority →
+    * per-host top-2 election via the bounded [[graft.ops.TopKStrByScore]]
+    * aggregator (map-side partials cap every partition at k pairs per
+    * host — the frontier shuffles kilobytes, not the distinct-URL
+    * set). Every admitted row is closed-form in doc_id, so the oracle
+    * restates the pipeline in SQL from the spec (window-ranked — the
+    * aggregator must agree with `row_number` exactly).
+    */
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val robots = lit(
+      "User-agent: graftbot\nDisallow: /c/\nAllow: /c/0\nDisallow: /p?*b=2\n")
+    val id = col("doc_id")
+    val entries = t(s, d, "documents")
+      .select(id, explode(GraftFunctions.extract_sitemap_urls(sitemapXml(id))).as("e"))
+      .filter(col("e.kind") === "url")
+      .select(col("e.loc").as("loc"),
+        coalesce(round(col("e.priority"), 1), lit(0.5)).as("pri"))
+    val gated = entries
+      .withColumn("p", GraftFunctions.url_parts(col("loc")))
+      .withColumn("pathq", concat(col("p.path"),
+        when(col("p.query").isNotNull, concat(lit("?"), col("p.query")))
+          .otherwise(lit(""))))
+      .filter(GraftFunctions.robots_allowed(robots, lit("graftbot"), col("pathq")))
+      .select(col("p.host").as("host"), col("loc"), col("pri"))
+    gated.groupBy(col("host"), col("loc")).agg(max(col("pri")).as("pri"))
+      .as[(String, String, Double)]
+      .groupByKey(_._1)
+      .agg(graft.ops.TopKStrByScore(2).toColumn.name("top"))
+      .toDF("host", "top")
+      .select(col("host"), posexplode(col("top")))
+      .select(col("host"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("loc"), col("col._1").as("pri"))
+      .orderBy(col("host"), col("rank"))
   }
 
   // -------------------------------------------------------------------
@@ -2915,7 +2966,8 @@ object Inventory {
     "q108_pagerank" -> (q108 _),
     "q109_robots_gate" -> (q109 _),
     "q110_audio_decode" -> (q110 _),
-    "q111_sitemap" -> (q111 _))
+    "q111_sitemap" -> (q111 _),
+    "q112_frontier" -> (q112 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -3478,6 +3530,43 @@ object Inventory {
           |  FROM documents, range(2) t(j) WHERE doc_id % 5 = 0)
           |SELECT doc_id, ord, loc, kind, lastmod, changefreq, priority
           |FROM x ORDER BY doc_id, ord""".stripMargin,
+      // q112: the frontier pipeline restated from the q111 synthesis
+      // spec — admission verdicts are closed-form (ord 0 denied iff
+      // b=2 hits the /p?*b=2 glob, ord 1 admitted iff the /c/0 Allow
+      // outranks /c/, ords 2-3 match no rule), missing priority takes
+      // the sitemaps.org default 0.5, dedup keeps max priority, and
+      // the per-host top-2 is a window the engine's bounded
+      // aggregator must agree with exactly
+      "q112_frontier" ->
+        """WITH u AS (
+          |  SELECT doc_id, CAST(t.i AS BIGINT) AS ord,
+          |         's' || (doc_id % 7) || '.example.com' AS host
+          |  FROM documents, range(4) t(i)
+          |  WHERE doc_id % 5 <> 0 AND t.i < 2 + doc_id % 3),
+          |e AS (
+          |  SELECT host,
+          |    CASE ord
+          |      WHEN 0 THEN 'http://' || host || '/p?a=1&b=' || (doc_id % 4)
+          |      WHEN 1 THEN 'http://' || host || '/c/' || (doc_id % 3)
+          |      WHEN 2 THEN 'http://' || host || '/p' || doc_id || '/2'
+          |      ELSE 'http://' || host || '/p' || doc_id || '/3' END AS loc,
+          |    CASE WHEN ord < 3
+          |         THEN round(((doc_id + ord) % 10) / 10.0, 1)
+          |         ELSE 0.5 END AS pri,
+          |    CASE WHEN ord = 0 THEN doc_id % 4 <> 2
+          |         WHEN ord = 1 THEN doc_id % 3 = 0
+          |         ELSE TRUE END AS admitted
+          |  FROM u),
+          |g AS (
+          |  SELECT host, loc, max(pri) AS pri
+          |  FROM e WHERE admitted GROUP BY host, loc),
+          |r AS (
+          |  SELECT host, loc, pri,
+          |         row_number() OVER (PARTITION BY host
+          |                            ORDER BY pri DESC, loc) AS rank
+          |  FROM g)
+          |SELECT host, CAST(rank AS BIGINT) AS rank, loc, pri
+          |FROM r WHERE rank <= 2 ORDER BY host, rank""".stripMargin,
       // ar source: spec-member sizes/digests (gzip member decompressed,
       // nested tar expanded), computed independently — q16's rule
       "q87_ar_source" ->

@@ -256,6 +256,16 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange hashpartitioning"), s"q111 hash-shuffled:\n$p")
   }
 
+  test("q112: frontier is two bounded aggs — no Window over the URL set") {
+    // (host,loc) dedup + the typed per-host top-k election; the scan →
+    // gate stage is narrow. A Window operator would mean the per-host
+    // sort-everything plan the bounded aggregator exists to avoid.
+    val p = plan("q112_frontier")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"q112 grew a third hash exchange:\n$p")
+    assert(!p.contains("Window"), s"q112 window-sorted the URL set:\n$p")
+  }
+
   test("q100: part-wise CDC is one entry-keyed exchange + sorted groups") {
     val p = plan("q100_cdc_parts")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
