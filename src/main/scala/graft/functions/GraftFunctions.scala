@@ -104,6 +104,13 @@ object GraftFunctions {
     */
   def extract_links(html: Column): Column = column(ExtractLinks(expression(html)))
 
+  /** SURT crawl-index sort/partition key — see [[UrlHelper.surt]]:
+    * scheme dropped, host reversed comma-joined (`com,example)`),
+    * path + always-sorted query lowercased. Range-partitioning a
+    * crawl index by this key co-locates each domain's records.
+    */
+  def surt_key(url: Column): Column = column(SurtKey(expression(url)))
+
   /** sitemaps.org sitemap parsing — see [[SitemapHelper.extract]]:
     * `array<struct<loc, kind, lastmod, changefreq, priority>>` from a
     * urlset, a sitemapindex (`kind = sitemap` entries to recurse
@@ -225,6 +232,7 @@ object GraftFunctions {
     "extract_links" -> (e => ExtractLinks(e.head)),
     "robots_allowed" -> (e => RobotsAllowed.withNullSafeDefaults(e.head, e(1), e(2))),
     "extract_sitemap_urls" -> (e => ExtractSitemapUrls(e.head)),
+    "surt_key" -> (e => SurtKey(e.head)),
     "cdc_chunks" -> (e => CdcChunks(e.head, e(1), e(2), e(3))),
     "explode_archive" -> (e => ExplodeArchive(e.head)))
 

@@ -213,6 +213,69 @@ object UrlHelper {
     UTF8String.fromString(sb.toString)
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform — the public
+    * Internet Archive / CommonCrawl CDX-index convention): the
+    * canonical SORT/PARTITION key for crawl indexes, NOT a fetchable
+    * URL ([[normalize]] stays the fetchable canonical form). All URLs
+    * of one registered domain share a key prefix, so a crawl index
+    * range-partitioned by this key co-locates each domain's records
+    * and answers host/domain prefix scans without a shuffle — that is
+    * the operator's 100 TB seat.
+    *
+    * Construction, per the CDX canonicalizer conventions:
+    * scheme dropped (http/https collapse), host IDN-folded +
+    * lowercased with one leading `www.` label stripped (only when a
+    * dot remains — `www.com` is a host, not chrome), labels reversed
+    * and comma-joined (`com,example`), a non-default port kept as
+    * `:port`, then `)` + percent-normalized path (`/` when empty) +
+    * `?` + always-sorted query tokens. Path and query are fully
+    * lowercased — the index-matching rule; case-insensitive-server
+    * URLs collapse. IPv4 and bracketed IPv6 hosts are kept unreversed
+    * (reversing octets would break prefix locality, the archive rule).
+    * Fragment dropped. Null for anything unparseable; never throws.
+    */
+  def surt(url: UTF8String): UTF8String = {
+    val row = parts(url)
+    if (row == null) return null
+    val scheme = row.getUTF8String(0).toString
+    var host = row.getUTF8String(1).toString
+    if (host.length > 1 && host.endsWith(".")) host = host.dropRight(1)
+    if (!host.startsWith("[")) {
+      try {
+        host = java.net.IDN.toASCII(host).toLowerCase(java.util.Locale.ROOT)
+      } catch { case _: IllegalArgumentException => () }
+      if (host.startsWith("www.") && host.indexOf('.', 4) >= 0)
+        host = host.substring(4)
+    }
+    val revHost =
+      if (host.startsWith("[")) host
+      else {
+        val labels = host.split("\\.", -1)
+        val isIpv4 = labels.length == 4 &&
+          labels.forall(l => l.nonEmpty && l.length <= 3 && l.forall(_.isDigit))
+        if (isIpv4) host else labels.reverse.mkString(",")
+      }
+    val port = if (row.isNullAt(2)) -1 else row.getInt(2)
+    val path = pctNormalize(row.getUTF8String(3).toString)
+      .toLowerCase(java.util.Locale.ROOT)
+    var query = if (row.isNullAt(4)) null
+      else pctNormalize(row.getUTF8String(4).toString)
+        .toLowerCase(java.util.Locale.ROOT)
+    if (query != null && query.indexOf('&') >= 0) {
+      val toks = query.split("&", -1)
+      java.util.Arrays.sort(toks, java.util.Comparator.naturalOrder[String]())
+      query = String.join("&", toks: _*)
+    }
+    val sb = new java.lang.StringBuilder(url.numBytes())
+    sb.append(revHost)
+    if (port >= 0 && !DefaultPorts.get(scheme).contains(port))
+      sb.append(':').append(port)
+    sb.append(')')
+    sb.append(if (path.isEmpty) "/" else path)
+    if (query != null && query.nonEmpty) sb.append('?').append(query)
+    UTF8String.fromString(sb.toString)
+  }
+
   /** RFC 3986 §5.2.4 remove_dot_segments, applied to a path in a
     * resolution context only ([[normalize]] deliberately skips it —
     * see its scaladoc). Iterative over the input, never throws.
@@ -410,6 +473,28 @@ case class UrlNormalize(left: Expression, right: Expression)
 object UrlNormalize {
   def apply(url: Expression): UrlNormalize =
     UrlNormalize(url, org.apache.spark.sql.catalyst.expressions.Literal(false))
+}
+
+/** `surt_key(url) -> string` — the SURT crawl-index sort/partition key
+  * (see [[UrlHelper.surt]]): `com,example)/path?a=1&b=2`. Range-sort or
+  * range-partition a crawl index by this key and each domain's records
+  * are contiguous. Null for unparseable input; never throws.
+  */
+case class SurtKey(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "surt_key"
+  override protected def nullSafeEval(url: Any): Any =
+    UrlHelper.surt(url.asInstanceOf[UTF8String])
+  // surt() returns null for unparseable input — propagate into isNull
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.UrlHelper.surt($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): SurtKey =
+    copy(child = newChild)
 }
 
 /** `url_resolve(base, ref) -> string` — RFC 3986 §5 reference

@@ -2853,6 +2853,30 @@ object Inventory {
       .orderBy(col("host"), col("rank"))
   }
 
+  /** CDX index keys ([[GraftFunctions.surt_key]] — the Internet
+    * Archive / CommonCrawl SURT sort-key convention): per doc two
+    * messy spellings (mixed case + `www.` + default port + unsorted
+    * uppercase query; a clean https host on a non-default port)
+    * collapse to spec-determined keys the oracle states DIRECTLY —
+    * scheme drop, www strip, label reversal, port rules, lowercase +
+    * query sort are all load-bearing in one literal. The grouped
+    * count is the index build: range-sorting by this key is what
+    * co-locates a domain's records in a 100 TB CDX.
+    */
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val ds = (c: Column) => c.cast("string")
+    val u0 = concat(lit("HTTP://WWW.S"), ds(id % 7), lit(".Example.COM:80/A"),
+      ds(id % 11), lit("/B?b="), ds(id % 3), lit("&A=1"))
+    val u1 = concat(lit("https://s"), ds(id % 7),
+      lit(".example.com:8443/c/"), ds(id % 5))
+    t(s, d, "documents")
+      .select(id, explode(array(u0, u1)).as("url"))
+      .select(GraftFunctions.surt_key(col("url")).as("cdx_key"))
+      .groupBy(col("cdx_key")).agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("cdx_key"))
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2967,7 +2991,8 @@ object Inventory {
     "q109_robots_gate" -> (q109 _),
     "q110_audio_decode" -> (q110 _),
     "q111_sitemap" -> (q111 _),
-    "q112_frontier" -> (q112 _))
+    "q112_frontier" -> (q112 _),
+    "q113_cdx_keys" -> (q113 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -3567,6 +3592,21 @@ object Inventory {
           |  FROM g)
           |SELECT host, CAST(rank AS BIGINT) AS rank, loc, pri
           |FROM r WHERE rank <= 2 ORDER BY host, rank""".stripMargin,
+      // q113: the oracle states each expected SURT key as ONE literal
+      // from the synthesis spec — scheme drop, www strip, label
+      // reversal, default-port drop / non-default keep, lowercase and
+      // query sort must all land for the strings to hash-match
+      "q113_cdx_keys" ->
+        """WITH u AS (
+          |  SELECT 'com,example,s' || (doc_id % 7) || ')/a' ||
+          |         (doc_id % 11) || '/b?a=1&b=' || (doc_id % 3) AS cdx_key
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT 'com,example,s' || (doc_id % 7) || ':8443)/c/' ||
+          |         (doc_id % 5)
+          |  FROM documents)
+          |SELECT cdx_key, CAST(count(*) AS BIGINT) AS n
+          |FROM u GROUP BY cdx_key ORDER BY cdx_key""".stripMargin,
       // ar source: spec-member sizes/digests (gzip member decompressed,
       // nested tar expanded), computed independently — q16's rule
       "q87_ar_source" ->

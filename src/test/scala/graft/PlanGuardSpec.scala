@@ -266,6 +266,12 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), s"q112 window-sorted the URL set:\n$p")
   }
 
+  test("q113: CDX key build is one hash exchange over a narrow projection") {
+    val p = plan("q113_cdx_keys")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"q113 grew a second hash exchange:\n$p")
+  }
+
   test("q100: part-wise CDC is one entry-keyed exchange + sorted groups") {
     val p = plan("q100_cdc_parts")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,

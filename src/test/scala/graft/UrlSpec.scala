@@ -199,4 +199,48 @@ class UrlSpec extends AnyFunSuite {
     // bare TLD under the default `*` rule passes through
     assert(rd("com") == "com")
   }
+
+  private def surt(u: String): String = {
+    val r = UrlHelper.surt(UTF8String.fromString(u))
+    if (r == null) null else r.toString
+  }
+
+  test("surt: host reversal, www strip, scheme collapse, sorted lowercased query") {
+    assert(surt("http://www.Example.COM/Path?B=2&a=1") ==
+      "com,example)/path?a=1&b=2")
+    // https collapses to the same key — the CDX matching point
+    assert(surt("https://example.com/Path?a=1&b=2") ==
+      "com,example)/path?a=1&b=2")
+    // default port dropped, non-default kept after the reversed host
+    assert(surt("http://example.com:80/x") == "com,example)/x")
+    assert(surt("http://example.com:8080/x") == "com,example:8080)/x")
+    // deep host: labels fully reversed -> domain prefix locality
+    assert(surt("http://a.b.example.co.uk/") == "uk,co,example,b,a)/")
+    // empty path -> "/", fragment dropped
+    assert(surt("http://example.com?q=1#frag") == "com,example)/?q=1")
+  }
+
+  test("surt: www strip only when a dot remains; IPs stay unreversed") {
+    assert(surt("http://www.com/x") == "com,www)/x")
+    assert(surt("http://www.example.com/x") == "com,example)/x")
+    assert(surt("http://192.168.1.10/x") == "192.168.1.10)/x")
+    assert(surt("http://[2001:db8::1]:8080/x") == "[2001:db8::1]:8080)/x")
+    // 4 dotted labels that are NOT an IPv4 (length > 3) still reverse
+    assert(surt("http://1234.5.6.7/x") == "7,6,5,1234)/x")
+  }
+
+  test("surt: IDN folds to punycode; unparseable input is null") {
+    assert(surt("http://Bücher.example/x") == "example,xn--bcher-kva)/x")
+    assert(surt("not a url") == null)
+    assert(surt("mailto:a@b.com") == null)
+  }
+
+  test("surt keys sort domains contiguously") {
+    val keys = Seq(
+      "http://b.example.com/z", "http://other.org/a",
+      "http://example.com/a", "http://a.example.com/q").map(surt).sorted
+    // all example.com hosts share the com,example prefix and group
+    assert(keys == Seq("com,example)/a", "com,example,a)/q",
+      "com,example,b)/z", "org,other)/a"))
+  }
 }
