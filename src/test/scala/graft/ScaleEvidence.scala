@@ -170,6 +170,51 @@ object ScaleEvidence {
     println(f"""SCALE {"corpus":"cc:$nClusters","op":"q33_components_dist","n_nodes":$nNodes,"n_edges":$nEdges,"iterations":$iters,"wrong_labels":$wrong,"unionfind_parity_diff":$parityDiff,"secs":$secs%.1f}""")
   }
 
+  /** Frontier-election rung (`frontier:<nUrls>`): the q112 per-host
+    * top-k election at real URL counts, BOTH plans over the same
+    * cached input — the `row_number <= k` window (shuffles + sorts
+    * every URL of every host) and the bounded
+    * [[graft.ops.TopKStrByScore]] aggregator (map-side partials cap
+    * every partition at k pairs per host). Asserts the two plans
+    * produce byte-identical frontiers, then reports wall for each —
+    * the measured face of the q112 plan-guard's "no Window" rule.
+    */
+  private def frontierRung(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val hosts = 50
+    val hostCol = concat(lit("h"), (col("id") % hosts).cast("string"),
+      lit(".example.com"))
+    val df = spark.range(n).select(
+      hostCol.as("host"),
+      concat(lit("http://"), hostCol, lit("/p"), col("id").cast("string"))
+        .as("loc"),
+      (((col("id") * 2654435761L) % 1000000L).cast("double") / 1e6).as("pri"))
+      .cache()
+    df.count()
+    val t0 = System.nanoTime()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy(col("pri").desc, col("loc"))
+    val winRes = df.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 2)
+      .select(col("host"), col("rank").cast("long").as("rank"),
+        col("loc"), col("pri"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val winSecs = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val aggRes = df.as[(String, String, Double)].groupByKey(_._1)
+      .agg(graft.ops.TopKStrByScore(2).toColumn.name("top"))
+      .toDF("host", "top")
+      .select(col("host"), posexplode(col("top")))
+      .select(col("host"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("loc"), col("col._1").as("pri"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val aggSecs = (System.nanoTime() - t1) / 1e9
+    require(winRes.sameElements(aggRes),
+      s"frontier plans disagree: window ${winRes.length} vs agg ${aggRes.length} rows")
+    df.unpersist()
+    println(f"""SCALE {"corpus":"frontier:$n","op":"q112_election","n_urls":$n,"n_hosts":$hosts,"rows_out":${aggRes.length},"window_secs":$winSecs%.2f,"agg_secs":$aggSecs%.2f}""")
+  }
+
   /** 7z rung (`sevenz:<MB>`): the sixth container family at a real
     * size, measuring BOTH spool regimes on the same archive — the
     * in-memory channel (archive below `sevenZMemSpoolMax`) and the
@@ -539,8 +584,10 @@ object ScaleEvidence {
     ccArgs.foreach(a => componentsRung(spark, a.drop(3).toLong))
     val (szArgs, rest1) = rest0.partition(_.startsWith("sevenz:"))
     szArgs.foreach(a => sevenZRung(spark, a.drop(7).toInt))
-    val (cdcArgs, rest2) = rest1.partition(_.startsWith("cdc:"))
+    val (cdcArgs, rest2a) = rest1.partition(_.startsWith("cdc:"))
     cdcArgs.foreach(a => cdcRung(spark, a.drop(4).toInt))
+    val (frArgs, rest2) = rest2a.partition(_.startsWith("frontier:"))
+    frArgs.foreach(a => frontierRung(spark, a.drop(9).toLong))
     val WebPipe = "webpipe:(\\d+):(.*)".r
     val (wpArgs, rest3) = rest2.partition(_.startsWith("webpipe:"))
     wpArgs.foreach { case WebPipe(k, dir) => webPipeRung(spark, dir, k.toInt) }
