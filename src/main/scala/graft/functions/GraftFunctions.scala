@@ -104,6 +104,20 @@ object GraftFunctions {
     */
   def extract_links(html: Column): Column = column(ExtractLinks(expression(html)))
 
+  /** `Sitemap:` directives of a robots.txt in file order — see
+    * [[RobotsHelper.sitemaps]]; null robots (no file) → empty array.
+    * Closes the discovery loop: robots → sitemaps → frontier.
+    */
+  def robots_sitemaps(robots: Column): Column =
+    column(RobotsSitemaps.withNullSafeDefault(expression(robots)))
+
+  /** Page head metadata — see [[HtmlMetaHelper.meta]]: first title
+    * (entity-decoded, whitespace-collapsed), first meta description,
+    * first canonical link, robots-meta noindex verdict. The
+    * WAT-record fields next to [[extract_links]]' outlinks.
+    */
+  def html_meta(html: Column): Column = column(HtmlMeta(expression(html)))
+
   /** SURT crawl-index sort/partition key — see [[UrlHelper.surt]]:
     * scheme dropped, host reversed comma-joined (`com,example)`),
     * path + always-sorted query lowercased. Range-partitioning a
@@ -233,6 +247,8 @@ object GraftFunctions {
     "robots_allowed" -> (e => RobotsAllowed.withNullSafeDefaults(e.head, e(1), e(2))),
     "extract_sitemap_urls" -> (e => ExtractSitemapUrls(e.head)),
     "surt_key" -> (e => SurtKey(e.head)),
+    "robots_sitemaps" -> (e => RobotsSitemaps.withNullSafeDefault(e.head)),
+    "html_meta" -> (e => HtmlMeta(e.head)),
     "cdc_chunks" -> (e => CdcChunks(e.head, e(1), e(2), e(3))),
     "explode_archive" -> (e => ExplodeArchive(e.head)))
 

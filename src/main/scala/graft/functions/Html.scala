@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -25,7 +26,7 @@ object HtmlLinkHelper {
     * that ends a tag name (whitespace, '>', '/', or EOF) — so
     * `<script` matches but `<scripting` does not.
     */
-  private def tagAt(s: String, i: Int, word: String): Boolean = {
+  private[functions] def tagAt(s: String, i: Int, word: String): Boolean = {
     if (i + word.length > s.length) return false
     var k = 0
     while (k < word.length) {
@@ -41,7 +42,7 @@ object HtmlLinkHelper {
     * when the element is never closed (rest of input skipped — the
     * browser rule for an unterminated script).
     */
-  private def skipRawText(s: String, from: Int, word: String): Int = {
+  private[functions] def skipRawText(s: String, from: Int, word: String): Int = {
     var i = from
     while (i < s.length) {
       if (s.charAt(i) == '<' && i + 1 < s.length && s.charAt(i + 1) == '/' &&
@@ -140,6 +141,178 @@ object HtmlLinkHelper {
     }
     new GenericArrayData(out.toArray)
   }
+}
+
+/** Page-metadata extraction — the WAT-record seat of a crawl pipeline
+  * (CommonCrawl WAT files carry exactly these head fields next to the
+  * outlinks [[HtmlLinkHelper]] extracts): title, meta description,
+  * canonical link and the robots-meta noindex verdict, one pass, never
+  * throws. Shares [[HtmlLinkHelper]]'s scanning discipline: comments
+  * and script/style bodies are skipped whole, attributes parse
+  * quote-aware with unquoted values tolerated, first occurrence wins,
+  * values entity-decode.
+  */
+object HtmlMetaHelper {
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  /** Attributes of the tag whose name ends at `from` (just past the
+    * element name): lowercased names, raw values (null for bare
+    * attributes), first occurrence of each name wins. Returns the
+    * index just past the tag's '>' (or the input end when
+    * unterminated).
+    */
+  private def scanAttrs(s: String, from: Int,
+      out: java.util.HashMap[String, String]): Int = {
+    val n = s.length
+    var j = from
+    var open = true
+    while (open && j < n) {
+      val c = s.charAt(j)
+      if (c == '>') { open = false; j += 1 }
+      else if (isWs(c) || c == '/') j += 1
+      else {
+        val nameStart = j
+        while (j < n && !isWs(s.charAt(j)) && s.charAt(j) != '=' &&
+          s.charAt(j) != '>' && s.charAt(j) != '/') j += 1
+        val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+        while (j < n && isWs(s.charAt(j))) j += 1
+        var value: String = null
+        if (j < n && s.charAt(j) == '=') {
+          j += 1
+          while (j < n && isWs(s.charAt(j))) j += 1
+          if (j < n && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
+            val quote = s.charAt(j)
+            val end = s.indexOf(quote, j + 1)
+            if (end < 0) { value = s.substring(j + 1); j = n }
+            else { value = s.substring(j + 1, end); j = end + 1 }
+          } else {
+            val valStart = j
+            while (j < n && !isWs(s.charAt(j)) && s.charAt(j) != '>') j += 1
+            value = s.substring(valStart, j)
+          }
+        }
+        if (!out.containsKey(name)) out.put(name, value)
+      }
+    }
+    j
+  }
+
+  private def decodeClean(v: String): String =
+    HtmlEntityHelper.decode(UTF8String.fromString(v)).toString
+      .replaceAll("\\s+", " ").trim
+
+  /** `struct<title, description, canonical, noindex>` — first
+    * `<title>` text (RCDATA: entity-decoded, whitespace-collapsed),
+    * first `<meta name=description content>`, first
+    * `<link rel=canonical href>`, and whether any
+    * `<meta name=robots>` content carries a `noindex` token. Null
+    * fields when absent; noindex defaults false. Never throws.
+    */
+  def meta(html: UTF8String): InternalRow = {
+    if (html == null) return null
+    val s = html.toString
+    val n = s.length
+    var title: String = null
+    var description: String = null
+    var canonical: String = null
+    var noindex = false
+    var i = 0
+    while (i < n) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0 || lt + 1 >= n) i = n
+      else if (s.regionMatches(lt + 1, "!--", 0, 3)) {
+        val end = s.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else if (HtmlLinkHelper.tagAt(s, lt + 1, "script"))
+        i = HtmlLinkHelper.skipRawText(s, lt + 1, "script")
+      else if (HtmlLinkHelper.tagAt(s, lt + 1, "style"))
+        i = HtmlLinkHelper.skipRawText(s, lt + 1, "style")
+      else if (HtmlLinkHelper.tagAt(s, lt + 1, "title")) {
+        val gt = s.indexOf('>', lt + 1)
+        if (gt < 0) i = n
+        else {
+          // RCDATA runs to the close tag (or input end when truncated)
+          var k = gt + 1
+          var closeLt = n
+          var found = false
+          while (!found && k < n) {
+            if (s.charAt(k) == '<' && k + 1 < n && s.charAt(k + 1) == '/' &&
+              HtmlLinkHelper.tagAt(s, k + 2, "title")) { closeLt = k; found = true }
+            else k += 1
+          }
+          if (title == null) title = decodeClean(s.substring(gt + 1, closeLt))
+          val cgt = s.indexOf('>', closeLt)
+          i = if (cgt < 0) n else cgt + 1
+        }
+      } else if (HtmlLinkHelper.tagAt(s, lt + 1, "meta")) {
+        val attrs = new java.util.HashMap[String, String]()
+        i = scanAttrs(s, lt + 5, attrs)
+        val name = attrs.get("name")
+        val content = attrs.get("content")
+        if (name != null && content != null) {
+          if (name.equalsIgnoreCase("description")) {
+            if (description == null) description = decodeClean(content)
+          } else if (name.equalsIgnoreCase("robots")) {
+            val toks = content.toLowerCase(java.util.Locale.ROOT)
+              .split("[,\\s]+")
+            if (toks.contains("noindex")) noindex = true
+          }
+        }
+      } else if (HtmlLinkHelper.tagAt(s, lt + 1, "link")) {
+        val attrs = new java.util.HashMap[String, String]()
+        i = scanAttrs(s, lt + 5, attrs)
+        val rel = attrs.get("rel")
+        val href = attrs.get("href")
+        if (rel != null && href != null && canonical == null &&
+          rel.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+            .contains("canonical"))
+          canonical = decodeClean(href)
+      } else {
+        // other tags: generic quote-aware skip (HtmlLinkHelper rule)
+        var j = lt + 1
+        var open = true
+        var lastSig = ' '
+        while (open && j < n) {
+          val c = s.charAt(j)
+          if (c == '>') open = false
+          else if ((c == '"' || c == '\'') && lastSig == '=') {
+            val end = s.indexOf(c, j + 1)
+            j = if (end < 0) n - 1 else end
+            lastSig = c
+          } else if (!isWs(c)) lastSig = c
+          j += 1
+        }
+        i = if (open) n else j
+      }
+    }
+    InternalRow(
+      if (title == null || title.isEmpty) null else UTF8String.fromString(title),
+      if (description == null) null else UTF8String.fromString(description),
+      if (canonical == null) null else UTF8String.fromString(canonical),
+      noindex)
+  }
+}
+
+/** `html_meta(html) -> struct<title, description, canonical, noindex>`
+  * — page head metadata (see [[HtmlMetaHelper.meta]]): the WAT-record
+  * fields next to `extract_links`' outlinks. Null input → null.
+  */
+case class HtmlMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("title", StringType, nullable = true),
+    StructField("description", StringType, nullable = true),
+    StructField("canonical", StringType, nullable = true),
+    StructField("noindex", BooleanType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "html_meta"
+  override protected def nullSafeEval(html: Any): Any =
+    HtmlMetaHelper.meta(html.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlMetaHelper.meta($c)")
+  override protected def withNewChildInternal(newChild: Expression): HtmlMeta =
+    copy(child = newChild)
 }
 
 /** `extract_links(html) -> array<string>` — `<a href>` values in

@@ -177,6 +177,59 @@ object RobotsHelper {
     }
     if (bestLen < 0) true else bestAllow
   }
+
+  /** All `Sitemap:` directive values in file order — the sitemaps.org
+    * cross-submission extension RFC 9309 §2.2.4 tolerates as "other
+    * records". Group-INDEPENDENT per the sitemaps.org spec: a Sitemap
+    * line applies to the whole file wherever it appears, so this is a
+    * plain line scan, not a group lookup. Comments stripped, the key
+    * matched case-insensitively, empty values and malformed lines
+    * skipped; null input → empty array. Never throws. Closes the
+    * discovery loop: robots.txt ([[allowed]]) points at sitemaps
+    * ([[SitemapHelper.extract]]) which seed the frontier.
+    */
+  def sitemaps(robots: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new java.util.ArrayList[UTF8String]()
+    if (robots != null) {
+      robots.toString.split("\r\n|\r|\n", -1).foreach { raw =>
+        val hash = raw.indexOf('#')
+        val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+        val colon = line.indexOf(':')
+        if (colon > 0 &&
+          line.substring(0, colon).trim.equalsIgnoreCase("sitemap")) {
+          val value = line.substring(colon + 1).trim
+          if (value.nonEmpty) out.add(UTF8String.fromString(value))
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** `robots_sitemaps(robots_txt) -> array<string>` — the `Sitemap:`
+  * directives in file order (see [[RobotsHelper.sitemaps]]); empty
+  * array when none. Construct via
+  * [[RobotsSitemaps.withNullSafeDefault]] so a null robots text (no
+  * robots file) yields an empty array, not null (the
+  * [[RobotsAllowed.withNullSafeDefaults]] design). Never throws.
+  */
+case class RobotsSitemaps(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "robots_sitemaps"
+  override protected def nullSafeEval(robots: Any): Any =
+    RobotsHelper.sitemaps(robots.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RobotsHelper.sitemaps($c)")
+  override protected def withNewChildInternal(newChild: Expression): RobotsSitemaps =
+    copy(child = newChild)
+}
+
+object RobotsSitemaps {
+  /** Null robots text → empty string → empty array. */
+  def withNullSafeDefault(robots: Expression): RobotsSitemaps =
+    RobotsSitemaps(Coalesce(Seq(robots,
+      Literal(UTF8String.fromString(""), StringType))))
 }
 
 /** `robots_allowed(robots_txt, agent, path) -> boolean` — RFC 9309

@@ -2877,6 +2877,66 @@ object Inventory {
       .orderBy(col("cdx_key"))
   }
 
+  /** robots.txt sitemap discovery ([[GraftFunctions.robots_sitemaps]]
+    * — the sitemaps.org cross-submission directive, the hop between
+    * q109's admission gate and q111's sitemap parse): per document a
+    * robots file carrying one `Sitemap:` line (plus, on even ids, a
+    * lowercase-key second one after a comment), probed through the
+    * real parser. Directive order, key case-insensitivity, comment
+    * stripping and the empty-value skip are load-bearing; every
+    * output row is closed-form in (doc_id, ord).
+    */
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val ds = (c: Column) => c.cast("string")
+    val robots = concat(
+      lit("User-agent: graftbot\nDisallow: /x\nSitemap: http://s"),
+      ds(id % 7), lit(".example.com/sm"), ds(id % 3),
+      lit(".xml\n# a comment\nSitemap:\n"),
+      when(id % 2 === 0,
+        concat(lit("sitemap: http://s"), ds(id % 7),
+          lit(".example.com/extra.xml  # trailing\n")))
+        .otherwise(lit("")))
+    t(s, d, "documents")
+      .select(id, posexplode(GraftFunctions.robots_sitemaps(robots)))
+      .select(id, col("pos").cast("long").as("ord"), col("col").as("sitemap"))
+      .orderBy(id, col("ord"))
+  }
+
+  /** Page-head metadata ([[GraftFunctions.html_meta]] — the WAT-record
+    * fields next to q107's outlinks): per document a synthesized page
+    * with a commented-out decoy title, a script-literal decoy, a
+    * whitespace-and-entity-laden real title, an optional description
+    * (even ids), an optional entity-escaped canonical link (ids
+    * divisible by 3) and a robots-meta noindex (ids divisible by 5) —
+    * extracted by the real scanner, every field closed-form in doc_id.
+    */
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val ds = (c: Column) => c.cast("string")
+    val page = concat(
+      lit("<html><head><!-- <title>decoy</title> -->" +
+        "<script>var t = \"<title>not me</title>\";</script>" +
+        "<title>  Doc &amp; "),
+      ds(id), lit(" &mdash; s"), ds(id % 7), lit("  </title>"),
+      when(id % 2 === 0,
+        concat(lit("<meta name=description content=\"Desc "), ds(id % 4),
+          lit(" &eacute;\">"))).otherwise(lit("")),
+      when(id % 3 === 0,
+        concat(lit("<link rel=\"canonical\" href=\"http://s"), ds(id % 7),
+          lit(".example.com/c?a=1&amp;b=2\">"))).otherwise(lit("")),
+      when(id % 5 === 0, lit("<meta name=\"robots\" content=\"NOINDEX, nofollow\">"))
+        .otherwise(lit("")),
+      lit("<title>second ignored</title></head><body>x</body></html>"))
+    t(s, d, "documents")
+      .select(id, GraftFunctions.html_meta(page).as("m"))
+      .select(id, col("m.title").as("title"),
+        col("m.description").as("description"),
+        col("m.canonical").as("canonical"),
+        col("m.noindex").as("noindex"))
+      .orderBy(id)
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2992,7 +3052,9 @@ object Inventory {
     "q110_audio_decode" -> (q110 _),
     "q111_sitemap" -> (q111 _),
     "q112_frontier" -> (q112 _),
-    "q113_cdx_keys" -> (q113 _))
+    "q113_cdx_keys" -> (q113 _),
+    "q114_robots_sitemaps" -> (q114 _),
+    "q115_html_meta" -> (q115 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -3607,6 +3669,34 @@ object Inventory {
           |  FROM documents)
           |SELECT cdx_key, CAST(count(*) AS BIGINT) AS n
           |FROM u GROUP BY cdx_key ORDER BY cdx_key""".stripMargin,
+      // q114: directive order is file order — the per-doc Sitemap line
+      // at ord 0, the even-id lowercase-key second line at ord 1; the
+      // comment line and the empty-value Sitemap contribute nothing
+      "q114_robots_sitemaps" ->
+        """WITH x AS (
+          |  SELECT doc_id, CAST(0 AS BIGINT) AS ord,
+          |         'http://s' || (doc_id % 7) || '.example.com/sm' ||
+          |         (doc_id % 3) || '.xml' AS sitemap
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, CAST(1 AS BIGINT),
+          |         'http://s' || (doc_id % 7) || '.example.com/extra.xml'
+          |  FROM documents WHERE doc_id % 2 = 0)
+          |SELECT doc_id, ord, sitemap FROM x ORDER BY doc_id, ord""".stripMargin,
+      // q115: every field restated from the synthesis spec — the title
+      // entity-decodes (&amp; &mdash;) and whitespace-collapses, the
+      // decoys in the comment and the script literal must be skipped,
+      // the canonical &amp; decodes, noindex only on ids % 5 = 0
+      "q115_html_meta" ->
+        """SELECT doc_id,
+          |  'Doc & ' || doc_id || ' — s' || (doc_id % 7) AS title,
+          |  CASE WHEN doc_id % 2 = 0
+          |       THEN 'Desc ' || (doc_id % 4) || ' é' END AS description,
+          |  CASE WHEN doc_id % 3 = 0
+          |       THEN 'http://s' || (doc_id % 7) ||
+          |            '.example.com/c?a=1&b=2' END AS canonical,
+          |  doc_id % 5 = 0 AS noindex
+          |FROM documents ORDER BY doc_id""".stripMargin,
       // ar source: spec-member sizes/digests (gzip member decompressed,
       // nested tar expanded), computed independently — q16's rule
       "q87_ar_source" ->

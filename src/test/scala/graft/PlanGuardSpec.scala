@@ -272,6 +272,14 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q113 grew a second hash exchange:\n$p")
   }
 
+  test("q114/q115: robots-sitemap and html-meta are narrow projections") {
+    Seq("q114_robots_sitemaps", "q115_html_meta").foreach { q =>
+      val p = plan(q)
+      assert(exchanges(p) <= 1, s"$q grew a shuffle:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"), s"$q hash-shuffled:\n$p")
+    }
+  }
+
   test("q100: part-wise CDC is one entry-keyed exchange + sorted groups") {
     val p = plan("q100_cdc_parts")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,

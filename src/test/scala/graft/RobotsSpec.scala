@@ -114,4 +114,32 @@ class RobotsSpec extends AnyFunSuite {
     assert(!RobotsHelper.allowed(UTF8String.fromString(r),
       UTF8String.fromString("a"), UTF8String.fromString("")))
   }
+
+  private def sitemaps(robots: String): Seq[String] = {
+    val a = RobotsHelper.sitemaps(
+      if (robots == null) null else UTF8String.fromString(robots))
+    (0 until a.numElements()).map(i =>
+      a.getUTF8String(i).toString)
+  }
+
+  test("Sitemap directives: file order, group-independent, case-insensitive key") {
+    val r =
+      """User-agent: a
+        |Disallow: /x
+        |Sitemap: http://e.com/a.xml
+        |
+        |User-agent: b
+        |sitemap: http://e.com/b.xml  # trailing comment
+        |SITEMAP: http://e.com/c.xml
+        |Sitemap:
+        |Sitemapx: http://e.com/not.xml
+        |""".stripMargin
+    assert(sitemaps(r) ==
+      Seq("http://e.com/a.xml", "http://e.com/b.xml", "http://e.com/c.xml"))
+    // a Sitemap line before any group still counts (group-independent)
+    assert(sitemaps("Sitemap: http://e.com/top.xml\nUser-agent: a\nDisallow: /") ==
+      Seq("http://e.com/top.xml"))
+    assert(sitemaps(null).isEmpty)
+    assert(sitemaps("").isEmpty)
+  }
 }

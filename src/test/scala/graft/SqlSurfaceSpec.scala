@@ -49,6 +49,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         |       robots_allowed('User-agent: *\nDisallow: /p/', 'bot', '/p/x') AS rb,
         |       extract_sitemap_urls('<urlset><url><loc>http://e.com/a</loc></url></urlset>')[0].loc AS sm,
         |       surt_key('http://www.Example.com:80/A?b=2&a=1') AS sk,
+        |       robots_sitemaps('Sitemap: http://e.com/s.xml\nUser-agent: *\nDisallow: /')[0] AS rs,
+        |       html_meta('<title>T</title><meta name=robots content=noindex>').noindex AS hm,
         |       extract_links('<a href="/a">x</a><a href=/b>y</a>') AS lk,
         |       size(cdc_chunks(cast(txt AS binary), 2, 16, 64)) AS nc
         |FROM t""".stripMargin).head()
@@ -71,6 +73,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!r.getAs[Boolean]("rb"))
     assert(r.getAs[String]("sm") == "http://e.com/a")
     assert(r.getAs[String]("sk") == "com,example)/a?a=1&b=2")
+    assert(r.getAs[String]("rs") == "http://e.com/s.xml")
+    assert(r.getAs[Boolean]("hm"))
     assert(r.getSeq[String](r.fieldIndex("lk")) == Seq("/a", "/b"))
     val hp = r.getAs[org.apache.spark.sql.Row]("hp")
     assert(hp.getAs[Int]("status") == 200)
