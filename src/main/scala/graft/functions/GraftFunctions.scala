@@ -104,6 +104,14 @@ object GraftFunctions {
     */
   def extract_links(html: Column): Column = column(ExtractLinks(expression(html)))
 
+  /** Anchors with text and rel-nofollow — see
+    * [[HtmlAnchorHelper.extractAnchors]]:
+    * `array<struct<href, text, nofollow>>`. The anchor-text-corpus /
+    * nofollow-aware-link-graph face of [[extract_links]].
+    */
+  def extract_anchors(html: Column): Column =
+    column(ExtractAnchors(expression(html)))
+
   /** `Sitemap:` directives of a robots.txt in file order — see
     * [[RobotsHelper.sitemaps]]; null robots (no file) → empty array.
     * Closes the discovery loop: robots → sitemaps → frontier.
@@ -249,6 +257,7 @@ object GraftFunctions {
     "surt_key" -> (e => SurtKey(e.head)),
     "robots_sitemaps" -> (e => RobotsSitemaps.withNullSafeDefault(e.head)),
     "html_meta" -> (e => HtmlMeta(e.head)),
+    "extract_anchors" -> (e => ExtractAnchors(e.head)),
     "cdc_chunks" -> (e => CdcChunks(e.head, e(1), e(2), e(3))),
     "explode_archive" -> (e => ExplodeArchive(e.head)))
 

@@ -143,6 +143,146 @@ object HtmlLinkHelper {
   }
 }
 
+/** Anchor extraction with text and rel semantics — the anchor-text
+  * corpus seat ([[HtmlLinkHelper.extractLinks]] keeps the bare-href
+  * fast path for the link graph): anchor text is a classic ranking /
+  * training-data signal (what the web CALLS a page), and `nofollow`
+  * decides whether an edge should count in [[graft.ops.Graph.pageRank]]
+  * -style weighting. Same scanning discipline as the sibling helpers.
+  */
+object HtmlAnchorHelper {
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  /** All anchors in document order as
+    * `struct<href, text, nofollow>` — href entity-decoded (first
+    * attribute occurrence wins), text the anchor's inner text with
+    * nested markup stripped, entities decoded and whitespace collapsed
+    * (empty → null), nofollow true when the `rel` token list carries
+    * it. Anchors without an href are skipped; an unclosed anchor runs
+    * to input end. Comments and script/style bodies are skipped whole,
+    * inside and outside anchors. Null input → null. Never throws.
+    */
+  def extractAnchors(html: UTF8String): ArrayData = {
+    if (html == null) return null
+    val s = html.toString
+    val n = s.length
+    val out = new java.util.ArrayList[InternalRow]()
+    var i = 0
+    while (i < n) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0 || lt + 1 >= n) i = n
+      else if (s.regionMatches(lt + 1, "!--", 0, 3)) {
+        val end = s.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else if (HtmlLinkHelper.tagAt(s, lt + 1, "script"))
+        i = HtmlLinkHelper.skipRawText(s, lt + 1, "script")
+      else if (HtmlLinkHelper.tagAt(s, lt + 1, "style"))
+        i = HtmlLinkHelper.skipRawText(s, lt + 1, "style")
+      else if (HtmlLinkHelper.tagAt(s, lt + 1, "a")) {
+        val attrs = new java.util.HashMap[String, String]()
+        var j = HtmlMetaHelper.scanAttrs(s, lt + 2, attrs)
+        val href = attrs.get("href")
+        val rel = attrs.get("rel")
+        val nofollow = rel != null &&
+          rel.toLowerCase(java.util.Locale.ROOT).split("[\\s,]+")
+            .contains("nofollow")
+        // inner text to the close tag: nested markup stripped, nested
+        // script/style/comments skipped whole
+        val text = new java.lang.StringBuilder()
+        var open = true
+        while (open && j < n) {
+          val c = s.charAt(j)
+          if (c == '<') {
+            if (j + 1 < n && s.charAt(j + 1) == '/' &&
+              HtmlLinkHelper.tagAt(s, j + 2, "a")) {
+              val gt = s.indexOf('>', j + 2)
+              j = if (gt < 0) n else gt + 1
+              open = false
+            } else if (s.regionMatches(j + 1, "!--", 0, 3)) {
+              val end = s.indexOf("-->", j + 4)
+              j = if (end < 0) n else end + 3
+            } else if (HtmlLinkHelper.tagAt(s, j + 1, "script"))
+              j = HtmlLinkHelper.skipRawText(s, j + 1, "script")
+            else if (HtmlLinkHelper.tagAt(s, j + 1, "style"))
+              j = HtmlLinkHelper.skipRawText(s, j + 1, "style")
+            else {
+              // nested tag: quote-aware skip, text continues after it
+              val gt = {
+                var k = j + 1
+                var tagOpen = true
+                var lastSig = ' '
+                while (tagOpen && k < n) {
+                  val tc = s.charAt(k)
+                  if (tc == '>') tagOpen = false
+                  else if ((tc == '"' || tc == '\'') && lastSig == '=') {
+                    val end = s.indexOf(tc, k + 1)
+                    k = if (end < 0) n - 1 else end
+                    lastSig = tc
+                  } else if (!isWs(tc)) lastSig = tc
+                  k += 1
+                }
+                if (tagOpen) n else k
+              }
+              j = gt
+            }
+          } else { text.append(c); j += 1 }
+        }
+        if (href != null) {
+          val cleanText = HtmlEntityHelper
+            .decode(UTF8String.fromString(text.toString)).toString
+            .replaceAll("\\s+", " ").trim
+          out.add(InternalRow(
+            HtmlEntityHelper.decode(UTF8String.fromString(href)),
+            if (cleanText.isEmpty) null else UTF8String.fromString(cleanText),
+            nofollow))
+        }
+        i = j
+      } else {
+        // non-anchor tag: generic quote-aware skip
+        var j = lt + 1
+        var open = true
+        var lastSig = ' '
+        while (open && j < n) {
+          val c = s.charAt(j)
+          if (c == '>') open = false
+          else if ((c == '"' || c == '\'') && lastSig == '=') {
+            val end = s.indexOf(c, j + 1)
+            j = if (end < 0) n - 1 else end
+            lastSig = c
+          } else if (!isWs(c)) lastSig = c
+          j += 1
+        }
+        i = if (open) n else j
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `extract_anchors(html) -> array<struct<href, text, nofollow>>` —
+  * anchors with their text and rel-nofollow verdict (see
+  * [[HtmlAnchorHelper.extractAnchors]]). Use `extract_links` when only
+  * the href is needed (narrower, cheaper); this face feeds anchor-text
+  * corpora and nofollow-aware link-graph weighting.
+  */
+case class ExtractAnchors(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("href", StringType, nullable = false),
+    StructField("text", StringType, nullable = true),
+    StructField("nofollow", BooleanType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "extract_anchors"
+  override protected def nullSafeEval(html: Any): Any =
+    HtmlAnchorHelper.extractAnchors(html.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlAnchorHelper.extractAnchors($c)")
+  override protected def withNewChildInternal(newChild: Expression): ExtractAnchors =
+    copy(child = newChild)
+}
+
 /** Page-metadata extraction — the WAT-record seat of a crawl pipeline
   * (CommonCrawl WAT files carry exactly these head fields next to the
   * outlinks [[HtmlLinkHelper]] extracts): title, meta description,
@@ -163,7 +303,7 @@ object HtmlMetaHelper {
     * index just past the tag's '>' (or the input end when
     * unterminated).
     */
-  private def scanAttrs(s: String, from: Int,
+  private[functions] def scanAttrs(s: String, from: Int,
       out: java.util.HashMap[String, String]): Int = {
     val n = s.length
     var j = from

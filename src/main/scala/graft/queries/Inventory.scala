@@ -2937,6 +2937,33 @@ object Inventory {
       .orderBy(id)
   }
 
+  /** Anchor-text extraction ([[GraftFunctions.extract_anchors]] — the
+    * anchor-text-corpus / nofollow-aware-graph face of q107's bare
+    * hrefs): per document a page with a script-literal decoy anchor,
+    * an entity-laden anchor wrapping nested markup, a rel-token
+    * anchor (`nofollow` only on even ids — the token rule is
+    * load-bearing against the odd ids' `ext` value), a no-href anchor
+    * that must be skipped, and an image-only anchor whose text is
+    * null. Every row closed-form in (doc_id, ord).
+    */
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val ds = (c: Column) => c.cast("string")
+    val page = concat(
+      lit("<script>var a = '<a href=/decoy>x</a>';</script>" +
+        "<a href=\"/p?x=&amp;y\">  Link &amp; <b>text</b> "),
+      ds(id % 5), lit("  </a><a href=/plain rel=\""),
+      when(id % 2 === 0, lit("external nofollow")).otherwise(lit("ext")),
+      lit("\">plain "), ds(id % 3),
+      lit("</a><a name=anchor>no href</a><a href=\"/empty\"><img src=x></a>"))
+    t(s, d, "documents")
+      .select(id, posexplode(GraftFunctions.extract_anchors(page)))
+      .select(id, col("pos").cast("long").as("ord"),
+        col("col.href").as("href"), col("col.text").as("atext"),
+        col("col.nofollow").as("nofollow"))
+      .orderBy(id, col("ord"))
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3054,7 +3081,8 @@ object Inventory {
     "q112_frontier" -> (q112 _),
     "q113_cdx_keys" -> (q113 _),
     "q114_robots_sitemaps" -> (q114 _),
-    "q115_html_meta" -> (q115 _))
+    "q115_html_meta" -> (q115 _),
+    "q116_anchor_text" -> (q116 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -3697,6 +3725,26 @@ object Inventory {
           |            '.example.com/c?a=1&b=2' END AS canonical,
           |  doc_id % 5 = 0 AS noindex
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // q116: rows restated from the synthesis spec — the script decoy
+      // and the no-href anchor contribute nothing, the entity/nested-
+      // markup anchor collapses to clean text, nofollow fires only on
+      // the even ids' token list, the image-only anchor's text is null
+      "q116_anchor_text" ->
+        """WITH x AS (
+          |  SELECT doc_id, CAST(0 AS BIGINT) AS ord, '/p?x=&y' AS href,
+          |         'Link & text ' || (doc_id % 5) AS atext,
+          |         FALSE AS nofollow
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, CAST(1 AS BIGINT), '/plain',
+          |         'plain ' || (doc_id % 3), doc_id % 2 = 0
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, CAST(2 AS BIGINT), '/empty',
+          |         CAST(NULL AS VARCHAR), FALSE
+          |  FROM documents)
+          |SELECT doc_id, ord, href, atext, nofollow
+          |FROM x ORDER BY doc_id, ord""".stripMargin,
       // ar source: spec-member sizes/digests (gzip member decompressed,
       // nested tar expanded), computed independently — q16's rule
       "q87_ar_source" ->

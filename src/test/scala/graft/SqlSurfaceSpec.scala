@@ -51,6 +51,7 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         |       surt_key('http://www.Example.com:80/A?b=2&a=1') AS sk,
         |       robots_sitemaps('Sitemap: http://e.com/s.xml\nUser-agent: *\nDisallow: /')[0] AS rs,
         |       html_meta('<title>T</title><meta name=robots content=noindex>').noindex AS hm,
+        |       extract_anchors('<a href=/x rel=nofollow>t</a>')[0].nofollow AS an,
         |       extract_links('<a href="/a">x</a><a href=/b>y</a>') AS lk,
         |       size(cdc_chunks(cast(txt AS binary), 2, 16, 64)) AS nc
         |FROM t""".stripMargin).head()
@@ -75,6 +76,7 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[String]("sk") == "com,example)/a?a=1&b=2")
     assert(r.getAs[String]("rs") == "http://e.com/s.xml")
     assert(r.getAs[Boolean]("hm"))
+    assert(r.getAs[Boolean]("an"))
     assert(r.getSeq[String](r.fieldIndex("lk")) == Seq("/a", "/b"))
     val hp = r.getAs[org.apache.spark.sql.Row]("hp")
     assert(hp.getAs[Int]("status") == 200)
