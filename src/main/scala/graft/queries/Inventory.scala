@@ -2568,7 +2568,11 @@ object Inventory {
     * power iteration (dangling mass redistributed uniformly), appended
     * after [[linkEdgesSql]]: defines edges/nodes/srcs/frac and r0..rK.
     */
-  private def pageRankIterSql(iters: Int, damping: Double): String = {
+  /** The recurrence CTEs alone (nodes..frac, r0..rK) — the caller
+    * supplies its own `edges(src, dst, w)` CTE before this. Shared by
+    * the q108 and q117 oracles.
+    */
+  private def pageRankRecurrenceSql(iters: Int, damping: Double): String = {
     val steps = (0 until iters).map { i =>
       s"""d$i AS (SELECT COALESCE(sum(pr), 0) AS dm FROM r$i
          |        WHERE node NOT IN (SELECT node FROM srcs)),
@@ -2580,11 +2584,7 @@ object Inventory {
          |        FROM nodes n LEFT JOIN c$i ON n.node = c$i.node, nn, d$i)"""
         .stripMargin
     }.mkString(",\n")
-    s"""edges AS (
-       |  SELECT 'site' || CAST(d.m AS VARCHAR) || '.com' AS src,
-       |         l.dst AS dst, CAST(count(*) AS DOUBLE) AS w
-       |  FROM links l JOIN docs d USING (doc_id) GROUP BY 1, 2),
-       |nodes AS (SELECT DISTINCT src AS node FROM edges
+    s"""nodes AS (SELECT DISTINCT src AS node FROM edges
        |          UNION SELECT DISTINCT dst FROM edges),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
        |srcs AS (SELECT DISTINCT src AS node FROM edges),
@@ -2594,6 +2594,13 @@ object Inventory {
        |r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn),
        |$steps""".stripMargin
   }
+
+  private def pageRankIterSql(iters: Int, damping: Double): String =
+    s"""edges AS (
+       |  SELECT 'site' || CAST(d.m AS VARCHAR) || '.com' AS src,
+       |         l.dst AS dst, CAST(count(*) AS DOUBLE) AS w
+       |  FROM links l JOIN docs d USING (doc_id) GROUP BY 1, 2),
+       |${pageRankRecurrenceSql(iters, damping)}""".stripMargin
 
   /** Shared q107/q108 synthesis + extraction: one page per document
     * whose anchors cover every href class a crawler meets — absolute
@@ -2964,6 +2971,40 @@ object Inventory {
       .orderBy(id, col("ord"))
   }
 
+  /** Nofollow-aware PageRank — q116's anchor semantics feeding q108's
+    * engine (the rel governance crawlers actually honor: a nofollow
+    * edge must not pass rank): per document three absolute anchors —
+    * always-follow, always-nofollow, and a conditional whose rel list
+    * is `ugc nofollow` on even ids but plain `ugc` on odd — so the
+    * follow-edge set depends on the TOKEN rule, then
+    * [[graft.ops.Graph.pageRank]] over the surviving edges. The s-side
+    * hosts only emit, the t-side only receive (the dangling path stays
+    * load-bearing). Oracle: the follow edges restated from the spec +
+    * the shared [[pageRankRecurrenceSql]] recurrence.
+    */
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val ds = (c: Column) => c.cast("string")
+    val page = concat(
+      lit("<a href=\"http://t"), ds((id * 3 + 1) % 10), lit(".com/x\">f</a>"),
+      lit("<a href=\"http://t"), ds(id % 10),
+      lit(".com/x\" rel=nofollow>n</a>"),
+      lit("<a href=\"http://t"), ds((id + 1) % 10), lit(".com/x\" rel=\""),
+      when(id % 2 === 0, lit("ugc nofollow")).otherwise(lit("ugc")),
+      lit("\">c</a>"))
+    val edges = t(s, d, "documents")
+      .select(concat(lit("s"), ds(id % 10), lit(".com")).as("src"),
+        explode(GraftFunctions.extract_anchors(page)).as("a"))
+      .where(!col("a.nofollow"))
+      .select(col("src"),
+        GraftFunctions.registered_domain(
+          GraftFunctions.url_parts(col("a.href")).getField("host")).as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
+    graft.ops.Graph.pageRank(edges, LinkGraphIters, LinkGraphDamping)
+      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("node"))
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3082,7 +3123,8 @@ object Inventory {
     "q113_cdx_keys" -> (q113 _),
     "q114_robots_sitemaps" -> (q114 _),
     "q115_html_meta" -> (q115 _),
-    "q116_anchor_text" -> (q116 _))
+    "q116_anchor_text" -> (q116 _),
+    "q117_nofollow_rank" -> (q117 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -3745,6 +3787,25 @@ object Inventory {
           |  FROM documents)
           |SELECT doc_id, ord, href, atext, nofollow
           |FROM x ORDER BY doc_id, ord""".stripMargin,
+      // q117: the follow edges restated from the spec (the nofollow
+      // anchor and the even-id conditional must NOT contribute) + the
+      // q108-shared fixed-3-iteration recurrence
+      "q117_nofollow_rank" ->
+        s"""WITH docs AS (
+           |  SELECT doc_id, 's' || (doc_id % 10) || '.com' AS src
+           |  FROM documents),
+           |links AS (
+           |  SELECT src, 't' || ((doc_id * 3 + 1) % 10) || '.com' AS dst
+           |  FROM docs
+           |  UNION ALL
+           |  SELECT src, 't' || ((doc_id + 1) % 10) || '.com'
+           |  FROM docs WHERE doc_id % 2 = 1),
+           |edges AS (
+           |  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+           |  FROM links GROUP BY 1, 2),
+           |${pageRankRecurrenceSql(LinkGraphIters, LinkGraphDamping)}
+           |SELECT node, round(pr, 6) AS pr FROM r$LinkGraphIters
+           |ORDER BY node""".stripMargin,
       // ar source: spec-member sizes/digests (gzip member decompressed,
       // nested tar expanded), computed independently — q16's rule
       "q87_ar_source" ->

@@ -31,7 +31,8 @@ object PlanAudit {
       "q104_charset_decode", "q105_main_content", "q106_freq_items",
       "q107_link_graph", "q108_pagerank", "q109_robots_gate",
       "q110_audio_decode", "q111_sitemap", "q112_frontier", "q113_cdx_keys",
-      "q114_robots_sitemaps", "q115_html_meta", "q116_anchor_text")
+      "q114_robots_sitemaps", "q115_html_meta", "q116_anchor_text",
+      "q117_nofollow_rank")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

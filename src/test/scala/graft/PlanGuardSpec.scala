@@ -280,6 +280,13 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q117: nofollow rank output is the checkpointed result + sort") {
+    // like q108: the iterations ran eagerly at localCheckpoint time;
+    // the output plan reads the checkpoint, no live pagerank shuffles
+    val p = plan("q117_nofollow_rank")
+    assert(!p.contains("Exchange hashpartitioning"), s"q117 hash-shuffled:\n$p")
+  }
+
   test("q100: part-wise CDC is one entry-keyed exchange + sorted groups") {
     val p = plan("q100_cdc_parts")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
