@@ -104,6 +104,13 @@ object GraftFunctions {
     */
   def extract_links(html: Column): Column = column(ExtractLinks(expression(html)))
 
+  /** Unicode-script letter fractions — see [[ScriptHelper.ratios]]:
+    * `struct<latin, cyrillic, cjk, arabic, greek, other, n_letters>`.
+    * The alphabet-level corpus router next to [[lang_guess]].
+    */
+  def script_ratios(text: Column): Column =
+    column(ScriptRatios(expression(text)))
+
   /** Anchors with text and rel-nofollow — see
     * [[HtmlAnchorHelper.extractAnchors]]:
     * `array<struct<href, text, nofollow>>`. The anchor-text-corpus /
@@ -258,6 +265,7 @@ object GraftFunctions {
     "robots_sitemaps" -> (e => RobotsSitemaps.withNullSafeDefault(e.head)),
     "html_meta" -> (e => HtmlMeta(e.head)),
     "extract_anchors" -> (e => ExtractAnchors(e.head)),
+    "script_ratios" -> (e => ScriptRatios(e.head)),
     "cdc_chunks" -> (e => CdcChunks(e.head, e(1), e(2), e(3))),
     "explode_archive" -> (e => ExplodeArchive(e.head)))
 

@@ -204,6 +204,78 @@ case class StripAccents(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode-script composition of a text — the multilingual routing
+  * signal next to [[LangIdHelper]]'s function-word guess: script
+  * fractions are cheap, alphabet-level evidence (a Cyrillic page is
+  * never English, whatever the function words say) and the standard
+  * first-stage corpus router before a per-language pipeline.
+  */
+object ScriptHelper {
+
+  /** Letter fractions by script over `Character.UnicodeScript`
+    * (code-point iteration — supplementary-plane CJK counts
+    * correctly): latin, cyrillic, cjk (Han + Hiragana + Katakana +
+    * Hangul), arabic, greek, other; plus the letter count. Non-letters
+    * are ignored; an all-non-letter text has all-zero fractions.
+    * Never throws.
+    */
+  def ratios(text: UTF8String): InternalRow = {
+    if (text == null) return null
+    val s = text.toString
+    var latin = 0L; var cyr = 0L; var cjk = 0L
+    var arab = 0L; var greek = 0L; var other = 0L
+    var total = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      if (Character.isLetter(cp)) {
+        total += 1
+        val sc =
+          try Character.UnicodeScript.of(cp)
+          catch { case _: IllegalArgumentException =>
+            Character.UnicodeScript.UNKNOWN }
+        sc match {
+          case Character.UnicodeScript.LATIN => latin += 1
+          case Character.UnicodeScript.CYRILLIC => cyr += 1
+          case Character.UnicodeScript.HAN | Character.UnicodeScript.HIRAGANA |
+               Character.UnicodeScript.KATAKANA |
+               Character.UnicodeScript.HANGUL => cjk += 1
+          case Character.UnicodeScript.ARABIC => arab += 1
+          case Character.UnicodeScript.GREEK => greek += 1
+          case _ => other += 1
+        }
+      }
+    }
+    val d = if (total == 0) 1.0 else total.toDouble
+    InternalRow(latin / d, cyr / d, cjk / d, arab / d, greek / d,
+      other / d, total)
+  }
+}
+
+/** `script_ratios(text) -> struct<latin, cyrillic, cjk, arabic, greek,
+  * other, n_letters>` — Unicode-script letter fractions (see
+  * [[ScriptHelper.ratios]]). Codegen'd single pass.
+  */
+case class ScriptRatios(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("latin", DoubleType, nullable = false),
+    StructField("cyrillic", DoubleType, nullable = false),
+    StructField("cjk", DoubleType, nullable = false),
+    StructField("arabic", DoubleType, nullable = false),
+    StructField("greek", DoubleType, nullable = false),
+    StructField("other", DoubleType, nullable = false),
+    StructField("n_letters", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "script_ratios"
+  override protected def nullSafeEval(input: Any): Any =
+    ScriptHelper.ratios(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ScriptHelper.ratios($c)")
+  override protected def withNewChildInternal(newChild: Expression): ScriptRatios =
+    copy(child = newChild)
+}
+
 /** `lang_guess(text) -> string` — function-word language-ID heuristic
   * (see [[LangIdHelper]]). Codegen'd single pass.
   */

@@ -3005,6 +3005,34 @@ object Inventory {
       .orderBy(col("node"))
   }
 
+  /** Unicode-script routing ([[GraftFunctions.script_ratios]] — the
+    * alphabet-level first-stage router of a multilingual corpus): per
+    * document a mixed-script text with spec-determined letter counts
+    * per script (Latin `2 + doc_id%3`, Cyrillic `1 + doc_id%2`, Han
+    * `doc_id%2`, one Greek letter, digits/punctuation that must NOT
+    * count), decoded by the real code-point scanner. Fractions are
+    * divisions of identical integers on both engines — exact.
+    */
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val lat = when(id % 3 === 0, "aa").when(id % 3 === 1, "aaa")
+      .otherwise("aaaa")
+    val cyr = when(id % 2 === 0, "б").otherwise("бб")
+    val cjk = when(id % 2 === 0, "").otherwise("中")
+    val text = concat(lat, lit(" "), cyr, cjk, lit("ω 123!"))
+    t(s, d, "documents")
+      .select(id, GraftFunctions.script_ratios(text).as("r"))
+      .select(id,
+        round(col("r.latin"), 6).as("latin"),
+        round(col("r.cyrillic"), 6).as("cyrillic"),
+        round(col("r.cjk"), 6).as("cjk"),
+        round(col("r.greek"), 6).as("greek"),
+        col("r.arabic").as("arabic"),
+        col("r.other").as("other"),
+        col("r.n_letters").as("n_letters"))
+      .orderBy(id)
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3124,7 +3152,8 @@ object Inventory {
     "q114_robots_sitemaps" -> (q114 _),
     "q115_html_meta" -> (q115 _),
     "q116_anchor_text" -> (q116 _),
-    "q117_nofollow_rank" -> (q117 _))
+    "q117_nofollow_rank" -> (q117 _),
+    "q118_script_mix" -> (q118 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -3806,6 +3835,26 @@ object Inventory {
            |${pageRankRecurrenceSql(LinkGraphIters, LinkGraphDamping)}
            |SELECT node, round(pr, 6) AS pr FROM r$LinkGraphIters
            |ORDER BY node""".stripMargin,
+      // q118: counts restated from the synthesis spec; fractions are
+      // divisions of the same integers, exact on both engines (the
+      // digits/punct/whitespace must not reach the letter count)
+      "q118_script_mix" ->
+        """WITH c AS (
+          |  SELECT doc_id,
+          |    CAST(2 + doc_id % 3 AS DOUBLE) AS lat,
+          |    CAST(1 + doc_id % 2 AS DOUBLE) AS cyr,
+          |    CAST(doc_id % 2 AS DOUBLE) AS han,
+          |    CAST(4 + doc_id % 3 + 2 * (doc_id % 2) AS DOUBLE) AS tot
+          |  FROM documents)
+          |SELECT doc_id,
+          |  round(lat / tot, 6) AS latin,
+          |  round(cyr / tot, 6) AS cyrillic,
+          |  round(han / tot, 6) AS cjk,
+          |  round(CAST(1 AS DOUBLE) / tot, 6) AS greek,
+          |  CAST(0 AS DOUBLE) AS arabic,
+          |  CAST(0 AS DOUBLE) AS other,
+          |  CAST(tot AS BIGINT) AS n_letters
+          |FROM c ORDER BY doc_id""".stripMargin,
       // ar source: spec-member sizes/digests (gzip member decompressed,
       // nested tar expanded), computed independently — q16's rule
       "q87_ar_source" ->

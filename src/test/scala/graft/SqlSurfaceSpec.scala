@@ -52,6 +52,7 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         |       robots_sitemaps('Sitemap: http://e.com/s.xml\nUser-agent: *\nDisallow: /')[0] AS rs,
         |       html_meta('<title>T</title><meta name=robots content=noindex>').noindex AS hm,
         |       extract_anchors('<a href=/x rel=nofollow>t</a>')[0].nofollow AS an,
+        |       script_ratios('abc где 12').n_letters AS sr,
         |       extract_links('<a href="/a">x</a><a href=/b>y</a>') AS lk,
         |       size(cdc_chunks(cast(txt AS binary), 2, 16, 64)) AS nc
         |FROM t""".stripMargin).head()
@@ -77,6 +78,7 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[String]("rs") == "http://e.com/s.xml")
     assert(r.getAs[Boolean]("hm"))
     assert(r.getAs[Boolean]("an"))
+    assert(r.getAs[Long]("sr") == 6L)
     assert(r.getSeq[String](r.fieldIndex("lk")) == Seq("/a", "/b"))
     val hp = r.getAs[org.apache.spark.sql.Row]("hp")
     assert(hp.getAs[Int]("status") == 200)
