@@ -119,6 +119,13 @@ object GraftFunctions {
   def extract_anchors(html: Column): Column =
     column(ExtractAnchors(expression(html)))
 
+  /** Crawl-delay seconds for an agent — see
+    * [[RobotsHelper.crawlDelay]]; null when no selected group carries
+    * one. The politeness input to a per-host fetch scheduler.
+    */
+  def robots_crawl_delay(robots: Column, agent: Column): Column =
+    column(RobotsCrawlDelay(expression(robots), expression(agent)))
+
   /** `Sitemap:` directives of a robots.txt in file order — see
     * [[RobotsHelper.sitemaps]]; null robots (no file) → empty array.
     * Closes the discovery loop: robots → sitemaps → frontier.
@@ -263,6 +270,7 @@ object GraftFunctions {
     "extract_sitemap_urls" -> (e => ExtractSitemapUrls(e.head)),
     "surt_key" -> (e => SurtKey(e.head)),
     "robots_sitemaps" -> (e => RobotsSitemaps.withNullSafeDefault(e.head)),
+    "robots_crawl_delay" -> (e => RobotsCrawlDelay(e.head, e(1))),
     "html_meta" -> (e => HtmlMeta(e.head)),
     "extract_anchors" -> (e => ExtractAnchors(e.head)),
     "script_ratios" -> (e => ScriptRatios(e.head)),

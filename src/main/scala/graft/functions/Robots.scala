@@ -39,7 +39,8 @@ object RobotsHelper {
   private final case class Rule(allow: Boolean, pattern: String,
       segments: Array[String], anchored: Boolean)
 
-  private final case class Group(agents: Array[String], rules: Array[Rule])
+  private final case class Group(agents: Array[String], rules: Array[Rule],
+      crawlDelay: Double) // NaN = no Crawl-delay line in the group
 
   /** Parsed form: the groups in file order. */
   private final class Robots(val groups: Array[Group])
@@ -63,11 +64,13 @@ object RobotsHelper {
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var agents = scala.collection.mutable.ArrayBuffer.empty[String]
     var rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+    var delay = Double.NaN
     var inAgents = true // consecutive user-agent lines accumulate
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += Group(agents.toArray, rules.toArray)
+      if (agents.nonEmpty) groups += Group(agents.toArray, rules.toArray, delay)
       agents = scala.collection.mutable.ArrayBuffer.empty[String]
       rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+      delay = Double.NaN
     }
     txt.split("\r\n|\r|\n", -1).foreach { raw =>
       val hash = raw.indexOf('#')
@@ -88,7 +91,19 @@ object RobotsHelper {
             // the empty Disallow (and an empty Allow adds nothing)
             if (value.nonEmpty && agents.nonEmpty)
               rules += mkRule(key == "allow", value)
-          case _ => if (agents.nonEmpty) inAgents = false // crawl-delay etc.
+          case "crawl-delay" =>
+            // de-facto politeness directive (not in RFC 9309 but
+            // ubiquitous); group-scoped like rules. Malformed or
+            // negative values are ignored; repeated lines keep the
+            // LARGEST (the conservative reading).
+            inAgents = false
+            if (agents.nonEmpty) {
+              try {
+                val v = value.toDouble
+                if (v >= 0 && (delay.isNaN || v > delay)) delay = v
+              } catch { case _: NumberFormatException => () }
+            }
+          case _ => if (agents.nonEmpty) inAgents = false // sitemap etc.
         }
       }
     }
@@ -178,6 +193,34 @@ object RobotsHelper {
     if (bestLen < 0) true else bestAllow
   }
 
+  /** The `Crawl-delay` (seconds) `agent` should honor under this
+    * robots.txt, or NaN when no selected group carries one — the
+    * de-facto politeness input to a fetch scheduler. Group selection
+    * is [[allowed]]'s: exact product-token groups beat `*`; among the
+    * combined selected groups the LARGEST delay wins (the conservative
+    * reading, matching the per-group repeated-line rule). Null/empty
+    * robots or agent → NaN. Never throws.
+    */
+  def crawlDelay(robots: UTF8String, agent: UTF8String): Double = {
+    if (robots == null || agent == null || robots.numBytes() == 0)
+      return Double.NaN
+    val r = parsed(robots.toString)
+    val tok = token(agent.toString)
+    var exact = List.empty[Group]
+    var star = List.empty[Group]
+    r.groups.foreach { g =>
+      if (g.agents.contains(tok)) exact ::= g
+      else if (g.agents.contains("*")) star ::= g
+    }
+    val selected = if (exact.nonEmpty) exact else star
+    var best = Double.NaN
+    selected.foreach { g =>
+      if (!g.crawlDelay.isNaN && (best.isNaN || g.crawlDelay > best))
+        best = g.crawlDelay
+    }
+    best
+  }
+
   /** All `Sitemap:` directive values in file order — the sitemaps.org
     * cross-submission extension RFC 9309 §2.2.4 tolerates as "other
     * records". Group-INDEPENDENT per the sitemaps.org spec: a Sitemap
@@ -204,6 +247,33 @@ object RobotsHelper {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
+}
+
+/** `robots_crawl_delay(robots_txt, agent) -> double` — the
+  * Crawl-delay seconds `agent` should honor (see
+  * [[RobotsHelper.crawlDelay]]); null when no selected group carries
+  * one, or for null inputs. The politeness input to a per-host fetch
+  * scheduler. Never throws.
+  */
+case class RobotsCrawlDelay(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "robots_crawl_delay"
+  override protected def nullSafeEval(robots: Any, agent: Any): Any = {
+    val d = RobotsHelper.crawlDelay(robots.asInstanceOf[UTF8String],
+      agent.asInstanceOf[UTF8String])
+    if (d.isNaN) null else java.lang.Double.valueOf(d)
+  }
+  // NaN (no delay) surfaces as SQL null — propagate into isNull
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, a) => s"""
+      ${ev.value} = graft.functions.RobotsHelper.crawlDelay($r, $a);
+      if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RobotsCrawlDelay =
+    copy(left = l, right = r)
 }
 
 /** `robots_sitemaps(robots_txt) -> array<string>` — the `Sitemap:`

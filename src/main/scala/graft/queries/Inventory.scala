@@ -3033,6 +3033,31 @@ object Inventory {
       .orderBy(id)
   }
 
+  /** Crawl-delay politeness ([[GraftFunctions.robots_crawl_delay]] —
+    * the per-host fetch-rate input next to q109's admission verdicts):
+    * two graftbot groups whose delays must COMBINE (largest wins:
+    * `GREATEST(doc_id%5+1, doc_id%3)`), a `*` group present only on
+    * even ids (the otherbot probe gets 10.0 there, null elsewhere —
+    * the no-delay → null face). All closed-form in doc_id.
+    */
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val ds = (c: Column) => c.cast("string")
+    val robots = concat(
+      lit("User-agent: graftbot\nCrawl-delay: "), ds(id % 5 + 1),
+      lit("\nDisallow: /x\n\nUser-agent: graftbot\nCrawl-delay: "),
+      ds(id % 3), lit("\n"),
+      when(id % 2 === 0, lit("\nUser-agent: *\nCrawl-delay: 10\n"))
+        .otherwise(lit("")))
+    t(s, d, "documents")
+      .select(id,
+        GraftFunctions.robots_crawl_delay(robots, lit("graftbot/1.0"))
+          .as("d_graft"),
+        GraftFunctions.robots_crawl_delay(robots, lit("otherbot"))
+          .as("d_star"))
+      .orderBy(id)
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3153,7 +3178,8 @@ object Inventory {
     "q115_html_meta" -> (q115 _),
     "q116_anchor_text" -> (q116 _),
     "q117_nofollow_rank" -> (q117 _),
-    "q118_script_mix" -> (q118 _))
+    "q118_script_mix" -> (q118 _),
+    "q119_crawl_delay" -> (q119 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -3855,6 +3881,14 @@ object Inventory {
           |  CAST(0 AS DOUBLE) AS other,
           |  CAST(tot AS BIGINT) AS n_letters
           |FROM c ORDER BY doc_id""".stripMargin,
+      // q119: the two graftbot groups combine with the largest delay
+      // winning; the otherbot probe sees the * group only on even ids
+      // (null = no delay anywhere); integer-valued doubles are exact
+      "q119_crawl_delay" ->
+        """SELECT doc_id,
+          |  CAST(GREATEST(doc_id % 5 + 1, doc_id % 3) AS DOUBLE) AS d_graft,
+          |  CASE WHEN doc_id % 2 = 0 THEN CAST(10 AS DOUBLE) END AS d_star
+          |FROM documents ORDER BY doc_id""".stripMargin,
       // ar source: spec-member sizes/digests (gzip member decompressed,
       // nested tar expanded), computed independently — q16's rule
       "q87_ar_source" ->

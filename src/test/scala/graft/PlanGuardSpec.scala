@@ -274,7 +274,7 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("q114/q115/q116/q118: robots-sitemap, html-meta, anchors, scripts narrow") {
     Seq("q114_robots_sitemaps", "q115_html_meta", "q116_anchor_text",
-      "q118_script_mix").foreach { q =>
+      "q118_script_mix", "q119_crawl_delay").foreach { q =>
       val p = plan(q)
       assert(exchanges(p) <= 1, s"$q grew a shuffle:\n$p")
       assert(!p.contains("Exchange hashpartitioning"), s"$q hash-shuffled:\n$p")

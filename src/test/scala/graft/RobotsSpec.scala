@@ -142,4 +142,34 @@ class RobotsSpec extends AnyFunSuite {
     assert(sitemaps(null).isEmpty)
     assert(sitemaps("").isEmpty)
   }
+
+  private def delay(robots: String, agent: String): Double =
+    RobotsHelper.crawlDelay(
+      if (robots == null) null else UTF8String.fromString(robots),
+      UTF8String.fromString(agent))
+
+  test("crawl-delay: group-scoped, exact beats *, max wins when combined") {
+    val r =
+      """User-agent: a
+        |Crawl-delay: 2.5
+        |Disallow: /x
+        |
+        |User-agent: a
+        |Crawl-delay: 1
+        |
+        |User-agent: *
+        |Crawl-delay: 10
+        |""".stripMargin
+    assert(delay(r, "a/1.0") == 2.5)  // combined a-groups: max(2.5, 1)
+    assert(delay(r, "other") == 10.0) // falls to the * group
+    // repeated lines in ONE group keep the largest; malformed/negative
+    // values are ignored; no delay anywhere -> NaN
+    assert(delay("User-agent: a\nCrawl-delay: 1\nCrawl-delay: 3\n", "a") == 3.0)
+    assert(delay("User-agent: a\nCrawl-delay: fast\nCrawl-delay: -2\n", "a").isNaN)
+    assert(delay("User-agent: a\nDisallow: /\n", "a").isNaN)
+    assert(delay(null, "a").isNaN)
+    // a group matched exactly but delay-less does NOT fall to *
+    val r2 = "User-agent: a\nDisallow: /x\n\nUser-agent: *\nCrawl-delay: 7\n"
+    assert(delay(r2, "a").isNaN)
+  }
 }

@@ -53,6 +53,7 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         |       html_meta('<title>T</title><meta name=robots content=noindex>').noindex AS hm,
         |       extract_anchors('<a href=/x rel=nofollow>t</a>')[0].nofollow AS an,
         |       script_ratios('abc где 12').n_letters AS sr,
+        |       robots_crawl_delay('User-agent: *\nCrawl-delay: 3', 'bot') AS cd3,
         |       extract_links('<a href="/a">x</a><a href=/b>y</a>') AS lk,
         |       size(cdc_chunks(cast(txt AS binary), 2, 16, 64)) AS nc
         |FROM t""".stripMargin).head()
@@ -79,6 +80,7 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Boolean]("hm"))
     assert(r.getAs[Boolean]("an"))
     assert(r.getAs[Long]("sr") == 6L)
+    assert(r.getAs[Double]("cd3") == 3.0)
     assert(r.getSeq[String](r.fieldIndex("lk")) == Seq("/a", "/b"))
     val hp = r.getAs[org.apache.spark.sql.Row]("hp")
     assert(hp.getAs[Int]("status") == 200)
