@@ -133,4 +133,41 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSeq
     assert(got.collect().map(_.getLong(0)).toSeq == exact)
   }
+
+  test("CDX layout: shard-partitioned, surt-sorted index prunes a domain scan") {
+    // the q113 claim made concrete — the 100 TB CDX at-rest layout is
+    // partitionBy(key shard) + sortWithinPartitions(cdx_key) (the
+    // writeIvfPartitioned pattern): a domain scan prunes to ONE
+    // partition directory at plan time, and the finer prefix filter
+    // pushes to the parquet reader for row-group skipping inside it
+    import org.apache.spark.sql.functions._
+    val urls = spark.range(20000).select(
+      concat(lit("http://site"), (col("id") % 40).cast("string"),
+        lit(".com/p"), col("id").cast("string")).as("url"))
+      .select(graft.functions.GraftFunctions.surt_key(col("url")).as("cdx_key"))
+      // shard = the reversed-host run of the key (everything before
+      // ')') — all of a domain's records land in one directory
+      .withColumn("shard", substring_index(col("cdx_key"), ")", 1))
+    val out = java.nio.file.Files.createTempDirectory("graft_cdx").toString
+    urls.repartition(col("shard"))
+      .sortWithinPartitions(col("cdx_key"))
+      .write.partitionBy("shard").mode("overwrite").parquet(out)
+    val scanned = spark.read.parquet(out)
+      .where(col("shard") === "com,site17" &&
+        col("cdx_key").startsWith("com,site17)/p1"))
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("StringStartsWith"),
+      s"prefix filter not pushed:\n$plan")
+    // execute THROUGH this queryExecution so its scan metrics populate
+    // ids ≡ 17 (mod 40) with path p1...: 17, 137, 177, ... — count them
+    val expect = (0 until 20000).count(i =>
+      i % 40 == 17 && s"p$i".startsWith("p1"))
+    assert(scanned.collect().length == expect)
+    val scan = scanned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScan"))
+    // plan-time partition pruning: 1 of 40 shard directories read
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned shard, got ${scan.selectedPartitions.partitionCount}")
+  }
 }
