@@ -3058,6 +3058,26 @@ object Inventory {
       .orderBy(id)
   }
 
+  /** WARC → CDX end to end — the whole stack composed: q81's WARC
+    * source walks [[buildHttpWarcFixture]], q101's `http_payload`
+    * splits and decodes every record body, q113's `surt_key` turns the
+    * WARC-Target-URI into the index key. Each record becomes one CDX
+    * line (key, status, payload size, payload digest); the oracle
+    * restates q101's independently-computed spec digests under
+    * hand-derived SURT keys, so the walk, the HTTP decode AND the key
+    * canonicalization must all land for the hash to match.
+    */
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    val path = buildHttpWarcFixture()
+    ArchiveConverter.entries(s, Seq(path), ConvertOptions()).toDF()
+      .select(col("path"), GraftFunctions.http_payload(col("content")).as("h"))
+      .select(GraftFunctions.surt_key(col("path")).as("cdx_key"),
+        col("h.status").cast("bigint").as("status"),
+        length(col("h.payload")).cast("bigint").as("n_bytes"),
+        sha2(col("h.payload"), 256).as("payload_sha256"))
+      .orderBy(col("cdx_key"))
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3179,7 +3199,8 @@ object Inventory {
     "q116_anchor_text" -> (q116 _),
     "q117_nofollow_rank" -> (q117 _),
     "q118_script_mix" -> (q118 _),
-    "q119_crawl_delay" -> (q119 _))
+    "q119_crawl_delay" -> (q119 _),
+    "q120_warc_cdx" -> (q120 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -3889,6 +3910,34 @@ object Inventory {
           |  CAST(GREATEST(doc_id % 5 + 1, doc_id % 3) AS DOUBLE) AS d_graft,
           |  CASE WHEN doc_id % 2 = 0 THEN CAST(10 AS DOUBLE) END AS d_star
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // q120: q101's spec digests under hand-derived SURT keys
+      // (http://t/X -> t)/X: single-label host, scheme dropped, path
+      // already lowercase) — walk + HTTP decode + canonicalization
+      // all load-bearing in one VALUES literal
+      "q120_warc_cdx" ->
+        """SELECT * FROM (VALUES
+          |  ('t)/badstatus', CAST(NULL AS BIGINT), CAST(9 AS BIGINT),
+          |   'c4a804aab7d55989f3eaaf1e09f1e524a24ec47c352a5caa3ba63c46e1d17aed'),
+          |  ('t)/brotli', CAST(200 AS BIGINT), CAST(19 AS BIGINT),
+          |   '328eae1ba9403bf4226450ba9bf2ec39ac03934879e10f0549e30dca00d970d0'),
+          |  ('t)/chunked', CAST(200 AS BIGINT), CAST(33 AS BIGINT),
+          |   'ffae2152cdbac81cfb16a497598f561a84edb3acd4b22531ca75fc46de368f7e'),
+          |  ('t)/deflate', CAST(200 AS BIGINT), CAST(42 AS BIGINT),
+          |   '586d7a508d5d281e7afbdad827c294c96f9803715a413a08e2018070b215b9a2'),
+          |  ('t)/gzip', CAST(200 AS BIGINT), CAST(87 AS BIGINT),
+          |   'f33351fcef8898a404a4eaa0598fcb8e6df3750e607ba4c3e3df4ff5213d135d'),
+          |  ('t)/gzip-chunked', CAST(200 AS BIGINT), CAST(76 AS BIGINT),
+          |   'cfb522aae2e305d686722d495d6464a9d5d4b7383bbe40e57a196d96b30e73d6'),
+          |  ('t)/plain', CAST(200 AS BIGINT), CAST(19 AS BIGINT),
+          |   'e1e54bf71542cb04326c1be75988ebcadcd3a8c6cbba44209d68b3ef03399673'),
+          |  ('t)/req', CAST(NULL AS BIGINT), CAST(28 AS BIGINT),
+          |   '7dee6ae752438d978cdb1bbc796fff60f5be3ce1faa90553949639eb86e0c18f'),
+          |  ('t)/trunc', CAST(204 AS BIGINT), CAST(0 AS BIGINT),
+          |   'e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855'),
+          |  ('t)/zstd', CAST(200 AS BIGINT), CAST(90 AS BIGINT),
+          |   'c781b6607968bca0e7baa6d86081fb2da7e66c823e5a49199265c12588e529d2'))
+          |  AS t(cdx_key, status, n_bytes, payload_sha256)
+          |ORDER BY cdx_key""".stripMargin,
       // ar source: spec-member sizes/digests (gzip member decompressed,
       // nested tar expanded), computed independently — q16's rule
       "q87_ar_source" ->

@@ -288,6 +288,11 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange hashpartitioning"), s"q117 hash-shuffled:\n$p")
   }
 
+  test("q120: WARC->CDX chain adds no exchange to the walk (sort only)") {
+    val p = plan("q120_warc_cdx")
+    assert(!p.contains("Exchange hashpartitioning"), s"q120 hash-shuffled:\n$p")
+  }
+
   test("q100: part-wise CDC is one entry-keyed exchange + sorted groups") {
     val p = plan("q100_cdc_parts")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
