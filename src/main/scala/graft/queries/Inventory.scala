@@ -3078,6 +3078,37 @@ object Inventory {
       .orderBy(col("cdx_key"))
   }
 
+  /** Politeness fetch schedule — q112's admitted frontier meets
+    * q119's crawl delay: per host, URLs rank in key order and URL r
+    * fetches at `r × delay` seconds (the earliest schedule honoring
+    * the host's Crawl-delay). Unlike the q112 top-k election, a fetch
+    * schedule genuinely ranks EVERY URL of a host, so the per-host
+    * window is the honest shape here — one hash exchange, each host's
+    * partition sorted independently (the per-host work a real fetcher
+    * shards the same way). Delay is host-determined (`doc_id%10 + 1`)
+    * so the real parser and the oracle agree row by row.
+    */
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val ds = (c: Column) => c.cast("string")
+    val host = concat(lit("s"), ds(id % 10), lit(".com"))
+    val robots = concat(lit("User-agent: graftbot\nCrawl-delay: "),
+      ds(id % 10 + 1), lit("\n"))
+    val urls = t(s, d, "documents")
+      .select(host.as("host"),
+        GraftFunctions.robots_crawl_delay(robots, lit("graftbot"))
+          .as("delay"),
+        explode(array(
+          concat(lit("http://"), host, lit("/u"), ds(id), lit("/0")),
+          concat(lit("http://"), host, lit("/u"), ds(id), lit("/1"))))
+          .as("loc"))
+    val w = Window.partitionBy(col("host")).orderBy(col("loc"))
+    urls.withColumn("r", row_number().over(w) - 1)
+      .select(col("host"), col("loc"),
+        (col("r") * col("delay")).cast("double").as("fetch_at"))
+      .orderBy(col("host"), col("loc"))
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3200,7 +3231,8 @@ object Inventory {
     "q117_nofollow_rank" -> (q117 _),
     "q118_script_mix" -> (q118 _),
     "q119_crawl_delay" -> (q119 _),
-    "q120_warc_cdx" -> (q120 _))
+    "q120_warc_cdx" -> (q120 _),
+    "q121_fetch_schedule" -> (q121 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -3938,6 +3970,21 @@ object Inventory {
           |   'c781b6607968bca0e7baa6d86081fb2da7e66c823e5a49199265c12588e529d2'))
           |  AS t(cdx_key, status, n_bytes, payload_sha256)
           |ORDER BY cdx_key""".stripMargin,
+      // q121: delay is host-determined so r × delay is closed-form;
+      // integer-valued doubles are exact on both engines
+      "q121_fetch_schedule" ->
+        """WITH u AS (
+          |  SELECT 's' || (doc_id % 10) || '.com' AS host,
+          |         CAST(doc_id % 10 + 1 AS DOUBLE) AS delay,
+          |         'http://s' || (doc_id % 10) || '.com/u' || doc_id ||
+          |         '/' || t.i AS loc
+          |  FROM documents, range(2) t(i)),
+          |r AS (
+          |  SELECT host, loc, delay,
+          |         row_number() OVER (PARTITION BY host ORDER BY loc) - 1 AS r
+          |  FROM u)
+          |SELECT host, loc, CAST(r * delay AS DOUBLE) AS fetch_at
+          |FROM r ORDER BY host, loc""".stripMargin,
       // ar source: spec-member sizes/digests (gzip member decompressed,
       // nested tar expanded), computed independently — q16's rule
       "q87_ar_source" ->

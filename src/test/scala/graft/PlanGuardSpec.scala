@@ -293,6 +293,14 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange hashpartitioning"), s"q120 hash-shuffled:\n$p")
   }
 
+  test("q121: fetch schedule is ONE host exchange (the honest window)") {
+    // a schedule ranks EVERY URL of a host — unlike q112's top-k this
+    // window is the right shape; guard it at one hash exchange
+    val p = plan("q121_fetch_schedule")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"q121 grew a second hash exchange:\n$p")
+  }
+
   test("q100: part-wise CDC is one entry-keyed exchange + sorted groups") {
     val p = plan("q100_cdc_parts")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,

@@ -105,6 +105,10 @@ class RobotsSpec extends AnyFunSuite {
       val sb = new StringBuilder
       (0 until rnd.nextInt(30)).foreach(_ => sb.append(toks(rnd.nextInt(toks.length))))
       ok(sb.toString, "graftbot/1.0", "/a/*b$")
+      // the whole robots surface must survive the same soup
+      RobotsHelper.crawlDelay(UTF8String.fromString(sb.toString),
+        UTF8String.fromString("graftbot"))
+      RobotsHelper.sitemaps(UTF8String.fromString(sb.toString))
     }
   }
 
