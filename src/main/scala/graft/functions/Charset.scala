@@ -111,11 +111,14 @@ object CharsetHelper {
     // BOM wins over any header claim (WHATWG sniff step 1)
     val utf8Bom =
       b.length >= 3 && (b(0) & 0xff) == 0xEF && (b(1) & 0xff) == 0xBB && (b(2) & 0xff) == 0xBF
+    val utf16Bom =
+      b.length >= 2 && (((b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xFE) ||
+        ((b(0) & 0xff) == 0xFE && (b(1) & 0xff) == 0xFF))
     val cs =
       if (utf8Bom) Utf8
-      else if (b.length >= 2 && (b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xFE)
+      else if (utf16Bom && (b(0) & 0xff) == 0xFF)
         java.nio.charset.StandardCharsets.UTF_16LE
-      else if (b.length >= 2 && (b(0) & 0xff) == 0xFE && (b(1) & 0xff) == 0xFF)
+      else if (utf16Bom)
         java.nio.charset.StandardCharsets.UTF_16BE
       else {
         val hinted = if (hint == null) null else fromHint(hint.toString)
@@ -125,10 +128,10 @@ object CharsetHelper {
           if (meta == null) Utf8 else meta
         }
       }
-    val bomSkip = if (utf8Bom) 3 else if (cs ne Utf8) {
-      if (cs == java.nio.charset.StandardCharsets.UTF_16LE ||
-          cs == java.nio.charset.StandardCharsets.UTF_16BE) 2 else 0
-    } else 0
+    // Skip only a BOM that is actually PRESENT in the bytes: a
+    // hint-derived UTF-16 charset with no BOM decodes from offset 0
+    // (skipping there would silently drop the first character).
+    val bomSkip = if (utf8Bom) 3 else if (utf16Bom) 2 else 0
     // UTF-8 fast path: VALID bytes need no transcode (the dominant
     // crawl case); invalid ones fall through to the replacing decoder
     // so malformed input really does become U+FFFD

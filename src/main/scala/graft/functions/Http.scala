@@ -110,7 +110,9 @@ object HttpHelper {
       }
     }
 
-    // the three framing-relevant headers (first occurrence wins);
+    // the three framing-relevant headers; repeated field lines are
+    // one combined comma-separated list (RFC 9110 §5.2), so a second
+    // `Content-Encoding:` line appends rather than being dropped;
     // obsolete line folding: continuation lines extend the previous
     // field value (RFC 9112 §5.2)
     var contentType: String = null
@@ -138,8 +140,10 @@ object HttpHelper {
           lastName = name
           name match {
             case "content-type" => if (contentType == null) contentType = value
-            case "transfer-encoding" => if (transferEncoding == null) transferEncoding = value
-            case "content-encoding" => if (contentEncoding == null) contentEncoding = value
+            case "transfer-encoding" =>
+              transferEncoding = if (transferEncoding == null) value else transferEncoding + ", " + value
+            case "content-encoding" =>
+              contentEncoding = if (contentEncoding == null) value else contentEncoding + ", " + value
             case _ => ()
           }
         } else lastName = null

@@ -323,8 +323,9 @@ object UrlHelper {
 
   /** RFC 3986 §5 reference resolution for link extraction: resolve an
     * `<a href>` value against the page URL it appeared on. Covers every
-    * reference class real pages use — absolute (`https://h/p`, returned
-    * verbatim), network-path (`//h/p`, takes the base scheme),
+    * reference class real pages use — absolute (`https://h/p`, kept
+    * with its path dot-normalized per §5.2.2),
+    * network-path (`//h/p`, takes the base scheme),
     * absolute-path (`/p`), relative-path (`../p`, merged per §5.2.3),
     * query-only (`?q`) and fragment-only (`#f`, the base without its
     * fragment plus the new one). Dot segments ARE removed here (§5.2.4
@@ -342,10 +343,29 @@ object UrlHelper {
     if (base == null || ref == null) return null
     val r = ref.toString.trim
     val sp = schemePrefixLen(r)
-    if (sp >= 0)
-      // absolute reference: hierarchical → verbatim; mailto:/javascript:/
-      // data:/… → null (not a fetch target)
-      return if (r.regionMatches(sp, "://", 0, 3)) UTF8String.fromString(r) else null
+    if (sp >= 0) {
+      // absolute reference: hierarchical → keep, but §5.2.2 applies
+      // remove_dot_segments to absolute references too, so
+      // `http://h/a/../b` resolves to `http://h/b` and yields the same
+      // link-graph key as the equivalent relative form;
+      // mailto:/javascript:/data:/… → null (not a fetch target)
+      if (!r.regionMatches(sp, "://", 0, 3)) return null
+      val authStart = sp + 3
+      var pathStart = authStart
+      while (pathStart < r.length && {
+        val c = r.charAt(pathStart); c != '/' && c != '?' && c != '#'
+      }) pathStart += 1
+      if (pathStart >= r.length || r.charAt(pathStart) != '/')
+        return UTF8String.fromString(r) // no path to dot-normalize
+      var pathEnd = pathStart
+      while (pathEnd < r.length && {
+        val c = r.charAt(pathEnd); c != '?' && c != '#'
+      }) pathEnd += 1
+      return UTF8String.fromString(
+        r.substring(0, pathStart) +
+          removeDotSegments(r.substring(pathStart, pathEnd)) +
+          r.substring(pathEnd))
+    }
     val row = parts(base)
     if (row == null) return null
     val scheme = row.getUTF8String(0).toString

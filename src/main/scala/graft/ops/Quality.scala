@@ -121,7 +121,11 @@ object Quality {
     require(minLen > 0, "minLen must be positive")
     require(maxLinkDensity >= 0.0 && maxLinkDensity <= 1.0,
       "maxLinkDensity must be in [0,1]")
-    val marked = regexp_replace(stripNonText(html), s"(?i)<(?:$BlockTags)\\b", "\u0001$0")
+    // strip any pre-existing U+0001 first: raw 0x01 bytes in crawl
+    // HTML must not split blocks spuriously (the marker is ours alone)
+    val marked = regexp_replace(
+      regexp_replace(stripNonText(html), "\u0001", ""),
+      s"(?i)<(?:$BlockTags)\\b", "\u0001$0")
     // <a> then whitespace+attributes or an immediate '>' — the
     // optional group keeps <abbr>/<article> from matching
     val anchorPat = s"(?is)<a(?:[ \\t\\n\\r]$TagBody)?>(.*?)</a>"

@@ -74,15 +74,6 @@ final case class TopKStrByScore(k: Int)
   override def outputEncoder: Encoder[List[(Double, String)]] = ExpressionEncoder()
 }
 
-/** [[TopKByScore]]'s exact-integer sibling: keep the k smallest
-  * (ord, id) pairs per group, ordered lexicographically. Used where
-  * the rank key is a 62-bit hash ([[Sampling.domainCap]]) — a Double
-  * score would lose the low 9 bits of a 62-bit key to the 53-bit
-  * mantissa and make tie behavior diverge from an integer-ordered
-  * SQL oracle. Same bounded-buffer scale shape as [[TopKByScore]]:
-  * the map-side partial caps every partition's contribution at k
-  * pairs per group.
-  */
 /** Misra–Gries frequent-items sketch as a typed [[Aggregator]] (Misra
   * & Gries 1982; merge rule from Agarwal et al., "Mergeable
   * Summaries", PODS 2012 §3): at most `k` (item, counter) pairs, with
@@ -140,6 +131,15 @@ final case class FreqItems(k: Int)
   override def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
 }
 
+/** [[TopKByScore]]'s exact-integer sibling: keep the k smallest
+  * (ord, id) pairs per group, ordered lexicographically. Used where
+  * the rank key is a 62-bit hash ([[Sampling.domainCap]]) — a Double
+  * score would lose the low 9 bits of a 62-bit key to the 53-bit
+  * mantissa and make tie behavior diverge from an integer-ordered
+  * SQL oracle. Same bounded-buffer scale shape as [[TopKByScore]]:
+  * the map-side partial caps every partition's contribution at k
+  * pairs per group.
+  */
 final case class KeepSmallestK(k: Int)
     extends Aggregator[(String, Long, Long), List[(Long, Long)], List[(Long, Long)]] {
   require(k > 0, "k must be positive")

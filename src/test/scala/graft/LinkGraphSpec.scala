@@ -130,13 +130,23 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res("g#s/./x") == "http://a/b/c/g#s/./x")
   }
 
-  test("url_resolve: absolute refs verbatim; non-fetchable schemes null") {
+  test("url_resolve: absolute refs kept (dot-normalized); non-fetchable schemes null") {
     assert(res("HTTPS://Other.example/p?x") == "HTTPS://Other.example/p?x")
     assert(res("mailto:x@y.example") == null)
     assert(res("javascript:void(0)") == null)
     assert(res("data:text/plain,hi") == null)
     // RFC's strict-parser 'http:g' case: not a fetchable shape → null
     assert(res("http:g") == null)
+    // §5.2.2 applies remove_dot_segments to absolute references too
+    // (r12 ADVICE): the absolute and relative spellings of the same
+    // target elect the same link-graph key
+    assert(res("http://h/a/../b") == "http://h/b")
+    assert(res("http://h/a/./b/../c?d/../e#f") == "http://h/a/c?d/../e#f")
+    assert(res("http://h/a/..") == "http://h/")
+    // no path at all / query-only absolute refs: nothing to normalize
+    assert(res("http://h") == "http://h")
+    assert(res("http://h?q") == "http://h?q")
+    assert(res("http://h#f") == "http://h#f")
   }
 
   test("url_resolve: port kept, empty base path, whitespace trim, null base") {

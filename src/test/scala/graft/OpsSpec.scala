@@ -400,6 +400,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(0.1).getAs[Long]("n_content") == 0L)
   }
 
+  test("mainContent: raw U+0001 bytes in the input do not split blocks (r12 ADVICE)") {
+    import spark.implicits._
+    val body = Seq.fill(10)("stray control bytes").mkString(" ")
+    // a raw 0x01 in the middle of the paragraph must not create a
+    // second block (the marker is ours alone, pre-stripped)
+    val html = s"<p>${body.take(40)}${body.drop(40)}</p>"
+    val clean = s"<p>$body</p>"
+    def run(h: String) = Seq(Tuple1(h)).toDF("html")
+      .select(Quality.mainContent(col("html"), 50, 0.2).as("mc"))
+      .select("mc.*").head()
+    val (got, want) = (run(html), run(clean))
+    assert(got.getAs[Long]("n_blocks") == want.getAs[Long]("n_blocks"))
+    assert(got.getAs[Long]("n_content") == want.getAs[Long]("n_content"))
+    assert(got.getAs[String]("content_text") == want.getAs[String]("content_text"))
+  }
+
   test("FreqItems: exact on small-cardinality input through Spark partial aggregation") {
     import spark.implicits._
     // cardinality 3 <= k=8: no decrement and no merge truncation can
