@@ -3109,6 +3109,144 @@ object Inventory {
       .orderBy(col("host"), col("loc"))
   }
 
+  /** q122 classification knobs + the spec texts its oracle derives
+    * from. Each case is the paragraph text of one synthesized page;
+    * the page chrome (title, two nav `<li>`s, a short link-heavy
+    * footer) is identical across cases, so after block split +
+    * cleanup the page yields exactly 5 non-empty blocks of which only
+    * the paragraph can classify as content (it has no links; every
+    * chrome block fails the 60-char gate). The texts are single-
+    * spaced, entity-free and `&<>`-free, so the cleaned content text
+    * IS the spec string verbatim — the oracle md5s are computed over
+    * `NFC(text)` by an independent implementation (Python codecs +
+    * unicodedata), never by the engine (q16's rule). c08 is written
+    * DECOMPOSED (`e` + U+0301) so the NFC step is load-bearing.
+    */
+  private[queries] val WetMinLen = 60
+  private[queries] val WetMaxLinkDensity = 0.2
+  private[queries] val WetCases: Seq[(String, String)] = Seq(
+    ("c01_latin1", "caf\u00e9 m\u00fcnchen stra\u00dfe crawler extracted body text one alpha beta gamma delta"),
+    ("c02_win1252", "\u201cquoted\u201d crawl text \u2014 two \u2022 with windows glyphs appended filler words here"),
+    ("c03_utf16le", "utf sixteen little endian payload body text three with enough filler words to pass the gate"),
+    ("c04_bom_utf8", "bom utf eight text four caf\u00e9 cr\u00e8me br\u00fbl\u00e9e with enough filler words to pass the length gate"),
+    ("c05_meta_sjis", "\u65e5\u672c\u8a9e\u306e\u30c6\u30ad\u30b9\u30c8 crawl body text five with enough ascii filler words to pass the gate"),
+    ("c06_gzip_latin1", "gzip compressed caf\u00e9 body text six with enough filler words to pass the length gate"),
+    ("c07_chunked_utf8", "chunked utf eight body text seven with \u00e9 and enough filler words to pass the gate"),
+    ("c08_nfc", "cafe\u0301 nfc decomposed text eight with enough filler words to pass the length gate"),
+    ("c09_short", "too short"))
+
+  /** Deterministic WARC fixture for the WET pipeline (q122): one
+    * response record per [[WetCases]] entry, the paragraph wrapped in
+    * identical chrome and the whole page encoded per the case —
+    * ISO-8859-1 / windows-1252 / BOM-less UTF-16LE under a header
+    * charset, a UTF-8 BOM beating a lying latin-1 header, Shift_JIS
+    * declared only by an in-markup `<meta charset>` (the WHATWG
+    * prescan path), gzip content-coding and chunked transfer framing
+    * over charset-bearing bodies, and a decomposed-Unicode body for
+    * the NFC step.
+    */
+  private[queries] def buildWetWarcFixture(): String = {
+    import java.io._
+    val crlf = "\r\n"
+    def html(text: String, meta: String): String =
+      "<html><head><title>W</title>" + meta +
+        "</head><body><nav><ul><li><a href=\"/a\">nav one</a></li>" +
+        "<li><a href=\"/b\">nav two</a></li></ul></nav><p>" + text +
+        "</p><footer>copyright <a href=\"/l\">owner</a> reserved</footer></body></html>"
+    def resp(hdrs: String, body: Array[Byte]): Array[Byte] =
+      (hdrs + crlf + crlf).getBytes("ISO-8859-1") ++ body
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    def chunk(b: Array[Byte]): Array[Byte] = {
+      val bo = new ByteArrayOutputStream()
+      val (c1, c2) = b.splitAt(b.length / 2)
+      Seq(c1, c2).filter(_.nonEmpty).foreach { c =>
+        bo.write(f"${c.length}%x$crlf".getBytes("ISO-8859-1"))
+        bo.write(c); bo.write(crlf.getBytes("ISO-8859-1"))
+      }
+      bo.write(s"0$crlf$crlf".getBytes("ISO-8859-1"))
+      bo.toByteArray
+    }
+    val texts = WetCases.toMap
+    def ok200(ct: String, extra: String = ""): String =
+      s"HTTP/1.1 200 OK${crlf}Content-Type: $ct" +
+        (if (extra.isEmpty) "" else crlf + extra)
+    val records: Seq[(String, Array[Byte])] = Seq(
+      ("c01_latin1", resp(ok200("text/html; charset=ISO-8859-1"),
+        html(texts("c01_latin1"), "").getBytes("ISO-8859-1"))),
+      ("c02_win1252", resp(ok200("text/html; charset=windows-1252"),
+        html(texts("c02_win1252"), "").getBytes("windows-1252"))),
+      ("c03_utf16le", resp(ok200("text/html; charset=utf-16le"),
+        html(texts("c03_utf16le"), "").getBytes("UTF-16LE"))),
+      ("c04_bom_utf8", resp(ok200("text/html; charset=iso-8859-1"),
+        Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+          html(texts("c04_bom_utf8"), "").getBytes("UTF-8"))),
+      ("c05_meta_sjis", resp(ok200("text/html"),
+        html(texts("c05_meta_sjis"), "<meta charset=\"shift_jis\">")
+          .getBytes("Shift_JIS"))),
+      ("c06_gzip_latin1", resp(
+        ok200("text/html; charset=ISO-8859-1", "Content-Encoding: gzip"),
+        gz(html(texts("c06_gzip_latin1"), "").getBytes("ISO-8859-1")))),
+      ("c07_chunked_utf8", resp(
+        ok200("text/html", "Transfer-Encoding: chunked"),
+        chunk(html(texts("c07_chunked_utf8"), "").getBytes("UTF-8")))),
+      ("c08_nfc", resp(ok200("text/html; charset=utf-8"),
+        html(texts("c08_nfc"), "").getBytes("UTF-8"))),
+      ("c09_short", resp(ok200("text/html; charset=utf-8"),
+        html(texts("c09_short"), "").getBytes("UTF-8"))))
+    val out = new ByteArrayOutputStream()
+    records.foreach { case (cid, body) =>
+      val sb = new StringBuilder("WARC/1.0\r\n")
+      sb.append("WARC-Type: response\r\n")
+      sb.append(s"WARC-Target-URI: http://w/$cid\r\n")
+      sb.append(s"Content-Length: ${body.length}\r\n\r\n")
+      out.write(sb.toString.getBytes("ISO-8859-1"))
+      out.write(body)
+      out.write("\r\n\r\n".getBytes("ISO-8859-1"))
+    }
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q122_fixture")
+    dir.mkdirs()
+    val f = new File(dir, "fixture.warc")
+    val fos = new FileOutputStream(f)
+    fos.write(out.toByteArray); fos.close()
+    f.getAbsolutePath
+  }
+
+  /** WARC → WET end to end — the advertised text-extraction pipeline
+    * under one oracle (the q120 play, text side): q81's WARC source
+    * walks [[buildWetWarcFixture]], q101's `http_payload` reverses
+    * framing and content codings, q104's `charset_decode` resolves
+    * BOM > header > meta-prescan, q105's [[Quality.mainContent]]
+    * drops the chrome, q93's `nfc_normalize` canonicalizes. The
+    * oracle restates status, block counts, and the md5/length of
+    * `NFC(spec text)` computed independently — the walk, the HTTP
+    * decode, the charset sniff, the block classification AND the
+    * normalization must all land for the hash to match. Everything
+    * after the walk is narrow codegen'd scalar work: no exchange
+    * beyond the presentation sort (plan-guarded).
+    */
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    val path = buildWetWarcFixture()
+    ArchiveConverter.entries(s, Seq(path), ConvertOptions()).toDF()
+      .select(col("path"), GraftFunctions.http_payload(col("content")).as("h"))
+      .select(col("path"),
+        col("h.status").cast("bigint").as("status"),
+        Quality.mainContent(
+          GraftFunctions.charset_decode(col("h.payload"), col("h.content_type")),
+          WetMinLen, WetMaxLinkDensity).as("mc"))
+      .select(col("path"), col("status"),
+        col("mc.n_blocks").as("n_blocks"),
+        col("mc.n_content").as("n_content"),
+        GraftFunctions.nfc_normalize(col("mc.content_text")).as("wet"))
+      .select(col("path"), col("status"), col("n_blocks"), col("n_content"),
+        length(col("wet")).cast("bigint").as("wet_len"),
+        md5(col("wet").cast("binary")).as("wet_md5"))
+      .orderBy(col("path"))
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3232,7 +3370,8 @@ object Inventory {
     "q118_script_mix" -> (q118 _),
     "q119_crawl_delay" -> (q119 _),
     "q120_warc_cdx" -> (q120 _),
-    "q121_fetch_schedule" -> (q121 _))
+    "q121_fetch_schedule" -> (q121 _),
+    "q122_warc_wet" -> (q122 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -3985,6 +4124,34 @@ object Inventory {
           |  FROM u)
           |SELECT host, loc, CAST(r * delay AS DOUBLE) AS fetch_at
           |FROM r ORDER BY host, loc""".stripMargin,
+      // q122: the WARC->WET text pipeline under one oracle — status,
+      // block counts and md5/length of NFC(spec paragraph text),
+      // computed by an INDEPENDENT implementation (Python codecs +
+      // unicodedata) over the shared WetCases table; every page has
+      // 5 non-empty blocks and exactly the paragraph classifies as
+      // content (c09 fails the 60-char gate: empty WET, md5(''))
+      "q122_warc_wet" ->
+        """SELECT * FROM (VALUES
+          |  ('http://w/c01_latin1', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
+          |   CAST(1 AS BIGINT), CAST(74 AS BIGINT), '857df3c4ff282c92b4d79d7e772e620b'),
+          |  ('http://w/c02_win1252', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
+          |   CAST(1 AS BIGINT), CAST(74 AS BIGINT), '662e596e993fdcfa93744e97ccb48f00'),
+          |  ('http://w/c03_utf16le', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
+          |   CAST(1 AS BIGINT), CAST(91 AS BIGINT), 'c2ec76b69aef0081f2ab2fb51b7afcb1'),
+          |  ('http://w/c04_bom_utf8', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
+          |   CAST(1 AS BIGINT), CAST(90 AS BIGINT), '1186bdfe6a319f0eed60f5c6bcdfdd0f'),
+          |  ('http://w/c05_meta_sjis', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
+          |   CAST(1 AS BIGINT), CAST(77 AS BIGINT), '659810c00e0e990d7a4aeaaaec0714f5'),
+          |  ('http://w/c06_gzip_latin1', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
+          |   CAST(1 AS BIGINT), CAST(83 AS BIGINT), '742fcc2f003921ec362c84f88e3c8e8d'),
+          |  ('http://w/c07_chunked_utf8', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
+          |   CAST(1 AS BIGINT), CAST(81 AS BIGINT), 'c0850e394f45d8299a960f2fdb193ac3'),
+          |  ('http://w/c08_nfc', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
+          |   CAST(1 AS BIGINT), CAST(79 AS BIGINT), 'b0e59e012001e64a6f5e3f9d6d497ce0'),
+          |  ('http://w/c09_short', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
+          |   CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'd41d8cd98f00b204e9800998ecf8427e'))
+          |  AS t(path, status, n_blocks, n_content, wet_len, wet_md5)
+          |ORDER BY path""".stripMargin,
       // ar source: spec-member sizes/digests (gzip member decompressed,
       // nested tar expanded), computed independently — q16's rule
       "q87_ar_source" ->

@@ -293,6 +293,15 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange hashpartitioning"), s"q120 hash-shuffled:\n$p")
   }
 
+  test("q122: WARC->WET chain adds no exchange to the walk (sort only)") {
+    // http_payload -> charset_decode -> mainContent -> nfc_normalize
+    // are all per-row scalar work over the walk; only the
+    // presentation sort may exchange
+    val p = plan("q122_warc_wet")
+    assert(!p.contains("Exchange hashpartitioning"), s"q122 hash-shuffled:\n$p")
+    assert(exchanges(p) <= 1, s"q122 grew a shuffle:\n$p")
+  }
+
   test("q121: fetch schedule is ONE host exchange (the honest window)") {
     // a schedule ranks EVERY URL of a host — unlike q112's top-k this
     // window is the right shape; guard it at one hash exchange
