@@ -319,6 +319,97 @@ object MultiModal {
     out.array()
   }
 
+  /** Hand-rolled 24-bit uncompressed BMP (BITMAPINFOHEADER, BI_RGB,
+    * bottom-up rows, 4-byte row padding) — the image sibling of
+    * [[wavPcm]]: fixture bytes built from spec arithmetic with NO
+    * encoder in the loop, so a real `javax.imageio` decode of them is
+    * checkable against independently restated pixel sums (q110's
+    * analytic-exactness rule). `rgb(x, y)` returns packed `0xRRGGBB`
+    * for the TOP-DOWN logical pixel (x, y).
+    */
+  private[graft] def bmp24(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataLen = (rowBytes + pad) * h
+    val out = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(w).putInt(h) // positive height: bottom-up rows
+      .putShort(1).putShort(24).putInt(0).putInt(dataLen)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var j = 0
+    while (j < h) {
+      val y = h - 1 - j // file stores the bottom row first
+      var x = 0
+      while (x < w) {
+        val p = rgb(x, y)
+        out.put((p & 0xFF).toByte)         // B
+        out.put(((p >> 8) & 0xFF).toByte)  // G
+        out.put(((p >> 16) & 0xFF).toByte) // R
+        x += 1
+      }
+      var k = 0
+      while (k < pad) { out.put(0.toByte); k += 1 }
+      j += 1
+    }
+    out.array()
+  }
+
+  /** Hand-rolled GIF89a with a 256-entry grayscale global palette and
+    * the classic "uncompressed LZW" emission: 9-bit literal codes with
+    * a Clear every 250 so the decoder's next-free code never reaches
+    * 512 and the code width never grows. The decoded raster carries
+    * exactly `idx(x, y)` as its palette indices, so pixel stats are
+    * spec arithmetic while the REAL LZW decoder stays load-bearing.
+    */
+  private[graft] def gifGray(w: Int, h: Int, idx: (Int, Int) => Int): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream(w * h * 2 + 800)
+    def le16(v: Int): Unit = { bo.write(v & 0xFF); bo.write((v >> 8) & 0xFF) }
+    bo.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    bo.write(0xF7) // global color table, 8-bit color res, 256 entries
+    bo.write(0); bo.write(0)
+    var i = 0
+    while (i < 256) { bo.write(i); bo.write(i); bo.write(i); i += 1 }
+    bo.write(0x2C); le16(0); le16(0); le16(w); le16(h); bo.write(0)
+    bo.write(8) // LZW minimum code size: clear=256, eoi=257, 9-bit codes
+    val codes = new scala.collection.mutable.ArrayBuffer[Int](w * h + w * h / 250 + 3)
+    codes += 256
+    var n = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (n == 250) { codes += 256; n = 0 }
+        codes += (idx(x, y) & 0xFF)
+        n += 1
+        x += 1
+      }
+      y += 1
+    }
+    codes += 257
+    // pack 9-bit codes LSB-first, then 255-byte sub-blocks
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nb = 0
+    codes.foreach { c =>
+      acc |= c.toLong << nb; nb += 9
+      while (nb >= 8) { bits.write((acc & 0xFF).toInt); acc >>= 8; nb -= 8 }
+    }
+    if (nb > 0) bits.write((acc & 0xFF).toInt)
+    val data = bits.toByteArray
+    var off = 0
+    while (off < data.length) {
+      val len = math.min(255, data.length - off)
+      bo.write(len); bo.write(data, off, len)
+      off += len
+    }
+    bo.write(0)    // block terminator
+    bo.write(0x3B) // trailer
+    bo.toByteArray
+  }
+
   /** Attach a REAL audio-metadata struct (javax.sound header decode:
     * WAV/AIFF/AU) from `bytesCol`; null struct for undecodable bytes.
     * Narrow map — the image plumbing, audio codec.

@@ -3247,6 +3247,62 @@ object Inventory {
       .orderBy(col("path"))
   }
 
+  /** REAL image decode ([[MultiModal.ImageCodec]], `javax.imageio`) —
+    * q110's analytic-exactness rule ported to images, retiring the
+    * q26 stub-codec caveat: per document a 24-bit BMP and a palette-
+    * indexed GIF are synthesized by HAND-ROLLED builders
+    * ([[MultiModal.bmp24]] / [[MultiModal.gifGray]] — spec arithmetic
+    * straight to container bytes, no encoder in the loop) and decoded
+    * by the real JDK image stack. BMP pixels land as 3 exact R/G/B
+    * bands; the GIF raster carries the palette indices themselves
+    * through a real LZW decode (the builder's 9-bit clear-code
+    * emission keeps indices verbatim). Every sample is spec-determined
+    * integer arithmetic and integer-valued double sums at these sizes
+    * are exact (< 2^53), so the oracle recomputes mean/std from the
+    * same arithmetic over `range(w) x range(h)` — bit-identical
+    * through the IEEE division/sqrt on both sides.
+    */
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bh = 4 + (id % 3).toInt * 2
+          val bmp = MultiModal.bmp24(16, bh, (x, y) =>
+            (((id + 3 * x + 5 * y) % 256).toInt << 16) |
+              (((2 * id + 7 * x + y) % 256).toInt << 8) |
+              ((3 * id + x + 11 * y) % 256).toInt)
+          val gh = 5 + (id % 4).toInt
+          val gif = MultiModal.gifGray(12, gh,
+            (x, y) => ((13 * id + 3 * x + 7 * y) % 256).toInt)
+          (id, bmp, gif)
+        }
+      }.toDF("doc_id", "bmp_bytes", "gif_bytes")
+    val withMeta = MultiModal.withDecodedImageMeta(
+      MultiModal.withDecodedImageMeta(media, "bmp_bytes", "bmp_meta"),
+      "gif_bytes", "gif_meta")
+    val withFeats = MultiModal.decodedImageFeatures(
+      MultiModal.decodedImageFeatures(withMeta, "bmp_bytes", "bmp_f"),
+      "gif_bytes", "gif_f")
+    withFeats.select(col("doc_id"),
+      col("bmp_meta.format").as("bmp_format"),
+      col("bmp_meta.width").cast("bigint").as("bmp_w"),
+      col("bmp_meta.height").cast("bigint").as("bmp_h"),
+      col("bmp_meta.channels").cast("bigint").as("bmp_ch"),
+      round(element_at(col("bmp_f"), 1), 6).as("bmp_mean_r"),
+      round(element_at(col("bmp_f"), 2), 6).as("bmp_mean_g"),
+      round(element_at(col("bmp_f"), 3), 6).as("bmp_mean_b"),
+      round(element_at(col("bmp_f"), 4), 6).as("bmp_std_r"),
+      round(element_at(col("bmp_f"), 5), 6).as("bmp_std_g"),
+      round(element_at(col("bmp_f"), 6), 6).as("bmp_std_b"),
+      col("gif_meta.format").as("gif_format"),
+      col("gif_meta.width").cast("bigint").as("gif_w"),
+      col("gif_meta.height").cast("bigint").as("gif_h"),
+      round(element_at(col("gif_f"), 1), 6).as("gif_mean"),
+      round(element_at(col("gif_f"), 2), 6).as("gif_std"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3371,7 +3427,8 @@ object Inventory {
     "q119_crawl_delay" -> (q119 _),
     "q120_warc_cdx" -> (q120 _),
     "q121_fetch_schedule" -> (q121 _),
-    "q122_warc_wet" -> (q122 _))
+    "q122_warc_wet" -> (q122 _),
+    "q123_image_decode" -> (q123 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -4152,6 +4209,58 @@ object Inventory {
           |   CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'd41d8cd98f00b204e9800998ecf8427e'))
           |  AS t(path, status, n_blocks, n_content, wet_len, wet_md5)
           |ORDER BY path""".stripMargin,
+      // q123: mean/std recomputed from the SAME spec arithmetic over
+      // range(w) x range(h) — integer sums are exact, the final
+      // division/sqrt is the identical IEEE op on both sides (q110's
+      // analytic-exactness rule); metadata restated from the spec
+      "q123_image_decode" ->
+        """WITH bpx AS (
+          |  SELECT doc_id,
+          |         CAST((doc_id + 3*x.i + 5*y.i) % 256 AS BIGINT) AS r,
+          |         CAST((2*doc_id + 7*x.i + y.i) % 256 AS BIGINT) AS g,
+          |         CAST((3*doc_id + x.i + 11*y.i) % 256 AS BIGINT) AS b
+          |  FROM documents, range(16) x(i), range(8) y(i)
+          |  WHERE y.i < 4 + (doc_id % 3) * 2),
+          |bstat AS (
+          |  SELECT doc_id, count(*) AS n,
+          |         sum(r) AS sr, sum(r*r) AS srr,
+          |         sum(g) AS sg, sum(g*g) AS sgg,
+          |         sum(b) AS sb, sum(b*b) AS sbb
+          |  FROM bpx GROUP BY doc_id),
+          |gpx AS (
+          |  SELECT doc_id,
+          |         CAST((13*doc_id + 3*x.i + 7*y.i) % 256 AS BIGINT) AS v
+          |  FROM documents, range(12) x(i), range(8) y(i)
+          |  WHERE y.i < 5 + (doc_id % 4)),
+          |gstat AS (
+          |  SELECT doc_id, count(*) AS n, sum(v) AS sv, sum(v*v) AS svv
+          |  FROM gpx GROUP BY doc_id)
+          |SELECT b.doc_id,
+          |  'bmp' AS bmp_format,
+          |  CAST(16 AS BIGINT) AS bmp_w,
+          |  CAST(4 + (b.doc_id % 3) * 2 AS BIGINT) AS bmp_h,
+          |  CAST(3 AS BIGINT) AS bmp_ch,
+          |  round(sr / CAST(b.n AS DOUBLE), 6) AS bmp_mean_r,
+          |  round(sg / CAST(b.n AS DOUBLE), 6) AS bmp_mean_g,
+          |  round(sb / CAST(b.n AS DOUBLE), 6) AS bmp_mean_b,
+          |  round(sqrt(greatest(srr / CAST(b.n AS DOUBLE)
+          |    - (sr / CAST(b.n AS DOUBLE)) * (sr / CAST(b.n AS DOUBLE)), 0)), 6)
+          |    AS bmp_std_r,
+          |  round(sqrt(greatest(sgg / CAST(b.n AS DOUBLE)
+          |    - (sg / CAST(b.n AS DOUBLE)) * (sg / CAST(b.n AS DOUBLE)), 0)), 6)
+          |    AS bmp_std_g,
+          |  round(sqrt(greatest(sbb / CAST(b.n AS DOUBLE)
+          |    - (sb / CAST(b.n AS DOUBLE)) * (sb / CAST(b.n AS DOUBLE)), 0)), 6)
+          |    AS bmp_std_b,
+          |  'gif' AS gif_format,
+          |  CAST(12 AS BIGINT) AS gif_w,
+          |  CAST(5 + (b.doc_id % 4) AS BIGINT) AS gif_h,
+          |  round(sv / CAST(g.n AS DOUBLE), 6) AS gif_mean,
+          |  round(sqrt(greatest(svv / CAST(g.n AS DOUBLE)
+          |    - (sv / CAST(g.n AS DOUBLE)) * (sv / CAST(g.n AS DOUBLE)), 0)), 6)
+          |    AS gif_std
+          |FROM bstat b JOIN gstat g USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
       // ar source: spec-member sizes/digests (gzip member decompressed,
       // nested tar expanded), computed independently — q16's rule
       "q87_ar_source" ->

@@ -123,6 +123,46 @@ class ImageCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s2.forall(_ == 80.0))
   }
 
+  test("hand-rolled bmp24: exact R/G/B bands through the real decoder (q123 builder)") {
+    // spec arithmetic straight to container bytes, no encoder in the
+    // loop; width 9 exercises the 4-byte row-padding path
+    for ((w, h) <- Seq((16, 6), (9, 5))) {
+      val bmp = MultiModal.bmp24(w, h, (x, y) =>
+        (((x * 3 + y * 5) % 256) << 16) | (((x * 7 + y) % 256) << 8) | ((x + y * 11) % 256))
+      val m = MultiModal.ImageCodec.decodeMeta(bmp).get
+      assert(m.format == "bmp" && m.width == w && m.height == h && m.channels == 3)
+      val (_, means, stds) = MultiModal.ImageCodec.decodeStats(bmp).get
+      def stats(f: (Int, Int) => Int): (Double, Double) = {
+        val vs = for (y <- 0 until h; x <- 0 until w) yield f(x, y).toDouble
+        val mean = vs.sum / vs.size
+        (mean, math.sqrt(vs.map(v => v * v).sum / vs.size - mean * mean))
+      }
+      val expect = Seq(
+        stats((x, y) => (x * 3 + y * 5) % 256),
+        stats((x, y) => (x * 7 + y) % 256),
+        stats((x, y) => (x + y * 11) % 256))
+      assert(means.toSeq == expect.map(_._1), s"${w}x$h means")
+      assert(stds.toSeq == expect.map(_._2), s"${w}x$h stds")
+    }
+  }
+
+  test("hand-rolled gifGray: palette indices survive the real LZW decode (q123 builder)") {
+    // small image + one crossing the 250-code Clear boundary many times
+    for ((w, h) <- Seq((12, 7), (64, 48))) {
+      val gif = MultiModal.gifGray(w, h, (x, y) => (x * 3 + y * 7 + 5) % 256)
+      assert(gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F')
+      val m = MultiModal.ImageCodec.decodeMeta(gif).get
+      assert(m.format == "gif" && m.width == w && m.height == h)
+      val (sm, means, stds) = MultiModal.ImageCodec.decodeStats(gif).get
+      assert(sm.channels == 1, "indexed raster carries ONE band of palette indices")
+      val vs = for (y <- 0 until h; x <- 0 until w) yield ((x * 3 + y * 7 + 5) % 256).toDouble
+      val mean = vs.sum / vs.size
+      assert(means.toSeq == Seq(mean), s"${w}x$h mean")
+      assert(stds.toSeq == Seq(math.sqrt(vs.map(v => v * v).sum / vs.size - mean * mean)),
+        s"${w}x$h std")
+    }
+  }
+
   test("real codec: undecodable bytes yield None, not an exception") {
     assert(MultiModal.ImageCodec.decodeMeta(Array[Byte](1, 2, 3, 4)).isEmpty)
     assert(MultiModal.ImageCodec.decodeStats(Array.fill[Byte](64)(42)).isEmpty)

@@ -33,7 +33,8 @@ object PlanAudit {
       "q110_audio_decode", "q111_sitemap", "q112_frontier", "q113_cdx_keys",
       "q114_robots_sitemaps", "q115_html_meta", "q116_anchor_text",
       "q117_nofollow_rank", "q118_script_mix", "q119_crawl_delay",
-      "q120_warc_cdx", "q121_fetch_schedule", "q122_warc_wet")
+      "q120_warc_cdx", "q121_fetch_schedule", "q122_warc_wet",
+      "q123_image_decode")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -302,6 +302,15 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges(p) <= 1, s"q122 grew a shuffle:\n$p")
   }
 
+  test("q123: image decode is narrow mapPartitions work (sort exchange only)") {
+    // synthesis + real javax.imageio decode run inside the partition;
+    // features are O(channels) doubles — only the presentation sort
+    // may exchange (the q110 shape)
+    val p = plan("q123_image_decode")
+    assert(exchanges(p) <= 1, s"q123 grew a shuffle:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"q123 hash-shuffled:\n$p")
+  }
+
   test("q121: fetch schedule is ONE host exchange (the honest window)") {
     // a schedule ranks EVERY URL of a host — unlike q112's top-k this
     // window is the right shape; guard it at one hash exchange
