@@ -3303,6 +3303,45 @@ object Inventory {
       .orderBy(col("doc_id"))
   }
 
+  /** Connected components over the REAL link graph ([[Dedup.components]]
+    * fed by [[linkGraphEdges]] — the clustering path on graph-shaped,
+    * not dedup-pair, data): the site-to-site subgraph (CDN/shop hub
+    * domains excluded — a hub would glue everything into one giant
+    * component and hide the structure) clusters hosts into link
+    * neighborhoods. The synthesis makes this subgraph the functional
+    * graph of `m -> (7m+1) mod 25`, a permutation whose cycle
+    * structure — six 4-cycles and the fixed point site4 — the oracle
+    * rediscovers via a recursive-CTE transitive closure (the q33
+    * rule). String hosts ride through the integral-id contract as
+    * `xxhash64(host)` (the scale path: no global sort to assign dense
+    * ids; a 64-bit collision merely merges two hosts and is
+    * negligible at any real host count), and the output is re-keyed
+    * to the LEXICOGRAPHICALLY smallest member host so the result is
+    * hash-independent and oracle-checkable.
+    */
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    val hostEdges = linkGraphEdges(s, d)
+      .where(col("src_domain").startsWith("site") &&
+        col("dst_domain").startsWith("site"))
+      .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+      .distinct()
+    val nodes = hostEdges.select(col("src").as("host"))
+      .unionAll(hostEdges.select(col("dst").as("host")))
+      .distinct()
+      .select(col("host"), xxhash64(col("host")).as("id"))
+    val pairs = hostEdges.select(
+      xxhash64(col("src")).as("id_a"), xxhash64(col("dst")).as("id_b"))
+    val members = Dedup.components(pairs)
+      .join(nodes, "id")
+      .select(col("host"), col("cluster"))
+    val reps = members.groupBy(col("cluster"))
+      .agg(min(col("host")).as("cluster_rep"),
+        count(lit(1)).as("cluster_size"))
+    members.join(reps, "cluster")
+      .select(col("host"), col("cluster_rep"), col("cluster_size"))
+      .orderBy(col("host"))
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3428,7 +3467,8 @@ object Inventory {
     "q120_warc_cdx" -> (q120 _),
     "q121_fetch_schedule" -> (q121 _),
     "q122_warc_wet" -> (q122 _),
-    "q123_image_decode" -> (q123 _))
+    "q123_image_decode" -> (q123 _),
+    "q124_site_clusters" -> (q124 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -3915,6 +3955,28 @@ object Inventory {
            |${pageRankIterSql(LinkGraphIters, LinkGraphDamping)}
            |SELECT node, round(pr, 6) AS pr FROM r$LinkGraphIters
            |ORDER BY node""".stripMargin,
+      // q124: the site-to-site subgraph closed transitively (the q33
+      // rule) — the synthesis makes it the permutation m -> (7m+1)%25,
+      // so the clusters are its cycles; rep = lexicographic min member
+      "q124_site_clusters" ->
+        s"""${linkEdgesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |he AS (SELECT DISTINCT
+           |         'site' || CAST(d.m AS VARCHAR) || '.com' AS src,
+           |         l.dst AS dst
+           |       FROM links l JOIN docs d USING (doc_id)
+           |       WHERE l.dst LIKE 'site%'),
+           |e AS (SELECT src, dst FROM he UNION SELECT dst, src FROM he),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM e
+           |  UNION
+           |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+           |comp AS (SELECT id AS host, MIN(r) AS cluster_rep
+           |         FROM reach GROUP BY id),
+           |sz AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           |       FROM comp GROUP BY cluster_rep)
+           |SELECT host, cluster_rep, cluster_size
+           |FROM comp JOIN sz USING (cluster_rep)
+           |ORDER BY host""".stripMargin,
       // q109: every verdict is spec-determined — the section probe is
       // denied iff it hits the doc's own Disallow section, the $-
       // anchored Allow admits the exact path and nothing deeper, the

@@ -416,6 +416,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.getAs[String]("content_text") == want.getAs[String]("content_text"))
   }
 
+  test("components: distributed label-prop agrees with driver union-find (q124 graph)") {
+    import spark.implicits._
+    // the q124 site subgraph: the permutation m -> (7m+1) mod 25,
+    // whose components are its cycles — six 4-cycles + fixed point 4
+    val pairs = (0 until 25).map(m => (m.toLong, ((7 * m + 1) % 25).toLong))
+      .toDF("id_a", "id_b")
+    def run(max: Long): Map[Long, Long] =
+      Dedup.components(pairs, smallGraphMax = max).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val small = run(4000000L) // driver union-find regime
+    val dist = run(1L)        // forces distributed label propagation
+    assert(small == dist, "the two regimes must agree exactly")
+    assert(small.size == 25)
+    assert(small.values.toSet.size == 7, "six 4-cycles + the fixed point")
+    assert(small(4L) == 4L) // 7*4+1 = 29 = 4 (mod 25): self-loop singleton
+    // every label is the min id of its component
+    small.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl)
+    }
+  }
+
   test("FreqItems: exact on small-cardinality input through Spark partial aggregation") {
     import spark.implicits._
     // cardinality 3 <= k=8: no decrement and no merge truncation can
