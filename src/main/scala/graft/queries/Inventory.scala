@@ -3342,6 +3342,42 @@ object Inventory {
       .orderBy(col("host"))
   }
 
+  /** Oracle-checked READ-BACK of the CDX at-rest layout — the
+    * retrieval half of the 100 TB index story (BucketingSpec\u2019s layout
+    * under the correctness gate): q113\u2019s keys are written
+    * `partitionBy(shard)` (shard = the reversed-host run of the key,
+    * everything before `)`) + `sortWithinPartitions(cdx_key)`, then a
+    * registered-domain range query is answered FROM THE FILES. The
+    * oracle restates the expected keys, counts and min doc ids
+    * straight from the synthesis spec, so the write, the layout and
+    * the read-back must all land; the plan guard asserts the scan
+    * touches ONE shard directory with the finer prefix pushed to
+    * parquet (`StringStartsWith`).
+    */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val ds = (c: Column) => c.cast("string")
+    val u0 = concat(lit("HTTP://WWW.S"), ds(id % 7), lit(".Example.COM:80/A"),
+      ds(id % 11), lit("/B?b="), ds(id % 3), lit("&A=1"))
+    val u1 = concat(lit("https://s"), ds(id % 7),
+      lit(".example.com:8443/c/"), ds(id % 5))
+    val rows = t(s, d, "documents")
+      .select(id, explode(array(u0, u1)).as("url"))
+      .select(col("doc_id"), GraftFunctions.surt_key(col("url")).as("cdx_key"))
+      .withColumn("shard", substring_index(col("cdx_key"), ")", 1))
+    val out = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q125_layout"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    rows.repartition(col("shard")).sortWithinPartitions(col("cdx_key"))
+      .write.partitionBy("shard").mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .where(col("shard") === "com,example,s3" &&
+        col("cdx_key").startsWith("com,example,s3)/a1"))
+      .groupBy(col("cdx_key"))
+      .agg(count(lit(1)).cast("long").as("n"), min(col("doc_id")).as("min_doc"))
+      .orderBy(col("cdx_key"))
+  }
+
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3468,7 +3504,8 @@ object Inventory {
     "q121_fetch_schedule" -> (q121 _),
     "q122_warc_wet" -> (q122 _),
     "q123_image_decode" -> (q123 _),
-    "q124_site_clusters" -> (q124 _))
+    "q124_site_clusters" -> (q124 _),
+    "q125_cdx_scan" -> (q125 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -4105,6 +4142,20 @@ object Inventory {
           |  FROM documents)
           |SELECT cdx_key, CAST(count(*) AS BIGINT) AS n
           |FROM u GROUP BY cdx_key ORDER BY cdx_key""".stripMargin,
+      // q125: the read-back rows restated from the synthesis spec —
+      // shard com,example,s3 (doc_id%7=3), prefix )/a1 admits the
+      // a1/ and a10/ paths (doc_id%11 in (1,10)); counts and min doc
+      // ids come from the same arithmetic over documents
+      "q125_cdx_scan" ->
+        """WITH m AS (
+          |  SELECT doc_id,
+          |         'com,example,s3)/a' || (doc_id % 11) ||
+          |         '/b?a=1&b=' || (doc_id % 3) AS cdx_key
+          |  FROM documents
+          |  WHERE doc_id % 7 = 3 AND doc_id % 11 IN (1, 10))
+          |SELECT cdx_key, CAST(count(*) AS BIGINT) AS n,
+          |       min(doc_id) AS min_doc
+          |FROM m GROUP BY cdx_key ORDER BY cdx_key""".stripMargin,
       // q114: directive order is file order — the per-doc Sitemap line
       // at ord 0, the even-id lowercase-key second line at ord 1; the
       // comment line and the empty-value Sitemap contribute nothing

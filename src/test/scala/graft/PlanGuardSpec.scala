@@ -311,6 +311,27 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange hashpartitioning"), s"q123 hash-shuffled:\n$p")
   }
 
+  test("q125: CDX read-back prunes to ONE shard with the prefix pushed to parquet") {
+    // the BucketingSpec assertions under the correctness face: the
+    // domain scan must touch exactly one shard= directory at plan
+    // time, and the finer key prefix must reach the parquet reader
+    val df = SparkEntry.queries("q125_cdx_scan")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan
+    val p = plan.toString
+    assert(p.contains("PushedFilters") && p.contains("StringStartsWith"),
+      s"q125 prefix filter not pushed:\n$p")
+    // AQE hides the inner plan from collectFirst — unwrap it
+    val inner = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val scan = inner.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("q125 has no FileSourceScan"))
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"q125 must scan exactly 1 shard, got ${scan.selectedPartitions.partitionCount}")
+  }
+
   test("q121: fetch schedule is ONE host exchange (the honest window)") {
     // a schedule ranks EVERY URL of a host — unlike q112's top-k this
     // window is the right shape; guard it at one hash exchange
