@@ -1409,7 +1409,7 @@ object Inventory {
     * carry sizes/digests of the SPEC payload strings, computed
     * independently of the engine — q16's rule.
     */
-  private[queries] def buildHttpWarcFixture(): String = {
+  private[graft] def buildHttpWarcFixture(): String = {
     import java.io._
     val crlf = "\r\n"
     def resp(hdrs: String, body: Array[Byte]): Array[Byte] =

@@ -77,6 +77,36 @@ object StreamingConverter {
     df
   }
 
+  /** WARC → HTTP-payload ingestion as a STREAM — the crawl stack's
+    * entry rung wired through Structured Streaming: `.warc`/`.warc.gz`
+    * paths arrive on the file source, the same recursive walker emits
+    * response records, [[graft.functions.GraftFunctions.http_payload]]
+    * reverses framing and content codings inside the micro-batch (a
+    * pure codegen'd scalar — the stream stays narrow), and
+    * `dropDuplicates(payload_sha256)` is the stateful cross-batch
+    * payload dedup (32-byte digests in the checkpointed state store,
+    * the q38 rule at the payload level — a re-crawled page arriving in
+    * a later batch, or after a restart, is dropped).
+    *
+    * Batch parity contract (asserted by StreamingSpec): on bounded
+    * input the result equals the batch equivalent —
+    * `ArchiveConverter.entries` → same projection →
+    * `dropDuplicates` — up to the arbitrary winner among identical
+    * payloads.
+    */
+  def httpPayloadStream(spark: SparkSession, pathDir: String,
+      opts: ConvertOptions = ConvertOptions()): DataFrame = {
+    val h = graft.functions.GraftFunctions.http_payload(col("content"))
+    entryStream(spark, pathDir, opts)
+      .select(col("source"), col("path"), h.as("h"))
+      .select(col("source"), col("path"),
+        col("h.status").as("status"),
+        col("h.content_type").as("content_type"),
+        length(col("h.payload")).cast("long").as("payload_size"),
+        sha2(col("h.payload"), 256).as("payload_sha256"))
+      .dropDuplicates("payload_sha256")
+  }
+
   /** Writer: Parquet append with checkpointing; caller starts it.
     * `availableNow` processes the current backlog then stops — the
     * streaming equivalent of the reference's bounded run.

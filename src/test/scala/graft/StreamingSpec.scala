@@ -99,6 +99,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("a.txt", "b.txt", "dup.txt"))
   }
 
+  test("WARC->http_payload streaming: .warc.gz ingest, restart-surviving payload dedup, batch parity") {
+    val f1 = graft.queries.Inventory.buildHttpWarcFixture()
+    // a re-crawl: the same records re-served as a .warc.gz (the codec
+    // sniff must decompress before the WARC walk, in-stream)
+    val gzFile = new java.io.File(tmp("graft_swarc"), "recrawl.warc.gz")
+    val fos = new java.io.FileOutputStream(gzFile)
+    val gz = new java.util.zip.GZIPOutputStream(fos)
+    gz.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f1)))
+    gz.close()
+    val pathDir = tmp("graft_swarc_paths")
+    val out = tmp("graft_swarc_out").getAbsolutePath
+    val ckpt = tmp("graft_swarc_ckpt").getAbsolutePath
+    def runOnce(): Unit = {
+      val s = StreamingConverter.httpPayloadStream(spark, pathDir.getAbsolutePath)
+      val q = StreamingConverter.writer(s, out, ckpt, availableNow = true).start()
+      q.awaitTermination(120000); q.stop()
+    }
+    java.nio.file.Files.writeString(
+      new java.io.File(pathDir, "b1.txt").toPath, f1 + "\n")
+    runOnce()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst > 0)
+    // the re-crawl arrives while "down"; restart from the SAME
+    // checkpoint — every payload digest is already in the state store
+    java.nio.file.Files.writeString(
+      new java.io.File(pathDir, "b2.txt").toPath, gzFile.getAbsolutePath + "\n")
+    runOnce()
+    val got = spark.read.parquet(out)
+    assert(got.count() == afterFirst,
+      "restart-surviving payload dedup must drop the whole re-crawl")
+    // batch parity (the q38 rule): same digest set as the batch
+    // equivalent over BOTH files
+    val h = graft.functions.GraftFunctions.http_payload(col("content"))
+    val batchSet = graft.convert.ArchiveConverter.entries(spark,
+        Seq(f1, gzFile.getAbsolutePath), ConvertOptions()).toDF()
+      .select(sha2(h.getField("payload"), 256).as("payload_sha256"))
+      .dropDuplicates("payload_sha256")
+      .collect().map(_.getString(0)).toSet
+    val gotSet = got.select("payload_sha256").collect().map(_.getString(0)).toSet
+    assert(gotSet == batchSet)
+  }
+
   test("chunked streaming ingest: oversize entries survive as content_part rows") {
     import Fixtures._
     val big = Array.tabulate[Byte](500)(i => (i * 11).toByte)
