@@ -1,0 +1,1005 @@
+package graft.queries
+
+import graft.convert.ArchiveConverter
+import graft.core.{ConvertOptions, IncludeType}
+import graft.functions.{GraftFunctions, TextStats}
+import graft.ops.{Dedup, MultiModal, Packing, Quality, Sampling, Similarity}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import scala.collection.immutable.ListMap
+
+/** Container sources and the converter face: the nested-walk fixture
+  * chain (tar/zip/warc/ar/cpio/rpm/7z/deb), codec matrix, chunked
+  * oversize entries, the HTTP-payload converter mode, and CDC chunking.
+  *
+  * One trait of the [[Inventory]] registry split (r12 verdict #7):
+  * the single `queries` ListMap + `oracleSql` map in [[Inventory]]
+  * remain the registry face; the linear trait chain preserves the
+  * original member initialization order.
+  */
+private[queries] trait InventorySources extends InventoryRelational {
+
+
+  // -------------------------------------------------------------------
+  // Q16: the converter end-to-end (non-SQL — rows-only check; full
+  // semantics are covered by WalkerSpec against reference test vectors)
+  // -------------------------------------------------------------------
+
+  /** The q16 fixture's expected WALK OUTPUT, as spec literals:
+    * (nested path, decompressed bytes). Oracle sizes/digests — q16's
+    * VALUES and q74's per-chunk VALUES — are computed from these
+    * definitions directly, never from engine output.
+    */
+  private[queries] val FixtureLeaves: Seq[(String, Array[Byte])] = Seq(
+    "a.txt" -> ("graft converter end-to-end fixture line\n" * 20).getBytes("UTF-8"),
+    "inner.zip/b/c.txt" -> "nested zip member content\n".getBytes("UTF-8"),
+    "inner.zip/d.bin" -> Array.tabulate[Byte](512)(i => (i * 7 % 256).toByte),
+    "e.txt.zst" -> ("zstd transparent decompression fixture\n" * 10).getBytes("UTF-8"),
+    "f.txt.xz" -> ("xz transparent decompression fixture\n" * 10).getBytes("UTF-8"),
+    "g.txt.bz2" -> ("bzip2 transparent decompression fixture\n" * 10).getBytes("UTF-8"),
+    "inner2.tar.zst/h.txt" -> ("zstd-compressed nested tar member\n" * 5).getBytes("UTF-8"))
+
+
+  /** Deterministic nested fixture: tar.gz[ a.txt, inner.zip[ b/c.txt, d.bin ] ]. */
+  private[queries] def buildFixture(): String = {
+    import java.io._
+    import java.util.zip._
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val leaves = FixtureLeaves.toMap
+    val textA = leaves("a.txt")
+    val textC = leaves("inner.zip/b/c.txt")
+    val binD = leaves("inner.zip/d.bin")
+    // S6 transparent-decompression members: a merely-compressed
+    // non-archive entry must be emitted DECOMPRESSED (reference
+    // entry.rs:70-80), with size/hash of the decompressed bytes — one
+    // member per codec beyond the gzip already covering the outer
+    // layer, plus a zstd-compressed NESTED TAR for recursion through a
+    // non-gzip codec.
+    val textE = leaves("e.txt.zst")
+    val textF = leaves("f.txt.xz")
+    val textG = leaves("g.txt.bz2")
+    val textH = leaves("inner2.tar.zst/h.txt")
+    def zstd(b: Array[Byte]): Array[Byte] = {
+      val buf = new ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStream(buf)
+      z.write(b); z.close(); buf.toByteArray
+    }
+    def xz(b: Array[Byte]): Array[Byte] = {
+      val buf = new ByteArrayOutputStream()
+      val x = new org.apache.commons.compress.compressors.xz.XZCompressorOutputStream(buf)
+      x.write(b); x.close(); buf.toByteArray
+    }
+    def bz2(b: Array[Byte]): Array[Byte] = {
+      val buf = new ByteArrayOutputStream()
+      val z = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(buf)
+      z.write(b); z.close(); buf.toByteArray
+    }
+
+    val zipBuf = new ByteArrayOutputStream()
+    val zo = new ZipOutputStream(zipBuf)
+    def zput(name: String, bytes: Array[Byte]): Unit = {
+      val e = new ZipEntry(name)
+      // fixed timestamp => byte-stable fixture across runs
+      e.setTime(1000000000000L)
+      zo.putNextEntry(e); zo.write(bytes); zo.closeEntry()
+    }
+    zput("b/c.txt", textC); zput("d.bin", binD); zo.close()
+
+    def tarOf(entries: (String, Array[Byte])*): Array[Byte] = {
+      val buf = new ByteArrayOutputStream()
+      val to = new TarArchiveOutputStream(buf)
+      entries.foreach { case (name, bytes) =>
+        val e = new TarArchiveEntry(name)
+        e.setSize(bytes.length.toLong); e.setModTime(1000000000000L)
+        to.putArchiveEntry(e); to.write(bytes); to.closeArchiveEntry()
+      }
+      to.close(); buf.toByteArray
+    }
+
+    val tarBuf = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(tarBuf)
+    gz.write(tarOf(
+      "a.txt" -> textA,
+      "inner.zip" -> zipBuf.toByteArray,
+      "e.txt.zst" -> zstd(textE),
+      "f.txt.xz" -> xz(textF),
+      "g.txt.bz2" -> bz2(textG),
+      "inner2.tar.zst" -> zstd(tarOf("h.txt" -> textH))))
+    gz.close()
+
+    // fixed path, rewritten per invocation — repeated bench/verify runs
+    // must not accumulate fixture dirs in /tmp (same rule as q41)
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q16_fixture")
+    dir.mkdirs()
+    val f = new File(dir, "fixture.tar.gz")
+    val fos = new FileOutputStream(f)
+    fos.write(tarBuf.toByteArray); fos.close()
+    f.getAbsolutePath
+  }
+
+
+  private[queries] def q16(s: SparkSession, d: String): DataFrame = {
+    val path = buildFixture()
+    ArchiveConverter.entries(s, Seq(path), ConvertOptions()).toDF()
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+  }
+
+
+  /** The walker's SQL face: `LATERAL VIEW explode_archive(blob)` over
+    * the same nested fixture as q16, checked against the same
+    * spec-determined VALUES oracle — the Generator path (SURVEY §2.2)
+    * through the correctness gate.
+    */
+  private[queries] def q42(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(buildFixture()))
+    import s.implicits._
+    Seq(Tuple1(bytes)).toDF("blob").createOrReplaceTempView("graft_q42_blobs")
+    s.sql(
+      """SELECT a.path, a.size, lower(hex(a.hash)) AS sha256
+        |FROM graft_q42_blobs LATERAL VIEW explode_archive(blob) a
+        |ORDER BY a.path""".stripMargin)
+  }
+
+
+  /** q58 fixture members — spec constants shared by the fixture builder
+    * AND the VALUES oracle (the oracle's sizes/digests are computed from
+    * these definitions directly with `MessageDigest`, never from engine
+    * output). Names declare the expected filter outcome; the binary
+    * members cover the UTF-8 rejection classes the reference's validator
+    * distinguishes (src/batch.rs:162-180): stray continuation byte,
+    * overlong encoding, multibyte sequence truncated at EOF.
+    */
+  private[queries] val Q58Members: Seq[(String, Array[Byte])] = Seq(
+    "keep_ascii.txt" ->
+      ("the quick brown fox jumps over the lazy dog\n" * 8).getBytes("UTF-8"),
+    // size-0 entries are dropped by the WALK itself, before any filter —
+    // reference parity (tarfile.rs:24-26), asserted here via drop_ name
+    "drop_empty_by_walk.txt" -> Array.emptyByteArray,
+    "keep_multibyte.txt" ->
+      ("héllo wörld — ünïcode € ✓\n" * 4).getBytes("UTF-8"),
+    "drop_stray_continuation.bin" ->
+      ("ascii prefix ".getBytes("UTF-8") ++ Array(0x80.toByte) ++ " suffix".getBytes("UTF-8")),
+    "drop_overlong.bin" ->
+      (Array(0xC0.toByte, 0x80.toByte) ++ "overlong nul encoding".getBytes("UTF-8")),
+    "drop_truncated.bin" ->
+      ("truncated euro sign: ".getBytes("UTF-8") ++ Array(0xE2.toByte, 0x82.toByte)))
+
+
+  private[queries] def buildQ58Fixture(): String = {
+    import java.io._
+    import java.util.zip.GZIPOutputStream
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val buf = new ByteArrayOutputStream()
+    val to = new TarArchiveOutputStream(new GZIPOutputStream(buf))
+    Q58Members.foreach { case (name, bytes) =>
+      val e = new TarArchiveEntry(name)
+      e.setSize(bytes.length.toLong); e.setModTime(1000000000000L)
+      to.putArchiveEntry(e); to.write(bytes); to.closeArchiveEntry()
+    }
+    to.close()
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q58_fixture")
+    dir.mkdirs()
+    val f = new File(dir, "mixed.tar.gz")
+    val fos = new FileOutputStream(f); fos.write(buf.toByteArray); fos.close()
+    f.getAbsolutePath
+  }
+
+
+  /** F2 through the oracle gate: the converter's `include=text` UTF-8
+    * filter (reference src/batch.rs:162-180) over the mixed fixture —
+    * only the valid-UTF-8 members survive, checked against a
+    * spec-determined VALUES oracle like q16.
+    */
+  private[queries] def q58(s: SparkSession, d: String): DataFrame = {
+    // deliberately a file: URL, not a path: S2's URL source streams
+    // through the same sniff/decompress/walk chain, so this row set is
+    // identical to the path spelling — oracle coverage for the URL
+    // face (the http:// variant is WalkerSpec's real-server test)
+    val path = "file://" + buildQ58Fixture()
+    ArchiveConverter.filteredEntries(s, Seq(path),
+        ConvertOptions(include = IncludeType.Text))
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+  }
+
+
+  /** F1 half-open size-range filter through the oracle: the q16
+    * fixture converted with `100 <= size < 500` keeps exactly the
+    * four mid-sized members — the spec-filtered subset of the q16
+    * VALUES (a.txt 800 and d.bin 512 fall above, c.txt 26 below;
+    * sizes are DECOMPRESSED sizes, so the filter runs after the
+    * transparent-decompression stage, reference batch.rs:182-197).
+    */
+  private[queries] def q72(s: SparkSession, d: String): DataFrame = {
+    val path = buildFixture()
+    ArchiveConverter.filteredEntries(s, Seq(path),
+        ConvertOptions(minSize = Some(100L), maxSize = Some(500L)))
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+  }
+
+
+  /** q59 blob — exercises `extract_strings`' three spec behaviors
+    * (reference crates/extract-strings/src/ascii.rs:5-130): a run of
+    * exactly minLength emits; runs shorter than minLength are NOT
+    * discarded but accumulate across non-text bytes until the pending
+    * buffer reaches minLength (boundary carry — "abcdefghi"+"jk" emits
+    * as one 11-char string); end-of-stream flushes a pending buffer of
+    * >= minLength ("no"+"final trailing run!"). Expected strings are
+    * derived BY HAND from the spec and inlined in the oracle.
+    */
+  private[queries] val Q59Blob: Array[Byte] =
+    Array[Byte](0, 0) ++ "ABCDEFGHIJ".getBytes("UTF-8") ++ Array(0x01.toByte) ++
+      "abcdefghi".getBytes("UTF-8") ++ Array(0xFF.toByte) ++ "jk".getBytes("UTF-8") ++
+      Array[Byte](0) ++ "no".getBytes("UTF-8") ++ Array(0x02.toByte) ++
+      "final trailing run!".getBytes("UTF-8")
+
+
+  /** P3 through the oracle gate: ASCII-string extraction over the
+    * crafted blob (the converter applies the same function to
+    * executable entries, ArchiveWalker P3 path).
+    */
+  private[queries] def q59(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Seq(Tuple1(Q59Blob)).toDF("blob")
+      .select(posexplode(GraftFunctions.extract_strings(col("blob"), 10)))
+      .select(col("pos").cast("long").as("idx"), col("col").as("s"))
+      .orderBy(col("idx"))
+  }
+
+
+  /** The DataSource V2 face (`spark.read.format("archive")`,
+    * [[graft.sources.ArchiveDataSource]]) over the same nested
+    * fixture, against the same spec-determined VALUES oracle as
+    * q16/q42 — the fourth face of the walk core through the gate.
+    * The projection here keeps `hash` but not `content`, so the scan
+    * also exercises the pruned-walk path (digests computed, nothing
+    * buffered) under the hash check.
+    */
+  private[queries] def q73(s: SparkSession, d: String): DataFrame =
+    s.read.format("archive").load(buildFixture())
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+
+
+  /** The chunked walk (oversize-entry survival, SURVEY §7 "2 GB JVM
+    * array cap" risk) through the oracle gate: the q16 fixture walked
+    * with a 300-byte cap splits every longer member into content_part
+    * rows; the oracle VALUES are computed from the SAME spec member
+    * definitions ([[FixtureLeaves]]) by slicing each into 300-byte
+    * chunks and digesting independently.
+    */
+  private[queries] def q74(s: SparkSession, d: String): DataFrame =
+    ArchiveConverter.chunkedEntries(s, Seq(buildFixture()),
+        ConvertOptions(maxEntryBytes = 300L)).toDF()
+      .select(col("path"), col("content_part"), col("size"),
+        lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"), col("content_part"))
+
+
+  /** Deterministic WARC fixture (ISO 28500): warcinfo + response +
+    * gzip-bodied response + request records; the oracle VALUES carry
+    * sizes/digests of the SPEC bodies (the gzip one decompressed),
+    * computed independently of the engine — q16's rule.
+    */
+  private[queries] def buildWarcFixture(): String = {
+    import java.io._
+    val b0 = "software: graft-spark\r\n".getBytes("UTF-8")
+    val b1 = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nhello warc body\n"
+      .getBytes("UTF-8")
+    val b2 = ("compressed warc payload\n" * 4).getBytes("UTF-8")
+    val b3 = "GET /q HTTP/1.1\r\nHost: example.com\r\n\r\n".getBytes("UTF-8")
+    val gz2 = {
+      val buf = new ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(buf)
+      g.write(b2); g.close(); buf.toByteArray
+    }
+    val out = new ByteArrayOutputStream()
+    def rec(hdrs: Seq[(String, String)], body: Array[Byte]): Unit = {
+      val sb = new StringBuilder("WARC/1.0\r\n")
+      hdrs.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
+      sb.append(s"Content-Length: ${body.length}\r\n\r\n")
+      out.write(sb.toString.getBytes("UTF-8"))
+      out.write(body)
+      out.write("\r\n\r\n".getBytes("UTF-8"))
+    }
+    rec(Seq("WARC-Type" -> "warcinfo", "WARC-Record-ID" -> "<urn:uuid:0001>"), b0)
+    rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://example.com/a"), b1)
+    rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://example.com/b.gz"), gz2)
+    rec(Seq("WARC-Type" -> "request", "WARC-Target-URI" -> "http://example.com/q"), b3)
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q81_fixture")
+    dir.mkdirs()
+    val f = new File(dir, "fixture.warc")
+    val fos = new FileOutputStream(f)
+    fos.write(out.toByteArray); fos.close()
+    f.getAbsolutePath
+  }
+
+
+  /** WARC source (ISO 28500, the CommonCrawl container): the q16
+    * converter chain over [[buildWarcFixture]] — records walk like
+    * tar entries, the gzip record body lands decompressed.
+    */
+  private[queries] def q81(s: SparkSession, d: String): DataFrame = {
+    val path = buildWarcFixture()
+    ArchiveConverter.entries(s, Seq(path), ConvertOptions()).toDF()
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+  }
+
+
+  /** Deterministic WARC fixture for the HTTP pipeline (q101): response
+    * records exercising every [[graft.functions.HttpHelper]] decode
+    * path — plain, chunked transfer framing (with a chunk extension
+    * and a trailer), gzip / deflate / zstd content codings, gzip UNDER
+    * chunked, an undecodable coding (`br` — payload must pass through
+    * encoded), a malformed status line, a truncated header block — and
+    * a request record (non-response pass-through). The oracle VALUES
+    * carry sizes/digests of the SPEC payload strings, computed
+    * independently of the engine — q16's rule.
+    */
+  private[graft] def buildHttpWarcFixture(): String = {
+    import java.io._
+    val crlf = "\r\n"
+    def resp(hdrs: String, body: Array[Byte]): Array[Byte] =
+      (hdrs + crlf + crlf).getBytes("ISO-8859-1") ++ body
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    def zlib(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val buf = new Array[Byte](b.length + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    def zstd(b: Array[Byte]): Array[Byte] = {
+      val bo = new ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStream(bo)
+      z.write(b); z.close(); bo.toByteArray
+    }
+    def chunk(b: Array[Byte], at: Int): Array[Byte] = {
+      // two chunks (the second with an extension), a trailer field
+      val bo = new ByteArrayOutputStream()
+      val (c1, c2) = b.splitAt(math.min(at, b.length))
+      bo.write(f"${c1.length}%x$crlf".getBytes("ISO-8859-1"))
+      bo.write(c1); bo.write(crlf.getBytes("ISO-8859-1"))
+      if (c2.nonEmpty) {
+        bo.write(f"${c2.length}%x;ext=1$crlf".getBytes("ISO-8859-1"))
+        bo.write(c2); bo.write(crlf.getBytes("ISO-8859-1"))
+      }
+      bo.write(s"0${crlf}X-Trailer: t$crlf$crlf".getBytes("ISO-8859-1"))
+      bo.toByteArray
+    }
+    def u(s: String): Array[Byte] = s.getBytes("UTF-8")
+    val bodies: Seq[(String, String, Array[Byte])] = Seq(
+      ("response", "http://t/plain", resp(
+        s"HTTP/1.1 200 OK${crlf}Content-Type: text/html; charset=UTF-8",
+        u("hello http payload\n"))),
+      ("response", "http://t/chunked", resp(
+        s"HTTP/1.1 200 OK${crlf}Content-Type: text/plain${crlf}Transfer-Encoding: chunked",
+        chunk(u("chunked transfer body ABCDEFGHIJ\n"), 17))),
+      ("response", "http://t/gzip", resp(
+        s"HTTP/1.1 200 OK${crlf}Content-Type: text/html${crlf}Content-Encoding: gzip",
+        gz(u("gzip encoded body 0123456789\n" * 3)))),
+      ("response", "http://t/gzip-chunked", resp(
+        s"HTTP/1.1 200 OK${crlf}Content-Type: text/html${crlf}Content-Encoding: gzip${crlf}Transfer-Encoding: chunked",
+        chunk(gz(u("gzip under chunked\n" * 4)), 20))),
+      ("response", "http://t/deflate", resp(
+        s"HTTP/1.1 200 OK${crlf}Content-Type: text/html${crlf}Content-Encoding: deflate",
+        zlib(u("deflate encoded body\n" * 2)))),
+      ("response", "http://t/zstd", resp(
+        s"HTTP/1.1 200 OK${crlf}Content-Type: text/html${crlf}Content-Encoding: zstd",
+        zstd(u("zstd encoded body\n" * 5)))),
+      ("response", "http://t/brotli", resp(
+        s"HTTP/1.1 200 OK${crlf}Content-Type: text/html${crlf}Content-Encoding: br",
+        u("BROTLI-OPAQUE-BYTES"))),
+      ("response", "http://t/badstatus", resp(
+        s"HTTP/banana${crlf}Content-Type: x/y", u("odd body\n"))),
+      ("request", "http://t/req", u(s"GET /q HTTP/1.1${crlf}Host: t$crlf$crlf")),
+      ("response", "http://t/trunc",
+        "HTTP/1.1 204 No Content\r\nContent-Type: text/empty".getBytes("ISO-8859-1")))
+    val out = new ByteArrayOutputStream()
+    bodies.foreach { case (typ, uri, body) =>
+      val sb = new StringBuilder("WARC/1.0\r\n")
+      sb.append(s"WARC-Type: $typ\r\n")
+      sb.append(s"WARC-Target-URI: $uri\r\n")
+      sb.append(s"Content-Length: ${body.length}\r\n\r\n")
+      out.write(sb.toString.getBytes("ISO-8859-1"))
+      out.write(body)
+      out.write("\r\n\r\n".getBytes("ISO-8859-1"))
+    }
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q101_fixture")
+    dir.mkdirs()
+    val f = new File(dir, "fixture.warc")
+    val fos = new FileOutputStream(f)
+    fos.write(out.toByteArray); fos.close()
+    f.getAbsolutePath
+  }
+
+
+  /** WARC → HTTP payload pipeline ([[GraftFunctions.http_payload]]):
+    * the converter chain over [[buildHttpWarcFixture]], then the
+    * response-message projection — status, Content-Type, and the
+    * entity payload with chunked framing and gzip/deflate/zstd
+    * content codings reversed (the step between the WARC walker's
+    * raw-emission contract and [[Quality.htmlToText]]). One narrow
+    * codegen'd projection over the walk — no exchange beyond the
+    * q16 chain's own.
+    */
+  private[queries] def q101(s: SparkSession, d: String): DataFrame = {
+    val path = buildHttpWarcFixture()
+    ArchiveConverter.entries(s, Seq(path), ConvertOptions()).toDF()
+      .select(col("path"), GraftFunctions.http_payload(col("content")).as("h"))
+      .select(col("path"),
+        col("h.status").cast("bigint").as("status"),
+        col("h.content_type").as("content_type"),
+        length(col("h.payload")).cast("bigint").as("payload_size"),
+        sha2(col("h.payload"), 256).as("payload_sha256"))
+      .orderBy(col("path"))
+  }
+
+
+  /** The `--http-payload` converter MODE (vs q101's bare expression):
+    * [[ArchiveConverter.filteredEntries]] with
+    * `ConvertOptions(httpPayload = true)` over the same fixture —
+    * content becomes the decoded payload and `size`/`hash` are
+    * RECOMPUTED over it (the mode's contract), so the oracle checks
+    * the converter's projection, not just the expression. The VALUES
+    * reuse q101's independently-computed spec digests: the recomputed
+    * hex sha-256 must equal the spec payload digest exactly.
+    */
+  private[queries] def q103(s: SparkSession, d: String): DataFrame = {
+    val path = buildHttpWarcFixture()
+    ArchiveConverter.filteredEntries(s, Seq(path),
+        ConvertOptions(httpPayload = true))
+      .select(col("path"), col("size"),
+        lower(hex(col("hash"))).as("payload_sha256"),
+        col("http_status").cast("bigint").as("status"),
+        col("http_content_type").as("content_type"))
+      .orderBy(col("path"))
+  }
+
+
+  /** Deterministic Unix ar fixture (System V/GNU dialect, the ar(5)
+    * spec): a symbol-table member, a GNU `//` long-name table, a
+    * short-named text member (odd size — exercises the 2-byte data
+    * alignment), a long-named member resolved through the table, a
+    * gzip member (emitted decompressed), and a nested tar member
+    * (expands in place with ar-member lineage). Byte-stable across
+    * runs: fixed header fields, fixed bodies.
+    */
+  private[queries] def buildArFixture(): String = {
+    import java.io._
+    import java.util.zip.GZIPOutputStream
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val out = new ByteArrayOutputStream()
+    out.write("!<arch>\n".getBytes("US-ASCII"))
+    def header(name: String, size: Long): Unit = {
+      val sb = new StringBuilder
+      sb.append(name.padTo(16, ' '))
+      sb.append("0".padTo(12, ' ')).append("0".padTo(6, ' '))
+        .append("0".padTo(6, ' ')).append("100644".padTo(8, ' '))
+      sb.append(size.toString.padTo(10, ' ')).append("`\n")
+      out.write(sb.toString.getBytes("US-ASCII"))
+    }
+    def member(storedName: String, data: Array[Byte]): Unit = {
+      header(storedName, data.length.toLong)
+      out.write(data)
+      if (data.length % 2 == 1) out.write('\n')
+    }
+    member("/", Array[Byte](0, 0, 0, 0)) // empty symtab: consumed, never emitted
+    val longName = "training-shards/shard-000001.txt"
+    member("//", (longName + "/\n").getBytes("US-ASCII"))
+    member("readme.txt/", "ar member readme\n".getBytes("UTF-8"))
+    member("/0", "long name payload\n".getBytes("UTF-8"))
+    val gzBuf = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(gzBuf)
+    gz.write("deterministic gzip payload in ar\n".getBytes("UTF-8")); gz.close()
+    member("data.bin.gz/", gzBuf.toByteArray)
+    val tarBuf = new ByteArrayOutputStream()
+    val to = new TarArchiveOutputStream(tarBuf)
+    Seq("docs/a.txt" -> "alpha doc\n", "docs/b.txt" -> "bravo doc\n").foreach {
+      case (n, body) =>
+        val e = new TarArchiveEntry(n)
+        val b = body.getBytes("UTF-8")
+        e.setSize(b.length.toLong); e.setModTime(1000000000000L)
+        to.putArchiveEntry(e); to.write(b); to.closeArchiveEntry()
+    }
+    to.close()
+    member("inner.tar/", tarBuf.toByteArray)
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q87_fixture")
+    dir.mkdirs()
+    val f = new File(dir, "fixture.a")
+    val fos = new FileOutputStream(f)
+    fos.write(out.toByteArray); fos.close()
+    f.getAbsolutePath
+  }
+
+
+  /** Unix ar source (the `.a` / `.deb` container, ar(5) spec): the
+    * q16 converter chain over [[buildArFixture]] — GNU long names
+    * resolve, structural members (symtab, name table) are consumed
+    * not emitted, a gzip member lands decompressed, and a nested tar
+    * expands with ar-member lineage.
+    */
+  private[queries] def q87(s: SparkSession, d: String): DataFrame = {
+    val path = buildArFixture()
+    ArchiveConverter.entries(s, Seq(path), ConvertOptions()).toDF()
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+  }
+
+
+  /** Deterministic cpio newc fixture (POSIX pax `070701` dialect —
+    * the initramfs / RPM-payload layout): a directory record
+    * (skipped), an odd-size text member (exercises the 4-byte data
+    * alignment), a gzip member (emitted decompressed), and a nested
+    * tar member (expands in place with cpio-member lineage).
+    * Byte-stable across runs: fixed header fields, fixed bodies.
+    */
+  private[queries] def buildCpioFixture(): String = {
+    import java.io._
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q89_fixture")
+    dir.mkdirs()
+    val f = new File(dir, "fixture.cpio")
+    val fos = new FileOutputStream(f)
+    fos.write(cpioFixtureBytes()); fos.close()
+    f.getAbsolutePath
+  }
+
+
+  /** The q89 fixture's raw cpio bytes — shared with [[buildRpmFixture]]
+    * (the RPM wraps exactly this payload, so q90's expected members
+    * are q89's VALUES verbatim).
+    */
+  private[queries] def cpioFixtureBytes(): Array[Byte] = {
+    import java.io._
+    import java.util.zip.GZIPOutputStream
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val out = new ByteArrayOutputStream()
+    var ino = 1
+    def record(name: String, data: Array[Byte], mode: Int): Unit = {
+      val nameBytes = name.getBytes("UTF-8")
+      val nameSize = nameBytes.length + 1
+      val sb = new StringBuilder("070701")
+      def hex(v: Long): Unit = sb.append(f"$v%08x")
+      hex(ino.toLong); ino += 1
+      hex(mode.toLong); hex(0); hex(0); hex(1); hex(0)
+      hex(data.length.toLong); hex(0); hex(0); hex(0); hex(0)
+      hex(nameSize.toLong); hex(0)
+      out.write(sb.toString.getBytes("US-ASCII"))
+      out.write(nameBytes); out.write(0)
+      var n = (110 + nameSize) % 4
+      while (n % 4 != 0) { out.write(0); n += 1 }
+      out.write(data)
+      var m = data.length % 4
+      while (m % 4 != 0) { out.write(0); m += 1 }
+    }
+    record("etc", Array.emptyByteArray, 0x41ED)
+    record("etc/motd.txt", "cpio member motd\n".getBytes("UTF-8"), 0x81A4)
+    val gzBuf = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(gzBuf)
+    gz.write("deterministic gzip payload in cpio\n".getBytes("UTF-8")); gz.close()
+    record("usr/share/data.bin.gz", gzBuf.toByteArray, 0x81A4)
+    val tarBuf = new ByteArrayOutputStream()
+    val to = new TarArchiveOutputStream(tarBuf)
+    Seq("docs/a.txt" -> "alpha doc\n", "docs/b.txt" -> "bravo doc\n").foreach {
+      case (n, body) =>
+        val e = new TarArchiveEntry(n)
+        val b = body.getBytes("UTF-8")
+        e.setSize(b.length.toLong); e.setModTime(1000000000000L)
+        to.putArchiveEntry(e); to.write(b); to.closeArchiveEntry()
+    }
+    to.close()
+    record("inner.tar", tarBuf.toByteArray, 0x81A4)
+    record("TRAILER!!!", Array.emptyByteArray, 0)
+    out.toByteArray
+  }
+
+
+  /** Deterministic RPM fixture (rpm.org file-format spec): 96-byte
+    * lead, signature header (one INT32 index entry, store 8-aligned),
+    * main header (same shape, unpadded), then the gzipped
+    * [[cpioFixtureBytes]] payload — so the walked members (and the
+    * oracle VALUES) are exactly q89's, proving the rpm framing is
+    * consumed transparently.
+    */
+  private[queries] def buildRpmFixture(): String = {
+    import java.io._
+    import java.util.zip.GZIPOutputStream
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte](0xed.toByte, 0xab.toByte, 0xee.toByte, 0xdb.toByte, 3, 0, 0, 0, 0, 1))
+    val name = "graft-fixture-1.0-1".getBytes("US-ASCII")
+    out.write(name); out.write(new Array[Byte](66 - name.length))
+    out.write(Array[Byte](0, 1, 0, 5))
+    out.write(new Array[Byte](16))
+    def header(store: Array[Byte], align8: Boolean): Unit = {
+      def be32(v: Int): Unit =
+        out.write(Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+      out.write(Array[Byte](0x8e.toByte, 0xad.toByte, 0xe8.toByte, 1, 0, 0, 0, 0))
+      be32(1); be32(store.length)
+      be32(1000); be32(4); be32(0); be32(1)
+      out.write(store)
+      if (align8) out.write(new Array[Byte]((8 - store.length % 8) % 8))
+    }
+    header(Array[Byte](0, 0, 0, 42), align8 = true)
+    header(Array[Byte](0, 0, 1, 7), align8 = false)
+    val gzBuf = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(gzBuf)
+    gz.write(cpioFixtureBytes()); gz.close()
+    out.write(gzBuf.toByteArray)
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q90_fixture")
+    dir.mkdirs()
+    val f = new File(dir, "fixture.rpm")
+    val fos = new FileOutputStream(f)
+    fos.write(out.toByteArray); fos.close()
+    f.getAbsolutePath
+  }
+
+
+  /** Deterministic 7z fixture (7-zip.org file-format spec, written
+    * with commons-compress `SevenZOutputFile`, LZMA2-coded): a
+    * directory entry (skipped), an odd-size text member, a gzip
+    * member (emitted decompressed), and a nested tar member (expands
+    * with 7z-member lineage). The walked ROWS are byte-stable across
+    * runs (fixed member bodies) even though the container's own
+    * compressed bytes need not be.
+    */
+  private[queries] def buildSevenZFixture(): String = {
+    import java.io._
+    import java.util.zip.GZIPOutputStream
+    import org.apache.commons.compress.archivers.sevenz.{SevenZArchiveEntry, SevenZOutputFile}
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q91_fixture")
+    dir.mkdirs()
+    val f = new File(dir, "fixture.7z")
+    // SevenZOutputFile opens "rw" without truncating: a stale longer
+    // file would leave trailing garbage past the new end header
+    if (f.exists()) f.delete()
+    val out = new SevenZOutputFile(f)
+    def add(name: String, data: Array[Byte], isDir: Boolean = false): Unit = {
+      val e = new SevenZArchiveEntry()
+      e.setName(name); e.setDirectory(isDir)
+      out.putArchiveEntry(e)
+      if (!isDir) out.write(data)
+      out.closeArchiveEntry()
+    }
+    add("notes", Array.emptyByteArray, isDir = true)
+    add("notes/readme.txt", "7z member readme\n".getBytes("UTF-8"))
+    val gzBuf = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(gzBuf)
+    gz.write("deterministic gzip payload in 7z\n".getBytes("UTF-8")); gz.close()
+    add("data.bin.gz", gzBuf.toByteArray)
+    val tarBuf = new ByteArrayOutputStream()
+    val to = new TarArchiveOutputStream(tarBuf)
+    Seq("docs/a.txt" -> "alpha doc\n", "docs/b.txt" -> "bravo doc\n").foreach {
+      case (n, body) =>
+        val e = new TarArchiveEntry(n)
+        val b = body.getBytes("UTF-8")
+        e.setSize(b.length.toLong); e.setModTime(1000000000000L)
+        to.putArchiveEntry(e); to.write(b); to.closeArchiveEntry()
+    }
+    to.close()
+    add("inner.tar", tarBuf.toByteArray)
+    out.close()
+    f.getAbsolutePath
+  }
+
+
+  /** 7z source (the sixth container family; 7-zip.org spec): the q16
+    * converter chain over [[buildSevenZFixture]] — the end-header
+    * metadata forces the walker's seekable spool (the documented
+    * streaming deviation), directory entries are skipped, a gzip
+    * member lands decompressed, and a nested tar expands with
+    * 7z-member lineage.
+    */
+  private[queries] def q91(s: SparkSession, d: String): DataFrame = {
+    val path = buildSevenZFixture()
+    ArchiveConverter.entries(s, Seq(path), ConvertOptions()).toDF()
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+  }
+
+
+  /** Deterministic codec-matrix fixture: one tar whose members are
+    * the SAME 21-byte payload under every stage-1 codec the sniff
+    * recognizes — gzip, zstd, bzip2, xz, lz4-frame, snappy-framed —
+    * plus the plain bytes. Every member must emit decompressed with
+    * the identical size and sha256; only the paths differ.
+    */
+  private[queries] def buildCodecMatrixFixture(): String = {
+    import java.io._
+    import java.util.zip.GZIPOutputStream
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val payload = "codec matrix payload\n".getBytes("UTF-8")
+    def gz(d: Array[Byte]) = {
+      val b = new ByteArrayOutputStream(); val o = new GZIPOutputStream(b)
+      o.write(d); o.close(); b.toByteArray
+    }
+    def zstd(d: Array[Byte]) = {
+      val b = new ByteArrayOutputStream()
+      val o = new com.github.luben.zstd.ZstdOutputStream(b)
+      o.write(d); o.close(); b.toByteArray
+    }
+    def bz2(d: Array[Byte]) = {
+      val b = new ByteArrayOutputStream()
+      val o = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(b)
+      o.write(d); o.close(); b.toByteArray
+    }
+    def xz(d: Array[Byte]) = {
+      val b = new ByteArrayOutputStream()
+      val o = new org.apache.commons.compress.compressors.xz.XZCompressorOutputStream(b)
+      o.write(d); o.close(); b.toByteArray
+    }
+    def lz4(d: Array[Byte]) = {
+      val b = new ByteArrayOutputStream()
+      val o = new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorOutputStream(b)
+      o.write(d); o.close(); b.toByteArray
+    }
+    def sz(d: Array[Byte]) = {
+      val b = new ByteArrayOutputStream()
+      val o = new org.apache.commons.compress.compressors.snappy.FramedSnappyCompressorOutputStream(b)
+      o.write(d); o.close(); b.toByteArray
+    }
+    val members = Seq(
+      "payload.bz2" -> bz2(payload),
+      "payload.gz" -> gz(payload),
+      "payload.lz4" -> lz4(payload),
+      "payload.sz" -> sz(payload),
+      "payload.txt" -> payload,
+      "payload.xz" -> xz(payload),
+      "payload.zst" -> zstd(payload))
+    val tarBuf = new ByteArrayOutputStream()
+    val to = new TarArchiveOutputStream(tarBuf)
+    members.foreach { case (n, b) =>
+      val e = new TarArchiveEntry(n)
+      e.setSize(b.length.toLong); e.setModTime(1000000000000L)
+      to.putArchiveEntry(e); to.write(b); to.closeArchiveEntry()
+    }
+    to.close()
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q92_fixture")
+    dir.mkdirs()
+    val f = new File(dir, "fixture.tar")
+    val fos = new FileOutputStream(f)
+    fos.write(tarBuf.toByteArray); fos.close()
+    f.getAbsolutePath
+  }
+
+
+  /** Codec matrix (stage-1 sniff coverage: the reference's four
+    * codecs + the lz4-frame and snappy-framed extensions): the q16
+    * converter chain over [[buildCodecMatrixFixture]] — all seven
+    * members must land with the SAME decompressed size and sha256,
+    * proving every codec decodes transparently in-walk.
+    */
+  private[queries] def q92(s: SparkSession, d: String): DataFrame = {
+    val path = buildCodecMatrixFixture()
+    ArchiveConverter.entries(s, Seq(path), ConvertOptions()).toDF()
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+  }
+
+
+  /** RPM source (the fifth container family; rpm.org file-format
+    * spec): the q16 converter chain over [[buildRpmFixture]] — lead
+    * and both index headers consumed as framing, the gzipped cpio
+    * payload expands with NO artificial payload path segment, so the
+    * member rows equal q89's exactly (same oracle VALUES).
+    */
+  private[queries] def q90(s: SparkSession, d: String): DataFrame = {
+    val path = buildRpmFixture()
+    ArchiveConverter.entries(s, Seq(path), ConvertOptions()).toDF()
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+  }
+
+
+  /** Deterministic Debian package fixture (deb(5) layout): the common
+    * ar dialect (plain member names, no GNU terminators — the dialect
+    * dpkg actually writes), `debian-binary`, a gzipped control tarball
+    * and an xz data tarball whose members use dpkg's `./`-anchored
+    * paths. Byte-stable: fixed bodies, fixed mtimes.
+    */
+  private[queries] def buildDebFixture(): String = {
+    import java.io._
+    import java.util.zip.GZIPOutputStream
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    import org.apache.commons.compress.compressors.xz.XZCompressorOutputStream
+    def tarOf(dirs: Seq[String], members: Seq[(String, Array[Byte])]): Array[Byte] = {
+      val buf = new ByteArrayOutputStream()
+      val to = new TarArchiveOutputStream(buf)
+      dirs.foreach { d =>
+        val e = new TarArchiveEntry(d)
+        e.setModTime(1000000000000L)
+        to.putArchiveEntry(e); to.closeArchiveEntry()
+      }
+      members.foreach { case (n, b) =>
+        val e = new TarArchiveEntry(n)
+        e.setSize(b.length.toLong); e.setModTime(1000000000000L)
+        to.putArchiveEntry(e); to.write(b); to.closeArchiveEntry()
+      }
+      to.close(); buf.toByteArray
+    }
+    val out = new ByteArrayOutputStream()
+    out.write("!<arch>\n".getBytes("US-ASCII"))
+    def member(name: String, data: Array[Byte]): Unit = {
+      val sb = new StringBuilder
+      sb.append(name.padTo(16, ' '))
+      sb.append("0".padTo(12, ' ')).append("0".padTo(6, ' '))
+        .append("0".padTo(6, ' ')).append("100644".padTo(8, ' '))
+      sb.append(data.length.toString.padTo(10, ' ')).append("`\n")
+      out.write(sb.toString.getBytes("US-ASCII"))
+      out.write(data)
+      if (data.length % 2 == 1) out.write('\n')
+    }
+    member("debian-binary", "2.0\n".getBytes("US-ASCII"))
+    val control = ("Package: graft-fixture\nVersion: 1.0-1\nArchitecture: all\n" +
+      "Maintainer: Graft <graft@example.org>\nDescription: deterministic fixture\n")
+      .getBytes("UTF-8")
+    val md5sums =
+      "0123456789abcdef0123456789abcdef  usr/share/doc/graft/readme.txt\n".getBytes("UTF-8")
+    val gzBuf = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(gzBuf)
+    gz.write(tarOf(Seq("./"), Seq("./control" -> control, "./md5sums" -> md5sums)))
+    gz.close()
+    member("control.tar.gz", gzBuf.toByteArray)
+    val conf = "option = value\n".getBytes("UTF-8")
+    val readme = "deb data member readme\n".getBytes("UTF-8")
+    val xzBuf = new ByteArrayOutputStream()
+    val xz = new XZCompressorOutputStream(xzBuf)
+    xz.write(tarOf(Seq("./", "./etc/", "./usr/", "./usr/share/", "./usr/share/doc/",
+      "./usr/share/doc/graft/"),
+      Seq("./etc/graft.conf" -> conf, "./usr/share/doc/graft/readme.txt" -> readme)))
+    xz.close()
+    member("data.tar.xz", xzBuf.toByteArray)
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_q94_fixture")
+    dir.mkdirs()
+    val f = new File(dir, "fixture.deb")
+    // write-then-atomic-rename: a concurrent JVM running q94 reads
+    // either the old or the new COMPLETE fixture, never a truncation
+    val tmp = File.createTempFile("fixture", ".deb.part", dir)
+    val fos = new FileOutputStream(tmp)
+    try fos.write(out.toByteArray) finally fos.close()
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    f.getAbsolutePath
+  }
+
+
+  /** Debian package source (the seventh container family, deb(5)):
+    * the q16 converter chain over [[buildDebFixture]]. Nothing in the
+    * walker special-cases deb — the family works by COMPOSITION:
+    * ar dispatch → per-member sniff → gzip/xz transparent decode →
+    * tar expansion, each stage an already-proven operator, which is
+    * exactly the recursive-dispatch design claim (SURVEY §2.2 W1).
+    */
+  private[queries] def q94(s: SparkSession, d: String): DataFrame = {
+    val path = buildDebFixture()
+    ArchiveConverter.entries(s, Seq(path), ConvertOptions()).toDF()
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+  }
+
+
+  /** q95 fixture stream: 256 KiB of splitmix64-derived bytes with the
+    * 96 KiB region [32768, 131072) duplicated at [163840, 262144) —
+    * the CDC resync property makes the chunker re-emit identical
+    * chunk hashes inside the copy even though it starts mid-chunk.
+    */
+  /** The independently-derived FastCDC rows over [[cdcFixtureBytes]]
+    * — the shared oracle of q95 (whole-stream chunking) and q100 (the
+    * same stream arriving as six 50000-byte parts): seam invariance
+    * means both queries must land on EXACTLY these rows.
+    */
+  private[queries] val CdcChunkOracle: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), CAST(3169 AS BIGINT), 'a50211b0fe237d28aa31e37158bfffed7609b7c775a60b08aaa38a9093230553'),
+      |  (CAST(3169 AS BIGINT), CAST(9764 AS BIGINT), '7565ad4b3af97a42313a548f5bd432d5149f2067811daa16ae8438c5a430fef3'),
+      |  (CAST(12933 AS BIGINT), CAST(8956 AS BIGINT), 'e04b7ea04cb5defabb7c0f3b6d3ffa7e5ba38917591e2a382c36829717c78623'),
+      |  (CAST(21889 AS BIGINT), CAST(9059 AS BIGINT), 'fd15b34625a07d2fe137e0d27a3094c591053ae25f236ce7d23ec1d8e78b646f'),
+      |  (CAST(30948 AS BIGINT), CAST(7627 AS BIGINT), 'c5e3fbd6979e26a01acc09153e637b68d994980460ae29e98f5620c364890dd0'),
+      |  (CAST(38575 AS BIGINT), CAST(9343 AS BIGINT), '2e708c9cb7b97ffbc2640308852339931d342e37660466ceee0137fb67008dc1'),
+      |  (CAST(47918 AS BIGINT), CAST(10944 AS BIGINT), '6e805faefb1052197ca9b3e329b9c7264c500bb06ac36a2c311ae1c63d5e96fe'),
+      |  (CAST(58862 AS BIGINT), CAST(9807 AS BIGINT), 'ccddeb924b264680728ee5a6640ca753a42735e8aa2adba3fa847144e1b61d14'),
+      |  (CAST(68669 AS BIGINT), CAST(9039 AS BIGINT), 'eeb3d4a60d4a48899d78cfc35c998f53067ee48f8d616f6507ae67ec1e023116'),
+      |  (CAST(77708 AS BIGINT), CAST(9430 AS BIGINT), '6dc21a0607564ba93bc27806af0387754339edae88b571d43453012f5aa89123'),
+      |  (CAST(87138 AS BIGINT), CAST(9097 AS BIGINT), '69c438d17d02226bc44a688e9f671f321608d65294153523cacab9311d3ff85c'),
+      |  (CAST(96235 AS BIGINT), CAST(6128 AS BIGINT), '5f583cff1acd2f6464307f4b765be9fd3fc578b6b553f81099c355a476a903d2'),
+      |  (CAST(102363 AS BIGINT), CAST(8267 AS BIGINT), 'e910d5e38dad670abae78784b830f8b99fa5484448402a0e8612721d538c0cc8'),
+      |  (CAST(110630 AS BIGINT), CAST(10790 AS BIGINT), '2916794353d85790e116a733ab49b8fa271d3793409b4664808fbfb590fffd85'),
+      |  (CAST(121420 AS BIGINT), CAST(9772 AS BIGINT), '682e5938cc42146587c0dc7c4bea0fa631a49fe19c86c562c38a0c7216f61ede'),
+      |  (CAST(131192 AS BIGINT), CAST(9250 AS BIGINT), '2337beb7e659a8674a01258caeb90d0791e306512229157e37047b9a07734272'),
+      |  (CAST(140442 AS BIGINT), CAST(11023 AS BIGINT), 'd504b12cb502c742cbce41f196162f6c3628e38feb68a3941ec8e50b182674d2'),
+      |  (CAST(151465 AS BIGINT), CAST(11586 AS BIGINT), 'fc208f157478e865296026461b26074f9791045984b4ba79aa1fdf1d59d31b5f'),
+      |  (CAST(163051 AS BIGINT), CAST(6596 AS BIGINT), 'e0050bdec60380f4393e5e0556cb1c87a3da454cd867fc011b2e6ba7cf618d6c'),
+      |  (CAST(169647 AS BIGINT), CAST(9343 AS BIGINT), '2e708c9cb7b97ffbc2640308852339931d342e37660466ceee0137fb67008dc1'),
+      |  (CAST(178990 AS BIGINT), CAST(10944 AS BIGINT), '6e805faefb1052197ca9b3e329b9c7264c500bb06ac36a2c311ae1c63d5e96fe'),
+      |  (CAST(189934 AS BIGINT), CAST(9807 AS BIGINT), 'ccddeb924b264680728ee5a6640ca753a42735e8aa2adba3fa847144e1b61d14'),
+      |  (CAST(199741 AS BIGINT), CAST(9039 AS BIGINT), 'eeb3d4a60d4a48899d78cfc35c998f53067ee48f8d616f6507ae67ec1e023116'),
+      |  (CAST(208780 AS BIGINT), CAST(9430 AS BIGINT), '6dc21a0607564ba93bc27806af0387754339edae88b571d43453012f5aa89123'),
+      |  (CAST(218210 AS BIGINT), CAST(9097 AS BIGINT), '69c438d17d02226bc44a688e9f671f321608d65294153523cacab9311d3ff85c'),
+      |  (CAST(227307 AS BIGINT), CAST(6128 AS BIGINT), '5f583cff1acd2f6464307f4b765be9fd3fc578b6b553f81099c355a476a903d2'),
+      |  (CAST(233435 AS BIGINT), CAST(8267 AS BIGINT), 'e910d5e38dad670abae78784b830f8b99fa5484448402a0e8612721d538c0cc8'),
+      |  (CAST(241702 AS BIGINT), CAST(10790 AS BIGINT), '2916794353d85790e116a733ab49b8fa271d3793409b4664808fbfb590fffd85'),
+      |  (CAST(252492 AS BIGINT), CAST(9652 AS BIGINT), 'c44fc6530c12e29ad9b7e3c16a95eb2859f912c1feac36ee54b5322354ffcf5f'))
+      |  AS t(chunk_offset, size, sha256)
+      |ORDER BY chunk_offset""".stripMargin
+
+
+  private[graft] def cdcFixtureBytes(): Array[Byte] = {
+    val n = 262144
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      out(i) = graft.functions.CdcHelper.mix64(
+        0x51AB3C9DE0F17245L ^ (i.toLong * 0x9E3779B97F4A7C15L)).toByte
+      i += 1
+    }
+    System.arraycopy(out, 32768, out, 163840, 98304)
+    out
+  }
+
+
+  /** FastCDC content-defined chunking
+    * ([[GraftFunctions.cdc_chunks]] / [[graft.ops.Cdc]]): the
+    * byte-level dedup primitive — chunk boundaries depend only on
+    * local content, so the fixture's duplicated 96 KiB tail re-emits
+    * the original region's chunk hashes (9 of the 29 chunks below are
+    * exact repeats). Oracle rows are derived from an independent
+    * implementation of the published algorithm (q16's rule — DuckDB
+    * cannot roll a gear hash).
+    */
+  private[queries] def q95(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val df = Seq(Tuple1(cdcFixtureBytes())).toDF("content")
+    df.select(explode(GraftFunctions.cdc_chunks(col("content"))).as("c"))
+      // "offset" is a DuckDB reserved word — chunk_offset on both sides
+      .select(col("c.offset").as("chunk_offset"),
+        col("c.size").cast("bigint").as("size"), col("c.sha256").as("sha256"))
+      .orderBy(col("chunk_offset"))
+  }
+
+
+  /** CDC over chunked-walk part rows
+    * ([[graft.ops.Cdc.chunkTableOverParts]] /
+    * [[graft.functions.CdcHelper.chunksStream]]): the q95 fixture
+    * arriving as six 50000-byte `content_part` rows — every seam lands
+    * mid-chunk — must reproduce EXACTLY the whole-stream rows of the
+    * shared independent oracle, proving cut points are invariant to
+    * where `maxEntryBytes` split the entry. One entry-keyed exchange +
+    * sorted-group streaming, state bounded by max + one part.
+    */
+  private[queries] def q100(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parts = cdcFixtureBytes().grouped(50000).zipWithIndex
+      .map { case (p, i) => ("fx", i.toLong, p) }.toSeq
+    val df = parts.toDF("entry", "content_part", "content")
+    graft.ops.Cdc.chunkTableOverParts(df, "entry", "content_part", "content")
+      .select(col("offset").as("chunk_offset"),
+        col("size").cast("bigint").as("size"), col("sha256"))
+      .orderBy(col("chunk_offset"))
+  }
+
+
+  /** cpio source (the initramfs / RPM-payload container, POSIX pax
+    * spec): the q16 converter chain over [[buildCpioFixture]] —
+    * directory records are skipped, a gzip member lands decompressed,
+    * and a nested tar expands with cpio-member lineage.
+    */
+  private[queries] def q89(s: SparkSession, d: String): DataFrame = {
+    val path = buildCpioFixture()
+    ArchiveConverter.entries(s, Seq(path), ConvertOptions()).toDF()
+      .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
+      .orderBy(col("path"))
+  }
+}
