@@ -192,6 +192,12 @@ object GraftFunctions {
   /** Unicode NFC normalization (UAX #15; = DuckDB `nfc_normalize`). */
   def nfc_normalize(text: Column): Column = column(NfcNormalize(expression(text)))
 
+  /** Real BPE token count under the vendored merges table — see
+    * [[BpeHelper]] (rank-priority merge application over q52's
+    * pretokens); the numerator of the fertility metric.
+    */
+  def bpe_encode_count(text: Column): Column = column(BpeEncodeCount(expression(text)))
+
   /** Diacritic removal, utf8proc STRIPMARK semantics (= DuckDB
     * `strip_accents`): NFD → drop Mn/Mc/Me → NFC recompose.
     */
@@ -275,6 +281,7 @@ object GraftFunctions {
     "extract_anchors" -> (e => ExtractAnchors(e.head)),
     "script_ratios" -> (e => ScriptRatios(e.head)),
     "cdc_chunks" -> (e => CdcChunks(e.head, e(1), e(2), e(3))),
+    "bpe_encode_count" -> (e => BpeEncodeCount(e.head)),
     "explode_archive" -> (e => ExplodeArchive(e.head)))
 
   /** Register the custom expressions for SQL use in an existing session

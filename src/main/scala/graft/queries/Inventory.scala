@@ -155,7 +155,8 @@ object Inventory extends InventoryCrawl {
     "q122_warc_wet" -> (q122 _),
     "q123_image_decode" -> (q123 _),
     "q124_site_clusters" -> (q124 _),
-    "q125_cdx_scan" -> (q125 _))
+    "q125_cdx_scan" -> (q125 _),
+    "q126_bpe_tokens" -> (q126 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -806,6 +807,25 @@ object Inventory extends InventoryCrawl {
           |SELECT cdx_key, CAST(count(*) AS BIGINT) AS n,
           |       min(doc_id) AS min_doc
           |FROM m GROUP BY cdx_key ORDER BY cdx_key""".stripMargin,
+      // q126: expected BPE token counts computed by the independent
+      // reference implementation (tools/train_bpe.py --cases) over the
+      // shared case table — the q104 rule
+      "q126_bpe_tokens" ->
+        """SELECT * FROM (VALUES
+          |  ('c01_common', CAST(5 AS BIGINT)),
+          |  ('c02_sentence', CAST(23 AS BIGINT)),
+          |  ('c03_tech', CAST(7 AS BIGINT)),
+          |  ('c04_repeat', CAST(11 AS BIGINT)),
+          |  ('c05_case', CAST(6 AS BIGINT)),
+          |  ('c06_punct', CAST(19 AS BIGINT)),
+          |  ('c07_digits', CAST(18 AS BIGINT)),
+          |  ('c08_unseen', CAST(12 AS BIGINT)),
+          |  ('c09_singles', CAST(5 AS BIGINT)),
+          |  ('c10_long', CAST(22 AS BIGINT)),
+          |  ('c11_mixed', CAST(14 AS BIGINT)),
+          |  ('c12_unicode', CAST(5 AS BIGINT)))
+          |  AS t(case_id, bpe_tokens)
+          |ORDER BY case_id""".stripMargin,
       // q114: directive order is file order — the per-doc Sitemap line
       // at ord 0, the even-id lowercase-key second line at ord 1; the
       // comment line and the empty-value Sitemap contribute nothing

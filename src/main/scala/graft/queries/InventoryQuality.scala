@@ -490,4 +490,36 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
           (col("exact_cnt") - est) * FreqItemsK <= col("n")).as("within_bound"))
       .orderBy(col("exact_cnt").desc, col("tok"))
   }
+
+  /** Real BPE token counting ([[GraftFunctions.bpe_encode_count]] —
+    * rank-priority merge application under the vendored
+    * `bpe_merges.tsv`, the genuine fertility numerator q52's regex
+    * face only approximates): the shared case table covers
+    * rank-vs-leftmost merge order, repeated characters, case
+    * sensitivity, digit/punct runs, characters unseen in training,
+    * single letters and non-ASCII. Oracle literals come from the
+    * INDEPENDENT reference implementation in
+    * `tools/train_bpe.py --cases` (the q104 rule: a non-engine path
+    * over the shared case table).
+    */
+  private[queries] def q126(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cases: Seq[(String, String)] = Seq(
+      ("c01_common", "the of and to in"),
+      ("c02_sentence", "the quick brown fox jumps over the lazy dog"),
+      ("c03_tech", "data pipeline token count for training text"),
+      ("c04_repeat", "aaaaaa thththth"),
+      ("c05_case", "THE The the"),
+      ("c06_punct", "dont stop: a test, with punctuation!"),
+      ("c07_digits", "version 42 build 20260815"),
+      ("c08_unseen", "zqxj zzzzqqqq"),
+      ("c09_singles", "a b c d e"),
+      ("c10_long", "internationalization of documentation"),
+      ("c11_mixed", "spark query over table 7 rows; done."),
+      ("c12_unicode", "caf\u00e9 \u65e5\u672c"))
+    cases.toDF("case_id", "text")
+      .select(col("case_id"),
+        GraftFunctions.bpe_encode_count(col("text")).as("bpe_tokens"))
+      .orderBy(col("case_id"))
+  }
 }

@@ -332,6 +332,12 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q125 must scan exactly 1 shard, got ${scan.selectedPartitions.partitionCount}")
   }
 
+  test("q126: BPE counting is a narrow codegen'd projection") {
+    val p = plan("q126_bpe_tokens")
+    assert(exchanges(p) <= 1, s"q126 grew a shuffle:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"q126 hash-shuffled:\n$p")
+  }
+
   test("q121: fetch schedule is ONE host exchange (the honest window)") {
     // a schedule ranks EVERY URL of a host — unlike q112's top-k this
     // window is the right shape; guard it at one hash exchange

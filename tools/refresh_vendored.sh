@@ -39,3 +39,5 @@ echo "refreshed $PSL_DST (upstream sha256 $SHA)"
 python3 tools/gen_html_entities.py
 
 echo "verify: sbt -batch 'testOnly graft.UrlSpec graft.OpsSpec'"
+
+python3 tools/train_bpe.py
