@@ -894,8 +894,8 @@ private[queries] trait InventoryCrawl extends InventoryMedia {
 
 
   /** Oracle-checked READ-BACK of the CDX at-rest layout — the
-    * retrieval half of the 100 TB index story (BucketingSpec\u2019s layout
-    * under the correctness gate): q113\u2019s keys are written
+    * retrieval half of the 100 TB index story (BucketingSpec's layout
+    * under the correctness gate): q113's keys are written
     * `partitionBy(shard)` (shard = the reversed-host run of the key,
     * everything before `)`) + `sortWithinPartitions(cdx_key)`, then a
     * registered-domain range query is answered FROM THE FILES. The
