@@ -203,6 +203,14 @@ object GraftFunctions {
     */
   def strip_accents(text: Column): Column = column(StripAccents(expression(text)))
 
+  /** PII redaction for corpus preparation — see [[PiiHelper]]:
+    * `struct<clean, n_email, n_ip, n_phone, n_key>` (emails / IPv4 /
+    * phones / secret-looking keys replaced by typed placeholders,
+    * per-category counts kept). The safety-filtering stage between
+    * text extraction and tokenization.
+    */
+  def redact_pii(text: Column): Column = column(RedactPii(expression(text)))
+
   // ---- vector math (built-in compositions — fully codegen'd) ----
 
   /** Dot product of two array<float|double> columns in double precision.
@@ -282,6 +290,7 @@ object GraftFunctions {
     "script_ratios" -> (e => ScriptRatios(e.head)),
     "cdc_chunks" -> (e => CdcChunks(e.head, e(1), e(2), e(3))),
     "bpe_encode_count" -> (e => BpeEncodeCount(e.head)),
+    "redact_pii" -> (e => RedactPii(e.head)),
     "explode_archive" -> (e => ExplodeArchive(e.head)))
 
   /** Register the custom expressions for SQL use in an existing session

@@ -156,7 +156,8 @@ object Inventory extends InventoryCrawl {
     "q123_image_decode" -> (q123 _),
     "q124_site_clusters" -> (q124 _),
     "q125_cdx_scan" -> (q125 _),
-    "q126_bpe_tokens" -> (q126 _))
+    "q126_bpe_tokens" -> (q126 _),
+    "q127_pii_redact" -> (q127 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -826,6 +827,28 @@ object Inventory extends InventoryCrawl {
           |  ('c12_unicode', CAST(5 AS BIGINT)))
           |  AS t(case_id, bpe_tokens)
           |ORDER BY case_id""".stripMargin,
+      // q127: the redacted text restated with placeholders straight
+      // from the synthesis spec (the q16 rule) — every match AND
+      // every near-miss boundary rule is load-bearing in the md5
+      "q127_pii_redact" ->
+        """WITH m AS (
+          |  SELECT doc_id,
+          |    'reach <EMAIL>' ||
+          |    CASE WHEN doc_id % 2 = 0 THEN ' or <EMAIL>' ELSE '' END ||
+          |    ' not bad@host or x@y.z ip <IP> dead 300.' || (doc_id % 10) ||
+          |    '.1.1 ver v1.2.3.' || (doc_id % 9) ||
+          |    ' call <PHONE> pin ' || (10 + doc_id % 90) ||
+          |    ' key <KEY> short n' ||
+          |    substr(md5(CAST(doc_id AS VARCHAR) || 's'), 1, 30) ||
+          |    ' end <IP>.' AS clean
+          |  FROM documents)
+          |SELECT doc_id, md5(clean) AS clean_md5,
+          |       CAST(length(clean) AS BIGINT) AS clean_len,
+          |       CAST(1 + (doc_id + 1) % 2 AS BIGINT) AS n_email,
+          |       CAST(2 AS BIGINT) AS n_ip,
+          |       CAST(1 AS BIGINT) AS n_phone,
+          |       CAST(1 AS BIGINT) AS n_key
+          |FROM m ORDER BY doc_id""".stripMargin,
       // q114: directive order is file order — the per-doc Sitemap line
       // at ord 0, the even-id lowercase-key second line at ord 1; the
       // comment line and the empty-value Sitemap contribute nothing

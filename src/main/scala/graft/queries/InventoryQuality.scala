@@ -522,4 +522,41 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
         GraftFunctions.bpe_encode_count(col("text")).as("bpe_tokens"))
       .orderBy(col("case_id"))
   }
+
+  /** PII redaction under the oracle ([[GraftFunctions.redact_pii]] —
+    * the safety-filtering stage between extraction and tokenization):
+    * the per-doc synthesis embeds one email (two on even ids), two
+    * valid IPv4s (one at sentence end exercising the trailing-dot
+    * strip), one `+`-prefixed phone, one 33-char secret key — and the
+    * near-misses that must SURVIVE: a TLD-less `bad@host`, a 1-char
+    * TLD `x@y.z`, an out-of-range octet `300.d.1.1`, a version string
+    * `v1.2.3.d`, a 2-digit pin under the phone floor, a 31-char key
+    * under the length gate. The engine scans the assembled text
+    * generically; the oracle restates the clean text with placeholders
+    * straight from the synthesis spec (the q16 rule), so every
+    * boundary rule is load-bearing in one md5.
+    */
+  private[queries] def q127(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val ds = (c: Column) => c.cast("string")
+    val raw = concat(
+      lit("reach u"), ds(id), lit("@ex"), ds(id % 7), lit(".org"),
+      when(id % 2 === 0, concat(lit(" or u"), ds(id), lit("b@mail.net")))
+        .otherwise(lit("")),
+      lit(" not bad@host or x@y.z ip "),
+      ds(id % 200), lit("."), ds((id * 3) % 256), lit(".7."), ds(id % 100),
+      lit(" dead 300."), ds(id % 10), lit(".1.1 ver v1.2.3."), ds(id % 9),
+      lit(" call +1 555-01"), ds(id % 10), lit("-"), ds(lit(1000) + id % 9000),
+      lit(" pin "), ds(lit(10) + id % 90),
+      lit(" key k"), md5(ds(id).cast("binary")),
+      lit(" short n"), substring(md5(concat(ds(id), lit("s")).cast("binary")), 1, 30),
+      lit(" end 8.8.8.8."))
+    t(s, d, "documents")
+      .select(col("doc_id"), GraftFunctions.redact_pii(raw).as("r"))
+      .select(col("doc_id"),
+        md5(col("r.clean").cast("binary")).as("clean_md5"),
+        length(col("r.clean")).cast("bigint").as("clean_len"),
+        col("r.n_email"), col("r.n_ip"), col("r.n_phone"), col("r.n_key"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -338,6 +338,12 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange hashpartitioning"), s"q126 hash-shuffled:\n$p")
   }
 
+  test("q127: PII redaction is a narrow codegen'd projection") {
+    val p = plan("q127_pii_redact")
+    assert(exchanges(p) <= 1, s"q127 grew a shuffle:\n$p") // presentation sort only
+    assert(!p.contains("Exchange hashpartitioning"), s"q127 hash-shuffled:\n$p")
+  }
+
   test("q121: fetch schedule is ONE host exchange (the honest window)") {
     // a schedule ranks EVERY URL of a host — unlike q112's top-k this
     // window is the right shape; guard it at one hash exchange

@@ -56,7 +56,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         |       robots_crawl_delay('User-agent: *\nCrawl-delay: 3', 'bot') AS cd3,
         |       extract_links('<a href="/a">x</a><a href=/b>y</a>') AS lk,
         |       size(cdc_chunks(cast(txt AS binary), 2, 16, 64)) AS nc,
-        |       bpe_encode_count('the of and to in') AS bpe
+        |       bpe_encode_count('the of and to in') AS bpe,
+        |       redact_pii('mail u@ex.org or 8.8.8.8') AS pii
         |FROM t""".stripMargin).head()
     assert(r.getAs[Boolean]("u"))
     assert(r.getAs[String]("k") == "executable")
@@ -69,6 +70,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[String]("uh") == "www.a.co.uk")
     assert(r.getAs[String]("rdom") == "a.co.uk")
     assert(r.getAs[Long]("bpe") == 5L)
+    assert(r.getAs[org.apache.spark.sql.Row]("pii").getAs[String]("clean") ==
+      "mail <EMAIL> or <IP>")
     assert(r.getAs[String]("un") == "http://a.com/a")
     assert(r.getAs[String]("uns") == "http://a.com/p?a=1&b=2")
     assert(r.getAs[String]("de") == "café &#65; —")
