@@ -12,6 +12,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * secret-looking keys replaced by typed placeholders, per-category
   * counts kept for corpus accounting).
   *
+  * The single-pass, counting upgrade of [[TextStats.scrubPii]] (q62's
+  * three-regex composition): one scan instead of three rewrites, a
+  * KEY category the regex face lacks, per-category counts for corpus
+  * accounting, and boundary rules precise enough to state near-miss
+  * guarantees (below).
+  *
   * One deterministic left-to-right pass, hand-rolled scanners (no
   * regex — identical semantics under any engine, no catastrophic
   * backtracking). At each position the candidates are tried in fixed

@@ -222,4 +222,55 @@ object Sampling {
       .toDF("__kid")
     df.join(keep, col(idCol) === col("__kid"), "left_semi")
   }
+
+  /** Leakage-free train/val/test split: a deterministic hash split at
+    * NEAR-DUP-CLUSTER granularity, not document granularity. A plain
+    * per-doc hash split puts the two halves of a near-duplicate pair
+    * in train AND test — the held-out set then scores memorization,
+    * not generalization (the Lee et al. 2021 dedup paper's core
+    * contamination finding). Here every document first gets its
+    * verified near-dup cluster label ([[Dedup.nearDupPairs]] ≥
+    * `threshold` → [[Dedup.components]]; docs in no pair are their own
+    * singleton cluster), and the split bucket is a pure function of
+    * the CLUSTER id — so all members of a cluster land in the same
+    * split, structurally.
+    *
+    * Bucketing is the corpus-standard md5 arithmetic
+    * (`md5_long62(seed ":" cluster) % 100`, [[stratified]]'s
+    * determinism argument): reproducible across runs, engines and
+    * cluster sizes, and restatable by any SQL oracle.
+    *
+    * Scale shape: the pair/label stages are the q18/q33 LSH-bucketed
+    * machinery (never all-pairs); the label join is one id-keyed
+    * equi-join against a table bounded by the paired-doc count; the
+    * bucket itself is a narrow codegen'd scalar.
+    *
+    * @return input rows + `cluster` (long) + `split` (train/val/test)
+    */
+  def leakFreeSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      seed: String = "13",
+      trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "trainPct/valPct must be non-negative and sum to <= 100")
+    import graft.functions.GraftFunctions.md5_long62
+    val pairs = Dedup.nearDupPairs(df, idCol, textCol, threshold)
+      .select("id_a", "id_b")
+    val labels = Dedup.components(pairs) // (id, cluster), paired ids only
+    val withCluster = df
+      .join(labels, df(idCol) === labels("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol).cast("long")))
+      .drop("id")
+    val bucket = pmod(
+      md5_long62(concat(lit(seed), lit(":"), col("cluster").cast("string"))),
+      lit(100L))
+    withCluster.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
 }

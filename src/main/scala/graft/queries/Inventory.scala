@@ -157,7 +157,8 @@ object Inventory extends InventoryCrawl {
     "q124_site_clusters" -> (q124 _),
     "q125_cdx_scan" -> (q125 _),
     "q126_bpe_tokens" -> (q126 _),
-    "q127_pii_redact" -> (q127 _))
+    "q127_pii_redact" -> (q127 _),
+    "q128_leakfree_split" -> (q128 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -849,6 +850,37 @@ object Inventory extends InventoryCrawl {
           |       CAST(1 AS BIGINT) AS n_phone,
           |       CAST(1 AS BIGINT) AS n_key
           |FROM m ORDER BY doc_id""".stripMargin,
+      // q128: q33's recursive closure + singleton fill + the shared
+      // md5 bucket arithmetic over the CLUSTER id — cluster labels
+      // and cluster-granular bucketing both load-bearing
+      "q128_leakfree_split" ->
+        s"""WITH RECURSIVE
+           |w AS (SELECT doc_id, $toks AS t FROM documents),
+           |sh AS (SELECT doc_id,
+           |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |                        for i in range(1, len(t) - 1)]) AS s
+           |       FROM w),
+           |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |         CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
+           |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+           |p AS (SELECT id_a, id_b FROM pr WHERE round(j, 6) >= 0.8),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM p
+           |      UNION SELECT id_b, id_a FROM p),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM e
+           |  UNION
+           |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+           |lbl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+           |m AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+           |      FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id),
+           |b AS (SELECT doc_id, cluster,
+           |        ${md5h("'13:' || CAST(cluster AS VARCHAR)")} % 100 AS bk
+           |      FROM m)
+           |SELECT doc_id, cluster,
+           |       CASE WHEN bk < 80 THEN 'train'
+           |            WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
+           |FROM b ORDER BY doc_id""".stripMargin,
       // q114: directive order is file order — the per-doc Sitemap line
       // at ord 0, the even-id lowercase-key second line at ord 1; the
       // comment line and the empty-value Sitemap contribute nothing

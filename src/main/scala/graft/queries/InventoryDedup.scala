@@ -190,4 +190,24 @@ private[queries] trait InventoryDedup extends InventorySources {
       .select(col("id"), TextStats.scrubPii(col("text")).as("scrubbed"))
       .orderBy(col("id"))
   }
+
+  /** Leakage-free train/val/test split ([[Sampling.leakFreeSplit]]):
+    * the deterministic hash split applied at NEAR-DUP-CLUSTER
+    * granularity, so the two halves of a near-duplicate pair can
+    * never straddle train and test (the contamination a per-doc
+    * split bakes into every held-out metric). Composes q33's
+    * verified-pair components with q76/q82's md5 split arithmetic:
+    * cluster = min reachable id through Jaccard >= 0.8 pairs (docs in
+    * no pair are their own cluster), split = `md5_long62("13:" ||
+    * cluster) % 100` → 80/10/10. The oracle restates the whole thing:
+    * q33's recursive-CTE closure, a singleton-fill left join, and the
+    * identical md5 bucket arithmetic — so cluster labels AND the
+    * cluster-granular (not doc-granular) bucketing are both
+    * load-bearing.
+    */
+  private[queries] def q128(s: SparkSession, d: String): DataFrame =
+    Sampling.leakFreeSplit(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.8, seed = "13", trainPct = 80, valPct = 10)
+      .select(col("doc_id"), col("cluster"), col("split"))
+      .orderBy(col("doc_id"))
 }

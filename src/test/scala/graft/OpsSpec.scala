@@ -643,6 +643,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!exec.contains("Window"), s"domainCap must not plan a window:\n$exec")
   }
 
+  test("Sampling.leakFreeSplit: near-dup clusters never straddle splits") {
+    import spark.implicits._
+    val out = graft.ops.Sampling.leakFreeSplit(docs(), "doc_id", "text",
+      threshold = 0.5, seed = "13", trainPct = 80, valPct = 10)
+    val got = out.select("doc_id", "cluster", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // {0,1,4} form one near-dup cluster labeled by min id 0; 2 and 3
+    // are singletons labeled by themselves
+    assert(got.map(r => r._1 -> r._2).toMap ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 0L))
+    // the structural guarantee: one split per cluster
+    got.groupBy(_._2).values.foreach { members =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster ${members.head._2} straddles splits: ${members.toSeq}")
+    }
+    // the split is the documented pure function of the CLUSTER id
+    got.foreach { case (_, cluster, split) =>
+      val bk = graft.functions.HashingHelper.md5lo62(s"13:$cluster") % 100
+      val want = if (bk < 80) "train" else if (bk < 90) "val" else "test"
+      assert(split == want, s"cluster $cluster: got $split want $want")
+    }
+    // deterministic across runs
+    val again = graft.ops.Sampling.leakFreeSplit(docs(), "doc_id", "text",
+      threshold = 0.5, seed = "13", trainPct = 80, valPct = 10)
+      .select("doc_id", "cluster", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(again.sameElements(got))
+  }
+
   test("Quality.bm25: hand-checked Okapi scores, absent term scores zero") {
     import spark.implicits._
     val df = Seq(
