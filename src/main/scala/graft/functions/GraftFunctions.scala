@@ -223,6 +223,13 @@ object GraftFunctions {
 
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
 
+  /** Squared L2 distance between `vec[start .. start+len(cent))` and
+    * `cent` — the product-quantization subspace distance
+    * ([[VecL2SqSlice]]).
+    */
+  def vec_l2sq_slice(vec: Column, cent: Column, start: Column): Column =
+    column(VecL2SqSlice(expression(vec), expression(cent), expression(start)))
+
   def cosine_similarity(a: Column, b: Column): Column =
     vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 

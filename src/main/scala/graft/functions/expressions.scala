@@ -315,6 +315,35 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = l, right = r)
 }
 
+/** `vec_l2sq_slice(vec, cent, start) -> double` — squared L2 distance
+  * between the subvector `vec[start .. start+len(cent))` and `cent`:
+  * the product-quantization subspace distance (see
+  * [[VecHelper.l2sqSlice]]). Codegen'd native loop like [[VecDot]];
+  * `start` is a literal in every planned use, so the whole PQ
+  * encode/ADC projection stays inside whole-stage codegen.
+  */
+case class VecL2SqSlice(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_l2sq_slice"
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(v: Any, c: Any, s: Any): Any =
+    VecHelper.l2sqSlice(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      s.asInstanceOf[Int], isFloat(first), isFloat(second))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c, s) =>
+      s"graft.functions.VecHelper.l2sqSlice($v, $c, $s, ${isFloat(first)}, ${isFloat(second)})")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): VecL2SqSlice =
+    copy(first = f, second = s, third = t)
+}
+
 /** `simhash64(text) -> bigint` — 64-bit SimHash; near-dup via hamming
   * distance (`bit_count(a ^ b)`).
   */

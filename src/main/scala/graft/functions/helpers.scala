@@ -122,6 +122,28 @@ object VecHelper {
     }
     acc
   }
+
+  /** Squared L2 distance between `v[start .. start+len)` and the whole
+    * of `c` (len = c.numElements) — the product-quantization subspace
+    * distance. Same left-to-right double-precision fold discipline as
+    * [[dot]], so an ANSI-SQL ordered-comprehension sum over the same
+    * slice is bit-identical. Out-of-range slice positions contribute
+    * nothing (min-length guard like [[dot]]).
+    */
+  def l2sqSlice(v: ArrayData, c: ArrayData, start: Int,
+      vFloat: Boolean, cFloat: Boolean): Double = {
+    val n = math.min(c.numElements(), math.max(0, v.numElements() - start))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (vFloat) v.getFloat(start + i).toDouble else v.getDouble(start + i)
+      val y = if (cFloat) c.getFloat(i).toDouble else c.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Unicode normalization, invoked from generated code. Matches the

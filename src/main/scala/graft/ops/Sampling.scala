@@ -273,4 +273,60 @@ object Sampling {
         .when(bucket < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /** Token-budget mixture sampling: per SOURCE, admit documents in a
+    * deterministic shuffled order until the source's TOKEN budget is
+    * exhausted. Training mixtures are specified in tokens, not
+    * document counts ([[domainCap]]'s unit) — a source of long
+    * documents contributes the same training mass as one of short
+    * documents under the same budget.
+    *
+    * Determinism is the corpus-standard md5 arithmetic: admission
+    * order within a source is `md5_long62(seed ":" id)` (a
+    * reproducible shuffle — id order would bias toward early crawl
+    * segments), and a document is kept iff the running token total
+    * through it stays <= `budget`.
+    *
+    * Scale shape, two regimes split by ONE broadcast-joined per-source
+    * aggregate:
+    *   - sources whose TOTAL fits the budget pass through with no
+    *     ordering at all (the common case in a healthy mixture — most
+    *     sources fit, and they never pay a sort);
+    *   - only over-budget sources flow into the per-source cumulative
+    *     window, and a fetcher-style hash exchange on source carries
+    *     ONLY those rows. Like q121's schedule, ranking every kept
+    *     document of a source is the honest shape — the admission
+    *     cutoff is order-dependent, so a bounded top-k aggregator
+    *     cannot answer it (k is unknown until the cumsum crosses).
+    *
+    * Token definition is [[graft.functions.TextStats.tokenCount]]'s
+    * pinned whitespace class (the q19/q20/q36 oracle contract).
+    *
+    * @return (idCol, sourceCol, n_tokens) of admitted documents
+    */
+  def tokenBudgetMix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      budget: Long,
+      seed: String = "17"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import graft.functions.GraftFunctions.md5_long62
+    import org.apache.spark.sql.expressions.Window
+    val tc = df.select(
+      col(idCol),
+      col(sourceCol),
+      graft.functions.TextStats.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      md5_long62(concat(lit(seed), lit(":"), col(idCol).cast("string"))).as("__pr"))
+    val totals = tc.groupBy(col(sourceCol)).agg(sum(col("n_tokens")).as("__tot"))
+    val joined = tc.join(broadcast(totals), Seq(sourceCol))
+    val under = joined.where(col("__tot") <= budget)
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col("__pr"), col(idCol))
+    val over = joined.where(col("__tot") > budget)
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .where(col("__cum") <= budget)
+      .drop("__cum")
+    under.unionByName(over).select(col(idCol), col(sourceCol), col("n_tokens"))
+  }
 }

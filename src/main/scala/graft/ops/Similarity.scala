@@ -323,6 +323,202 @@ object Similarity {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------
+  // Product quantization (PQ) — the compression half of the IVF-PQ
+  // architecture (Jégou, Douze, Schmid, "Product Quantization for
+  // Nearest Neighbor Search", TPAMI 2011). A d-dim vector is split
+  // into `m` subvectors; each subvector is quantized to its nearest
+  // of `ks` per-subspace centroids; the stored code is m small ints
+  // (ks=16 -> 4 bits each, so a 64-dim float vector compresses
+  // 256 bytes -> 4 bytes). Queries never decode: ADC (asymmetric
+  // distance computation) precomputes the m x ks table of
+  // query-to-centroid subspace distances once per query, and each
+  // row's approximate distance is m table lookups summed — the scan
+  // shape that makes 100 TB of embeddings searchable from RAM-sized
+  // state.
+  // ---------------------------------------------------------------
+
+  /** Per-subspace centroid tables: entry (m)(j) is the j-th centroid
+    * of subspace m (length d/m each).
+    */
+  type PqCodebooks = Array[Array[Array[Double]]]
+
+  /** Deterministic PQ codebooks: subspace slices of the `ks`
+    * smallest-id vectors — the [[ivfCodebook]] rule applied per
+    * subspace, oracle-reproducible. Bounded driver collect (ks rows).
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ks: Int): PqCodebooks = {
+    val rows = df.orderBy(col(idCol)).limit(ks)
+      .select(transform(col(vecCol), x => x.cast("double")))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "cannot build PQ codebooks from an empty corpus")
+    val dim = rows(0).length
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    Array.tabulate(m)(mi => rows.map(_.slice(mi * dsub, (mi + 1) * dsub)))
+  }
+
+  /** TRAINED PQ codebooks: bounded-iteration L2 k-means in EVERY
+    * subspace, all m subspaces in ONE distributed pass per iteration
+    * (the [[trainIvfCodebook]] layout: centroids broadcast, per-row
+    * assignment + partial (sum, count) aggregation inside each
+    * partition, only m x ks x dsub doubles of partials ever leave an
+    * executor — never rows). Init per subspace is the deterministic
+    * hash-ordered sample ([[trainIvfCodebook]]'s rule); an emptied
+    * cell keeps its previous centroid; stops early when no centroid
+    * moves more than `tol` in squared L2.
+    */
+  def trainPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ks: Int, maxIters: Int = 10, tol: Double = 1e-9): PqCodebooks = {
+    require(m > 0 && ks > 0 && maxIters > 0, "m, ks, maxIters must be positive")
+    val projected = df.select(
+      col(idCol).cast("long"),
+      transform(col(vecCol), x => x.cast("double")))
+    val data = projected.rdd
+      .map(_.getSeq[Double](1).toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val init = projected
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(ks)
+        .collect()
+        .map(_.getSeq[Double](1).toArray)
+      require(init.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+      val dim = init(0).length
+      require(dim % m == 0, s"m=$m must divide dim=$dim")
+      val dsub = dim / m
+      var cents: PqCodebooks =
+        Array.tabulate(m)(mi => init.map(_.slice(mi * dsub, (mi + 1) * dsub)))
+      val sc = df.sparkSession.sparkContext
+      var iter = 0
+      var moved = true
+      while (iter < maxIters && moved) {
+        val bc = sc.broadcast(cents)
+        val (sums, counts) = data.treeAggregate(
+          (Array.fill(m, ks)(new Array[Double](dsub)), Array.fill(m, ks)(0L)))(
+          seqOp = { case ((s, c), v) =>
+            val cb = bc.value
+            var mi = 0
+            while (mi < m) {
+              val off = mi * dsub
+              var best = 0; var bestD = Double.MaxValue
+              var j = 0
+              while (j < ks) {
+                val cent = cb(mi)(j)
+                var d = 0.0; var i = 0
+                while (i < dsub) { val t = v(off + i) - cent(i); d += t * t; i += 1 }
+                if (d < bestD) { best = j; bestD = d }
+                j += 1
+              }
+              var i = 0
+              while (i < dsub) { s(mi)(best)(i) += v(off + i); i += 1 }
+              c(mi)(best) += 1
+              mi += 1
+            }
+            (s, c)
+          },
+          combOp = { case ((s1, c1), (s2, c2)) =>
+            var mi = 0
+            while (mi < m) {
+              var j = 0
+              while (j < ks) {
+                var i = 0
+                while (i < dsub) { s1(mi)(j)(i) += s2(mi)(j)(i); i += 1 }
+                c1(mi)(j) += c2(mi)(j); j += 1
+              }
+              mi += 1
+            }
+            (s1, c1)
+          })
+        bc.destroy()
+        val next = Array.tabulate(m, ks) { (mi, j) =>
+          if (counts(mi)(j) == 0) cents(mi)(j)
+          else sums(mi)(j).map(_ / counts(mi)(j))
+        }
+        moved = (0 until m).exists(mi => (0 until ks).exists { j =>
+          var d = 0.0; var i = 0
+          while (i < dsub) { val t = cents(mi)(j)(i) - next(mi)(j)(i); d += t * t; i += 1 }
+          d > tol
+        })
+        cents = next
+        iter += 1
+      }
+      cents
+    } finally data.unpersist(blocking = false)
+  }
+
+  /** PQ code of a vector column: `array<int>` of length m, entry mi =
+    * argmin_j ||v[mi*dsub ..] - cb(mi)(j)||² (ties to the smaller j).
+    * A narrow, fully-codegen projection — per subspace the argmin is
+    * `min (dist, j)` over inlined centroid literals via
+    * [[GraftFunctions.vec_l2sq_slice]]; no shuffle, no join, one pass.
+    */
+  def pqCode(cb: PqCodebooks, vec: Column): Column = {
+    val dsub = cb(0)(0).length
+    array(cb.indices.map { mi =>
+      least(cb(mi).zipWithIndex.map { case (c, j) =>
+        struct(
+          GraftFunctions.vec_l2sq_slice(vec, vecLit(c), lit(mi * dsub)).as("d"),
+          lit(j).as("j"))
+      }.toIndexedSeq: _*).getField("j")
+    }.toIndexedSeq: _*)
+  }
+
+  /** The m 4/8-bit codes packed into one BIGINT — the at-rest column
+    * (ks <= 16 -> 4 bits per code, m <= 16 subspaces in one long).
+    */
+  def pqPack(code: Column, m: Int, ks: Int): Column = {
+    val bits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros((ks - 1).toLong))
+    require(m * bits <= 64, s"m=$m codes of $bits bits exceed one long")
+    (0 until m).map(mi => shiftleft(element_at(code, mi + 1).cast("long"), mi * bits))
+      .reduceLeft(_.bitwiseOR(_))
+  }
+
+  /** Inverse of [[pqPack]]. */
+  def pqUnpack(packed: Column, m: Int, ks: Int): Column = {
+    val bits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros((ks - 1).toLong))
+    array((0 until m).map(mi =>
+      shiftright(packed, mi * bits).bitwiseAND(lit((1L << bits) - 1)).cast("int")): _*)
+  }
+
+  /** The per-query ADC lookup table: entry (mi)(j) = squared L2
+    * distance from the query's mi-th subvector to centroid (mi)(j).
+    * Driver-side, m x ks doubles — broadcast-inlined into the scan.
+    */
+  def pqAdcTable(cb: PqCodebooks, query: Array[Double]): Array[Array[Double]] = {
+    val dsub = cb(0)(0).length
+    Array.tabulate(cb.length)(mi => cb(mi).map { c =>
+      var d = 0.0; var i = 0
+      while (i < dsub) { val t = query(mi * dsub + i) - c(i); d += t * t; i += 1 }
+      d
+    })
+  }
+
+  /** Approximate top-k by PQ/ADC: encode each row (or reuse a stored
+    * code column), then its distance to the query is m lookups into
+    * the inlined ADC table, summed left-to-right — a narrow
+    * whole-stage-codegen scan + a k-row `orderBy.limit`
+    * (TakeOrderedAndProject), zero exchanges. `codebooks` defaults to
+    * the deterministic smallest-id stand-in (oracle-reproducible);
+    * pass [[trainPqCodebooks]]'s output for real recall. Output:
+    * (idCol, adc) ordered ascending (it is a distance), ties by id.
+    */
+  def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, m: Int = 8, ks: Int = 16,
+      codebooks: Option[PqCodebooks] = None): DataFrame = {
+    val cb = codebooks.getOrElse(pqCodebooks(df, idCol, vecCol, m, ks))
+    val lut = pqAdcTable(cb, query)
+    val coded = df.select(col(idCol), pqCode(cb, col(vecCol)).as("__code"))
+    val adc = cb.indices
+      .map(mi => element_at(vecLit(lut(mi)), element_at(col("__code"), mi + 1) + 1))
+      .reduceLeft(_ + _)
+    coded.select(col(idCol), round(adc, 6).as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(k)
+  }
+
   /** Per-row (double vector, L2 norm) projection — computed ONCE per
     * row before a pairwise join. Folding the norm into the per-pair
     * cosine would re-evaluate it per candidate (higher-order array

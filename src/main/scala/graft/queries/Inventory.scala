@@ -158,7 +158,9 @@ object Inventory extends InventoryCrawl {
     "q125_cdx_scan" -> (q125 _),
     "q126_bpe_tokens" -> (q126 _),
     "q127_pii_redact" -> (q127 _),
-    "q128_leakfree_split" -> (q128 _))
+    "q128_leakfree_split" -> (q128 _),
+    "q129_ann_pq" -> (q129 _),
+    "q130_token_budget" -> (q130 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -881,6 +883,55 @@ object Inventory extends InventoryCrawl {
            |       CASE WHEN bk < 80 THEN 'train'
            |            WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
            |FROM b ORDER BY doc_id""".stripMargin,
+      // q129: the full PQ/ADC recomputation from the deterministic
+      // codebooks — subspace slices of the 16 smallest-id vectors
+      // (the q37 rule), per-subspace argmin with ties to the smaller
+      // centroid, the all-ones query's ADC table, and the lookup sum
+      // folded in subspace order (list over ORDER BY m — the same
+      // left-to-right IEEE add chain the engine's fixed m-order
+      // column sum performs)
+      "q129_ann_pq" ->
+        """WITH cb AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS c
+          |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+          |sub AS (
+          |  SELECT e.vec_id, m.m, cb.j,
+          |    list_sum(list_transform(generate_series(1, 8),
+          |      i -> (e.embedding[m.m*8+i]::DOUBLE - cb.c[m.m*8+i]::DOUBLE) *
+          |           (e.embedding[m.m*8+i]::DOUBLE - cb.c[m.m*8+i]::DOUBLE))) AS d
+          |  FROM embeddings e CROSS JOIN generate_series(0, 7) m(m) CROSS JOIN cb),
+          |code AS (
+          |  SELECT vec_id, m, j FROM sub
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),
+          |lut AS (
+          |  SELECT m.m, cb.j,
+          |    list_sum(list_transform(generate_series(1, 8),
+          |      i -> (1.0 - cb.c[m.m*8+i]::DOUBLE) * (1.0 - cb.c[m.m*8+i]::DOUBLE))) AS ld
+          |  FROM cb CROSS JOIN generate_series(0, 7) m(m)),
+          |adc AS (
+          |  SELECT c.vec_id, list_sum(list(l.ld ORDER BY l.m)) AS dist
+          |  FROM code c JOIN lut l ON l.m = c.m AND l.j = c.j
+          |  GROUP BY c.vec_id)
+          |SELECT vec_id, round(dist, 6) AS adc FROM adc
+          |ORDER BY adc, vec_id LIMIT 10""".stripMargin,
+      // q130: the totals split + md5 admission order + running-sum
+      // cutoff — under-budget sources keep every row (tot <= 1400),
+      // over-budget sources keep the md5-ordered prefix whose running
+      // token total stays within budget
+      "q130_token_budget" ->
+        s"""WITH q AS (SELECT doc_id, source,
+           |    CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS BIGINT)
+           |      AS n_tokens,
+           |    ${md5h("'17:' || CAST(doc_id AS VARCHAR)")} AS pr
+           |  FROM documents),
+           |t AS (SELECT source, SUM(n_tokens) AS tot FROM q GROUP BY source),
+           |c AS (SELECT q.doc_id, q.source, q.n_tokens, t.tot,
+           |    SUM(q.n_tokens) OVER (PARTITION BY q.source ORDER BY q.pr, q.doc_id
+           |                          ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM q JOIN t USING (source))
+           |SELECT doc_id, source, n_tokens FROM c
+           |WHERE tot <= 1400 OR cum <= 1400
+           |ORDER BY doc_id""".stripMargin,
       // q114: directive order is file order — the per-doc Sitemap line
       // at ord 0, the even-id lowercase-key second line at ord 1; the
       // comment line and the empty-value Sitemap contribute nothing

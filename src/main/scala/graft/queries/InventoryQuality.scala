@@ -381,6 +381,22 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
       .orderBy(col("doc_id"))
 
 
+  /** Token-budget mixture sampling ([[Sampling.tokenBudgetMix]]):
+    * per-source admission in deterministic md5-shuffled order until
+    * the source's TOKEN budget (1400) is exhausted — mixtures are
+    * specified in tokens, not doc counts (q82's unit). The budget
+    * straddles the per-source totals at this scale, so BOTH regimes
+    * are load-bearing: under-budget sources pass through whole (no
+    * ordering paid), over-budget sources flow through the per-source
+    * cumulative window. The oracle restates the totals split, the
+    * md5 admission order, and the running-sum cutoff.
+    */
+  private[queries] def q130(s: SparkSession, d: String): DataFrame =
+    Sampling.tokenBudgetMix(t(s, d, "documents"), "doc_id", "text", "source",
+      budget = 1400L, seed = "17")
+      .orderBy(col("doc_id"))
+
+
   /** BM25 query terms for q83 — drawn from the testdata vocabulary so
     * tf/df vary across documents at every scale factor.
     */

@@ -65,6 +65,22 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
       OnesQuery, k = 10, nlist = 16, nprobe = 4)
 
 
+  /** PQ/ADC ANN ([[Similarity.pqAdcTopK]], Jégou et al. TPAMI 2011):
+    * each 64-dim vector quantizes to 8 subspace codes (16 centroids
+    * per subspace — 4 bits each, 256 bytes → 4 at rest); the query
+    * never decodes — its distance to a row is 8 lookups into the
+    * precomputed query-to-centroid table, summed. The oracle
+    * recomputes everything from the same deterministic codebooks (the
+    * q37 rule: subspace slices of the 16 smallest-id vectors):
+    * per-subspace argmin assignment, the ADC table, and the ordered
+    * lookup sum — encode AND asymmetric distance are both
+    * load-bearing.
+    */
+  private[queries] def q129(s: SparkSession, d: String): DataFrame =
+    Similarity.pqAdcTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+      OnesQuery, k = 10, m = 8, ks = 16)
+
+
   /** SemDeDup ([[Similarity.semDedup]], arXiv:2303.09540): semantic
     * dedup = IVF-cell clustering (the q37 deterministic codebook, so
     * the oracle can reproduce the assignment) → within-cell exact

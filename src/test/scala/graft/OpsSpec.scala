@@ -289,6 +289,101 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"trained $trainedRecall must beat stand-in $standInRecall")
   }
 
+  test("PQ: codes match a driver recompute, pack/unpack round-trips") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val rows = (0L until 40L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val m = 4; val ks = 8; val dsub = dim / m
+    val cb = Similarity.pqCodebooks(df, "vec_id", "embedding", m, ks)
+    assert(cb.length == m && cb.forall(_.length == ks) &&
+      cb.forall(_.forall(_.length == dsub)))
+    val got = df.select(col("vec_id"), Similarity.pqCode(cb, col("embedding")).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    // driver-side argmin over the same codebooks
+    rows.foreach { case (id, v) =>
+      val want = (0 until m).map { mi =>
+        (0 until ks).minBy { j =>
+          val d = (0 until dsub).map { i =>
+            val t = v(mi * dsub + i).toDouble - cb(mi)(j)(i); t * t
+          }.sum
+          (d, j)
+        }
+      }
+      assert(got(id) == want, s"vec $id: got ${got(id)} want $want")
+    }
+    // pack/unpack is the identity and fits the advertised width
+    val rt = df.select(
+        Similarity.pqCode(cb, col("embedding")).as("c"),
+        Similarity.pqUnpack(
+          Similarity.pqPack(Similarity.pqCode(cb, col("embedding")), m, ks), m, ks).as("u"))
+      .where(col("c") =!= col("u")).count()
+    assert(rt == 0, "pqUnpack(pqPack(code)) must round-trip")
+  }
+
+  test("PQ/ADC: zero distortion on codebook members; trained beats stand-in") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val k = 8
+    // cluster-major ids: the smallest-id codebooks see only cluster 0
+    val centers = Array.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = for (c <- 0 until k; j <- 0 until 30) yield {
+      val v = centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      (c.toLong * 30 + j, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val query = centers(5).map(_ + 0.01)
+
+    // exactness seat: when every row IS a codebook entry, ADC equals
+    // the exact squared L2 distance (quantization error is zero)
+    val members = rows.take(8).toDF("vec_id", "embedding")
+    val mcb = Similarity.pqCodebooks(members, "vec_id", "embedding", m = 4, ks = 8)
+    val adc = Similarity.pqAdcTopK(members, "vec_id", "embedding", query,
+      k = 8, m = 4, ks = 8, codebooks = Some(mcb))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.take(8).foreach { case (id, v) =>
+      val exact = v.indices.map { i => val t = v(i).toDouble - query(i); t * t }.sum
+      assert(math.abs(adc(id) - exact) < 1e-6, s"vec $id: adc ${adc(id)} exact $exact")
+    }
+
+    // ADC cannot rank finer than the quantization cells (all 30
+    // members of a cluster share a code and tie), so the honest
+    // quality metrics are (a) CLUSTER recall — the ADC top-10 should
+    // come from the query's true cluster (ids 150..179) — and (b)
+    // quantization distortion, the quantity k-means actually
+    // minimizes: mean ||v - reconstruct(code)||² over the corpus.
+    def clusterHitRate(codebooks: Option[Similarity.PqCodebooks]): Double = {
+      val approx = Similarity.pqAdcTopK(df, "vec_id", "embedding", query,
+        k = 10, m = 4, ks = k, codebooks = codebooks)
+        .collect().map(_.getLong(0))
+      approx.count(id => id >= 150 && id < 180) / 10.0
+    }
+    def distortion(cb: Similarity.PqCodebooks): Double = {
+      val dsub = cb(0)(0).length
+      val err = cb.indices.map { mi =>
+        least(cb(mi).zipWithIndex.map { case (c, j) =>
+          struct(
+            graft.functions.GraftFunctions.vec_l2sq_slice(
+              col("embedding"), array(c.toIndexedSeq.map(lit): _*),
+              lit(mi * dsub)).as("d"),
+            lit(j).as("j"))
+        }.toIndexedSeq: _*).getField("d")
+      }.reduce(_ + _)
+      df.select(avg(err)).collect()(0).getDouble(0)
+    }
+    val trained = Similarity.trainPqCodebooks(df, "vec_id", "embedding", m = 4, ks = k)
+    val standIn = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 4, ks = k)
+    assert(clusterHitRate(Some(trained)) >= 0.9,
+      s"trained cluster hit rate ${clusterHitRate(Some(trained))}")
+    // all stand-in codebooks come from cluster 0, so its corpus-wide
+    // reconstruction error is dominated by the 7 clusters it never
+    // sampled; training must cut distortion by a wide margin
+    val (dt, ds) = (distortion(trained), distortion(standIn))
+    assert(dt < 0.5 * ds, s"trained distortion $dt vs stand-in $ds")
+  }
+
   test("exact embedding near-dup refuses corpora above exactMax") {
     import spark.implicits._
     val vecs = (0L until 5L).map(i => (i, Array(i.toFloat, 1.0f))).toDF("vec_id", "embedding")
@@ -670,6 +765,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id", "cluster", "split")
       .as[(Long, Long, String)].collect().sortBy(_._1)
     assert(again.sameElements(got))
+  }
+
+  test("Sampling.tokenBudgetMix: budget admission follows the md5 order") {
+    import spark.implicits._
+    // source A totals 60 tokens (under a 100 budget -> all kept);
+    // source B totals 150 (over -> md5-ordered prefix within 100)
+    val rows = Seq(
+      (0L, "A", "one two three four five six seven eight nine ten " * 2),          // 20
+      (1L, "A", "a b c d e f g h i j " * 4),                                       // 40
+      (2L, "B", ("w " * 50).trim),                                                 // 50
+      (3L, "B", ("x " * 50).trim),                                                 // 50
+      (4L, "B", ("y " * 50).trim)                                                  // 50
+    ).toDF("doc_id", "source", "text")
+    val got = graft.ops.Sampling.tokenBudgetMix(rows, "doc_id", "text", "source",
+      budget = 100L, seed = "17")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // under-budget source A passes through whole
+    assert(got.filter(_._2 == "A").map(_._1).toSeq == Seq(0L, 1L))
+    // over-budget source B keeps the md5(17:id)-ordered prefix whose
+    // running total stays <= 100 — exactly two 50-token docs
+    val bKept = got.filter(_._2 == "B").map(_._1).toSet
+    val bOrder = Seq(2L, 3L, 4L)
+      .sortBy(id => (graft.functions.HashingHelper.md5lo62(s"17:$id"), id))
+    assert(bKept == bOrder.take(2).toSet, s"kept $bKept, order $bOrder")
+    // per-source admitted totals respect the budget
+    got.groupBy(_._2).foreach { case (src, members) =>
+      assert(members.map(_._3).sum <= 100L, s"source $src exceeded the budget")
+    }
   }
 
   test("Quality.bm25: hand-checked Okapi scores, absent term scores zero") {

@@ -46,6 +46,28 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q129: PQ/ADC scan is zero-exchange whole-stage codegen + top-k") {
+    val p = plan("q129_ann_pq")
+    assert(exchanges(p) == 0, s"q129 grew a shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q129 lost bounded top-k:\n$p")
+    // encode + ADC lookups must stay inside codegen — vec_l2sq_slice
+    // and the table lookups are all expression-level (the `*(n)`
+    // prefix is executedPlan.toString's whole-stage-codegen marker)
+    assert(p.contains("*(1) Project"), s"q129 fell out of codegen:\n$p")
+  }
+
+  test("q130: token-budget mix windows ONLY the over-budget branch") {
+    val p = plan("q130_token_budget")
+    // one hash exchange aggregates per-source totals, one carries the
+    // over-budget branch into its window; the totals side re-enters as
+    // a broadcast (never a third hash exchange); + the presentation sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"q130 grew a shuffle:\n$p")
+    assert(p.contains("Window"), s"q130 lost the cumulative window:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"q130 must broadcast the per-source totals:\n$p")
+  }
+
   test("q28: as-of join is one hash exchange (union -> window)") {
     val p = plan("q28_asof_join")
     // exactly one hash exchange does the as-of work; the only other
