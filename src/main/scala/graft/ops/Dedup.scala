@@ -82,7 +82,15 @@ object Dedup {
     * banding a 100 TB design; counting it must not require re-deriving
     * the banding).
     */
-  def nearDupCandidates(
+  /** The LSH band-signature projection: one (id, band, key) row per
+    * band — `key` is the 64-bit hash of that band's minhash slice.
+    * This is the ONLY per-document state near-dup candidacy needs
+    * (24 bytes/band/doc), which makes it the natural at-rest index
+    * payload ([[writeNearDupIndex]]): signatures over a 100 TB corpus
+    * are computed once, and every later increment joins against the
+    * stored rows instead of recomputing the corpus.
+    */
+  def bandSignatures(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -91,20 +99,29 @@ object Dedup {
       shingleWidth: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    df.select(
+      col(idCol).as("id"),
+      GraftFunctions.minhash_signature(col(textCol), numHashes, shingleWidth).as("__sig"))
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, $bands - 1), b -> xxhash64(concat_ws(',', transform(slice(__sig, b * $r + 1, $r), x -> cast(x as string)))))")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
+  }
+
+  def nearDupCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleWidth: Int = 3): DataFrame = {
     // candidate generation carries ONLY (id, band, key) — 24 bytes/row —
     // through the exchange; shingle sets join in later, and only for
     // ids that actually appear in a candidate pair
-    val banded = df.select(
-      col(idCol).as("__id"),
-      GraftFunctions.minhash_signature(col(textCol), numHashes, shingleWidth).as("__sig"))
-      .select(col("__id"), posexplode(expr(
-        s"transform(sequence(0, $bands - 1), b -> xxhash64(concat_ws(',', transform(slice(__sig, b * $r + 1, $r), x -> cast(x as string)))))")))
-      .withColumnRenamed("pos", "__band")
-      .withColumnRenamed("col", "__key")
-
-    val a = banded.select(col("__id").as("id_a"), col("__band"), col("__key"))
-    val b = banded.select(col("__id").as("id_b"), col("__band"), col("__key"))
-    a.join(b, Seq("__band", "__key"))
+    val banded = bandSignatures(df, idCol, textCol, numHashes, bands, shingleWidth)
+    val a = banded.select(col("id").as("id_a"), col("band"), col("key"))
+    val b = banded.select(col("id").as("id_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
@@ -126,6 +143,75 @@ object Dedup {
       .withColumn("jaccard", round(jaccard(col("__sha"), col("__shb")), 6))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Persist the corpus's [[bandSignatures]] as the at-rest near-dup
+    * index: (id, key) parquet under `band=` partition directories.
+    * At 100 TB this is THE incremental-dedup artifact — the signature
+    * pass over the corpus runs once; every later batch joins its own
+    * (tiny) signature set against these stored rows instead of
+    * recomputing minhashes over the whole corpus
+    * ([[incrementalNearDup]]).
+    */
+  def writeNearDupIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      out: String,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleWidth: Int = 3): Unit =
+    bandSignatures(df, idCol, textCol, numHashes, bands, shingleWidth)
+      .write.mode("overwrite").partitionBy("band").parquet(out)
+
+  /** Near-dup detection of a NEW batch against a corpus indexed at
+    * rest by [[writeNearDupIndex]] — the daily-ingest shape: the
+    * increment's signatures are computed fresh (it is small), the
+    * corpus's are READ, never recomputed.
+    *
+    * Scale shape: the increment's (band, key) set is broadcast, so
+    * the stored index streams through a broadcast join with NO
+    * shuffle of the index side and no state beyond the increment's
+    * signatures; the candidate set (bounded by true collisions) then
+    * drives exact-Jaccard verification against only the matched
+    * corpus documents' texts. Candidates carry 24-byte rows; shingle
+    * sets join in candidate-bounded.
+    *
+    * @param corpus the indexed documents (for verification text —
+    *               only candidate-matched rows are ever shingled)
+    * @param batch  the new documents
+    * @return (idCol of the new doc, dup_of = smallest corpus id with
+    *         verified Jaccard >= threshold)
+    */
+  def incrementalNearDup(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleWidth: Int = 3): DataFrame = {
+    val newSig = bandSignatures(batch, idCol, textCol, numHashes, bands, shingleWidth)
+      .withColumnRenamed("id", "__new_id")
+    val index = spark.read.parquet(indexPath)
+      .select(col("id").as("__old_id"), col("band"), col("key"))
+    val cand = index
+      .join(broadcast(newSig), Seq("band", "key"))
+      .select(col("__old_id"), col("__new_id"))
+      .dropDuplicates("__old_id", "__new_id")
+    val oldSh = corpus.select(
+      col(idCol).as("__old_id"), shingles(col(textCol), shingleWidth).as("__sha"))
+    val newSh = batch.select(
+      col(idCol).as("__new_id"), shingles(col(textCol), shingleWidth).as("__shb"))
+    cand
+      .join(oldSh, Seq("__old_id"))
+      .join(newSh, Seq("__new_id"))
+      .where(round(jaccard(col("__sha"), col("__shb")), 6) >= threshold)
+      .groupBy(col("__new_id").as(idCol))
+      .agg(min(col("__old_id")).as("dup_of"))
   }
 
   /** Near-dup *dedup* at scale: cluster by LSH bucket, elect min-id

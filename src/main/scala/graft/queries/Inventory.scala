@@ -160,7 +160,8 @@ object Inventory extends InventoryCrawl {
     "q127_pii_redact" -> (q127 _),
     "q128_leakfree_split" -> (q128 _),
     "q129_ann_pq" -> (q129 _),
-    "q130_token_budget" -> (q130 _))
+    "q130_token_budget" -> (q130 _),
+    "q131_incr_neardup" -> (q131 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -932,6 +933,23 @@ object Inventory extends InventoryCrawl {
            |SELECT doc_id, source, n_tokens FROM c
            |WHERE tot <= 1400 OR cum <= 1400
            |ORDER BY doc_id""".stripMargin,
+      // q131: the q18 rule across the parity split — banded candidacy
+      // is complete at 0.8 (the q18-verified property), so the index
+      // path must land on ALL (even-corpus, odd-batch) pairs with
+      // Jaccard >= 0.8, min corpus id per new doc
+      "q131_incr_neardup" ->
+        s"""WITH w AS (SELECT doc_id, $toks AS t FROM documents),
+           |s AS (SELECT doc_id,
+           |        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |                       for i in range(1, len(t) - 1)]) AS sh
+           |      FROM w),
+           |p AS (SELECT o.doc_id AS old_id, n.doc_id AS new_id,
+           |        round(CAST(len(list_intersect(o.sh, n.sh)) AS DOUBLE) /
+           |              CAST(len(list_distinct(list_concat(o.sh, n.sh))) AS DOUBLE), 6)
+           |          AS j
+           |      FROM s o JOIN s n ON o.doc_id % 2 = 0 AND n.doc_id % 2 = 1)
+           |SELECT new_id AS doc_id, MIN(old_id) AS dup_of
+           |FROM p WHERE j >= 0.8 GROUP BY new_id ORDER BY doc_id""".stripMargin,
       // q114: directive order is file order — the per-doc Sitemap line
       // at ord 0, the even-id lowercase-key second line at ord 1; the
       // comment line and the empty-value Sitemap contribute nothing

@@ -210,4 +210,29 @@ private[queries] trait InventoryDedup extends InventorySources {
         threshold = 0.8, seed = "13", trainPct = 80, valPct = 10)
       .select(col("doc_id"), col("cluster"), col("split"))
       .orderBy(col("doc_id"))
+
+  /** Incremental near-dup against the at-rest signature index
+    * ([[Dedup.writeNearDupIndex]] + [[Dedup.incrementalNearDup]]) —
+    * the daily-ingest shape: even-id documents are "the corpus",
+    * their band signatures are WRITTEN to parquet once, and the
+    * odd-id "new batch" joins its own signatures against the stored
+    * rows (broadcast — the index side never shuffles), then verifies
+    * exact Jaccard against only the matched corpus texts. The oracle
+    * is the q18 rule across the parity split: all (even, odd) pairs
+    * with Jaccard >= 0.8, min corpus id per new doc — so the index
+    * write, the read-back, the banded candidacy (complete at 0.8,
+    * the q18-verified property) and the verification all land in one
+    * answer.
+    */
+  private[queries] def q131(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val old = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 2 === 1)
+    val out = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q131_index"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    Dedup.writeNearDupIndex(old, "doc_id", "text", out)
+    Dedup.incrementalNearDup(s, out, old, batch, "doc_id", "text", threshold = 0.8)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -767,6 +767,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.sameElements(got))
   }
 
+  test("Dedup.incrementalNearDup: batch dups resolve against the stored index") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely unrelated corpus text about distributed query engines"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again today")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "novel text that matches nothing stored in the corpus index at all")
+    ).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_incr_idx").toString
+    graft.ops.Dedup.writeNearDupIndex(corpus, "doc_id", "text", out)
+    // the index is band-partitioned (id, key) parquet — the 100 TB
+    // artifact layout
+    val idx = spark.read.parquet(out)
+    assert(idx.columns.sorted.toSeq == Seq("band", "id", "key"))
+    assert(idx.count() == 3 * 32)
+    val got = graft.ops.Dedup.incrementalNearDup(spark, out, corpus, batch,
+      "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 duplicates corpus docs 0 AND 4 -> smallest corpus id wins;
+    // doc 3 matches nothing and must not appear
+    assert(got == Map(1L -> 0L), s"got $got")
+  }
+
   test("Sampling.tokenBudgetMix: budget admission follows the md5 order") {
     import spark.implicits._
     // source A totals 60 tokens (under a 100 budget -> all kept);

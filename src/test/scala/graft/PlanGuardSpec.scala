@@ -68,6 +68,15 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q130 must broadcast the per-source totals:\n$p")
   }
 
+  test("q131: the stored index streams through a broadcast join") {
+    val p = plan("q131_incr_neardup")
+    // the increment's signature set is broadcast — the index side must
+    // never hash-shuffle its full row set into the candidate join
+    assert(p.contains("BroadcastHashJoin"), s"q131 lost the broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4,
+      s"q131 grew a shuffle:\n$p")
+  }
+
   test("q28: as-of join is one hash exchange (union -> window)") {
     val p = plan("q28_asof_join")
     // exactly one hash exchange does the as-of work; the only other

@@ -19,7 +19,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 SF=${1:-/root/testdata/sf0.1}
-QUAD_FULL=q18_neardup_lsh,q44_jaccard_neardup,q57_decontaminate
+QUAD_FULL=q18_neardup_lsh,q44_jaccard_neardup,q57_decontaminate,q131_incr_neardup
 
 echo "== full $SF sweep =="
 sbt -batch "runMain graft.Verify $SF /tmp/verify_sf01" >/dev/null
