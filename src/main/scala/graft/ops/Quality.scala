@@ -487,4 +487,48 @@ object Quality {
       .orderBy(col("n").desc, col("gram"))
       .limit(k)
   }
+
+  /** The per-source corpus DATA CARD — the summary table every
+    * published dataset ships (docs, token mass, dominant language,
+    * exact-duplicate exposure) rolled up in one pass per source.
+    *
+    * Columns: n_docs, total_tokens / avg_tokens (the pinned
+    * whitespace class), top_lang (modal
+    * [[graft.functions.TextStats.langGuess]], ties to the
+    * lexicographically smallest), n_exact_dup (docs whose exact text
+    * occurs more than once CORPUS-WIDE — the q17 notion, so a
+    * source's column reflects its cross-source exposure too).
+    *
+    * Scale shape: one narrow projection computes all per-doc scalars;
+    * corpus-wide multiplicity is a count-over-window keyed on the
+    * text hash (one hash exchange, same bytes a dedup groupBy would
+    * move); the rollup is one partial-aggregated groupBy(source);
+    * the language mode ranks the tiny (source × lang) count table —
+    * the window sorts aggregates, never documents.
+    */
+  def dataCard(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(
+      col(sourceCol).as("source"),
+      graft.functions.TextStats.tokenCount(col(textCol)).cast("long").as("tc"),
+      graft.functions.TextStats.langGuess(col(textCol)).as("guess"),
+      md5(col(textCol).cast("binary")).as("__h"))
+    val flagged = base.withColumn("__nh",
+      count(lit(1)).over(Window.partitionBy(col("__h"))))
+    val stats = flagged.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("tc")).as("total_tokens"),
+      round(sum(col("tc")).cast("double") / count(lit(1)), 6).as("avg_tokens"),
+      sum(when(col("__nh") > 1, 1L).otherwise(0L)).as("n_exact_dup"))
+    val langCounts = base.groupBy(col("source"), col("guess"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__cnt").desc, col("guess"))
+    val topLang = langCounts
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("source"), col("guess").as("top_lang"))
+    stats.join(topLang, Seq("source"))
+  }
 }

@@ -505,16 +505,49 @@ object Similarity {
     * pass [[trainPqCodebooks]]'s output for real recall. Output:
     * (idCol, adc) ordered ascending (it is a distance), ties by id.
     */
+  /** The ADC column: the code's m table lookups summed left-to-right
+    * (the fixed IEEE add chain the oracle's `list(ld ORDER BY m)`
+    * fold reproduces).
+    */
+  private def adcColumn(lut: Array[Array[Double]], code: Column): Column =
+    lut.indices
+      .map(mi => element_at(vecLit(lut(mi)), element_at(code, mi + 1) + 1))
+      .reduceLeft(_ + _)
+
   def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int, m: Int = 8, ks: Int = 16,
       codebooks: Option[PqCodebooks] = None): DataFrame = {
     val cb = codebooks.getOrElse(pqCodebooks(df, idCol, vecCol, m, ks))
     val lut = pqAdcTable(cb, query)
-    val coded = df.select(col(idCol), pqCode(cb, col(vecCol)).as("__code"))
-    val adc = cb.indices
-      .map(mi => element_at(vecLit(lut(mi)), element_at(col("__code"), mi + 1) + 1))
-      .reduceLeft(_ + _)
-    coded.select(col(idCol), round(adc, 6).as("adc"))
+    df.select(col(idCol), pqCode(cb, col(vecCol)).as("__code"))
+      .select(col(idCol), round(adcColumn(lut, col("__code")), 6).as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-PQ top-k — the composed architecture a 100 TB vector store
+    * actually runs (FAISS's IndexIVFPQ): the coarse IVF quantizer
+    * prunes the scan to the `nprobe` cells nearest the query
+    * ([[ivfTopK]]'s probe — at rest, `partitionBy(cell)` file
+    * pruning), and rows inside the probed cells rank by PQ/ADC
+    * ([[pqAdcTopK]]) without ever touching full-precision vectors —
+    * at rest only the packed codes ([[pqPack]]) need reading, ~4
+    * bytes/vector. Both stages stay narrow codegen'd projections of
+    * inlined codebooks: no shuffle, no join, one pass over the probed
+    * fraction, TakeOrderedAndProject for the k rows.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ks: Int = 16,
+      ivfCb: Option[IvfCodebook] = None,
+      pqCb: Option[PqCodebooks] = None): DataFrame = {
+    val cents = ivfCb.getOrElse(ivfCodebook(df, idCol, vecCol, nlist))
+    val probed = ivfProbed(cents, query, nprobe)
+    val cb = pqCb.getOrElse(pqCodebooks(df, idCol, vecCol, m, ks))
+    val lut = pqAdcTable(cb, query)
+    df.where(ivfCell(cents, col(vecCol)).isin(probed: _*))
+      .select(col(idCol), pqCode(cb, col(vecCol)).as("__code"))
+      .select(col(idCol), round(adcColumn(lut, col("__code")), 6).as("adc"))
       .orderBy(col("adc"), col(idCol))
       .limit(k)
   }

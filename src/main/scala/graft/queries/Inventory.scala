@@ -161,7 +161,9 @@ object Inventory extends InventoryCrawl {
     "q128_leakfree_split" -> (q128 _),
     "q129_ann_pq" -> (q129 _),
     "q130_token_budget" -> (q130 _),
-    "q131_incr_neardup" -> (q131 _))
+    "q131_incr_neardup" -> (q131 _),
+    "q132_ann_ivfpq" -> (q132 _),
+    "q133_data_card" -> (q133 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -915,6 +917,40 @@ object Inventory extends InventoryCrawl {
           |  GROUP BY c.vec_id)
           |SELECT vec_id, round(dist, 6) AS adc FROM adc
           |ORDER BY adc, vec_id LIMIT 10""".stripMargin,
+      // q133: q20's token class + q24's language table + q17's exact
+      // hash multiplicity (corpus-wide, counted per source) + the
+      // shared avg rounding — one data-card row per source
+      "q133_data_card" ->
+        s"""WITH w AS (SELECT doc_id, source, text, $toks AS t FROM documents),
+           |tok AS (SELECT doc_id, source,
+           |    CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS BIGINT) AS tc,
+           |    md5(text) AS h, t FROM w),
+           |l AS (SELECT * FROM (VALUES
+           |  ('de', ['der','die','das','und','ist','mit','nicht']),
+           |  ('en', ['the','and','of','to','is','with','that']),
+           |  ('es', ['el','la','los','que','es','con','para']),
+           |  ('fr', ['le','les','des','est','avec','pour','dans']),
+           |  ('zh', ['de','shi','le','zai','you','wo','ta'])) AS t(lang, m)),
+           |s AS (SELECT tok.doc_id, l.lang,
+           |        len(list_filter(tok.t, x -> list_contains(l.m, x))) AS hits
+           |      FROM tok CROSS JOIN l),
+           |g AS (SELECT doc_id, lang AS guess FROM s
+           |      QUALIFY row_number() OVER (PARTITION BY doc_id
+           |                                 ORDER BY hits DESC, lang) = 1),
+           |d AS (SELECT doc_id, source, tc,
+           |        COUNT(*) OVER (PARTITION BY h) AS nh FROM tok),
+           |st AS (SELECT source, COUNT(*) AS n_docs,
+           |         CAST(SUM(tc) AS BIGINT) AS total_tokens,
+           |         round(CAST(SUM(tc) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+           |         CAST(COUNT(*) FILTER (WHERE nh > 1) AS BIGINT) AS n_exact_dup
+           |       FROM d GROUP BY source),
+           |lc AS (SELECT tok.source, g.guess, COUNT(*) AS cnt
+           |       FROM tok JOIN g USING (doc_id) GROUP BY tok.source, g.guess),
+           |tl AS (SELECT source, guess AS top_lang FROM lc
+           |       QUALIFY row_number() OVER (PARTITION BY source
+           |                                  ORDER BY cnt DESC, guess) = 1)
+           |SELECT st.source, n_docs, total_tokens, avg_tokens, n_exact_dup, top_lang
+           |FROM st JOIN tl USING (source) ORDER BY source""".stripMargin,
       // q130: the totals split + md5 admission order + running-sum
       // cutoff — under-budget sources keep every row (tot <= 1400),
       // over-budget sources keep the md5-ordered prefix whose running
@@ -950,6 +986,53 @@ object Inventory extends InventoryCrawl {
            |      FROM s o JOIN s n ON o.doc_id % 2 = 0 AND n.doc_id % 2 = 1)
            |SELECT new_id AS doc_id, MIN(old_id) AS dup_of
            |FROM p WHERE j >= 0.8 GROUP BY new_id ORDER BY doc_id""".stripMargin,
+      // q132: q37's probe CTEs + q129's encode/ADC CTEs, with the sub/
+      // code stages restricted to the probed rows — both halves'
+      // arithmetic already proven separately
+      "q132_ann_ivfpq" ->
+        """WITH cmeta AS (
+          |  SELECT vec_id AS cent_id, embedding AS cvec,
+          |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS cnorm
+          |  FROM embeddings ORDER BY vec_id LIMIT 16),
+          |assigned AS (
+          |  SELECT e.vec_id, e.embedding, c.cent_id,
+          |    list_sum(list_transform(generate_series(1, 64),
+          |             i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE))
+          |      / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in e.embedding])) * c.cnorm)
+          |      AS cos_c
+          |  FROM embeddings e CROSS JOIN cmeta c
+          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          |                             ORDER BY cos_c DESC, c.cent_id) = 1),
+          |probed AS (
+          |  SELECT cent_id FROM cmeta
+          |  ORDER BY (list_sum([x::DOUBLE for x in cvec]) / (sqrt(64.0) * cnorm)) DESC,
+          |           cent_id
+          |  LIMIT 4),
+          |sel AS (
+          |  SELECT a.vec_id, a.embedding FROM assigned a JOIN probed p USING (cent_id)),
+          |cb AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS c
+          |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+          |sub AS (
+          |  SELECT e.vec_id, m.m, cb.j,
+          |    list_sum(list_transform(generate_series(1, 8),
+          |      i -> (e.embedding[m.m*8+i]::DOUBLE - cb.c[m.m*8+i]::DOUBLE) *
+          |           (e.embedding[m.m*8+i]::DOUBLE - cb.c[m.m*8+i]::DOUBLE))) AS d
+          |  FROM sel e CROSS JOIN generate_series(0, 7) m(m) CROSS JOIN cb),
+          |code AS (
+          |  SELECT vec_id, m, j FROM sub
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),
+          |lut AS (
+          |  SELECT m.m, cb.j,
+          |    list_sum(list_transform(generate_series(1, 8),
+          |      i -> (1.0 - cb.c[m.m*8+i]::DOUBLE) * (1.0 - cb.c[m.m*8+i]::DOUBLE))) AS ld
+          |  FROM cb CROSS JOIN generate_series(0, 7) m(m)),
+          |adc AS (
+          |  SELECT c.vec_id, list_sum(list(l.ld ORDER BY l.m)) AS dist
+          |  FROM code c JOIN lut l ON l.m = c.m AND l.j = c.j
+          |  GROUP BY c.vec_id)
+          |SELECT vec_id, round(dist, 6) AS adc FROM adc
+          |ORDER BY adc, vec_id LIMIT 10""".stripMargin,
       // q114: directive order is file order — the per-doc Sitemap line
       // at ord 0, the even-id lowercase-key second line at ord 1; the
       // comment line and the empty-value Sitemap contribute nothing

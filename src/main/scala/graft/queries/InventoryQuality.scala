@@ -397,6 +397,20 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
       .orderBy(col("doc_id"))
 
 
+  /** Per-source corpus data card ([[Quality.dataCard]]): the summary
+    * table every published dataset ships — docs, token mass, modal
+    * language, corpus-wide exact-duplicate exposure — in one rollup.
+    * The oracle restates all four ingredients from their
+    * already-proven arithmetic: q20's token class, q24's language
+    * table (per-doc guess, ties to the smaller lang), q17's exact
+    * text hash (multiplicity > 1 CORPUS-wide, counted per source),
+    * and the shared avg rounding.
+    */
+  private[queries] def q133(s: SparkSession, d: String): DataFrame =
+    Quality.dataCard(t(s, d, "documents"), "doc_id", "text", "source")
+      .orderBy(col("source"))
+
+
   /** BM25 query terms for q83 — drawn from the testdata vocabulary so
     * tf/df vary across documents at every scale factor.
     */

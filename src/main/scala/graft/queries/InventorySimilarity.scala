@@ -81,6 +81,19 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
       OnesQuery, k = 10, m = 8, ks = 16)
 
 
+  /** IVF-PQ ([[Similarity.ivfPqTopK]]): q37's coarse probe pruning
+    * the scan to 4 of 16 cells, q129's PQ/ADC ranking inside — the
+    * composed FAISS IndexIVFPQ shape. The oracle chains both halves'
+    * already-proven CTEs: q37's cosine assignment + probe election,
+    * then q129's encode/ADC restricted to the probed rows — so the
+    * cell pruning and the quantized ranking are BOTH load-bearing in
+    * one top-k.
+    */
+  private[queries] def q132(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+      OnesQuery, k = 10, nlist = 16, nprobe = 4, m = 8, ks = 16)
+
+
   /** SemDeDup ([[Similarity.semDedup]], arXiv:2303.09540): semantic
     * dedup = IVF-cell clustering (the q37 deterministic codebook, so
     * the oracle can reproduce the assignment) → within-cell exact

@@ -384,6 +384,52 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dt < 0.5 * ds, s"trained distortion $dt vs stand-in $ds")
   }
 
+  test("ivfPqTopK: results live in probed cells and carry ADC distances") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val dim = 16
+    val rows = (0L until 120L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val query = Array.fill(dim)(0.5)
+    val cents = Similarity.ivfCodebook(df, "vec_id", "embedding", nlist = 8)
+    val probed = Similarity.ivfProbed(cents, query, nprobe = 3).toSet
+    val cb = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 4, ks = 8)
+    val got = Similarity.ivfPqTopK(df, "vec_id", "embedding", query,
+      k = 10, nlist = 8, nprobe = 3, m = 4, ks = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.length == 10)
+    // every hit is in a probed cell...
+    val cellOf = df.select(col("vec_id"),
+        Similarity.ivfCell(cents, col("embedding")).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (id, _) =>
+      assert(probed.contains(cellOf(id)), s"vec $id ranked from unprobed cell ${cellOf(id)}")
+    }
+    // ...and its ADC distance matches the PQ-only path's for that id
+    val adcAll = Similarity.pqAdcTopK(df, "vec_id", "embedding", query,
+      k = 120, m = 4, ks = 8, codebooks = Some(cb))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, d) => assert(adcAll(id) == d, s"vec $id: $d vs ${adcAll(id)}") }
+  }
+
+  test("Quality.dataCard: one row per source, corpus-wide dup exposure") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "A", "the quick brown fox is with that and of to"),
+      (1L, "A", "the quick brown fox is with that and of to"),   // dup of 0, in A
+      (2L, "B", "the quick brown fox is with that and of to"),   // dup of 0, in B
+      (3L, "B", "der hund und die katze ist mit nicht das und")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.ops.Quality.dataCard(df, "doc_id", "text", "source")
+      .orderBy(col("source"))
+      .as[(String, Long, Long, Double, Long, String)].collect()
+    assert(got.map(_._1).toSeq == Seq("A", "B"))
+    val a = got(0); val b = got(1)
+    assert(a._2 == 2 && a._3 == 20 && a._5 == 2, s"A row: $a")     // both A docs are corpus-wide dups
+    assert(b._2 == 2 && b._3 == 20 && b._5 == 1, s"B row: $b")     // only B's copy of the shared text
+    assert(a._6 == "en" && b._6 == "de", s"modal langs: ${a._6} ${b._6}")
+  }
+
   test("exact embedding near-dup refuses corpora above exactMax") {
     import spark.implicits._
     val vecs = (0L until 5L).map(i => (i, Array(i.toFloat, 1.0f))).toDF("vec_id", "embedding")

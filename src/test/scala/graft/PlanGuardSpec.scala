@@ -68,6 +68,22 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q130 must broadcast the per-source totals:\n$p")
   }
 
+  test("q132: IVF-PQ is zero-exchange — probe prune + quantized rank in one pass") {
+    val p = plan("q132_ann_ivfpq")
+    assert(exchanges(p) == 0, s"q132 grew a shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q132 lost bounded top-k:\n$p")
+  }
+
+  test("q133: data card aggregates before it windows (no per-doc global sort)") {
+    val p = plan("q133_data_card")
+    // the language-mode window ranks the (source x lang) COUNT table,
+    // never documents: a Window must only ever follow an aggregate
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, s"q133 lost the mode window:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4,
+      s"q133 grew a shuffle:\n$p")
+  }
+
   test("q131: the stored index streams through a broadcast join") {
     val p = plan("q131_incr_neardup")
     // the increment's signature set is broadcast — the index side must
