@@ -211,6 +211,11 @@ object GraftFunctions {
     */
   def redact_pii(text: Column): Column = column(RedactPii(expression(text)))
 
+  /** Undo UTF-8-read-as-Latin-1/CP1252 mojibake, whole-string, <=3
+    * passes ([[FixMojibake]]); non-mojibake text passes unchanged.
+    */
+  def fix_mojibake(text: Column): Column = column(FixMojibake(expression(text)))
+
   // ---- vector math (built-in compositions — fully codegen'd) ----
 
   /** Dot product of two array<float|double> columns in double precision.
@@ -298,6 +303,7 @@ object GraftFunctions {
     "cdc_chunks" -> (e => CdcChunks(e.head, e(1), e(2), e(3))),
     "bpe_encode_count" -> (e => BpeEncodeCount(e.head)),
     "redact_pii" -> (e => RedactPii(e.head)),
+    "fix_mojibake" -> (e => FixMojibake(e.head)),
     "explode_archive" -> (e => ExplodeArchive(e.head)))
 
   /** Register the custom expressions for SQL use in an existing session

@@ -315,6 +315,24 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = l, right = r)
 }
 
+/** `fix_mojibake(text) -> string` — undo UTF-8-read-as-Latin-1/CP1252
+  * corruption, whole-string and at most 3 passes (see
+  * [[MojibakeHelper]]). Codegen'd; never throws; non-mojibake text
+  * (pure ASCII, genuine legacy chars whose re-encoding is invalid
+  * UTF-8, unmappable chars) passes through unchanged.
+  */
+case class FixMojibake(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fix_mojibake"
+  override protected def nullSafeEval(input: Any): Any =
+    MojibakeHelper.fix(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MojibakeHelper.fix($c)")
+  override protected def withNewChildInternal(newChild: Expression): FixMojibake =
+    copy(child = newChild)
+}
+
 /** `vec_l2sq_slice(vec, cent, start) -> double` — squared L2 distance
   * between the subvector `vec[start .. start+len(cent))` and `cent`:
   * the product-quantization subspace distance (see

@@ -188,6 +188,75 @@ object NormalizeHelper {
   }
 }
 
+/** Mojibake repair, invoked from generated code: undo the classic
+  * crawl corruption where UTF-8 bytes were decoded as Latin-1 /
+  * Windows-1252 ("cafÃ©" → "café"). WHOLE-STRING repair only — the
+  * dominant real case is an entire page decoded under the wrong
+  * charset, and the all-or-nothing rule keeps the operator exactly
+  * restatable by an oracle (segment-wise heuristics are not).
+  *
+  * One repair step: map every char back to the byte that would have
+  * produced it under Windows-1252 (identity for U+00..U+FF — the
+  * Latin-1 view — plus the CP1252 0x80–0x9F table for €‚ƒ„…†‡ˆ‰Š‹ŒŽ
+  * ''""•–—˜™š›œžŸ); if every char maps AND the byte string is valid
+  * UTF-8 AND the decode actually changes the text, accept it.
+  * Repeated up to 3 times (double-encoded mojibake is common).
+  * Anything else — genuine Latin-1 text whose re-encoding is not
+  * valid UTF-8, pure ASCII, text with unmappable characters — is
+  * returned unchanged. Never throws.
+  */
+object MojibakeHelper {
+  // char -> CP1252 byte for the 0x80-0x9F remap range, per the WHATWG
+  // windows-1252 table (euro, quotes, dashes, ellipsis, TM, the
+  // S/Z/OE-caron/ligature letters...). The five holes
+  // 0x81/0x8D/0x8F/0x90/0x9D decode as C1 controls = identity, so
+  // they are covered by the <= 0xFF branch.
+  private val Cp1252Inverse: Map[Char, Int] = Map(
+    0x20AC -> 0x80, 0x201A -> 0x82, 0x0192 -> 0x83, 0x201E -> 0x84,
+    0x2026 -> 0x85, 0x2020 -> 0x86, 0x2021 -> 0x87, 0x02C6 -> 0x88,
+    0x2030 -> 0x89, 0x0160 -> 0x8A, 0x2039 -> 0x8B, 0x0152 -> 0x8C,
+    0x017D -> 0x8E, 0x2018 -> 0x91, 0x2019 -> 0x92, 0x201C -> 0x93,
+    0x201D -> 0x94, 0x2022 -> 0x95, 0x2013 -> 0x96, 0x2014 -> 0x97,
+    0x02DC -> 0x98, 0x2122 -> 0x99, 0x0161 -> 0x9A, 0x203A -> 0x9B,
+    0x0153 -> 0x9C, 0x017E -> 0x9E, 0x0178 -> 0x9F
+  ).map { case (cp, b) => cp.toChar -> b }
+
+  /** One reverse-decode attempt; null if the string is not repairable. */
+  private def fixOnce(s: String): String = {
+    val n = s.length
+    val bytes = new Array[Byte](n)
+    var hasHigh = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      val b =
+        if (c <= 0xFF) c.toInt
+        else Cp1252Inverse.getOrElse(c, -1)
+      if (b < 0) return null
+      if (b >= 0x80) hasHigh = true
+      bytes(i) = b.toByte
+      i += 1
+    }
+    if (!hasHigh) return null // pure ASCII round-trips; nothing to repair
+    val u = UTF8String.fromBytes(bytes)
+    if (!u.isValid) return null // genuine legacy text, not mojibake
+    val out = u.toString
+    if (out == s) null else out
+  }
+
+  def fix(s: UTF8String): UTF8String = {
+    var cur = s.toString
+    var changed = false
+    var pass = 0
+    while (pass < 3) {
+      val next = fixOnce(cur)
+      if (next == null) pass = 3
+      else { cur = next; changed = true; pass += 1 }
+    }
+    if (changed) UTF8String.fromString(cur) else s
+  }
+}
+
 /** Shannon character entropy, invoked from generated code. */
 object EntropyHelper {
   /** Natural-log Shannon entropy of the code-point distribution of

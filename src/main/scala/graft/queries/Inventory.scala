@@ -163,7 +163,8 @@ object Inventory extends InventoryCrawl {
     "q130_token_budget" -> (q130 _),
     "q131_incr_neardup" -> (q131 _),
     "q132_ann_ivfpq" -> (q132 _),
-    "q133_data_card" -> (q133 _))
+    "q133_data_card" -> (q133 _),
+    "q134_fix_mojibake" -> (q134 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -951,6 +952,21 @@ object Inventory extends InventoryCrawl {
            |                                  ORDER BY cnt DESC, guess) = 1)
            |SELECT st.source, n_docs, total_tokens, avg_tokens, n_exact_dup, top_lang
            |FROM st JOIN tl USING (source) ORDER BY source""".stripMargin,
+      // q134: every expected string restated in chr() arithmetic from
+      // the synthesis spec (the q16 rule): case 0 repairs once to
+      // chr(233)='é', case 1 is GENUINE Latin-1 and must pass through
+      // untouched, case 2 repairs twice (double-encoded), case 3
+      // repairs the CP1252 smart quote to chr(8220)
+      "q134_fix_mojibake" ->
+        """WITH b AS (SELECT doc_id, substr(text, 1, 16) || ' ' AS pre FROM documents)
+          |SELECT doc_id,
+          |  CASE doc_id % 4
+          |    WHEN 0 THEN pre || 'caf' || chr(233)
+          |    WHEN 1 THEN pre || 'se' || chr(241) || 'or'
+          |    WHEN 2 THEN pre || chr(233)
+          |    ELSE pre || 'q' || chr(8220) || 'x'
+          |  END AS fixed
+          |FROM b ORDER BY doc_id""".stripMargin,
       // q130: the totals split + md5 admission order + running-sum
       // cutoff — under-budget sources keep every row (tot <= 1400),
       // over-budget sources keep the md5-ordered prefix whose running

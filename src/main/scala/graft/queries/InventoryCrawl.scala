@@ -929,5 +929,29 @@ private[queries] trait InventoryCrawl extends InventoryMedia {
       .orderBy(col("cdx_key"))
   }
 
+  /** Mojibake repair ([[GraftFunctions.fix_mojibake]]) — undo
+    * UTF-8-read-as-Latin-1/CP1252 corruption, the classic crawl-data
+    * defect q104's charset sniff PREVENTS and this operator CURES
+    * after the fact. Whole-string, at most 3 passes, never throws.
+    * Four spec-synthesized regimes per doc (the q16 rule — the oracle
+    * restates every expected string in chr() arithmetic):
+    * single-encoded mojibake repairs once; genuine Latin-1 text whose
+    * re-encoding is invalid UTF-8 passes through UNTOUCHED (the
+    * boundary that keeps the operator safe to run corpus-wide);
+    * double-encoded mojibake repairs twice; CP1252 smart-quote
+    * mojibake exercises the 0x80–0x9F inverse table.
+    */
+  private[queries] def q134(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val pre = concat(substring(col("text"), 1, 16), lit(" "))
+    val moji = when(id % 4 === 0, concat(lit("caf"), lit("\u00C3\u00A9")))
+      .when(id % 4 === 1, lit("se\u00F1or"))
+      .when(id % 4 === 2, lit("\u00C3\u0083\u00C2\u00A9"))
+      .otherwise(lit("q\u00E2\u20AC\u0153x"))
+    t(s, d, "documents")
+      .select(id, GraftFunctions.fix_mojibake(concat(pre, moji)).as("fixed"))
+      .orderBy(id)
+  }
+
   // -------------------------------------------------------------------
 }

@@ -389,4 +389,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(n4 == 0L && f4.forall(_ == 0.0))
     assert(graft.functions.ScriptHelper.ratios(null) == null)
   }
+
+  test("fixMojibake: single/double/CP1252 repair, legacy text untouched") {
+    def f(s: String) =
+      graft.functions.MojibakeHelper.fix(UTF8String.fromString(s)).toString
+    // single-encoded: UTF-8 e-acute read as Latin-1
+    assert(f("cafÃ©") == "café")
+    // double-encoded repairs twice
+    assert(f("ÃÂ©") == "é")
+    // CP1252 smart quote: E2 80 9C read as windows-1252
+    assert(f("qâ€œx") == "q“x")
+    // CP1252 euro + en-dash mojibake of a 3-byte char: E2 82 AC (euro
+    // itself read as cp1252) -> repaired back to one euro sign
+    assert(f("â‚¬5") == "€5")
+    // GENUINE legacy text must pass through: the re-encoding of a bare
+    // n-tilde before ASCII is invalid UTF-8
+    assert(f("señor") == "señor")
+    // pure ASCII, CJK (unmappable chars), and already-repaired text
+    // are all fixed points
+    assert(f("plain ascii") == "plain ascii")
+    assert(f("日本語") == "日本語")
+    assert(f(f("cafÃ©")) == f("cafÃ©"))
+    // a mojibake string ending mid-sequence is invalid -> untouched
+    assert(f("cafÃ") == "cafÃ")
+    assert(f("") == "")
+  }
 }

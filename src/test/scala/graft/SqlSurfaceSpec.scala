@@ -57,7 +57,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         |       extract_links('<a href="/a">x</a><a href=/b>y</a>') AS lk,
         |       size(cdc_chunks(cast(txt AS binary), 2, 16, 64)) AS nc,
         |       bpe_encode_count('the of and to in') AS bpe,
-        |       redact_pii('mail u@ex.org or 8.8.8.8') AS pii
+        |       redact_pii('mail u@ex.org or 8.8.8.8') AS pii,
+        |       fix_mojibake(charset_decode(unhex('C383C2A9'), 'iso-8859-1')) AS fm
         |FROM t""".stripMargin).head()
     assert(r.getAs[Boolean]("u"))
     assert(r.getAs[String]("k") == "executable")
@@ -72,6 +73,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("bpe") == 5L)
     assert(r.getAs[org.apache.spark.sql.Row]("pii").getAs[String]("clean") ==
       "mail <EMAIL> or <IP>")
+    // C3 83 C2 A9 mis-decoded as latin-1 then repaired: two passes -> é
+    assert(r.getAs[String]("fm") == "é")
     assert(r.getAs[String]("un") == "http://a.com/a")
     assert(r.getAs[String]("uns") == "http://a.com/p?a=1&b=2")
     assert(r.getAs[String]("de") == "café &#65; —")
