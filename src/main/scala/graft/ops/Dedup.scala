@@ -202,8 +202,15 @@ object Dedup {
       .join(broadcast(newSig), Seq("band", "key"))
       .select(col("__old_id"), col("__new_id"))
       .dropDuplicates("__old_id", "__new_id")
-    val oldSh = corpus.select(
-      col(idCol).as("__old_id"), shingles(col(textCol), shingleWidth).as("__sha"))
+    // semi-join the corpus down to candidate-matched ids BEFORE
+    // shingling: without it the shingle projection runs over EVERY
+    // corpus row on the way into the verification join — the O(corpus
+    // text bytes) pass the index exists to avoid (caught by the
+    // incr: scale rung, where it erased the index's win)
+    val oldSh = corpus
+      .join(broadcast(cand.select(col("__old_id")).distinct()),
+        corpus(idCol) === col("__old_id"), "left_semi")
+      .select(col(idCol).as("__old_id"), shingles(col(textCol), shingleWidth).as("__sha"))
     val newSh = batch.select(
       col(idCol).as("__new_id"), shingles(col(textCol), shingleWidth).as("__shb"))
     cand

@@ -525,6 +525,22 @@ object Similarity {
       .limit(k)
   }
 
+  /** ADC top-k over PRE-ENCODED codes — the at-rest query shape: the
+    * corpus stores only its `array<int>` codes ([[pqCode]], or
+    * [[pqUnpack]] of the packed long), encoding cost was paid once at
+    * ingest, and a query is m lookups + sum per row over a
+    * codes-only scan (~4 bytes/vector read instead of 256).
+    * [[pqAdcTopK]] is the encode-in-flight convenience face; THIS is
+    * what a production scan runs.
+    */
+  def pqAdcTopKCoded(df: DataFrame, idCol: String, codeCol: String,
+      cb: PqCodebooks, query: Array[Double], k: Int): DataFrame = {
+    val lut = pqAdcTable(cb, query)
+    df.select(col(idCol), round(adcColumn(lut, col(codeCol)), 6).as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(k)
+  }
+
   /** IVF-PQ top-k — the composed architecture a 100 TB vector store
     * actually runs (FAISS's IndexIVFPQ): the coarse IVF quantizer
     * prunes the scan to the `nprobe` cells nearest the query

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Dedup
+import graft.ops.{Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -213,6 +213,174 @@ object ScaleEvidence {
       s"frontier plans disagree: window ${winRes.length} vs agg ${aggRes.length} rows")
     df.unpersist()
     println(f"""SCALE {"corpus":"frontier:$n","op":"q112_election","n_urls":$n,"n_hosts":$hosts,"rows_out":${aggRes.length},"window_secs":$winSecs%.2f,"agg_secs":$aggSecs%.2f}""")
+  }
+
+  /** PQ rung (`pq:<nVecs>`): the ANN scan regimes at real vector
+    * counts over one cached clustered corpus (32 well-separated
+    * centers, deterministic noise) — (a) exact brute-force cosine
+    * top-k (the q14 baseline: touches every float of every vector),
+    * (b) flat PQ/ADC (q129: every vector, but only its 8 codes +
+    * table lookups), (c) IVF-PQ (q132: codes of ~nprobe/nlist of the
+    * corpus). Codebooks are TRAINED (bounded iterations) so the
+    * measured scan is the production shape. Asserts the quantized
+    * paths return rows from the query's true cluster (ADC cannot
+    * out-rank its cells, so cluster membership — not exact-id recall
+    * — is the correctness bar), and reports wall per regime plus the
+    * at-rest compression factor (256 B fp32 -> 4 B packed codes).
+    */
+  private def pqRung(spark: SparkSession, n: Long): Unit = {
+    val dim = 64
+    // nCenters == ks: each subspace codebook CAN give every cluster
+    // its own codeword (ks < clusters would fold clusters together in
+    // every subspace — a capacity question, not a scan-shape one, and
+    // this rung measures the scan)
+    val nCenters = 16
+    // ±1 Rademacher centers, seeded per (c, d) — shipped as LITERALS,
+    // so any driver-side generator works: expected pairwise distance²
+    // = 2 x dim >> the ±0.01 noise. (A sin(7c+13d) first draft
+    // aliased — 7x9 ≈ 20π, so clusters 9 apart nearly coincided and
+    // quantization folded them together; an affine parity formula
+    // collapsed mod 2.)
+    val centers = Array.tabulate(nCenters, dim) { (c, d) =>
+      // murmur-mixed bit — java.util.Random's FIRST draw correlates
+      // across sequential seeds and produced near-identical centers
+      if ((scala.util.hashing.MurmurHash3.productHash((c, d)) & 1) == 0) 1.0
+      else -1.0
+    }
+    val centersLit = array(centers.map(c =>
+      array(c.toIndexedSeq.map(lit): _*)).toIndexedSeq: _*)
+    val cIdx = (col("id") % nCenters).cast("int")
+    val vec = transform(sequence(lit(0), lit(dim - 1)), d =>
+      (element_at(element_at(centersLit, cIdx + 1), d + 1) +
+        (pmod(col("id") * lit(2654435761L) + d * lit(97L), lit(1000L))
+          .cast("double") - lit(500.0)) / lit(50000.0)).cast("float"))
+    val df = spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
+      .cache()
+    df.count()
+    // the query sits (just off) cluster 5's center
+    val query = centers(5).map(_ + 0.001)
+    val trueCluster = 5L
+
+    val t0 = System.nanoTime()
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0))
+    val bruteSecs = (System.nanoTime() - t0) / 1e9
+
+    val pqCb = Similarity.trainPqCodebooks(df, "vec_id", "embedding",
+      m = 8, ks = 16, maxIters = 5)
+    val ivfCb = Similarity.trainIvfCodebook(df, "vec_id", "embedding",
+      nlist = nCenters, maxIters = 3)
+    // the at-rest artifact, built ONCE at ingest: (id, cell, code) —
+    // queries read THIS, never the fp32 vectors
+    val tEnc = System.nanoTime()
+    val coded = df.select(col("vec_id"),
+      Similarity.ivfCell(ivfCb, col("embedding")).as("cell"),
+      Similarity.pqCode(pqCb, col("embedding")).as("code")).cache()
+    coded.count()
+    val encodeSecs = (System.nanoTime() - tEnc) / 1e9
+
+    // at REST: codes partitioned by cell — a probe prunes the file
+    // listing, so IVF-PQ reads ~nprobe/nlist of a codes-only column
+    val layout = java.nio.file.Files.createTempDirectory("graft-pq-rung").toFile
+    coded.write.mode("overwrite").partitionBy("cell")
+      .parquet(layout.getAbsolutePath)
+    coded.unpersist()
+    val spark2 = df.sparkSession
+    val t1 = System.nanoTime()
+    val adc = Similarity.pqAdcTopKCoded(
+      spark2.read.parquet(layout.getAbsolutePath), "vec_id", "code", pqCb, query, 10)
+      .collect().map(_.getLong(0))
+    val adcSecs = (System.nanoTime() - t1) / 1e9
+
+    val probed = Similarity.ivfProbed(ivfCb, query, nprobe = 4)
+    val t2 = System.nanoTime()
+    val ivfpq = Similarity.pqAdcTopKCoded(
+      spark2.read.parquet(layout.getAbsolutePath)
+        .where(col("cell").isin(probed: _*)),
+      "vec_id", "code", pqCb, query, 10)
+      .collect().map(_.getLong(0))
+    val ivfpqSecs = (System.nanoTime() - t2) / 1e9
+    df.unpersist()
+    org.apache.commons.io.FileUtils.deleteQuietly(layout)
+
+    def hits(ids: Array[Long]): Int = ids.count(_ % nCenters == trueCluster)
+    require(hits(exact) == 10,
+      s"exact top-10 must sit on the true cluster: ${exact.mkString(",")}")
+    require(hits(adc) >= 9 && hits(ivfpq) >= 9,
+      s"quantized paths left the true cluster: adc=${hits(adc)} ivfpq=${hits(ivfpq)}")
+    println(f"""SCALE {"corpus":"pq:$n","op":"q129_q132_ann","n_vecs":$n,"brute_secs":$bruteSecs%.2f,"encode_once_secs":$encodeSecs%.2f,"adc_secs":$adcSecs%.2f,"ivfpq_secs":$ivfpqSecs%.2f,"cluster_hits":[${hits(exact)},${hits(adc)},${hits(ivfpq)}],"bytes_per_vec":[256,4]}""")
+  }
+
+  /** Incremental-dedup rung (`incr:<corpusN>:<batchN>`): the q131
+    * claim measured — a daily increment against an AT-REST signature
+    * index vs recomputing the corpus's signatures in-flight. Same
+    * generator, same banding, byte-identical winners asserted; the
+    * wall difference is exactly the corpus minhash pass the index
+    * amortizes away (the 100 TB term).
+    */
+  private def incrRung(spark: SparkSession, corpusN: Long, batchN: Long): Unit = {
+    // even ids = the corpus (corpusN docs), the first batchN odd ids =
+    // the increment; a near-dup is planted at (id-1, id) for every
+    // id % 100 == 7 — id-1 even, id odd — so each planted pair
+    // straddles the split. Docs are ~500 words (realistic web-page
+    // text mass): the quantity the index amortizes is the per-BYTE
+    // minhash/shingle CPU, so short synthetic docs would understate
+    // exactly the term that dominates a real corpus.
+    import spark.implicits._
+    val all = spark.range(corpusN * 2).map { id =>
+      val base =
+        if (id % 100 == 7 && id > 0) textOf(id - 1, 500, Vocab) + " extra"
+        else textOf(id, 500, Vocab)
+      (id, base)
+    }.toDF("doc_id", "text").cache()
+    val corpus = all.where(col("doc_id") % 2 === 0).cache()
+    val batch = all.where(col("doc_id") % 2 === 1 &&
+      col("doc_id") < batchN * 2).cache()
+    val (nc, _) = timedCount(corpus)
+    val (nb, _) = timedCount(batch)
+
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-incr-rung").toFile
+    val tIdx0 = System.nanoTime()
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", idxDir.getAbsolutePath)
+    val idxSecs = (System.nanoTime() - tIdx0) / 1e9
+
+    val t0 = System.nanoTime()
+    val incr = Dedup.incrementalNearDup(spark, idxDir.getAbsolutePath,
+      corpus, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val incrSecs = (System.nanoTime() - t0) / 1e9
+
+    // the no-index strawman: recompute the corpus signatures in-flight
+    val t1 = System.nanoTime()
+    val corpusSig = Dedup.bandSignatures(corpus, "doc_id", "text")
+      .select(col("id").as("__old_id"), col("band"), col("key"))
+    val newSig = Dedup.bandSignatures(batch, "doc_id", "text")
+      .withColumnRenamed("id", "__new_id")
+    val cand = corpusSig.join(broadcast(newSig), Seq("band", "key"))
+      .select(col("__old_id"), col("__new_id"))
+      .dropDuplicates("__old_id", "__new_id")
+    // same candidates-only shingling as the operator, so the measured
+    // difference between the two paths is EXACTLY the corpus
+    // signature recompute the index amortizes
+    val oldSh = corpus
+      .join(broadcast(cand.select(col("__old_id")).distinct()),
+        col("doc_id") === col("__old_id"), "left_semi")
+      .select(col("doc_id").as("__old_id"),
+        Dedup.shingles(col("text"), 3).as("__sha"))
+    val newSh = batch.select(col("doc_id").as("__new_id"),
+      Dedup.shingles(col("text"), 3).as("__shb"))
+    val fresh = cand.join(oldSh, Seq("__old_id")).join(newSh, Seq("__new_id"))
+      .where(round(Dedup.jaccard(col("__sha"), col("__shb")), 6) >= 0.8)
+      .groupBy(col("__new_id").as("doc_id"))
+      .agg(min(col("__old_id")).as("dup_of"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val freshSecs = (System.nanoTime() - t1) / 1e9
+    all.unpersist(); corpus.unpersist(); batch.unpersist()
+    org.apache.commons.io.FileUtils.deleteQuietly(idxDir)
+
+    require(incr.sameElements(fresh),
+      s"index path disagrees with recompute: ${incr.length} vs ${fresh.length} rows")
+    println(f"""SCALE {"corpus":"incr:$corpusN:$batchN","op":"q131_incremental","corpus_docs":$nc,"batch_docs":$nb,"dups_found":${incr.length},"index_build_secs":$idxSecs%.1f,"incr_secs":$incrSecs%.1f,"recompute_secs":$freshSecs%.1f}""")
   }
 
   /** 7z rung (`sevenz:<MB>`): the sixth container family at a real
@@ -592,8 +760,13 @@ object ScaleEvidence {
     val (wpArgs, rest3) = rest2.partition(_.startsWith("webpipe:"))
     wpArgs.foreach { case WebPipe(k, dir) => webPipeRung(spark, dir, k.toInt) }
     val WarcPipe = "warcpipe:(\\d+):(\\d+)".r
-    val (wcArgs, docCorpora) = rest3.partition(_.startsWith("warcpipe:"))
+    val (wcArgs, rest4) = rest3.partition(_.startsWith("warcpipe:"))
     wcArgs.foreach { case WarcPipe(f, r) => warcPipeRung(spark, f.toInt, r.toInt) }
+    val (pqArgs, rest5) = rest4.partition(_.startsWith("pq:"))
+    pqArgs.foreach(a => pqRung(spark, a.drop(3).toLong))
+    val Incr = "incr:(\\d+):(\\d+)".r
+    val (inArgs, docCorpora) = rest5.partition(_.startsWith("incr:"))
+    inArgs.foreach { case Incr(c, b) => incrRung(spark, c.toLong, b.toLong) }
 
     docCorpora.foreach { c =>
       val RealX = "realx(\\d+):(.*)".r
