@@ -164,7 +164,8 @@ object Inventory extends InventoryCrawl {
     "q131_incr_neardup" -> (q131 _),
     "q132_ann_ivfpq" -> (q132 _),
     "q133_data_card" -> (q133 _),
-    "q134_fix_mojibake" -> (q134 _))
+    "q134_fix_mojibake" -> (q134 _),
+    "q135_ann_atrest" -> (q135 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -200,6 +201,55 @@ object Inventory extends InventoryCrawl {
         s"(CASE WHEN (${planeDotChain(q31Planes(t * 8 + b))}) >= 0 THEN ${1L << b} ELSE 0 END)"
       }.mkString("(", " + ", s") AS c$t")
     }
+    // q132/q135 share one oracle: q37's probe CTEs + q129's encode/ADC
+    // CTEs with the sub/code stages restricted to the probed rows —
+    // the in-flight face (q132) and the at-rest read-back (q135) must
+    // land on the SAME recomputed top-k
+    val ivfPqOracle =
+      """WITH cmeta AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec,
+        |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS cnorm
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT e.vec_id, e.embedding, c.cent_id,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |             i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE))
+        |      / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in e.embedding])) * c.cnorm)
+        |      AS cos_c
+        |  FROM embeddings e CROSS JOIN cmeta c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |                             ORDER BY cos_c DESC, c.cent_id) = 1),
+        |probed AS (
+        |  SELECT cent_id FROM cmeta
+        |  ORDER BY (list_sum([x::DOUBLE for x in cvec]) / (sqrt(64.0) * cnorm)) DESC,
+        |           cent_id
+        |  LIMIT 4),
+        |sel AS (
+        |  SELECT a.vec_id, a.embedding FROM assigned a JOIN probed p USING (cent_id)),
+        |cb AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS c
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |sub AS (
+        |  SELECT e.vec_id, m.m, cb.j,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      i -> (e.embedding[m.m*8+i]::DOUBLE - cb.c[m.m*8+i]::DOUBLE) *
+        |           (e.embedding[m.m*8+i]::DOUBLE - cb.c[m.m*8+i]::DOUBLE))) AS d
+        |  FROM sel e CROSS JOIN generate_series(0, 7) m(m) CROSS JOIN cb),
+        |code AS (
+        |  SELECT vec_id, m, j FROM sub
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),
+        |lut AS (
+        |  SELECT m.m, cb.j,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      i -> (1.0 - cb.c[m.m*8+i]::DOUBLE) * (1.0 - cb.c[m.m*8+i]::DOUBLE))) AS ld
+        |  FROM cb CROSS JOIN generate_series(0, 7) m(m)),
+        |adc AS (
+        |  SELECT c.vec_id, list_sum(list(l.ld ORDER BY l.m)) AS dist
+        |  FROM code c JOIN lut l ON l.m = c.m AND l.j = c.j
+        |  GROUP BY c.vec_id)
+        |SELECT vec_id, round(dist, 6) AS adc FROM adc
+        |ORDER BY adc, vec_id LIMIT 10""".stripMargin
+
     // spec-determined fixture rows (sizes + independently computed
     // sha256 digests) — oracles BOTH the converter walk (q16) and its
     // LATERAL VIEW explode_archive SQL face (q42)
@@ -1002,53 +1052,10 @@ object Inventory extends InventoryCrawl {
            |      FROM s o JOIN s n ON o.doc_id % 2 = 0 AND n.doc_id % 2 = 1)
            |SELECT new_id AS doc_id, MIN(old_id) AS dup_of
            |FROM p WHERE j >= 0.8 GROUP BY new_id ORDER BY doc_id""".stripMargin,
-      // q132: q37's probe CTEs + q129's encode/ADC CTEs, with the sub/
-      // code stages restricted to the probed rows — both halves'
-      // arithmetic already proven separately
-      "q132_ann_ivfpq" ->
-        """WITH cmeta AS (
-          |  SELECT vec_id AS cent_id, embedding AS cvec,
-          |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS cnorm
-          |  FROM embeddings ORDER BY vec_id LIMIT 16),
-          |assigned AS (
-          |  SELECT e.vec_id, e.embedding, c.cent_id,
-          |    list_sum(list_transform(generate_series(1, 64),
-          |             i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE))
-          |      / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in e.embedding])) * c.cnorm)
-          |      AS cos_c
-          |  FROM embeddings e CROSS JOIN cmeta c
-          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-          |                             ORDER BY cos_c DESC, c.cent_id) = 1),
-          |probed AS (
-          |  SELECT cent_id FROM cmeta
-          |  ORDER BY (list_sum([x::DOUBLE for x in cvec]) / (sqrt(64.0) * cnorm)) DESC,
-          |           cent_id
-          |  LIMIT 4),
-          |sel AS (
-          |  SELECT a.vec_id, a.embedding FROM assigned a JOIN probed p USING (cent_id)),
-          |cb AS (
-          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS c
-          |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
-          |sub AS (
-          |  SELECT e.vec_id, m.m, cb.j,
-          |    list_sum(list_transform(generate_series(1, 8),
-          |      i -> (e.embedding[m.m*8+i]::DOUBLE - cb.c[m.m*8+i]::DOUBLE) *
-          |           (e.embedding[m.m*8+i]::DOUBLE - cb.c[m.m*8+i]::DOUBLE))) AS d
-          |  FROM sel e CROSS JOIN generate_series(0, 7) m(m) CROSS JOIN cb),
-          |code AS (
-          |  SELECT vec_id, m, j FROM sub
-          |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),
-          |lut AS (
-          |  SELECT m.m, cb.j,
-          |    list_sum(list_transform(generate_series(1, 8),
-          |      i -> (1.0 - cb.c[m.m*8+i]::DOUBLE) * (1.0 - cb.c[m.m*8+i]::DOUBLE))) AS ld
-          |  FROM cb CROSS JOIN generate_series(0, 7) m(m)),
-          |adc AS (
-          |  SELECT c.vec_id, list_sum(list(l.ld ORDER BY l.m)) AS dist
-          |  FROM code c JOIN lut l ON l.m = c.m AND l.j = c.j
-          |  GROUP BY c.vec_id)
-          |SELECT vec_id, round(dist, 6) AS adc FROM adc
-          |ORDER BY adc, vec_id LIMIT 10""".stripMargin,
+      "q132_ann_ivfpq" -> ivfPqOracle,
+      // q135: the at-rest read-back must land on the SAME top-k the
+      // in-flight face (q132) computes from the identical CTE chain
+      "q135_ann_atrest" -> ivfPqOracle,
       // q114: directive order is file order — the per-doc Sitemap line
       // at ord 0, the even-id lowercase-key second line at ord 1; the
       // comment line and the empty-value Sitemap contribute nothing

@@ -94,6 +94,35 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
       OnesQuery, k = 10, nlist = 16, nprobe = 4, m = 8, ks = 16)
 
 
+  /** The IVF-PQ AT-REST read-back (q125's play for vectors): the
+    * (vec_id, cell, code) layout is WRITTEN `partitionBy(cell)` —
+    * codes only, no fp32 vectors — and the query is answered FROM THE
+    * FILES: the probe prunes the listing to 4 of 16 cell directories
+    * (plan-guarded `selectedPartitions`), and
+    * [[Similarity.pqAdcTopKCoded]] ranks the pre-encoded codes
+    * without re-touching a vector. Same answer as q132's in-flight
+    * face by construction, so the oracle SQL is shared — write,
+    * layout, pruning and the coded scan must all land on the
+    * recomputed CTE chain.
+    */
+  private[queries] def q135(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val ivfCb = Similarity.ivfCodebook(emb, "vec_id", "embedding", nlist = 16)
+    val pqCb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16)
+    val out = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q135_layout"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    emb.select(col("vec_id"),
+        Similarity.ivfCell(ivfCb, col("embedding")).as("cell"),
+        Similarity.pqCode(pqCb, col("embedding")).as("code"))
+      .write.mode("overwrite").partitionBy("cell").parquet(out)
+    val probed = Similarity.ivfProbed(ivfCb, OnesQuery, nprobe = 4)
+    Similarity.pqAdcTopKCoded(
+      s.read.parquet(out).where(col("cell").isin(probed: _*)),
+      "vec_id", "code", pqCb, OnesQuery, k = 10)
+  }
+
+
   /** SemDeDup ([[Similarity.semDedup]], arXiv:2303.09540): semantic
     * dedup = IVF-cell clustering (the q37 deterministic codebook, so
     * the oracle can reproduce the assignment) → within-cell exact

@@ -37,7 +37,8 @@ object PlanAudit {
       "q123_image_decode", "q124_site_clusters", "q125_cdx_scan",
       "q126_bpe_tokens", "q127_pii_redact", "q128_leakfree_split",
       "q129_ann_pq", "q130_token_budget", "q131_incr_neardup",
-      "q132_ann_ivfpq", "q133_data_card", "q134_fix_mojibake")
+      "q132_ann_ivfpq", "q133_data_card", "q134_fix_mojibake",
+      "q135_ann_atrest")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -379,6 +379,26 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q125 must scan exactly 1 shard, got ${scan.selectedPartitions.partitionCount}")
   }
 
+  test("q135: the ANN read-back prunes to the 4 probed cell directories") {
+    // the vector sibling of the q125 guard: the probe must prune the
+    // at-rest codes layout to nprobe=4 of nlist=16 cell= directories
+    // at plan time — a query reads codes only, from probed cells only
+    val df = SparkEntry.queries("q135_ann_atrest")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan
+    val inner = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val scan = inner.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("q135 has no FileSourceScan"))
+    assert(scan.selectedPartitions.partitionCount == 4,
+      s"q135 must scan exactly the 4 probed cells, got ${scan.selectedPartitions.partitionCount}")
+    // codes-only read: the fp32 vector column must not exist in the scan
+    assert(!scan.schema.fieldNames.contains("embedding"),
+      s"q135 read-back must touch codes only: ${scan.schema.fieldNames.mkString(",")}")
+  }
+
   test("q126: BPE counting is a narrow codegen'd projection") {
     val p = plan("q126_bpe_tokens")
     assert(exchanges(p) <= 1, s"q126 grew a shuffle:\n$p")
