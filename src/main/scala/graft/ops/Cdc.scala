@@ -103,4 +103,34 @@ object Cdc {
         sum(col("chunk_size")).as("distinct_bytes"))
       .withColumn("dedup_ratio",
         col("distinct_bytes").cast("double") / col("total_bytes"))
+
+  /** Snapshot reconciliation — classify every id across two corpus
+    * snapshots as added / removed / changed / unchanged by payload
+    * hash. The data-ops face between two crawls of the same corpus:
+    * what a re-crawl actually changed, before any recompute decision
+    * (a changed doc re-enters the clean/dedup pipeline, an unchanged
+    * one keeps its derived columns).
+    *
+    * Scale shape: each side reduces to (id, 32-byte hash) in a narrow
+    * projection BEFORE the full-outer join, so the only full-data
+    * exchange carries 40-byte rows, never payloads — the standard
+    * 100 TB reconciliation layout. Classification is a codegen'd
+    * null/equality scalar on the joined row.
+    *
+    * @return one row per id present in either snapshot:
+    *         (idCol, change in {added, removed, changed, unchanged})
+    */
+  def snapshotDiff(old: DataFrame, cur: DataFrame,
+      idCol: String, payloadCol: String): DataFrame = {
+    val o = old.select(col(idCol).as("__id"),
+      md5(col(payloadCol).cast("binary")).as("__ho"))
+    val n = cur.select(col(idCol).as("__id"),
+      md5(col(payloadCol).cast("binary")).as("__hn"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__ho").isNull, "added")
+          .when(col("__hn").isNull, "removed")
+          .when(col("__ho") =!= col("__hn"), "changed")
+          .otherwise("unchanged").as("change"))
+  }
 }

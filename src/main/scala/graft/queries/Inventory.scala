@@ -165,7 +165,8 @@ object Inventory extends InventoryCrawl {
     "q132_ann_ivfpq" -> (q132 _),
     "q133_data_card" -> (q133 _),
     "q134_fix_mojibake" -> (q134 _),
-    "q135_ann_atrest" -> (q135 _))
+    "q135_ann_atrest" -> (q135 _),
+    "q136_snapshot_diff" -> (q136 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1056,6 +1057,26 @@ object Inventory extends InventoryCrawl {
       // q135: the at-rest read-back must land on the SAME top-k the
       // in-flight face (q132) computes from the identical CTE chain
       "q135_ann_atrest" -> ivfPqOracle,
+      // q136: the classification restated from the synthesis
+      // arithmetic over a full-outer id join — removed = %10==3,
+      // changed = %10==7, added = the +1000000 twins of %10==4
+      "q136_snapshot_diff" ->
+        """WITH old AS (SELECT doc_id, text FROM documents),
+          |cur AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 10 = 7 THEN text || ' v2' ELSE text END AS text
+          |  FROM documents WHERE doc_id % 10 <> 3
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 4),
+          |j AS (
+          |  SELECT COALESCE(o.doc_id, c.doc_id) AS doc_id,
+          |    CASE WHEN o.doc_id IS NULL THEN 'added'
+          |         WHEN c.doc_id IS NULL THEN 'removed'
+          |         WHEN md5(o.text) <> md5(c.text) THEN 'changed'
+          |         ELSE 'unchanged' END AS change
+          |  FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id)
+          |SELECT change, COUNT(*) AS n, MIN(doc_id) AS min_id
+          |FROM j GROUP BY change ORDER BY change""".stripMargin,
       // q114: directive order is file order — the per-doc Sitemap line
       // at ord 0, the even-id lowercase-key second line at ord 1; the
       // comment line and the empty-value Sitemap contribute nothing

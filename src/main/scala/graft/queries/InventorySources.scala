@@ -1002,4 +1002,28 @@ private[queries] trait InventorySources extends InventoryRelational {
       .select(col("path"), col("size"), lower(hex(col("hash"))).as("sha256"))
       .orderBy(col("path"))
   }
+
+  /** Snapshot reconciliation ([[graft.ops.Cdc.snapshotDiff]]) — the
+    * data-ops face between two crawls: the current snapshot drops
+    * every doc_id % 10 == 3 (removed), rewrites % 10 == 7 (changed),
+    * gains an id+1000000 twin of % 10 == 4 (added), and everything
+    * else round-trips byte-identically (unchanged). Rolled up per
+    * change class with the smallest id as a position probe; the
+    * oracle restates the classification from the SAME synthesis
+    * arithmetic over a full-outer id join.
+    */
+  private[queries] def q136(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val old = docs.select(col("doc_id"), col("text"))
+    val cur = docs.where(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 7, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.where(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    graft.ops.Cdc.snapshotDiff(old, cur, "doc_id", "text")
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+      .orderBy(col("change"))
+  }
 }

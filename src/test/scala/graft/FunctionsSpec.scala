@@ -413,5 +413,25 @@ class FunctionsSpec extends AnyFunSuite {
     // a mojibake string ending mid-sequence is invalid -> untouched
     assert(f("cafÃ") == "cafÃ")
     assert(f("") == "")
+    // never-throws + fixed-point fuzz: arbitrary code-point soup (BMP
+    // incl. controls/surrogate-adjacent + supplementary) repairs or
+    // passes through, and the result is itself a fixed point (<= 3
+    // passes exhausts any chain the all-or-nothing rule accepts)
+    val rnd = new scala.util.Random(42)
+    (0 until 2000).foreach { _ =>
+      val n = rnd.nextInt(24)
+      val sb = new StringBuilder
+      (0 until n).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 => sb.append((rnd.nextInt(0x60) + 0x20).toChar)   // ascii
+          case 1 => sb.append((rnd.nextInt(0x100)).toChar)         // latin-1 range
+          case 2 => sb.append((rnd.nextInt(0x2500) + 0x100).toChar) // BMP letters/punct
+          case _ => sb.appendAll(Character.toChars(0x10000 + rnd.nextInt(0x100)))
+        }
+      }
+      val s = sb.toString
+      val once = f(s)
+      assert(f(once) == once, s"not a fixed point: ${s.map(_.toInt)}")
+    }
   }
 }

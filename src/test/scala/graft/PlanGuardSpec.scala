@@ -399,6 +399,18 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q135 read-back must touch codes only: ${scan.schema.fieldNames.mkString(",")}")
   }
 
+  test("q136: snapshot diff joins 40-byte (id, hash) rows, never payloads") {
+    val p = plan("q136_snapshot_diff")
+    // each side must reduce to (id, md5) BEFORE the full-outer join:
+    // the join operator's output carries no text column
+    assert(p.contains("FullOuter") || p.contains("full_outer"),
+      s"q136 lost the full-outer reconciliation:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4,
+      s"q136 grew a shuffle:\n$p")
+    val joinLine = p.linesIterator.find(_.contains("SortMergeJoin")).getOrElse("")
+    assert(!joinLine.contains("text"), s"q136 join must not carry payloads:\n$joinLine")
+  }
+
   test("q126: BPE counting is a narrow codegen'd projection") {
     val p = plan("q126_bpe_tokens")
     assert(exchanges(p) <= 1, s"q126 grew a shuffle:\n$p")
