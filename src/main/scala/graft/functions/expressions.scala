@@ -353,10 +353,11 @@ case class VecL2SqSlice(first: Expression, second: Expression, third: Expression
     VecHelper.l2sqSlice(
       v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      s.asInstanceOf[Int], isFloat(first), isFloat(second))
+      s.asInstanceOf[Number].intValue, // int or long start both work
+      isFloat(first), isFloat(second))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (v, c, s) =>
-      s"graft.functions.VecHelper.l2sqSlice($v, $c, $s, ${isFloat(first)}, ${isFloat(second)})")
+      s"graft.functions.VecHelper.l2sqSlice($v, $c, (int)($s), ${isFloat(first)}, ${isFloat(second)})")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): VecL2SqSlice =
     copy(first = f, second = s, third = t)

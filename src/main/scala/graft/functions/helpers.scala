@@ -132,11 +132,12 @@ object VecHelper {
     */
   def l2sqSlice(v: ArrayData, c: ArrayData, start: Int,
       vFloat: Boolean, cFloat: Boolean): Double = {
-    val n = math.min(c.numElements(), math.max(0, v.numElements() - start))
+    val st = math.max(0, start) // negative start must not read OOB
+    val n = math.min(c.numElements(), math.max(0, v.numElements() - st))
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val x = if (vFloat) v.getFloat(start + i).toDouble else v.getDouble(start + i)
+      val x = if (vFloat) v.getFloat(st + i).toDouble else v.getDouble(st + i)
       val y = if (cFloat) c.getFloat(i).toDouble else c.getDouble(i)
       val d = x - y
       acc += d * d

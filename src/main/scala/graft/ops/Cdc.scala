@@ -122,15 +122,19 @@ object Cdc {
     */
   def snapshotDiff(old: DataFrame, cur: DataFrame,
       idCol: String, payloadCol: String): DataFrame = {
+    // presence is a FLAG, never hash nullness: a row present in both
+    // snapshots with a NULL payload must classify by the null-safe
+    // hash comparison (unchanged for NULL==NULL, changed for
+    // NULL vs value), not masquerade as added/removed
     val o = old.select(col(idCol).as("__id"),
-      md5(col(payloadCol).cast("binary")).as("__ho"))
+      md5(col(payloadCol).cast("binary")).as("__ho"), lit(true).as("__po"))
     val n = cur.select(col(idCol).as("__id"),
-      md5(col(payloadCol).cast("binary")).as("__hn"))
+      md5(col(payloadCol).cast("binary")).as("__hn"), lit(true).as("__pn"))
     o.join(n, Seq("__id"), "full_outer")
       .select(col("__id").as(idCol),
-        when(col("__ho").isNull, "added")
-          .when(col("__hn").isNull, "removed")
-          .when(col("__ho") =!= col("__hn"), "changed")
-          .otherwise("unchanged").as("change"))
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
+          .when(col("__ho") <=> col("__hn"), "unchanged")
+          .otherwise("changed").as("change"))
   }
 }

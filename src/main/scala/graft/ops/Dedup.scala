@@ -54,34 +54,6 @@ object Dedup {
     df.join(winners, Seq(idCol), "left_semi")
   }
 
-  /** Near-duplicate pairs via MinHash + LSH banding, exact-verified.
-    *
-    * Pipeline (every stage bucketed, no all-pairs):
-    *   1. per-row MinHash signature (`numHashes` permutations over
-    *      `shingleWidth`-word shingles) — embarrassingly parallel;
-    *   2. split the signature into `bands` bands and hash each band;
-    *      explode to (band, bandKey) — rows whose band collides are
-    *      candidates. For threshold t, P[detect] = 1-(1-t^r)^b with
-    *      r = numHashes/bands; at t=0.9, r=4, b=32 the miss
-    *      probability is ~1e-15;
-    *   3. self-join on (band, bandKey) — the shuffle carries only
-    *      (id, band, key);
-    *   4. exact verify: join token shingle sets for *candidates only*
-    *      and keep pairs with Jaccard >= `threshold`.
-    *
-    * Skew note: a cluster of k identical documents produces k rows per
-    * bucket and k²/2 candidate pairs — inherent to pair *enumeration*.
-    * For dedup-only (keep one per cluster), use [[nearDupWinners]]
-    * which elects min-id per bucket and never enumerates pairs.
-    *
-    * @return columns (id_a, id_b, jaccard) with id_a < id_b
-    */
-  /** The MinHash+LSH CANDIDATE pairs (pre-verify) of [[nearDupPairs]]
-    * — exposed so scale runs can measure candidate volume directly
-    * (sub-linear candidate growth is the property that makes the
-    * banding a 100 TB design; counting it must not require re-deriving
-    * the banding).
-    */
   /** The LSH band-signature projection: one (id, band, key) row per
     * band — `key` is the 64-bit hash of that band's minhash slice.
     * This is the ONLY per-document state near-dup candidacy needs
@@ -108,6 +80,12 @@ object Dedup {
       .withColumnRenamed("col", "key")
   }
 
+  /** The MinHash+LSH CANDIDATE pairs (pre-verify) of [[nearDupPairs]]
+    * — exposed so scale runs can measure candidate volume directly
+    * (sub-linear candidate growth is the property that makes the
+    * banding a 100 TB design; counting it must not require re-deriving
+    * the banding).
+    */
   def nearDupCandidates(
       df: DataFrame,
       idCol: String,
@@ -127,6 +105,29 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Near-duplicate pairs via MinHash + LSH banding, exact-verified.
+    *
+    * Pipeline (every stage bucketed, no all-pairs):
+    *   1. per-row MinHash signature (`numHashes` permutations over
+    *      `shingleWidth`-word shingles) — embarrassingly parallel
+    *      ([[bandSignatures]] is stages 1-2, the at-rest index payload);
+    *   2. split the signature into `bands` bands and hash each band;
+    *      explode to (band, bandKey) — rows whose band collides are
+    *      candidates. For threshold t, P[detect] = 1-(1-t^r)^b with
+    *      r = numHashes/bands; at t=0.9, r=4, b=32 the miss
+    *      probability is ~1e-15;
+    *   3. self-join on (band, bandKey) — the shuffle carries only
+    *      (id, band, key) ([[nearDupCandidates]] is stages 1-3);
+    *   4. exact verify: join token shingle sets for *candidates only*
+    *      and keep pairs with Jaccard >= `threshold`.
+    *
+    * Skew note: a cluster of k identical documents produces k rows per
+    * bucket and k²/2 candidate pairs — inherent to pair *enumeration*.
+    * For dedup-only (keep one per cluster), use [[nearDupWinners]]
+    * which elects min-id per bucket and never enumerates pairs.
+    *
+    * @return columns (id_a, id_b, jaccard) with id_a < id_b
+    */
   def nearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -211,8 +212,12 @@ object Dedup {
       .join(broadcast(cand.select(col("__old_id")).distinct()),
         corpus(idCol) === col("__old_id"), "left_semi")
       .select(col(idCol).as("__old_id"), shingles(col(textCol), shingleWidth).as("__sha"))
-    val newSh = batch.select(
-      col(idCol).as("__new_id"), shingles(col(textCol), shingleWidth).as("__shb"))
+    // same candidates-only rule on the batch side: a large increment
+    // with few near-dups must not pay a shingle pass over all its text
+    val newSh = batch
+      .join(broadcast(cand.select(col("__new_id")).distinct()),
+        batch(idCol) === col("__new_id"), "left_semi")
+      .select(col(idCol).as("__new_id"), shingles(col(textCol), shingleWidth).as("__shb"))
     cand
       .join(oldSh, Seq("__old_id"))
       .join(newSh, Seq("__new_id"))

@@ -260,11 +260,15 @@ object Sampling {
     import graft.functions.GraftFunctions.md5_long62
     val pairs = Dedup.nearDupPairs(df, idCol, textCol, threshold)
       .select("id_a", "id_b")
+    // rename the label key so a caller whose idCol is literally "id"
+    // neither hits an ambiguous reference nor loses its id column to
+    // the drop below
     val labels = Dedup.components(pairs) // (id, cluster), paired ids only
+      .withColumnRenamed("id", "__lfs_id")
     val withCluster = df
-      .join(labels, df(idCol) === labels("id"), "left")
-      .withColumn("cluster", coalesce(col("cluster"), col(idCol).cast("long")))
-      .drop("id")
+      .join(labels, df(idCol) === labels("__lfs_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), df(idCol).cast("long")))
+      .drop("__lfs_id")
     val bucket = pmod(
       md5_long62(concat(lit(seed), lit(":"), col("cluster").cast("string"))),
       lit(100L))

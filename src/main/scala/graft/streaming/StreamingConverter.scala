@@ -104,6 +104,12 @@ object StreamingConverter {
         col("h.content_type").as("content_type"),
         length(col("h.payload")).cast("long").as("payload_size"),
         sha2(col("h.payload"), 256).as("payload_sha256"))
+      // only non-empty RESPONSE payloads enter the dedup state: a WARC
+      // interleaves warcinfo/request/metadata records (and empty
+      // 204/304 responses), all of which hash to sha2("") — without
+      // this gate dropDuplicates would keep ONE arbitrary empty row
+      // and silently swallow every later such record
+      .where(col("status").isNotNull && col("payload_size") > 0)
       .dropDuplicates("payload_sha256")
   }
 

@@ -390,6 +390,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(graft.functions.ScriptHelper.ratios(null) == null)
   }
 
+  test("l2sqSlice: negative start clamps to 0, never reads out of bounds") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val v = new GenericArrayData(Array[Double](1, 2, 3, 4))
+    val c = new GenericArrayData(Array[Double](1, 2))
+    assert(VecHelper.l2sqSlice(v, c, -4, vFloat = false, cFloat = false) ==
+      VecHelper.l2sqSlice(v, c, 0, vFloat = false, cFloat = false))
+    // start past the end contributes nothing
+    assert(VecHelper.l2sqSlice(v, c, 9, vFloat = false, cFloat = false) == 0.0)
+  }
+
   test("fixMojibake: single/double/CP1252 repair, legacy text untouched") {
     def f(s: String) =
       graft.functions.MojibakeHelper.fix(UTF8String.fromString(s)).toString

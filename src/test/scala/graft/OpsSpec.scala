@@ -839,6 +839,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 0L), s"got $got")
   }
 
+  test("Cdc.snapshotDiff: presence by flag, NULL payloads classify by value") {
+    import spark.implicits._
+    val old = Seq((1L, Option("a")), (2L, Option.empty[String]),
+      (3L, Option("c")), (4L, Option("d"))).toDF("id", "p")
+    val cur = Seq((1L, Option("a")), (2L, Option("x")),
+      (3L, Option.empty[String]), (5L, Option("e")),
+      (6L, Option.empty[String])).toDF("id", "p")
+    val got = graft.ops.Cdc.snapshotDiff(old, cur, "id", "p")
+      .as[(Long, String)].collect().toMap
+    // id 2: NULL -> 'x' is CHANGED (present in both), never 'added';
+    // id 3: 'c' -> NULL likewise; id 6 arrives with a NULL payload and
+    // is still 'added' (presence is the flag, not the hash)
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added", 6L -> "added"), s"got $got")
+  }
+
+  test("Sampling.leakFreeSplit survives a caller whose id column is named 'id'") {
+    import spark.implicits._
+    val df = docs().withColumnRenamed("doc_id", "id")
+    val out = graft.ops.Sampling.leakFreeSplit(df, "id", "text", threshold = 0.5)
+      .select("id", "cluster", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.map(r => r._1 -> r._2).toMap ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 0L))
+  }
+
   test("Sampling.tokenBudgetMix: budget admission follows the md5 order") {
     import spark.implicits._
     // source A totals 60 tokens (under a 100 budget -> all kept);

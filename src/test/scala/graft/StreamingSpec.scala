@@ -134,7 +134,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val h = graft.functions.GraftFunctions.http_payload(col("content"))
     val batchSet = graft.convert.ArchiveConverter.entries(spark,
         Seq(f1, gzFile.getAbsolutePath), ConvertOptions()).toDF()
-      .select(sha2(h.getField("payload"), 256).as("payload_sha256"))
+      .select(sha2(h.getField("payload"), 256).as("payload_sha256"),
+        h.getField("status").as("status"),
+        length(h.getField("payload")).cast("long").as("payload_size"))
+      // same non-empty-response gate as the stream (empty-payload
+      // warcinfo/request records must not occupy a dedup seat)
+      .where(col("status").isNotNull && col("payload_size") > 0)
+      .select("payload_sha256")
       .dropDuplicates("payload_sha256")
       .collect().map(_.getString(0)).toSet
     val gotSet = got.select("payload_sha256").collect().map(_.getString(0)).toSet
