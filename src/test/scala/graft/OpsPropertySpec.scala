@@ -129,4 +129,40 @@ class OpsPropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  // ---- PQ codes (driver-side arithmetic, no Spark needed) -------------
+
+  test("PQ: pack/unpack round-trips and ADC sums the right table cells") {
+    import graft.ops.Similarity
+    val dimGen = Gen.oneOf(8, 16, 32)
+    val prop = Prop.forAll(dimGen, Gen.chooseNum(0L, 1L << 40)) { (dim, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val m = dim / 8 max 1
+      val ks = 1 << (1 + rnd.nextInt(4)) // 2, 4, 8, 16
+      val cb: Similarity.PqCodebooks = Array.tabulate(m, ks) { (mi, j) =>
+        Array.fill(dim / m)(rnd.nextGaussian())
+      }
+      val query = Array.fill(dim)(rnd.nextGaussian())
+      val lut = Similarity.pqAdcTable(cb, query)
+      // the table cell (mi)(j) is exactly the subspace L2² by definition
+      val cellsOk = (0 until m).forall { mi =>
+        (0 until ks).forall { j =>
+          val dsub = dim / m
+          val want = (0 until dsub).map { i =>
+            val t = query(mi * dsub + i) - cb(mi)(j)(i); t * t
+          }.sum
+          math.abs(lut(mi)(j) - want) < 1e-12
+        }
+      }
+      // driver-side pack/unpack round-trip over random codes
+      val bits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros((ks - 1).toLong))
+      val codes = Array.fill(m)(rnd.nextInt(ks))
+      val packed = codes.zipWithIndex
+        .map { case (c, mi) => c.toLong << (mi * bits) }.reduce(_ | _)
+      val unpacked = (0 until m)
+        .map(mi => ((packed >> (mi * bits)) & ((1L << bits) - 1)).toInt)
+      cellsOk && unpacked == codes.toSeq
+    }
+    check(prop, n = 50)
+  }
 }

@@ -839,6 +839,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 0L), s"got $got")
   }
 
+  test("Dedup index lifecycle: appended increments are visible to later batches") {
+    import spark.implicits._
+    val t0 = "the quick brown fox jumps over the lazy dog again and again today"
+    val t1 = "an entirely different document about distributed columnar engines"
+    val corpus = Seq((0L, t0)).toDF("doc_id", "text")
+    val day1 = Seq((10L, t1)).toDF("doc_id", "text")
+    val day2 = Seq((20L, t0), (21L, t1)).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_idx_life").toString
+    graft.ops.Dedup.writeNearDupIndex(corpus, "doc_id", "text", out)
+    // day 1: no dup; its signatures APPEND into the at-rest index (the
+    // daily lifecycle — the corpus is never recomputed)
+    val d1 = graft.ops.Dedup.incrementalNearDup(spark, out, corpus, day1,
+      "doc_id", "text").count()
+    assert(d1 == 0)
+    graft.ops.Dedup.bandSignatures(day1, "doc_id", "text")
+      .write.mode("append").partitionBy("band").parquet(out)
+    // day 2: doc 20 dups the original corpus, doc 21 dups DAY 1 —
+    // visible only because the append landed in the same layout
+    val known = corpus.unionByName(day1)
+    val d2 = graft.ops.Dedup.incrementalNearDup(spark, out, known, day2,
+      "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(d2 == Map(20L -> 0L, 21L -> 10L), s"got $d2")
+  }
+
   test("Cdc.snapshotDiff: presence by flag, NULL payloads classify by value") {
     import spark.implicits._
     val old = Seq((1L, Option("a")), (2L, Option.empty[String]),
