@@ -314,6 +314,24 @@ object Sampling {
       textCol: String,
       sourceCol: String,
       budget: Long,
+      seed: String = "17"): DataFrame =
+    tokenBudgetMixCounted(
+      df.select(col(idCol), col(sourceCol),
+        graft.functions.TextStats.tokenCount(col(textCol)).cast("long")
+          .as("n_tokens")),
+      idCol, "n_tokens", sourceCol, budget, seed)
+
+  /** The counted primitive under [[tokenBudgetMix]]: admission over an
+    * EXISTING token-count column (the common case once counts are a
+    * stored corpus column — recomputing them per mix would re-tokenize
+    * 100 TB for arithmetic a bigint column already holds).
+    */
+  def tokenBudgetMixCounted(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      sourceCol: String,
+      budget: Long,
       seed: String = "17"): DataFrame = {
     require(budget > 0, "budget must be positive")
     import graft.functions.GraftFunctions.md5_long62
@@ -321,16 +339,21 @@ object Sampling {
     val tc = df.select(
       col(idCol),
       col(sourceCol),
-      graft.functions.TextStats.tokenCount(col(textCol)).cast("long").as("n_tokens"),
-      md5_long62(concat(lit(seed), lit(":"), col(idCol).cast("string"))).as("__pr"))
+      col(tokensCol).cast("long").as("n_tokens"))
     val totals = tc.groupBy(col(sourceCol)).agg(sum(col("n_tokens")).as("__tot"))
     val joined = tc.join(broadcast(totals), Seq(sourceCol))
-    val under = joined.where(col("__tot") <= budget)
+    val under = joined.where(col("__tot") <= budget).drop("__tot")
+    // the md5 admission priority exists ONLY on the over-budget branch
+    // — an under-budget source keeps every row regardless of order, so
+    // hashing its ids would be pure waste (in a healthy mixture that
+    // is most of the corpus)
     val w = Window.partitionBy(col(sourceCol)).orderBy(col("__pr"), col(idCol))
     val over = joined.where(col("__tot") > budget)
+      .withColumn("__pr",
+        md5_long62(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .where(col("__cum") <= budget)
-      .drop("__cum")
+      .select(col(idCol), col(sourceCol), col("n_tokens"))
     under.unionByName(over).select(col(idCol), col(sourceCol), col("n_tokens"))
   }
 }

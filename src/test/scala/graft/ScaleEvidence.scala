@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -383,6 +383,75 @@ object ScaleEvidence {
     println(f"""SCALE {"corpus":"incr:$corpusN:$batchN","op":"q131_incremental","corpus_docs":$nc,"batch_docs":$nb,"dups_found":${incr.length},"index_build_secs":$idxSecs%.1f,"incr_secs":$incrSecs%.1f,"recompute_secs":$freshSecs%.1f}""")
   }
 
+  /** Token-budget-mix rung (`mix:<nDocs>`): the q130 two-regime claim
+    * measured — 1000 sources, 10% of them token-heavy (over budget),
+    * BOTH plans over the same cached counted input: the two-regime
+    * split (only over-budget sources' rows cross the window exchange)
+    * vs the window-everything strawman (semantically identical here —
+    * an under-budget source's running sum never exceeds its total).
+    * Asserts identical admitted sets via distributed checksums and
+    * reports wall for each — the measured face of the q130 plan
+    * guard's "window only the over-budget branch" rule.
+    */
+  private def mixRung(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions.md5_long62
+    val sources = 1000
+    val heavy = 100
+    val df = spark.range(n).select(
+      col("id"),
+      concat(lit("s"), (col("id") % sources).cast("string")).as("source"),
+      (when(col("id") % sources < heavy, 1000L).otherwise(100L) +
+        pmod(col("id") * 2654435761L, lit(37L))).as("n_tokens"))
+      .cache()
+    df.count()
+    val budget = (n / sources) * 550 // heavy ~1018/doc -> over; light ~118 -> under
+
+    def checksum(r: DataFrame): (Long, Long, Long) = {
+      // id-set fingerprint summed under a modulus (raw xxhash64 sums
+      // overflow ANSI long addition at these row counts)
+      val row = r.agg(count(lit(1)), sum(col("n_tokens")),
+        sum(pmod(xxhash64(col("id")), lit(1000000007L)))).collect()(0)
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+    // shuffle bytes are THE quantity that scales: a fully-cached
+    // single node pays almost nothing to re-scan RAM, so walls here
+    // understate what a 1000-executor cluster pays to move rows
+    class ShuffleBytes extends org.apache.spark.scheduler.SparkListener {
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def measured(body: => (Long, Long, Long)): ((Long, Long, Long), Double, Long) = {
+      val l = new ShuffleBytes
+      spark.sparkContext.addSparkListener(l)
+      val t = System.nanoTime()
+      val r = body
+      val secs = (System.nanoTime() - t) / 1e9
+      Thread.sleep(500) // drain the listener bus (private API in 4.x)
+      spark.sparkContext.removeSparkListener(l)
+      (r, secs, l.bytes.get())
+    }
+
+    val (twoRegime, splitSecs, splitBytes) = measured(checksum(
+      Sampling.tokenBudgetMixCounted(df, "id", "n_tokens", "source", budget)))
+
+    val w = Window.partitionBy(col("source")).orderBy(col("__pr"), col("id"))
+    val (straw, windowSecs, windowBytes) = measured(checksum(df
+      .withColumn("__pr",
+        md5_long62(concat(lit("17"), lit(":"), col("id").cast("string"))))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .where(col("__cum") <= budget)
+      .select(col("id"), col("source"), col("n_tokens"))))
+    df.unpersist()
+    require(twoRegime == straw,
+      s"mix plans disagree: two-regime $twoRegime vs window $straw")
+    println(f"""SCALE {"corpus":"mix:$n","op":"q130_token_budget","n_docs":$n,"n_sources":$sources,"over_budget_sources":$heavy,"rows_kept":${twoRegime._1},"split_secs":$splitSecs%.2f,"split_shuffle_mb":${splitBytes / 1048576},"window_all_secs":$windowSecs%.2f,"window_shuffle_mb":${windowBytes / 1048576}}""")
+  }
+
   /** 7z rung (`sevenz:<MB>`): the sixth container family at a real
     * size, measuring BOTH spool regimes on the same archive — the
     * in-memory channel (archive below `sevenZMemSpoolMax`) and the
@@ -762,8 +831,10 @@ object ScaleEvidence {
     val WarcPipe = "warcpipe:(\\d+):(\\d+)".r
     val (wcArgs, rest4) = rest3.partition(_.startsWith("warcpipe:"))
     wcArgs.foreach { case WarcPipe(f, r) => warcPipeRung(spark, f.toInt, r.toInt) }
-    val (pqArgs, rest5) = rest4.partition(_.startsWith("pq:"))
+    val (pqArgs, rest4b) = rest4.partition(_.startsWith("pq:"))
     pqArgs.foreach(a => pqRung(spark, a.drop(3).toLong))
+    val (mixArgs, rest5) = rest4b.partition(_.startsWith("mix:"))
+    mixArgs.foreach(a => mixRung(spark, a.drop(4).toLong))
     val Incr = "incr:(\\d+):(\\d+)".r
     val (inArgs, docCorpora) = rest5.partition(_.startsWith("incr:"))
     inArgs.foreach { case Incr(c, b) => incrRung(spark, c.toLong, b.toLong) }
