@@ -166,7 +166,8 @@ object Inventory extends InventoryCrawl {
     "q133_data_card" -> (q133 _),
     "q134_fix_mojibake" -> (q134 _),
     "q135_ann_atrest" -> (q135 _),
-    "q136_snapshot_diff" -> (q136 _))
+    "q136_snapshot_diff" -> (q136 _),
+    "q137_corpus_select" -> (q137 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1077,6 +1078,43 @@ object Inventory extends InventoryCrawl {
           |  FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id)
           |SELECT change, COUNT(*) AS n, MIN(doc_id) AS min_id
           |FROM j GROUP BY change ORDER BY change""".stripMargin,
+      // q137: the four selection stages chained — q19's rounded score
+      // gate, q17's winners within the gated set, the text-hash split
+      // bucket, q130's totals-split admission with seed 19 / budget
+      // 1050 — every stage's arithmetic already proven alone
+      "q137_corpus_select" -> {
+        val stops = graft.functions.TextStats.Stopwords
+          .map(s2 => s"'$s2'").mkString("[", ", ", "]")
+        s"""WITH q AS (SELECT doc_id, source, text,
+           |    CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS BIGINT)
+           |      AS n_tokens,
+           |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+           |      AS DOUBLE) / CAST(length(text) AS DOUBLE) AS praw,
+           |    $toks AS t
+           |  FROM documents),
+           |r AS (SELECT doc_id, source, text, n_tokens,
+           |    round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+           |      + (1.0 - least(praw * 4.0, 1.0)) * 0.3
+           |      + least(CASE WHEN len(t) = 0 THEN 0.0
+           |              ELSE CAST(len(list_filter(t, x -> list_contains($stops, x)))
+           |                   AS DOUBLE) / CAST(len(t) AS DOUBLE) END * 5.0, 1.0) * 0.3,
+           |      6) AS quality
+           |  FROM q),
+           |k AS (SELECT * FROM r WHERE quality >= 0.5),
+           |w AS (SELECT * FROM k
+           |      WHERE doc_id IN (SELECT MIN(doc_id) FROM k GROUP BY md5(text))),
+           |tr AS (SELECT * FROM w WHERE ${md5h("'13:' || md5(text)")} % 100 < 80),
+           |p AS (SELECT doc_id, source, n_tokens,
+           |        ${md5h("'19:' || CAST(doc_id AS VARCHAR)")} AS pr FROM tr),
+           |tt AS (SELECT source, SUM(n_tokens) AS tot FROM p GROUP BY source),
+           |c AS (SELECT p.doc_id, p.source, p.n_tokens, tt.tot,
+           |    SUM(p.n_tokens) OVER (PARTITION BY p.source ORDER BY p.pr, p.doc_id
+           |                          ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM p JOIN tt USING (source))
+           |SELECT doc_id, source, n_tokens FROM c
+           |WHERE tot <= 1050 OR cum <= 1050
+           |ORDER BY doc_id""".stripMargin
+      },
       // q114: directive order is file order — the per-doc Sitemap line
       // at ord 0, the even-id lowercase-key second line at ord 1; the
       // comment line and the empty-value Sitemap contribute nothing

@@ -411,6 +411,34 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
       .orderBy(col("source"))
 
 
+  /** The corpus SELECTION pipeline composed end to end — the four
+    * stages every published training corpus actually runs, in their
+    * production order, each already oracle-proven alone: q19's
+    * quality gate (rounded score >= 0.5), q17's exact-dedup winners
+    * (min id per text hash, WITHIN the gated set), an exact-dup-safe
+    * train split (the q128 idea at exact granularity: the split
+    * bucket is a pure function of the TEXT HASH, so byte-identical
+    * docs can never straddle train/test, linearly oracle-restatable),
+    * and q130's per-source token budget over the surviving train
+    * docs. The oracle chains the same four CTE stages; the 1050
+    * budget straddles the per-source train totals at gate scale so
+    * both admission regimes stay load-bearing. Output = the final
+    * training-corpus manifest.
+    */
+  private[queries] def q137(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.md5_long62
+    val docs = t(s, d, "documents")
+    val kept = docs.where(TextStats.qualityScore(col("text")) >= 0.5)
+    val winners = Dedup.exactWinners(kept, "doc_id", "text")
+    val train = winners.where(
+      pmod(md5_long62(concat(lit("13"), lit(":"),
+        md5(col("text").cast("binary")))), lit(100L)) < 80)
+    Sampling.tokenBudgetMix(train, "doc_id", "text", "source",
+        budget = 1050L, seed = "19")
+      .orderBy(col("doc_id"))
+  }
+
+
   /** BM25 query terms for q83 — drawn from the testdata vocabulary so
     * tf/df vary across documents at every scale factor.
     */

@@ -38,7 +38,7 @@ object PlanAudit {
       "q126_bpe_tokens", "q127_pii_redact", "q128_leakfree_split",
       "q129_ann_pq", "q130_token_budget", "q131_incr_neardup",
       "q132_ann_ivfpq", "q133_data_card", "q134_fix_mojibake",
-      "q135_ann_atrest", "q136_snapshot_diff")
+      "q135_ann_atrest", "q136_snapshot_diff", "q137_corpus_select")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -411,6 +411,27 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!joinLine.contains("text"), s"q136 join must not carry payloads:\n$joinLine")
   }
 
+  test("q137: the selection pipeline stays hash-bounded end to end") {
+    val p = plan("q137_corpus_select")
+    // gate (narrow) -> winners (hash agg + semi-join) -> split filter
+    // (narrow) -> budget (totals agg + broadcast + over-branch window)
+    // -> presentation sort. The union's two branches duplicate the
+    // upstream winner-election subtree in the INITIAL plan (7 planned
+    // hash exchanges); at runtime AQE resolves the duplicates to
+    // ReusedExchange (the q106 rule), so only 5 live.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 7,
+      s"q137 grew a shuffle:\n$p")
+    assert(p.contains("Window"), s"q137 lost the budget window:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"q137 must broadcast the per-source totals:\n$p")
+    // prove the reuse claim on the EXECUTED plan, not just assert it
+    val df = SparkEntry.queries("q137_corpus_select")(spark, sfDir)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      s"q137's duplicated upstream must resolve to ReusedExchange:\n$executed")
+  }
+
   test("q126: BPE counting is a narrow codegen'd projection") {
     val p = plan("q126_bpe_tokens")
     assert(exchanges(p) <= 1, s"q126 grew a shuffle:\n$p")
