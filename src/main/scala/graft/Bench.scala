@@ -326,9 +326,16 @@ object Bench {
     // line's head was clipped mid-number and parsed:null). Budget the
     // line to 1850 so line + footer fit with slack; shrink the
     // evidence arrays (8 -> 4 -> 2 entries -> scalars) until it fits.
-    def lineWith(maxShow: Int): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$sweepJson${convJson(maxShow)}}"""
-    val line = Seq(8, 4, 2).map(lineWith).find(_.length <= 1850).getOrElse(lineWith(0))
+    def lineWith(maxShow: Int, sweep: Boolean = true): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"${if (sweep) sweepJson else ""}${convJson(maxShow)}}"""
+    // final rung: at 137 registry entries the queries map alone is
+    // ~1470 chars and lineWith(0) sits within a char of the budget on
+    // slow hosts (3-digit totals, 4-char per-query values) — dropping
+    // the sweep detail keeps the headline + per-query map parseable
+    // (BENCH_full_local.json always carries the full evidence)
+    val line = Seq(8, 4, 2, 0).map(lineWith(_))
+      .find(_.length <= 1850)
+      .getOrElse(lineWith(0, sweep = false))
     // persist the UNTRUNCATED evidence (every pass's wall/cores/steal)
     // alongside the tail-budgeted line — the tail keeps only a few
     // array entries, and contested-host rounds are judged on exactly
