@@ -353,11 +353,16 @@ case class VecL2SqSlice(first: Expression, second: Expression, third: Expression
     VecHelper.l2sqSlice(
       v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      s.asInstanceOf[Number].intValue, // int or long start both work
+      // SATURATE a long start, never truncate: 2^31 would wrap
+      // negative, clamp to 0 in the helper, and silently score the
+      // vector head instead of past-the-end (= 0.0)
+      math.min(s.asInstanceOf[Number].longValue, Int.MaxValue.toLong).toInt,
       isFloat(first), isFloat(second))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (v, c, s) =>
-      s"graft.functions.VecHelper.l2sqSlice($v, $c, (int)($s), ${isFloat(first)}, ${isFloat(second)})")
+      s"graft.functions.VecHelper.l2sqSlice($v, $c, " +
+        s"(int)java.lang.Math.min((long)($s), (long)java.lang.Integer.MAX_VALUE), " +
+        s"${isFloat(first)}, ${isFloat(second)})")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): VecL2SqSlice =
     copy(first = f, second = s, third = t)

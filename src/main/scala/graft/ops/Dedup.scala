@@ -199,10 +199,17 @@ object Dedup {
       .withColumnRenamed("id", "__new_id")
     val index = spark.read.parquet(indexPath)
       .select(col("id").as("__old_id"), col("band"), col("key"))
+    // cand is consumed THREE times (two semi-joins + the verification
+    // join); without the eager localCheckpoint each consumer would
+    // re-scan the full at-rest index and re-run the candidate join —
+    // the multi-TB pass this operator exists to avoid. cand itself is
+    // candidate-bounded (true collisions only), so materializing it is
+    // cheap by design (the Graph.pageRank lineage-cut precedent).
     val cand = index
       .join(broadcast(newSig), Seq("band", "key"))
       .select(col("__old_id"), col("__new_id"))
       .dropDuplicates("__old_id", "__new_id")
+      .localCheckpoint(true)
     // semi-join the corpus down to candidate-matched ids BEFORE
     // shingling: without it the shingle projection runs over EVERY
     // corpus row on the way into the verification join — the O(corpus

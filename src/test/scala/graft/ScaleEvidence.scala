@@ -398,6 +398,8 @@ object ScaleEvidence {
     import graft.functions.GraftFunctions.md5_long62
     val sources = 1000
     val heavy = 100
+    require(n >= sources,
+      s"mix rung needs n >= $sources docs (got $n): the budget is derived per source")
     val df = spark.range(n).select(
       col("id"),
       concat(lit("s"), (col("id") % sources).cast("string")).as("source"),
