@@ -44,8 +44,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     IP/version territory), at an alphanumeric-free left boundary,
   *     ending on a digit not followed by an alphanumeric; shortest
   *     valid match, see [[PiiHelper.tryPhone]]
-  *     (`+1 555-0123-4567`, `(555) 123-4567` redact; dates and
-  *     8-digit build numbers stay under the 9-digit floor).
+  *     (`+1 555-0123-4567`, `(555) 123-4567` redact; a date alone
+  *     and 8-digit build numbers stay under the 9-digit floor, and a
+  *     `+`-less candidate whose three leading digit groups are
+  *     exactly 4-2-2 — the `YYYY-MM-DD HH:MM` shape ubiquitous in
+  *     crawl/log text — is rejected even past the floor).
   *   - KEY: a maximal `[A-Za-z0-9]` run, length >= 32, containing at
   *     least one letter AND one digit (hex digests, API tokens;
   *     a 40-char all-letter word stays).
@@ -136,6 +139,16 @@ object PiiHelper {
     * space split correctly into two matches instead of being rejected
     * as one 20-digit soup, while a contiguous 16-digit run still
     * stays. The scan aborts past 16 digits, bounding every attempt.
+    *
+    * Date+time guard: a `+`-less candidate whose first three digit
+    * groups are exactly 4, 2 and 2 digits is rejected — that is the
+    * `YYYY-MM-DD HH[:MM]` shape ("2026-08-15 14:30" reaches 10 digits
+    * with valid separators and would otherwise redact to "<PHONE>:30").
+    * International numbers written with a literal `+` are exempt, and
+    * no common national format leads 4-2-2 (NANP groups 3-3-4; a
+    * 4-digit-led trunk form like "0044 20 7946 0958" has a 4-digit
+    * third group). The guard trades a rare false negative for never
+    * eating timestamps — a redactor's false positive destroys text.
     */
   private def tryPhone(s: String, i: Int): Int = {
     val n = s.length
@@ -146,17 +159,30 @@ object PiiHelper {
     if (c0 == '+') j += 1
     var digits = 0
     var sepRun = 0
+    var g1 = 0; var g2 = 0; var g3 = 0 // closed leading group lengths
+    var cur = 0                        // open group length
     while (j < n) {
       val c = s.charAt(j)
       if (isDigit(c)) {
         digits += 1
+        cur += 1
         if (digits > 16) return -1 // bounded scan
         if (digits >= 9 && digits <= 15 &&
-            (j + 1 >= n || !isAlnum(s.charAt(j + 1)))) return j + 1
+            (j + 1 >= n || !isAlnum(s.charAt(j + 1)))) {
+          if (c0 != '+' && g1 == 4 && g2 == 2 && g3 == 2) return -1
+          return j + 1
+        }
         sepRun = 0
         j += 1
-      } else if (isPhoneSep(c) && sepRun < 2) { sepRun += 1; j += 1 }
-      else return -1
+      } else if (isPhoneSep(c) && sepRun < 2) {
+        if (cur > 0) {
+          if (g1 == 0) g1 = cur else if (g2 == 0) g2 = cur
+          else if (g3 == 0) g3 = cur
+          cur = 0
+        }
+        sepRun += 1
+        j += 1
+      } else return -1
     }
     -1
   }

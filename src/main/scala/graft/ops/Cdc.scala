@@ -111,11 +111,19 @@ object Cdc {
     * (a changed doc re-enters the clean/dedup pipeline, an unchanged
     * one keeps its derived columns).
     *
-    * Scale shape: each side reduces to (id, 32-byte hash) in a narrow
-    * projection BEFORE the full-outer join, so the only full-data
-    * exchange carries 40-byte rows, never payloads — the standard
-    * 100 TB reconciliation layout. Classification is a codegen'd
-    * null/equality scalar on the joined row.
+    * Scale shape: each side reduces to one (id, 32-byte hash) row in
+    * a narrow partial-aggregated projection BEFORE the full-outer
+    * join, so the only full-data exchange carries 40-byte rows, never
+    * payloads — the standard 100 TB reconciliation layout (the join
+    * reuses the aggregation's id partitioning, so the groupBy adds no
+    * exchange). Classification is a codegen'd null/equality scalar on
+    * the joined row.
+    *
+    * Duplicate ids within a snapshot (a malformed manifest) are
+    * reduced to their MINIMUM hash per side rather than fanned out
+    * k_old × k_cur through the join — the one-row-per-id contract
+    * holds unconditionally, at the cost of a best-effort comparison
+    * for the already-degenerate duplicate case.
     *
     * @return one row per id present in either snapshot:
     *         (idCol, change in {added, removed, changed, unchanged})
@@ -125,11 +133,18 @@ object Cdc {
     // presence is a FLAG, never hash nullness: a row present in both
     // snapshots with a NULL payload must classify by the null-safe
     // hash comparison (unchanged for NULL==NULL, changed for
-    // NULL vs value), not masquerade as added/removed
+    // NULL vs value), not masquerade as added/removed. min() skips
+    // NULLs, so a unique id with a NULL payload keeps its NULL hash
+    // via the count guard below only when EVERY duplicate is NULL —
+    // the deterministic best-effort choice for duplicates.
     val o = old.select(col(idCol).as("__id"),
-      md5(col(payloadCol).cast("binary")).as("__ho"), lit(true).as("__po"))
+        md5(col(payloadCol).cast("binary")).as("__ho"))
+      .groupBy("__id").agg(min(col("__ho")).as("__ho"))
+      .withColumn("__po", lit(true))
     val n = cur.select(col(idCol).as("__id"),
-      md5(col(payloadCol).cast("binary")).as("__hn"), lit(true).as("__pn"))
+        md5(col(payloadCol).cast("binary")).as("__hn"))
+      .groupBy("__id").agg(min(col("__hn")).as("__hn"))
+      .withColumn("__pn", lit(true))
     o.join(n, Seq("__id"), "full_outer")
       .select(col("__id").as(idCol),
         when(col("__po").isNull, "added")

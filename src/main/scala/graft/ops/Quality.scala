@@ -505,12 +505,17 @@ object Quality {
     * move); the rollup is one partial-aggregated groupBy(source);
     * the language mode ranks the tiny (source × lang) count table —
     * the window sorts aggregates, never documents.
+    *
+    * A NULL source is coalesced to the sentinel `(unknown)` up front:
+    * the stats/top-lang inner join never matches null keys, so
+    * without the sentinel every null-source document would vanish
+    * from the card and the totals would understate the corpus.
     */
   def dataCard(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(
-      col(sourceCol).as("source"),
+      coalesce(col(sourceCol), lit("(unknown)")).as("source"),
       graft.functions.TextStats.tokenCount(col(textCol)).cast("long").as("tc"),
       graft.functions.TextStats.langGuess(col(textCol)).as("guess"),
       md5(col(textCol).cast("binary")).as("__h"))

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Deterministic stratified sampling — the data-mixing primitive of a
   * training pipeline (per-source / per-language mixture weights over a
@@ -245,6 +246,11 @@ object Sampling {
     * equi-join against a table bounded by the paired-doc count; the
     * bucket itself is a narrow codegen'd scalar.
     *
+    * `idCol` must be an integral column (byte/short/int/long): the
+    * singleton fill casts it to long, and [[Dedup.components]]'
+    * union-find keys are longs. String-keyed corpora should derive a
+    * long id first (e.g. `xxhash64`, the q124 host-id play).
+    *
     * @return input rows + `cluster` (long) + `split` (train/val/test)
     */
   def leakFreeSplit(
@@ -257,6 +263,11 @@ object Sampling {
       valPct: Int = 10): DataFrame = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       "trainPct/valPct must be non-negative and sum to <= 100")
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(idCol).dataType),
+      s"leakFreeSplit requires an integral id column; '$idCol' is " +
+        s"${df.schema(idCol).dataType.simpleString} — derive a long id " +
+        "first (e.g. xxhash64)")
     import graft.functions.GraftFunctions.md5_long62
     val pairs = Dedup.nearDupPairs(df, idCol, textCol, threshold)
       .select("id_a", "id_b")
@@ -340,8 +351,13 @@ object Sampling {
       col(idCol),
       col(sourceCol),
       col(tokensCol).cast("long").as("n_tokens"))
+    // null-safe join: a NULL source is a legitimate budget group (the
+    // groupBy above already made one) — a plain equi-join would
+    // silently drop every null-source document from BOTH branches
     val totals = tc.groupBy(col(sourceCol)).agg(sum(col("n_tokens")).as("__tot"))
-    val joined = tc.join(broadcast(totals), Seq(sourceCol))
+      .withColumnRenamed(sourceCol, "__src")
+    val joined = tc.join(broadcast(totals), col(sourceCol) <=> col("__src"))
+      .drop("__src")
     val under = joined.where(col("__tot") <= budget).drop("__tot")
     // the md5 admission priority exists ONLY on the over-budget branch
     // — an under-budget source keeps every row regardless of order, so

@@ -972,9 +972,11 @@ object Inventory extends InventoryCrawl {
           |ORDER BY adc, vec_id LIMIT 10""".stripMargin,
       // q133: q20's token class + q24's language table + q17's exact
       // hash multiplicity (corpus-wide, counted per source) + the
-      // shared avg rounding — one data-card row per source
+      // shared avg rounding — one data-card row per source; a NULL
+      // source coalesces to the '(unknown)' sentinel on both sides
       "q133_data_card" ->
-        s"""WITH w AS (SELECT doc_id, source, text, $toks AS t FROM documents),
+        s"""WITH w AS (SELECT doc_id, COALESCE(source, '(unknown)') AS source,
+           |           text, $toks AS t FROM documents),
            |tok AS (SELECT doc_id, source,
            |    CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS BIGINT) AS tc,
            |    md5(text) AS h, t FROM w),

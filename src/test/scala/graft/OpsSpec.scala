@@ -430,6 +430,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a._6 == "en" && b._6 == "de", s"modal langs: ${a._6} ${b._6}")
   }
 
+  test("Quality.dataCard: NULL source forms the '(unknown)' group, not a vanishing act") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Option("A"), "the quick brown fox is with that and of to"),
+      (1L, Option.empty[String], "the and of to is with that here now go"),
+      (2L, Option.empty[String], "der hund und die katze ist mit nicht das und")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.ops.Quality.dataCard(df, "doc_id", "text", "source")
+      .orderBy(col("source"))
+      .as[(String, Long, Long, Double, Long, String)].collect()
+    // previously the inner stats/top-lang join dropped null keys and
+    // the two null-source docs vanished from the card entirely
+    assert(got.map(_._1).toSeq == Seq("(unknown)", "A"), s"got ${got.toSeq}")
+    val unk = got(0)
+    assert(unk._2 == 2 && unk._3 == 20, s"(unknown) row: $unk")
+  }
+
   test("exact embedding near-dup refuses corpora above exactMax") {
     import spark.implicits._
     val vecs = (0L until 5L).map(i => (i, Array(i.toFloat, 1.0f))).toDF("vec_id", "embedding")
@@ -879,6 +896,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> "removed", 5L -> "added", 6L -> "added"), s"got $got")
   }
 
+  test("Cdc.snapshotDiff: duplicate ids within a snapshot stay one row per id") {
+    import spark.implicits._
+    // id 1 appears twice in old with DIFFERENT payloads (malformed
+    // manifest) — previously the full-outer join fanned it out 2x and
+    // could classify it both changed and unchanged; the min-hash
+    // reduction keeps the one-row contract
+    val old = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "p")
+    val cur = Seq((1L, "a"), (2L, "c"), (2L, "c")).toDF("id", "p")
+    val rows = graft.ops.Cdc.snapshotDiff(old, cur, "id", "p")
+      .as[(Long, String)].collect()
+    assert(rows.length == 2, s"expected one row per id, got ${rows.toSeq}")
+    val got = rows.toMap
+    // id 1: min(md5 a, md5 b) vs md5 a — deterministic best effort;
+    // id 2: identical duplicates reduce cleanly to unchanged
+    val minH = Seq("a", "b").map(s => java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString).min
+    val hA = java.security.MessageDigest.getInstance("MD5")
+      .digest("a".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect1 = if (minH == hA) "unchanged" else "changed"
+    assert(got == Map(1L -> expect1, 2L -> "unchanged"), s"got $got")
+  }
+
   test("Sampling.leakFreeSplit survives a caller whose id column is named 'id'") {
     import spark.implicits._
     val df = docs().withColumnRenamed("doc_id", "id")
@@ -915,6 +955,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.groupBy(_._2).foreach { case (src, members) =>
       assert(members.map(_._3).sum <= 100L, s"source $src exceeded the budget")
     }
+  }
+
+  test("Sampling.tokenBudgetMixCounted: NULL source is its own budget group") {
+    import spark.implicits._
+    // previously the totals equi-join dropped null keys and the two
+    // null-source docs appeared in NEITHER branch; the null-safe join
+    // gives them their own budget group (here over budget: keep one)
+    val rows = Seq(
+      (0L, Option("A"), 40L),
+      (1L, Option.empty[String], 60L),
+      (2L, Option.empty[String], 60L)
+    ).toDF("doc_id", "source", "n_tokens")
+    val got = graft.ops.Sampling.tokenBudgetMixCounted(rows, "doc_id",
+      "n_tokens", "source", budget = 80L, seed = "17")
+      .as[(Long, Option[String], Long)].collect().sortBy(_._1)
+    assert(got.exists(_._2.isEmpty), s"null-source docs vanished: ${got.toSeq}")
+    val nullKept = got.filter(_._2.isEmpty)
+    assert(nullKept.length == 1 && nullKept.head._3 == 60L, s"got ${got.toSeq}")
+    assert(got.filter(_._2.contains("A")).map(_._1).toSeq == Seq(0L))
+  }
+
+  test("Sampling.leakFreeSplit: string id columns fail fast with a named require") {
+    import spark.implicits._
+    val df = Seq(("a", "some text here"), ("b", "other text there"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Sampling.leakFreeSplit(df, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("leakFreeSplit") &&
+      e.getMessage.contains("integral"), e.getMessage)
   }
 
   test("Quality.bm25: hand-checked Okapi scores, absent term scores zero") {

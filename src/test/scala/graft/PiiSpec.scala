@@ -54,6 +54,21 @@ class PiiSpec extends AnyFunSuite {
       ("<PHONE> <PHONE>", 0L, 0L, 2L, 0L))
   }
 
+  test("phone: date+time shape guard (4-2-2 leading groups)") {
+    // "YYYY-MM-DD HH:MM" reaches 10 digits with valid separators and
+    // previously redacted to "<PHONE>:30" — the 4-2-2 guard keeps it
+    assert(clean("2026-08-15 14:30 deploy") == "2026-08-15 14:30 deploy")
+    assert(clean("logged 2026-08-15 14:30:45Z") == "logged 2026-08-15 14:30:45Z")
+    assert(clean("2026-08-15 14") == "2026-08-15 14") // bare date+hour-ish
+    // a literal '+' marks an international number — exempt from the guard
+    assert(clean("+4912 34 56 789") == "<PHONE>")
+    // a 4-digit-led trunk form with a non-2-digit third group still
+    // redacts (shortest-match ends at the first boundary past the floor)
+    assert(clean("0044 20 7946") == "<PHONE>")
+    // NANP 3-3-4 grouping untouched by the guard
+    assert(clean("555-010-1234") == "<PHONE>")
+  }
+
   test("key: length gate and letter+digit requirement") {
     val hex = "d3adb33f" * 4 // 32 chars, letters+digits
     assert(redact(s"sk $hex ok") == ("sk <KEY> ok", 0L, 0L, 0L, 1L))
