@@ -568,6 +568,73 @@ object Similarity {
       .limit(k)
   }
 
+  /** The (id, cell, code) projection shared by the IVF-PQ layout
+    * writers: one narrow codegen'd pass of two inlined codebooks —
+    * no shuffle, no join, nothing driver-side.
+    */
+  private def ivfPqCoded(df: DataFrame, idCol: String, vecCol: String,
+      ivfCb: IvfCodebook, pqCb: PqCodebooks,
+      cellCol: String, codeCol: String): DataFrame =
+    df.select(col(idCol),
+      ivfCell(ivfCb, col(vecCol)).as(cellCol),
+      pqCode(pqCb, col(vecCol)).as(codeCol))
+
+  /** Write the IVF-PQ AT-REST layout: (id, cell, code) rows
+    * `partitionBy(cell)` — PQ codes only, never fp32 vectors, so a
+    * probe reads ~4 bytes/vector from ~nprobe/nlist of the files
+    * ([[writeIvfPartitioned]]'s pruning with [[pqAdcTopKCoded]]'s
+    * scan). Overwrite clears the whole layout (any prior appends
+    * included) — the full-rebuild face; daily ingest uses
+    * [[appendIvfPq]].
+    */
+  def writeIvfPqPartitioned(df: DataFrame, idCol: String, vecCol: String,
+      ivfCb: IvfCodebook, pqCb: PqCodebooks, out: String,
+      cellCol: String = "cell", codeCol: String = "code"): Unit =
+    ivfPqCoded(df, idCol, vecCol, ivfCb, pqCb, cellCol, codeCol)
+      .write.mode("overwrite").partitionBy(cellCol).parquet(out)
+
+  /** INCREMENTAL maintenance of a [[writeIvfPqPartitioned]] layout —
+    * the daily-ingest shape for vectors (the q131 near-dup-index play):
+    * encode ONLY the new batch with the EXISTING codebooks and append
+    * its (id, cell, code) rows into the cell directories. The corpus
+    * side is never read, never re-encoded and never shuffled — the
+    * append costs one narrow pass over the batch plus new files in the
+    * cells the batch lands in (existing files untouched; parquet
+    * appends are file-additive). Probes over corpus+increment then
+    * answer from the merged listing with the SAME pruning
+    * ([[ivfPqTopKAtRest]]) and no retraining.
+    *
+    * The codebooks MUST be the ones the layout was written with —
+    * mixing codebooks silently mis-cells the batch. Quantization error
+    * drifts as the ingested distribution leaves the trained one; the
+    * rebuild cadence (re-train + [[writeIvfPqPartitioned]]) is the
+    * caller's policy, exactly as in FAISS's IndexIVFPQ `add` vs
+    * re-`train`.
+    */
+  def appendIvfPq(batch: DataFrame, idCol: String, vecCol: String,
+      ivfCb: IvfCodebook, pqCb: PqCodebooks, out: String,
+      cellCol: String = "cell", codeCol: String = "code"): Unit =
+    ivfPqCoded(batch, idCol, vecCol, ivfCb, pqCb, cellCol, codeCol)
+      .write.mode("append").partitionBy(cellCol).parquet(out)
+
+  /** IVF-PQ top-k answered FROM an at-rest layout
+    * ([[writeIvfPqPartitioned]] + any number of [[appendIvfPq]]
+    * batches): the probe prunes the file listing to the `nprobe` cell
+    * directories nearest the query, and [[pqAdcTopKCoded]] ranks the
+    * pre-encoded codes — a query reads codes only, from probed cells
+    * only, with zero exchanges into TakeOrderedAndProject.
+    */
+  def ivfPqTopKAtRest(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, codeCol: String,
+      ivfCb: IvfCodebook, pqCb: PqCodebooks,
+      query: Array[Double], k: Int, nprobe: Int = 4,
+      cellCol: String = "cell"): DataFrame = {
+    val probed = ivfProbed(ivfCb, query, nprobe)
+    pqAdcTopKCoded(
+      spark.read.parquet(path).where(col(cellCol).isin(probed: _*)),
+      idCol, codeCol, pqCb, query, k)
+  }
+
   /** Per-row (double vector, L2 norm) projection — computed ONCE per
     * row before a pairwise join. Folding the norm into the per-pair
     * cosine would re-evaluate it per candidate (higher-order array

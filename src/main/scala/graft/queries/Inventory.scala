@@ -167,7 +167,8 @@ object Inventory extends InventoryCrawl {
     "q134_fix_mojibake" -> (q134 _),
     "q135_ann_atrest" -> (q135 _),
     "q136_snapshot_diff" -> (q136 _),
-    "q137_corpus_select" -> (q137 _))
+    "q137_corpus_select" -> (q137 _),
+    "q138_ann_append" -> (q138 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -206,12 +207,16 @@ object Inventory extends InventoryCrawl {
     // q132/q135 share one oracle: q37's probe CTEs + q129's encode/ADC
     // CTEs with the sub/code stages restricted to the probed rows —
     // the in-flight face (q132) and the at-rest read-back (q135) must
-    // land on the SAME recomputed top-k
-    val ivfPqOracle =
-      """WITH cmeta AS (
+    // land on the SAME recomputed top-k. q138 (incremental append)
+    // reuses the chain with ONLY the codebook CTEs restricted to the
+    // corpus half: assignment/encode still cover every vector, so the
+    // increment is ranked through codebooks it was never trained on —
+    // exactly what the no-retrain append claims.
+    def ivfPqOracleFrom(cbWhere: String): String =
+      s"""WITH cmeta AS (
         |  SELECT vec_id AS cent_id, embedding AS cvec,
         |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS cnorm
-        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |  FROM embeddings $cbWhere ORDER BY vec_id LIMIT 16),
         |assigned AS (
         |  SELECT e.vec_id, e.embedding, c.cent_id,
         |    list_sum(list_transform(generate_series(1, 64),
@@ -230,7 +235,8 @@ object Inventory extends InventoryCrawl {
         |  SELECT a.vec_id, a.embedding FROM assigned a JOIN probed p USING (cent_id)),
         |cb AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS c
-        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |  FROM (SELECT vec_id, embedding FROM embeddings $cbWhere
+        |        ORDER BY vec_id LIMIT 16)),
         |sub AS (
         |  SELECT e.vec_id, m.m, cb.j,
         |    list_sum(list_transform(generate_series(1, 8),
@@ -251,6 +257,7 @@ object Inventory extends InventoryCrawl {
         |  GROUP BY c.vec_id)
         |SELECT vec_id, round(dist, 6) AS adc FROM adc
         |ORDER BY adc, vec_id LIMIT 10""".stripMargin
+    val ivfPqOracle = ivfPqOracleFrom("")
 
     // spec-determined fixture rows (sizes + independently computed
     // sha256 digests) — oracles BOTH the converter walk (q16) and its
@@ -1060,6 +1067,11 @@ object Inventory extends InventoryCrawl {
       // q135: the at-rest read-back must land on the SAME top-k the
       // in-flight face (q132) computes from the identical CTE chain
       "q135_ann_atrest" -> ivfPqOracle,
+      // q138: the merged (corpus-written + increment-appended) layout
+      // must land on the chain recomputed with corpus-only codebooks
+      // over ALL vectors — append correctness AND no-retrain encoding
+      // are both load-bearing
+      "q138_ann_append" -> ivfPqOracleFrom("WHERE vec_id % 5 <> 0"),
       // q136: the classification restated from the synthesis
       // arithmetic over a full-outer id join — removed = %10==3,
       // changed = %10==7, added = the +1000000 twins of %10==4

@@ -112,14 +112,41 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
     val out = new java.io.File(
       new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q135_layout"),
       java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
-    emb.select(col("vec_id"),
-        Similarity.ivfCell(ivfCb, col("embedding")).as("cell"),
-        Similarity.pqCode(pqCb, col("embedding")).as("code"))
-      .write.mode("overwrite").partitionBy("cell").parquet(out)
-    val probed = Similarity.ivfProbed(ivfCb, OnesQuery, nprobe = 4)
-    Similarity.pqAdcTopKCoded(
-      s.read.parquet(out).where(col("cell").isin(probed: _*)),
-      "vec_id", "code", pqCb, OnesQuery, k = 10)
+    Similarity.writeIvfPqPartitioned(emb, "vec_id", "embedding",
+      ivfCb, pqCb, out)
+    Similarity.ivfPqTopKAtRest(s, out, "vec_id", "code",
+      ivfCb, pqCb, OnesQuery, k = 10, nprobe = 4)
+  }
+
+
+  /** INCREMENTAL maintenance of the IVF-PQ at-rest layout
+    * ([[Similarity.appendIvfPq]] — the q131 daily-ingest play for
+    * vectors): the corpus (vec_id % 5 != 0) is written
+    * `partitionBy(cell)` with codebooks trained on it, the increment
+    * (vec_id % 5 = 0) is encoded with those SAME codebooks — no
+    * retraining, no corpus re-read — and appended into the cell
+    * directories; the probe then answers over corpus+increment FROM
+    * THE FILES. corpus ∪ increment = the whole table, so the oracle
+    * is q135's proven CTE chain with only the codebook CTEs
+    * restricted to the corpus predicate — the append is correct iff
+    * the merged layout lands on the recomputed full-table top-k.
+    */
+  private[queries] def q138(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val corpus = emb.where(col("vec_id") % 5 =!= 0)
+    val incr = emb.where(col("vec_id") % 5 === 0)
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 16)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, ks = 16)
+    val out = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q138_layout"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    // overwrite clears any previous run's append, so reruns stay
+    // deterministic; the append itself never touches the corpus files
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, out)
+    Similarity.appendIvfPq(incr, "vec_id", "embedding", ivfCb, pqCb, out)
+    Similarity.ivfPqTopKAtRest(s, out, "vec_id", "code",
+      ivfCb, pqCb, OnesQuery, k = 10, nprobe = 4)
   }
 
 

@@ -412,6 +412,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach { case (id, d) => assert(adcAll(id) == d, s"vec $id: $d vs ${adcAll(id)}") }
   }
 
+  test("appendIvfPq: file-additive append, probe equals the batch-encoded union") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val rows = (0L until 150L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val corpus = rows.filter(_._1 % 5 != 0).toDF("vec_id", "embedding")
+    val incr = rows.filter(_._1 % 5 == 0).toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 8)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    val out = java.nio.file.Files.createTempDirectory("graft_append_ivfpq")
+      .resolve("layout").toString
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, out)
+    def dataFiles(): Set[String] = {
+      val b = java.nio.file.Paths.get(out)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(b).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => b.relativize(p).toString).toSet
+    }
+    val before = dataFiles()
+    Similarity.appendIvfPq(incr, "vec_id", "embedding", ivfCb, pqCb, out)
+    val after = dataFiles()
+    // the append only ADDS files — every corpus file survives by name
+    // (the corpus side is never read or rewritten)
+    assert(before.subsetOf(after),
+      s"append rewrote corpus files: ${(before -- after).mkString(",")}")
+    assert((after -- before).nonEmpty, "append added no files")
+    // merged read = all 150 rows, and the at-rest probe lands on the
+    // ADC ranking a from-scratch batch encode of the UNION produces
+    assert(spark.read.parquet(out).count() == 150)
+    val query = Array.fill(dim)(0.5)
+    val gotRest = Similarity.ivfPqTopKAtRest(spark, out, "vec_id", "code",
+      ivfCb, pqCb, query, k = 10, nprobe = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val gotBatch = Similarity.ivfPqTopK(
+      corpus.unionByName(incr), "vec_id", "embedding", query,
+      k = 10, nlist = 8, nprobe = 3, m = 4, ks = 8,
+      ivfCb = Some(ivfCb), pqCb = Some(pqCb))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(gotRest == gotBatch, s"at-rest $gotRest vs batch $gotBatch")
+  }
+
   test("Quality.dataCard: one row per source, corpus-wide dup exposure") {
     import spark.implicits._
     val df = Seq(

@@ -399,6 +399,25 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q135 read-back must touch codes only: ${scan.schema.fieldNames.mkString(",")}")
   }
 
+  test("q138: the appended layout still prunes to the 4 probed cells, codes only") {
+    // the q135 guard must HOLD ON THE MERGED LAYOUT: after the
+    // increment append the probe still plans exactly the 4 probed
+    // cell directories and reads no fp32 vector column
+    val df = SparkEntry.queries("q138_ann_append")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan
+    val inner = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val scan = inner.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("q138 has no FileSourceScan"))
+    assert(scan.selectedPartitions.partitionCount == 4,
+      s"q138 must scan exactly the 4 probed cells, got ${scan.selectedPartitions.partitionCount}")
+    assert(!scan.schema.fieldNames.contains("embedding"),
+      s"q138 read-back must touch codes only: ${scan.schema.fieldNames.mkString(",")}")
+  }
+
   test("q136: snapshot diff joins 40-byte (id, hash) rows, never payloads") {
     val p = plan("q136_snapshot_diff")
     // each side must reduce to (id, md5) BEFORE the full-outer join:
