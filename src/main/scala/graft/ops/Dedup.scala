@@ -170,17 +170,32 @@ object Dedup {
     * increment's signatures are computed fresh (it is small), the
     * corpus's are READ, never recomputed.
     *
-    * Scale shape: the increment's (band, key) set is broadcast, so
-    * the stored index streams through a broadcast join with NO
-    * shuffle of the index side and no state beyond the increment's
-    * signatures; the candidate set (bounded by true collisions) then
-    * drives exact-Jaccard verification against only the matched
+    * Scale shape, two regimes split by the increment's signature-row
+    * count (`batch rows × bands`, one metadata-cheap count of the
+    * batch):
+    *   - at or under `maxBroadcastSigRows`, the increment's
+    *     (band, key) set is broadcast, so the stored index streams
+    *     through a broadcast join with NO shuffle of the index side
+    *     and no state beyond the increment's signatures;
+    *   - above it (a ~5M-doc increment at 32 bands is 160M band rows
+    *     — no sane broadcast fits that), every broadcast hint in the
+    *     chain drops away and the candidate join runs as a shuffle
+    *     join on (band, key): the index side pays one exchange, which
+    *     at that increment size is the honest price (the q78
+    *     AQE-fallback discipline — AQE may still choose to broadcast
+    *     any side its runtime stats prove small).
+    * Both regimes compute the identical answer; only the join
+    * strategy changes. The candidate set (bounded by true collisions)
+    * then drives exact-Jaccard verification against only the matched
     * corpus documents' texts. Candidates carry 24-byte rows; shingle
     * sets join in candidate-bounded.
     *
     * @param corpus the indexed documents (for verification text —
     *               only candidate-matched rows are ever shingled)
     * @param batch  the new documents
+    * @param maxBroadcastSigRows broadcast budget in SIGNATURE rows
+    *        (default 4M ≈ 125k docs at 32 bands ≈ low hundreds of MB
+    *        hashed — inside a healthy executor heap with headroom)
     * @return (idCol of the new doc, dup_of = smallest corpus id with
     *         verified Jaccard >= threshold)
     */
@@ -194,9 +209,18 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 128,
       bands: Int = 32,
-      shingleWidth: Int = 3): DataFrame = {
+      shingleWidth: Int = 3,
+      maxBroadcastSigRows: Long = 4L << 20): DataFrame = {
     val newSig = bandSignatures(batch, idCol, textCol, numHashes, bands, shingleWidth)
       .withColumnRenamed("id", "__new_id")
+    // the broadcast-budget guard: counting the batch is one cheap
+    // pass (parquet answers it from footers), and it is the quantity
+    // that decides whether the broadcast regime is SAFE — an
+    // unconditional broadcast kills the job exactly when the operator
+    // matters most (the big daily increment)
+    val smallIncrement = batch.count() * bands <= maxBroadcastSigRows
+    def hinted(df: DataFrame): DataFrame =
+      if (smallIncrement) broadcast(df) else df
     val index = spark.read.parquet(indexPath)
       .select(col("id").as("__old_id"), col("band"), col("key"))
     // cand is consumed THREE times (two semi-joins + the verification
@@ -206,7 +230,7 @@ object Dedup {
     // candidate-bounded (true collisions only), so materializing it is
     // cheap by design (the Graph.pageRank lineage-cut precedent).
     val cand = index
-      .join(broadcast(newSig), Seq("band", "key"))
+      .join(hinted(newSig), Seq("band", "key"))
       .select(col("__old_id"), col("__new_id"))
       .dropDuplicates("__old_id", "__new_id")
       .localCheckpoint(true)
@@ -216,13 +240,13 @@ object Dedup {
     // text bytes) pass the index exists to avoid (caught by the
     // incr: scale rung, where it erased the index's win)
     val oldSh = corpus
-      .join(broadcast(cand.select(col("__old_id")).distinct()),
+      .join(hinted(cand.select(col("__old_id")).distinct()),
         corpus(idCol) === col("__old_id"), "left_semi")
       .select(col(idCol).as("__old_id"), shingles(col(textCol), shingleWidth).as("__sha"))
     // same candidates-only rule on the batch side: a large increment
     // with few near-dups must not pay a shingle pass over all its text
     val newSh = batch
-      .join(broadcast(cand.select(col("__new_id")).distinct()),
+      .join(hinted(cand.select(col("__new_id")).distinct()),
         batch(idCol) === col("__new_id"), "left_semi")
       .select(col(idCol).as("__new_id"), shingles(col(textCol), shingleWidth).as("__shb"))
     cand
@@ -231,6 +255,57 @@ object Dedup {
       .where(round(jaccard(col("__sha"), col("__shb")), 6) >= threshold)
       .groupBy(col("__new_id").as(idCol))
       .agg(min(col("__old_id")).as("dup_of"))
+  }
+
+  /** [[nearDupPairs]] answered FROM a [[writeNearDupIndex]] layout:
+    * candidates come from a self-join of the STORED (id, band, key)
+    * rows — the corpus is never re-minhashed — and only
+    * candidate-matched documents are shingled for the exact-Jaccard
+    * verify. With an index written at the same banding, the result is
+    * identical to [[nearDupPairs]] by construction (both sides derive
+    * candidates from the same signature rows).
+    *
+    * This is what makes the at-rest index reusable across the WHOLE
+    * dedup family: a production corpus pays the signature pass once
+    * ([[writeNearDupIndex]]), and pairs / winners
+    * ([[nearDupWinnersVerifiedFromIndex]]) / split
+    * ([[graft.ops.Sampling.leakFreeSplit]]'s `indexPath`) /
+    * increments ([[incrementalNearDup]]) all read it.
+    *
+    * Scale shape: the self-join shuffles 24-byte (id, band, key) rows
+    * on (band, key) — the q18 exchange without the signature CPU in
+    * front of it; the verify stage is candidate-bounded on both
+    * sides (the [[incrementalNearDup]] semi-join discipline).
+    */
+  def nearDupPairsFromIndex(
+      indexPath: String,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleWidth: Int = 3): DataFrame = {
+    val banded = df.sparkSession.read.parquet(indexPath)
+      .select(col("id"), col("band"), col("key"))
+    val a = banded.select(col("id").as("id_a"), col("band"), col("key"))
+    val b = banded.select(col("id").as("id_b"), col("band"), col("key"))
+    // candidate-bounded and consumed three times — the
+    // incrementalNearDup localCheckpoint rule
+    val cand = a.join(b, Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+      .localCheckpoint(true)
+    val candIds = cand.select(col("id_a").as("__cid"))
+      .union(cand.select(col("id_b").as("__cid"))).distinct()
+    val sh = df
+      .join(broadcast(candIds), df(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("__sid"), shingles(col(textCol), shingleWidth).as("__sh"))
+    cand
+      .join(sh.select(col("__sid").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+      .join(sh.select(col("__sid").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
+      .withColumn("jaccard", round(jaccard(col("__sha"), col("__shb")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Near-dup *dedup* at scale: cluster by LSH bucket, elect min-id
@@ -285,6 +360,27 @@ object Dedup {
       bands: Int = 32,
       shingleWidth: Int = 3): DataFrame = {
     val pairs = nearDupPairs(df, idCol, textCol, threshold, numHashes, bands, shingleWidth)
+    winnersFromPairs(df, idCol, pairs)
+  }
+
+  /** [[nearDupWinnersVerified]] reading a [[writeNearDupIndex]]
+    * layout instead of re-minhashing the corpus
+    * ([[nearDupPairsFromIndex]]'s candidates + the same components →
+    * min-reachable-id election). Identical survivor set when the
+    * index was written at the same banding.
+    */
+  def nearDupWinnersVerifiedFromIndex(
+      indexPath: String,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleWidth: Int = 3): DataFrame =
+    winnersFromPairs(df, idCol,
+      nearDupPairsFromIndex(indexPath, df, idCol, textCol, threshold, shingleWidth))
+
+  private def winnersFromPairs(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
     val losers = components(pairs.select("id_a", "id_b"))
       .where(col("cluster") < col("id"))
       .select(col("id").as("__loser"))

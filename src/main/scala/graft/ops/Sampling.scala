@@ -251,6 +251,14 @@ object Sampling {
     * union-find keys are longs. String-keyed corpora should derive a
     * long id first (e.g. `xxhash64`, the q124 host-id play).
     *
+    * When `indexPath` names a [[Dedup.writeNearDupIndex]] layout, the
+    * pair stage reads the STORED band signatures
+    * ([[Dedup.nearDupPairsFromIndex]]) instead of re-minhashing the
+    * corpus — a production split then costs zero signature passes
+    * over 100 TB of text (the index was written once, at ingest).
+    * The index must have been written at the banding whose candidacy
+    * is complete at `threshold` (the defaults here and there match).
+    *
     * @return input rows + `cluster` (long) + `split` (train/val/test)
     */
   def leakFreeSplit(
@@ -260,7 +268,8 @@ object Sampling {
       threshold: Double = 0.8,
       seed: String = "13",
       trainPct: Int = 80,
-      valPct: Int = 10): DataFrame = {
+      valPct: Int = 10,
+      indexPath: Option[String] = None): DataFrame = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       "trainPct/valPct must be non-negative and sum to <= 100")
     require(Seq(ByteType, ShortType, IntegerType, LongType)
@@ -269,8 +278,10 @@ object Sampling {
         s"${df.schema(idCol).dataType.simpleString} — derive a long id " +
         "first (e.g. xxhash64)")
     import graft.functions.GraftFunctions.md5_long62
-    val pairs = Dedup.nearDupPairs(df, idCol, textCol, threshold)
-      .select("id_a", "id_b")
+    val pairs = (indexPath match {
+      case Some(p) => Dedup.nearDupPairsFromIndex(p, df, idCol, textCol, threshold)
+      case None    => Dedup.nearDupPairs(df, idCol, textCol, threshold)
+    }).select("id_a", "id_b")
     // rename the label key so a caller whose idCol is literally "id"
     // neither hits an ambiguous reference nor loses its id column to
     // the drop below

@@ -168,7 +168,8 @@ object Inventory extends InventoryCrawl {
     "q135_ann_atrest" -> (q135 _),
     "q136_snapshot_diff" -> (q136 _),
     "q137_corpus_select" -> (q137 _),
-    "q138_ann_append" -> (q138 _))
+    "q138_ann_append" -> (q138 _),
+    "q141_split_from_index" -> (q141 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -258,6 +259,34 @@ object Inventory extends InventoryCrawl {
         |SELECT vec_id, round(dist, 6) AS adc FROM adc
         |ORDER BY adc, vec_id LIMIT 10""".stripMargin
     val ivfPqOracle = ivfPqOracleFrom("")
+    val leakFreeSplitOracle =
+      s"""WITH RECURSIVE
+           |w AS (SELECT doc_id, $toks AS t FROM documents),
+           |sh AS (SELECT doc_id,
+           |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |                        for i in range(1, len(t) - 1)]) AS s
+           |       FROM w),
+           |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |         CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
+           |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+           |p AS (SELECT id_a, id_b FROM pr WHERE round(j, 6) >= 0.8),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM p
+           |      UNION SELECT id_b, id_a FROM p),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM e
+           |  UNION
+           |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+           |lbl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+           |m AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+           |      FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id),
+           |b AS (SELECT doc_id, cluster,
+           |        ${md5h("'13:' || CAST(cluster AS VARCHAR)")} % 100 AS bk
+           |      FROM m)
+           |SELECT doc_id, cluster,
+           |       CASE WHEN bk < 80 THEN 'train'
+           |            WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
+           |FROM b ORDER BY doc_id""".stripMargin
 
     // spec-determined fixture rows (sizes + independently computed
     // sha256 digests) — oracles BOTH the converter walk (q16) and its
@@ -917,35 +946,11 @@ object Inventory extends InventoryCrawl {
           |FROM m ORDER BY doc_id""".stripMargin,
       // q128: q33's recursive closure + singleton fill + the shared
       // md5 bucket arithmetic over the CLUSTER id — cluster labels
-      // and cluster-granular bucketing both load-bearing
-      "q128_leakfree_split" ->
-        s"""WITH RECURSIVE
-           |w AS (SELECT doc_id, $toks AS t FROM documents),
-           |sh AS (SELECT doc_id,
-           |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-           |                        for i in range(1, len(t) - 1)]) AS s
-           |       FROM w),
-           |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-           |         CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
-           |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-           |p AS (SELECT id_a, id_b FROM pr WHERE round(j, 6) >= 0.8),
-           |e AS (SELECT id_a AS src, id_b AS dst FROM p
-           |      UNION SELECT id_b, id_a FROM p),
-           |reach(id, r) AS (
-           |  SELECT src, src FROM e
-           |  UNION
-           |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
-           |lbl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
-           |m AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
-           |      FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id),
-           |b AS (SELECT doc_id, cluster,
-           |        ${md5h("'13:' || CAST(cluster AS VARCHAR)")} % 100 AS bk
-           |      FROM m)
-           |SELECT doc_id, cluster,
-           |       CASE WHEN bk < 80 THEN 'train'
-           |            WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
-           |FROM b ORDER BY doc_id""".stripMargin,
+      // and cluster-granular bucketing both load-bearing. q141 (the
+      // split answered from the at-rest signature index) shares the
+      // chain VERBATIM: reading stored signatures must land on the
+      // identical clusters and buckets the from-raw-text path computes
+      "q128_leakfree_split" -> leakFreeSplitOracle,
       // q129: the full PQ/ADC recomputation from the deterministic
       // codebooks — subspace slices of the 16 smallest-id vectors
       // (the q37 rule), per-subspace argmin with ties to the smaller
@@ -1072,6 +1077,9 @@ object Inventory extends InventoryCrawl {
       // over ALL vectors — append correctness AND no-retrain encoding
       // are both load-bearing
       "q138_ann_append" -> ivfPqOracleFrom("WHERE vec_id % 5 <> 0"),
+      // q141: the index-read split must land on q128's exact chain —
+      // same clusters, same buckets, zero signature recompute
+      "q141_split_from_index" -> leakFreeSplitOracle,
       // q136: the classification restated from the synthesis
       // arithmetic over a full-outer id join — removed = %10==3,
       // changed = %10==7, added = the +1000000 twins of %10==4

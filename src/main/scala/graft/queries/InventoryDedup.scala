@@ -235,4 +235,28 @@ private[queries] trait InventoryDedup extends InventorySources {
     Dedup.incrementalNearDup(s, out, old, batch, "doc_id", "text", threshold = 0.8)
       .orderBy(col("doc_id"))
   }
+
+  /** The leak-free split answered FROM the at-rest signature index
+    * (q128 + q131 composed — the r13 verdict's production gap: a
+    * split that re-minhashes 100 TB pays the second signature pass
+    * [[Dedup.writeNearDupIndex]] exists to avoid). The WHOLE corpus
+    * is indexed once; [[Sampling.leakFreeSplit]] with `indexPath`
+    * derives its verified pairs from the STORED (id, band, key) rows
+    * ([[Dedup.nearDupPairsFromIndex]]) and shingles only
+    * candidate-matched documents. The oracle is q128's exact chain
+    * verbatim — the index path must land on the identical clusters
+    * and buckets the from-raw-text path computes.
+    */
+  private[queries] def q141(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val out = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q141_index"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    Dedup.writeNearDupIndex(docs, "doc_id", "text", out)
+    Sampling.leakFreeSplit(docs, "doc_id", "text",
+        threshold = 0.8, seed = "13", trainPct = 80, valPct = 10,
+        indexPath = Some(out))
+      .select(col("doc_id"), col("cluster"), col("split"))
+      .orderBy(col("doc_id"))
+  }
 }

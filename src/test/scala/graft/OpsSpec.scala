@@ -923,6 +923,69 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d2 == Map(20L -> 0L, 21L -> 10L), s"got $d2")
   }
 
+  test("Dedup.incrementalNearDup: broadcast and shuffle regimes compute identically") {
+    import spark.implicits._
+    val t0 = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (0L, t0),
+      (2L, "completely unrelated corpus text about distributed query engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, t0),
+      (3L, "novel text that matches nothing stored in the corpus index at all")
+    ).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_incr_regime").toString
+    graft.ops.Dedup.writeNearDupIndex(corpus, "doc_id", "text", out)
+    def run(budget: Long): Map[Long, Long] =
+      graft.ops.Dedup.incrementalNearDup(spark, out, corpus, batch,
+        "doc_id", "text", threshold = 0.8, maxBroadcastSigRows = budget)
+        .as[(Long, Long)].collect().toMap
+    // budget 0 forces the shuffle regime (2 batch docs x 32 bands = 64
+    // sig rows > 0); the default keeps the broadcast regime — same map
+    val shuffled = run(0L)
+    val broadcastd = run(4L << 20)
+    assert(shuffled == broadcastd && shuffled == Map(1L -> 0L),
+      s"shuffle $shuffled vs broadcast $broadcastd")
+    // the regimes differ ONLY in join strategy: the broadcast regime
+    // carries explicit hints in the analyzed plan, the shuffle regime
+    // carries none (AQE then picks freely from runtime stats)
+    def analyzed(budget: Long): String =
+      graft.ops.Dedup.incrementalNearDup(spark, out, corpus, batch,
+        "doc_id", "text", threshold = 0.8, maxBroadcastSigRows = budget)
+        .queryExecution.analyzed.toString
+    assert(analyzed(4L << 20).contains("ResolvedHint"),
+      "broadcast regime lost its hints")
+    assert(!analyzed(0L).contains("ResolvedHint"),
+      s"shuffle regime still hints a broadcast:\n${analyzed(0L)}")
+  }
+
+  test("Dedup.nearDupPairsFromIndex / winners: identical to the from-text path") {
+    import spark.implicits._
+    val df = docs()
+    val out = java.nio.file.Files.createTempDirectory("graft_pairs_idx").toString
+    graft.ops.Dedup.writeNearDupIndex(df, "doc_id", "text", out)
+    val fromText = graft.ops.Dedup.nearDupPairs(df, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val fromIndex = graft.ops.Dedup.nearDupPairsFromIndex(out, df, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(fromText.nonEmpty && fromText == fromIndex,
+      s"text $fromText vs index $fromIndex")
+    val wText = graft.ops.Dedup.nearDupWinnersVerified(df, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val wIndex = graft.ops.Dedup.nearDupWinnersVerifiedFromIndex(out, df, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(wText == wIndex, s"winners text $wText vs index $wIndex")
+    // the split face reads the same index
+    val sText = graft.ops.Sampling.leakFreeSplit(df, "doc_id", "text", threshold = 0.5)
+      .select("doc_id", "cluster", "split").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    val sIndex = graft.ops.Sampling.leakFreeSplit(df, "doc_id", "text",
+        threshold = 0.5, indexPath = Some(out))
+      .select("doc_id", "cluster", "split").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    assert(sText == sIndex, s"split text $sText vs index $sIndex")
+  }
+
   test("Cdc.snapshotDiff: presence by flag, NULL payloads classify by value") {
     import spark.implicits._
     val old = Seq((1L, Option("a")), (2L, Option.empty[String]),

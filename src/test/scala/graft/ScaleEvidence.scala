@@ -383,6 +383,60 @@ object ScaleEvidence {
     println(f"""SCALE {"corpus":"incr:$corpusN:$batchN","op":"q131_incremental","corpus_docs":$nc,"batch_docs":$nb,"dups_found":${incr.length},"index_build_secs":$idxSecs%.1f,"incr_secs":$incrSecs%.1f,"recompute_secs":$freshSecs%.1f}""")
   }
 
+  /** Split-from-index rung (`split:<corpusN>`): the q141 claim
+    * measured — [[Sampling.leakFreeSplit]] reading the at-rest
+    * signature index vs re-minhashing the corpus in-flight. Same
+    * generator and banding as the incr: rung (planted near-dup at
+    * (id-1, id) for id % 100 == 7; ~500-word docs so the per-byte
+    * signature CPU dominates, the term the index eliminates).
+    * Identical (doc, cluster, split) output asserted via distributed
+    * checksum — nothing is collected.
+    *
+    * The corpus is DISK-RESIDENT parquet, not a cached DataFrame: the
+    * quantity the index eliminates is reading + re-hashing the text
+    * bytes, and a RAM-cached generator hides exactly that term (the
+    * mix: rung's lesson — local walls mislead when input never leaves
+    * memory).
+    */
+  private def splitRung(spark: SparkSession, corpusN: Long): Unit = {
+    import spark.implicits._
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-split-data").toFile
+    spark.range(corpusN).map { id =>
+      val base =
+        if (id % 100 == 7 && id > 0) textOf(id - 1, 500, Vocab) + " extra"
+        else textOf(id, 500, Vocab)
+      (id, base)
+    }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dataDir.getAbsolutePath)
+    val docs = spark.read.parquet(dataDir.getAbsolutePath)
+    val (n, _) = timedCount(docs)
+
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-split-rung").toFile
+    val tIdx0 = System.nanoTime()
+    Dedup.writeNearDupIndex(docs, "doc_id", "text", idxDir.getAbsolutePath)
+    val idxSecs = (System.nanoTime() - tIdx0) / 1e9
+
+    // ANSI: sum(xxhash64) overflows — fold through pmod per row
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.select(count(lit(1)),
+        sum(pmod(xxhash64(col("doc_id"), col("cluster"), col("split")),
+          lit(1000000007L)))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val t0 = System.nanoTime()
+    val viaIndex = checksum(Sampling.leakFreeSplit(docs, "doc_id", "text",
+      indexPath = Some(idxDir.getAbsolutePath)))
+    val idxPathSecs = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val viaText = checksum(Sampling.leakFreeSplit(docs, "doc_id", "text"))
+    val textSecs = (System.nanoTime() - t1) / 1e9
+    org.apache.commons.io.FileUtils.deleteQuietly(idxDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(dataDir)
+    require(viaIndex == viaText,
+      s"index-read split disagrees with recompute: $viaIndex vs $viaText")
+    println(f"""SCALE {"corpus":"split:$corpusN","op":"q141_split_from_index","docs":$n,"index_build_secs":$idxSecs%.1f,"from_index_secs":$idxPathSecs%.1f,"recompute_secs":$textSecs%.1f}""")
+  }
+
   /** Token-budget-mix rung (`mix:<nDocs>`): the q130 two-regime claim
     * measured — 1000 sources, 10% of them token-heavy (over budget),
     * BOTH plans over the same cached counted input: the two-regime
@@ -838,8 +892,10 @@ object ScaleEvidence {
     val (mixArgs, rest5) = rest4b.partition(_.startsWith("mix:"))
     mixArgs.foreach(a => mixRung(spark, a.drop(4).toLong))
     val Incr = "incr:(\\d+):(\\d+)".r
-    val (inArgs, docCorpora) = rest5.partition(_.startsWith("incr:"))
+    val (inArgs, rest6) = rest5.partition(_.startsWith("incr:"))
     inArgs.foreach { case Incr(c, b) => incrRung(spark, c.toLong, b.toLong) }
+    val (spArgs, docCorpora) = rest6.partition(_.startsWith("split:"))
+    spArgs.foreach(a => splitRung(spark, a.drop(6).toLong))
 
     docCorpora.foreach { c =>
       val RealX = "realx(\\d+):(.*)".r
