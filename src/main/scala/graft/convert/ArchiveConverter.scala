@@ -2,6 +2,7 @@ package graft.convert
 
 import graft.core.{ArchiveEntry, ArchiveSchema, ConvertOptions, IncludeType}
 import graft.functions.GraftFunctions
+import graft.ops.Quality
 import graft.walk.ArchiveWalker
 import org.apache.spark.sql.{DataFrame, Dataset, Observation, SparkSession}
 import org.apache.spark.sql.functions._
@@ -374,6 +375,36 @@ object ArchiveConverter {
         h.getField("status").as("http_status"),
         h.getField("content_type").as("http_content_type"))
     }
+    if (opts.wet) {
+      // WET mode: the q122 chain as a converter stage — http_payload
+      // decode, charset resolution, main-content classification, NFC —
+      // all narrow codegen'd scalar work per row, no exchange added to
+      // the walk. content becomes the UTF-8 bytes of the clean text;
+      // non-response entries drop (a WET file is responses-only). The
+      // gates below then operate on the TEXT.
+      val h = GraftFunctions.http_payload(col("content"))
+      df = df
+        .select(col("source"), col("path"),
+          h.getField("status").as("http_status"),
+          h.getField("content_type").as("http_content_type"),
+          Quality.mainContent(
+            GraftFunctions.charset_decode(
+              h.getField("payload"), h.getField("content_type")),
+            opts.wetMinLen, opts.wetMaxLinkDensity).as("__mc"))
+        .where(col("http_status").isNotNull)
+        .select(col("source"), col("path"),
+          col("http_status"), col("http_content_type"),
+          col("__mc.n_blocks").as("n_blocks"),
+          col("__mc.n_content").as("n_content"),
+          encode(GraftFunctions.nfc_normalize(col("__mc.content_text")),
+            "UTF-8").as("content"))
+        .select(col("source"), col("path"),
+          length(col("content")).cast("long").as("size"),
+          unhex(sha2(col("content"), 256)).as("hash"),
+          col("content"),
+          col("http_status"), col("http_content_type"),
+          col("n_blocks"), col("n_content"))
+    }
     opts.include match {
       case IncludeType.All    =>
       case IncludeType.Text   => df = df.filter(GraftFunctions.is_utf8(col("content")))
@@ -454,8 +485,8 @@ object ArchiveConverter {
         // "skipped" then an empty-output error)
         require(!opts.extractStrings,
           "extractStrings is not supported in chunked mode")
-        require(!opts.httpPayload,
-          "httpPayload decodes WHOLE HTTP messages; chunked rows are " +
+        require(!opts.httpPayload && !opts.wet,
+          "httpPayload/wet decode WHOLE HTTP messages; chunked rows are " +
             "content slices — reassembleChunks first, then project " +
             "http_payload over the reassembled entries")
         chunkedEntries(spark, inputs, opts, Some(metrics)).toDF()

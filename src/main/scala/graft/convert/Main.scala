@@ -30,6 +30,12 @@ import org.apache.spark.sql.SparkSession
   *                           the entity payload (chunked framing + gzip/deflate/
   *                           zstd codings reversed), size/hash recomputed,
   *                           http_status/http_content_type columns added
+  *   --wet                   full WARC -> clean-text (WET) conversion: the
+  *                           --http-payload decode, then charset resolution,
+  *                           main-content extraction and NFC normalization;
+  *                           content becomes the UTF-8 text, non-response
+  *                           records drop, http_status/http_content_type/
+  *                           n_blocks/n_content columns added
   * }}}
   */
 object Main {
@@ -40,7 +46,7 @@ object Main {
         "[--compression C] [--extract-executable-strings] [--skip-errors] " +
         "[--single-file] [--threads N] [--progress] [--progress-bars] " +
         "[--log-file FILE] [--max-entry-bytes N] [--truncate-oversize] [--chunked] " +
-        "[--http-payload]")
+        "[--http-payload] [--wet]")
       sys.exit(2)
     }
     val out = args.head
@@ -67,6 +73,7 @@ object Main {
         case "--truncate-oversize" => opts = opts.copy(truncateOversize = true)
         case "--chunked" => opts = opts.copy(chunked = true)
         case "--http-payload" => opts = opts.copy(httpPayload = true)
+        case "--wet" => opts = opts.copy(wet = true)
         case other => inputs :+= other
       }
       i += 1

@@ -270,8 +270,29 @@ final case class ConvertOptions(
     // filters then see the PAYLOAD: `--include text --http-payload`
     // keeps decoded text bodies, and `--unique` dedups by payload
     // digest — the CommonCrawl → clean-text ingestion shape.
-    httpPayload: Boolean = false) {
+    httpPayload: Boolean = false,
+    // WET mode (`--wet`): the full WARC → clean-text pipeline in one
+    // converter pass — `http_payload` decode (as `httpPayload`), then
+    // charset resolution (BOM > header > meta-prescan), main-content
+    // block classification and NFC normalization. `content` becomes
+    // the UTF-8 bytes of the extracted text, size/hash are recomputed
+    // over it, and four nullable extension columns ride along:
+    // `http_status`, `http_content_type`, `n_blocks`, `n_content`.
+    // Entries that are not HTTP response messages are DROPPED (a WET
+    // file is responses-only by definition; use `httpPayload` for
+    // passthrough shapes). The include/size/`--unique` gates then see
+    // the TEXT: `--min-size 1 --wet` drops pages with no extractable
+    // content, `--unique` dedups by text digest. Subsumes
+    // `httpPayload` — the two are mutually exclusive.
+    wet: Boolean = false,
+    // --wet's main-content gates (q122's pinned classification knobs):
+    // a block classifies as content when it has >= wetMinLen chars
+    // and link density <= wetMaxLinkDensity.
+    wetMinLen: Int = 60,
+    wetMaxLinkDensity: Double = 0.2) {
   require(minSize.forall(_ >= 0) && maxSize.forall(_ >= 0), "size bounds must be >= 0")
+  require(!(wet && httpPayload),
+    "--wet already decodes HTTP messages; drop --http-payload")
 }
 
 object ConvertOptions {

@@ -169,6 +169,7 @@ object Inventory extends InventoryCrawl {
     "q136_snapshot_diff" -> (q136 _),
     "q137_corpus_select" -> (q137 _),
     "q138_ann_append" -> (q138 _),
+    "q139_wet_convert" -> (q139 _),
     "q141_split_from_index" -> (q141 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
@@ -259,6 +260,28 @@ object Inventory extends InventoryCrawl {
         |SELECT vec_id, round(dist, 6) AS adc FROM adc
         |ORDER BY adc, vec_id LIMIT 10""".stripMargin
     val ivfPqOracle = ivfPqOracleFrom("")
+    val warcWetOracle =
+      """SELECT * FROM (VALUES
+          |  ('http://w/c01_latin1', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
+          |   CAST(1 AS BIGINT), CAST(74 AS BIGINT), '857df3c4ff282c92b4d79d7e772e620b'),
+          |  ('http://w/c02_win1252', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
+          |   CAST(1 AS BIGINT), CAST(74 AS BIGINT), '662e596e993fdcfa93744e97ccb48f00'),
+          |  ('http://w/c03_utf16le', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
+          |   CAST(1 AS BIGINT), CAST(91 AS BIGINT), 'c2ec76b69aef0081f2ab2fb51b7afcb1'),
+          |  ('http://w/c04_bom_utf8', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
+          |   CAST(1 AS BIGINT), CAST(90 AS BIGINT), '1186bdfe6a319f0eed60f5c6bcdfdd0f'),
+          |  ('http://w/c05_meta_sjis', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
+          |   CAST(1 AS BIGINT), CAST(77 AS BIGINT), '659810c00e0e990d7a4aeaaaec0714f5'),
+          |  ('http://w/c06_gzip_latin1', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
+          |   CAST(1 AS BIGINT), CAST(83 AS BIGINT), '742fcc2f003921ec362c84f88e3c8e8d'),
+          |  ('http://w/c07_chunked_utf8', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
+          |   CAST(1 AS BIGINT), CAST(81 AS BIGINT), 'c0850e394f45d8299a960f2fdb193ac3'),
+          |  ('http://w/c08_nfc', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
+          |   CAST(1 AS BIGINT), CAST(79 AS BIGINT), 'b0e59e012001e64a6f5e3f9d6d497ce0'),
+          |  ('http://w/c09_short', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
+          |   CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'd41d8cd98f00b204e9800998ecf8427e'))
+          |  AS t(path, status, n_blocks, n_content, wet_len, wet_md5)
+          |ORDER BY path""".stripMargin
     val leakFreeSplitOracle =
       s"""WITH RECURSIVE
            |w AS (SELECT doc_id, $toks AS t FROM documents),
@@ -1077,6 +1100,11 @@ object Inventory extends InventoryCrawl {
       // over ALL vectors — append correctness AND no-retrain encoding
       // are both load-bearing
       "q138_ann_append" -> ivfPqOracleFrom("WHERE vec_id % 5 <> 0"),
+      // q139: the --wet converter mode must land on q122's
+      // independently-computed digests — the chain as ONE production
+      // CLI pass (decode, charset, main content, NFC, round-tripped
+      // through the binary content column)
+      "q139_wet_convert" -> warcWetOracle,
       // q141: the index-read split must land on q128's exact chain —
       // same clusters, same buckets, zero signature recompute
       "q141_split_from_index" -> leakFreeSplitOracle,
@@ -1281,28 +1309,7 @@ object Inventory extends InventoryCrawl {
       // unicodedata) over the shared WetCases table; every page has
       // 5 non-empty blocks and exactly the paragraph classifies as
       // content (c09 fails the 60-char gate: empty WET, md5(''))
-      "q122_warc_wet" ->
-        """SELECT * FROM (VALUES
-          |  ('http://w/c01_latin1', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
-          |   CAST(1 AS BIGINT), CAST(74 AS BIGINT), '857df3c4ff282c92b4d79d7e772e620b'),
-          |  ('http://w/c02_win1252', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
-          |   CAST(1 AS BIGINT), CAST(74 AS BIGINT), '662e596e993fdcfa93744e97ccb48f00'),
-          |  ('http://w/c03_utf16le', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
-          |   CAST(1 AS BIGINT), CAST(91 AS BIGINT), 'c2ec76b69aef0081f2ab2fb51b7afcb1'),
-          |  ('http://w/c04_bom_utf8', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
-          |   CAST(1 AS BIGINT), CAST(90 AS BIGINT), '1186bdfe6a319f0eed60f5c6bcdfdd0f'),
-          |  ('http://w/c05_meta_sjis', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
-          |   CAST(1 AS BIGINT), CAST(77 AS BIGINT), '659810c00e0e990d7a4aeaaaec0714f5'),
-          |  ('http://w/c06_gzip_latin1', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
-          |   CAST(1 AS BIGINT), CAST(83 AS BIGINT), '742fcc2f003921ec362c84f88e3c8e8d'),
-          |  ('http://w/c07_chunked_utf8', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
-          |   CAST(1 AS BIGINT), CAST(81 AS BIGINT), 'c0850e394f45d8299a960f2fdb193ac3'),
-          |  ('http://w/c08_nfc', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
-          |   CAST(1 AS BIGINT), CAST(79 AS BIGINT), 'b0e59e012001e64a6f5e3f9d6d497ce0'),
-          |  ('http://w/c09_short', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
-          |   CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'd41d8cd98f00b204e9800998ecf8427e'))
-          |  AS t(path, status, n_blocks, n_content, wet_len, wet_md5)
-          |ORDER BY path""".stripMargin,
+      "q122_warc_wet" -> warcWetOracle,
       // q123: mean/std recomputed from the SAME spec arithmetic over
       // range(w) x range(h) — integer sums are exact, the final
       // division/sqrt is the identical IEEE op on both sides (q110's

@@ -853,6 +853,29 @@ private[queries] trait InventoryCrawl extends InventoryMedia {
   }
 
 
+  /** The `--wet` CONVERTER face of q122 (the q103 play: the chain as
+    * a production CLI mode, not just a query): one
+    * [[ArchiveConverter.filteredEntries]] pass with `wet = true`
+    * turns the WARC fixture into clean-text rows — content IS the
+    * UTF-8 bytes of the NFC'd main content, with status/content-type/
+    * block-count extension columns — and the result must land on
+    * q122's independently-computed digests verbatim. `wet_len`
+    * re-decodes the stored bytes, so the round trip through the
+    * binary content column is load-bearing too.
+    */
+  private[queries] def q139(s: SparkSession, d: String): DataFrame = {
+    val path = buildWetWarcFixture()
+    ArchiveConverter.filteredEntries(s, Seq(path), ConvertOptions(wet = true))
+      .select(col("path"),
+        col("http_status").cast("bigint").as("status"),
+        col("n_blocks").cast("bigint").as("n_blocks"),
+        col("n_content").cast("bigint").as("n_content"),
+        length(decode(col("content"), "UTF-8")).cast("bigint").as("wet_len"),
+        md5(col("content")).as("wet_md5"))
+      .orderBy(col("path"))
+  }
+
+
   /** Connected components over the REAL link graph ([[Dedup.components]]
     * fed by [[linkGraphEdges]] — the clustering path on graph-shaped,
     * not dedup-pair, data): the site-to-site subgraph (CDN/shop hub

@@ -149,6 +149,54 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.isNullAt(r.fieldIndex("http_content_type")))
   }
 
+  test("--wet converts WARC to clean-text rows end to end") {
+    val dir = Files.createTempDirectory("graft_cli_wet").toFile
+    // one response whose page has exactly one content-classifiable
+    // paragraph (>= 60 chars, no links) amid linky chrome, plus a
+    // request record that must DROP (a WET file is responses-only)
+    val para = "the quick brown fox document body has plenty of plain " +
+      "words to clear the sixty character content gate easily"
+    val page = "<html><head><title>W</title></head><body>" +
+      "<nav><ul><li><a href=\"/a\">nav one</a></li>" +
+      "<li><a href=\"/b\">nav two</a></li></ul></nav>" +
+      s"<p>$para</p>" +
+      "<footer>copyright <a href=\"/l\">owner</a> reserved</footer></body></html>"
+    def rec(typ: String, uri: String, body: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        body ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val warcBytes =
+      rec("response", "http://t/page",
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" +
+          page).getBytes("UTF-8")) ++
+      rec("request", "http://t/q",
+        "GET /q HTTP/1.1\r\nHost: t\r\n\r\n".getBytes("ISO-8859-1"))
+    val warc = Paths.get(dir.getPath, "in.warc")
+    Files.write(warc, warcBytes)
+    val out = new File(dir, "out").getPath
+    val (rc, log) = runCli(None, out, warc.toString, "--wet")
+    assert(rc == 0, log)
+    val rows = spark.read.parquet(out).collect()
+    // the request dropped; the response row carries the clean text
+    assert(rows.length == 1, rows.mkString("\n"))
+    val r = rows(0)
+    assert(r.getAs[String]("path") == "http://t/page")
+    assert(new String(r.getAs[Array[Byte]]("content"), "UTF-8") == para)
+    assert(r.getAs[Long]("size") == para.getBytes("UTF-8").length.toLong)
+    assert(r.getAs[Int]("http_status") == 200)
+    assert(r.getAs[String]("http_content_type") == "text/html; charset=utf-8")
+    assert(r.getAs[Long]("n_blocks") == 5L && r.getAs[Long]("n_content") == 1L)
+  }
+
+  test("--wet refuses --http-payload (subsumed)") {
+    val dir = fixture()
+    val out = new File(dir, "out_wet_bad").getPath
+    val (rc, log) = runCli(None,
+      out, s"${dir.getPath}/in.tar.gz", "--wet", "--http-payload")
+    assert(rc != 0)
+    assert(log.contains("--wet already decodes"), log.takeRight(2000))
+  }
+
   test("--chunked refuses whole-entry gates (--unique)") {
     val dir = fixture()
     val out = new File(dir, "out_chunked_bad").getPath

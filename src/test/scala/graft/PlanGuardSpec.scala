@@ -349,6 +349,15 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges(p) <= 1, s"q122 grew a shuffle:\n$p")
   }
 
+  test("q139: the --wet converter stage adds no exchange to the walk (sort only)") {
+    // the q122 rule for the CLI mode: decode + charset + main-content
+    // + NFC are one narrow codegen'd projection over the walk; only
+    // the presentation sort may exchange
+    val p = plan("q139_wet_convert")
+    assert(!p.contains("Exchange hashpartitioning"), s"q139 hash-shuffled:\n$p")
+    assert(exchanges(p) <= 1, s"q139 grew a shuffle:\n$p")
+  }
+
   test("q123: image decode is narrow mapPartitions work (sort exchange only)") {
     // synthesis + real javax.imageio decode run inside the partition;
     // features are O(channels) doubles — only the presentation sort
