@@ -152,4 +152,47 @@ object Cdc {
           .when(col("__ho") <=> col("__hn"), "unchanged")
           .otherwise("changed").as("change"))
   }
+
+  /** Incremental corpus refresh — [[snapshotDiff]] composed into the
+    * recompute decision it exists for: between two snapshots of a
+    * corpus, ONLY changed and added documents re-enter the (heavy,
+    * per-document) derivation pipeline; unchanged documents carry
+    * their previously-derived columns forward from the old manifest
+    * untouched; removed documents drop. The returned frame is the
+    * refreshed manifest over the CURRENT snapshot.
+    *
+    * Correctness contract: `recompute` must be a deterministic
+    * per-document function of (id, payload) — then a carried-forward
+    * row is byte-identical to what recomputing the unchanged document
+    * would produce, and the output equals `recompute(cur)` while
+    * paying the derivation cost only on the delta. Corpus-GLOBAL
+    * stages (dedup elections, samples) belong after this call, over
+    * the merged manifest's derived columns — manifest rows are tens
+    * of bytes, so a global pass over them is noise next to one over
+    * payloads.
+    *
+    * Scale shape: the diff joins 40-byte (id, hash) rows
+    * ([[snapshotDiff]]); its (id, change) output is localCheckpointed
+    * (one short row per id — bounded) because both branch filters
+    * consume it, and re-deriving it would re-hash both snapshots'
+    * payloads per consumer; the carried branch semi-joins the old
+    * manifest (derived columns only — unchanged TEXT is never read);
+    * `recompute` sees only the delta rows of `cur`.
+    *
+    * @param oldManifest previous run's derived rows, keyed by `idCol`
+    * @param recompute   maps delta rows of `cur` (same schema as
+    *                    `cur`) to manifest rows (same schema as
+    *                    `oldManifest`)
+    */
+  def incrementalRefresh(
+      old: DataFrame, cur: DataFrame, oldManifest: DataFrame,
+      idCol: String, payloadCol: String)(
+      recompute: DataFrame => DataFrame): DataFrame = {
+    val diff = snapshotDiff(old, cur, idCol, payloadCol).localCheckpoint(true)
+    val unchangedIds = diff.where(col("change") === "unchanged").select(col(idCol))
+    val freshIds = diff.where(col("change").isin("added", "changed")).select(col(idCol))
+    val carried = oldManifest.join(unchangedIds, Seq(idCol), "left_semi")
+    val fresh = recompute(cur.join(freshIds, Seq(idCol), "left_semi"))
+    carried.unionByName(fresh)
+  }
 }

@@ -170,6 +170,7 @@ object Inventory extends InventoryCrawl {
     "q137_corpus_select" -> (q137 _),
     "q138_ann_append" -> (q138 _),
     "q139_wet_convert" -> (q139 _),
+    "q140_incr_refresh" -> (q140 _),
     "q141_split_from_index" -> (q141 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
@@ -1569,6 +1570,29 @@ object Inventory extends InventoryCrawl {
         s"""WITH h AS (
            |  SELECT doc_id, $htmlSyn AS html
            |  FROM documents),
+           |x AS (SELECT doc_id, ${tagStrip("html")} AS t FROM h),
+           |c AS (SELECT doc_id,
+           |        nfc_normalize('$NfcPrefix' || ${entityWs("t")}) AS clean FROM x),
+           |f AS (SELECT doc_id, clean FROM c WHERE length(clean) >= 120),
+           |w AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(clean))
+           |SELECT f.doc_id, md5(f.clean) AS clean_md5,
+           |  CAST(length(f.clean) AS BIGINT) AS n_clean
+           |FROM f JOIN w ON f.doc_id = w.doc_id
+           |WHERE ${md5h("'s:' || CAST(f.doc_id AS VARCHAR)")} % 10 < 3
+           |ORDER BY f.doc_id""".stripMargin,
+      // q140: q136's mutation CTEs (the current snapshot) feeding
+      // q98's five stage CTEs — the incremental refresh must equal
+      // running the whole clean pipeline on the current snapshot from
+      // scratch (the carried-forward rows are byte-identical by
+      // derivation determinism)
+      "q140_incr_refresh" ->
+        s"""WITH cur AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 10 = 7 THEN text || ' v2' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 10 <> 3
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 4),
+           |h AS (SELECT doc_id, $htmlSyn AS html FROM cur),
            |x AS (SELECT doc_id, ${tagStrip("html")} AS t FROM h),
            |c AS (SELECT doc_id,
            |        nfc_normalize('$NfcPrefix' || ${entityWs("t")}) AS clean FROM x),

@@ -292,6 +292,55 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
   }
 
 
+  /** Incremental corpus refresh ([[graft.ops.Cdc.incrementalRefresh]]
+    * — q136's snapshot diff DRIVING the recompute decision, composed
+    * with q98's pipeline): between the old snapshot and q136's
+    * mutated current one, only changed+added documents re-run the
+    * heavy per-document derivation (html extract → NFC → length gate
+    * → md5/len manifest row); unchanged documents carry their
+    * manifest rows forward with their text never re-read; removed
+    * documents drop. The corpus-GLOBAL q98 stages (exact-dedup winner
+    * election, deterministic 30% sample) then run over the merged
+    * manifest's 40-byte rows — election by the stored `clean_md5`,
+    * never by payload. Because the derivation is deterministic
+    * per-document, the refreshed output must equal running q98's
+    * whole chain on the current snapshot from scratch — which is
+    * exactly what the oracle does (q136's mutation CTEs feeding
+    * q98's stage CTEs).
+    */
+  private[queries] def q140(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val old = docs.select(col("doc_id"), col("text"))
+    val cur = docs.where(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 7, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.where(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    // q98's per-document stages: deterministic in (doc_id, text), so
+    // carried-forward rows equal what recomputing would produce
+    def derive(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), Quality.htmlToText(syntheticHtml).as("extracted"))
+        .withColumn("clean",
+          GraftFunctions.nfc_normalize(concat(lit(NfcPrefix), col("extracted"))))
+        .where(length(col("clean")) >= 120)
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          length(col("clean")).cast("bigint").as("n_clean"))
+    val merged = graft.ops.Cdc.incrementalRefresh(
+      old, cur, derive(old), "doc_id", "text")(derive)
+    // q98's corpus-global stages over MANIFEST rows only: winner
+    // election keyed by the stored hash, then the md5 sample
+    val winners = merged.groupBy(col("clean_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    merged.join(winners, Seq("doc_id"), "left_semi")
+      .where(GraftFunctions.md5_long62(
+        concat(lit("s:"), col("doc_id").cast("string"))) % 10 < 3)
+      .select(col("doc_id"), col("clean_md5"), col("n_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+
   /** URL-canonicalization-keyed exact dedup
     * ([[GraftFunctions.url_normalize]]): pairs of URL spellings that
     * crawl data uses interchangeably — mixed-case scheme/host, FQDN

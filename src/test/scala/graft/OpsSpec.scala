@@ -1002,6 +1002,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> "removed", 5L -> "added", 6L -> "added"), s"got $got")
   }
 
+  test("Cdc.incrementalRefresh: delta-only recompute, merged equals from-scratch") {
+    import spark.implicits._
+    val old = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc")).toDF("id", "p")
+    // 2 changed, 3 removed, 4 added, 1 unchanged
+    val cur = Seq((1L, "aaa"), (2L, "xxx"), (4L, "ddd")).toDF("id", "p")
+    def derive(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), upper(col("p")).as("u"))
+    var deltaIds: Seq[Long] = Seq.empty
+    val merged = graft.ops.Cdc.incrementalRefresh(
+      old, cur, derive(old), "id", "p") { delta =>
+      deltaIds = delta.select(col("id")).as[Long].collect().sorted.toSeq
+      derive(delta)
+    }
+    val got = merged.as[(Long, String)].collect().sortBy(_._1).toSeq
+    // only changed+added documents entered the recompute
+    assert(deltaIds == Seq(2L, 4L), s"delta was $deltaIds")
+    // the refreshed manifest equals deriving the current snapshot
+    // from scratch: carried row for 1, recomputed 2 and 4, dropped 3
+    assert(got == Seq((1L, "AAA"), (2L, "XXX"), (4L, "DDD")), s"got $got")
+    assert(got == derive(cur).as[(Long, String)].collect().sortBy(_._1).toSeq)
+  }
+
   test("Cdc.snapshotDiff: duplicate ids within a snapshot stay one row per id") {
     import spark.implicits._
     // id 1 appears twice in old with DIFFERENT payloads (malformed

@@ -439,6 +439,22 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!joinLine.contains("text"), s"q136 join must not carry payloads:\n$joinLine")
   }
 
+  test("q140: the refresh recomputes the delta only; global stages ride manifest rows") {
+    // the diff is pre-materialized (localCheckpoint) at build time, so
+    // the refresh plan is: narrow derive over the delta + semi-joins +
+    // union + the manifest-row winner election + presentation sort.
+    // The election and sort are the only heavy exchanges; text columns
+    // must never cross a join (elections key on the stored md5)
+    val p = plan("q140_incr_refresh")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"q140 grew a shuffle:\n$p")
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin")).toSeq
+    joinLines.foreach(l =>
+      assert(!l.contains("text") && !l.contains("clean#"),
+        s"q140 join carries payloads:\n$l"))
+  }
+
   test("q137: the selection pipeline stays hash-bounded end to end") {
     val p = plan("q137_corpus_select")
     // gate (narrow) -> winners (hash agg + semi-join) -> split filter
