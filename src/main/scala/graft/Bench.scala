@@ -310,13 +310,17 @@ object Bench {
     val sweepJson =
       f""","sweep":{"method":"best2","raw_totals":[${pass1._2}%.1f,${pass2._2}%.1f],"cores":[${pass1._3}%.1f,${pass2._3}%.1f],"steal_s":[${pass1._4}%.1f,${pass2._4}%.1f],"calm_wait_s":$sweepCalmWait%.1f}"""
 
-    // Timings rounded to 1 decimal, keyed by the query's `qNN` prefix:
-    // the driver parses the JSON from a 2000-char tail of the process
-    // output, and at 73 queries the map with full registry names alone
-    // is ~1600 chars — past the budget before any evidence fields.
-    // The numeric prefix is unique and maps 1:1 onto the registry
-    // (SparkEntry.queries) and CORRECTNESS rows.
-    val qs = results.map { case (k, v) => f""""${k.split("_")(0)}":$v%.1f""" }
+    // Timings rounded to 1 decimal, keyed by the query's REGISTRY
+    // NUMBER (the `qNN` prefix with the `q` dropped — `"131":1.2`
+    // means q131_*): the driver parses the JSON from a 2000-char tail
+    // of the process output, and at 141 queries even the `qNN` form
+    // alone is ~1760 chars — past the budget before any evidence
+    // fields; the bare number saves ~3 chars/query and stays a unique
+    // 1:1 map onto the registry (SparkEntry.queries) and CORRECTNESS
+    // rows. Earlier rounds' lines used `"qNN"` keys — readers of
+    // historical BENCH_r{N}.json should accept both spellings.
+    val qs = results.map { case (k, v) =>
+      f""""${k.split("_")(0).drop(1)}":$v%.1f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // hard length budget: the driver parses a 2000-char tail of the
