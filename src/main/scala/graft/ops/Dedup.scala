@@ -275,7 +275,12 @@ object Dedup {
     * Scale shape: the self-join shuffles 24-byte (id, band, key) rows
     * on (band, key) — the q18 exchange without the signature CPU in
     * front of it; the verify stage is candidate-bounded on both
-    * sides (the [[incrementalNearDup]] semi-join discipline).
+    * sides (the [[incrementalNearDup]] semi-join discipline). The
+    * candidate-id set broadcasts only while it fits
+    * `maxBroadcastCandRows` (counting it is free — the set is already
+    * localCheckpointed); a pathologically duplicated corpus degrades
+    * to a shuffle semi-join instead of a driver OOM (the
+    * [[incrementalNearDup]] budget discipline).
     */
   def nearDupPairsFromIndex(
       indexPath: String,
@@ -283,7 +288,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double = 0.8,
-      shingleWidth: Int = 3): DataFrame = {
+      shingleWidth: Int = 3,
+      maxBroadcastCandRows: Long = 4L << 20): DataFrame = {
     val banded = df.sparkSession.read.parquet(indexPath)
       .select(col("id"), col("band"), col("key"))
     val a = banded.select(col("id").as("id_a"), col("band"), col("key"))
@@ -297,8 +303,11 @@ object Dedup {
       .localCheckpoint(true)
     val candIds = cand.select(col("id_a").as("__cid"))
       .union(cand.select(col("id_b").as("__cid"))).distinct()
+    val hintedIds =
+      if (cand.count() * 2 <= maxBroadcastCandRows) broadcast(candIds)
+      else candIds
     val sh = df
-      .join(broadcast(candIds), df(idCol) === col("__cid"), "left_semi")
+      .join(hintedIds, df(idCol) === col("__cid"), "left_semi")
       .select(col(idCol).as("__sid"), shingles(col(textCol), shingleWidth).as("__sh"))
     cand
       .join(sh.select(col("__sid").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))

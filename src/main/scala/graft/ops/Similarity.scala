@@ -589,9 +589,68 @@ object Similarity {
     */
   def writeIvfPqPartitioned(df: DataFrame, idCol: String, vecCol: String,
       ivfCb: IvfCodebook, pqCb: PqCodebooks, out: String,
-      cellCol: String = "cell", codeCol: String = "code"): Unit =
+      cellCol: String = "cell", codeCol: String = "code"): Unit = {
     ivfPqCoded(df, idCol, vecCol, ivfCb, pqCb, cellCol, codeCol)
       .write.mode("overwrite").partitionBy(cellCol).parquet(out)
+    writeIvfPqCodebooks(df.sparkSession, out, ivfCb, pqCb)
+  }
+
+  /** Persist the codebooks INSIDE the layout (an `_codebooks` parquet
+    * sidecar — underscore-prefixed, so plain reads of the layout skip
+    * it, the `_SUCCESS` convention). A layout that carries its own
+    * codebooks is SELF-CONTAINED: a fresh session probes it from the
+    * files alone ([[ivfPqTopKFromFiles]]) — no retraining, no
+    * out-of-band codebook hand-off — and [[appendIvfPq]] can verify
+    * the caller's codebooks against the stored ones instead of
+    * trusting them. KB-sized: nlist x dim + m x ks x dsub doubles.
+    */
+  def writeIvfPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      layout: String, ivfCb: IvfCodebook, pqCb: PqCodebooks): Unit = {
+    import spark.implicits._
+    val ivfRows = ivfCb.zipWithIndex.map { case ((id, v, n), i) =>
+      ("ivf", i, id, v.toSeq, n)
+    }.toSeq
+    val pqRows = pqCb.zipWithIndex.flatMap { case (tbl, m) =>
+      tbl.zipWithIndex.map { case (c, j) => ("pq", m, j.toLong, c.toSeq, 0.0) }
+    }.toSeq
+    (ivfRows ++ pqRows).toDF("kind", "i", "id", "vec", "norm")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(layout + "/_codebooks")
+  }
+
+  /** Load the codebooks a [[writeIvfPqPartitioned]] layout was written
+    * with (exact double round-trip through parquet — the loaded
+    * codebooks reproduce cell assignment and encoding bit-for-bit).
+    * Bounded driver collect: nlist + m x ks rows.
+    */
+  def readIvfPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      layout: String): (IvfCodebook, PqCodebooks) = {
+    val rows = spark.read.parquet(layout + "/_codebooks").collect()
+    val ivf: IvfCodebook = rows.filter(_.getString(0) == "ivf")
+      .sortBy(_.getInt(1))
+      .map(r => (r.getLong(2), r.getSeq[Double](3).toArray, r.getDouble(4)))
+    val pqRows = rows.filter(_.getString(0) == "pq")
+    val pq: PqCodebooks = pqRows.map(_.getInt(1)).distinct.sorted.map { m =>
+      pqRows.filter(_.getInt(1) == m).sortBy(_.getLong(2))
+        .map(_.getSeq[Double](3).toArray)
+    }
+    require(ivf.nonEmpty && pq.nonEmpty,
+      s"no codebooks stored under $layout/_codebooks")
+    (ivf, pq)
+  }
+
+  private def sameCodebooks(a: (IvfCodebook, PqCodebooks),
+      ivfCb: IvfCodebook, pqCb: PqCodebooks): Boolean = {
+    val (si, sp) = a
+    si.length == ivfCb.length &&
+      si.zip(ivfCb).forall { case ((ia, va, na), (ib, vb, nb)) =>
+        ia == ib && na == nb && java.util.Arrays.equals(va, vb) } &&
+      sp.length == pqCb.length &&
+      sp.zip(pqCb).forall { case (ta, tb) =>
+        ta.length == tb.length &&
+          ta.zip(tb).forall { case (ca, cb) => java.util.Arrays.equals(ca, cb) }
+      }
+  }
 
   /** INCREMENTAL maintenance of a [[writeIvfPqPartitioned]] layout —
     * the daily-ingest shape for vectors (the q131 near-dup-index play):
@@ -605,7 +664,12 @@ object Similarity {
     * ([[ivfPqTopKAtRest]]) and no retraining.
     *
     * The codebooks MUST be the ones the layout was written with —
-    * mixing codebooks silently mis-cells the batch. Quantization error
+    * mixing codebooks silently mis-cells the batch, so when the layout
+    * carries its `_codebooks` sidecar ([[writeIvfPqPartitioned]]
+    * writes one) the append VERIFIES the caller's codebooks against
+    * the stored ones and fails fast on a mismatch (exact comparison —
+    * doubles round-trip parquet bit-for-bit). A sidecar-less layout
+    * (pre-sidecar or hand-built) skips the check. Quantization error
     * drifts as the ingested distribution leaves the trained one; the
     * rebuild cadence (re-train + [[writeIvfPqPartitioned]]) is the
     * caller's policy, exactly as in FAISS's IndexIVFPQ `add` vs
@@ -613,9 +677,21 @@ object Similarity {
     */
   def appendIvfPq(batch: DataFrame, idCol: String, vecCol: String,
       ivfCb: IvfCodebook, pqCb: PqCodebooks, out: String,
-      cellCol: String = "cell", codeCol: String = "code"): Unit =
+      cellCol: String = "cell", codeCol: String = "code"): Unit = {
+    val spark = batch.sparkSession
+    val stored =
+      try Some(readIvfPqCodebooks(spark, out))
+      catch { case _: Exception => None }
+    stored.foreach { s =>
+      require(sameCodebooks(s, ivfCb, pqCb),
+        s"appendIvfPq: the codebooks passed do not match the ones stored " +
+          s"with the layout at $out — an append encoded with different " +
+          "codebooks silently mis-cells the batch; read them back with " +
+          "readIvfPqCodebooks or rebuild with writeIvfPqPartitioned")
+    }
     ivfPqCoded(batch, idCol, vecCol, ivfCb, pqCb, cellCol, codeCol)
       .write.mode("append").partitionBy(cellCol).parquet(out)
+  }
 
   /** IVF-PQ top-k answered FROM an at-rest layout
     * ([[writeIvfPqPartitioned]] + any number of [[appendIvfPq]]
@@ -633,6 +709,20 @@ object Similarity {
     pqAdcTopKCoded(
       spark.read.parquet(path).where(col(cellCol).isin(probed: _*)),
       idCol, codeCol, pqCb, query, k)
+  }
+
+  /** [[ivfPqTopKAtRest]] with the codebooks loaded FROM THE LAYOUT's
+    * `_codebooks` sidecar — the fully self-contained probe: a fresh
+    * session answers top-k from the files alone, with nothing handed
+    * over out of band and nothing retrained.
+    */
+  def ivfPqTopKFromFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, codeCol: String,
+      query: Array[Double], k: Int, nprobe: Int = 4,
+      cellCol: String = "cell"): DataFrame = {
+    val (ivfCb, pqCb) = readIvfPqCodebooks(spark, path)
+    ivfPqTopKAtRest(spark, path, idCol, codeCol, ivfCb, pqCb,
+      query, k, nprobe, cellCol)
   }
 
   /** Per-row (double vector, L2 norm) projection — computed ONCE per

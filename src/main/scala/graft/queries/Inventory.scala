@@ -171,7 +171,9 @@ object Inventory extends InventoryCrawl {
     "q138_ann_append" -> (q138 _),
     "q139_wet_convert" -> (q139 _),
     "q140_incr_refresh" -> (q140 _),
-    "q141_split_from_index" -> (q141 _))
+    "q141_split_from_index" -> (q141 _),
+    "q142_winners_from_index" -> (q142 _),
+    "q143_ann_self_contained" -> (q143 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -261,6 +263,28 @@ object Inventory extends InventoryCrawl {
         |SELECT vec_id, round(dist, 6) AS adc FROM adc
         |ORDER BY adc, vec_id LIMIT 10""".stripMargin
     val ivfPqOracle = ivfPqOracleFrom("")
+    val neardupWinnersOracle =
+      s"""WITH RECURSIVE
+           |w AS (SELECT doc_id, $toks AS t FROM documents),
+           |sh AS (SELECT doc_id,
+           |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |                        for i in range(1, len(t) - 1)]) AS s
+           |       FROM w),
+           |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |         CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
+           |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+           |p AS (SELECT id_a, id_b FROM pr WHERE round(j, 6) >= 0.8),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM p
+           |      UNION SELECT id_b, id_a FROM p),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM e
+           |  UNION
+           |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+           |losers AS (SELECT id FROM reach GROUP BY id HAVING MIN(r) < id)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT id FROM losers)
+           |ORDER BY doc_id""".stripMargin
     val warcWetOracle =
       """SELECT * FROM (VALUES
           |  ('http://w/c01_latin1', CAST(200 AS BIGINT), CAST(5 AS BIGINT),
@@ -1109,6 +1133,12 @@ object Inventory extends InventoryCrawl {
       // q141: the index-read split must land on q128's exact chain —
       // same clusters, same buckets, zero signature recompute
       "q141_split_from_index" -> leakFreeSplitOracle,
+      // q142: the index-read winner election must land on q75's exact
+      // closure chain — identical survivor set, zero re-minhashing
+      "q142_winners_from_index" -> neardupWinnersOracle,
+      // q143: the self-contained probe (codebooks loaded back from the
+      // layout's sidecar) must land on the q132/q135 recomputed top-k
+      "q143_ann_self_contained" -> ivfPqOracle,
       // q136: the classification restated from the synthesis
       // arithmetic over a full-outer id join — removed = %10==3,
       // changed = %10==7, added = the +1000000 twins of %10==4
@@ -1839,28 +1869,7 @@ object Inventory extends InventoryCrawl {
            |ORDER BY id""".stripMargin,
       // q33's transitive closure + a loser anti-join: survivors are
       // ids that are their own component minimum (or in no pair)
-      "q75_neardup_winners" ->
-        s"""WITH RECURSIVE
-           |w AS (SELECT doc_id, $toks AS t FROM documents),
-           |sh AS (SELECT doc_id,
-           |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-           |                        for i in range(1, len(t) - 1)]) AS s
-           |       FROM w),
-           |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-           |         CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
-           |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-           |p AS (SELECT id_a, id_b FROM pr WHERE round(j, 6) >= 0.8),
-           |e AS (SELECT id_a AS src, id_b AS dst FROM p
-           |      UNION SELECT id_b, id_a FROM p),
-           |reach(id, r) AS (
-           |  SELECT src, src FROM e
-           |  UNION
-           |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
-           |losers AS (SELECT id FROM reach GROUP BY id HAVING MIN(r) < id)
-           |SELECT doc_id FROM documents
-           |WHERE doc_id NOT IN (SELECT id FROM losers)
-           |ORDER BY doc_id""".stripMargin,
+      "q75_neardup_winners" -> neardupWinnersOracle,
       // same md5-keyed permutation: both engines hash the identical
       // "seed:id" string and agree on the hex digest ordering
       "q76_epoch_shuffle" ->

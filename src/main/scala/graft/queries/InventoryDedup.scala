@@ -259,4 +259,21 @@ private[queries] trait InventoryDedup extends InventorySources {
       .select(col("doc_id"), col("cluster"), col("split"))
       .orderBy(col("doc_id"))
   }
+
+  /** Verified near-dup WINNERS answered from the at-rest signature
+    * index ([[Dedup.nearDupWinnersVerifiedFromIndex]] — q141's reuse
+    * applied to the q75 dedup face): the survivor set must be
+    * identical to q75's from-raw-text election, proven against the
+    * same recursive-closure oracle verbatim.
+    */
+  private[queries] def q142(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val out = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q142_index"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    Dedup.writeNearDupIndex(docs, "doc_id", "text", out)
+    Dedup.nearDupWinnersVerifiedFromIndex(out, docs, "doc_id", "text",
+        threshold = 0.8)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
 }

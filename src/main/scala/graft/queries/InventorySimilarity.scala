@@ -150,6 +150,30 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
   }
 
 
+  /** The SELF-CONTAINED at-rest probe ([[Similarity.ivfPqTopKFromFiles]]
+    * — round 14): [[Similarity.writeIvfPqPartitioned]] persists the
+    * codebooks INSIDE the layout (`_codebooks` sidecar), and the query
+    * answers from the files alone — codebooks loaded back (exact
+    * double round-trip), cells pruned, codes ranked — with nothing
+    * handed over out of band and nothing retrained. Shares q132/q135's
+    * oracle: the loaded-codebook probe must land on the same
+    * recomputed top-k, so persistence, read-back and the probe are all
+    * load-bearing.
+    */
+  private[queries] def q143(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val ivfCb = Similarity.ivfCodebook(emb, "vec_id", "embedding", nlist = 16)
+    val pqCb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16)
+    val out = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q143_layout"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    Similarity.writeIvfPqPartitioned(emb, "vec_id", "embedding",
+      ivfCb, pqCb, out)
+    Similarity.ivfPqTopKFromFiles(s, out, "vec_id", "code",
+      OnesQuery, k = 10, nprobe = 4)
+  }
+
+
   /** SemDeDup ([[Similarity.semDedup]], arXiv:2303.09540): semantic
     * dedup = IVF-cell clustering (the q37 deterministic codebook, so
     * the oracle can reproduce the assignment) → within-cell exact

@@ -455,6 +455,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotRest == gotBatch, s"at-rest $gotRest vs batch $gotBatch")
   }
 
+  test("IVF-PQ codebook sidecar: exact round-trip, self-contained probe, append guard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val rows = (0L until 120L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(df, "vec_id", "embedding", nlist = 8)
+    val pqCb = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 4, ks = 8)
+    val out = java.nio.file.Files.createTempDirectory("graft_cb_sidecar")
+      .resolve("layout").toString
+    Similarity.writeIvfPqPartitioned(df, "vec_id", "embedding", ivfCb, pqCb, out)
+    // exact double round-trip: loaded codebooks reproduce the written
+    val (li, lp) = Similarity.readIvfPqCodebooks(spark, out)
+    assert(li.length == ivfCb.length && li.zip(ivfCb).forall {
+      case ((ia, va, na), (ib, vb, nb)) =>
+        ia == ib && na == nb && va.sameElements(vb) })
+    assert(lp.length == pqCb.length && lp.zip(pqCb).forall { case (ta, tb) =>
+      ta.zip(tb).forall { case (ca, cb) => ca.sameElements(cb) } })
+    // the sidecar must not leak into plain reads of the layout
+    assert(spark.read.parquet(out).count() == 120)
+    // self-contained probe == explicit-codebook probe
+    val query = Array.fill(dim)(0.5)
+    val fromFiles = Similarity.ivfPqTopKFromFiles(spark, out, "vec_id", "code",
+      query, k = 10, nprobe = 3).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val explicit = Similarity.ivfPqTopKAtRest(spark, out, "vec_id", "code",
+      ivfCb, pqCb, query, k = 10, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromFiles == explicit, s"$fromFiles vs $explicit")
+    // appending with DIFFERENT codebooks fails fast, naming the hazard
+    val otherPq = Similarity.pqCodebooks(
+      df.where(col("vec_id") >= 50L), "vec_id", "embedding", m = 4, ks = 8)
+    val batch = Seq((200L, Array.fill(dim)(0.1f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendIvfPq(batch, "vec_id", "embedding", ivfCb, otherPq, out)
+    }
+    assert(e.getMessage.contains("mis-cells"), e.getMessage)
+    // matching codebooks append fine
+    Similarity.appendIvfPq(batch, "vec_id", "embedding", ivfCb, pqCb, out)
+    assert(spark.read.parquet(out).count() == 121)
+  }
+
   test("Quality.dataCard: one row per source, corpus-wide dup exposure") {
     import spark.implicits._
     val df = Seq(

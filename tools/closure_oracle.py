@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Full-table closure oracle for q33_components / q75_neardup_winners
-/ q128_leakfree_split.
+/ q128_leakfree_split / q141_split_from_index.
 
 DuckDB's recursive-CTE transitive closure cannot finish the 5000-doc
 sf0.1 documents table inside a 2400 s budget, but the PAIR set feeding
@@ -96,49 +96,61 @@ def main():
             print(f"q33_components        MISMATCH got={len(got)} "
                   f"want={len(want)} diff={sorted(diff)[:10]}")
 
-    q128_dir = os.path.join(vdir, "q128_leakfree_split")
-    if os.path.isdir(q128_dir):
-        # cluster = union-find label (singleton fill), split = the
-        # shared md5 bucket arithmetic over the CLUSTER id — computed
-        # here in DuckDB over the union-find labels so the hash
-        # definition stays the one the q128 oracle SQL states
-        all_ids = [r[0] for r in con.execute(
-            "SELECT doc_id FROM documents").fetchall()]
-        con.execute("CREATE TEMP TABLE uf (doc_id BIGINT, cluster BIGINT)")
-        con.executemany("INSERT INTO uf VALUES (?, ?)",
-                        [(i, label.get(i, i)) for i in all_ids])
-        want = sorted(con.execute(
-            """SELECT doc_id, cluster,
-                 CASE WHEN bk < 80 THEN 'train'
-                      WHEN bk < 90 THEN 'val' ELSE 'test' END
-               FROM (SELECT doc_id, cluster,
-                       CAST(md5_number_lower('13:' || CAST(cluster AS VARCHAR))
-                            % 4611686018427387904 AS BIGINT) % 100 AS bk
-                     FROM uf)""").fetchall())
+    # q128 (from raw text) and q141 (from the at-rest signature index)
+    # share one output contract: (doc_id, cluster, split) with cluster
+    # = union-find label (singleton fill) and split = the shared md5
+    # bucket arithmetic over the CLUSTER id — computed here in DuckDB
+    # over the union-find labels so the hash definition stays the one
+    # the q128 oracle SQL states
+    split_want = None
+    for qname in ("q128_leakfree_split", "q141_split_from_index"):
+        q_dir = os.path.join(vdir, qname)
+        if not os.path.isdir(q_dir):
+            continue
+        if split_want is None:
+            all_ids = [r[0] for r in con.execute(
+                "SELECT doc_id FROM documents").fetchall()]
+            con.execute(
+                "CREATE TEMP TABLE uf (doc_id BIGINT, cluster BIGINT)")
+            con.executemany("INSERT INTO uf VALUES (?, ?)",
+                            [(i, label.get(i, i)) for i in all_ids])
+            split_want = sorted(con.execute(
+                """SELECT doc_id, cluster,
+                     CASE WHEN bk < 80 THEN 'train'
+                          WHEN bk < 90 THEN 'val' ELSE 'test' END
+                   FROM (SELECT doc_id, cluster,
+                           CAST(md5_number_lower('13:' || CAST(cluster AS VARCHAR))
+                                % 4611686018427387904 AS BIGINT) % 100 AS bk
+                         FROM uf)""").fetchall())
         got = sorted(con.execute(
-            f"SELECT doc_id, cluster, split FROM '{q128_dir}/*.parquet'"
+            f"SELECT doc_id, cluster, split FROM '{q_dir}/*.parquet'"
         ).fetchall())
-        if got == want:
-            print(f"q128_leakfree_split   OK rows={len(got)} (full table)")
+        if got == split_want:
+            print(f"{qname:<21} OK rows={len(got)} (full table)")
         else:
             ok = False
-            diff = set(got) ^ set(want)
-            print(f"q128_leakfree_split   MISMATCH got={len(got)} "
-                  f"want={len(want)} diff={sorted(diff)[:10]}")
+            diff = set(got) ^ set(split_want)
+            print(f"{qname:<21} MISMATCH got={len(got)} "
+                  f"want={len(split_want)} diff={sorted(diff)[:10]}")
 
-    q75_dir = os.path.join(vdir, "q75_neardup_winners")
-    if os.path.isdir(q75_dir):
+    # q75 (from raw text) and q142 (from the at-rest signature index)
+    # share one survivor contract: ids that are their own component
+    # minimum (or in no pair)
+    for qname in ("q75_neardup_winners", "q142_winners_from_index"):
+        q_dir = os.path.join(vdir, qname)
+        if not os.path.isdir(q_dir):
+            continue
         got = sorted(r[0] for r in con.execute(
-            f"SELECT doc_id FROM '{q75_dir}/*.parquet'").fetchall())
+            f"SELECT doc_id FROM '{q_dir}/*.parquet'").fetchall())
         all_ids = [r[0] for r in con.execute(
             "SELECT doc_id FROM documents").fetchall()]
         want = sorted(i for i in all_ids if label.get(i, i) >= i)
         if got == want:
-            print(f"q75_neardup_winners   OK rows={len(got)} (full table)")
+            print(f"{qname:<21} OK rows={len(got)} (full table)")
         else:
             ok = False
             diff = set(got) ^ set(want)
-            print(f"q75_neardup_winners   MISMATCH got={len(got)} "
+            print(f"{qname:<21} MISMATCH got={len(got)} "
                   f"want={len(want)} diff={sorted(diff)[:10]}")
 
     sys.exit(0 if ok else 1)

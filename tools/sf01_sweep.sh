@@ -9,8 +9,8 @@
 #   2. round-11 ceiling probe result: q18/q44/q57 verify at the FULL
 #      5000-doc table within a 2400 s per-oracle budget (measured
 #      2026-08-14: 3/5 full-table green), so they run full-table here;
-#   3. q33/q75/q128: DuckDB's recursive-CTE closure exceeds 2400 s at
-#      5000 docs, so they verify full-table against tools/closure_oracle.py
+#   3. q33/q75/q128/q141: DuckDB's recursive-CTE closure exceeds 2400 s
+#      at 5000 docs, so they verify full-table against tools/closure_oracle.py
 #      — the SAME DuckDB pair set (the q18-verified face) with only
 #      the closure step replaced by an independent union-find (the
 #      q16 trusted-local-implementation rule). Replaces the r11
@@ -28,5 +28,5 @@ python3 tools/compare_oracle.py /tmp/verify_sf01 "$SF" 90
 echo "== full-table quadratic oracles (q18/q44/q57, 2400 s budget) =="
 python3 tools/compare_oracle.py /tmp/verify_sf01 "$SF" 2400 "$QUAD_FULL"
 
-echo "== q33/q75/q128 full-table closure oracle (union-find over the verified pair set) =="
+echo "== q33/q75/q128/q141 full-table closure oracle (union-find over the verified pair set) =="
 python3 tools/closure_oracle.py /tmp/verify_sf01 "$SF"
