@@ -135,8 +135,9 @@ object Cdc {
     // hash comparison (unchanged for NULL==NULL, changed for
     // NULL vs value), not masquerade as added/removed. min() skips
     // NULLs, so a unique id with a NULL payload keeps its NULL hash
-    // via the count guard below only when EVERY duplicate is NULL —
-    // the deterministic best-effort choice for duplicates.
+    // (min of one NULL is NULL) and a duplicate set reduces to NULL
+    // only when EVERY duplicate is NULL — the deterministic
+    // best-effort choice for the degenerate case.
     val o = old.select(col(idCol).as("__id"),
         md5(col(payloadCol).cast("binary")).as("__ho"))
       .groupBy("__id").agg(min(col("__ho")).as("__ho"))

@@ -749,7 +749,7 @@ private[queries] trait InventoryCrawl extends InventoryMedia {
     * over charset-bearing bodies, and a decomposed-Unicode body for
     * the NFC step.
     */
-  private[queries] def buildWetWarcFixture(): String = {
+  private[graft] def buildWetWarcFixture(): String = {
     import java.io._
     val crlf = "\r\n"
     def html(text: String, meta: String): String =

@@ -113,6 +113,44 @@ object StreamingConverter {
       .dropDuplicates("payload_sha256")
   }
 
+  /** Streaming WARC → WET: the `--wet` converter stage
+    * ([[graft.convert.ArchiveConverter.filteredEntries]] with
+    * `ConvertOptions.wet`) over the entry stream — clean text lands in
+    * the sink as each crawl file arrives, with restart-surviving
+    * dedup by TEXT digest (the re-crawled page whose extracted
+    * content is byte-identical never re-enters the corpus, even when
+    * its HTTP framing changed). Every stage is per-row scalar work,
+    * so the only streaming state is the dedup store.
+    *
+    * Batch parity contract (StreamingSpec): on bounded input the
+    * (path, text digest) set equals the batch `--wet` conversion's,
+    * up to the arbitrary winner among identical texts.
+    */
+  def wetStream(spark: SparkSession, pathDir: String,
+      opts: ConvertOptions = ConvertOptions(),
+      minLen: Int = 60, maxLinkDensity: Double = 0.2): DataFrame = {
+    val h = graft.functions.GraftFunctions.http_payload(col("content"))
+    entryStream(spark, pathDir, opts)
+      .select(col("source"), col("path"), h.as("h"))
+      .select(col("source"), col("path"),
+        col("h.status").as("status"),
+        col("h.content_type").as("content_type"),
+        graft.ops.Quality.mainContent(
+          graft.functions.GraftFunctions.charset_decode(
+            col("h.payload"), col("h.content_type")),
+          minLen, maxLinkDensity).as("mc"))
+      .select(col("source"), col("path"), col("status"), col("content_type"),
+        col("mc.n_blocks").as("n_blocks"),
+        col("mc.n_content").as("n_content"),
+        graft.functions.GraftFunctions.nfc_normalize(col("mc.content_text"))
+          .as("wet"))
+      .withColumn("wet_sha256", sha2(encode(col("wet"), "UTF-8"), 256))
+      // responses with extractable content only: a WET corpus is
+      // responses-only, and empty texts must not occupy a dedup seat
+      .where(col("status").isNotNull && length(col("wet")) > 0)
+      .dropDuplicates("wet_sha256")
+  }
+
   /** Writer: Parquet append with checkpointing; caller starts it.
     * `availableNow` processes the current backlog then stops — the
     * streaming equivalent of the reference's bounded run.

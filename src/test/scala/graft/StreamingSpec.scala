@@ -99,6 +99,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("a.txt", "b.txt", "dup.txt"))
   }
 
+  test("WARC->WET streaming: clean text per crawl file, batch --wet parity") {
+    val f1 = graft.queries.Inventory.buildWetWarcFixture()
+    val pathDir = tmp("graft_swet_paths")
+    val out = tmp("graft_swet_out").getAbsolutePath
+    val ckpt = tmp("graft_swet_ckpt").getAbsolutePath
+    java.nio.file.Files.writeString(
+      new java.io.File(pathDir, "b1.txt").toPath, f1 + "\n")
+    val s = StreamingConverter.wetStream(spark, pathDir.getAbsolutePath)
+    val q = StreamingConverter.writer(s, out, ckpt, availableNow = true).start()
+    q.awaitTermination(120000); q.stop()
+    val got = spark.read.parquet(out)
+    // the q122 fixture: 8 pages with extractable content, c09 gated out
+    assert(got.count() == 8, got.collect().mkString("\n"))
+    // batch parity: the (path, text sha256) set equals the --wet
+    // converter's unique-by-text conversion of the same WARC
+    val batchSet = graft.convert.ArchiveConverter.filteredEntries(spark,
+        Seq(f1), graft.core.ConvertOptions(wet = true, unique = true,
+          minSize = Some(1L)))
+      .select(col("path"), lower(hex(col("hash"))).as("sha"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val gotSet = got.select(col("path"), col("wet_sha256"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotSet == batchSet, s"stream $gotSet vs batch $batchSet")
+  }
+
   test("WARC->http_payload streaming: .warc.gz ingest, restart-surviving payload dedup, batch parity") {
     val f1 = graft.queries.Inventory.buildHttpWarcFixture()
     // a re-crawl: the same records re-served as a .warc.gz (the codec
