@@ -679,9 +679,12 @@ object Similarity {
       ivfCb: IvfCodebook, pqCb: PqCodebooks, out: String,
       cellCol: String = "cell", codeCol: String = "code"): Unit = {
     val spark = batch.sparkSession
+    // absence of the sidecar (pre-sidecar or hand-built layout) skips
+    // the check; any OTHER failure reading it must surface — silently
+    // skipping validation on a corrupt sidecar defeats its purpose
     val stored =
       try Some(readIvfPqCodebooks(spark, out))
-      catch { case _: Exception => None }
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     stored.foreach { s =>
       require(sameCodebooks(s, ivfCb, pqCb),
         s"appendIvfPq: the codebooks passed do not match the ones stored " +
