@@ -161,9 +161,62 @@ object Dedup {
       out: String,
       numHashes: Int = 128,
       bands: Int = 32,
-      shingleWidth: Int = 3): Unit =
+      shingleWidth: Int = 3): Unit = {
     bandSignatures(df, idCol, textCol, numHashes, bands, shingleWidth)
       .write.mode("overwrite").partitionBy("band").parquet(out)
+    // self-describing index: persist the banding parameters inside
+    // the layout (`_meta`, underscore-prefixed like `_SUCCESS` so
+    // plain reads skip it) — every reader then VALIDATES instead of
+    // trusting the caller (signatures built under different banding
+    // or shingle width silently change which pairs can ever collide)
+    import df.sparkSession.implicits._
+    Seq((numHashes, bands, shingleWidth))
+      .toDF("num_hashes", "bands", "shingle_width")
+      .coalesce(1).write.mode("overwrite").parquet(out + "/_meta")
+  }
+
+  /** The banding parameters a [[writeNearDupIndex]] layout was
+    * written with, or None for a pre-meta / hand-built layout.
+    */
+  def readNearDupIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[(Int, Int, Int)] =
+    try {
+      val r = spark.read.parquet(indexPath + "/_meta").collect()(0)
+      Some((r.getInt(0), r.getInt(1), r.getInt(2)))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  private def validateIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, numHashes: Int, bands: Int, shingleWidth: Int,
+      caller: String): Unit =
+    readNearDupIndexMeta(spark, indexPath).foreach { case (nh, b, sw) =>
+      require(nh == numHashes && b == bands && sw == shingleWidth,
+        s"$caller: the index at $indexPath was written with " +
+          s"numHashes=$nh bands=$b shingleWidth=$sw but the call asks " +
+          s"for numHashes=$numHashes bands=$bands " +
+          s"shingleWidth=$shingleWidth — mismatched banding silently " +
+          "changes which pairs can ever collide; pass the stored " +
+          "parameters (readNearDupIndexMeta) or rebuild the index")
+    }
+
+  /** Append a new batch's signatures into a [[writeNearDupIndex]]
+    * layout — the daily half of the index lifecycle (the corpus is
+    * never recomputed; tomorrow's [[incrementalNearDup]] sees today's
+    * batch as corpus). Validates the stored banding parameters first:
+    * an append under different banding poisons the index silently.
+    */
+  def appendNearDupIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      out: String,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleWidth: Int = 3): Unit = {
+    validateIndexMeta(batch.sparkSession, out, numHashes, bands,
+      shingleWidth, "appendNearDupIndex")
+    bandSignatures(batch, idCol, textCol, numHashes, bands, shingleWidth)
+      .write.mode("append").partitionBy("band").parquet(out)
+  }
 
   /** Near-dup detection of a NEW batch against a corpus indexed at
     * rest by [[writeNearDupIndex]] — the daily-ingest shape: the
@@ -211,6 +264,8 @@ object Dedup {
       bands: Int = 32,
       shingleWidth: Int = 3,
       maxBroadcastSigRows: Long = 4L << 20): DataFrame = {
+    validateIndexMeta(spark, indexPath, numHashes, bands, shingleWidth,
+      "incrementalNearDup")
     val newSig = bandSignatures(batch, idCol, textCol, numHashes, bands, shingleWidth)
       .withColumnRenamed("id", "__new_id")
     // the broadcast-budget guard: counting the batch is one cheap
@@ -290,6 +345,17 @@ object Dedup {
       threshold: Double = 0.8,
       shingleWidth: Int = 3,
       maxBroadcastCandRows: Long = 4L << 20): DataFrame = {
+    // only the shingle width is a caller input here (banding lives
+    // entirely in the stored rows) — but a verify stage shingling at
+    // a DIFFERENT width than the signatures were built from silently
+    // changes what "Jaccard >= threshold" means relative to candidacy
+    readNearDupIndexMeta(df.sparkSession, indexPath).foreach {
+      case (_, _, sw) =>
+        require(sw == shingleWidth,
+          s"nearDupPairsFromIndex: the index at $indexPath was built " +
+            s"over $sw-word shingles but the verify stage asks for " +
+            s"$shingleWidth — pass the stored width (readNearDupIndexMeta)")
+    }
     val banded = df.sparkSession.read.parquet(indexPath)
       .select(col("id"), col("band"), col("key"))
     val a = banded.select(col("id").as("id_a"), col("band"), col("key"))

@@ -954,14 +954,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val d1 = graft.ops.Dedup.incrementalNearDup(spark, out, corpus, day1,
       "doc_id", "text").count()
     assert(d1 == 0)
-    graft.ops.Dedup.bandSignatures(day1, "doc_id", "text")
-      .write.mode("append").partitionBy("band").parquet(out)
+    graft.ops.Dedup.appendNearDupIndex(day1, "doc_id", "text", out)
     // day 2: doc 20 dups the original corpus, doc 21 dups DAY 1 —
     // visible only because the append landed in the same layout
     val known = corpus.unionByName(day1)
     val d2 = graft.ops.Dedup.incrementalNearDup(spark, out, known, day2,
       "doc_id", "text").as[(Long, Long)].collect().toMap
     assert(d2 == Map(20L -> 0L, 21L -> 10L), s"got $d2")
+  }
+
+  test("near-dup index is self-describing: banding mismatches fail fast") {
+    import spark.implicits._
+    val corpus = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_idx_meta").toString
+    graft.ops.Dedup.writeNearDupIndex(corpus, "doc_id", "text", out,
+      numHashes = 128, bands = 32, shingleWidth = 3)
+    assert(graft.ops.Dedup.readNearDupIndexMeta(spark, out)
+      .contains((128, 32, 3)))
+    // an append under different banding poisons the index — refused
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.appendNearDupIndex(corpus, "doc_id", "text", out,
+        numHashes = 64, bands = 16)
+    }
+    assert(e1.getMessage.contains("appendNearDupIndex"), e1.getMessage)
+    // an incremental query under different banding misses pairs — refused
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.incrementalNearDup(spark, out, corpus, corpus,
+        "doc_id", "text", numHashes = 64, bands = 16)
+    }
+    assert(e2.getMessage.contains("incrementalNearDup"), e2.getMessage)
+    // a verify stage at a different shingle width — refused
+    val e3 = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.nearDupPairsFromIndex(out, corpus, "doc_id", "text",
+        shingleWidth = 5)
+    }
+    assert(e3.getMessage.contains("shingles"), e3.getMessage)
   }
 
   test("Dedup.incrementalNearDup: broadcast and shuffle regimes compute identically") {
