@@ -714,6 +714,36 @@ object Similarity {
       idCol, codeCol, pqCb, query, k)
   }
 
+  /** COMPACT an appended layout: daily [[appendIvfPq]] batches leave
+    * one new file per touched cell per day, and a year of ingest
+    * makes every probe pay hundreds of file opens per probed cell —
+    * the classic LSM small-files tax. Compaction rewrites the codes
+    * (NEVER re-encodes — no vectors are read, no codebooks applied)
+    * hash-repartitioned by cell, so each cell's rows land in exactly
+    * one task and therefore one file, and carries the `_codebooks`
+    * sidecar forward.
+    *
+    * Writes a NEW layout at `dst` (the LSM convention: compaction
+    * produces new files, the caller swaps the pointer) — an in-place
+    * rewrite would read and clobber the same files. Cost: one shuffle
+    * of the code rows (~4-40 B/row, ~1% of the vector corpus).
+    */
+  def compactIvfPqLayout(spark: org.apache.spark.sql.SparkSession,
+      src: String, dst: String, cellCol: String = "cell"): Unit = {
+    require(src != dst,
+      "compactIvfPqLayout writes a NEW layout at dst; swap the pointer " +
+        "after (an in-place rewrite would clobber the files it reads)")
+    spark.read.parquet(src)
+      .repartition(col(cellCol))
+      .write.mode("overwrite").partitionBy(cellCol).parquet(dst)
+    val sidecar =
+      try Some(readIvfPqCodebooks(spark, src))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    sidecar.foreach { case (ivfCb, pqCb) =>
+      writeIvfPqCodebooks(spark, dst, ivfCb, pqCb)
+    }
+  }
+
   /** [[ivfPqTopKAtRest]] with the codebooks loaded FROM THE LAYOUT's
     * `_codebooks` sidecar — the fully self-contained probe: a fresh
     * session answers top-k from the files alone, with nothing handed

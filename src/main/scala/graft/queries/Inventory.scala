@@ -173,7 +173,8 @@ object Inventory extends InventoryCrawl {
     "q140_incr_refresh" -> (q140 _),
     "q141_split_from_index" -> (q141 _),
     "q142_winners_from_index" -> (q142 _),
-    "q143_ann_self_contained" -> (q143 _))
+    "q143_ann_self_contained" -> (q143 _),
+    "q144_ann_compact" -> (q144 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1139,6 +1140,10 @@ object Inventory extends InventoryCrawl {
       // q143: the self-contained probe (codebooks loaded back from the
       // layout's sidecar) must land on the q132/q135 recomputed top-k
       "q143_ann_self_contained" -> ivfPqOracle,
+      // q144: probing the COMPACTED layout must land on q138's chain —
+      // a rewrite that loses, duplicates or re-cells one code row
+      // lands off the recomputed top-k
+      "q144_ann_compact" -> ivfPqOracleFrom("WHERE vec_id % 5 <> 0"),
       // q136: the classification restated from the synthesis
       // arithmetic over a full-outer id join — removed = %10==3,
       // changed = %10==7, added = the +1000000 twins of %10==4

@@ -174,6 +174,35 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
   }
 
 
+  /** COMPACTION of the appended ANN layout
+    * ([[Similarity.compactIvfPqLayout]] — the LSM small-files play):
+    * q138's corpus-write + increment-append, then the layout is
+    * compacted into a NEW path (codes rewritten one-file-per-cell,
+    * nothing re-encoded, sidecar carried) and the probe answers from
+    * the COMPACTED files alone ([[Similarity.ivfPqTopKFromFiles]] —
+    * the sidecar carry is load-bearing). Shares q138's oracle: a
+    * rewrite that loses, duplicates or re-cells a single code row
+    * lands off the recomputed top-k.
+    */
+  private[queries] def q144(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val corpus = emb.where(col("vec_id") % 5 =!= 0)
+    val incr = emb.where(col("vec_id") % 5 === 0)
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 16)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, ks = 16)
+    val base = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q144_layout"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/gen0")
+    Similarity.appendIvfPq(incr, "vec_id", "embedding", ivfCb, pqCb,
+      base + "/gen0")
+    Similarity.compactIvfPqLayout(s, base + "/gen0", base + "/gen1")
+    Similarity.ivfPqTopKFromFiles(s, base + "/gen1", "vec_id", "code",
+      OnesQuery, k = 10, nprobe = 4)
+  }
+
+
   /** SemDeDup ([[Similarity.semDedup]], arXiv:2303.09540): semantic
     * dedup = IVF-cell clustering (the q37 deterministic codebook, so
     * the oracle can reproduce the assignment) → within-cell exact

@@ -455,6 +455,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotRest == gotBatch, s"at-rest $gotRest vs batch $gotBatch")
   }
 
+  test("compactIvfPqLayout: one file per cell, rows preserved, sidecar carried") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val dim = 16
+    val rows = (0L until 150L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val corpus = rows.filter(_._1 % 5 != 0).toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 8)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/gen0")
+    // three daily appends -> small-file sprawl in the touched cells
+    Seq(0, 1, 2).foreach { day =>
+      val batch = rows.filter(t => t._1 % 5 == 0 && t._1 % 3 == day)
+        .toDF("vec_id", "embedding")
+      Similarity.appendIvfPq(batch, "vec_id", "embedding", ivfCb, pqCb,
+        base + "/gen0")
+    }
+    Similarity.compactIvfPqLayout(spark, base + "/gen0", base + "/gen1")
+    def filesPerCell(p: String): Map[String, Int] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet") && f.toString.contains("cell="))
+        .toSeq.groupBy(_.getParent.getFileName.toString).map { case (k, v) => k -> v.size }
+    }
+    assert(filesPerCell(base + "/gen0").values.max > 1, "appends left no sprawl to compact")
+    assert(filesPerCell(base + "/gen1").values.max == 1,
+      s"compaction left multiple files per cell: ${filesPerCell(base + "/gen1")}")
+    // rows preserved exactly (id -> cell set identical)
+    val before = spark.read.parquet(base + "/gen0")
+      .select("vec_id", "cell").as[(Long, Long)].collect().sorted.toSeq
+    val after = spark.read.parquet(base + "/gen1")
+      .select("vec_id", "cell").as[(Long, Long)].collect().sorted.toSeq
+    assert(before == after)
+    // sidecar carried: the self-contained probe works on gen1
+    val q = Array.fill(dim)(0.5)
+    val g1 = Similarity.ivfPqTopKFromFiles(spark, base + "/gen1", "vec_id", "code",
+      q, k = 5, nprobe = 3).collect().map(_.getLong(0)).toSeq
+    val g0 = Similarity.ivfPqTopKAtRest(spark, base + "/gen0", "vec_id", "code",
+      ivfCb, pqCb, q, k = 5, nprobe = 3).collect().map(_.getLong(0)).toSeq
+    assert(g1 == g0, s"gen1 $g1 vs gen0 $g0")
+  }
+
   test("IVF-PQ codebook sidecar: exact round-trip, self-contained probe, append guard") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
