@@ -356,6 +356,56 @@ object Sampling {
       budget: Long,
       seed: String = "17"): DataFrame = {
     require(budget > 0, "budget must be positive")
+    budgetMixCore(df, idCol, tokensCol, sourceCol, seed, j => j.withColumn("__budget", lit(budget)))
+  }
+
+  /** PER-SOURCE token budgets — the form a real training mixture is
+    * actually specified in ("this many tokens of code, this many of
+    * encyclopedia, ..."), where [[tokenBudgetMixCounted]]'s single
+    * budget is the uniform special case. `budgets` maps a source to
+    * its token budget; sources absent from the map (and a NULL
+    * source, which a `Map[String, Long]` cannot key) get
+    * `defaultBudget`.
+    *
+    * Scale shape: the budget table is one tiny broadcast LEFT join on
+    * top of the same two-regime machinery — per source, a total at or
+    * under ITS budget passes through with no ordering paid; only
+    * over-budget sources flow through the per-source cumulative
+    * window. Admission order stays the md5(seed:id) shuffle.
+    */
+  def tokenBudgetMixWeighted(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      sourceCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long,
+      seed: String = "17"): DataFrame = {
+    require(defaultBudget > 0 && budgets.values.forall(_ > 0),
+      "every budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bdf = budgets.toSeq.toDF("__bsrc", "__bud")
+    budgetMixCore(df, idCol, tokensCol, sourceCol, seed, { j =>
+      if (budgets.isEmpty) j.withColumn("__budget", lit(defaultBudget))
+      else j.join(broadcast(bdf), col(sourceCol) <=> col("__bsrc"), "left")
+        .withColumn("__budget", coalesce(col("__bud"), lit(defaultBudget)))
+        .drop("__bsrc", "__bud")
+    })
+  }
+
+  /** The shared two-regime admission core: `withBudget` attaches a
+    * per-row `__budget` column after the totals join, and everything
+    * downstream compares against IT — one code path for the uniform
+    * and weighted faces.
+    */
+  private def budgetMixCore(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      sourceCol: String,
+      seed: String,
+      withBudget: DataFrame => DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.md5_long62
     import org.apache.spark.sql.expressions.Window
     val tc = df.select(
@@ -367,20 +417,21 @@ object Sampling {
     // silently drop every null-source document from BOTH branches
     val totals = tc.groupBy(col(sourceCol)).agg(sum(col("n_tokens")).as("__tot"))
       .withColumnRenamed(sourceCol, "__src")
-    val joined = tc.join(broadcast(totals), col(sourceCol) <=> col("__src"))
-      .drop("__src")
-    val under = joined.where(col("__tot") <= budget).drop("__tot")
+    val joined = withBudget(
+      tc.join(broadcast(totals), col(sourceCol) <=> col("__src")).drop("__src"))
+    val under = joined.where(col("__tot") <= col("__budget"))
+      .select(col(idCol), col(sourceCol), col("n_tokens"))
     // the md5 admission priority exists ONLY on the over-budget branch
     // — an under-budget source keeps every row regardless of order, so
     // hashing its ids would be pure waste (in a healthy mixture that
     // is most of the corpus)
     val w = Window.partitionBy(col(sourceCol)).orderBy(col("__pr"), col(idCol))
-    val over = joined.where(col("__tot") > budget)
+    val over = joined.where(col("__tot") > col("__budget"))
       .withColumn("__pr",
         md5_long62(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
-      .where(col("__cum") <= budget)
+      .where(col("__cum") <= col("__budget"))
       .select(col(idCol), col(sourceCol), col("n_tokens"))
-    under.unionByName(over).select(col(idCol), col(sourceCol), col("n_tokens"))
+    under.unionByName(over)
   }
 }

@@ -174,7 +174,8 @@ object Inventory extends InventoryCrawl {
     "q141_split_from_index" -> (q141 _),
     "q142_winners_from_index" -> (q142 _),
     "q143_ann_self_contained" -> (q143 _),
-    "q144_ann_compact" -> (q144 _))
+    "q144_ann_compact" -> (q144 _),
+    "q145_token_budget_weighted" -> (q145 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1099,6 +1100,27 @@ object Inventory extends InventoryCrawl {
            |  FROM q JOIN t USING (source))
            |SELECT doc_id, source, n_tokens FROM c
            |WHERE tot <= 1400 OR cum <= 1400
+           |ORDER BY doc_id""".stripMargin,
+      // q145: q130's totals/cumsum CTEs against a PER-SOURCE budget —
+      // even-numbered sources straddle at 1300 (both regimes live),
+      // odd-numbered fall to the 50000 default (the map-miss fill)
+      "q145_token_budget_weighted" ->
+        s"""WITH q AS (SELECT doc_id, source,
+           |    CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS BIGINT)
+           |      AS n_tokens,
+           |    ${md5h("'17:' || CAST(doc_id AS VARCHAR)")} AS pr
+           |  FROM documents),
+           |t AS (SELECT source, SUM(n_tokens) AS tot FROM q GROUP BY source),
+           |b AS (SELECT source,
+           |    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+           |         THEN 1300 ELSE 50000 END AS bud
+           |  FROM (SELECT DISTINCT source FROM documents)),
+           |c AS (SELECT q.doc_id, q.source, q.n_tokens, t.tot, b.bud,
+           |    SUM(q.n_tokens) OVER (PARTITION BY q.source ORDER BY q.pr, q.doc_id
+           |                          ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM q JOIN t USING (source) JOIN b USING (source))
+           |SELECT doc_id, source, n_tokens FROM c
+           |WHERE tot <= bud OR cum <= bud
            |ORDER BY doc_id""".stripMargin,
       // q131: the q18 rule across the parity split — banded candidacy
       // is complete at 0.8 (the q18-verified property), so the index

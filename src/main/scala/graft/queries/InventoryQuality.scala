@@ -446,6 +446,28 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
       .orderBy(col("doc_id"))
 
 
+  /** PER-SOURCE token budgets ([[Sampling.tokenBudgetMixWeighted]] —
+    * the form a real mixture is specified in; q130's single budget is
+    * the uniform special case): even-numbered sources get a 1300
+    * budget that STRADDLES the per-source totals at gate scale (some
+    * pass whole, some pay the admission window), odd-numbered sources
+    * fall to the 50000 default (always under — the pass-through
+    * regime), so the budget lookup, the default fill and both
+    * admission regimes are all load-bearing in one answer. The oracle
+    * restates the budget map as arithmetic over the source name and
+    * chains q130's proven totals/cumsum CTEs against the per-source
+    * budget.
+    */
+  private[queries] def q145(s: SparkSession, d: String): DataFrame = {
+    val budgets = (0 until 20 by 2).map(i => s"src$i" -> 1300L).toMap
+    val counted = t(s, d, "documents").select(col("doc_id"), col("source"),
+      TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Sampling.tokenBudgetMixWeighted(counted, "doc_id", "n_tokens", "source",
+        budgets, defaultBudget = 50000L, seed = "17")
+      .orderBy(col("doc_id"))
+  }
+
+
   /** Per-source corpus data card ([[Quality.dataCard]]): the summary
     * table every published dataset ships — docs, token mass, modal
     * language, corpus-wide exact-duplicate exposure — in one rollup.

@@ -1216,6 +1216,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(_._2.contains("A")).map(_._1).toSeq == Seq(0L))
   }
 
+  test("Sampling.tokenBudgetMixWeighted: per-source budgets, default fill, NULL source") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Option("A"), 60L), (1L, Option("A"), 60L),   // A totals 120 > 100 -> window
+      (2L, Option("B"), 60L), (3L, Option("B"), 60L),   // B totals 120 <= default 200 -> whole
+      (4L, Option.empty[String], 60L),                  // null source -> default group
+      (5L, Option.empty[String], 60L),
+      (6L, Option.empty[String], 120L)                  // null totals 240 > 200 -> window
+    ).toDF("doc_id", "source", "n_tokens")
+    val got = graft.ops.Sampling.tokenBudgetMixWeighted(rows, "doc_id",
+      "n_tokens", "source", budgets = Map("A" -> 100L), defaultBudget = 200L,
+      seed = "17")
+      .as[(Long, Option[String], Long)].collect().sortBy(_._1)
+    // A: budget 100 admits exactly one 60-token doc
+    assert(got.count(_._2.contains("A")) == 1, s"got ${got.toSeq}")
+    // B: default 200 covers the whole source
+    assert(got.filter(_._2.contains("B")).map(_._1).toSeq == Seq(2L, 3L))
+    // NULL source forms its own default-budget group and pays the
+    // window (240 > 200): admitted mass stays within 200
+    val nul = got.filter(_._2.isEmpty)
+    assert(nul.nonEmpty && nul.map(_._3).sum <= 200L, s"got ${got.toSeq}")
+  }
+
   test("Sampling.leakFreeSplit: string id columns fail fast with a named require") {
     import spark.implicits._
     val df = Seq(("a", "some text here"), ("b", "other text there"))
