@@ -574,10 +574,11 @@ object Similarity {
     */
   private def ivfPqCoded(df: DataFrame, idCol: String, vecCol: String,
       ivfCb: IvfCodebook, pqCb: PqCodebooks,
-      cellCol: String, codeCol: String): DataFrame =
-    df.select(col(idCol),
+      cellCol: String, codeCol: String,
+      keep: Seq[String]): DataFrame =
+    df.select((col(idCol) +: keep.map(col)) ++ Seq(
       ivfCell(ivfCb, col(vecCol)).as(cellCol),
-      pqCode(pqCb, col(vecCol)).as(codeCol))
+      pqCode(pqCb, col(vecCol)).as(codeCol)): _*)
 
   /** Write the IVF-PQ AT-REST layout: (id, cell, code) rows
     * `partitionBy(cell)` — PQ codes only, never fp32 vectors, so a
@@ -586,11 +587,19 @@ object Similarity {
     * scan). Overwrite clears the whole layout (any prior appends
     * included) — the full-rebuild face; daily ingest uses
     * [[appendIvfPq]].
+    *
+    * `keep` carries extra METADATA columns (language, source, license
+    * tier, ...) into the layout, making filtered search possible at
+    * rest: [[ivfPqTopKAtRest]]'s `filter` predicate over a kept
+    * column is pushed into the parquet scan, so "top-k among docs
+    * with lang = en" reads codes from probed cells with the predicate
+    * evaluated at scan speed — never a post-rank re-query.
     */
   def writeIvfPqPartitioned(df: DataFrame, idCol: String, vecCol: String,
       ivfCb: IvfCodebook, pqCb: PqCodebooks, out: String,
-      cellCol: String = "cell", codeCol: String = "code"): Unit = {
-    ivfPqCoded(df, idCol, vecCol, ivfCb, pqCb, cellCol, codeCol)
+      cellCol: String = "cell", codeCol: String = "code",
+      keep: Seq[String] = Nil): Unit = {
+    ivfPqCoded(df, idCol, vecCol, ivfCb, pqCb, cellCol, codeCol, keep)
       .write.mode("overwrite").partitionBy(cellCol).parquet(out)
     writeIvfPqCodebooks(df.sparkSession, out, ivfCb, pqCb)
   }
@@ -677,7 +686,8 @@ object Similarity {
     */
   def appendIvfPq(batch: DataFrame, idCol: String, vecCol: String,
       ivfCb: IvfCodebook, pqCb: PqCodebooks, out: String,
-      cellCol: String = "cell", codeCol: String = "code"): Unit = {
+      cellCol: String = "cell", codeCol: String = "code",
+      keep: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     // absence of the sidecar (pre-sidecar or hand-built layout) skips
     // the check; any OTHER failure reading it must surface — silently
@@ -692,7 +702,7 @@ object Similarity {
           "codebooks silently mis-cells the batch; read them back with " +
           "readIvfPqCodebooks or rebuild with writeIvfPqPartitioned")
     }
-    ivfPqCoded(batch, idCol, vecCol, ivfCb, pqCb, cellCol, codeCol)
+    ivfPqCoded(batch, idCol, vecCol, ivfCb, pqCb, cellCol, codeCol, keep)
       .write.mode("append").partitionBy(cellCol).parquet(out)
   }
 
@@ -702,15 +712,23 @@ object Similarity {
     * directories nearest the query, and [[pqAdcTopKCoded]] ranks the
     * pre-encoded codes — a query reads codes only, from probed cells
     * only, with zero exchanges into TakeOrderedAndProject.
+    *
+    * `filter` restricts the ranked rows to a predicate over the
+    * layout's KEPT metadata columns (filtered ANN — "top-k among docs
+    * with lang = en"): evaluated ON THE SCAN (pushed to parquet for
+    * pushable predicates, plan-guarded in q146), so the probe still
+    * reads only probed cells and ranks only qualifying rows.
     */
   def ivfPqTopKAtRest(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, codeCol: String,
       ivfCb: IvfCodebook, pqCb: PqCodebooks,
       query: Array[Double], k: Int, nprobe: Int = 4,
-      cellCol: String = "cell"): DataFrame = {
+      cellCol: String = "cell",
+      filter: Option[Column] = None): DataFrame = {
     val probed = ivfProbed(ivfCb, query, nprobe)
+    val scan = spark.read.parquet(path).where(col(cellCol).isin(probed: _*))
     pqAdcTopKCoded(
-      spark.read.parquet(path).where(col(cellCol).isin(probed: _*)),
+      filter.fold(scan)(scan.where),
       idCol, codeCol, pqCb, query, k)
   }
 

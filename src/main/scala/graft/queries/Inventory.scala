@@ -175,7 +175,8 @@ object Inventory extends InventoryCrawl {
     "q142_winners_from_index" -> (q142 _),
     "q143_ann_self_contained" -> (q143 _),
     "q144_ann_compact" -> (q144 _),
-    "q145_token_budget_weighted" -> (q145 _))
+    "q145_token_budget_weighted" -> (q145 _),
+    "q146_ann_filtered" -> (q146 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -219,7 +220,7 @@ object Inventory extends InventoryCrawl {
     // corpus half: assignment/encode still cover every vector, so the
     // increment is ranked through codebooks it was never trained on —
     // exactly what the no-retrain append claims.
-    def ivfPqOracleFrom(cbWhere: String): String =
+    def ivfPqOracleFrom(cbWhere: String, selWhere: String = ""): String =
       s"""WITH cmeta AS (
         |  SELECT vec_id AS cent_id, embedding AS cvec,
         |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS cnorm
@@ -239,7 +240,8 @@ object Inventory extends InventoryCrawl {
         |           cent_id
         |  LIMIT 4),
         |sel AS (
-        |  SELECT a.vec_id, a.embedding FROM assigned a JOIN probed p USING (cent_id)),
+        |  SELECT a.vec_id, a.embedding FROM assigned a
+        |  JOIN probed p USING (cent_id) $selWhere),
         |cb AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS c
         |  FROM (SELECT vec_id, embedding FROM embeddings $cbWhere
@@ -1166,6 +1168,9 @@ object Inventory extends InventoryCrawl {
       // a rewrite that loses, duplicates or re-cells one code row
       // lands off the recomputed top-k
       "q144_ann_compact" -> ivfPqOracleFrom("WHERE vec_id % 5 <> 0"),
+      // q146: the filtered probe must land on the chain with the SAME
+      // predicate restricting the probed rows before ranking
+      "q146_ann_filtered" -> ivfPqOracleFrom("", "WHERE a.vec_id % 4 = 1"),
       // q136: the classification restated from the synthesis
       // arithmetic over a full-outer id join — removed = %10==3,
       // changed = %10==7, added = the +1000000 twins of %10==4

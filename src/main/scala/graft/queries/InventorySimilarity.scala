@@ -203,6 +203,33 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
   }
 
 
+  /** FILTERED ANN at rest ([[Similarity.writeIvfPqPartitioned]]'s
+    * `keep` + [[Similarity.ivfPqTopKAtRest]]'s `filter` — round 14):
+    * the layout carries a metadata column (`grp = vec_id % 4`, the
+    * stand-in for language/source/license tier), and the probe asks
+    * for top-k AMONG `grp = 1` rows only — the predicate evaluated on
+    * the scan (pushed to parquet, plan-guarded) over probed cells, so
+    * a filtered query never post-ranks-and-re-queries. The oracle is
+    * the q132/q135 chain with the SAME predicate on the probed-row
+    * CTE: metadata carry, pushdown and restricted ranking all
+    * load-bearing in one top-k.
+    */
+  private[queries] def q146(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+      .withColumn("grp", pmod(col("vec_id"), lit(4L)))
+    val ivfCb = Similarity.ivfCodebook(emb, "vec_id", "embedding", nlist = 16)
+    val pqCb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16)
+    val out = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q146_layout"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    Similarity.writeIvfPqPartitioned(emb, "vec_id", "embedding",
+      ivfCb, pqCb, out, keep = Seq("grp"))
+    Similarity.ivfPqTopKAtRest(s, out, "vec_id", "code",
+      ivfCb, pqCb, OnesQuery, k = 10, nprobe = 4,
+      filter = Some(col("grp") === 1L))
+  }
+
+
   /** SemDeDup ([[Similarity.semDedup]], arXiv:2303.09540): semantic
     * dedup = IVF-cell clustering (the q37 deterministic codebook, so
     * the oracle can reproduce the assignment) → within-cell exact

@@ -427,6 +427,28 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q138 read-back must touch codes only: ${scan.schema.fieldNames.mkString(",")}")
   }
 
+  test("q146: the filtered probe pushes the predicate to parquet inside the pruned cells") {
+    // filtered ANN = q135's pruning + the metadata predicate at scan
+    // level: 4 of 16 cell directories at plan time, the grp filter in
+    // PushedFilters, and still no fp32 vector column
+    val df = SparkEntry.queries("q146_ann_filtered")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan
+    val p = plan.toString
+    assert(p.contains("PushedFilters") && p.contains("grp"),
+      s"q146 metadata predicate not pushed:\n$p")
+    val inner = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val scan = inner.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("q146 has no FileSourceScan"))
+    assert(scan.selectedPartitions.partitionCount == 4,
+      s"q146 must scan exactly the 4 probed cells, got ${scan.selectedPartitions.partitionCount}")
+    assert(!scan.schema.fieldNames.contains("embedding"),
+      s"q146 read-back must touch codes only: ${scan.schema.fieldNames.mkString(",")}")
+  }
+
   test("q136: snapshot diff joins 40-byte (id, hash) rows, never payloads") {
     val p = plan("q136_snapshot_diff")
     // each side must reduce to (id, md5) BEFORE the full-outer join:
