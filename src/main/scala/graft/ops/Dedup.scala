@@ -218,6 +218,29 @@ object Dedup {
       .write.mode("append").partitionBy("band").parquet(out)
   }
 
+  /** COMPACT an appended signature index: daily [[appendNearDupIndex]]
+    * batches leave one new file per band per day (the
+    * [[graft.ops.Similarity.compactIvfPqLayout]] small-files tax, text
+    * side). Rewrites the (id, key) rows hash-repartitioned by band —
+    * one file per band directory, nothing re-hashed — into a NEW
+    * layout, carrying the `_meta` banding sidecar. The caller swaps
+    * the pointer (LSM convention).
+    */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      src: String, dst: String): Unit = {
+    require(src != dst,
+      "compactNearDupIndex writes a NEW layout at dst; swap the pointer " +
+        "after (an in-place rewrite would clobber the files it reads)")
+    spark.read.parquet(src)
+      .repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(dst)
+    readNearDupIndexMeta(spark, src).foreach { case (nh, b, sw) =>
+      import spark.implicits._
+      Seq((nh, b, sw)).toDF("num_hashes", "bands", "shingle_width")
+        .coalesce(1).write.mode("overwrite").parquet(dst + "/_meta")
+    }
+  }
+
   /** Near-dup detection of a NEW batch against a corpus indexed at
     * rest by [[writeNearDupIndex]] — the daily-ingest shape: the
     * increment's signatures are computed fresh (it is small), the

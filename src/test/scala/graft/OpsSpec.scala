@@ -1006,6 +1006,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d2 == Map(20L -> 0L, 21L -> 10L), s"got $d2")
   }
 
+  test("compactNearDupIndex: one file per band, identical increments, meta carried") {
+    import spark.implicits._
+    val t0 = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq((0L, t0),
+      (2L, "completely unrelated corpus text about distributed query engines"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_idx_compact").toString
+    graft.ops.Dedup.writeNearDupIndex(corpus, "doc_id", "text", base + "/gen0")
+    // two daily appends -> one extra file per band per day
+    Seq(10L, 20L).foreach { id =>
+      graft.ops.Dedup.appendNearDupIndex(
+        Seq((id, s"day $id text that matches nothing else at all today"))
+          .toDF("doc_id", "text"), "doc_id", "text", base + "/gen0")
+    }
+    graft.ops.Dedup.compactNearDupIndex(spark, base + "/gen0", base + "/gen1")
+    def filesPerBand(p: String): Map[String, Int] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet") && f.toString.contains("band="))
+        .toSeq.groupBy(_.getParent.getFileName.toString).map { case (k, v) => k -> v.size }
+    }
+    assert(filesPerBand(base + "/gen0").values.max > 1, "appends left no sprawl")
+    assert(filesPerBand(base + "/gen1").values.max == 1,
+      s"compaction left sprawl: ${filesPerBand(base + "/gen1")}")
+    // meta carried, rows identical, and an incremental query against
+    // the compacted generation answers the same
+    assert(graft.ops.Dedup.readNearDupIndexMeta(spark, base + "/gen1")
+      .contains((128, 32, 3)))
+    val before = spark.read.parquet(base + "/gen0")
+      .select("id", "band", "key").as[(Long, Int, Long)].collect().sorted.toSeq
+    val after = spark.read.parquet(base + "/gen1")
+      .select("id", "band", "key").as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(before == after)
+    val known = corpus.unionByName(
+      Seq((10L, s"day 10 text that matches nothing else at all today"),
+        (20L, s"day 20 text that matches nothing else at all today"))
+        .toDF("doc_id", "text"))
+    val batch = Seq((100L, t0)).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.incrementalNearDup(spark, base + "/gen1",
+      known, batch, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(got == Map(100L -> 0L), s"got $got")
+  }
+
   test("near-dup index is self-describing: banding mismatches fail fast") {
     import spark.implicits._
     val corpus = Seq((0L, "the quick brown fox jumps over the lazy dog"))
