@@ -105,6 +105,45 @@ class OpsPropertySpec extends AnyFunSuite {
     })
   }
 
+  // ---- tokenBudgetMixWeighted -------------------------------------------
+
+  test("tokenBudgetMixWeighted: per-source admitted mass never exceeds its budget") {
+    // random token masses and random straddling budgets: every
+    // source's admitted total stays within ITS budget, an under-budget
+    // source keeps every row, and the admitted set equals the direct
+    // md5-ordered prefix computation
+    val rowsGen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(0, 3).map(s => s"s$s"), Gen.chooseNum(1L, 50L)))
+    val budGen = Gen.mapOf(Gen.zip(
+      Gen.chooseNum(0, 3).map(s => s"s$s"), Gen.chooseNum(20L, 400L)))
+    check(Prop.forAll(rowsGen, budGen, Gen.chooseNum(100L, 300L)) {
+      (rows, budgets, dflt) =>
+        import spark.implicits._
+        val df = rows.zipWithIndex
+          .map { case ((s, n), i) => (i.toLong, s, n) }
+          .toDF("id", "source", "n_tokens")
+        val got = Sampling.tokenBudgetMixWeighted(df, "id", "n_tokens",
+            "source", budgets, defaultBudget = dflt, seed = "7")
+          .as[(Long, String, Long)].collect()
+        // direct reference computation
+        val bySrc = rows.zipWithIndex
+          .map { case ((s, n), i) => (i.toLong, s, n) }.groupBy(_._2)
+        val want = bySrc.flatMap { case (src, ms) =>
+          val bud = budgets.getOrElse(src, dflt)
+          if (ms.map(_._3).sum <= bud) ms
+          else {
+            val ordered = ms.sortBy(m =>
+              (graft.functions.HashingHelper.md5lo62(s"7:${m._1}"), m._1))
+            var cum = 0L
+            ordered.takeWhile { m => cum += m._3; cum <= bud }
+          }
+        }.toSet
+        got.toSet == want &&
+          got.groupBy(_._2).forall { case (src, ms) =>
+            ms.map(_._3).sum <= budgets.getOrElse(src, dflt) }
+    }, n = 20)
+  }
+
   // ---- slidingWindows --------------------------------------------------
 
   test("slidingWindows: every chunk is the exact substring; full coverage") {

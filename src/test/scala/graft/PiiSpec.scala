@@ -62,6 +62,19 @@ class PiiSpec extends AnyFunSuite {
     assert(clean("2026-08-15 14") == "2026-08-15 14") // bare date+hour-ish
     // a literal '+' marks an international number — exempt from the guard
     assert(clean("+4912 34 56 789") == "<PHONE>")
+    // fuzz: no timestamp of any common shape ever redacts
+    val rnd = new scala.util.Random(41)
+    (0 until 500).foreach { _ =>
+      val y = 1900 + rnd.nextInt(200); val mo = 1 + rnd.nextInt(12)
+      val da = 1 + rnd.nextInt(28); val h = rnd.nextInt(24)
+      val mi = rnd.nextInt(60); val se = rnd.nextInt(60)
+      val sep = if (rnd.nextBoolean()) "-" else " "
+      val ts = f"$y%04d$sep$mo%02d$sep$da%02d $h%02d:$mi%02d" +
+        (if (rnd.nextBoolean()) f":$se%02d" else "") +
+        (if (rnd.nextBoolean()) "Z" else "")
+      val in = s"deployed at $ts by ops"
+      assert(clean(in) == in, s"timestamp eaten: $ts -> ${clean(in)}")
+    }
     // a 4-digit-led trunk form with a non-2-digit third group still
     // redacts (shortest-match ends at the first boundary past the floor)
     assert(clean("0044 20 7946") == "<PHONE>")
