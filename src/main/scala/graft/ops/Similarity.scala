@@ -568,6 +568,96 @@ object Similarity {
       .limit(k)
   }
 
+  /** Driver-side replica of [[ivfCell]]'s assignment (same dot/norm
+    * arithmetic in the same order, ties to the smaller centroid id) —
+    * for deriving residuals of the bounded codebook sample rows.
+    */
+  private def assignCell(cents: IvfCodebook, v: Array[Double]): Long = {
+    val vn = math.sqrt(seqDot(v, v))
+    cents.map { case (id, c, n) => (seqDot(v, c) / (vn * n), id) }
+      .maxBy { case (cos, id) => (cos, -id) }._2
+  }
+
+  /** Deterministic RESIDUAL PQ codebooks: subspace slices of the
+    * residuals (vector minus its assigned coarse centroid) of the
+    * `ks` smallest-id vectors — [[pqCodebooks]]' rule applied in
+    * residual space. Residual encoding is what FAISS's IndexIVFPQ
+    * actually quantizes: residuals concentrate near the origin across
+    * ALL cells, so one shared table spends its codes on the
+    * within-cell structure instead of re-describing the coarse
+    * centroid every cell already pins down. Bounded driver collect
+    * (ks rows).
+    */
+  def residualPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      cents: IvfCodebook, m: Int, ks: Int): PqCodebooks = {
+    val rows = df.orderBy(col(idCol)).limit(ks)
+      .select(transform(col(vecCol), x => x.cast("double")))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "cannot build PQ codebooks from an empty corpus")
+    val dim = rows(0).length
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val centOf = cents.map(c => c._1 -> c._2).toMap
+    val residuals = rows.map { v =>
+      val cent = centOf(assignCell(cents, v))
+      Array.tabulate(dim)(i => v(i) - cent(i))
+    }
+    Array.tabulate(m)(mi => residuals.map(_.slice(mi * dsub, (mi + 1) * dsub)))
+  }
+
+  /** RESIDUAL-encoded IVF-PQ top-k — the full FAISS IndexIVFPQ
+    * algorithm ([[ivfPqTopK]] quantizes raw vectors; real IVFPQ
+    * quantizes `v - centroid(cell(v))`): the coarse probe prunes as
+    * before, and inside each probed cell both encoding and ADC run in
+    * COMBINED coordinates — per cell c, codebook entry (m)(j) becomes
+    * `centroid_c[m-slice] + rcb[m][j]`, so `||residual - rcb_j||`
+    * computes as `||v - combined_j||` directly on the raw vector (the
+    * driver pre-adds the KB-sized tables once; the per-row arithmetic
+    * is the same [[pqCode]]/ADC chain, restated exactly by the
+    * oracle). Residuals concentrate near the origin, so the shared
+    * `ks` codes describe within-cell structure — measurably lower
+    * quantization error than raw-vector PQ on clustered data
+    * (OpsSpec asserts it).
+    *
+    * Scale shape: unchanged from [[ivfPqTopK]] — narrow codegen'd
+    * projections of inlined constants, zero exchanges, into
+    * TakeOrderedAndProject; the inlined-constant volume is bounded by
+    * nprobe x m x ks subvectors (the per-cell tables exist only for
+    * PROBED cells).
+    */
+  def ivfPqResidualTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ks: Int = 16,
+      ivfCb: Option[IvfCodebook] = None,
+      residualCb: Option[PqCodebooks] = None): DataFrame = {
+    val cents = ivfCb.getOrElse(ivfCodebook(df, idCol, vecCol, nlist))
+    val probed = ivfProbed(cents, query, nprobe)
+    val rcb = residualCb.getOrElse(
+      residualPqCodebooks(df, idCol, vecCol, cents, m, ks))
+    val centOf = cents.map(c => c._1 -> c._2).toMap
+    val dsub = rcb(0)(0).length
+    def combined(cell: Long): PqCodebooks = {
+      val cent = centOf(cell)
+      Array.tabulate(rcb.length)(mi => rcb(mi).map { c =>
+        Array.tabulate(dsub)(i => cent(mi * dsub + i) + c(i))
+      })
+    }
+    def caseOver(f: Long => Column): Column =
+      probed.tail.foldLeft(
+        when(col("__cell") === probed.head, f(probed.head))) {
+        (acc, c) => acc.when(col("__cell") === c, f(c))
+      }
+    val luts = probed.map(c => c -> pqAdcTable(combined(c), query)).toMap
+    df.withColumn("__cell", ivfCell(cents, col(vecCol)))
+      .where(col("__cell").isin(probed: _*))
+      .withColumn("__code", caseOver(c => pqCode(combined(c), col(vecCol))))
+      .select(col(idCol),
+        round(caseOver(c => adcColumn(luts(c), col("__code"))), 6).as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(k)
+  }
+
   /** The (id, cell, code) projection shared by the IVF-PQ layout
     * writers: one narrow codegen'd pass of two inlined codebooks —
     * no shuffle, no join, nothing driver-side.

@@ -176,7 +176,8 @@ object Inventory extends InventoryCrawl {
     "q143_ann_self_contained" -> (q143 _),
     "q144_ann_compact" -> (q144 _),
     "q145_token_budget_weighted" -> (q145 _),
-    "q146_ann_filtered" -> (q146 _))
+    "q146_ann_filtered" -> (q146 _),
+    "q147_ann_residual" -> (q147 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -267,6 +268,67 @@ object Inventory extends InventoryCrawl {
         |SELECT vec_id, round(dist, 6) AS adc FROM adc
         |ORDER BY adc, vec_id LIMIT 10""".stripMargin
     val ivfPqOracle = ivfPqOracleFrom("")
+    // q147: the residual chain — q37's assignment/probe CTEs, the
+    // residual codebook (the 16 smallest-id vectors minus their
+    // assigned centroids), encode + ADC in COMBINED coordinates
+    // (cvec + rcb pre-added, the engine's driver-side add), per-cell
+    // lookup tables for the probed cells, m-ordered fold
+    val ivfPqResidualOracle =
+      """WITH cmeta AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec,
+        |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS cnorm
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT e.vec_id, e.embedding, c.cent_id,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |             i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE))
+        |      / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in e.embedding])) * c.cnorm)
+        |      AS cos_c
+        |  FROM embeddings e CROSS JOIN cmeta c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |                             ORDER BY cos_c DESC, c.cent_id) = 1),
+        |probed AS (
+        |  SELECT cent_id FROM cmeta
+        |  ORDER BY (list_sum([x::DOUBLE for x in cvec]) / (sqrt(64.0) * cnorm)) DESC,
+        |           cent_id
+        |  LIMIT 4),
+        |rcb AS (
+        |  SELECT row_number() OVER (ORDER BY a.vec_id) - 1 AS j,
+        |    list_transform(generate_series(1, 64),
+        |      i -> a.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE) AS r
+        |  FROM (SELECT vec_id, embedding, cent_id FROM assigned
+        |        ORDER BY vec_id LIMIT 16) a
+        |  JOIN cmeta c USING (cent_id)),
+        |sel AS (
+        |  SELECT a.vec_id, a.embedding, a.cent_id, c.cvec
+        |  FROM assigned a JOIN probed p USING (cent_id)
+        |  JOIN cmeta c USING (cent_id)),
+        |sub AS (
+        |  SELECT s.vec_id, m.m, rb.j,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      i -> (s.embedding[m.m*8+i]::DOUBLE -
+        |              (s.cvec[m.m*8+i]::DOUBLE + rb.r[m.m*8+i])) *
+        |           (s.embedding[m.m*8+i]::DOUBLE -
+        |              (s.cvec[m.m*8+i]::DOUBLE + rb.r[m.m*8+i])))) AS d
+        |  FROM sel s CROSS JOIN generate_series(0, 7) m(m) CROSS JOIN rcb rb),
+        |code AS (
+        |  SELECT vec_id, m, j FROM sub
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),
+        |lut AS (
+        |  SELECT p.cent_id AS cell, m.m, rb.j,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      i -> (1.0 - (c.cvec[m.m*8+i]::DOUBLE + rb.r[m.m*8+i])) *
+        |           (1.0 - (c.cvec[m.m*8+i]::DOUBLE + rb.r[m.m*8+i])))) AS ld
+        |  FROM probed p JOIN cmeta c USING (cent_id)
+        |  CROSS JOIN generate_series(0, 7) m(m) CROSS JOIN rcb rb),
+        |adc AS (
+        |  SELECT c.vec_id, list_sum(list(l.ld ORDER BY l.m)) AS dist
+        |  FROM code c
+        |  JOIN sel s USING (vec_id)
+        |  JOIN lut l ON l.cell = s.cent_id AND l.m = c.m AND l.j = c.j
+        |  GROUP BY c.vec_id)
+        |SELECT vec_id, round(dist, 6) AS adc FROM adc
+        |ORDER BY adc, vec_id LIMIT 10""".stripMargin
     val neardupWinnersOracle =
       s"""WITH RECURSIVE
            |w AS (SELECT doc_id, $toks AS t FROM documents),
@@ -1171,6 +1233,8 @@ object Inventory extends InventoryCrawl {
       // q146: the filtered probe must land on the chain with the SAME
       // predicate restricting the probed rows before ranking
       "q146_ann_filtered" -> ivfPqOracleFrom("", "WHERE a.vec_id % 4 = 1"),
+      // q147: the residual-encoded chain (see ivfPqResidualOracle)
+      "q147_ann_residual" -> ivfPqResidualOracle,
       // q136: the classification restated from the synthesis
       // arithmetic over a full-outer id join — removed = %10==3,
       // changed = %10==7, added = the +1000000 twins of %10==4

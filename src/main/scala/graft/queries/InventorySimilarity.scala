@@ -203,6 +203,22 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
   }
 
 
+  /** RESIDUAL-encoded IVF-PQ ([[Similarity.ivfPqResidualTopK]] — the
+    * full FAISS IndexIVFPQ algorithm: q132 quantizes raw vectors,
+    * this face quantizes `v - centroid(cell(v))`, the encoding that
+    * makes one shared code table describe within-cell structure).
+    * The oracle restates the whole chain: q37's assignment + probe,
+    * the residual codebook (residuals of the 16 smallest-id vectors
+    * under their assigned centroids), per-(cell, subspace) argmin in
+    * combined coordinates, the per-probed-cell ADC tables, and the
+    * m-ordered lookup sum — coarse assignment, residual derivation,
+    * encode and asymmetric distance ALL load-bearing in one top-k.
+    */
+  private[queries] def q147(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqResidualTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+      OnesQuery, k = 10, nlist = 16, nprobe = 4, m = 8, ks = 16)
+
+
   /** FILTERED ANN at rest ([[Similarity.writeIvfPqPartitioned]]'s
     * `keep` + [[Similarity.ivfPqTopKAtRest]]'s `filter` — round 14):
     * the layout carries a metadata column (`grp = vec_id % 4`, the

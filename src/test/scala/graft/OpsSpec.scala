@@ -455,6 +455,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotRest == gotBatch, s"at-rest $gotRest vs batch $gotBatch")
   }
 
+  test("ivfPqResidualTopK: residual encoding beats raw-vector PQ on clustered data") {
+    import spark.implicits._
+    val dim = 16; val nCenters = 8
+    def center(c: Int): Array[Double] = Array.tabulate(dim)(i =>
+      (scala.util.hashing.MurmurHash3.productHash((c, i)) % 1000) / 500.0)
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 240L).map { id =>
+      val c = (id % nCenters).toInt
+      (id, Array.tabulate(dim)(i =>
+        (center(c)(i) + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val query = center(3).map(_ + 0.01)
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    def hits(got: Array[Long]): Int = got.count(exact)
+    val raw = Similarity.ivfPqTopK(df, "vec_id", "embedding", query, k = 10,
+      nlist = 8, nprobe = 3, m = 8, ks = 16).collect().map(_.getLong(0))
+    val res = Similarity.ivfPqResidualTopK(df, "vec_id", "embedding", query,
+      k = 10, nlist = 8, nprobe = 3, m = 8, ks = 16).collect().map(_.getLong(0))
+    // raw PQ's 16-raw-vector codebook collapses a cluster's members
+    // onto the same codes (degenerate within-cluster ranking);
+    // residual codes describe the within-cluster structure — the
+    // whole point of the encoding
+    assert(hits(res) >= hits(raw),
+      s"residual ${hits(res)}/10 worse than raw ${hits(raw)}/10")
+    assert(hits(res) >= 6, s"residual recall ${hits(res)}/10")
+  }
+
   test("compactIvfPqLayout: one file per cell, rows preserved, sidecar carried") {
     import spark.implicits._
     val rnd = new scala.util.Random(19)
