@@ -631,6 +631,8 @@ object Similarity {
       m: Int = 8, ks: Int = 16,
       ivfCb: Option[IvfCodebook] = None,
       residualCb: Option[PqCodebooks] = None): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1 (the per-cell CASE chain " +
+      "needs at least one probed cell)")
     val cents = ivfCb.getOrElse(ivfCodebook(df, idCol, vecCol, nlist))
     val probed = ivfProbed(cents, query, nprobe)
     val rcb = residualCb.getOrElse(
