@@ -129,7 +129,8 @@ object PiiHelper {
     if (octets == 4) end else -1
   }
 
-  /** End (exclusive) of a phone number starting at `i`, or -1.
+  /** End (exclusive) of a phone number starting at `i`, or -1, or a
+    * DATE-REJECTION sentinel `-(end) - 2` (see below).
     * Shortest-valid-match (non-greedy) semantics: the match ends at
     * the FIRST digit where the cumulative digit count has reached
     * [9, 15] and the next char is not alphanumeric (i.e. the first
@@ -149,6 +150,15 @@ object PiiHelper {
     * 4-digit-led trunk form like "0044 20 7946 0958" has a 4-digit
     * third group). The guard trades a rare false negative for never
     * eating timestamps — a redactor's false positive destroys text.
+    *
+    * A 4-2-2 rejection returns `-(end) - 2` (<= -3, distinguishable
+    * from the plain -1) where `end` is the exclusive end of the
+    * rejected span: the caller must COPY the span verbatim and resume
+    * PAST it. Resuming inside it would re-enter the same timestamp at
+    * an interior digit group whose leading groups are no longer
+    * 4-2-2 — "2026-08-15 143000" would partially redact to
+    * "2026-<PHONE>" via the restart at "08" (the span holds only
+    * digits and phone separators, so no email/IP/key can hide in it).
     */
   private def tryPhone(s: String, i: Int): Int = {
     val n = s.length
@@ -169,7 +179,7 @@ object PiiHelper {
         if (digits > 16) return -1 // bounded scan
         if (digits >= 9 && digits <= 15 &&
             (j + 1 >= n || !isAlnum(s.charAt(j + 1)))) {
-          if (c0 != '+' && g1 == 4 && g2 == 2 && g3 == 2) return -1
+          if (c0 != '+' && g1 == 4 && g2 == 2 && g3 == 2) return -(j + 1) - 2
           return j + 1
         }
         sepRun = 0
@@ -217,7 +227,13 @@ object PiiHelper {
         else {
           e = tryPhone(s, i)
           if (e >= 0) { out.append("<PHONE>"); phone += 1; i = e }
-          else {
+          else if (e <= -3) {
+            // 4-2-2 date+time rejection: copy the WHOLE rejected span
+            // verbatim and resume past it (see tryPhone's scaladoc)
+            val end = -e - 2
+            out.append(s, i, end)
+            i = end
+          } else {
             e = tryKey(s, i)
             if (e >= 0) { out.append("<KEY>"); key += 1; i = e }
             else { out.append(s.charAt(i)); i += 1 }

@@ -177,13 +177,19 @@ object Dedup {
 
   /** The banding parameters a [[writeNearDupIndex]] layout was
     * written with, or None for a pre-meta / hand-built layout.
+    * Absence is an explicit filesystem check; a PRESENT but
+    * empty/unreadable `_meta` (interrupted write) is a curated
+    * failure, never a silent skip of the banding validation
+    * ([[Layouts.collectSidecar]]).
     */
   def readNearDupIndexMeta(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Option[(Int, Int, Int)] =
-    try {
-      val r = spark.read.parquet(indexPath + "/_meta").collect()(0)
+    if (!Layouts.exists(spark, indexPath + "/_meta")) None
+    else {
+      val r = Layouts.collectSidecar(spark, indexPath + "/_meta",
+        "writeNearDupIndex")(0)
       Some((r.getInt(0), r.getInt(1), r.getInt(2)))
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
 
   private def validateIndexMeta(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, numHashes: Int, bands: Int, shingleWidth: Int,

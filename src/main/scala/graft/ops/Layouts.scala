@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Row, SparkSession}
+
+/** Shared plumbing for the at-rest index layouts' sidecar files
+  * (`_meta` under a [[Dedup.writeNearDupIndex]] signature index,
+  * `_codebooks` under a [[Similarity.writeIvfPqPartitioned]] vector
+  * layout).
+  *
+  * Presence is decided by an explicit filesystem check, NOT by
+  * catching `AnalysisException` from the read: a present-but-corrupt
+  * sidecar (e.g. an interrupted write that left an empty directory)
+  * raises the same exception as absence, and treating it as "absent"
+  * silently skips exactly the validation the sidecar exists to
+  * enforce (r14 ADVICE). With the explicit check, absence is the only
+  * condition that may skip validation; every failure reading a
+  * PRESENT sidecar surfaces as a curated error.
+  */
+private[ops] object Layouts {
+
+  /** True iff `path` exists on its filesystem. One namenode RPC —
+    * never a data read.
+    */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Collect the rows of a sidecar KNOWN to exist ([[exists]] was
+    * true). A sidecar directory that is unreadable (no parquet files
+    * — a killed writer) or holds zero rows fails with a curated
+    * message naming the layout and the rebuild path, instead of an
+    * uncaught schema-inference or index-out-of-bounds error.
+    */
+  def collectSidecar(spark: SparkSession, path: String,
+      rebuildWith: String): Array[Row] = {
+    val rows =
+      try spark.read.parquet(path).collect()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"the sidecar at $path is present but unreadable — an " +
+              "interrupted sidecar write can leave an empty directory; " +
+              s"rebuild the layout with $rebuildWith (or delete the " +
+              "sidecar to opt out of validation)", e)
+      }
+    if (rows.isEmpty)
+      throw new IllegalStateException(
+        s"the sidecar at $path is present but holds no rows — an " +
+          "interrupted sidecar write; rebuild the layout with " +
+          s"$rebuildWith (or delete the sidecar to opt out of validation)")
+    rows
+  }
+}

@@ -269,7 +269,8 @@ object Sampling {
       seed: String = "13",
       trainPct: Int = 80,
       valPct: Int = 10,
-      indexPath: Option[String] = None): DataFrame = {
+      indexPath: Option[String] = None,
+      shingleWidth: Int = 3): DataFrame = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       "trainPct/valPct must be non-negative and sum to <= 100")
     require(Seq(ByteType, ShortType, IntegerType, LongType)
@@ -278,9 +279,15 @@ object Sampling {
         s"${df.schema(idCol).dataType.simpleString} — derive a long id " +
         "first (e.g. xxhash64)")
     import graft.functions.GraftFunctions.md5_long62
+    // shingleWidth threads to BOTH pair paths: an index written at a
+    // non-default width would otherwise always fail its _meta width
+    // check with a message telling the caller to pass a width this
+    // function had no seat for (r14 ADVICE)
     val pairs = (indexPath match {
-      case Some(p) => Dedup.nearDupPairsFromIndex(p, df, idCol, textCol, threshold)
-      case None    => Dedup.nearDupPairs(df, idCol, textCol, threshold)
+      case Some(p) => Dedup.nearDupPairsFromIndex(p, df, idCol, textCol,
+        threshold, shingleWidth)
+      case None => Dedup.nearDupPairs(df, idCol, textCol, threshold,
+        shingleWidth = shingleWidth)
     }).select("id_a", "id_b")
     // rename the label key so a caller whose idCol is literally "id"
     // neither hits an ambiguous reference nor loses its id column to

@@ -724,9 +724,22 @@ object Similarity {
     * codebooks reproduce cell assignment and encoding bit-for-bit).
     * Bounded driver collect: nlist + m x ks rows.
     */
+  /** True iff `layout` carries a `_codebooks` sidecar — an explicit
+    * filesystem check, so a present-but-corrupt sidecar can never
+    * masquerade as absence and skip validation (r14 ADVICE).
+    */
+  def hasIvfPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      layout: String): Boolean =
+    Layouts.exists(spark, layout + "/_codebooks")
+
   def readIvfPqCodebooks(spark: org.apache.spark.sql.SparkSession,
       layout: String): (IvfCodebook, PqCodebooks) = {
-    val rows = spark.read.parquet(layout + "/_codebooks").collect()
+    require(hasIvfPqCodebooks(spark, layout),
+      s"no _codebooks sidecar under $layout — the layout predates the " +
+        "sidecar or was hand-built; pass the codebooks explicitly " +
+        "(ivfPqTopKAtRest) or rewrite with writeIvfPqPartitioned")
+    val rows = Layouts.collectSidecar(spark, layout + "/_codebooks",
+      "writeIvfPqPartitioned")
     val ivf: IvfCodebook = rows.filter(_.getString(0) == "ivf")
       .sortBy(_.getInt(1))
       .map(r => (r.getLong(2), r.getSeq[Double](3).toArray, r.getDouble(4)))
@@ -782,11 +795,12 @@ object Similarity {
       keep: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     // absence of the sidecar (pre-sidecar or hand-built layout) skips
-    // the check; any OTHER failure reading it must surface — silently
-    // skipping validation on a corrupt sidecar defeats its purpose
+    // the check — decided by an explicit filesystem probe, so a
+    // present-but-corrupt sidecar FAILS (curated, in readIvfPqCodebooks)
+    // instead of silently skipping the validation it exists to enforce
     val stored =
-      try Some(readIvfPqCodebooks(spark, out))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      if (hasIvfPqCodebooks(spark, out)) Some(readIvfPqCodebooks(spark, out))
+      else None
     stored.foreach { s =>
       require(sameCodebooks(s, ivfCb, pqCb),
         s"appendIvfPq: the codebooks passed do not match the ones stored " +
@@ -846,9 +860,12 @@ object Similarity {
     spark.read.parquet(src)
       .repartition(col(cellCol))
       .write.mode("overwrite").partitionBy(cellCol).parquet(dst)
+    // explicit presence probe (the appendIvfPq rule): a corrupt
+    // sidecar fails the compaction instead of silently producing a
+    // new generation with no codebooks
     val sidecar =
-      try Some(readIvfPqCodebooks(spark, src))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      if (hasIvfPqCodebooks(spark, src)) Some(readIvfPqCodebooks(spark, src))
+      else None
     sidecar.foreach { case (ivfCb, pqCb) =>
       writeIvfPqCodebooks(spark, dst, ivfCb, pqCb)
     }

@@ -1107,6 +1107,59 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e3.getMessage.contains("shingles"), e3.getMessage)
   }
 
+  test("a present-but-empty _meta sidecar is a curated failure, not a silent skip") {
+    import spark.implicits._
+    val corpus = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_idx_meta_empty").toString
+    graft.ops.Dedup.writeNearDupIndex(corpus, "doc_id", "text", out)
+    // simulate an interrupted sidecar write: the directory exists but
+    // holds no parquet files — previously this read as "absent" and
+    // silently skipped the banding validation (r14 ADVICE)
+    val metaDir = java.nio.file.Paths.get(out, "_meta")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(metaDir).iterator().asScala.toSeq
+      .foreach(java.nio.file.Files.delete)
+    val e = intercept[IllegalStateException] {
+      graft.ops.Dedup.readNearDupIndexMeta(spark, out)
+    }
+    assert(e.getMessage.contains("writeNearDupIndex"), e.getMessage)
+    // and the validating callers hit the same curated failure
+    val e2 = intercept[IllegalStateException] {
+      graft.ops.Dedup.appendNearDupIndex(corpus, "doc_id", "text", out)
+    }
+    assert(e2.getMessage.contains("sidecar"), e2.getMessage)
+  }
+
+  test("a present-but-empty _codebooks sidecar is a curated failure, not a silent skip") {
+    import spark.implicits._
+    val df = (0L until 32L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 8 + j).toFloat / 100f)))
+      .toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(df, "vec_id", "embedding", nlist = 4)
+    val pqCb = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 2, ks = 4)
+    val out = java.nio.file.Files.createTempDirectory("graft_cb_empty").toString + "/layout"
+    Similarity.writeIvfPqPartitioned(df, "vec_id", "embedding", ivfCb, pqCb, out)
+    val cbDir = java.nio.file.Paths.get(out, "_codebooks")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(cbDir).iterator().asScala.toSeq
+      .foreach(java.nio.file.Files.delete)
+    val e = intercept[IllegalStateException] {
+      Similarity.readIvfPqCodebooks(spark, out)
+    }
+    assert(e.getMessage.contains("writeIvfPqPartitioned"), e.getMessage)
+    // an append against the corrupt sidecar must FAIL (mis-celling
+    // hazard), not skip validation as if the sidecar were absent
+    val batch = Seq((200L, Array.fill(8)(0.1f))).toDF("vec_id", "embedding")
+    intercept[IllegalStateException] {
+      Similarity.appendIvfPq(batch, "vec_id", "embedding", ivfCb, pqCb, out)
+    }
+    // a sidecar-LESS layout still reads as absent (pre-sidecar compat)
+    java.nio.file.Files.delete(cbDir)
+    assert(!Similarity.hasIvfPqCodebooks(spark, out))
+    Similarity.appendIvfPq(batch, "vec_id", "embedding", ivfCb, pqCb, out)
+  }
+
   test("Dedup.incrementalNearDup: broadcast and shuffle regimes compute identically") {
     import spark.implicits._
     val t0 = "the quick brown fox jumps over the lazy dog again and again today"

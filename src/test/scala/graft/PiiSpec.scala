@@ -62,15 +62,26 @@ class PiiSpec extends AnyFunSuite {
     assert(clean("2026-08-15 14") == "2026-08-15 14") // bare date+hour-ish
     // a literal '+' marks an international number — exempt from the guard
     assert(clean("+4912 34 56 789") == "<PHONE>")
-    // fuzz: no timestamp of any common shape ever redacts
+    // after a 4-2-2 rejection the scanner resumes PAST the rejected
+    // span: an interior restart at "08-15 …" is no longer 4-2-2-led
+    // and used to partially redact these (compact and space-separated
+    // time shapes have no ':' to break the separator chain)
+    assert(clean("2026-08-15 143000 build") == "2026-08-15 143000 build")
+    assert(clean("2026-08-15 14 30 55 done") == "2026-08-15 14 30 55 done")
+    // fuzz: no timestamp of any common shape ever redacts — time part
+    // drawn from HH:MM[:SS], compact HHMMSS and space-separated forms
     val rnd = new scala.util.Random(41)
     (0 until 500).foreach { _ =>
       val y = 1900 + rnd.nextInt(200); val mo = 1 + rnd.nextInt(12)
       val da = 1 + rnd.nextInt(28); val h = rnd.nextInt(24)
       val mi = rnd.nextInt(60); val se = rnd.nextInt(60)
       val sep = if (rnd.nextBoolean()) "-" else " "
-      val ts = f"$y%04d$sep$mo%02d$sep$da%02d $h%02d:$mi%02d" +
-        (if (rnd.nextBoolean()) f":$se%02d" else "") +
+      val time = rnd.nextInt(3) match {
+        case 0 => f"$h%02d:$mi%02d" + (if (rnd.nextBoolean()) f":$se%02d" else "")
+        case 1 => f"$h%02d$mi%02d" + (if (rnd.nextBoolean()) f"$se%02d" else "")
+        case _ => f"$h%02d $mi%02d" + (if (rnd.nextBoolean()) f" $se%02d" else "")
+      }
+      val ts = f"$y%04d$sep$mo%02d$sep$da%02d $time" +
         (if (rnd.nextBoolean()) "Z" else "")
       val in = s"deployed at $ts by ops"
       assert(clean(in) == in, s"timestamp eaten: $ts -> ${clean(in)}")
