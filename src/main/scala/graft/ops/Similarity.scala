@@ -660,6 +660,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** The centroid VECTOR of a cell-id column: a CASE chain over the
+    * inlined codebook (nlist x dim literals — KB-sized, the
+    * [[ivfCell]] inlining budget, NOT nlist x m x ks combined tables,
+    * which is what keeps residual encoding writable at production
+    * nlist).
+    */
+  private def cellCentroid(ivfCb: IvfCodebook, cell: Column): Column =
+    ivfCb.tail.foldLeft(
+      when(cell === ivfCb.head._1, vecLit(ivfCb.head._2))) {
+      (acc, c) => acc.when(cell === c._1, vecLit(c._2))
+    }
+
+  /** The (id, cell, code) projection with RESIDUAL-encoded codes —
+    * the at-rest face of [[ivfPqResidualTopK]]'s encoder: the residual
+    * `v - centroid(cell(v))` is materialized as its own projection
+    * (an expensive multi-reference alias, so Catalyst keeps it a
+    * separate Project — evaluated once per row, not once per
+    * centroid-distance term), and the SHARED residual codebook
+    * quantizes it through the same [[pqCode]] argmin chain raw
+    * encoding uses. Arithmetic is residual-coordinate
+    * (`(v[i] - cent[i]) - r[i]`), restated exactly by the q148
+    * oracle; [[ivfPqResidualTopK]]'s combined-coordinate form is the
+    * same real number with a different (equally oracle-pinned) IEEE
+    * association.
+    */
+  private def ivfPqResidualCoded(df: DataFrame, idCol: String, vecCol: String,
+      ivfCb: IvfCodebook, rcb: PqCodebooks,
+      cellCol: String, codeCol: String,
+      keep: Seq[String]): DataFrame =
+    df.select((col(idCol) +: keep.map(col)) ++ Seq(
+      transform(col(vecCol), x => x.cast("double")).as("__v"),
+      ivfCell(ivfCb, col(vecCol)).as(cellCol)): _*)
+      .withColumn("__res",
+        zip_with(col("__v"), cellCentroid(ivfCb, col(cellCol)), (a, b) => a - b))
+      .select((col(idCol) +: keep.map(col)) ++ Seq(
+        col(cellCol),
+        pqCode(rcb, col("__res")).as(codeCol)): _*)
+
   /** The (id, cell, code) projection shared by the IVF-PQ layout
     * writers: one narrow codegen'd pass of two inlined codebooks —
     * no shuffle, no join, nothing driver-side.
@@ -704,15 +742,21 @@ object Similarity {
     * out-of-band codebook hand-off — and [[appendIvfPq]] can verify
     * the caller's codebooks against the stored ones instead of
     * trusting them. KB-sized: nlist x dim + m x ks x dsub doubles.
+    *
+    * `pqKind` tags the quantizer the codes were produced by — `"pq"`
+    * (raw-vector PQ, [[writeIvfPqPartitioned]]) or `"rpq"`
+    * (residual PQ, [[writeIvfPqResidualPartitioned]]) — so a reader
+    * can never ADC-rank codes through the wrong table class.
     */
   def writeIvfPqCodebooks(spark: org.apache.spark.sql.SparkSession,
-      layout: String, ivfCb: IvfCodebook, pqCb: PqCodebooks): Unit = {
+      layout: String, ivfCb: IvfCodebook, pqCb: PqCodebooks,
+      pqKind: String = "pq"): Unit = {
     import spark.implicits._
     val ivfRows = ivfCb.zipWithIndex.map { case ((id, v, n), i) =>
       ("ivf", i, id, v.toSeq, n)
     }.toSeq
     val pqRows = pqCb.zipWithIndex.flatMap { case (tbl, m) =>
-      tbl.zipWithIndex.map { case (c, j) => ("pq", m, j.toLong, c.toSeq, 0.0) }
+      tbl.zipWithIndex.map { case (c, j) => (pqKind, m, j.toLong, c.toSeq, 0.0) }
     }.toSeq
     (ivfRows ++ pqRows).toDF("kind", "i", "id", "vec", "norm")
       .coalesce(1)
@@ -733,7 +777,26 @@ object Similarity {
     Layouts.exists(spark, layout + "/_codebooks")
 
   def readIvfPqCodebooks(spark: org.apache.spark.sql.SparkSession,
-      layout: String): (IvfCodebook, PqCodebooks) = {
+      layout: String): (IvfCodebook, PqCodebooks) =
+    readCodebooksOfKind(spark, layout, "pq", "rpq",
+      "the layout holds RESIDUAL-encoded codes — probe it with " +
+        "ivfPqResidualTopKFromFiles / readIvfPqResidualCodebooks")
+
+  /** [[readIvfPqCodebooks]] for a RESIDUAL layout
+    * ([[writeIvfPqResidualPartitioned]]): the second element is the
+    * residual PQ tables (`kind='rpq'`). Fails fast on a raw-PQ
+    * layout — ranking raw codes through residual tables (or vice
+    * versa) is silent garbage, which the kind tag exists to prevent.
+    */
+  def readIvfPqResidualCodebooks(spark: org.apache.spark.sql.SparkSession,
+      layout: String): (IvfCodebook, PqCodebooks) =
+    readCodebooksOfKind(spark, layout, "rpq", "pq",
+      "the layout holds raw-PQ codes — probe it with " +
+        "ivfPqTopKFromFiles / readIvfPqCodebooks")
+
+  private def readCodebooksOfKind(spark: org.apache.spark.sql.SparkSession,
+      layout: String, kind: String, otherKind: String,
+      otherHint: String): (IvfCodebook, PqCodebooks) = {
     require(hasIvfPqCodebooks(spark, layout),
       s"no _codebooks sidecar under $layout — the layout predates the " +
         "sidecar or was hand-built; pass the codebooks explicitly " +
@@ -743,7 +806,11 @@ object Similarity {
     val ivf: IvfCodebook = rows.filter(_.getString(0) == "ivf")
       .sortBy(_.getInt(1))
       .map(r => (r.getLong(2), r.getSeq[Double](3).toArray, r.getDouble(4)))
-    val pqRows = rows.filter(_.getString(0) == "pq")
+    val pqRows = rows.filter(_.getString(0) == kind)
+    if (pqRows.isEmpty && rows.exists(_.getString(0) == otherKind))
+      throw new IllegalArgumentException(
+        s"the _codebooks sidecar under $layout has no '$kind' tables; " +
+          otherHint)
     val pq: PqCodebooks = pqRows.map(_.getInt(1)).distinct.sorted.map { m =>
       pqRows.filter(_.getInt(1) == m).sortBy(_.getLong(2))
         .map(_.getSeq[Double](3).toArray)
@@ -812,6 +879,61 @@ object Similarity {
       .write.mode("append").partitionBy(cellCol).parquet(out)
   }
 
+  /** Write the RESIDUAL-encoded IVF-PQ at-rest layout — the
+    * [[ivfPqResidualTopK]] encoder persisted (the strictly better
+    * quantizer: residuals concentrate near the origin, so the shared
+    * `ks` codes describe within-cell structure; recall-dominance over
+    * raw-vector PQ is spec-proven in OpsSpec). Same file shape as
+    * [[writeIvfPqPartitioned]] — (id, cell, code) `partitionBy(cell)`,
+    * codes only, ~4 B/vector — with the `_codebooks` sidecar tagging
+    * its PQ tables `kind='rpq'` so a probe can never rank residual
+    * codes through raw tables or vice versa.
+    *
+    * Scale: the encode is one narrow codegen'd pass — cell assignment
+    * (inlined nlist x dim centroids), a once-per-row residual
+    * projection, and the SHARED m x ks residual argmin. The inlined
+    * constant volume is nlist x dim + m x ks x dsub doubles (KB) —
+    * NOT the per-cell combined tables (nlist x m x ks x dsub), which
+    * is what keeps residual encoding writable at production nlist.
+    */
+  def writeIvfPqResidualPartitioned(df: DataFrame, idCol: String,
+      vecCol: String, ivfCb: IvfCodebook, rcb: PqCodebooks, out: String,
+      cellCol: String = "cell", codeCol: String = "code",
+      keep: Seq[String] = Nil): Unit = {
+    ivfPqResidualCoded(df, idCol, vecCol, ivfCb, rcb, cellCol, codeCol, keep)
+      .write.mode("overwrite").partitionBy(cellCol).parquet(out)
+    writeIvfPqCodebooks(df.sparkSession, out, ivfCb, rcb, pqKind = "rpq")
+  }
+
+  /** [[appendIvfPq]] for a residual layout: encode ONLY the batch with
+    * the EXISTING codebooks (residual coordinates, never retrained)
+    * and append file-additively into the cell directories. The
+    * sidecar check verifies BOTH the coarse centroids and the
+    * residual tables — and, via the `kind='rpq'` tag, that the layout
+    * is residual-encoded at all (appending residual codes into a
+    * raw-PQ layout silently poisons every probe).
+    */
+  def appendIvfPqResidual(batch: DataFrame, idCol: String, vecCol: String,
+      ivfCb: IvfCodebook, rcb: PqCodebooks, out: String,
+      cellCol: String = "cell", codeCol: String = "code",
+      keep: Seq[String] = Nil): Unit = {
+    val spark = batch.sparkSession
+    val stored =
+      if (hasIvfPqCodebooks(spark, out))
+        Some(readIvfPqResidualCodebooks(spark, out))
+      else None
+    stored.foreach { s =>
+      require(sameCodebooks(s, ivfCb, rcb),
+        s"appendIvfPqResidual: the codebooks passed do not match the " +
+          s"ones stored with the layout at $out — an append encoded " +
+          "with different codebooks silently mis-cells the batch; read " +
+          "them back with readIvfPqResidualCodebooks or rebuild with " +
+          "writeIvfPqResidualPartitioned")
+    }
+    ivfPqResidualCoded(batch, idCol, vecCol, ivfCb, rcb, cellCol, codeCol, keep)
+      .write.mode("append").partitionBy(cellCol).parquet(out)
+  }
+
   /** IVF-PQ top-k answered FROM an at-rest layout
     * ([[writeIvfPqPartitioned]] + any number of [[appendIvfPq]]
     * batches): the probe prunes the file listing to the `nprobe` cell
@@ -838,6 +960,64 @@ object Similarity {
       idCol, codeCol, pqCb, query, k)
   }
 
+  /** ADC top-k over a RESIDUAL layout
+    * ([[writeIvfPqResidualPartitioned]] + [[appendIvfPqResidual]]
+    * batches): the probe prunes the file listing to the `nprobe` cell
+    * directories as in [[ivfPqTopKAtRest]], and ranking runs in
+    * residual coordinates — per probed cell the driver derives the
+    * query's residual `q - centroid_c` and its m x ks ADC table
+    * (nprobe KB-sized tables, inlined), and each row's distance is a
+    * CASE on the PARTITION column selecting its cell's table. Codes
+    * only, zero exchanges, TakeOrderedAndProject — the q135 scan
+    * shape with the q147 quantizer.
+    *
+    * `filter` restricts ranking to a predicate over kept metadata
+    * columns, evaluated on the scan ([[ivfPqTopKAtRest]]'s filtered-
+    * ANN contract).
+    */
+  def ivfPqResidualTopKAtRest(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, codeCol: String,
+      ivfCb: IvfCodebook, rcb: PqCodebooks,
+      query: Array[Double], k: Int, nprobe: Int = 4,
+      cellCol: String = "cell",
+      filter: Option[Column] = None): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1 (the per-cell CASE chain " +
+      "needs at least one probed cell)")
+    val probed = ivfProbed(ivfCb, query, nprobe)
+    val centOf = ivfCb.map(c => c._1 -> c._2).toMap
+    val luts = probed.map { c =>
+      val cent = centOf(c)
+      // the query's residual against THIS cell's centroid — the same
+      // double arithmetic order the oracle restates: (q[i] - cvec[i])
+      val qres = Array.tabulate(query.length)(i => query(i) - cent(i))
+      c -> pqAdcTable(rcb, qres)
+    }.toMap
+    val adc = probed.tail.foldLeft(
+      when(col(cellCol) === probed.head,
+        adcColumn(luts(probed.head), col(codeCol)))) {
+      (acc, c) => acc.when(col(cellCol) === c, adcColumn(luts(c), col(codeCol)))
+    }
+    val scan = spark.read.parquet(path).where(col(cellCol).isin(probed: _*))
+    filter.fold(scan)(scan.where)
+      .select(col(idCol), round(adc, 6).as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(k)
+  }
+
+  /** [[ivfPqResidualTopKAtRest]] with the codebooks loaded from the
+    * layout's `_codebooks` sidecar (`kind='rpq'` — a raw-PQ layout
+    * fails fast): the fully self-contained residual probe.
+    */
+  def ivfPqResidualTopKFromFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, codeCol: String,
+      query: Array[Double], k: Int, nprobe: Int = 4,
+      cellCol: String = "cell",
+      filter: Option[Column] = None): DataFrame = {
+    val (ivfCb, rcb) = readIvfPqResidualCodebooks(spark, path)
+    ivfPqResidualTopKAtRest(spark, path, idCol, codeCol, ivfCb, rcb,
+      query, k, nprobe, cellCol, filter)
+  }
+
   /** COMPACT an appended layout: daily [[appendIvfPq]] batches leave
     * one new file per touched cell per day, and a year of ingest
     * makes every probe pay hundreds of file opens per probed cell —
@@ -860,15 +1040,15 @@ object Similarity {
     spark.read.parquet(src)
       .repartition(col(cellCol))
       .write.mode("overwrite").partitionBy(cellCol).parquet(dst)
-    // explicit presence probe (the appendIvfPq rule): a corrupt
-    // sidecar fails the compaction instead of silently producing a
-    // new generation with no codebooks
-    val sidecar =
-      if (hasIvfPqCodebooks(spark, src)) Some(readIvfPqCodebooks(spark, src))
-      else None
-    sidecar.foreach { case (ivfCb, pqCb) =>
-      writeIvfPqCodebooks(spark, dst, ivfCb, pqCb)
-    }
+    // carry the sidecar rows VERBATIM (never decode/re-encode): the
+    // copy preserves whatever kinds the source stored — 'pq' and
+    // 'rpq' layouts compact identically. Presence is the explicit
+    // probe (the appendIvfPq rule): a corrupt sidecar fails the
+    // compaction instead of silently producing a generation with no
+    // codebooks.
+    if (hasIvfPqCodebooks(spark, src))
+      spark.read.parquet(src + "/_codebooks").coalesce(1)
+        .write.mode("overwrite").parquet(dst + "/_codebooks")
   }
 
   /** [[ivfPqTopKAtRest]] with the codebooks loaded FROM THE LAYOUT's

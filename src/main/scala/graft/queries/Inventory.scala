@@ -177,7 +177,8 @@ object Inventory extends InventoryCrawl {
     "q144_ann_compact" -> (q144 _),
     "q145_token_budget_weighted" -> (q145 _),
     "q146_ann_filtered" -> (q146 _),
-    "q147_ann_residual" -> (q147 _))
+    "q147_ann_residual" -> (q147 _),
+    "q148_ann_residual_atrest" -> (q148 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -319,6 +320,71 @@ object Inventory extends InventoryCrawl {
         |    list_sum(list_transform(generate_series(1, 8),
         |      i -> (1.0 - (c.cvec[m.m*8+i]::DOUBLE + rb.r[m.m*8+i])) *
         |           (1.0 - (c.cvec[m.m*8+i]::DOUBLE + rb.r[m.m*8+i])))) AS ld
+        |  FROM probed p JOIN cmeta c USING (cent_id)
+        |  CROSS JOIN generate_series(0, 7) m(m) CROSS JOIN rcb rb),
+        |adc AS (
+        |  SELECT c.vec_id, list_sum(list(l.ld ORDER BY l.m)) AS dist
+        |  FROM code c
+        |  JOIN sel s USING (vec_id)
+        |  JOIN lut l ON l.cell = s.cent_id AND l.m = c.m AND l.j = c.j
+        |  GROUP BY c.vec_id)
+        |SELECT vec_id, round(dist, 6) AS adc FROM adc
+        |ORDER BY adc, vec_id LIMIT 10""".stripMargin
+    // q148: the residual chain AT REST — same CTEs as
+    // ivfPqResidualOracle, but encode and ADC stated in RESIDUAL
+    // coordinates ((v[i]-cvec[i]) - r[i]; the engine's at-rest writer
+    // materializes the residual once per row and applies the SHARED
+    // rpq table, so the inlined-constant volume stays nlist*dim +
+    // m*ks*dsub instead of per-cell combined tables — the form that
+    // survives production nlist). cbWhere restricts the codebook CTEs
+    // to the written corpus (the q138 append play); selWhere restricts
+    // the ranked rows (the q146 filtered play).
+    def ivfPqResidualAtRestOracleFrom(cbWhere: String, selWhere: String = ""): String =
+      s"""WITH cmeta AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec,
+        |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS cnorm
+        |  FROM embeddings $cbWhere ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT e.vec_id, e.embedding, c.cent_id,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |             i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE))
+        |      / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in e.embedding])) * c.cnorm)
+        |      AS cos_c
+        |  FROM embeddings e CROSS JOIN cmeta c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |                             ORDER BY cos_c DESC, c.cent_id) = 1),
+        |probed AS (
+        |  SELECT cent_id FROM cmeta
+        |  ORDER BY (list_sum([x::DOUBLE for x in cvec]) / (sqrt(64.0) * cnorm)) DESC,
+        |           cent_id
+        |  LIMIT 4),
+        |rcb AS (
+        |  SELECT row_number() OVER (ORDER BY a.vec_id) - 1 AS j,
+        |    list_transform(generate_series(1, 64),
+        |      i -> a.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE) AS r
+        |  FROM (SELECT vec_id, embedding, cent_id FROM assigned
+        |        $cbWhere ORDER BY vec_id LIMIT 16) a
+        |  JOIN cmeta c USING (cent_id)),
+        |sel AS (
+        |  SELECT a.vec_id, a.embedding, a.cent_id, c.cvec
+        |  FROM assigned a JOIN probed p USING (cent_id)
+        |  JOIN cmeta c USING (cent_id) $selWhere),
+        |sub AS (
+        |  SELECT s.vec_id, m.m, rb.j,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      i -> ((s.embedding[m.m*8+i]::DOUBLE - s.cvec[m.m*8+i]::DOUBLE) -
+        |              rb.r[m.m*8+i]) *
+        |           ((s.embedding[m.m*8+i]::DOUBLE - s.cvec[m.m*8+i]::DOUBLE) -
+        |              rb.r[m.m*8+i]))) AS d
+        |  FROM sel s CROSS JOIN generate_series(0, 7) m(m) CROSS JOIN rcb rb),
+        |code AS (
+        |  SELECT vec_id, m, j FROM sub
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),
+        |lut AS (
+        |  SELECT p.cent_id AS cell, m.m, rb.j,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      i -> ((1.0 - c.cvec[m.m*8+i]::DOUBLE) - rb.r[m.m*8+i]) *
+        |           ((1.0 - c.cvec[m.m*8+i]::DOUBLE) - rb.r[m.m*8+i]))) AS ld
         |  FROM probed p JOIN cmeta c USING (cent_id)
         |  CROSS JOIN generate_series(0, 7) m(m) CROSS JOIN rcb rb),
         |adc AS (
@@ -1235,6 +1301,11 @@ object Inventory extends InventoryCrawl {
       "q146_ann_filtered" -> ivfPqOracleFrom("", "WHERE a.vec_id % 4 = 1"),
       // q147: the residual-encoded chain (see ivfPqResidualOracle)
       "q147_ann_residual" -> ivfPqResidualOracle,
+      // q148: the residual chain at rest — corpus-only codebooks over
+      // ALL vectors (write + no-retrain append), residual-coordinate
+      // encode/ADC (see ivfPqResidualAtRestOracleFrom)
+      "q148_ann_residual_atrest" ->
+        ivfPqResidualAtRestOracleFrom("WHERE vec_id % 5 <> 0"),
       // q136: the classification restated from the synthesis
       // arithmetic over a full-outer id join — removed = %10==3,
       // changed = %10==7, added = the +1000000 twins of %10==4

@@ -246,6 +246,40 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
   }
 
 
+  /** RESIDUAL codes AT REST ([[Similarity.writeIvfPqResidualPartitioned]]
+    * — round 15): q147's strictly-better residual quantizer persisted
+    * in the q135 `partitionBy(cell)` layout. The corpus
+    * (vec_id % 5 != 0) is written with residual codes and the
+    * `kind='rpq'` sidecar, the increment (vec_id % 5 = 0) is
+    * residual-encoded with the SAME codebooks and appended
+    * file-additively ([[Similarity.appendIvfPqResidual]], which
+    * verifies the sidecar's rpq tables), and the probe answers from
+    * the files alone ([[Similarity.ivfPqResidualTopKFromFiles]]:
+    * per-probed-cell residual ADC tables selected by a CASE on the
+    * partition column). Write, no-retrain append, sidecar round-trip
+    * and the residual-coordinate ranking are ALL load-bearing in one
+    * top-k — the oracle restates the whole chain in residual
+    * coordinates with codebook CTEs restricted to the corpus half
+    * (q138's play for the q147 encoder).
+    */
+  private[queries] def q148(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val corpus = emb.where(col("vec_id") % 5 =!= 0)
+    val incr = emb.where(col("vec_id") % 5 === 0)
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 16)
+    val rcb = Similarity.residualPqCodebooks(corpus, "vec_id", "embedding",
+      ivfCb, m = 8, ks = 16)
+    val out = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q148_layout"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    Similarity.writeIvfPqResidualPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, rcb, out)
+    Similarity.appendIvfPqResidual(incr, "vec_id", "embedding", ivfCb, rcb, out)
+    Similarity.ivfPqResidualTopKFromFiles(s, out, "vec_id", "code",
+      OnesQuery, k = 10, nprobe = 4)
+  }
+
+
   /** SemDeDup ([[Similarity.semDedup]], arXiv:2303.09540): semantic
     * dedup = IVF-cell clustering (the q37 deterministic codebook, so
     * the oracle can reproduce the assignment) → within-cell exact

@@ -484,6 +484,90 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits(res) >= 6, s"residual recall ${hits(res)}/10")
   }
 
+  test("residual codes at rest: write/append/probe parity with the in-flight encoder") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val rows = (0L until 150L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val full = rows.toDF("vec_id", "embedding")
+    val corpus = rows.filter(_._1 % 5 != 0).toDF("vec_id", "embedding")
+    val incr = rows.filter(_._1 % 5 == 0).toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 8)
+    val rcb = Similarity.residualPqCodebooks(corpus, "vec_id", "embedding",
+      ivfCb, m = 4, ks = 8)
+    val base = java.nio.file.Files.createTempDirectory("graft_res_atrest").toString
+    Similarity.writeIvfPqResidualPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, rcb, base + "/inc")
+    Similarity.appendIvfPqResidual(incr, "vec_id", "embedding", ivfCb, rcb,
+      base + "/inc")
+    Similarity.writeIvfPqResidualPartitioned(full, "vec_id", "embedding",
+      ivfCb, rcb, base + "/full")
+    val query = Array.fill(dim)(0.5)
+    def probe(p: String): Seq[(Long, Double)] =
+      Similarity.ivfPqResidualTopKFromFiles(spark, p, "vec_id", "code",
+        query, k = 10, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // no-retrain append == full rewrite with the same codebooks, exactly
+    assert(probe(base + "/inc") == probe(base + "/full"))
+    // at-rest residual ranking lands on the in-flight encoder's ids;
+    // values agree to ulp-level (in-flight ADC associates in COMBINED
+    // coordinates, at-rest in residual coordinates — the same real
+    // number under two oracle-pinned IEEE associations)
+    val inFlight = Similarity.ivfPqResidualTopK(full, "vec_id", "embedding",
+      query, k = 10, nlist = 8, nprobe = 3, m = 4, ks = 8,
+      ivfCb = Some(ivfCb), residualCb = Some(rcb))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val atRest = probe(base + "/full")
+    assert(atRest.map(_._1) == inFlight.map(_._1),
+      s"at-rest ${atRest.map(_._1)} vs in-flight ${inFlight.map(_._1)}")
+    atRest.zip(inFlight).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-9, s"$a vs $b")
+    }
+    // compaction carries the rpq sidecar verbatim
+    Similarity.compactIvfPqLayout(spark, base + "/inc", base + "/gen1")
+    assert(probe(base + "/gen1") == probe(base + "/inc"))
+  }
+
+  test("residual/raw layouts never cross: the kind tag fails fast both ways") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val dim = 16
+    val rows = (0L until 80L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(df, "vec_id", "embedding", nlist = 4)
+    val pqCb = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 4, ks = 8)
+    val rcb = Similarity.residualPqCodebooks(df, "vec_id", "embedding",
+      ivfCb, m = 4, ks = 8)
+    val base = java.nio.file.Files.createTempDirectory("graft_kind_tag").toString
+    Similarity.writeIvfPqResidualPartitioned(df, "vec_id", "embedding",
+      ivfCb, rcb, base + "/res")
+    Similarity.writeIvfPqPartitioned(df, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/raw")
+    val query = Array.fill(dim)(0.5)
+    // a raw probe of a residual layout would ADC residual codes
+    // through raw tables — silent garbage; the tag refuses instead
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKFromFiles(spark, base + "/res", "vec_id", "code",
+        query, k = 5)
+    }
+    assert(e1.getMessage.contains("RESIDUAL"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqResidualTopKFromFiles(spark, base + "/raw", "vec_id",
+        "code", query, k = 5)
+    }
+    assert(e2.getMessage.contains("raw-PQ"), e2.getMessage)
+    // and appends can't poison across encodings either
+    val batch = Seq((200L, Array.fill(dim)(0.1f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfPq(batch, "vec_id", "embedding", ivfCb, pqCb,
+        base + "/res")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqResidual(batch, "vec_id", "embedding", ivfCb, rcb,
+        base + "/raw")
+    }
+  }
+
   test("compactIvfPqLayout: one file per cell, rows preserved, sidecar carried") {
     import spark.implicits._
     val rnd = new scala.util.Random(19)

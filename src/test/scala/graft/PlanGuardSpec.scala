@@ -427,6 +427,26 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q138 read-back must touch codes only: ${scan.schema.fieldNames.mkString(",")}")
   }
 
+  test("q148: the residual layout keeps the q135 scan shape — 4 probed cells, codes only") {
+    // the residual encoder must not cost the at-rest plan anything:
+    // same partition pruning (4 of 16 cell= directories at plan
+    // time), same codes-only read — the per-cell ADC CASE evaluates
+    // on the PARTITION column, never on data columns
+    val df = SparkEntry.queries("q148_ann_residual_atrest")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan
+    val inner = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val scan = inner.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("q148 has no FileSourceScan"))
+    assert(scan.selectedPartitions.partitionCount == 4,
+      s"q148 must scan exactly the 4 probed cells, got ${scan.selectedPartitions.partitionCount}")
+    assert(!scan.schema.fieldNames.contains("embedding"),
+      s"q148 read-back must touch codes only: ${scan.schema.fieldNames.mkString(",")}")
+  }
+
   test("q146: the filtered probe pushes the predicate to parquet inside the pruned cells") {
     // filtered ANN = q135's pruning + the metadata predicate at scan
     // level: 4 of 16 cell directories at plan time, the grp filter in
