@@ -231,13 +231,24 @@ object Dedup {
     * one file per band directory, nothing re-hashed — into a NEW
     * layout, carrying the `_meta` banding sidecar. The caller swaps
     * the pointer (LSM convention).
+    *
+    * `dropIds` is the TOMBSTONE set (one id column —
+    * [[graft.ops.Cdc.snapshotDiff]]'s `removed` class): matching
+    * signature rows are retired during the rewrite, so a deleted
+    * document can never again appear in a candidate pair, a `dup_of`,
+    * or a split cluster — even when the caller forgets to filter the
+    * corpus side (candidates come ONLY from stored rows). Without a
+    * deletion path, stale signatures accumulate forever and every
+    * incremental query pays their candidate rows.
     */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
-      src: String, dst: String): Unit = {
+      src: String, dst: String,
+      dropIds: Option[DataFrame] = None): Unit = {
     require(src != dst,
       "compactNearDupIndex writes a NEW layout at dst; swap the pointer " +
         "after (an in-place rewrite would clobber the files it reads)")
-    spark.read.parquet(src)
+    Layouts.dropTombstones(spark.read.parquet(src), dropIds, "id",
+        "compactNearDupIndex")
       .repartition(col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(dst)
     readNearDupIndexMeta(spark, src).foreach { case (nh, b, sw) =>

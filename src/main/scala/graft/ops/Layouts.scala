@@ -18,6 +18,24 @@ import org.apache.spark.sql.{Row, SparkSession}
   */
 private[ops] object Layouts {
 
+  /** Retire a tombstone set during a compaction rewrite: anti-join
+    * `rows` against the single id column of `dropIds` on `idCol`.
+    * The join key is renamed on the tombstone side, so an id column
+    * literally named like `idCol` never self-references. Unhinted —
+    * AQE broadcasts a small tombstone set; a bulk retirement degrades
+    * to a shuffle join instead of dying.
+    */
+  def dropTombstones(rows: org.apache.spark.sql.DataFrame,
+      dropIds: Option[org.apache.spark.sql.DataFrame],
+      idCol: String, caller: String): org.apache.spark.sql.DataFrame =
+    dropIds.fold(rows) { d =>
+      require(d.schema.length == 1,
+        s"$caller: dropIds must have exactly one column (the retired " +
+          s"ids); got ${d.schema.fieldNames.mkString(", ")}")
+      val tomb = d.toDF("__tomb_id")
+      rows.join(tomb, rows(idCol) === tomb("__tomb_id"), "left_anti")
+    }
+
   /** True iff `path` exists on its filesystem. One namenode RPC —
     * never a data read.
     */

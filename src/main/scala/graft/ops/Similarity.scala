@@ -1031,13 +1031,28 @@ object Similarity {
     * produces new files, the caller swaps the pointer) — an in-place
     * rewrite would read and clobber the same files. Cost: one shuffle
     * of the code rows (~4-40 B/row, ~1% of the vector corpus).
+    *
+    * `dropIds` is the TOMBSTONE set — one id column
+    * ([[graft.ops.Cdc.snapshotDiff]]'s `removed` class is the natural
+    * producer): matching rows are retired during the rewrite (an
+    * anti-join on `idCol` — the LSM tombstone-at-compaction
+    * discipline), so a deleted document can never again surface in a
+    * top-k, even when the caller forgets to filter the corpus side.
+    * Without it, stale rows accumulate forever: probes pay their
+    * reads and ranks, and correctness holds only if every consumer
+    * re-joins the live corpus. The anti-join is unhinted — AQE
+    * broadcasts a small tombstone set, and a bulk retirement (a
+    * source-level license takedown) degrades to a shuffle join
+    * instead of dying.
     */
   def compactIvfPqLayout(spark: org.apache.spark.sql.SparkSession,
-      src: String, dst: String, cellCol: String = "cell"): Unit = {
+      src: String, dst: String, cellCol: String = "cell",
+      dropIds: Option[DataFrame] = None, idCol: String = "id"): Unit = {
     require(src != dst,
       "compactIvfPqLayout writes a NEW layout at dst; swap the pointer " +
         "after (an in-place rewrite would clobber the files it reads)")
-    spark.read.parquet(src)
+    val rows = spark.read.parquet(src)
+    Layouts.dropTombstones(rows, dropIds, idCol, "compactIvfPqLayout")
       .repartition(col(cellCol))
       .write.mode("overwrite").partitionBy(cellCol).parquet(dst)
     // carry the sidecar rows VERBATIM (never decode/re-encode): the

@@ -178,7 +178,9 @@ object Inventory extends InventoryCrawl {
     "q145_token_budget_weighted" -> (q145 _),
     "q146_ann_filtered" -> (q146 _),
     "q147_ann_residual" -> (q147 _),
-    "q148_ann_residual_atrest" -> (q148 _))
+    "q148_ann_residual_atrest" -> (q148 _),
+    "q149_ann_tombstone" -> (q149 _),
+    "q150_neardup_tombstone" -> (q150 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1306,6 +1308,27 @@ object Inventory extends InventoryCrawl {
       // encode/ADC (see ivfPqResidualAtRestOracleFrom)
       "q148_ann_residual_atrest" ->
         ivfPqResidualAtRestOracleFrom("WHERE vec_id % 5 <> 0"),
+      // q149: after tombstone compaction the probe must rank ONLY
+      // surviving rows (codebooks stay full-corpus — the layout was
+      // written before the removal): a retired id surviving the
+      // rewrite lands off this top-k
+      "q149_ann_tombstone" -> ivfPqOracleFrom("", "WHERE a.vec_id % 7 <> 0"),
+      // q150: q18's exact-Jaccard pairs restricted to surviving ids —
+      // one stale signature row = one extra pair
+      "q150_neardup_tombstone" ->
+        s"""WITH w AS (SELECT doc_id, $toks AS t FROM documents
+           |           WHERE doc_id % 3 <> 0),
+           |s AS (SELECT doc_id,
+           |        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |                       for i in range(1, len(t) - 1)]) AS sh
+           |      FROM w),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |              CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)
+           |          AS jaccard
+           |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin,
       // q136: the classification restated from the synthesis
       // arithmetic over a full-outer id join — removed = %10==3,
       // changed = %10==7, added = the +1000000 twins of %10==4

@@ -276,4 +276,30 @@ private[queries] trait InventoryDedup extends InventorySources {
         threshold = 0.8)
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
+
+  /** TOMBSTONES for the signature index
+    * ([[Dedup.compactNearDupIndex]]'s `dropIds` — round 15, the text
+    * sibling of q149): the corpus is indexed once, a removed set
+    * (doc_id % 3 = 0 — [[graft.ops.Cdc.snapshotDiff]]'s `removed`
+    * class in production) is retired DURING the compaction rewrite,
+    * and the pair query runs against the compacted generation with
+    * the FULL corpus still on the verify side — candidates come only
+    * from stored rows, so a retired id can never re-enter a pair even
+    * when the caller forgets to filter the corpus. The oracle is
+    * q18's exact-Jaccard chain restricted to surviving ids: one stale
+    * signature row surviving the rewrite lands an extra pair.
+    */
+  private[queries] def q150(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val base = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q150_index"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    Dedup.writeNearDupIndex(docs, "doc_id", "text", base + "/gen0")
+    val removed = docs.where(col("doc_id") % 3 === 0).select("doc_id")
+    Dedup.compactNearDupIndex(s, base + "/gen0", base + "/gen1",
+      dropIds = Some(removed))
+    Dedup.nearDupPairsFromIndex(base + "/gen1", docs, "doc_id", "text",
+        threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

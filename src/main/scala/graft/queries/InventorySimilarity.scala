@@ -280,6 +280,34 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
   }
 
 
+  /** TOMBSTONES for the ANN layout ([[Similarity.compactIvfPqLayout]]'s
+    * `dropIds` — round 15): [[graft.ops.Cdc.snapshotDiff]] classifies
+    * removed ids, and compaction is where the at-rest index retires
+    * them (the LSM tombstone discipline). The full corpus is written
+    * `partitionBy(cell)`, the removed set (vec_id % 7 = 0) is dropped
+    * DURING the compaction rewrite, and the probe answers from the
+    * compacted generation alone — a retired id surviving the rewrite
+    * lands off the recomputed top-k (the oracle ranks only surviving
+    * rows through full-corpus codebooks), even though the probe never
+    * re-filters anything.
+    */
+  private[queries] def q149(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val ivfCb = Similarity.ivfCodebook(emb, "vec_id", "embedding", nlist = 16)
+    val pqCb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16)
+    val base = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q149_layout"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    Similarity.writeIvfPqPartitioned(emb, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/gen0")
+    val removed = emb.where(col("vec_id") % 7 === 0).select("vec_id")
+    Similarity.compactIvfPqLayout(s, base + "/gen0", base + "/gen1",
+      dropIds = Some(removed), idCol = "vec_id")
+    Similarity.ivfPqTopKFromFiles(s, base + "/gen1", "vec_id", "code",
+      OnesQuery, k = 10, nprobe = 4)
+  }
+
+
   /** SemDeDup ([[Similarity.semDedup]], arXiv:2303.09540): semantic
     * dedup = IVF-cell clustering (the q37 deterministic codebook, so
     * the oracle can reproduce the assignment) → within-cell exact

@@ -528,6 +528,51 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probe(base + "/gen1") == probe(base + "/inc"))
   }
 
+  test("tombstones: a retired id never resurfaces, even unfiltered on the corpus side") {
+    import spark.implicits._
+    // --- ANN side: drop the exact top-1 and probe the compacted gen
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    val rows = (0L until 120L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(df, "vec_id", "embedding", nlist = 8)
+    val pqCb = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 4, ks = 8)
+    val base = java.nio.file.Files.createTempDirectory("graft_tombstone").toString
+    Similarity.writeIvfPqPartitioned(df, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/gen0")
+    val query = Array.fill(dim)(0.5)
+    val top1 = Similarity.ivfPqTopKFromFiles(spark, base + "/gen0",
+      "vec_id", "code", query, k = 1, nprobe = 3).collect()(0).getLong(0)
+    Similarity.compactIvfPqLayout(spark, base + "/gen0", base + "/gen1",
+      dropIds = Some(Seq(top1).toDF("vec_id")), idCol = "vec_id")
+    val after = Similarity.ivfPqTopKFromFiles(spark, base + "/gen1",
+      "vec_id", "code", query, k = 10, nprobe = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(!after.contains(top1), s"retired vec $top1 still ranked")
+    assert(spark.read.parquet(base + "/gen1").count() == 119)
+    // --- near-dup side: retire one half of a dup pair; the OTHER
+    // half must take over dup_of, with the full corpus on the verify
+    // side (candidates come only from stored rows)
+    val t0 = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq((0L, t0), (100L, t0), (7L, "something entirely different here"))
+      .toDF("doc_id", "text")
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", base + "/idx0")
+    Dedup.compactNearDupIndex(spark, base + "/idx0", base + "/idx1",
+      dropIds = Some(Seq(0L).toDF("doc_id")))
+    val pairs = Dedup.nearDupPairsFromIndex(base + "/idx1", corpus,
+      "doc_id", "text").select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.forall { case (a, b) => a != 0L && b != 0L },
+      s"retired doc 0 re-entered a pair: $pairs")
+    val batch = Seq((200L, t0)).toDF("doc_id", "text")
+    val dupOf = Dedup.incrementalNearDup(spark, base + "/idx1", corpus, batch,
+      "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(dupOf == Map(200L -> 100L), s"dup_of after retirement: $dupOf")
+    // meta carried through the tombstone rewrite
+    assert(Dedup.readNearDupIndexMeta(spark, base + "/idx1")
+      .contains((128, 32, 3)))
+  }
+
   test("residual/raw layouts never cross: the kind tag fails fast both ways") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
