@@ -152,13 +152,18 @@ object PiiHelper {
     * eating timestamps — a redactor's false positive destroys text.
     *
     * A 4-2-2 rejection returns `-(end) - 2` (<= -3, distinguishable
-    * from the plain -1) where `end` is the exclusive end of the
-    * rejected span: the caller must COPY the span verbatim and resume
-    * PAST it. Resuming inside it would re-enter the same timestamp at
-    * an interior digit group whose leading groups are no longer
-    * 4-2-2 — "2026-08-15 143000" would partially redact to
-    * "2026-<PHONE>" via the restart at "08" (the span holds only
-    * digits and phone separators, so no email/IP/key can hide in it).
+    * from the plain -1) where `end` is the START of the trailing open
+    * digit group: the caller must COPY `[i, end)` verbatim and resume
+    * AT the open group. The copied prefix holds only the closed
+    * 4-2-2 groups and their separators (pure date shape — nothing to
+    * redact), while the open group gets a fresh email/IP/phone/key
+    * attempt: "2026-08-15 192.168.1.1" resumes at "192..." and the IP
+    * still redacts, "2026-08-15 555 123 4567" resumes at the NANP
+    * number, and a pure timestamp tail like "143000" or "14:30"
+    * matches nothing on retry. Resuming at an INTERIOR group instead
+    * would partially redact — "2026-08-15 143000" → "2026-<PHONE>"
+    * via a restart at "08" — which is why the sentinel never points
+    * inside the closed groups.
     */
   private def tryPhone(s: String, i: Int): Int = {
     val n = s.length
@@ -179,7 +184,7 @@ object PiiHelper {
         if (digits > 16) return -1 // bounded scan
         if (digits >= 9 && digits <= 15 &&
             (j + 1 >= n || !isAlnum(s.charAt(j + 1)))) {
-          if (c0 != '+' && g1 == 4 && g2 == 2 && g3 == 2) return -(j + 1) - 2
+          if (c0 != '+' && g1 == 4 && g2 == 2 && g3 == 2) return -(j + 1 - cur) - 2
           return j + 1
         }
         sepRun = 0
@@ -228,8 +233,10 @@ object PiiHelper {
           e = tryPhone(s, i)
           if (e >= 0) { out.append("<PHONE>"); phone += 1; i = e }
           else if (e <= -3) {
-            // 4-2-2 date+time rejection: copy the WHOLE rejected span
-            // verbatim and resume past it (see tryPhone's scaladoc)
+            // 4-2-2 date rejection: copy the closed date groups
+            // verbatim and resume AT the trailing open digit group so
+            // a following IP/phone/etc. still gets its own attempt
+            // (see tryPhone's scaladoc)
             val end = -e - 2
             out.append(s, i, end)
             i = end

@@ -807,16 +807,23 @@ object Similarity {
       .sortBy(_.getInt(1))
       .map(r => (r.getLong(2), r.getSeq[Double](3).toArray, r.getDouble(4)))
     val pqRows = rows.filter(_.getString(0) == kind)
-    if (pqRows.isEmpty && rows.exists(_.getString(0) == otherKind))
-      throw new IllegalArgumentException(
-        s"the _codebooks sidecar under $layout has no '$kind' tables; " +
-          otherHint)
+    if (pqRows.isEmpty) {
+      // unconditional: a sidecar with only 'ivf' rows (or an unknown
+      // kind string) must fail HERE, naming what it actually holds,
+      // not defer to a confusing downstream pqAdcTable/pqCode error
+      val present = rows.map(_.getString(0)).distinct.sorted
+      val hint =
+        if (present.contains(otherKind)) "; " + otherHint else ""
+      throw new IllegalStateException(
+        s"the _codebooks sidecar under $layout has no '$kind' tables " +
+          s"(kinds present: ${present.mkString(", ")})" + hint)
+    }
     val pq: PqCodebooks = pqRows.map(_.getInt(1)).distinct.sorted.map { m =>
       pqRows.filter(_.getInt(1) == m).sortBy(_.getLong(2))
         .map(_.getSeq[Double](3).toArray)
     }
-    require(ivf.nonEmpty && pq.nonEmpty,
-      s"no codebooks stored under $layout/_codebooks")
+    require(ivf.nonEmpty,
+      s"no 'ivf' codebook stored under $layout/_codebooks")
     (ivf, pq)
   }
 
@@ -1052,16 +1059,22 @@ object Similarity {
       "compactIvfPqLayout writes a NEW layout at dst; swap the pointer " +
         "after (an in-place rewrite would clobber the files it reads)")
     val rows = spark.read.parquet(src)
-    Layouts.dropTombstones(rows, dropIds, idCol, "compactIvfPqLayout")
-      .repartition(col(cellCol))
-      .write.mode("overwrite").partitionBy(cellCol).parquet(dst)
     // carry the sidecar rows VERBATIM (never decode/re-encode): the
     // copy preserves whatever kinds the source stored — 'pq' and
     // 'rpq' layouts compact identically. Presence is the explicit
-    // probe (the appendIvfPq rule): a corrupt sidecar fails the
-    // compaction instead of silently producing a generation with no
-    // codebooks.
-    if (hasIvfPqCodebooks(spark, src))
+    // probe (the appendIvfPq rule), and the readability check runs
+    // BEFORE any dst write: a present-but-unreadable sidecar fails
+    // the compaction with the curated collectSidecar message instead
+    // of an uncaught AnalysisException AFTER the data rewrite left a
+    // partial generation at dst.
+    val hasSidecar = hasIvfPqCodebooks(spark, src)
+    if (hasSidecar)
+      Layouts.collectSidecar(spark, src + "/_codebooks",
+        "writeIvfPqPartitioned")
+    Layouts.dropTombstones(rows, dropIds, idCol, "compactIvfPqLayout")
+      .repartition(col(cellCol))
+      .write.mode("overwrite").partitionBy(cellCol).parquet(dst)
+    if (hasSidecar)
       spark.read.parquet(src + "/_codebooks").coalesce(1)
         .write.mode("overwrite").parquet(dst + "/_codebooks")
   }

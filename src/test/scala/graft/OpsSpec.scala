@@ -591,23 +591,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val query = Array.fill(dim)(0.5)
     // a raw probe of a residual layout would ADC residual codes
     // through raw tables — silent garbage; the tag refuses instead
-    val e1 = intercept[IllegalArgumentException] {
+    val e1 = intercept[IllegalStateException] {
       Similarity.ivfPqTopKFromFiles(spark, base + "/res", "vec_id", "code",
         query, k = 5)
     }
     assert(e1.getMessage.contains("RESIDUAL"), e1.getMessage)
-    val e2 = intercept[IllegalArgumentException] {
+    assert(e1.getMessage.contains("kinds present"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
       Similarity.ivfPqResidualTopKFromFiles(spark, base + "/raw", "vec_id",
         "code", query, k = 5)
     }
     assert(e2.getMessage.contains("raw-PQ"), e2.getMessage)
     // and appends can't poison across encodings either
     val batch = Seq((200L, Array.fill(dim)(0.1f))).toDF("vec_id", "embedding")
-    intercept[IllegalArgumentException] {
+    intercept[IllegalStateException] {
       Similarity.appendIvfPq(batch, "vec_id", "embedding", ivfCb, pqCb,
         base + "/res")
     }
-    intercept[IllegalArgumentException] {
+    intercept[IllegalStateException] {
       Similarity.appendIvfPqResidual(batch, "vec_id", "embedding", ivfCb, rcb,
         base + "/raw")
     }
@@ -1283,6 +1284,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalStateException] {
       Similarity.appendIvfPq(batch, "vec_id", "embedding", ivfCb, pqCb, out)
     }
+    // a compaction of the corrupt layout fails with the curated
+    // message BEFORE any dst write — no partial generation left
+    // behind (r15 ADVICE)
+    val dst = out + "_gen1"
+    intercept[IllegalStateException] {
+      Similarity.compactIvfPqLayout(spark, out, dst)
+    }
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst)),
+      "a failed compaction must not leave a partial dst generation")
     // a sidecar-LESS layout still reads as absent (pre-sidecar compat)
     java.nio.file.Files.delete(cbDir)
     assert(!Similarity.hasIvfPqCodebooks(spark, out))

@@ -91,6 +91,34 @@ class PiiSpec extends AnyFunSuite {
     assert(clean("0044 20 7946") == "<PHONE>")
     // NANP 3-3-4 grouping untouched by the guard
     assert(clean("555-010-1234") == "<PHONE>")
+    // r15 ADVICE: the rejection sentinel ends at the START of the
+    // trailing open digit group, so PII that follows a date gets its
+    // own fresh match attempt instead of being swallowed into the
+    // copied span (the leading IP octet / phone group used to ride
+    // inside the rejected span and the rest leaked unredacted)
+    assert(redact("deployed 2026-08-15 192.168.1.1") ==
+      ("deployed 2026-08-15 <IP>", 0L, 1L, 0L, 0L))
+    assert(redact("2026-08-15 10.0.0.200 up") ==
+      ("2026-08-15 <IP> up", 0L, 1L, 0L, 0L))
+    assert(redact("2026-08-15 555 123 4567") ==
+      ("2026-08-15 <PHONE>", 0L, 0L, 1L, 0L))
+    assert(redact("at 2026-08-15 555-123-4567 call") ==
+      ("at 2026-08-15 <PHONE> call", 0L, 0L, 1L, 0L))
+    // fuzz: <date> <ip> and <date> <phone> — the tail ALWAYS redacts
+    (0 until 300).foreach { _ =>
+      val y = 1900 + rnd.nextInt(200); val mo = 1 + rnd.nextInt(12)
+      val da = 1 + rnd.nextInt(28)
+      val sep = if (rnd.nextBoolean()) "-" else " "
+      val date = f"$y%04d$sep$mo%02d$sep$da%02d"
+      val ip = s"${rnd.nextInt(256)}.${rnd.nextInt(256)}" +
+        s".${rnd.nextInt(256)}.${rnd.nextInt(256)}"
+      assert(clean(s"$date $ip") == s"$date <IP>",
+        s"$date $ip -> ${clean(s"$date $ip")}")
+      val ph = s"${100 + rnd.nextInt(900)} ${100 + rnd.nextInt(900)} " +
+        s"${1000 + rnd.nextInt(9000)}"
+      assert(clean(s"$date $ph") == s"$date <PHONE>",
+        s"$date $ph -> ${clean(s"$date $ph")}")
+    }
   }
 
   test("key: length gate and letter+digit requirement") {
