@@ -247,15 +247,24 @@ object Dedup {
     require(src != dst,
       "compactNearDupIndex writes a NEW layout at dst; swap the pointer " +
         "after (an in-place rewrite would clobber the files it reads)")
-    Layouts.dropTombstones(spark.read.parquet(src), dropIds, "id",
-        "compactNearDupIndex")
-      .repartition(col("band"))
-      .write.mode("overwrite").partitionBy("band").parquet(dst)
-    readNearDupIndexMeta(spark, src).foreach { case (nh, b, sw) =>
+    // meta read + sidecar write FIRST (the compactIvfPqLayout rule): a
+    // corrupt src _meta fails before dst is touched, and a failure in
+    // the (much larger) data rewrite leaves a meta-only dst —
+    // detectable — instead of a data-only dst that masquerades as a
+    // legitimate pre-meta layout. dst is cleared explicitly because a
+    // mode("overwrite") data write would delete the sidecar with it.
+    val meta = readNearDupIndexMeta(spark, src)
+    val compacted = Layouts.dropTombstones(spark.read.parquet(src), dropIds,
+      "id", "compactNearDupIndex")
+    Layouts.delete(spark, dst)
+    meta.foreach { case (nh, b, sw) =>
       import spark.implicits._
       Seq((nh, b, sw)).toDF("num_hashes", "bands", "shingle_width")
         .coalesce(1).write.mode("overwrite").parquet(dst + "/_meta")
     }
+    compacted
+      .repartition(col("band"))
+      .write.mode("append").partitionBy("band").parquet(dst)
   }
 
   /** Near-dup detection of a NEW batch against a corpus indexed at

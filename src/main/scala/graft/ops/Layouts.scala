@@ -44,6 +44,15 @@ private[ops] object Layouts {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Delete `path` recursively if it exists (a compaction clearing
+    * its dst before the sidecar-first rewrite). No-op on absence.
+    */
+  def delete(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** Collect the rows of a sidecar KNOWN to exist ([[exists]] was
     * true). A sidecar directory that is unreadable (no parquet files
     * — a killed writer) or holds zero rows fails with a curated

@@ -822,8 +822,15 @@ object Similarity {
       pqRows.filter(_.getInt(1) == m).sortBy(_.getLong(2))
         .map(_.getSeq[Double](3).toArray)
     }
-    require(ivf.nonEmpty,
-      s"no 'ivf' codebook stored under $layout/_codebooks")
+    if (ivf.isEmpty) {
+      // same exception FACE as the missing-PQ-kind and collectSidecar
+      // failures: every corruption mode of a present sidecar is an
+      // IllegalStateException, so one catch covers them all
+      val present = rows.map(_.getString(0)).distinct.sorted
+      throw new IllegalStateException(
+        s"the _codebooks sidecar under $layout has no 'ivf' coarse " +
+          s"codebook (kinds present: ${present.mkString(", ")})")
+    }
     (ivf, pq)
   }
 
@@ -1067,16 +1074,31 @@ object Similarity {
     // the compaction with the curated collectSidecar message instead
     // of an uncaught AnalysisException AFTER the data rewrite left a
     // partial generation at dst.
+    // the hint stays kind-neutral: the sidecar carries 'pq' OR 'rpq'
+    // tables and this validation never decodes them, so naming one
+    // rebuild function would misdirect half the operators
     val hasSidecar = hasIvfPqCodebooks(spark, src)
     if (hasSidecar)
       Layouts.collectSidecar(spark, src + "/_codebooks",
-        "writeIvfPqPartitioned")
-    Layouts.dropTombstones(rows, dropIds, idCol, "compactIvfPqLayout")
-      .repartition(col(cellCol))
-      .write.mode("overwrite").partitionBy(cellCol).parquet(dst)
+        "writeIvfPqPartitioned / writeIvfPqResidualPartitioned")
+    // sidecar FIRST: a failure in the (much larger) data rewrite then
+    // leaves a sidecar-only dst — detectable, and appends against it
+    // still validate — instead of a data-only dst that masquerades as
+    // a legitimate pre-sidecar layout and silently skips validation.
+    // The dst is cleared explicitly (overwrite semantics for a rerun
+    // after a failed compaction) because a mode("overwrite") data
+    // write would delete the whole dst INCLUDING the sidecar just
+    // written; the data write then appends into the fresh dir.
+    // built (and its schema require fired) before dst is touched
+    val compacted =
+      Layouts.dropTombstones(rows, dropIds, idCol, "compactIvfPqLayout")
+    Layouts.delete(spark, dst)
     if (hasSidecar)
       spark.read.parquet(src + "/_codebooks").coalesce(1)
         .write.mode("overwrite").parquet(dst + "/_codebooks")
+    compacted
+      .repartition(col(cellCol))
+      .write.mode("append").partitionBy(cellCol).parquet(dst)
   }
 
   /** [[ivfPqTopKAtRest]] with the codebooks loaded FROM THE LAYOUT's

@@ -1844,4 +1844,112 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(x("a <p title=don't>x</p> b") == "a x b")
     assert(x("a <p title=don't>x</p> 'q' b") == "a x 'q' b")
   }
+
+  test("snapshotDiff 'removed' drives both compactions end to end") {
+    import spark.implicits._
+    // the wiring the q149/q150 scaladocs call "the natural producer":
+    // a takedown between two corpus snapshots classifies as removed,
+    // and THAT class is the tombstone set for both at-rest families
+    val t0 = "the quick brown fox jumps over the lazy dog again and again today"
+    val oldCorpus = Seq((0L, t0), (100L, t0),
+      (7L, "something entirely different here today")).toDF("doc_id", "text")
+    val curCorpus = oldCorpus.where(col("doc_id") =!= 0L)
+    val removed = graft.ops.Cdc.snapshotDiff(oldCorpus, curCorpus,
+        "doc_id", "text")
+      .where(col("change") === "removed").select("doc_id")
+    assert(removed.as[Long].collect().toSeq == Seq(0L))
+    val base = java.nio.file.Files.createTempDirectory("graft_diff_tomb").toString
+    // near-dup family: the retired half's pair partner takes over
+    Dedup.writeNearDupIndex(oldCorpus, "doc_id", "text", base + "/idx0")
+    Dedup.compactNearDupIndex(spark, base + "/idx0", base + "/idx1",
+      dropIds = Some(removed))
+    val pairs = Dedup.nearDupPairsFromIndex(base + "/idx1", curCorpus,
+      "doc_id", "text").select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => a != 0L && b != 0L })
+    // ANN family: the retired id never ranks again
+    val rnd = new scala.util.Random(41)
+    val dim = 16
+    val vecs = Seq(0L, 100L, 7L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(vecs, "vec_id", "embedding", nlist = 2)
+    val pqCb = Similarity.pqCodebooks(vecs, "vec_id", "embedding", m = 4, ks = 2)
+    Similarity.writeIvfPqPartitioned(vecs, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/gen0")
+    Similarity.compactIvfPqLayout(spark, base + "/gen0", base + "/gen1",
+      dropIds = Some(removed.toDF("vec_id")), idCol = "vec_id")
+    val ranked = Similarity.ivfPqTopKFromFiles(spark, base + "/gen1",
+      "vec_id", "code", Array.fill(dim)(0.5), k = 10, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(!ranked.contains(0L) && ranked == Set(100L, 7L))
+  }
+
+  test("a failed compaction data write leaves a DETECTABLE partial dst") {
+    import spark.implicits._
+    // sidecar-first ordering (r16 ADVICE): if the data rewrite dies,
+    // dst must hold the sidecar — hasIvfPqCodebooks(dst) = true, so
+    // appends against it still validate — never a data-only layout
+    // masquerading as legitimately pre-sidecar
+    val df = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 8 + j).toFloat / 100f)))
+      .toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(df, "vec_id", "embedding", nlist = 4)
+    val pqCb = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 2, ks = 4)
+    val base = java.nio.file.Files.createTempDirectory("graft_partial_dst").toString
+    Similarity.writeIvfPqPartitioned(df, "vec_id", "embedding", ivfCb, pqCb,
+      base + "/gen0")
+    // a tombstone frame that throws at EXECUTION time fails the data
+    // write job itself, after validation and the sidecar copy
+    val boom = udf((id: Long) =>
+      if (id >= 0) throw new RuntimeException("boom") else id)
+    val badDrop = df.select(boom(col("vec_id")).as("vec_id"))
+    intercept[org.apache.spark.SparkException] {
+      Similarity.compactIvfPqLayout(spark, base + "/gen0", base + "/gen1",
+        dropIds = Some(badDrop), idCol = "vec_id")
+    }
+    assert(Similarity.hasIvfPqCodebooks(spark, base + "/gen1"),
+      "partial dst generation must carry the sidecar (detectable)")
+    // same contract for the near-dup index's _meta sidecar
+    val corpus = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", base + "/idx0")
+    val badDrop2 = corpus.select(boom(col("doc_id")).as("doc_id"))
+    intercept[org.apache.spark.SparkException] {
+      Dedup.compactNearDupIndex(spark, base + "/idx0", base + "/idx1",
+        dropIds = Some(badDrop2))
+    }
+    assert(Dedup.readNearDupIndexMeta(spark, base + "/idx1")
+      .contains((128, 32, 3)),
+      "partial idx generation must carry _meta (detectable)")
+    // and a rerun of the compaction clears the partial generation
+    Similarity.compactIvfPqLayout(spark, base + "/gen0", base + "/gen1")
+    assert(spark.read.parquet(base + "/gen1").count() == 40)
+    Dedup.compactNearDupIndex(spark, base + "/idx0", base + "/idx1")
+    assert(Dedup.nearDupPairsFromIndex(base + "/idx1", corpus,
+      "doc_id", "text").count() == 0)
+  }
+
+  test("every corruption mode of a present _codebooks sidecar is IllegalStateException") {
+    import spark.implicits._
+    val df = (0L until 32L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 8 + j).toFloat / 100f)))
+      .toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(df, "vec_id", "embedding", nlist = 4)
+    val pqCb = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 2, ks = 4)
+    val out = java.nio.file.Files.createTempDirectory("graft_cb_noivf").toString + "/layout"
+    Similarity.writeIvfPqPartitioned(df, "vec_id", "embedding", ivfCb, pqCb, out)
+    // hand-corrupt: strip the 'ivf' rows, keep the 'pq' tables — the
+    // missing-ivf face must be the SAME exception type as the
+    // missing-kind and unreadable-sidecar faces (one catch covers all)
+    val kept = spark.read.parquet(out + "/_codebooks")
+      .where(col("kind") =!= "ivf").collect()
+    val schema = spark.read.parquet(out + "/_codebooks").schema
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(kept.toSeq), schema)
+      .coalesce(1).write.mode("overwrite").parquet(out + "/_codebooks")
+    val e = intercept[IllegalStateException] {
+      Similarity.readIvfPqCodebooks(spark, out)
+    }
+    assert(e.getMessage.contains("no 'ivf'"), e.getMessage)
+    assert(e.getMessage.contains("kinds present: pq"), e.getMessage)
+  }
 }
