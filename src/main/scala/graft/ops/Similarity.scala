@@ -868,7 +868,9 @@ object Similarity {
     * drifts as the ingested distribution leaves the trained one; the
     * rebuild cadence (re-train + [[writeIvfPqPartitioned]]) is the
     * caller's policy, exactly as in FAISS's IndexIVFPQ `add` vs
-    * re-`train`.
+    * re-`train` — and [[ivfPqDistortion]] / [[quantizationDrift]] is
+    * the number to set that policy by (mean ADC reconstruction error,
+    * batch vs trained corpus).
     */
   def appendIvfPq(batch: DataFrame, idCol: String, vecCol: String,
       ivfCb: IvfCodebook, pqCb: PqCodebooks, out: String,
@@ -947,6 +949,84 @@ object Similarity {
     ivfPqResidualCoded(batch, idCol, vecCol, ivfCb, rcb, cellCol, codeCol, keep)
       .write.mode("append").partitionBy(cellCol).parquet(out)
   }
+
+  /** Per-row PQ quantization error: the squared L2 distance between
+    * the vector and its nearest codebook entry, summed across the m
+    * subspaces in order — the ADC reconstruction error of the code
+    * [[pqCode]] would assign (the argmin distance IS the error, so no
+    * code round-trip is needed). A narrow fully-codegen projection of
+    * the inlined tables, like the encode itself.
+    */
+  private def pqDistortionCol(vec: Column, cb: PqCodebooks): Column = {
+    val dsub = cb(0)(0).length
+    cb.indices.map { mi =>
+      val ds = cb(mi).map(c =>
+        GraftFunctions.vec_l2sq_slice(vec, vecLit(c), lit(mi * dsub)))
+      if (ds.length == 1) ds.head else least(ds.toIndexedSeq: _*)
+    }.reduceLeft(_ + _)
+  }
+
+  /** Mean ADC reconstruction error of a corpus under a quantizer —
+    * THE number behind [[appendIvfPq]] / [[appendIvfPqResidual]]'s
+    * "rebuild cadence is the caller's policy": quantization error
+    * drifts upward as the ingested distribution leaves the trained
+    * one, and this metric is how the caller sets the re-train
+    * threshold (FAISS's `IndexIVFPQ` exposes the same diagnostic as
+    * imbalance/quantization-error stats).
+    *
+    * `residual = false` scores raw-vector PQ codes ([[pqCode]] under
+    * `cb`); `residual = true` scores residual codes (`v -
+    * centroid(cell(v))` under the residual tables — the
+    * [[writeIvfPqResidualPartitioned]] encoder). Cost: ONE narrow
+    * codegen'd pass + a map-side partial average — only (sum, count)
+    * partials leave an executor, never rows (the [[trainIvfCodebook]]
+    * aggregation discipline in its DataFrame form).
+    */
+  def ivfPqDistortion(df: DataFrame, vecCol: String,
+      ivfCb: IvfCodebook, cb: PqCodebooks, residual: Boolean): Double = {
+    val err =
+      if (!residual) pqDistortionCol(col(vecCol), cb)
+      else {
+        // the residual projection is materialized once per row (the
+        // ivfPqResidualCoded discipline), then scored
+        pqDistortionCol(col("__res"), cb)
+      }
+    val projected =
+      if (!residual) df.select(err.as("__e"))
+      else df
+        .select(transform(col(vecCol), x => x.cast("double")).as("__v"),
+          ivfCell(ivfCb, col(vecCol)).as("__cell"))
+        .withColumn("__res",
+          zip_with(col("__v"), cellCentroid(ivfCb, col("__cell")), (a, b) => a - b))
+        .select(err.as("__e"))
+    projected.agg(avg("__e")).head().getDouble(0)
+  }
+
+  /** The DRIFT REPORT — [[ivfPqDistortion]] for BOTH quantizer kinds,
+    * split by a cohort column (trained corpus vs appended batch): one
+    * row per cohort with the mean raw-PQ and residual-PQ
+    * reconstruction errors. An appended cohort whose errors sit well
+    * above the corpus cohort's is the rebuild signal; `rpq_err <
+    * pq_err` on clustered data is the residual quantizer earning its
+    * keep (both inequalities spec-asserted).
+    *
+    * One narrow codegen'd pass over the union of both kinds' error
+    * projections + a tiny hash aggregate (cohort cardinality rows):
+    * no join, no window, nothing driver-side.
+    */
+  def quantizationDrift(df: DataFrame, vecCol: String, cohortCol: String,
+      ivfCb: IvfCodebook, pqCb: PqCodebooks, rcb: PqCodebooks): DataFrame =
+    df.select(col(cohortCol).as("cohort"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"),
+        ivfCell(ivfCb, col(vecCol)).as("__cell"))
+      .withColumn("__res",
+        zip_with(col("__v"), cellCentroid(ivfCb, col("__cell")), (a, b) => a - b))
+      .select(col("cohort"),
+        pqDistortionCol(col("__v"), pqCb).as("__epq"),
+        pqDistortionCol(col("__res"), rcb).as("__erpq"))
+      .groupBy("cohort")
+      .agg(round(avg("__epq"), 6).as("pq_err"),
+        round(avg("__erpq"), 6).as("rpq_err"))
 
   /** IVF-PQ top-k answered FROM an at-rest layout
     * ([[writeIvfPqPartitioned]] + any number of [[appendIvfPq]]

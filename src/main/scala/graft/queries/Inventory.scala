@@ -180,7 +180,8 @@ object Inventory extends InventoryCrawl {
     "q147_ann_residual" -> (q147 _),
     "q148_ann_residual_atrest" -> (q148 _),
     "q149_ann_tombstone" -> (q149 _),
-    "q150_neardup_tombstone" -> (q150 _))
+    "q150_neardup_tombstone" -> (q150 _),
+    "q151_quant_drift" -> (q151 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1329,6 +1330,63 @@ object Inventory extends InventoryCrawl {
            |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
            |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
            |ORDER BY id_a, id_b""".stripMargin,
+      // q151: the drift metric — per-(vector, subspace) distance to
+      // EVERY codebook entry (the proven q129/q148 `sub` arithmetic),
+      // min over entries (the argmin distance IS the ADC
+      // reconstruction error — no code round-trip), summed in
+      // subspace order (the proven list(... ORDER BY m) fold),
+      // averaged per cohort; codebook CTEs corpus-restricted (the
+      // q138/q148 append play)
+      "q151_quant_drift" ->
+        """WITH cmeta AS (
+          |  SELECT vec_id AS cent_id, embedding AS cvec,
+          |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS cnorm
+          |  FROM embeddings WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 16),
+          |assigned AS (
+          |  SELECT e.vec_id, e.embedding, c.cent_id,
+          |    list_sum(list_transform(generate_series(1, 64),
+          |             i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE))
+          |      / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in e.embedding])) * c.cnorm)
+          |      AS cos_c
+          |  FROM embeddings e CROSS JOIN cmeta c
+          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          |                             ORDER BY cos_c DESC, c.cent_id) = 1),
+          |cb AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS c
+          |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
+          |        ORDER BY vec_id LIMIT 16)),
+          |rcb AS (
+          |  SELECT row_number() OVER (ORDER BY a.vec_id) - 1 AS j,
+          |    list_transform(generate_series(1, 64),
+          |      i -> a.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE) AS r
+          |  FROM (SELECT vec_id, embedding, cent_id FROM assigned
+          |        WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 16) a
+          |  JOIN cmeta c USING (cent_id)),
+          |sub_pq AS (
+          |  SELECT e.vec_id, m.m, cb.j,
+          |    list_sum(list_transform(generate_series(1, 8),
+          |      i -> (e.embedding[m.m*8+i]::DOUBLE - cb.c[m.m*8+i]::DOUBLE) *
+          |           (e.embedding[m.m*8+i]::DOUBLE - cb.c[m.m*8+i]::DOUBLE))) AS d
+          |  FROM embeddings e CROSS JOIN generate_series(0, 7) m(m) CROSS JOIN cb),
+          |min_pq AS (SELECT vec_id, m, min(d) AS dm FROM sub_pq GROUP BY 1, 2),
+          |err_pq AS (SELECT vec_id, list_sum(list(dm ORDER BY m)) AS e
+          |           FROM min_pq GROUP BY 1),
+          |sub_rpq AS (
+          |  SELECT a.vec_id, m.m, rb.j,
+          |    list_sum(list_transform(generate_series(1, 8),
+          |      i -> ((a.embedding[m.m*8+i]::DOUBLE - c.cvec[m.m*8+i]::DOUBLE) -
+          |              rb.r[m.m*8+i]) *
+          |           ((a.embedding[m.m*8+i]::DOUBLE - c.cvec[m.m*8+i]::DOUBLE) -
+          |              rb.r[m.m*8+i]))) AS d
+          |  FROM assigned a JOIN cmeta c USING (cent_id)
+          |  CROSS JOIN generate_series(0, 7) m(m) CROSS JOIN rcb rb),
+          |min_rpq AS (SELECT vec_id, m, min(d) AS dm FROM sub_rpq GROUP BY 1, 2),
+          |err_rpq AS (SELECT vec_id, list_sum(list(dm ORDER BY m)) AS e
+          |            FROM min_rpq GROUP BY 1)
+          |SELECT CASE WHEN p.vec_id % 5 = 0 THEN 'batch' ELSE 'corpus' END AS cohort,
+          |  round(avg(p.e), 6) AS pq_err, round(avg(r.e), 6) AS rpq_err
+          |FROM err_pq p JOIN err_rpq r USING (vec_id)
+          |GROUP BY 1 ORDER BY cohort""".stripMargin,
       // q136: the classification restated from the synthesis
       // arithmetic over a full-outer id join — removed = %10==3,
       // changed = %10==7, added = the +1000000 twins of %10==4

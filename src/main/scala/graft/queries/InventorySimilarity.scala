@@ -308,6 +308,35 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
   }
 
 
+  /** QUANTIZATION-DRIFT metric ([[Similarity.quantizationDrift]] —
+    * round 17): the number behind [[Similarity.appendIvfPq]]'s
+    * "rebuild cadence is the caller's policy". Codebooks (coarse, raw
+    * PQ and residual PQ — the q132/q148 deterministic stand-ins) are
+    * built on the corpus half (vec_id % 5 != 0), and the report is
+    * the mean ADC reconstruction error of BOTH quantizer kinds split
+    * by cohort: the trained corpus vs the appended batch (vec_id %
+    * 5 = 0) — exactly the two numbers whose gap triggers a re-train.
+    * The oracle restates the error arithmetic from the proven
+    * q129/q148 CTEs: per-(vector, subspace) the distance to EVERY
+    * codebook entry, min over entries (the argmin distance IS the
+    * reconstruction error — no code round-trip), summed in subspace
+    * order, averaged per cohort.
+    */
+  private[queries] def q151(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val corpus = emb.where(col("vec_id") % 5 =!= 0)
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 16)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, ks = 16)
+    val rcb = Similarity.residualPqCodebooks(corpus, "vec_id", "embedding",
+      ivfCb, m = 8, ks = 16)
+    Similarity.quantizationDrift(
+      emb.withColumn("cohort",
+        when(col("vec_id") % 5 === 0, lit("batch")).otherwise(lit("corpus"))),
+      "embedding", "cohort", ivfCb, pqCb, rcb)
+      .orderBy(col("cohort"))
+  }
+
+
   /** SemDeDup ([[Similarity.semDedup]], arXiv:2303.09540): semantic
     * dedup = IVF-cell clustering (the q37 deterministic codebook, so
     * the oracle can reproduce the assignment) → within-cell exact

@@ -1845,6 +1845,70 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(x("a <p title=don't>x</p> 'q' b") == "a x 'q' b")
   }
 
+  test("ivfPqDistortion: drift rises off-distribution; residual beats raw on clustered data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(57)
+    val dim = 16
+    // four well-separated clusters — the data shape IVF-PQ is for
+    val centers = Array.tabulate(4)(c =>
+      Array.tabulate(dim)(j => if (j % 4 == c) 4.0 else 0.0))
+    def sample(n: Int, off: Double, base: Long) = (0 until n).map { i =>
+      val c = centers(i % 4)
+      (base + i, Array.tabulate(dim)(j =>
+        (c(j) + rnd.nextGaussian() * 0.3 + off).toFloat))
+    }
+    val corpus = sample(200, 0.0, 0L).toDF("vec_id", "embedding")
+    val ivfCb = Similarity.trainIvfCodebook(corpus, "vec_id", "embedding", nlist = 4)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    val rcb = Similarity.residualPqCodebooks(corpus, "vec_id", "embedding",
+      ivfCb, m = 4, ks = 8)
+    // an appended batch from the TRAINED distribution scores like the
+    // corpus; a shifted batch scores measurably worse — the rebuild
+    // signal appendIvfPq's scaladoc prices
+    val inDist = sample(60, 0.0, 1000L).toDF("vec_id", "embedding")
+    val shifted = sample(60, 3.0, 2000L).toDF("vec_id", "embedding")
+    val dIn = Similarity.ivfPqDistortion(inDist, "embedding", ivfCb, pqCb,
+      residual = false)
+    val dShift = Similarity.ivfPqDistortion(shifted, "embedding", ivfCb, pqCb,
+      residual = false)
+    assert(dShift > dIn * 1.5, s"shifted $dShift vs in-dist $dIn")
+    // residual quantization beats raw-vector PQ on clustered data:
+    // with more clusters than ks samples, raw PQ pays the full
+    // cluster separation for every uncovered cluster, while residuals
+    // concentrate near the origin for ALL cells (same deterministic
+    // ks-sample discipline for both codebooks; one coarse sample per
+    // cluster, so residuals really are within-cluster noise)
+    val cdim = 16; val nCenters = 16
+    def ccenter(c: Int): Array[Double] = Array.tabulate(cdim)(i =>
+      (scala.util.hashing.MurmurHash3.productHash((c, i)) % 1000) / 500.0)
+    val crows = (0L until 320L).map { id =>
+      val c = (id % nCenters).toInt
+      (id, Array.tabulate(cdim)(i =>
+        (ccenter(c)(i) + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cIvf = Similarity.ivfCodebook(crows, "vec_id", "embedding", nlist = 16)
+    val cPq = Similarity.pqCodebooks(crows, "vec_id", "embedding", m = 4, ks = 8)
+    val cRcb = Similarity.residualPqCodebooks(crows, "vec_id", "embedding",
+      cIvf, m = 4, ks = 8)
+    val dRaw = Similarity.ivfPqDistortion(crows, "embedding", cIvf, cPq,
+      residual = false)
+    val dRes = Similarity.ivfPqDistortion(crows, "embedding", cIvf, cRcb,
+      residual = true)
+    assert(dRes < dRaw, s"residual $dRes vs raw $dRaw")
+    // the report face splits the same numbers by cohort, both kinds
+    val rep = Similarity.quantizationDrift(
+      corpus.withColumn("cohort", lit("corpus"))
+        .unionByName(shifted.withColumn("cohort", lit("batch"))),
+      "embedding", "cohort", ivfCb, pqCb, rcb)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rep("batch")._1 > rep("corpus")._1, s"raw drift not visible: $rep")
+    assert(rep("batch")._2 > rep("corpus")._2, s"residual drift not visible: $rep")
+    // the report's per-cohort mean is the scalar face's number
+    val dCorpusRaw = Similarity.ivfPqDistortion(corpus, "embedding",
+      ivfCb, pqCb, residual = false)
+    assert(math.abs(rep("corpus")._1 - dCorpusRaw) < 1e-5)
+  }
+
   test("snapshotDiff 'removed' drives both compactions end to end") {
     import spark.implicits._
     // the wiring the q149/q150 scaladocs call "the natural producer":
