@@ -132,6 +132,82 @@ object Packing {
     (out, () => { ranged.unpersist(blocking = false); () })
   }
 
+  /** BOUNDARY-RESPECTING sequence packing — first-fit-decreasing bin
+    * packing of whole documents into fixed token-budget bins: what
+    * context-window training prep runs when documents must NOT be
+    * split across sequences (the complement of [[contiguous]], which
+    * concat-and-chunks straight through boundaries).
+    *
+    * Semantics: documents are assigned to deterministic SHARDS
+    * (`id mod shards` — a semantic parameter of the operator, NOT the
+    * Spark partition count, so the answer is identical on 1 core or
+    * 1000 executors), and within each shard exact FFD runs over
+    * (tokens desc, id asc): each document lands in the FIRST bin with
+    * enough remaining capacity, else opens a new bin. (shard, bin) is
+    * the global bin key; `bin_off` is the bin fill before placement.
+    *
+    * Why sharded: global FFD is inherently sequential — first-fit
+    * needs the ordered list of ALL open bins (O(#bins) = O(n) state),
+    * so no per-partition summary can carry it and a "global" version
+    * would be a driver loop in disguise. Sharding keeps the exact
+    * greedy INSIDE each shard and makes the whole operator one hash
+    * exchange on the shard key + embarrassingly parallel per-shard
+    * packs; each shard sees an id-hash slice of the full size
+    * distribution, so FFD's 11/9·OPT + 6/9 guarantee (Dósa 2007)
+    * applies per shard and waste stays bounded by shards·O(1) bins
+    * over optimal. Size `shards` so a shard's (id, tokens) pairs fit
+    * one task's memory — 16 bytes/doc, so even 10M docs/shard is
+    * 160 MB; at 100 TB the caller raises `shards`, never this code.
+    *
+    * A document larger than `capacity` can never pack — the task
+    * fails with a curated error naming the offender (half-open
+    * filtering or [[slidingWindows]] first is the caller's fix).
+    *
+    * @return (idCol, tokens, shard, bin, bin_off), ordered arbitrarily
+    */
+  def ffdPack(df: DataFrame, idCol: String, tokensCol: String,
+      capacity: Long, shards: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(shards > 0, "shards must be positive")
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val idType = df.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"idCol must be integral (shard = id mod shards), got $idType")
+    val tokType = df.schema(tokensCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType).contains(tokType),
+      s"tokensCol must be integral (token counts), got $tokType")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(tokensCol).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey { case (id, _) => java.lang.Math.floorMod(id, shards.toLong) }
+      .flatMapGroups { (shard: Long, it: Iterator[(Long, Long)]) =>
+        // FFD: sort desc by size (ties by id), first bin that fits.
+        // The classic linear scan is O(items x bins) — fine for the
+        // thousands-of-bins a sanely-sized shard holds; a tree-of-max
+        // would drop it to O(items log bins) without changing the
+        // assignment.
+        val items = it.toArray.sortBy { case (id, t) => (-t, id) }
+        val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        items.iterator.map { case (id, t) =>
+          if (t > capacity)
+            throw new IllegalArgumentException(
+              s"ffdPack: document $id has $t tokens > capacity $capacity " +
+                "and can never pack whole; filter oversize documents " +
+                "first or chunk them (slidingWindows) before packing")
+          var b = 0
+          while (b < rem.length && rem(b) < t) b += 1
+          val off =
+            if (b < rem.length) { val o = capacity - rem(b); rem(b) -= t; o }
+            else { rem += capacity - t; 0L }
+          (id, t, shard, b.toLong, off)
+        }
+      }
+      .toDF(idCol, "tokens", "shard", "bin", "bin_off")
+  }
+
   /** Overlapping fixed-size character windows — context-window
     * chunking for embedding/retrieval pipelines: windows start every
     * `stride` chars; a document no longer than `window` yields exactly

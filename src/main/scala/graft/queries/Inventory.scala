@@ -181,7 +181,8 @@ object Inventory extends InventoryCrawl {
     "q148_ann_residual_atrest" -> (q148 _),
     "q149_ann_tombstone" -> (q149 _),
     "q150_neardup_tombstone" -> (q150 _),
-    "q151_quant_drift" -> (q151 _))
+    "q151_quant_drift" -> (q151 _),
+    "q153_ffd_packing" -> (q153 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -2540,6 +2541,43 @@ object Inventory extends InventoryCrawl {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0)
           |    AS BIGINT) AS seq_id
           |FROM documents
+          |ORDER BY doc_id""".stripMargin,
+      // q153: the exact per-shard FFD greedy as a recursive CTE —
+      // state per (shard, step) is the ordered list of bin
+      // remainders; fbi = the 1-based first bin that fits (NULL =
+      // open a new bin); the engine's sharded flatMapGroups must land
+      // on the identical assignment row for row
+      "q153_ffd_packing" ->
+        """WITH RECURSIVE base AS (
+          |  SELECT doc_id, doc_id % 8 AS shard, CAST(n_chars AS BIGINT) AS t,
+          |    CAST(row_number() OVER (PARTITION BY doc_id % 8
+          |                            ORDER BY n_chars DESC, doc_id) AS BIGINT) AS k
+          |  FROM documents),
+          |pack AS (
+          |  SELECT shard, CAST(0 AS BIGINT) AS k, []::BIGINT[] AS rem,
+          |         NULL::BIGINT AS doc_id, NULL::BIGINT AS t,
+          |         NULL::BIGINT AS bin, NULL::BIGINT AS bin_off
+          |  FROM (SELECT DISTINCT doc_id % 8 AS shard FROM documents)
+          |  UNION ALL
+          |  SELECT shard, k,
+          |    CASE WHEN fbi IS NULL THEN list_append(rem, 2048 - t)
+          |         ELSE list_transform(range(1, len(rem) + 1),
+          |                i -> CASE WHEN i = fbi THEN rem[i] - t
+          |                     ELSE rem[i] END)
+          |    END AS rem,
+          |    doc_id, t,
+          |    CASE WHEN fbi IS NULL THEN CAST(len(rem) AS BIGINT)
+          |         ELSE fbi - 1 END AS bin,
+          |    CASE WHEN fbi IS NULL THEN CAST(0 AS BIGINT)
+          |         ELSE 2048 - rem[CAST(fbi AS INTEGER)] END AS bin_off
+          |  FROM (
+          |    SELECT p.shard, b.k, p.rem, b.doc_id, b.t,
+          |      list_min([i for i in range(1, len(p.rem) + 1)
+          |                if p.rem[i] >= b.t]) AS fbi
+          |    FROM pack p
+          |    JOIN base b ON b.shard = p.shard AND b.k = p.k + 1))
+          |SELECT doc_id, t AS tokens, shard, bin, bin_off
+          |FROM pack WHERE doc_id IS NOT NULL
           |ORDER BY doc_id""".stripMargin,
       // relational statement of the map round-trip: same tokenizer as
       // the engine (strip non-alnum, lowercase, split), HAVING >= 5

@@ -97,6 +97,22 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
       .orderBy(col("doc_id"), col("epoch"))
 
 
+  /** BOUNDARY-RESPECTING packing ([[Packing.ffdPack]] — round 17):
+    * first-fit-decreasing whole-document bin packing into 2048-token
+    * bins over 8 id-mod shards — the context-window prep that never
+    * splits a document (q64's contiguous packing does). The oracle
+    * replays the exact greedy recurrence per shard as a recursive
+    * CTE: items in (tokens desc, id) order, state = the ordered list
+    * of bin remainders, first bin that fits else append — so the
+    * shard assignment, the decreasing order, the first-fit election
+    * AND the running remainders are all load-bearing per row.
+    */
+  private[queries] def q153(s: SparkSession, d: String): DataFrame =
+    Packing.ffdPack(t(s, d, "documents"), "doc_id", "n_chars",
+        capacity = 2048, shards = 8)
+      .orderBy(col("doc_id"))
+
+
   /** Context-window chunking ([[Packing.slidingWindows]]): 200-char
     * windows every 150 chars — the embedding-pipeline chunker. */
   private[queries] def q71(s: SparkSession, d: String): DataFrame =

@@ -1845,6 +1845,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(x("a <p title=don't>x</p> 'q' b") == "a x 'q' b")
   }
 
+  test("ffdPack: whole-doc FFD — capacity respected, offsets consistent, partitioning-independent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val docs = (0L until 400L).map(i => (i, 40L + rnd.nextInt(560))).toDF("doc_id", "n_chars")
+    val out = graft.ops.Packing.ffdPack(docs, "doc_id", "n_chars",
+      capacity = 1024, shards = 4)
+    val rows = out.as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 400 && rows.map(_._1).distinct.length == 400)
+    // bins never exceed capacity; bin_off is the exact running fill
+    rows.groupBy(r => (r._3, r._4)).foreach { case (bin, members) =>
+      val total = members.map(_._2).sum
+      assert(total <= 1024, s"bin $bin overflows: $total")
+      val byOff = members.sortBy(_._5)
+      assert(byOff.head._5 == 0L, s"bin $bin does not start at 0")
+      byOff.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 + a._2 == b._5, s"bin $bin offsets not contiguous")
+        case _ =>
+      }
+      assert(byOff.last._5 + byOff.last._2 == total)
+    }
+    // documents are never split: one row per doc, its whole size packed
+    assert(rows.map(_._2).sum == docs.agg(sum("n_chars")).head.getLong(0))
+    // shard = id mod shards — a semantic parameter, NOT spark
+    // partitioning: any input layout computes the identical answer
+    val re = graft.ops.Packing.ffdPack(docs.repartition(13), "doc_id",
+      "n_chars", capacity = 1024, shards = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(re.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+    // no single-partition collapse anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    // an oversize document refuses with a curated error
+    val big = Seq((0L, 2000L)).toDF("doc_id", "n_chars")
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.ops.Packing.ffdPack(big, "doc_id", "n_chars",
+        capacity = 1024, shards = 2).collect()
+    }
+    assert(e.getCause.getMessage.contains("can never pack whole"),
+      e.getCause.getMessage)
+  }
+
   test("ivfPqDistortion: drift rises off-distribution; residual beats raw on clustered data") {
     import spark.implicits._
     val rnd = new scala.util.Random(57)
