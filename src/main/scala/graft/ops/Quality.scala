@@ -362,6 +362,101 @@ object Quality {
     *              alphanumeric)
     * @return (idCol, dl, bm25) — dl the token count, bm25 rounded 6 dp
     */
+  /** The vendored hashed-linear quality model: (buckets, bias,
+    * weights) from `graft/quality_weights.tsv` — trained offline by
+    * `tools/train_quality.py` (fastText-style mean-pooled hashed
+    * unigram+bigram logistic model, Joulin et al. 2017, over the
+    * engine's `hashed_grams` feature hash; deterministic, regenerable
+    * with no network — the `bpe_merges.tsv` vendoring play). KB-sized
+    * and loaded once per JVM.
+    */
+  lazy val hashedLinearModel: (Int, Double, Array[Double]) = {
+    val in = getClass.getResourceAsStream("/graft/quality_weights.tsv")
+    require(in != null, "vendored quality_weights.tsv missing from resources")
+    val rows =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filterNot(l => l.startsWith("#") || l.isEmpty)
+        .map(_.split("\t", 2)).toArray
+      finally in.close()
+    def field(k: String): String = rows
+      .collectFirst { case Array(`k`, v) => v }
+      .getOrElse(sys.error(s"quality_weights.tsv: missing '$k' line"))
+    val buckets = field("buckets").toInt
+    val bias = field("bias").toDouble
+    val w = new Array[Double](buckets)
+    rows.foreach {
+      case Array(k, v) if k.nonEmpty && k.forall(_.isDigit) =>
+        w(k.toInt) = v.toDouble
+      case _ =>
+    }
+    (buckets, bias, w)
+  }
+
+  /** fastText-style hashed-linear quality score (Joulin et al. 2017;
+    * the architecture of the CCNet / web-corpus quality classifiers):
+    * `p = sigmoid(bias + mean over gram occurrences of
+    * weights[bucket(gram)])` with the engine's `hashed_grams`
+    * unigram+bigram md5 buckets as the feature hash. The standard
+    * corpus-quality STAGE the rule-based family (gopherFilter,
+    * TextStats scores) cannot express: a trained decision boundary
+    * over n-gram evidence, swappable for any production-trained
+    * (bias, weights) table without touching the scorer.
+    *
+    * Scale shape: the weight table is inlined as an array literal
+    * (8 KB at 1024 buckets — the IVF-codebook inlining discipline),
+    * so scoring is ONE narrow per-row projection: hash the grams,
+    * fold the lookups, sigmoid — no explode, no join, no shuffle,
+    * nothing driver-side; a gramless document scores
+    * `sigmoid(bias)`. At fastText-production bucket counts (2M+),
+    * inlining would blow the codegen budget — the explode +
+    * broadcast-join form is the alternative at that scale (the
+    * weights frame broadcasts; one exchange of (doc, bucket) rows).
+    *
+    * @return (idCol, quality_prob rounded 6 dp, keep = prob >= 0.5)
+    */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+      bias: Double, weights: Array[Double]): DataFrame = {
+    val prob = hashedLinearProb(col(textCol), bias, weights)
+    // threshold on the ROUNDED probability (the q18 round-then-compare
+    // discipline): exp() may differ by an ulp across engines, and an
+    // unrounded >= 0.5 gate would let that flip a label
+    df.select(col(idCol),
+      round(prob, 6).as("quality_prob"),
+      (round(prob, 6) >= 0.5).as("keep"))
+  }
+
+  /** The classifier probability as a composable COLUMN — the form a
+    * pipeline gates on (`where(hashedLinearProb(...) >= 0.5)`, q98's
+    * seat) without materializing a score frame.
+    */
+  def hashedLinearProb(text: Column, bias: Double,
+      weights: Array[Double]): Column = {
+    import graft.functions.GraftFunctions
+    require(weights.nonEmpty, "weights must be non-empty")
+    val wLit = array(weights.toIndexedSeq.map(lit): _*)
+    val grams = GraftFunctions.hashed_grams(text, weights.length)
+    val n = size(grams)
+    val z = lit(bias) + when(n > 0,
+      aggregate(grams, lit(0.0),
+        (acc, g) => acc + element_at(wLit, g.cast("int") + 1)) / n.cast("double"))
+      .otherwise(lit(0.0))
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** [[hashedLinearProb]] with the vendored model. */
+  def hashedLinearProbVendored(text: Column): Column = {
+    val (_, bias, w) = hashedLinearModel
+    hashedLinearProb(text, bias, w)
+  }
+
+  /** [[hashedLinearScore]] with the vendored model
+    * ([[hashedLinearModel]]) — the ready-to-run classifier face.
+    */
+  def hashedLinearQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (_, bias, w) = hashedLinearModel
+    hashedLinearScore(df, idCol, textCol, bias, w)
+  }
+
   def bm25(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")

@@ -182,6 +182,7 @@ object Inventory extends InventoryCrawl {
     "q149_ann_tombstone" -> (q149 _),
     "q150_neardup_tombstone" -> (q150 _),
     "q151_quant_drift" -> (q151 _),
+    "q152_quality_classifier" -> (q152 _),
     "q153_ffd_packing" -> (q153 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
@@ -1845,7 +1846,11 @@ object Inventory extends InventoryCrawl {
       // is checked is the COMPOSITION (html extract -> nfc -> length
       // gate -> exact-dedup winner election -> deterministic sample),
       // each stage reusing its own query's proven oracle form
-      "q98_clean_pipeline" ->
+      "q98_clean_pipeline" -> {
+        // the q152 classifier gate, inserted after the length gate:
+        // same vendored bias/weights constants, same rounded threshold
+        val (_, q98bias, q98w) = graft.ops.Quality.hashedLinearModel
+        val q98wl = q98w.mkString("[", ", ", "]")
         s"""WITH h AS (
            |  SELECT doc_id, $htmlSyn AS html
            |  FROM documents),
@@ -1853,12 +1858,32 @@ object Inventory extends InventoryCrawl {
            |c AS (SELECT doc_id,
            |        nfc_normalize('$NfcPrefix' || ${entityWs("t")}) AS clean FROM x),
            |f AS (SELECT doc_id, clean FROM c WHERE length(clean) >= 120),
-           |w AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(clean))
-           |SELECT f.doc_id, md5(f.clean) AS clean_md5,
-           |  CAST(length(f.clean) AS BIGINT) AS n_clean
-           |FROM f JOIN w ON f.doc_id = w.doc_id
-           |WHERE ${md5h("'s:' || CAST(f.doc_id AS VARCHAR)")} % 10 < 3
-           |ORDER BY f.doc_id""".stripMargin,
+           |tk AS (SELECT doc_id,
+           |         list_filter(string_split_regex(
+           |             lower(regexp_replace(clean, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+           |           x -> x <> '') AS w
+           |       FROM f),
+           |gr AS (SELECT doc_id, unnest(w) AS g FROM tk
+           |       UNION ALL
+           |       SELECT doc_id,
+           |              unnest(list_transform(range(1, len(w)),
+           |                     i -> w[i] || ' ' || w[i + 1])) AS g
+           |       FROM tk),
+           |bk AS (SELECT doc_id, CAST(${md5h("g")} % 1024 AS BIGINT) AS bk FROM gr),
+           |qa AS (SELECT doc_id, count(*) AS n,
+           |              sum(wl.l[CAST(bk AS INTEGER) + 1]) AS sw
+           |       FROM bk, (SELECT $q98wl AS l) wl GROUP BY doc_id),
+           |fq AS (SELECT f.doc_id, f.clean
+           |       FROM f LEFT JOIN qa USING (doc_id)
+           |       WHERE round(1.0 / (1.0 + exp(-($q98bias +
+           |               coalesce(qa.sw / qa.n, 0.0)))), 6) >= 0.5),
+           |w AS (SELECT min(doc_id) AS doc_id FROM fq GROUP BY md5(clean))
+           |SELECT fq.doc_id, md5(fq.clean) AS clean_md5,
+           |  CAST(length(fq.clean) AS BIGINT) AS n_clean
+           |FROM fq JOIN w ON fq.doc_id = w.doc_id
+           |WHERE ${md5h("'s:' || CAST(fq.doc_id AS VARCHAR)")} % 10 < 3
+           |ORDER BY fq.doc_id""".stripMargin
+      },
       // q140: q136's mutation CTEs (the current snapshot) feeding
       // q98's five stage CTEs — the incremental refresh must equal
       // running the whole clean pipeline on the current snapshot from
@@ -2542,6 +2567,36 @@ object Inventory extends InventoryCrawl {
           |    AS BIGINT) AS seq_id
           |FROM documents
           |ORDER BY doc_id""".stripMargin,
+      // q152: the classifier restated — q79's proven gram/bucket CTEs,
+      // the vendored bias/weights interpolated as constants from the
+      // SAME doubles the engine loads (Double.toString round-trips),
+      // mean pooling as sum/count, sigmoid on both sides
+      "q152_quality_classifier" -> {
+        val (_, bias, w) = graft.ops.Quality.hashedLinearModel
+        val wl = w.mkString("[", ", ", "]")
+        s"""WITH tok AS (SELECT doc_id, $toks AS w FROM documents),
+           |grams AS (
+           |  SELECT doc_id, unnest(w) AS g FROM tok
+           |  UNION ALL
+           |  SELECT doc_id,
+           |         unnest(list_transform(range(1, len(w)),
+           |                i -> w[i] || ' ' || w[i + 1])) AS g
+           |  FROM tok),
+           |b AS (
+           |  SELECT doc_id, CAST(${md5h("g")} % 1024 AS BIGINT) AS bk
+           |  FROM grams),
+           |agg AS (
+           |  SELECT doc_id, count(*) AS n,
+           |         sum(wl.l[CAST(bk AS INTEGER) + 1]) AS sw
+           |  FROM b, (SELECT $wl AS l) wl GROUP BY doc_id),
+           |z AS (
+           |  SELECT d.doc_id,
+           |    $bias + coalesce(a.sw / a.n, 0.0) AS z
+           |  FROM documents d LEFT JOIN agg a USING (doc_id))
+           |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality_prob,
+           |  (round(1.0 / (1.0 + exp(-z)), 6) >= 0.5) AS keep
+           |FROM z ORDER BY doc_id""".stripMargin
+      },
       // q153: the exact per-shard FFD greedy as a recursive CTE —
       // state per (shard, step) is the ordered list of bin
       // remainders; fbi = the 1-based first bin that fits (NULL =

@@ -97,6 +97,23 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
       .orderBy(col("doc_id"), col("epoch"))
 
 
+  /** Hashed-linear quality classifier ([[Quality.hashedLinearQuality]]
+    * — round 17): the fastText-style trained scorer (Joulin et al.
+    * 2017) over the vendored offline-trained weights
+    * (`quality_weights.tsv`, regenerable by `tools/train_quality.py`)
+    * — the one standard corpus-quality stage the rule-based family
+    * (q19/q84) lacks: a learned decision boundary over hashed
+    * unigram+bigram evidence. The oracle recomputes the gram buckets
+    * from q79's proven md5 CTEs and interpolates the SAME bias/weight
+    * doubles the engine loads (the q83 constants rule), so the
+    * feature hash, mean pooling, bias and sigmoid are all
+    * load-bearing per row.
+    */
+  private[queries] def q152(s: SparkSession, d: String): DataFrame =
+    Quality.hashedLinearQuality(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+
   /** BOUNDARY-RESPECTING packing ([[Packing.ffdPack]] — round 17):
     * first-fit-decreasing whole-document bin packing into 2048-token
     * bins over 8 id-mod shards — the context-window prep that never
@@ -286,12 +303,16 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
     * ([[Quality.htmlToText]]) → NFC canonicalization
     * ([[GraftFunctions.nfc_normalize]], with q93's decomposed-unicode
     * prefix so the normalizer does real work on every row) → length
-    * gate → exact-dedup winner election ([[Dedup.exactWinners]]) →
-    * deterministic md5-keyed 30% sample (q61's oracle-shared rule).
-    * One shuffle total (the dedup hash agg + semi-join; AQE broadcasts
-    * the winner side) — everything else narrow. The oracle re-runs all
-    * five stages in SQL, so STAGE COMPOSITION is what is checked, not
-    * any one operator.
+    * gate → TRAINED quality gate
+    * ([[Quality.hashedLinearProbVendored]] — the q152 classifier's
+    * composed seat, round 17; rounded-probability threshold, the q18
+    * round-then-compare discipline) → exact-dedup winner election
+    * ([[Dedup.exactWinners]]) → deterministic md5-keyed 30% sample
+    * (q61's oracle-shared rule). One shuffle total (the dedup hash
+    * agg + semi-join; AQE broadcasts the winner side) — everything
+    * else narrow; the classifier gate is a per-row projection at scan
+    * speed. The oracle re-runs all six stages in SQL, so STAGE
+    * COMPOSITION is what is checked, not any one operator.
     */
   private[queries] def q98(s: SparkSession, d: String): DataFrame = {
     val base = t(s, d, "documents")
@@ -299,6 +320,7 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
       .withColumn("clean",
         GraftFunctions.nfc_normalize(concat(lit(NfcPrefix), col("extracted"))))
       .where(length(col("clean")) >= 120)
+      .where(round(Quality.hashedLinearProbVendored(col("clean")), 6) >= 0.5)
     Dedup.exactWinners(base, "doc_id", "clean")
       .where(GraftFunctions.md5_long62(
         concat(lit("s:"), col("doc_id").cast("string"))) % 10 < 3)

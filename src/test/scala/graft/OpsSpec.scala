@@ -1845,6 +1845,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(x("a <p title=don't>x</p> 'q' b") == "a x 'q' b")
   }
 
+  test("hashedLinearQuality: trained classifier separates prose from web junk") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the story of the people in this city was a question of time " +
+        "and the work of the school and the family"),
+      (1L, "research on education and health policy is the result of " +
+        "years of effort by the community and its members"),
+      (2L, "buy cheap now click here free win prize discount offer buy " +
+        "cheap now click here casino bonus deal"),
+      (3L, "home about contact login register privacy cookie terms " +
+        "sitemap search menu next previous page"),
+      (4L, "xkcdq zzfrp qqwrtk bcdfgm nprstv wxzklm qrtpbd fgjklz"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = Quality.hashedLinearQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    // natural prose keeps, confidently
+    assert(out(0L)._2 && out(0L)._1 > 0.8, s"prose: ${out(0L)}")
+    assert(out(1L)._2 && out(1L)._1 > 0.8, s"prose: ${out(1L)}")
+    // spam stuffing and nav chrome drop, confidently
+    assert(!out(2L)._2 && out(2L)._1 < 0.1, s"spam: ${out(2L)}")
+    assert(!out(3L)._2 && out(3L)._1 < 0.1, s"nav: ${out(3L)}")
+    // gibberish drops (hashed buckets it never earned weight for)
+    assert(!out(4L)._2, s"gibberish: ${out(4L)}")
+    // a gramless document scores exactly sigmoid(bias)
+    val (_, bias, _) = Quality.hashedLinearModel
+    assert(math.abs(out(5L)._1 - 1.0 / (1.0 + math.exp(-bias))) < 1e-6)
+  }
+
   test("ffdPack: whole-doc FFD — capacity respected, offsets consistent, partitioning-independent") {
     import spark.implicits._
     val rnd = new scala.util.Random(71)
