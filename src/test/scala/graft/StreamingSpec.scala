@@ -337,4 +337,62 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.size == 40)
     assert(streamed == batch)
   }
+
+  test("streaming incremental near-dup: batches dedup against history, restart resumes") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    val base = tmp("graft_snd").getAbsolutePath
+    val t0 = "the quick brown fox jumps over the lazy dog again and again today"
+    val u1 = "completely different text about distributed query engines and planners"
+    val corpus = Seq(
+      (10L, t0),
+      (11L, "unrelated corpus text nothing shared with anything else at all here"))
+      .toDF("doc_id", "text")
+    corpus.write.parquet(base + "/corpus")
+    graft.ops.Dedup.writeNearDupIndex(corpus, "doc_id", "text", base + "/idx")
+    val srcDir = new java.io.File(base + "/src"); srcDir.mkdirs()
+    def stage(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+      val tmpd = new java.io.File(base + s"/stage$n")
+      df.coalesce(1).write.parquet(tmpd.getAbsolutePath)
+      val part = tmpd.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir.getAbsolutePath, s"b$n.parquet"))
+    }
+    def runStream(): Unit = {
+      val src = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.getAbsolutePath)
+      val q = StreamingDedup.incrementalNearDupStream(src, base + "/corpus",
+        base + "/idx", base + "/out", base + "/ckpt", "doc_id", "text").start()
+      q.awaitTermination(120000)
+    }
+    def verdicts(): Seq[(Long, Long)] = spark.read.parquet(base + "/out")
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSeq.sorted
+    // batch 1: doc 20 near-dups corpus doc 10; doc 21 is new material
+    stage(Seq((20L, t0 + " extra"), (21L, u1)).toDF("doc_id", "text"), 1)
+    runStream()
+    assert(verdicts() == Seq(20L -> 10L))
+    // the batch became history: text landed in the corpus store,
+    // signatures in the index
+    assert(spark.read.parquet(base + "/corpus").count() == 4)
+    // restart from the same checkpoint: batch 1 is NOT reprocessed;
+    // batch 2 dedups against corpus AND batch 1 (30 dups 21 — a doc
+    // the index only knows from the previous micro-batch; 31 dups 10
+    // with min-id election over the {10, 20} candidate set)
+    stage(Seq((30L, u1 + " tail"), (31L, t0)).toDF("doc_id", "text"), 2)
+    runStream()
+    assert(verdicts() == Seq(20L -> 10L, 30L -> 21L, 31L -> 10L))
+    // batch parity: the same batch through the batch face on the same
+    // pre-batch-2 state (index without batch 2, corpus without it)
+    val expected = graft.ops.Dedup.incrementalNearDup(spark, base + "/idx",
+        spark.read.parquet(base + "/corpus")
+          .where(!col("doc_id").isin(30L, 31L)),
+        Seq((30L, u1 + " tail"), (31L, t0)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long)].collect().toSeq.sorted
+    // (the streamed index now also holds batch 2's signatures, so the
+    // batch face sees extra self-candidates — drop self-matches the
+    // way the stream does)
+    assert(expected.filter { case (a, b) => a != b } ==
+      Seq(30L -> 21L, 31L -> 10L))
+  }
 }
