@@ -50,6 +50,25 @@ object Similarity {
 
   private def vecLit(v: Array[Double]): Column = array(v.toIndexedSeq.map(lit): _*)
 
+  /** Ceiling on double literals inlined into one projection (2 MB of
+    * constants). The inlined-codebook discipline is what keeps cell
+    * assignment and ADC ranking narrow codegen'd passes, but Janino
+    * compiles the literals into the generated method — past a few MB
+    * the stage silently falls back to interpreted (or dies on the
+    * 64 KB method limit even with constant-pool splitting), exactly
+    * the cliff SCALE.md's dial warns about. Guarding at plan-build
+    * time turns that silent cliff into a curated refusal naming the
+    * layout that does NOT inline (partition-pruned at-rest probes).
+    */
+  private[ops] val MaxInlinedDoubles: Long = 256L * 1024
+
+  private def requireInlineBudget(doubles: Long, what: String,
+      alternative: String): Unit =
+    require(doubles <= MaxInlinedDoubles,
+      s"$what would inline $doubles double literals into one projection " +
+        s"(codegen budget: $MaxInlinedDoubles, ~2 MB of constants) — " +
+        s"past it the generated stage degrades or fails; $alternative")
+
   /** Cosine of each row's vector vs a constant query vector. */
   def cosineTo(vec: Column, query: Array[Double]): Column =
     GraftFunctions.cosine_similarity(vec, vecLit(query))
@@ -259,6 +278,13 @@ object Similarity {
     * so probes prune the file listing (asserted in BucketingSpec).
     */
   def ivfCell(codebook: IvfCodebook, vec: Column): Column = {
+    requireInlineBudget(
+      codebook.length.toLong * (if (codebook.isEmpty) 0 else codebook(0)._2.length),
+      s"ivfCell (nlist=${codebook.length})",
+      "assign-and-write once with a smaller nlist per pass, or restate " +
+        "the assignment as a broadcast join against the codebook rows " +
+        "— at-rest probes (ivfPqTopKAtRest) never inline the codebook " +
+        "at query time, they prune cell directories by file listing")
     val vnorm = sqrt(GraftFunctions.vec_dot(vec, vec))
     -greatest(codebook.toIndexedSeq.map { case (id, v, n) =>
       struct(
@@ -639,6 +665,17 @@ object Similarity {
       residualPqCodebooks(df, idCol, vecCol, cents, m, ks))
     val centOf = cents.map(c => c._1 -> c._2).toMap
     val dsub = rcb(0)(0).length
+    // the in-flight residual encoder inlines COMBINED tables for every
+    // probed cell — nprobe x m x ks x dsub doubles, the one surface
+    // whose literal volume multiplies by nprobe
+    requireInlineBudget(
+      probed.size.toLong * rcb.length * rcb(0).length * dsub,
+      s"ivfPqResidualTopK (nprobe=${probed.size}, m=${rcb.length}, " +
+        s"ks=${rcb(0).length}, dsub=$dsub)",
+      "lower nprobe, or use the at-rest residual layout " +
+        "(writeIvfPqResidualPartitioned + ivfPqResidualTopKAtRest): its " +
+        "encode inlines only the SHARED m x ks x dsub tables and its " +
+        "probe only nprobe x m x ks ADC entries")
     def combined(cell: Long): PqCodebooks = {
       val cent = centOf(cell)
       Array.tabulate(rcb.length)(mi => rcb(mi).map { c =>
@@ -1077,7 +1114,16 @@ object Similarity {
       filter: Option[Column] = None): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1 (the per-cell CASE chain " +
       "needs at least one probed cell)")
+    // the residual probe inlines one m x ks ADC table PER PROBED CELL
+    // (the CASE chain on the partition column)
     val probed = ivfProbed(ivfCb, query, nprobe)
+    requireInlineBudget(
+      probed.size.toLong * rcb.length * rcb(0).length,
+      s"ivfPqResidualTopKAtRest (nprobe=${probed.size}, m=${rcb.length}, " +
+        s"ks=${rcb(0).length})",
+      "lower nprobe or ks — or split the probe into several " +
+        "lower-nprobe scans over disjoint cell sets and take the " +
+        "k best of their unions")
     val centOf = ivfCb.map(c => c._1 -> c._2).toMap
     val luts = probed.map { c =>
       val cent = centOf(c)

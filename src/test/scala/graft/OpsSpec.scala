@@ -1845,6 +1845,52 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(x("a <p title=don't>x</p> 'q' b") == "a x 'q' b")
   }
 
+  test("codegen budget: an oversized inlined codebook refuses, naming the alternative") {
+    import spark.implicits._
+    val dim = 64
+    // 8192 x 64 = 524288 double literals — past the 256k ceiling; the
+    // guard fires BEFORE any Column is built (constructing the 8192-arm
+    // argmax would already be the damage)
+    val bigIvf: Similarity.IvfCodebook =
+      Array.tabulate(8192)(i => (i.toLong, Array.fill(dim)(1.0), 1.0))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfCell(bigIvf, col("embedding"))
+    }
+    assert(e.getMessage.contains("codegen budget"), e.getMessage)
+    assert(e.getMessage.contains("ivfPqTopKAtRest"), e.getMessage)
+    // under the ceiling nothing changes: the small-codebook path that
+    // every existing suite drives still builds
+    val smallIvf: Similarity.IvfCodebook =
+      Array.tabulate(16)(i => (i.toLong, Array.fill(dim)(1.0), 1.0))
+    Similarity.ivfCell(smallIvf, col("embedding"))
+  }
+
+  test("codegen budget: residual probes cap their per-cell table volume") {
+    import spark.implicits._
+    val dim = 64
+    val ivfCb: Similarity.IvfCodebook =
+      Array.tabulate(512)(i => (i.toLong, Array.fill(dim)(1.0), 1.0))
+    // m=16, ks=64: 1024 ADC entries per probed cell; 512 cells = 524288
+    val rcb: Similarity.PqCodebooks =
+      Array.fill(16)(Array.fill(64)(Array.fill(4)(0.0)))
+    val e = intercept[IllegalArgumentException] {
+      // the guard fires before the path is ever read
+      Similarity.ivfPqResidualTopKAtRest(spark, "/nonexistent/layout",
+        "vec_id", "code", ivfCb, rcb, Array.fill(dim)(1.0), k = 5,
+        nprobe = 512)
+    }
+    assert(e.getMessage.contains("codegen budget"), e.getMessage)
+    assert(e.getMessage.contains("lower nprobe or ks"), e.getMessage)
+    // the in-flight face multiplies by dsub on top (combined tables)
+    val df = Seq((0L, Array.fill(dim)(0.5f))).toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqResidualTopK(df, "vec_id", "embedding",
+        Array.fill(dim)(1.0), k = 5, nprobe = 512,
+        ivfCb = Some(ivfCb), residualCb = Some(rcb))
+    }
+    assert(e2.getMessage.contains("ivfPqResidualTopKAtRest"), e2.getMessage)
+  }
+
   test("hashedLinearQuality: trained classifier separates prose from web junk") {
     import spark.implicits._
     val docs = Seq(
