@@ -1120,13 +1120,14 @@ object Inventory extends InventoryCrawl {
           |    ' call <PHONE> pin ' || (10 + doc_id % 90) ||
           |    ' key <KEY> short n' ||
           |    substr(md5(CAST(doc_id AS VARCHAR) || 's'), 1, 30) ||
+          |    ' log 2024-07-15 <IP> ts 2023-11-02 <PHONE>' ||
           |    ' end <IP>.' AS clean
           |  FROM documents)
           |SELECT doc_id, md5(clean) AS clean_md5,
           |       CAST(length(clean) AS BIGINT) AS clean_len,
           |       CAST(1 + (doc_id + 1) % 2 AS BIGINT) AS n_email,
-          |       CAST(2 AS BIGINT) AS n_ip,
-          |       CAST(1 AS BIGINT) AS n_phone,
+          |       CAST(3 AS BIGINT) AS n_ip,
+          |       CAST(2 AS BIGINT) AS n_phone,
           |       CAST(1 AS BIGINT) AS n_key
           |FROM m ORDER BY doc_id""".stripMargin,
       // q128: q33's recursive closure + singleton fill + the shared

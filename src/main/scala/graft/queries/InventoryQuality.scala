@@ -717,6 +717,12 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
       lit(" pin "), ds(lit(10) + id % 90),
       lit(" key k"), md5(ds(id).cast("binary")),
       lit(" short n"), substring(md5(concat(ds(id), lit("s")).cast("binary")), 1, 30),
+      // the r16 regression pinned IN THE ORACLE: a date must pass
+      // through unredacted (the 4-2-2 phone guard) while the IP and
+      // phone immediately AFTER it still redact — the exact adjacency
+      // r15's date sentinel swallowed
+      lit(" log 2024-07-15 "), ds(id % 200), lit(".44.55."), ds(id % 100),
+      lit(" ts 2023-11-02 +1 555-02"), ds(id % 10), lit("-"), ds(lit(1000) + id % 9000),
       lit(" end 8.8.8.8."))
     t(s, d, "documents")
       .select(col("doc_id"), GraftFunctions.redact_pii(raw).as("r"))
