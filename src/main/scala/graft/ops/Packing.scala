@@ -180,7 +180,9 @@ object Packing {
       s"tokensCol must be integral (token counts), got $tokType")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(tokensCol).cast("long"))
+    // a null token count occupies zero tokens (the contiguous rule)
+    df.select(col(idCol).cast("long"),
+        coalesce(col(tokensCol).cast("long"), lit(0L)))
       .as[(Long, Long)]
       .groupByKey { case (id, _) => java.lang.Math.floorMod(id, shards.toLong) }
       .flatMapGroups { (shard: Long, it: Iterator[(Long, Long)]) =>

@@ -1850,7 +1850,7 @@ object Inventory extends InventoryCrawl {
       "q98_clean_pipeline" -> {
         // the q152 classifier gate, inserted after the length gate:
         // same vendored bias/weights constants, same rounded threshold
-        val (_, q98bias, q98w) = graft.ops.Quality.hashedLinearModel
+        val (q98buckets, q98bias, q98w) = graft.ops.Quality.hashedLinearModel
         val q98wl = q98w.mkString("[", ", ", "]")
         s"""WITH h AS (
            |  SELECT doc_id, $htmlSyn AS html
@@ -1870,7 +1870,7 @@ object Inventory extends InventoryCrawl {
            |              unnest(list_transform(range(1, len(w)),
            |                     i -> w[i] || ' ' || w[i + 1])) AS g
            |       FROM tk),
-           |bk AS (SELECT doc_id, CAST(${md5h("g")} % 1024 AS BIGINT) AS bk FROM gr),
+           |bk AS (SELECT doc_id, CAST(${md5h("g")} % $q98buckets AS BIGINT) AS bk FROM gr),
            |qa AS (SELECT doc_id, count(*) AS n,
            |              sum(wl.l[CAST(bk AS INTEGER) + 1]) AS sw
            |       FROM bk, (SELECT $q98wl AS l) wl GROUP BY doc_id),
@@ -2573,7 +2573,7 @@ object Inventory extends InventoryCrawl {
       // SAME doubles the engine loads (Double.toString round-trips),
       // mean pooling as sum/count, sigmoid on both sides
       "q152_quality_classifier" -> {
-        val (_, bias, w) = graft.ops.Quality.hashedLinearModel
+        val (buckets, bias, w) = graft.ops.Quality.hashedLinearModel
         val wl = w.mkString("[", ", ", "]")
         s"""WITH tok AS (SELECT doc_id, $toks AS w FROM documents),
            |grams AS (
@@ -2584,7 +2584,7 @@ object Inventory extends InventoryCrawl {
            |                i -> w[i] || ' ' || w[i + 1])) AS g
            |  FROM tok),
            |b AS (
-           |  SELECT doc_id, CAST(${md5h("g")} % 1024 AS BIGINT) AS bk
+           |  SELECT doc_id, CAST(${md5h("g")} % $buckets AS BIGINT) AS bk
            |  FROM grams),
            |agg AS (
            |  SELECT doc_id, count(*) AS n,

@@ -72,8 +72,8 @@ object StreamingDedup {
     val w = batches.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // the batch is consumed four times (count, candidate join,
-        // verify, two appends): one bounded materialization
+        // the batch is consumed repeatedly (count, candidate join,
+        // verify, both appends): one bounded materialization
         val b = batch.select(col(idCol), col(textCol))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {

@@ -196,7 +196,7 @@ def main():
         f.write("# script's embedded deterministic synthetic corpus (seed\n")
         f.write(f"# {SEED}, 2000 docs; no network needed -- regenerate with\n")
         f.write("# python3 tools/train_quality.py). Feature hash = the\n")
-        f.write("# engine's hashed_grams (md5lo62 %% buckets). Swap for a\n")
+        f.write("# engine's hashed_grams (md5lo62 mod buckets). Swap for a\n")
         f.write("# table trained on labeled production data; the scorer\n")
         f.write("# (Quality.hashedLinearScore) applies any such table.\n")
         f.write(f"# train-accuracy: {acc_tr:.4f}  heldout-accuracy: {acc_te:.4f}\n")
