@@ -55,6 +55,14 @@ object GraftFunctions {
   def hashed_grams(text: Column, buckets: Int): Column =
     column(HashedGrams(expression(text), expression(lit(buckets))))
 
+  /** Fused hashed-linear classifier logit over the dsir-bucket
+    * features — one codegen'd pass (see [[HashedLinearZ]]).
+    */
+  def hashed_linear_z(text: Column, weights: Array[Double], bias: Double): Column =
+    column(HashedLinearZ(expression(text),
+      expression(org.apache.spark.sql.functions.typedLit(weights.toSeq)),
+      expression(lit(bias))))
+
   /** Oracle-shared 62-bit md5 hash (= DuckDB `md5_number_lower % 2^62`). */
   def md5_long62(text: Column): Column = column(Md5Long62(expression(text)))
 
@@ -274,6 +282,7 @@ object GraftFunctions {
     "simhash64" -> (e => SimHash64(e.head)),
     "fingerprint" -> (e => Fingerprint(e.head, e(1), e(2))),
     "hashed_grams" -> (e => HashedGrams(e.head, e(1))),
+    "hashed_linear_z" -> (e => HashedLinearZ(e.head, e(1), e(2))),
     "md5_long62" -> (e => Md5Long62(e.head)),
     "char_entropy" -> (e => CharEntropy(e.head)),
     "decode_html_entities" -> (e => DecodeHtmlEntities(e.head)),

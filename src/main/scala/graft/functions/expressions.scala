@@ -116,6 +116,31 @@ case class HashedGrams(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `hashed_linear_z(text, weights, bias) -> double` — the fastText-
+  * style classifier logit over [[HashingHelper.dsirBuckets]] features,
+  * fused into one codegen'd pass ([[HashingHelper.hashedLinearZ]]):
+  * tokenize, hash, weight lookup and mean pooling never leave the
+  * generated code, so a quality gate in a cleaning pipeline stays
+  * inside whole-stage codegen (a lambda-HOF formulation would demote
+  * the enclosing projection/filter to interpreted).
+  */
+case class HashedLinearZ(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hashed_linear_z"
+  override protected def nullSafeEval(text: Any, w: Any, b: Any): Any =
+    HashingHelper.hashedLinearZ(text.asInstanceOf[UTF8String],
+      w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w, b) =>
+      s"graft.functions.HashingHelper.hashedLinearZ($t, $w, $b)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): HashedLinearZ =
+    copy(first = f, second = s, third = t)
+}
+
 /** `md5_long62(text) -> bigint` — the engine's oracle-shared 62-bit
   * md5 hash ([[HashingHelper.md5lo62]]) as a column function; equals
   * DuckDB `md5_number_lower(s) % 2^62`. The deterministic-noise

@@ -418,6 +418,34 @@ object HashingHelper {
     new GenericArrayData(out)
   }
 
+  /** The hashed-linear classifier's logit in ONE native pass —
+    * [[dsirBuckets]] fused with the weight lookup and mean pooling:
+    * z = bias + (sum over gram occurrences of w[bucket(gram)]) / N,
+    * summed unigrams-then-bigrams in document order (the exact IEEE
+    * fold the unfused `aggregate(hashed_grams(...))` form performed —
+    * this fusion exists because a lambda HOF in the scoring path
+    * knocks the whole projection/filter out of whole-stage codegen,
+    * which tripled q98's corpus pass). A gramless text scores `bias`.
+    */
+  def hashedLinearZ(text: UTF8String, w: ArrayData, bias: Double): Double = {
+    val toks = tokenize(text.toString)
+    val n = toks.length
+    if (n == 0) return bias
+    val buckets = w.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += w.getDouble((md5lo62(toks(i)) % buckets).toInt)
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      s += w.getDouble((md5lo62(toks(i) + " " + toks(i + 1)) % buckets).toInt)
+      i += 1
+    }
+    bias + s / (2 * n - 1)
+  }
+
   /** 64-bit hash of a string: two 32-bit murmur passes with distinct seeds. */
   def hash64(s: CharSequence): Long = {
     val str = s.toString

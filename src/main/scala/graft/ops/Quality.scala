@@ -431,15 +431,13 @@ object Quality {
     */
   def hashedLinearProb(text: Column, bias: Double,
       weights: Array[Double]): Column = {
-    import graft.functions.GraftFunctions
     require(weights.nonEmpty, "weights must be non-empty")
-    val wLit = array(weights.toIndexedSeq.map(lit): _*)
-    val grams = GraftFunctions.hashed_grams(text, weights.length)
-    val n = size(grams)
-    val z = lit(bias) + when(n > 0,
-      aggregate(grams, lit(0.0),
-        (acc, g) => acc + element_at(wLit, g.cast("int") + 1)) / n.cast("double"))
-      .otherwise(lit(0.0))
+    // the logit is ONE fused codegen'd expression (tokenize + hash +
+    // weight lookup + mean pooling, HashingHelper.hashedLinearZ): the
+    // equivalent aggregate(hashed_grams(...)) lambda-HOF form demotes
+    // the enclosing projection/filter to interpreted evaluation and
+    // tripled q98's corpus pass (same IEEE fold either way)
+    val z = graft.functions.GraftFunctions.hashed_linear_z(text, weights, bias)
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 

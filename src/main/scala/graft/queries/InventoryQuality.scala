@@ -320,8 +320,16 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
       .withColumn("clean",
         GraftFunctions.nfc_normalize(concat(lit(NfcPrefix), col("extracted"))))
       .where(length(col("clean")) >= 120)
-      .where(round(Quality.hashedLinearProbVendored(col("clean")), 6) >= 0.5)
+    // the trained gate is a pure function of `clean`, and every row of
+    // an exact-dup group shares `clean` — so gating winners equals
+    // gating the corpus (drop-the-group commutes with min-id
+    // election), and the engine evaluates the classifier on the
+    // cheaper side: once per surviving row after election, instead of
+    // once per corpus row on BOTH sides of the winner semi-join (the
+    // oracle states the gate before election; identical by
+    // commutation)
     Dedup.exactWinners(base, "doc_id", "clean")
+      .where(round(Quality.hashedLinearProbVendored(col("clean")), 6) >= 0.5)
       .where(GraftFunctions.md5_long62(
         concat(lit("s:"), col("doc_id").cast("string"))) % 10 < 3)
       .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
