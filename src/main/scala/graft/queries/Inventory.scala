@@ -183,7 +183,8 @@ object Inventory extends InventoryCrawl {
     "q150_neardup_tombstone" -> (q150 _),
     "q151_quant_drift" -> (q151 _),
     "q152_quality_classifier" -> (q152 _),
-    "q153_ffd_packing" -> (q153 _))
+    "q153_ffd_packing" -> (q153 _),
+    "q154_streaming_neardup" -> (q154 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1390,6 +1391,31 @@ object Inventory extends InventoryCrawl {
           |  round(avg(p.e), 6) AS pq_err, round(avg(r.e), 6) AS rpq_err
           |FROM err_pq p JOIN err_rpq r USING (vec_id)
           |GROUP BY 1 ORDER BY cohort""".stripMargin,
+      // q154: the streamed history discipline restated — for each
+      // batch doc, dup_of = min older-HISTORY id at exact Jaccard
+      // >= 0.8 (q18's proven shingle arithmetic): history of the
+      // first micro-batch (% 3 = 1) is the indexed corpus (% 3 = 0)
+      // alone; history of the second (% 3 = 2) is corpus + first
+      // batch, because the stream appended A's signatures before B
+      // arrived — batch ordering, the append and the min-id election
+      // all load-bearing
+      "q154_streaming_neardup" ->
+        s"""WITH w AS (SELECT doc_id, $toks AS t FROM documents),
+           |s AS (SELECT doc_id,
+           |        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |                       for i in range(1, len(t) - 1)]) AS sh
+           |      FROM w),
+           |cand AS (
+           |  SELECT b.doc_id, a.doc_id AS old_id,
+           |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |          CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)
+           |      AS jaccard
+           |  FROM s b JOIN s a
+           |    ON ((b.doc_id % 3 = 1 AND a.doc_id % 3 = 0)
+           |     OR (b.doc_id % 3 = 2 AND a.doc_id % 3 <> 2)))
+           |SELECT doc_id, min(old_id) AS dup_of
+           |FROM cand WHERE jaccard >= 0.8
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // q136: the classification restated from the synthesis
       // arithmetic over a full-outer id join — removed = %10==3,
       // changed = %10==7, added = the +1000000 twins of %10==4

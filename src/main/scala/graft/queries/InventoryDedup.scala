@@ -302,4 +302,74 @@ private[queries] trait InventoryDedup extends InventorySources {
         threshold = 0.8)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+
+  /** STREAMING incremental near-dup
+    * ([[graft.streaming.StreamingDedup.incrementalNearDupStream]] —
+    * round 17): the q131 daily-ingest loop as a foreachBatch stream.
+    * The corpus third (doc_id % 3 = 0) is indexed at rest; the two
+    * batch thirds arrive as ORDERED micro-batches (staged files with
+    * ordered mtimes, `maxFilesPerTrigger = 1`): batch A (% 3 = 1)
+    * dedups against the corpus alone, then becomes history — its
+    * signatures append to the index, its text to the corpus store —
+    * and batch B (% 3 = 2) dedups against corpus ∪ A. The oracle
+    * restates exactly that history discipline: for each batch doc,
+    * dup_of = min older-history id with exact Jaccard >= 0.8 (q18's
+    * proven shingle arithmetic), history(A) = corpus,
+    * history(B) = corpus ∪ A — so batch ordering, the
+    * signatures-become-history append AND the min-id election are all
+    * load-bearing per verdict row. Every piece of stream state
+    * (checkpoint, index, corpus store, verdicts) is rebuilt fresh per
+    * run, so the query is deterministic and rerunnable.
+    */
+  private[queries] def q154(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val base = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q154_stream"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    def rm(p: String): Unit = {
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    // fresh stream state per run: a stale checkpoint would replay
+    // nothing and a stale corpus/index would carry last run's appends
+    Seq("/ckpt", "/out", "/src").foreach(sfx => rm(base + sfx))
+    val corpus = docs.where(col("doc_id") % 3 === 0)
+    corpus.write.mode("overwrite").parquet(base + "/corpus")
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", base + "/idx")
+    val srcDir = new java.io.File(base + "/src"); srcDir.mkdirs()
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmpd = new java.io.File(base + "/stage_" + name)
+      rm(tmpd.getAbsolutePath)
+      df.coalesce(1).write.parquet(tmpd.getAbsolutePath)
+      val part = tmpd.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, name + ".parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      rm(tmpd.getAbsolutePath)
+    }
+    val t0 = System.currentTimeMillis() - 120000
+    stage(docs.where(col("doc_id") % 3 === 1), "a", t0)
+    stage(docs.where(col("doc_id") % 3 === 2), "b", t0 + 60000)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(base + "/src")
+    withStreamPartitions(s, 8) {
+      val q = graft.streaming.StreamingDedup.incrementalNearDupStream(
+        src, base + "/corpus", base + "/idx", base + "/out", base + "/ckpt",
+        "doc_id", "text").start()
+      q.awaitTermination(300000)
+    }
+    s.read.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("dup_of", LongType))))
+      .parquet(base + "/out")
+      .select(col("doc_id"), col("dup_of"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -19,13 +19,13 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 SF=${1:-/root/testdata/sf0.1}
-QUAD_FULL=q18_neardup_lsh,q44_jaccard_neardup,q57_decontaminate,q131_incr_neardup,q150_neardup_tombstone
+QUAD_FULL=q18_neardup_lsh,q44_jaccard_neardup,q57_decontaminate,q131_incr_neardup,q150_neardup_tombstone,q154_streaming_neardup
 
 echo "== full $SF sweep =="
 sbt -batch "runMain graft.Verify $SF /tmp/verify_sf01" >/dev/null
 python3 tools/compare_oracle.py /tmp/verify_sf01 "$SF" 90
 
-echo "== full-table quadratic oracles (q18/q44/q57/q131/q150, 2400 s budget) =="
+echo "== full-table quadratic oracles (q18/q44/q57/q131/q150/q154, 2400 s budget) =="
 python3 tools/compare_oracle.py /tmp/verify_sf01 "$SF" 2400 "$QUAD_FULL"
 
 echo "== q33/q75/q128/q141 full-table closure oracle (union-find over the verified pair set) =="
