@@ -160,4 +160,23 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.functions.HashingHelper.md5lo62("abc") ==
       (8250560606382298838L & 0x3fffffffffffffffL))
   }
+
+  test("hashed_grams / hashed_linear_z evaluate from SQL (the DSIR + q152 surface)") {
+    val w = Array(0.5, -0.25, 0.125, -0.0625)
+    val wSql = w.mkString("array(", "D, ", "D)")
+    val row = spark.sql(
+      s"""SELECT size(hashed_grams('the quick fox', 4)) AS ng,
+         |       hashed_linear_z('the quick fox', $wSql, 0.75D) AS z,
+         |       hashed_linear_z(NULL, $wSql, 0.75D) AS zn,
+         |       hashed_linear_z('', $wSql, 0.75D) AS z0""".stripMargin).head()
+    assert(row.getAs[Int]("ng") == 5) // 3 unigrams + 2 bigrams
+    // the SQL face must evaluate the exact fused-helper arithmetic the
+    // Column face (and the q152 oracle) pin
+    val expected = graft.functions.HashingHelper.hashedLinearZ(
+      org.apache.spark.unsafe.types.UTF8String.fromString("the quick fox"),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(w), 0.75)
+    assert(row.getAs[Double]("z") == expected)
+    assert(row.isNullAt(row.fieldIndex("zn"))) // null-intolerant
+    assert(row.getAs[Double]("z0") == 0.75)    // gramless -> bias
+  }
 }
