@@ -553,4 +553,39 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("q16_converter")
     assert(exchanges(p) <= 1, s"walk/filter/write must stay narrow:\n$p")
   }
+
+  test("q151: drift report is one narrow pass into a single cohort aggregate") {
+    // both kinds' error projections are inlined-codebook scalar work;
+    // the only hash exchange is the cohort aggregate (map-side
+    // partials), plus the presentation sort's range exchange — no
+    // join, no window, nothing driver-side
+    val p = plan("q151_quant_drift")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"q151 must aggregate on one exchange:\n$p")
+    assert(!p.contains("Join"), s"q151 grew a join:\n$p")
+    assert(!p.contains("Window"), s"q151 grew a window:\n$p")
+  }
+
+  test("q152: the trained classifier scores at scan speed (sort exchange only)") {
+    // the fused hashed_linear_z logit is one codegen'd projection —
+    // no explode, no weight-table join, no aggregate; the single
+    // exchange is the presentation sort
+    // executed plan (the q98 guard's rule): AQE's pre-execution
+    // toString hides the whole-stage-codegen markers
+    val df = SparkEntry.queries("q152_quality_classifier")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(exchanges(p) == 1, s"q152 must stay narrow:\n$p")
+    assert(!p.contains("Join"), s"q152 grew a join:\n$p")
+    assert(!p.contains("Generate"), s"q152 must not explode grams:\n$p")
+    assert(p.contains("*("), s"q152 fell out of whole-stage codegen:\n$p")
+  }
+
+  test("q153: sharded FFD is one hash exchange, never a single-partition collapse") {
+    val p = plan("q153_ffd_packing")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q153 collapsed to one partition:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"q153 must shuffle once (the shard key):\n$p")
+  }
 }
