@@ -859,6 +859,37 @@ object ScaleEvidence {
     (c, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** FFD packing rung (`ffd:<nDocs>:<shards>`): whole-document
+    * first-fit-decreasing at corpus scale. The properties that
+    * seconds alone cannot show: no bin ever exceeds capacity, the
+    * mean fill stays near 1 (FFD earning its keep over naive
+    * round-robin), and per-shard state stays bounded (docs/shard —
+    * the caller's dial; the rung prints it so the "raise shards,
+    * never this code" scaling claim has a measured anchor).
+    */
+  private def ffdRung(spark: SparkSession, n: Long, shards: Int): Unit = {
+    // deterministic id-hashed sizes over the documents table's range
+    // (44..577 chars) — same shape, any scale
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      (pmod(xxhash64(col("id")), lit(534L)) + 44L).as("n_chars"))
+    val t0 = System.nanoTime()
+    val out = graft.ops.Packing.ffdPack(docs, "doc_id", "n_chars",
+      capacity = 2048, shards = shards)
+    val fills = out.groupBy(col("shard"), col("bin"))
+      .agg(sum(col("tokens")).as("fill"))
+    val r = fills.agg(
+      count(lit(1)).as("bins"),
+      max(col("fill")).as("max_fill"),
+      avg(col("fill")).as("avg_fill")).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val bins = r.getLong(0); val maxFill = r.getLong(1)
+    val frac = r.getDouble(2) / 2048.0
+    require(maxFill <= 2048, s"bin overflow at scale: $maxFill")
+    println(f"""{"rung":"ffd","n_docs":$n,"shards":$shards,""" +
+      f""""docs_per_shard":${n / shards},"bins":$bins,""" +
+      f""""max_fill":$maxFill,"fill_frac":$frac%.4f,"secs":$secs%.1f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val corpora =
       if (args.nonEmpty) args.toSeq
@@ -894,8 +925,11 @@ object ScaleEvidence {
     val Incr = "incr:(\\d+):(\\d+)".r
     val (inArgs, rest6) = rest5.partition(_.startsWith("incr:"))
     inArgs.foreach { case Incr(c, b) => incrRung(spark, c.toLong, b.toLong) }
-    val (spArgs, docCorpora) = rest6.partition(_.startsWith("split:"))
+    val (spArgs, rest7) = rest6.partition(_.startsWith("split:"))
     spArgs.foreach(a => splitRung(spark, a.drop(6).toLong))
+    val Ffd = "ffd:(\\d+):(\\d+)".r
+    val (ffdArgs, docCorpora) = rest7.partition(_.startsWith("ffd:"))
+    ffdArgs.foreach { case Ffd(nd, sh) => ffdRung(spark, nd.toLong, sh.toInt) }
 
     docCorpora.foreach { c =>
       val RealX = "realx(\\d+):(.*)".r
