@@ -443,7 +443,10 @@ object HashingHelper {
       s += w.getDouble((md5lo62(toks(i) + " " + toks(i + 1)) % buckets).toInt)
       i += 1
     }
-    bias + s / (2 * n - 1)
+    // 2L: a pathological near-2GB single-char text has ~1B tokens and
+    // 2*n would wrap as Int — the double division is identical either
+    // way on every reachable input
+    bias + s / (2L * n - 1)
   }
 
   /** 64-bit hash of a string: two 32-bit murmur passes with distinct seeds. */
