@@ -129,6 +129,33 @@ case class HashedLinearZ(first: Expression, second: Expression,
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "hashed_linear_z"
+
+  /** The SQL registration reaches here with arbitrary arguments, so the
+    * guards the Column face applies (`weights.nonEmpty`) move into
+    * analysis: an empty weight table would throw `% 0` per row deep in
+    * executor tasks, and a NULL weight element would silently
+    * contribute 0.0 through primitive unboxing.
+    */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, ArrayType(DoubleType, containsNull), DoubleType) =>
+        if (containsNull)
+          TypeCheckResult.TypeCheckFailure(
+            "hashed_linear_z weights must be array<double> without null " +
+              "elements (a null weight would silently score as 0.0)")
+        else if (second.foldable &&
+            Option(second.eval(null)).forall(
+              _.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+                .numElements() == 0))
+          TypeCheckResult.TypeCheckFailure(
+            "hashed_linear_z weights must be a non-empty array (an empty " +
+              "table has no buckets to hash into)")
+        else TypeCheckResult.TypeCheckSuccess
+      case (f, s, t) => TypeCheckResult.TypeCheckFailure(
+        s"hashed_linear_z expects (string, array<double>, double), got ($f, $s, $t)")
+    }
+  }
   override protected def nullSafeEval(text: Any, w: Any, b: Any): Any =
     HashingHelper.hashedLinearZ(text.asInstanceOf[UTF8String],
       w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],

@@ -432,6 +432,12 @@ object HashingHelper {
     val n = toks.length
     if (n == 0) return bias
     val buckets = w.numElements()
+    // backstop for a NON-foldable empty weights array (the foldable
+    // case fails at analysis in HashedLinearZ.checkInputDataTypes):
+    // a curated message beats a bare `% 0` ArithmeticException
+    if (buckets == 0)
+      throw new IllegalArgumentException(
+        "hashed_linear_z: weights array is empty — no buckets to hash into")
     var s = 0.0
     var i = 0
     while (i < n) {

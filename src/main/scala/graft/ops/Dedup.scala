@@ -191,7 +191,7 @@ object Dedup {
       Some((r.getInt(0), r.getInt(1), r.getInt(2)))
     }
 
-  private def validateIndexMeta(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def validateIndexMeta(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, numHashes: Int, bands: Int, shingleWidth: Int,
       caller: String): Unit =
     readNearDupIndexMeta(spark, indexPath).foreach { case (nh, b, sw) =>
@@ -224,6 +224,45 @@ object Dedup {
       .write.mode("append").partitionBy("band").parquet(out)
   }
 
+  /** [[appendNearDupIndex]] for the STREAMING ingest loop: the batch's
+    * signatures land in a directory the batch OWNS
+    * (`_increments/ingest_batch=<id>`, overwritten wholesale), so a
+    * crash-replay rewrites the same rows instead of appending them
+    * twice — the idempotence plain `mode("append")` cannot give.
+    * Underscore-prefixed: plain reads of the base layout skip
+    * increments; readers opt in via [[nearDupIndexWithIncrements]],
+    * and [[compactNearDupIndex]] folds them into the next base
+    * generation. Validates the stored banding like the batch face.
+    */
+  def appendNearDupIndexIncrement(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      out: String,
+      batchId: Long,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleWidth: Int = 3): Unit = {
+    validateIndexMeta(batch.sparkSession, out, numHashes, bands,
+      shingleWidth, "appendNearDupIndexIncrement")
+    bandSignatures(batch, idCol, textCol, numHashes, bands, shingleWidth)
+      .write.mode("overwrite").parquet(Layouts.incrementDir(out, batchId))
+  }
+
+  /** The layout's stored signature rows PLUS its committed streamed
+    * increments ([[appendNearDupIndexIncrement]] directories), as one
+    * (id, band, key) frame. `excludeBatchId` drops the named batch's
+    * own directory — the replay rule: a re-executed micro-batch must
+    * dedup against exactly the history its first attempt saw, never
+    * its own earlier partial append (which would let same-batch
+    * near-dup twins classify against each other, or a self-pair eat a
+    * real verdict).
+    */
+  def nearDupIndexWithIncrements(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, excludeBatchId: Option[Long] = None): DataFrame =
+    Layouts.withIncrements(spark, spark.read.parquet(indexPath), indexPath,
+      Seq("id", "band", "key"), excludeBatchId)
+
   /** COMPACT an appended signature index: daily [[appendNearDupIndex]]
     * batches leave one new file per band per day (the
     * [[graft.ops.Similarity.compactIvfPqLayout]] small-files tax, text
@@ -254,8 +293,15 @@ object Dedup {
     // legitimate pre-meta layout. dst is cleared explicitly because a
     // mode("overwrite") data write would delete the sidecar with it.
     val meta = readNearDupIndexMeta(spark, src)
-    val compacted = Layouts.dropTombstones(spark.read.parquet(src), dropIds,
-      "id", "compactNearDupIndex")
+    // fold committed streamed increments into the new generation (the
+    // LSM convergence step: dst is a PLAIN base layout again, readable
+    // without the increments face). Compaction of a live streamed
+    // layout is the caller's race to avoid — quiesce the stream first,
+    // as any LSM does.
+    val compacted = Layouts.dropTombstones(
+      Layouts.withIncrements(spark, spark.read.parquet(src), src,
+        Seq("id", "band", "key"), excludeBatchId = None),
+      dropIds, "id", "compactNearDupIndex")
     Layouts.delete(spark, dst)
     meta.foreach { case (nh, b, sw) =>
       import spark.implicits._
@@ -315,6 +361,30 @@ object Dedup {
       maxBroadcastSigRows: Long = 4L << 20): DataFrame = {
     validateIndexMeta(spark, indexPath, numHashes, bands, shingleWidth,
       "incrementalNearDup")
+    incrementalNearDupAgainst(spark.read.parquet(indexPath), corpus, batch,
+      idCol, textCol, threshold, numHashes, bands, shingleWidth,
+      maxBroadcastSigRows)
+  }
+
+  /** [[incrementalNearDup]] against an EXPLICIT signature-rows frame
+    * (id, band, key) instead of a layout path — the face the streaming
+    * ingest loop uses to union the base index with its committed
+    * per-batch increments ([[nearDupIndexWithIncrements]]). No banding
+    * validation happens here (there is no layout to read `_meta`
+    * from); path-based callers go through [[incrementalNearDup]],
+    * which validates before delegating.
+    */
+  def incrementalNearDupAgainst(
+      index: DataFrame,
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleWidth: Int = 3,
+      maxBroadcastSigRows: Long = 4L << 20): DataFrame = {
     val newSig = bandSignatures(batch, idCol, textCol, numHashes, bands, shingleWidth)
       .withColumnRenamed("id", "__new_id")
     // the broadcast-budget guard: counting the batch is one cheap
@@ -325,7 +395,7 @@ object Dedup {
     val smallIncrement = batch.count() * bands <= maxBroadcastSigRows
     def hinted(df: DataFrame): DataFrame =
       if (smallIncrement) broadcast(df) else df
-    val index = spark.read.parquet(indexPath)
+    val idx = index
       .select(col("id").as("__old_id"), col("band"), col("key"))
     // cand is consumed THREE times (two semi-joins + the verification
     // join); without the eager localCheckpoint each consumer would
@@ -333,9 +403,19 @@ object Dedup {
     // the multi-TB pass this operator exists to avoid. cand itself is
     // candidate-bounded (true collisions only), so materializing it is
     // cheap by design (the Graph.pageRank lineage-cut precedent).
-    val cand = index
+    val cand = idx
       .join(hinted(newSig), Seq("band", "key"))
       .select(col("__old_id"), col("__new_id"))
+      // never let a row elect ITSELF: when the index already holds the
+      // batch's own signatures (a crash-replay whose append landed
+      // before the checkpoint commit), a self-pair would win the
+      // min-id election below for any batch doc whose id undercuts its
+      // true dup partner's — and a caller filtering self-verdicts
+      // afterwards would silently drop a REAL dup (r17 ADVICE).
+      // Excluding self-pairs up front makes the election fall back to
+      // the next-smallest real match; with the disjoint id domains of
+      // a normal daily batch this predicate matches nothing.
+      .where(col("__old_id") =!= col("__new_id"))
       .dropDuplicates("__old_id", "__new_id")
       .localCheckpoint(true)
     // semi-join the corpus down to candidate-matched ids BEFORE

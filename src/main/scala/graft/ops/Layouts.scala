@@ -16,7 +16,52 @@ import org.apache.spark.sql.{Row, SparkSession}
   * condition that may skip validation; every failure reading a
   * PRESENT sidecar surfaces as a curated error.
   */
-private[ops] object Layouts {
+private[graft] object Layouts {
+
+  /** Subdirectory of a layout holding a streaming loop's per-batch
+    * increments (`_increments/ingest_batch=<id>`). Underscore-prefixed
+    * like `_meta`/`_codebooks`, so a plain `spark.read.parquet` of the
+    * base layout never sees increment rows — readers opt in via
+    * [[withIncrements]] (or fold them into a new base generation with
+    * the family's compaction).
+    */
+  val IncrementsDir = "_increments"
+
+  /** `base` unioned with the layout's committed per-batch increment
+    * directories, projected to `cols`. `excludeBatchId` drops that
+    * batch's OWN directory — the replay rule: a crash-replayed batch
+    * must see exactly the history its first attempt saw, never its own
+    * previous partial appends. The directories are LISTED and read by
+    * explicit path (not partition discovery over the `_increments`
+    * root), so the one directory that may hold a torn write from a
+    * crashed attempt — the excluded batch's own — is never opened.
+    */
+  def withIncrements(spark: SparkSession, base: org.apache.spark.sql.DataFrame,
+      path: String, cols: Seq[String],
+      excludeBatchId: Option[Long]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val root = new org.apache.hadoop.fs.Path(path, IncrementsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val projected = base.select(cols.map(col): _*)
+    if (!fs.exists(root)) projected
+    else {
+      val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        .filter { p =>
+          p.getName.startsWith("ingest_batch=") &&
+            excludeBatchId.forall(b => p.getName != s"ingest_batch=$b")
+        }
+      if (dirs.isEmpty) projected
+      else projected.unionByName(
+        spark.read.parquet(dirs.map(_.toString).toIndexedSeq: _*)
+          .select(cols.map(col): _*))
+    }
+  }
+
+  /** The increment directory a batch OWNS (and overwrites wholesale on
+    * replay — the idempotence that makes a crash-replay converge).
+    */
+  def incrementDir(path: String, batchId: Long): String =
+    s"$path/$IncrementsDir/ingest_batch=$batchId"
 
   /** Retire a tombstone set during a compaction rewrite: anti-join
     * `rows` against the single id column of `dropIds` on `idCol`.

@@ -386,7 +386,16 @@ object Quality {
     val w = new Array[Double](buckets)
     rows.foreach {
       case Array(k, v) if k.nonEmpty && k.forall(_.isDigit) =>
-        w(k.toInt) = v.toDouble
+        // curated-error discipline for a regenerated/hand-edited TSV:
+        // an out-of-range or Int-overflowing index names the file and
+        // line instead of a raw ArrayIndexOutOfBounds/NumberFormat
+        if (k.length > 9)
+          sys.error(s"quality_weights.tsv: weight index '$k' overflows Int")
+        val idx = k.toInt
+        if (idx >= buckets)
+          sys.error(s"quality_weights.tsv: weight index $idx out of range " +
+            s"for buckets=$buckets (line '$k\t$v')")
+        w(idx) = v.toDouble
       case _ =>
     }
     (buckets, bias, w)

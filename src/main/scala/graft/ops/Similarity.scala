@@ -932,6 +932,126 @@ object Similarity {
       .write.mode("append").partitionBy(cellCol).parquet(out)
   }
 
+  /** [[appendIvfPq]] for the STREAMING ingest loop (the
+    * [[graft.ops.Dedup.appendNearDupIndexIncrement]] play for
+    * vectors): the batch's (id, cell, code) rows land in a directory
+    * the batch OWNS (`_increments/ingest_batch=<id>`, cell-partitioned
+    * inside it, overwritten wholesale), so a crash-replay rewrites the
+    * same rows — plain `mode("append")` would duplicate them, and a
+    * duplicated id in an ANN layout surfaces twice in a top-k.
+    * Underscore-prefixed: plain reads and [[ivfPqTopKFromFiles]] skip
+    * increments; probes opt in via
+    * [[ivfPqTopKFromFilesWithIncrements]], and [[compactIvfPqLayout]]
+    * folds them into the next base generation.
+    *
+    * The layout must be self-contained (a `_codebooks` sidecar, raw-PQ
+    * kind): a stream is automation, and automation may not silently
+    * skip the codebook check a hand-driven append can opt out of.
+    */
+  def appendIvfPqIncrement(batch: DataFrame, idCol: String, vecCol: String,
+      out: String, batchId: Long,
+      cellCol: String = "cell", codeCol: String = "code",
+      keep: Seq[String] = Nil): Unit = {
+    val spark = batch.sparkSession
+    val (ivfCb, pqCb) = readIvfPqCodebooks(spark, out)
+    ivfPqCoded(batch, idCol, vecCol, ivfCb, pqCb, cellCol, codeCol, keep)
+      .write.mode("overwrite").partitionBy(cellCol)
+      .parquet(Layouts.incrementDir(out, batchId))
+  }
+
+  /** [[ivfPqTopKFromFiles]] over base + committed streamed increments
+    * ([[appendIvfPqIncrement]] directories): the probe predicate is
+    * applied ABOVE the union and Catalyst pushes it into every side,
+    * so each increment directory is partition-pruned to the probed
+    * cells exactly like the base layout. `excludeBatchId` mirrors the
+    * replay rule of the ingest loop (a batch's own in-flight directory
+    * is never read).
+    */
+  def ivfPqTopKFromFilesWithIncrements(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, codeCol: String,
+      query: Array[Double], k: Int, nprobe: Int = 4,
+      cellCol: String = "cell",
+      excludeBatchId: Option[Long] = None): DataFrame = {
+    val (ivfCb, pqCb) = readIvfPqCodebooks(spark, path)
+    val probed = ivfProbed(ivfCb, query, nprobe)
+    val scan = Layouts.withIncrements(spark, spark.read.parquet(path), path,
+        Seq(idCol, cellCol, codeCol), excludeBatchId)
+      .where(col(cellCol).isin(probed: _*))
+    pqAdcTopKCoded(scan, idCol, codeCol, pqCb, query, k)
+  }
+
+  /** The append-or-rebuild decision of a [[maintainIvfPq]] call:
+    * `action` is `"append"` or `"rebuild"`, `storedErr`/`freshErr` the
+    * batch's mean ADC reconstruction error under the layout's stored
+    * codebooks vs under codebooks derived from the batch itself, and
+    * `layout` the path now holding the batch (the original layout on
+    * append, `rebuildAt` on rebuild — the caller swaps its pointer to
+    * it, LSM convention).
+    */
+  case class MaintainReport(action: String, storedErr: Double,
+      freshErr: Double, layout: String)
+
+  /** DRIFT-GATED incremental maintenance — the composition
+    * [[appendIvfPq]] and [[ivfPqDistortion]] were built for, and the
+    * loop FAISS's IndexIVFPQ leaves to the caller (`add` vs
+    * re-`train`): append the batch while its quantization error under
+    * the STORED codebooks stays close to what codebooks fitted to the
+    * batch itself would achieve; once the stored tables describe the
+    * batch materially worse than its own do — the ingested
+    * distribution has left the trained one — retrain on corpus ∪ batch
+    * and write a NEW generation at `rebuildAt`.
+    *
+    * The decision is self-contained: both error terms come from the
+    * batch alone (one narrow codegen'd pass each, only (sum, count)
+    * partials leave executors), so no baseline statistic needs storing
+    * or trusting. `storedErr <= driftThreshold * freshErr` appends;
+    * above it rebuilds. A threshold of 2.0 tolerates the stored tables
+    * being up to 2× worse than batch-fitted ones before paying a
+    * rebuild.
+    *
+    * `corpus` is the CURRENT corpus vectors (pre-batch) — evaluated
+    * ONLY on the rebuild path (appends never touch it), which is what
+    * makes the steady state cheap: a year of in-distribution batches
+    * costs a year of narrow append passes, and the corpus-wide retrain
+    * runs exactly when the drift signal says the index stopped
+    * describing the data. nlist/m/ks are DERIVED from the stored
+    * codebooks, so a rebuild preserves the layout's geometry; the
+    * codebooks are the deterministic smallest-id ones (the
+    * oracle-reproducible rule) — swap in [[trainIvfCodebook]] /
+    * [[trainPqCodebooks]] outputs by rebuilding manually when recall
+    * matters more than reproducibility.
+    */
+  def maintainIvfPq(spark: org.apache.spark.sql.SparkSession,
+      layout: String, corpus: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, rebuildAt: String,
+      driftThreshold: Double = 2.0): MaintainReport = {
+    require(driftThreshold >= 1.0,
+      s"driftThreshold=$driftThreshold: below 1.0 every batch rebuilds " +
+        "(stored codebooks cannot beat batch-fitted ones on the batch's " +
+        "own distribution)")
+    require(layout != rebuildAt,
+      "maintainIvfPq writes the rebuilt generation at rebuildAt; swap " +
+        "the pointer after (an in-place rewrite would clobber the files " +
+        "it reads)")
+    val (ivfCb, pqCb) = readIvfPqCodebooks(spark, layout)
+    val (nlist, m, ks) = (ivfCb.length, pqCb.length, pqCb(0).length)
+    val storedErr = ivfPqDistortion(batch, vecCol, ivfCb, pqCb, residual = false)
+    val freshIvf = ivfCodebook(batch, idCol, vecCol, nlist)
+    val freshPq = pqCodebooks(batch, idCol, vecCol, m, ks)
+    val freshErr = ivfPqDistortion(batch, vecCol, freshIvf, freshPq, residual = false)
+    if (storedErr <= driftThreshold * freshErr) {
+      appendIvfPq(batch, idCol, vecCol, ivfCb, pqCb, layout)
+      MaintainReport("append", storedErr, freshErr, layout)
+    } else {
+      val all = corpus.select(col(idCol), col(vecCol))
+        .unionByName(batch.select(col(idCol), col(vecCol)))
+      val newIvf = ivfCodebook(all, idCol, vecCol, nlist)
+      val newPq = pqCodebooks(all, idCol, vecCol, m, ks)
+      writeIvfPqPartitioned(all, idCol, vecCol, newIvf, newPq, rebuildAt)
+      MaintainReport("rebuild", storedErr, freshErr, rebuildAt)
+    }
+  }
+
   /** Write the RESIDUAL-encoded IVF-PQ at-rest layout — the
     * [[ivfPqResidualTopK]] encoder persisted (the strictly better
     * quantizer: residuals concentrate near the origin, so the shared
@@ -1191,7 +1311,13 @@ object Similarity {
     require(src != dst,
       "compactIvfPqLayout writes a NEW layout at dst; swap the pointer " +
         "after (an in-place rewrite would clobber the files it reads)")
-    val rows = spark.read.parquet(src)
+    // fold committed streamed increments ([[appendIvfPqIncrement]])
+    // into the new generation — dst is a PLAIN base layout again.
+    // Compacting a LIVE streamed layout is the caller's race to avoid:
+    // quiesce the stream first, as with any LSM compaction.
+    val base = spark.read.parquet(src)
+    val rows = Layouts.withIncrements(spark, base, src,
+      base.columns.toIndexedSeq, excludeBatchId = None)
     // carry the sidecar rows VERBATIM (never decode/re-encode): the
     // copy preserves whatever kinds the source stored — 'pq' and
     // 'rpq' layouts compact identically. Presence is the explicit

@@ -336,26 +336,40 @@ private[queries] trait InventoryDedup extends InventorySources {
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }
-    // fresh stream state per run: a stale checkpoint would replay
-    // nothing and a stale corpus/index would carry last run's appends
-    Seq("/ckpt", "/out", "/src").foreach(sfx => rm(base + sfx))
-    val corpus = docs.where(col("doc_id") % 3 === 0)
-    corpus.write.mode("overwrite").parquet(base + "/corpus")
-    Dedup.writeNearDupIndex(corpus, "doc_id", "text", base + "/idx")
-    val srcDir = new java.io.File(base + "/src"); srcDir.mkdirs()
-    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmpd = new java.io.File(base + "/stage_" + name)
-      rm(tmpd.getAbsolutePath)
-      df.coalesce(1).write.parquet(tmpd.getAbsolutePath)
-      val part = tmpd.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(srcDir, name + ".parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(mtime)
-      rm(tmpd.getAbsolutePath)
+    // fresh PER-RUN state: checkpoint (a stale one would replay
+    // nothing), verdicts, and the increment directories the stream
+    // appends under the corpus/index fixtures. The fixtures themselves
+    // (corpus parquet, signature index, staged source files) depend
+    // only on `d` and are CACHED across runs behind a marker — the
+    // rebuild was ~40% of the query's wall time (r17 sweep), pure
+    // harness cost, none of it the operator under test.
+    Seq("/ckpt", "/out", "/corpus/" + graft.ops.Layouts.IncrementsDir,
+      "/idx/" + graft.ops.Layouts.IncrementsDir).foreach(sfx => rm(base + sfx))
+    val fixturesOk = new java.io.File(base + "/_fixtures_ok")
+    if (!fixturesOk.exists()) {
+      Seq("/src", "/corpus", "/idx").foreach(sfx => rm(base + sfx))
+      val corpus = docs.where(col("doc_id") % 3 === 0)
+      corpus.write.mode("overwrite").parquet(base + "/corpus")
+      Dedup.writeNearDupIndex(corpus, "doc_id", "text", base + "/idx")
+      val srcDir = new java.io.File(base + "/src"); srcDir.mkdirs()
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmpd = new java.io.File(base + "/stage_" + name)
+        rm(tmpd.getAbsolutePath)
+        df.coalesce(1).write.parquet(tmpd.getAbsolutePath)
+        val part = tmpd.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(srcDir, name + ".parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime)
+        rm(tmpd.getAbsolutePath)
+      }
+      // mtimes order the batches (maxFilesPerTrigger=1 processes
+      // oldest-first); staleness across cached runs is irrelevant,
+      // only the a-before-b ordering is load-bearing
+      val t0 = System.currentTimeMillis() - 120000
+      stage(docs.where(col("doc_id") % 3 === 1), "a", t0)
+      stage(docs.where(col("doc_id") % 3 === 2), "b", t0 + 60000)
+      fixturesOk.createNewFile()
     }
-    val t0 = System.currentTimeMillis() - 120000
-    stage(docs.where(col("doc_id") % 3 === 1), "a", t0)
-    stage(docs.where(col("doc_id") % 3 === 2), "b", t0 + 60000)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val src = s.readStream.schema(schema)
@@ -364,7 +378,12 @@ private[queries] trait InventoryDedup extends InventorySources {
       val q = graft.streaming.StreamingDedup.incrementalNearDupStream(
         src, base + "/corpus", base + "/idx", base + "/out", base + "/ckpt",
         "doc_id", "text").start()
-      q.awaitTermination(300000)
+      // a stream that has not finished in 300 s must FAIL, not let the
+      // harness read a partial /out while the query keeps running
+      val done = q.awaitTermination(300000)
+      if (!done) q.stop()
+      require(done,
+        "q154: the availableNow stream did not terminate within 300 s")
     }
     s.read.schema(StructType(Seq(
         StructField("doc_id", LongType), StructField("dup_of", LongType))))

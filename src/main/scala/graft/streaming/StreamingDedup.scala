@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.Dedup
+import graft.ops.{Dedup, Layouts}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
@@ -9,12 +9,9 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   * (id, text) documents is deduplicated against the corpus HISTORY —
   * the at-rest signature index ([[graft.ops.Dedup.writeNearDupIndex]])
   * plus every batch ingested before it — and then becomes history
-  * itself: its signatures append to the index
-  * ([[graft.ops.Dedup.appendNearDupIndex]], file-additive, corpus
-  * never re-read) and its text appends to the corpus store. This is
-  * [[graft.ops.Dedup.incrementalNearDup]] (q131) with the batching,
-  * ordering and restart bookkeeping that a continuous ingest needs,
-  * instead of a caller-driven daily job.
+  * itself. This is [[graft.ops.Dedup.incrementalNearDup]] (q131) with
+  * the batching, ordering and restart bookkeeping that a continuous
+  * ingest needs, instead of a caller-driven daily job.
   *
   * Scale shape per micro-batch, unchanged from the batch face: the
   * increment's signatures are computed fresh (it is small), the
@@ -22,28 +19,33 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   * join picked by the signature-row budget, and only candidate-
   * matched documents are ever shingled for the exact-Jaccard verify.
   *
-  * Exactly-once story (plain-parquet sinks have no multi-sink
-  * transaction, so each write gets the strongest guarantee its layout
-  * allows):
-  *   - VERDICTS are idempotent: each batch overwrites its own
-  *     `ingest_batch=<id>` subdirectory of `verdictsOut`, so a
-  *     replayed batch rewrites the same rows (read the whole
-  *     directory; the partition column names the batch).
-  *   - INDEX and CORPUS appends are at-least-once: a crash between
-  *     the append and the checkpoint commit replays them. Duplicate
-  *     signature/text rows are DEDUP-SAFE by construction — every
-  *     reader of the index dedups candidates and every verdict is a
-  *     min()-aggregate — so replays cost space, not correctness, and
-  *     the next [[graft.ops.Dedup.compactNearDupIndex]] rewrite drops
-  *     nothing it shouldn't. One replay edge is visible: a batch
-  *     whose OWN signatures already landed before the crash re-matches
-  *     against itself — self-matches (dup_of = id) are filtered here,
-  *     and two same-batch near-dup twins may classify against each
-  *     other on replay where the first attempt called both unique.
-  *     A production deployment that cannot accept that edge puts the
-  *     index on a transactional table format (Delta/Iceberg) whose
-  *     atomic append removes the window; the operator logic is
-  *     unchanged.
+  * Exactly-once story — every per-batch write is IDEMPOTENT, so a
+  * crash-replay converges to the first attempt's state with plain
+  * parquet and no transactional table format:
+  *   - VERDICTS overwrite the batch's own `ingest_batch=<id>`
+  *     subdirectory of `verdictsOut` (read the whole directory; the
+  *     partition column names the batch).
+  *   - INDEX signatures land in the batch's own
+  *     `_increments/ingest_batch=<id>` directory of the index layout
+  *     ([[graft.ops.Dedup.appendNearDupIndexIncrement]]), overwritten
+  *     wholesale on replay. The dedup step reads base + committed
+  *     increments EXCLUDING the batch's own directory
+  *     ([[graft.ops.Dedup.nearDupIndexWithIncrements]]), so a replayed
+  *     batch sees exactly the history its first attempt saw: no
+  *     self-matches, and no same-batch near-dup twins classifying
+  *     against each other (the r16 plain-append design had both
+  *     edges — closed in r18 by this per-batch layout).
+  *   - CORPUS text lands in the batch's own
+  *     `_increments/ingest_batch=<id>` directory of the corpus store,
+  *     same discipline. The verify step reads base + increments
+  *     (excluding own — candidates can never reference the current
+  *     batch anyway, since its index rows are excluded).
+  * Underscore-prefixed increment directories are invisible to plain
+  * reads of either layout; batch-face consumers of a streamed index
+  * either read through [[graft.ops.Dedup.nearDupIndexWithIncrements]]
+  * or run [[graft.ops.Dedup.compactNearDupIndex]], which folds the
+  * increments into the next base generation (quiesce the stream
+  * first, as with any LSM compaction).
   *
   * The returned writer is not started — the caller holds the
   * [[org.apache.spark.sql.streaming.StreamingQuery]] (the
@@ -51,6 +53,51 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   * `checkpoint` resumes from the last committed batch.
   */
 object StreamingDedup {
+
+  /** One micro-batch step, exposed for direct (non-stream) testing of
+    * the replay semantics: dedup `b` against base + committed
+    * increments excluding `batchId`'s own, write the verdicts
+    * idempotently, then land the batch's signatures and text as
+    * increments the batch owns. Re-invoking with the same `batchId`
+    * and rows converges to identical on-disk state.
+    */
+  def ingestBatch(
+      b: DataFrame,
+      batchId: Long,
+      corpusPath: String,
+      indexPath: String,
+      verdictsOut: String,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int,
+      bands: Int,
+      shingleWidth: Int,
+      maxBroadcastSigRows: Long): Unit = {
+    val spark = b.sparkSession
+    // fail before any write if the caller's banding disagrees with the
+    // layout (the appendNearDupIndex discipline): a mismatched dedup
+    // pass would silently change which pairs can ever collide
+    Dedup.validateIndexMeta(spark, indexPath, numHashes, bands,
+      shingleWidth, "incrementalNearDupStream")
+    val history = Dedup.nearDupIndexWithIncrements(spark, indexPath,
+      excludeBatchId = Some(batchId))
+    val corpus = Layouts.withIncrements(spark,
+      spark.read.parquet(corpusPath), corpusPath, Seq(idCol, textCol),
+      excludeBatchId = Some(batchId))
+    val verdicts = Dedup.incrementalNearDupAgainst(history, corpus, b,
+      idCol, textCol, threshold, numHashes, bands, shingleWidth,
+      maxBroadcastSigRows)
+    // idempotent: the batch owns its verdict partition directory
+    verdicts.write.mode("overwrite")
+      .parquet(s"$verdictsOut/ingest_batch=$batchId")
+    // the batch becomes history: signatures and text into increment
+    // directories the batch owns (overwritten wholesale on replay)
+    Dedup.appendNearDupIndexIncrement(b, idCol, textCol, indexPath,
+      batchId, numHashes, bands, shingleWidth)
+    b.write.mode("overwrite")
+      .parquet(Layouts.incrementDir(corpusPath, batchId))
+  }
 
   def incrementalNearDupStream(
       batches: DataFrame,
@@ -71,31 +118,14 @@ object StreamingDedup {
         "is Dedup.incrementalNearDup")
     val w = batches.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
         // the batch is consumed repeatedly (count, candidate join,
-        // verify, both appends): one bounded materialization
+        // verify, both increment writes): one bounded materialization
         val b = batch.select(col(idCol), col(textCol))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val corpus = spark.read.parquet(corpusPath)
-          val verdicts = Dedup.incrementalNearDup(spark, indexPath, corpus,
-              b, idCol, textCol, threshold, numHashes, bands, shingleWidth,
-              maxBroadcastSigRows)
-            // replay guard: a batch whose signatures already landed
-            // (crash after append, before checkpoint commit) would
-            // match itself — a self-verdict is never meaningful
-            .where(col("dup_of") =!= col(idCol))
-          // idempotent: the batch owns its partition directory
-          verdicts.write.mode("overwrite")
-            .parquet(s"$verdictsOut/ingest_batch=$batchId")
-          // the batch becomes history: signatures into the index
-          // (validated against the stored banding), text into the
-          // corpus store — both file-additive, both dedup-safe under
-          // replay (see object scaladoc)
-          Dedup.appendNearDupIndex(b, idCol, textCol, indexPath,
-            numHashes, bands, shingleWidth)
-          b.write.mode("append").parquet(corpusPath)
-        } finally b.unpersist()
+        try ingestBatch(b, batchId, corpusPath, indexPath, verdictsOut,
+          idCol, textCol, threshold, numHashes, bands, shingleWidth,
+          maxBroadcastSigRows)
+        finally b.unpersist()
         ()
       }
       .option("checkpointLocation", checkpoint)

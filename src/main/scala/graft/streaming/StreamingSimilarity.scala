@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.ops.Similarity
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+/** The daily vector-ingest loop AS A STREAM — the [[StreamingDedup]]
+  * play for the ANN family: each micro-batch of (id, embedding) rows
+  * is encoded with the layout's STORED codebooks (read back from the
+  * `_codebooks` sidecar — nothing retrained, nothing handed over out
+  * of band) and appended into the at-rest IVF-PQ layout, so probes
+  * over base + increments ([[graft.ops.Similarity.ivfPqTopKFromFilesWithIncrements]])
+  * see yesterday's stream batches exactly as [[graft.ops.Similarity.appendIvfPq]]
+  * batches.
+  *
+  * Exactly-once story, inherited from the near-dup loop: every
+  * per-batch write is IDEMPOTENT — the batch owns
+  * `_increments/ingest_batch=<id>` inside the layout
+  * ([[graft.ops.Similarity.appendIvfPqIncrement]], overwritten
+  * wholesale on a crash-replay), so plain parquet converges without a
+  * transactional table format, and a duplicated code row (which would
+  * surface the same id twice in a top-k) cannot survive a replay.
+  * [[graft.ops.Similarity.compactIvfPqLayout]] folds the increments
+  * into the next base generation (quiesce the stream first).
+  *
+  * `driftOut` composes the rebuild signal in: when set, each batch
+  * also writes its one-row drift report — mean ADC reconstruction
+  * error of the BATCH under the stored codebooks
+  * ([[graft.ops.Similarity.ivfPqDistortion]]) — to
+  * `driftOut/ingest_batch=<id>` (idempotent, same discipline). A
+  * monitoring job thresholds that series and triggers
+  * [[graft.ops.Similarity.maintainIvfPq]]'s rebuild path; the stream
+  * itself never rebuilds (a retrain mid-stream would race the
+  * micro-batches reading the codebooks it replaces).
+  *
+  * The returned writer is not started — the caller holds the
+  * [[org.apache.spark.sql.streaming.StreamingQuery]] (the
+  * [[StreamingConverter.writer]] contract). Restart with the same
+  * `checkpoint` resumes from the last committed batch.
+  */
+object StreamingSimilarity {
+
+  /** One micro-batch step, exposed for direct (non-stream) testing of
+    * the replay semantics: encode with the stored codebooks, land the
+    * codes in the increment directory the batch owns, optionally write
+    * the batch's drift report. Re-invoking with the same `batchId` and
+    * rows converges to identical on-disk state.
+    */
+  def ingestBatch(
+      b: DataFrame,
+      batchId: Long,
+      layoutPath: String,
+      idCol: String,
+      vecCol: String,
+      driftOut: Option[String]): Unit = {
+    val spark = b.sparkSession
+    Similarity.appendIvfPqIncrement(b, idCol, vecCol, layoutPath, batchId)
+    driftOut.foreach { out =>
+      val (ivfCb, pqCb) = Similarity.readIvfPqCodebooks(spark, layoutPath)
+      val err = Similarity.ivfPqDistortion(b, vecCol, ivfCb, pqCb,
+        residual = false)
+      import spark.implicits._
+      Seq((batchId, err)).toDF("ingest_batch", "pq_err")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$out/ingest_batch=$batchId")
+    }
+  }
+
+  def incrementalAnnStream(
+      batches: DataFrame,
+      layoutPath: String,
+      checkpoint: String,
+      idCol: String,
+      vecCol: String,
+      driftOut: Option[String] = None,
+      availableNow: Boolean = true): DataStreamWriter[Row] = {
+    require(batches.isStreaming,
+      "incrementalAnnStream takes a STREAMING frame; the batch face is " +
+        "Similarity.appendIvfPq / maintainIvfPq")
+    val w = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the batch is consumed twice when driftOut is set (encode +
+        // distortion): one bounded materialization
+        val b = batch.select(col(idCol), col(vecCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try ingestBatch(b, batchId, layoutPath, idCol, vecCol, driftOut)
+        finally b.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+    if (availableNow) w.trigger(Trigger.AvailableNow()) else w
+  }
+}

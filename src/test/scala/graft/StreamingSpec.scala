@@ -371,9 +371,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     stage(Seq((20L, t0 + " extra"), (21L, u1)).toDF("doc_id", "text"), 1)
     runStream()
     assert(verdicts() == Seq(20L -> 10L))
-    // the batch became history: text landed in the corpus store,
-    // signatures in the index
-    assert(spark.read.parquet(base + "/corpus").count() == 4)
+    // the batch became history: text landed in the corpus store's
+    // increment directory, signatures in the index's — both invisible
+    // to plain reads of the base layouts, visible via the faces
+    assert(spark.read.parquet(base + "/corpus").count() == 2)
+    assert(graft.ops.Layouts.withIncrements(spark,
+      spark.read.parquet(base + "/corpus"), base + "/corpus",
+      Seq("doc_id", "text"), None).count() == 4)
+    assert(graft.ops.Dedup.nearDupIndexWithIncrements(spark, base + "/idx")
+      .select("id").distinct().count() == 4)
     // restart from the same checkpoint: batch 1 is NOT reprocessed;
     // batch 2 dedups against corpus AND batch 1 (30 dups 21 — a doc
     // the index only knows from the previous micro-batch; 31 dups 10
@@ -382,17 +388,74 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     runStream()
     assert(verdicts() == Seq(20L -> 10L, 30L -> 21L, 31L -> 10L))
     // batch parity: the same batch through the batch face on the same
-    // pre-batch-2 state (index without batch 2, corpus without it)
-    val expected = graft.ops.Dedup.incrementalNearDup(spark, base + "/idx",
-        spark.read.parquet(base + "/corpus")
-          .where(!col("doc_id").isin(30L, 31L)),
+    // pre-batch-2 state (index and corpus with batch 2's own
+    // increments excluded — exactly what the stream's step read)
+    val expected = graft.ops.Dedup.incrementalNearDupAgainst(
+        graft.ops.Dedup.nearDupIndexWithIncrements(spark, base + "/idx",
+          excludeBatchId = Some(1L)),
+        graft.ops.Layouts.withIncrements(spark,
+          spark.read.parquet(base + "/corpus"), base + "/corpus",
+          Seq("doc_id", "text"), excludeBatchId = Some(1L)),
         Seq((30L, u1 + " tail"), (31L, t0)).toDF("doc_id", "text"),
         "doc_id", "text")
       .as[(Long, Long)].collect().toSeq.sorted
-    // (the streamed index now also holds batch 2's signatures, so the
-    // batch face sees extra self-candidates — drop self-matches the
-    // way the stream does)
-    assert(expected.filter { case (a, b) => a != b } ==
-      Seq(30L -> 21L, 31L -> 10L))
+    assert(expected == Seq(30L -> 21L, 31L -> 10L))
+    // compaction folds the increments into the next base generation:
+    // the compacted layout answers the same history as the faces
+    graft.ops.Dedup.compactNearDupIndex(spark, base + "/idx", base + "/idx2")
+    assert(spark.read.parquet(base + "/idx2").select("id").distinct()
+      .count() == 6)
+  }
+
+  test("ingest crash-replay converges: twins stay unique, self-pairs never eat a verdict") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Layouts}
+    import graft.streaming.StreamingDedup
+    val base = tmp("graft_sndreplay").getAbsolutePath
+    val t0 = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (10L, t0),
+      (11L, "unrelated corpus text nothing shared with anything else at all here"))
+      .toDF("doc_id", "text")
+    corpus.write.parquet(base + "/corpus")
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", base + "/idx")
+    // one batch with BOTH r17 replay edges: docs 1/2 are same-batch
+    // near-dup twins matching nothing in history, and doc 3's id
+    // undercuts its true corpus partner 10 (the ADVICE verdict-loss
+    // shape: a self-pair would win its min-id election)
+    val twins = "same batch twin text that matches nothing stored in the corpus index yet"
+    val b = Seq((1L, twins), (2L, twins + " tail"), (3L, t0 + " extra"))
+      .toDF("doc_id", "text")
+    def run(): Unit = StreamingDedup.ingestBatch(b, 5L, base + "/corpus",
+      base + "/idx", base + "/out", "doc_id", "text", 0.8, 128, 32, 3, 4L << 20)
+    def verdicts(): Seq[(Long, Long)] = spark.read.parquet(base + "/out")
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSeq.sorted
+    run()
+    // twins dedup against HISTORY only (in-batch pairs are nearDupPairs'
+    // job): both unique; doc 3 elects its real partner
+    val first = verdicts()
+    assert(first == Seq(3L -> 10L))
+    // CRASH-REPLAY: the batch's signatures and text already landed
+    // (run() completed both appends); re-running the same batchId must
+    // converge — no twin classifying against its sibling, no self-pair
+    // eating doc 3's verdict, no duplicated history rows
+    run()
+    assert(verdicts() == first)
+    assert(Dedup.nearDupIndexWithIncrements(spark, base + "/idx")
+      .select("id").distinct().count() == 5)
+    assert(Layouts.withIncrements(spark, spark.read.parquet(base + "/corpus"),
+      base + "/corpus", Seq("doc_id", "text"), None).count() == 5)
+    // the batch-face backstop (r17 ADVICE): even against a POISONED
+    // index that already holds the batch's own rows, the election
+    // excludes self-pairs — doc 3 still reaches 10, and the twins now
+    // (correctly, given that index) elect each other instead of
+    // themselves
+    val poisoned = Dedup.nearDupIndexWithIncrements(spark, base + "/idx")
+    val v = Dedup.incrementalNearDupAgainst(poisoned,
+        Layouts.withIncrements(spark, spark.read.parquet(base + "/corpus"),
+          base + "/corpus", Seq("doc_id", "text"), None),
+        b, "doc_id", "text")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(v == Seq(1L -> 2L, 2L -> 1L, 3L -> 10L))
   }
 }
