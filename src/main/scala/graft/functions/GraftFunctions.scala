@@ -243,6 +243,29 @@ object GraftFunctions {
   def vec_l2sq_slice(vec: Column, cent: Column, start: Column): Column =
     column(VecL2SqSlice(expression(vec), expression(cent), expression(start)))
 
+  /** PQ encode / ADC / distortion over driver-constant tables held as
+    * codegen REFERENCE OBJECTS (not unrolled literals), so the
+    * generated method stays a single call at any m/ks/nprobe — see
+    * [[AnnHelper]]. Not SQL-registered: the tables are plan-time
+    * constants a SQL surface cannot carry.
+    */
+  def pq_encode(vec: Column, cb: Array[Array[Array[Double]]]): Column =
+    column(PqEncode(expression(vec), cb))
+
+  def pq_adc(code: Column, lut: Array[Array[Double]]): Column =
+    column(PqAdc(expression(code), lut))
+
+  def pq_encode_by_cell(cell: Column, vec: Column, cells: Array[Long],
+      cbs: Array[Array[Array[Array[Double]]]]): Column =
+    column(PqEncodeByCell(expression(cell), expression(vec), cells, cbs))
+
+  def pq_adc_by_cell(cell: Column, code: Column, cells: Array[Long],
+      luts: Array[Array[Array[Double]]]): Column =
+    column(PqAdcByCell(expression(cell), expression(code), cells, luts))
+
+  def pq_min_dist(vec: Column, cb: Array[Array[Array[Double]]]): Column =
+    column(PqMinDist(expression(vec), cb))
+
   def cosine_similarity(a: Column, b: Column): Column =
     vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 

@@ -139,7 +139,12 @@ case class HashedLinearZ(first: Expression, second: Expression,
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
     (first.dataType, second.dataType, third.dataType) match {
-      case (StringType, ArrayType(DoubleType, containsNull), DoubleType) =>
+      // NULL literals are legal anywhere (nullIntolerant: null in ->
+      // null out); only concretely-typed mismatches fail analysis
+      case (StringType | NullType, NullType, DoubleType | NullType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (StringType | NullType, ArrayType(DoubleType, containsNull),
+          DoubleType | NullType) =>
         if (containsNull)
           TypeCheckResult.TypeCheckFailure(
             "hashed_linear_z weights must be array<double> without null " +

@@ -52,7 +52,14 @@ private[graft] object Layouts {
         }
       if (dirs.isEmpty) projected
       else projected.unionByName(
-        spark.read.parquet(dirs.map(_.toString).toIndexedSeq: _*)
+        // basePath anchors partition inference at the _increments root:
+        // without it, increments whose INSIDES are partitioned (the ANN
+        // layout's cell=... dirs) make multi-directory discovery fail
+        // with CONFLICTING_DIRECTORY_STRUCTURES; with it, the reader
+        // surfaces ingest_batch (and any inner partition column) and
+        // the projection drops what the caller didn't ask for
+        spark.read.option("basePath", root.toString)
+          .parquet(dirs.map(_.toString).toIndexedSeq: _*)
           .select(cols.map(col): _*))
     }
   }

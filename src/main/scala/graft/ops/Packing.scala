@@ -132,6 +132,11 @@ object Packing {
     (out, () => { ranged.unpersist(blocking = false); () })
   }
 
+  private def oversizeMsg(id: Long, t: Long, capacity: Long): String =
+    s"ffdPack: document $id has $t tokens > capacity $capacity " +
+      "and can never pack whole; filter oversize documents " +
+      "first or chunk them (slidingWindows) before packing"
+
   /** BOUNDARY-RESPECTING sequence packing — first-fit-decreasing bin
     * packing of whole documents into fixed token-budget bins: what
     * context-window training prep runs when documents must NOT be
@@ -159,9 +164,15 @@ object Packing {
     * one task's memory — 16 bytes/doc, so even 10M docs/shard is
     * 160 MB; at 100 TB the caller raises `shards`, never this code.
     *
-    * A document larger than `capacity` can never pack — the task
+    * A document larger than `capacity` can never pack — the call
     * fails with a curated error naming the offender (half-open
-    * filtering or [[slidingWindows]] first is the caller's fix).
+    * filtering or [[slidingWindows]] first is the caller's fix). The
+    * check runs BEFORE the shard exchange as a predicate-pushed scan
+    * of the narrow (id, tokens) projection, so the caller sees a
+    * plain IllegalArgumentException instead of the same message
+    * wrapped in a SparkException after task retries; the in-task
+    * throw stays as the backstop for a source that changes between
+    * the two reads.
     *
     * @return (idCol, tokens, shard, bin, bin_off), ordered arbitrarily
     */
@@ -181,8 +192,14 @@ object Packing {
     val spark = df.sparkSession
     import spark.implicits._
     // a null token count occupies zero tokens (the contiguous rule)
-    df.select(col(idCol).cast("long"),
-        coalesce(col(tokensCol).cast("long"), lit(0L)))
+    val narrow = df.select(col(idCol).cast("long"),
+      coalesce(col(tokensCol).cast("long"), lit(0L)))
+    val over = narrow.toDF("__id", "__t")
+      .where(col("__t") > capacity).limit(1).collect()
+    over.headOption.foreach(r =>
+      throw new IllegalArgumentException(
+        oversizeMsg(r.getLong(0), r.getLong(1), capacity)))
+    narrow
       .as[(Long, Long)]
       .groupByKey { case (id, _) => java.lang.Math.floorMod(id, shards.toLong) }
       .flatMapGroups { (shard: Long, it: Iterator[(Long, Long)]) =>
@@ -195,10 +212,7 @@ object Packing {
         val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
         items.iterator.map { case (id, t) =>
           if (t > capacity)
-            throw new IllegalArgumentException(
-              s"ffdPack: document $id has $t tokens > capacity $capacity " +
-                "and can never pack whole; filter oversize documents " +
-                "first or chunk them (slidingWindows) before packing")
+            throw new IllegalArgumentException(oversizeMsg(id, t, capacity))
           var b = 0
           while (b < rem.length && rem(b) < t) b += 1
           val off =

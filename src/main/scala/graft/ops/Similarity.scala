@@ -51,13 +51,16 @@ object Similarity {
   private def vecLit(v: Array[Double]): Column = array(v.toIndexedSeq.map(lit): _*)
 
   /** Ceiling on double literals inlined into one projection (2 MB of
-    * constants). The inlined-codebook discipline is what keeps cell
-    * assignment and ADC ranking narrow codegen'd passes, but Janino
-    * compiles the literals into the generated method — past a few MB
-    * the stage silently falls back to interpreted (or dies on the
-    * 64 KB method limit even with constant-pool splitting), exactly
-    * the cliff SCALE.md's dial warns about. Guarding at plan-build
-    * time turns that silent cliff into a curated refusal naming the
+    * constants). Janino compiles inlined literals into the generated
+    * method — past a few MB the stage silently falls back to
+    * interpreted (or dies on the 64 KB method limit even with
+    * constant-pool splitting). The PQ encode/ADC/distortion surfaces
+    * sidestep the cliff entirely by carrying their tables as codegen
+    * REFERENCE OBJECTS ([[graft.functions.AnnHelper]] — one helper
+    * call per row at any m/ks/nprobe); [[ivfCell]] keeps the inlined
+    * argmax form (its NaN/tie ordering is pinned by the oracle SQL),
+    * so the coarse codebook remains the one guarded surface. The
+    * guard turns that cliff into a plan-build-time refusal naming the
     * layout that does NOT inline (partition-pruned at-rest probes).
     */
   private[ops] val MaxInlinedDoubles: Long = 256L * 1024
@@ -481,16 +484,8 @@ object Similarity {
     * `min (dist, j)` over inlined centroid literals via
     * [[GraftFunctions.vec_l2sq_slice]]; no shuffle, no join, one pass.
     */
-  def pqCode(cb: PqCodebooks, vec: Column): Column = {
-    val dsub = cb(0)(0).length
-    array(cb.indices.map { mi =>
-      least(cb(mi).zipWithIndex.map { case (c, j) =>
-        struct(
-          GraftFunctions.vec_l2sq_slice(vec, vecLit(c), lit(mi * dsub)).as("d"),
-          lit(j).as("j"))
-      }.toIndexedSeq: _*).getField("j")
-    }.toIndexedSeq: _*)
-  }
+  def pqCode(cb: PqCodebooks, vec: Column): Column =
+    GraftFunctions.pq_encode(vec, cb)
 
   /** The m 4/8-bit codes packed into one BIGINT — the at-rest column
     * (ks <= 16 -> 4 bits per code, m <= 16 subspaces in one long).
@@ -536,9 +531,7 @@ object Similarity {
     * fold reproduces).
     */
   private def adcColumn(lut: Array[Array[Double]], code: Column): Column =
-    lut.indices
-      .map(mi => element_at(vecLit(lut(mi)), element_at(code, mi + 1) + 1))
-      .reduceLeft(_ + _)
+    GraftFunctions.pq_adc(code, lut)
 
   def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int, m: Int = 8, ks: Int = 16,
@@ -647,52 +640,47 @@ object Similarity {
     * (OpsSpec asserts it).
     *
     * Scale shape: unchanged from [[ivfPqTopK]] — narrow codegen'd
-    * projections of inlined constants, zero exchanges, into
-    * TakeOrderedAndProject; the inlined-constant volume is bounded by
-    * nprobe x m x ks subvectors (the per-cell tables exist only for
-    * PROBED cells).
+    * projections, zero exchanges, into TakeOrderedAndProject. The
+    * per-cell combined tables (nprobe x m x ks subvectors — the one
+    * constant volume that multiplies by nprobe) travel as ONE codegen
+    * reference object per expression ([[graft.functions.AnnHelper]]),
+    * so the generated method is a single call per row at any
+    * nprobe/m/ks — no 64 KB-method cliff, no interpreted fallback.
     */
   def ivfPqResidualTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, ks: Int = 16,
       ivfCb: Option[IvfCodebook] = None,
       residualCb: Option[PqCodebooks] = None): DataFrame = {
-    require(nprobe >= 1, "nprobe must be >= 1 (the per-cell CASE chain " +
-      "needs at least one probed cell)")
+    require(nprobe >= 1,
+      "nprobe must be >= 1 (the probe needs at least one cell)")
     val cents = ivfCb.getOrElse(ivfCodebook(df, idCol, vecCol, nlist))
     val probed = ivfProbed(cents, query, nprobe)
     val rcb = residualCb.getOrElse(
       residualPqCodebooks(df, idCol, vecCol, cents, m, ks))
     val centOf = cents.map(c => c._1 -> c._2).toMap
     val dsub = rcb(0)(0).length
-    // the in-flight residual encoder inlines COMBINED tables for every
-    // probed cell — nprobe x m x ks x dsub doubles, the one surface
-    // whose literal volume multiplies by nprobe
-    requireInlineBudget(
-      probed.size.toLong * rcb.length * rcb(0).length * dsub,
-      s"ivfPqResidualTopK (nprobe=${probed.size}, m=${rcb.length}, " +
-        s"ks=${rcb(0).length}, dsub=$dsub)",
-      "lower nprobe, or use the at-rest residual layout " +
-        "(writeIvfPqResidualPartitioned + ivfPqResidualTopKAtRest): its " +
-        "encode inlines only the SHARED m x ks x dsub tables and its " +
-        "probe only nprobe x m x ks ADC entries")
+    // per-probed-cell COMBINED tables (centroid + residual entry) ride
+    // along as ONE codegen reference object — the generated method is a
+    // single helper call per row at any nprobe/m/ks, never the unrolled
+    // nprobe x m x ks expression chain that overflowed Janino's 64 KB
+    // method limit and silently demoted the probe stage to interpreted
     def combined(cell: Long): PqCodebooks = {
       val cent = centOf(cell)
       Array.tabulate(rcb.length)(mi => rcb(mi).map { c =>
         Array.tabulate(dsub)(i => cent(mi * dsub + i) + c(i))
       })
     }
-    def caseOver(f: Long => Column): Column =
-      probed.tail.foldLeft(
-        when(col("__cell") === probed.head, f(probed.head))) {
-        (acc, c) => acc.when(col("__cell") === c, f(c))
-      }
-    val luts = probed.map(c => c -> pqAdcTable(combined(c), query)).toMap
+    val cellIds = probed.toArray
+    val cbs = cellIds.map(combined)
+    val luts = cellIds.map(c => pqAdcTable(combined(c), query))
     df.withColumn("__cell", ivfCell(cents, col(vecCol)))
       .where(col("__cell").isin(probed: _*))
-      .withColumn("__code", caseOver(c => pqCode(combined(c), col(vecCol))))
+      .withColumn("__code",
+        GraftFunctions.pq_encode_by_cell(col("__cell"), col(vecCol), cellIds, cbs))
       .select(col(idCol),
-        round(caseOver(c => adcColumn(luts(c), col("__code"))), 6).as("adc"))
+        round(GraftFunctions.pq_adc_by_cell(col("__cell"), col("__code"), cellIds, luts),
+          6).as("adc"))
       .orderBy(col("adc"), col(idCol))
       .limit(k)
   }
@@ -1020,6 +1008,12 @@ object Similarity {
     * oracle-reproducible rule) — swap in [[trainIvfCodebook]] /
     * [[trainPqCodebooks]] outputs by rebuilding manually when recall
     * matters more than reproducibility.
+    *
+    * A batch of `ks` rows or fewer always APPENDS: its own stand-in
+    * codebooks memorize it exactly (freshErr = 0), so the comparison
+    * would otherwise trigger a full corpus retrain on a trickle batch
+    * that carries no evidence about the distribution. The drift
+    * question is asked again on the next large-enough batch.
     */
   def maintainIvfPq(spark: org.apache.spark.sql.SparkSession,
       layout: String, corpus: DataFrame, batch: DataFrame,
@@ -1036,10 +1030,18 @@ object Similarity {
     val (ivfCb, pqCb) = readIvfPqCodebooks(spark, layout)
     val (nlist, m, ks) = (ivfCb.length, pqCb.length, pqCb(0).length)
     val storedErr = ivfPqDistortion(batch, vecCol, ivfCb, pqCb, residual = false)
+    // a batch of <= ks rows is MEMORIZED by its own stand-in codebooks
+    // (every vector is an entry -> freshErr = 0), so the comparison
+    // would rebuild on any nonzero storedErr — a full corpus retrain
+    // triggered by a trickle batch carrying no distribution evidence.
+    // Tiny batches append unconditionally; the drift question is asked
+    // again when a batch large enough to answer it arrives. (Bounded
+    // probe: limit ks+1, never a full count.)
+    val tiny = batch.select(col(idCol)).limit(ks + 1).count() <= ks
     val freshIvf = ivfCodebook(batch, idCol, vecCol, nlist)
     val freshPq = pqCodebooks(batch, idCol, vecCol, m, ks)
     val freshErr = ivfPqDistortion(batch, vecCol, freshIvf, freshPq, residual = false)
-    if (storedErr <= driftThreshold * freshErr) {
+    if (tiny || storedErr <= driftThreshold * freshErr) {
       appendIvfPq(batch, idCol, vecCol, ivfCb, pqCb, layout)
       MaintainReport("append", storedErr, freshErr, layout)
     } else {
@@ -1114,14 +1116,8 @@ object Similarity {
     * code round-trip is needed). A narrow fully-codegen projection of
     * the inlined tables, like the encode itself.
     */
-  private def pqDistortionCol(vec: Column, cb: PqCodebooks): Column = {
-    val dsub = cb(0)(0).length
-    cb.indices.map { mi =>
-      val ds = cb(mi).map(c =>
-        GraftFunctions.vec_l2sq_slice(vec, vecLit(c), lit(mi * dsub)))
-      if (ds.length == 1) ds.head else least(ds.toIndexedSeq: _*)
-    }.reduceLeft(_ + _)
-  }
+  private def pqDistortionCol(vec: Column, cb: PqCodebooks): Column =
+    GraftFunctions.pq_min_dist(vec, cb)
 
   /** Mean ADC reconstruction error of a corpus under a quantizer —
     * THE number behind [[appendIvfPq]] / [[appendIvfPqResidual]]'s
@@ -1217,10 +1213,12 @@ object Similarity {
     * directories as in [[ivfPqTopKAtRest]], and ranking runs in
     * residual coordinates — per probed cell the driver derives the
     * query's residual `q - centroid_c` and its m x ks ADC table
-    * (nprobe KB-sized tables, inlined), and each row's distance is a
-    * CASE on the PARTITION column selecting its cell's table. Codes
-    * only, zero exchanges, TakeOrderedAndProject — the q135 scan
-    * shape with the q147 quantizer.
+    * (nprobe KB-sized tables, one codegen reference object), and each
+    * row's distance is the PARTITION column selecting its cell's
+    * table inside [[graft.functions.AnnHelper.adcByCell]] — a single
+    * generated call per row at any nprobe/ks. Codes only, zero
+    * exchanges, TakeOrderedAndProject — the q135 scan shape with the
+    * q147 quantizer.
     *
     * `filter` restricts ranking to a predicate over kept metadata
     * columns, evaluated on the scan ([[ivfPqTopKAtRest]]'s filtered-
@@ -1232,31 +1230,23 @@ object Similarity {
       query: Array[Double], k: Int, nprobe: Int = 4,
       cellCol: String = "cell",
       filter: Option[Column] = None): DataFrame = {
-    require(nprobe >= 1, "nprobe must be >= 1 (the per-cell CASE chain " +
-      "needs at least one probed cell)")
-    // the residual probe inlines one m x ks ADC table PER PROBED CELL
-    // (the CASE chain on the partition column)
+    require(nprobe >= 1,
+      "nprobe must be >= 1 (the probe needs at least one cell)")
+    // one m x ks ADC table PER PROBED CELL, selected by the partition
+    // column — held as a codegen reference object (one helper call per
+    // row at any nprobe/ks; see AnnHelper for why not a CASE chain)
     val probed = ivfProbed(ivfCb, query, nprobe)
-    requireInlineBudget(
-      probed.size.toLong * rcb.length * rcb(0).length,
-      s"ivfPqResidualTopKAtRest (nprobe=${probed.size}, m=${rcb.length}, " +
-        s"ks=${rcb(0).length})",
-      "lower nprobe or ks — or split the probe into several " +
-        "lower-nprobe scans over disjoint cell sets and take the " +
-        "k best of their unions")
     val centOf = ivfCb.map(c => c._1 -> c._2).toMap
-    val luts = probed.map { c =>
+    val cellIds = probed.toArray
+    val luts = cellIds.map { c =>
       val cent = centOf(c)
       // the query's residual against THIS cell's centroid — the same
       // double arithmetic order the oracle restates: (q[i] - cvec[i])
       val qres = Array.tabulate(query.length)(i => query(i) - cent(i))
-      c -> pqAdcTable(rcb, qres)
-    }.toMap
-    val adc = probed.tail.foldLeft(
-      when(col(cellCol) === probed.head,
-        adcColumn(luts(probed.head), col(codeCol)))) {
-      (acc, c) => acc.when(col(cellCol) === c, adcColumn(luts(c), col(codeCol)))
+      pqAdcTable(rcb, qres)
     }
+    val adc = GraftFunctions.pq_adc_by_cell(col(cellCol), col(codeCol),
+      cellIds, luts)
     val scan = spark.read.parquet(path).where(col(cellCol).isin(probed: _*))
     filter.fold(scan)(scan.where)
       .select(col(idCol), round(adc, 6).as("adc"))

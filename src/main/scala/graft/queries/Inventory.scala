@@ -184,7 +184,9 @@ object Inventory extends InventoryCrawl {
     "q151_quant_drift" -> (q151 _),
     "q152_quality_classifier" -> (q152 _),
     "q153_ffd_packing" -> (q153 _),
-    "q154_streaming_neardup" -> (q154 _))
+    "q154_streaming_neardup" -> (q154 _),
+    "q155_bpe_ffd_pack" -> (q155 _),
+    "q156_ann_maintain" -> (q156 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1391,6 +1393,58 @@ object Inventory extends InventoryCrawl {
           |  round(avg(p.e), 6) AS pq_err, round(avg(r.e), 6) AS rpq_err
           |FROM err_pq p JOIN err_rpq r USING (vec_id)
           |GROUP BY 1 ORDER BY cohort""".stripMargin,
+      // q156: maintainIvfPq's append-or-rebuild decision, BOTH
+      // regimes — all four error terms from q151's proven
+      // min-over-entries arithmetic (fresh codebooks = the batch's
+      // own 16 smallest-id vectors; the drifted pair shifts vector
+      // AND codebook by +4.0 in double, exactly as the engine does),
+      // then the 2.0-threshold CASE on the UNROUNDED terms
+      "q156_ann_maintain" -> {
+        def err(vecs: String, cb: String): String =
+          s"""(SELECT avg(e) FROM (
+             |   SELECT vec_id, list_sum(list(dm ORDER BY m)) AS e FROM (
+             |     SELECT v.vec_id, m.m,
+             |       min(list_sum(list_transform(generate_series(1, 8),
+             |         i -> (v.emb[m.m*8+i] - w.c[m.m*8+i]) *
+             |              (v.emb[m.m*8+i] - w.c[m.m*8+i])))) AS dm
+             |     FROM $vecs v CROSS JOIN generate_series(0, 7) m(m)
+             |     CROSS JOIN $cb w
+             |     GROUP BY v.vec_id, m.m)
+             |   GROUP BY vec_id))""".stripMargin
+        s"""WITH corpus_cb AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+           |         list_transform(embedding, x -> x::DOUBLE) AS c
+           |  FROM (SELECT vec_id, embedding FROM embeddings
+           |        WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 16)),
+           |batch_cb AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+           |         list_transform(embedding, x -> x::DOUBLE) AS c
+           |  FROM (SELECT vec_id, embedding FROM embeddings
+           |        WHERE vec_id % 5 = 0 ORDER BY vec_id LIMIT 16)),
+           |drift_cb AS (
+           |  SELECT j, list_transform(c, x -> x + 4.0) AS c FROM batch_cb),
+           |batch AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+           |  FROM embeddings WHERE vec_id % 5 = 0),
+           |drift AS (
+           |  SELECT vec_id + 10000 AS vec_id,
+           |         list_transform(embedding, x -> x::DOUBLE + 4.0) AS emb
+           |  FROM embeddings WHERE vec_id % 5 = 0),
+           |errs AS (
+           |  SELECT 'indist' AS regime,
+           |    ${err("batch", "corpus_cb")} AS stored_err,
+           |    ${err("batch", "batch_cb")} AS fresh_err
+           |  UNION ALL
+           |  SELECT 'drift',
+           |    ${err("drift", "corpus_cb")},
+           |    ${err("drift", "drift_cb")})
+           |SELECT regime,
+           |  CASE WHEN stored_err <= 2.0 * fresh_err THEN 'append'
+           |       ELSE 'rebuild' END AS action,
+           |  round(stored_err, 6) AS stored_err,
+           |  round(fresh_err, 6) AS fresh_err
+           |FROM errs ORDER BY regime""".stripMargin
+      },
       // q154: the streamed history discipline restated — for each
       // batch doc, dup_of = min older-HISTORY id at exact Jaccard
       // >= 0.8 (q18's proven shingle arithmetic): history of the
@@ -2661,6 +2715,58 @@ object Inventory extends InventoryCrawl {
           |SELECT doc_id, t AS tokens, shard, bin, bin_off
           |FROM pack WHERE doc_id IS NOT NULL
           |ORDER BY doc_id""".stripMargin,
+      // q155: the composed corpus is whitespace-joined repetition of
+      // the q126 case texts, so each document's REAL BPE token count
+      // is exactly repeats x the independent train_bpe.py literal
+      // (the pretokenizer never merges across whitespace — counts are
+      // additive over the join); then q153's proven FFD recurrence
+      // replays the packing and the rollup restates the report
+      "q155_bpe_ffd_pack" ->
+        """WITH RECURSIVE cases(idx, bpe) AS (
+          |  SELECT * FROM (VALUES
+          |    (0, CAST(5 AS BIGINT)), (1, CAST(23 AS BIGINT)),
+          |    (2, CAST(7 AS BIGINT)), (3, CAST(11 AS BIGINT)),
+          |    (4, CAST(6 AS BIGINT)), (5, CAST(19 AS BIGINT)),
+          |    (6, CAST(18 AS BIGINT)), (7, CAST(12 AS BIGINT)),
+          |    (8, CAST(5 AS BIGINT)), (9, CAST(22 AS BIGINT)),
+          |    (10, CAST(14 AS BIGINT)), (11, CAST(5 AS BIGINT)))),
+          |docs AS (
+          |  SELECT CAST(r.i AS BIGINT) AS doc_id,
+          |         CAST((1 + r.i % 9) * c.bpe AS BIGINT) AS t
+          |  FROM range(96) r(i) JOIN cases c ON c.idx = r.i % 12),
+          |base AS (
+          |  SELECT doc_id, doc_id % 4 AS shard, t,
+          |    CAST(row_number() OVER (PARTITION BY doc_id % 4
+          |                            ORDER BY t DESC, doc_id) AS BIGINT) AS k
+          |  FROM docs),
+          |pack AS (
+          |  SELECT shard, CAST(0 AS BIGINT) AS k, []::BIGINT[] AS rem,
+          |         NULL::BIGINT AS doc_id, NULL::BIGINT AS t,
+          |         NULL::BIGINT AS bin, NULL::BIGINT AS bin_off
+          |  FROM (SELECT DISTINCT doc_id % 4 AS shard FROM docs)
+          |  UNION ALL
+          |  SELECT shard, k,
+          |    CASE WHEN fbi IS NULL THEN list_append(rem, 256 - t)
+          |         ELSE list_transform(range(1, len(rem) + 1),
+          |                i -> CASE WHEN i = fbi THEN rem[i] - t
+          |                     ELSE rem[i] END)
+          |    END AS rem,
+          |    doc_id, t,
+          |    CASE WHEN fbi IS NULL THEN CAST(len(rem) AS BIGINT)
+          |         ELSE fbi - 1 END AS bin,
+          |    CASE WHEN fbi IS NULL THEN CAST(0 AS BIGINT)
+          |         ELSE 256 - rem[CAST(fbi AS INTEGER)] END AS bin_off
+          |  FROM (
+          |    SELECT p.shard, b.k, p.rem, b.doc_id, b.t,
+          |      list_min([i for i in range(1, len(p.rem) + 1)
+          |                if p.rem[i] >= b.t]) AS fbi
+          |    FROM pack p
+          |    JOIN base b ON b.shard = p.shard AND b.k = p.k + 1))
+          |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(t) AS BIGINT) AS bin_tokens,
+          |       round(sum(t) / 256.0, 6) AS fill
+          |FROM pack WHERE doc_id IS NOT NULL
+          |GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
       // relational statement of the map round-trip: same tokenizer as
       // the engine (strip non-alnum, lowercase, split), HAVING >= 5
       "q65_map_hof" ->

@@ -130,6 +130,39 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
       .orderBy(col("doc_id"))
 
 
+  /** REAL-TOKENIZER context-window prep, end to end — the composition
+    * a training run actually executes: genuine BPE token counts
+    * ([[GraftFunctions.bpe_encode_count]], q126's vendored-merges
+    * tokenizer) feed boundary-respecting FFD packing
+    * ([[Packing.ffdPack]], q153) and the result rolls up to the
+    * per-bin utilization report a batch scheduler reads. The corpus is
+    * synthesized from [[BpeCases]] by whitespace-joined repetition
+    * (case `i mod 12`, `1 + i mod 9` copies), so the oracle can state
+    * every document's token count EXACTLY — the pretokenizer never
+    * merges across whitespace, so counts are additive over the join —
+    * as `repeats x` the independent `tools/train_bpe.py --cases`
+    * literal, then replay q153's proven FFD recurrence over those
+    * counts and aggregate. Tokenizer, additivity, shard assignment,
+    * the greedy and the rollup are all load-bearing in one hash.
+    */
+  private[queries] def q155(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = (0 until 96).map { i =>
+      val txt = BpeCases(i % 12)._2
+      (i.toLong, Seq.fill(1 + i % 9)(txt).mkString(" "))
+    }.toDF("doc_id", "text")
+    val counted = docs.select(col("doc_id"),
+      GraftFunctions.bpe_encode_count(col("text")).as("bpe_tokens"))
+    Packing.ffdPack(counted, "doc_id", "bpe_tokens",
+        capacity = 256, shards = 4)
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("bin_tokens"),
+        round(sum(col("tokens")) / 256.0, 6).as("fill"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
+
   /** Context-window chunking ([[Packing.slidingWindows]]): 200-char
     * windows every 150 chars — the embedding-pipeline chunker. */
   private[queries] def q71(s: SparkSession, d: String): DataFrame =
@@ -677,22 +710,29 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
     * `tools/train_bpe.py --cases` (the q104 rule: a non-engine path
     * over the shared case table).
     */
+  /** The shared BPE case table (q126's oracle literals come from the
+    * independent `tools/train_bpe.py --cases` over exactly these
+    * texts; q155 composes corpora from them by whitespace-joined
+    * repetition, which is count-ADDITIVE because the pretokenizer
+    * never merges across whitespace).
+    */
+  private[queries] val BpeCases: Seq[(String, String)] = Seq(
+    ("c01_common", "the of and to in"),
+    ("c02_sentence", "the quick brown fox jumps over the lazy dog"),
+    ("c03_tech", "data pipeline token count for training text"),
+    ("c04_repeat", "aaaaaa thththth"),
+    ("c05_case", "THE The the"),
+    ("c06_punct", "dont stop: a test, with punctuation!"),
+    ("c07_digits", "version 42 build 20260815"),
+    ("c08_unseen", "zqxj zzzzqqqq"),
+    ("c09_singles", "a b c d e"),
+    ("c10_long", "internationalization of documentation"),
+    ("c11_mixed", "spark query over table 7 rows; done."),
+    ("c12_unicode", "caf\u00e9 \u65e5\u672c"))
+
   private[queries] def q126(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val cases: Seq[(String, String)] = Seq(
-      ("c01_common", "the of and to in"),
-      ("c02_sentence", "the quick brown fox jumps over the lazy dog"),
-      ("c03_tech", "data pipeline token count for training text"),
-      ("c04_repeat", "aaaaaa thththth"),
-      ("c05_case", "THE The the"),
-      ("c06_punct", "dont stop: a test, with punctuation!"),
-      ("c07_digits", "version 42 build 20260815"),
-      ("c08_unseen", "zqxj zzzzqqqq"),
-      ("c09_singles", "a b c d e"),
-      ("c10_long", "internationalization of documentation"),
-      ("c11_mixed", "spark query over table 7 rows; done."),
-      ("c12_unicode", "caf\u00e9 \u65e5\u672c"))
-    cases.toDF("case_id", "text")
+    BpeCases.toDF("case_id", "text")
       .select(col("case_id"),
         GraftFunctions.bpe_encode_count(col("text")).as("bpe_tokens"))
       .orderBy(col("case_id"))

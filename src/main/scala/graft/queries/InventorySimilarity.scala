@@ -352,4 +352,55 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
       .select(col("vec_id"), col("cell"))
       .orderBy(col("vec_id"))
   }
+
+
+  /** DRIFT-GATED maintenance ([[Similarity.maintainIvfPq]] — the q140
+    * incremental-refresh play for vectors, composing q138's append
+    * with q151's drift metric into the append-or-rebuild decision
+    * FAISS leaves to the caller): both regimes demonstrated against
+    * the same corpus layout. The in-distribution batch (vec_id % 5 =
+    * 0) appends — its error under the STORED codebooks sits within
+    * 2x of what batch-fitted codebooks achieve; the drifted batch
+    * (same vectors shifted +4.0 per coordinate, ids offset) rebuilds
+    * — the stored tables describe it ~1000x worse. The oracle
+    * restates all four error terms from q151's proven min-over-
+    * entries arithmetic (batch-fitted codebooks = the batch's own 16
+    * smallest-id vectors; the drifted pair shifts vector AND codebook
+    * the same way the engine does, in double) and the 2.0-threshold
+    * decision CASE — so the error arithmetic, the threshold
+    * comparison and both actions are load-bearing in one hash. All
+    * vectors pass through an explicit double cast so engine and
+    * oracle shift in the SAME precision (a float-typed +4.0 would
+    * round where DuckDB's ::DOUBLE + 4.0 does not).
+    */
+  private[queries] def q156(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val corpus = emb.where(col("vec_id") % 5 =!= 0)
+    val indist = emb.where(col("vec_id") % 5 === 0)
+    val drifted = indist.select((col("vec_id") + 10000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(4.0)).as("embedding"))
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 16)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, ks = 16)
+    val base = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q156_layout"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    // one fresh generation per regime: maintainIvfPq mutates the
+    // layout on the append path (overwrite keeps reruns deterministic)
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/a0")
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/b0")
+    val ra = Similarity.maintainIvfPq(s, base + "/a0", corpus, indist,
+      "vec_id", "embedding", base + "/a1")
+    val rb = Similarity.maintainIvfPq(s, base + "/b0", corpus, drifted,
+      "vec_id", "embedding", base + "/b1")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq(("indist", ra.action, r6(ra.storedErr), r6(ra.freshErr)),
+        ("drift", rb.action, r6(rb.storedErr), r6(rb.freshErr)))
+      .toDF("regime", "action", "stored_err", "fresh_err")
+      .orderBy(col("regime"))
+  }
 }

@@ -61,7 +61,11 @@ object StreamingSimilarity {
       val err = Similarity.ivfPqDistortion(b, vecCol, ivfCb, pqCb,
         residual = false)
       import spark.implicits._
-      Seq((batchId, err)).toDF("ingest_batch", "pq_err")
+      // the batch id lives in the DIRECTORY (the verdicts convention:
+      // a read of `out` surfaces it as the ingest_batch partition
+      // column) — writing it as a data column too would collide with
+      // the discovered partition column on read
+      Seq(err).toDF("pq_err")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$out/ingest_batch=$batchId")
     }

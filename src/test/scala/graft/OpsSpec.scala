@@ -1865,30 +1865,54 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Similarity.ivfCell(smallIvf, col("embedding"))
   }
 
-  test("codegen budget: residual probes cap their per-cell table volume") {
+  test("codegen cliff killed: residual probes stay codegen'd at production nprobe/ks") {
     import spark.implicits._
     val dim = 64
-    val ivfCb: Similarity.IvfCodebook =
-      Array.tabulate(512)(i => (i.toLong, Array.fill(dim)(1.0), 1.0))
-    // m=16, ks=64: 1024 ADC entries per probed cell; 512 cells = 524288
+    // r17 REFUSED these parameters (nprobe=512 x m=16 x ks=64 per-cell
+    // tables blew the inline-literal budget; unguarded they overflowed
+    // Janino's 64 KB method limit and fell back to interpreted). The
+    // tables now ride as codegen reference objects (AnnHelper), so the
+    // same parameters must PLAN, COMPILE and ANSWER — asserted under
+    // codegen.fallback=false + CODEGEN_ONLY, where any 64 KB overflow
+    // or interpreted demotion is a hard failure instead of a log line.
+    val rnd = new scala.util.Random(41)
+    val ivfCb: Similarity.IvfCodebook = Array.tabulate(512) { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v, n)
+    }
     val rcb: Similarity.PqCodebooks =
-      Array.fill(16)(Array.fill(64)(Array.fill(4)(0.0)))
-    val e = intercept[IllegalArgumentException] {
-      // the guard fires before the path is ever read
-      Similarity.ivfPqResidualTopKAtRest(spark, "/nonexistent/layout",
-        "vec_id", "code", ivfCb, rcb, Array.fill(dim)(1.0), k = 5,
-        nprobe = 512)
+      Array.fill(16)(Array.tabulate(64)(j => Array.fill(4)(j * 0.01)))
+    val df = (0 until 200).map { i =>
+      (i.toLong, Array.fill(dim)((rnd.nextGaussian() * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val query = Array.fill(dim)(0.1)
+    val restore = Seq(
+      "spark.sql.codegen.fallback", "spark.sql.codegen.factoryMode")
+      .map(k2 => k2 -> spark.conf.getOption(k2))
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val inFlight = Similarity.ivfPqResidualTopK(df, "vec_id", "embedding",
+        query, k = 5, nprobe = 512, ivfCb = Some(ivfCb), residualCb = Some(rcb))
+        .collect()
+      assert(inFlight.length == 5)
+      // at rest: write a tiny residual layout, probe it wide
+      val out = java.nio.file.Files.createTempDirectory("graft_codegen_resid")
+        .toString + "/layout"
+      Similarity.writeIvfPqResidualPartitioned(df, "vec_id", "embedding",
+        ivfCb, rcb, out)
+      val atRest = Similarity.ivfPqResidualTopKFromFiles(spark, out,
+        "vec_id", "code", query, k = 5, nprobe = 512)
+        .collect()
+      assert(atRest.length == 5)
+      // both faces rank the same corpus through the same quantizer —
+      // the at-rest path must land on the in-flight answer
+      assert(atRest.map(_.getLong(0)).toSeq == inFlight.map(_.getLong(0)).toSeq)
+    } finally restore.foreach {
+      case (k2, Some(v)) => spark.conf.set(k2, v)
+      case (k2, None) => spark.conf.unset(k2)
     }
-    assert(e.getMessage.contains("codegen budget"), e.getMessage)
-    assert(e.getMessage.contains("lower nprobe or ks"), e.getMessage)
-    // the in-flight face multiplies by dsub on top (combined tables)
-    val df = Seq((0L, Array.fill(dim)(0.5f))).toDF("vec_id", "embedding")
-    val e2 = intercept[IllegalArgumentException] {
-      Similarity.ivfPqResidualTopK(df, "vec_id", "embedding",
-        Array.fill(dim)(1.0), k = 5, nprobe = 512,
-        ivfCb = Some(ivfCb), residualCb = Some(rcb))
-    }
-    assert(e2.getMessage.contains("ivfPqResidualTopKAtRest"), e2.getMessage)
   }
 
   test("hashedLinearQuality: trained classifier separates prose from web junk") {
@@ -1951,14 +1975,101 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no single-partition collapse anywhere in the plan
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"), plan)
-    // an oversize document refuses with a curated error
+    // an oversize document refuses with a curated error — surfaced as
+    // a plain IllegalArgumentException from the pre-exchange check
+    // (NOT a SparkException wrapping task retries)
     val big = Seq((0L, 2000L)).toDF("doc_id", "n_chars")
-    val e = intercept[org.apache.spark.SparkException] {
+    val e = intercept[IllegalArgumentException] {
       graft.ops.Packing.ffdPack(big, "doc_id", "n_chars",
         capacity = 1024, shards = 2).collect()
     }
-    assert(e.getCause.getMessage.contains("can never pack whole"),
-      e.getCause.getMessage)
+    assert(e.getMessage.contains("can never pack whole"), e.getMessage)
+  }
+
+  test("maintainIvfPq: in-distribution appends, drifted rebuilds, both layouts answer") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(91)
+    val dim = 16
+    val centers = Array.tabulate(4)(c =>
+      Array.tabulate(dim)(j => if (j % 4 == c) 4.0 else 0.0))
+    def sample(n: Int, off: Double, base: Long) = (0 until n).map { i =>
+      val c = centers(i % 4)
+      (base + i, Array.tabulate(dim)(j => c(j) + rnd.nextGaussian() * 0.3 + off))
+    }
+    val corpus = sample(64, 0.0, 0L).toDF("vec_id", "embedding")
+    val indist = sample(48, 0.0, 1000L).toDF("vec_id", "embedding")
+    val drifted = sample(48, 25.0, 2000L).toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 4)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 16)
+    val base = java.nio.file.Files.createTempDirectory("graft_maintain").toString
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/a0")
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/b0")
+    val q = Array.fill(dim)(1.0)
+    // in-distribution: the stored tables describe the batch within the
+    // threshold -> append in place; the layout then answers over
+    // corpus ∪ batch exactly as the in-flight face with the SAME
+    // (stored) codebooks
+    val ra = Similarity.maintainIvfPq(spark, base + "/a0", corpus, indist,
+      "vec_id", "embedding", base + "/a1")
+    assert(ra.action == "append", s"$ra")
+    assert(ra.layout == base + "/a0")
+    assert(ra.storedErr <= 2.0 * ra.freshErr, s"$ra")
+    val atRest = Similarity.ivfPqTopKFromFiles(spark, base + "/a0",
+      "vec_id", "code", q, k = 5, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    val inFlight = Similarity.ivfPqTopK(corpus.unionByName(indist),
+      "vec_id", "embedding", q, k = 5, nlist = 4, nprobe = 2, m = 4, ks = 16,
+      ivfCb = Some(ivfCb), pqCb = Some(pqCb))
+      .as[(Long, Double)].collect().toSeq
+    assert(atRest == inFlight, s"$atRest vs $inFlight")
+    // nothing was written at the rebuild target on the append path
+    assert(!new java.io.File(base + "/a1").exists())
+    // drifted: the stored tables describe the batch ~1000x worse than
+    // its own -> retrain on corpus ∪ batch into a NEW generation; the
+    // rebuilt layout is self-contained and answers as the in-flight
+    // face with codebooks derived from the union
+    val rb = Similarity.maintainIvfPq(spark, base + "/b0", corpus, drifted,
+      "vec_id", "embedding", base + "/b1")
+    assert(rb.action == "rebuild", s"$rb")
+    assert(rb.layout == base + "/b1")
+    assert(rb.storedErr > 2.0 * rb.freshErr, s"$rb")
+    val all = corpus.unionByName(drifted)
+    val newIvf = Similarity.ivfCodebook(all, "vec_id", "embedding", nlist = 4)
+    val newPq = Similarity.pqCodebooks(all, "vec_id", "embedding", m = 4, ks = 16)
+    val atRest2 = Similarity.ivfPqTopKFromFiles(spark, base + "/b1",
+      "vec_id", "code", q, k = 5, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    val inFlight2 = Similarity.ivfPqTopK(all, "vec_id", "embedding", q,
+      k = 5, nlist = 4, nprobe = 2, m = 4, ks = 16,
+      ivfCb = Some(newIvf), pqCb = Some(newPq))
+      .as[(Long, Double)].collect().toSeq
+    assert(atRest2 == inFlight2, s"$atRest2 vs $inFlight2")
+    // the original generation is untouched by the rebuild (LSM pointer
+    // swap is the caller's move)
+    assert(Similarity.ivfPqTopKFromFiles(spark, base + "/b0", "vec_id",
+      "code", q, k = 5, nprobe = 2).count() == 5)
+    // a trickle batch (<= ks rows) always appends: its own stand-in
+    // codebooks memorize it (freshErr = 0) and the raw comparison
+    // would spuriously retrain the whole corpus
+    val trickle = sample(8, 25.0, 3000L).toDF("vec_id", "embedding")
+    val rc = Similarity.maintainIvfPq(spark, base + "/a0", corpus, trickle,
+      "vec_id", "embedding", base + "/a2")
+    assert(rc.action == "append", s"$rc")
+    assert(rc.freshErr == 0.0, s"$rc")
+    // curated refusals: a sub-1.0 threshold rebuilds every batch; an
+    // in-place rebuild target would clobber the files it reads
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.maintainIvfPq(spark, base + "/a0", corpus, indist,
+        "vec_id", "embedding", base + "/x", driftThreshold = 0.5)
+    }
+    assert(e1.getMessage.contains("below 1.0"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.maintainIvfPq(spark, base + "/a0", corpus, indist,
+        "vec_id", "embedding", base + "/a0")
+    }
+    assert(e2.getMessage.contains("rebuildAt"), e2.getMessage)
   }
 
   test("ivfPqDistortion: drift rises off-distribution; residual beats raw on clustered data") {

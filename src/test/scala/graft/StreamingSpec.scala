@@ -407,6 +407,105 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 6)
   }
 
+  test("streaming ANN ingest: stored-codebook appends, restart resumes, drift reported, replay converges") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    import graft.streaming.StreamingSimilarity
+    val base = tmp("graft_sann").getAbsolutePath
+    val dim = 16
+    // vectors deterministic PER ID, so a batch regenerates identically
+    // for the crash-replay and batch-face parity checks below
+    def vecs(n: Int, b: Long, off: Double) = (0 until n).map { i =>
+      val id = b + i
+      (id, Array.tabulate(dim)(j => math.sin(id * 0.7 + j * 1.3) + off))
+    }
+    val corpus = vecs(40, 0L, 0.0).toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 4)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/layout")
+    val srcDir = new java.io.File(base + "/src"); srcDir.mkdirs()
+    def stage(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+      val tmpd = new java.io.File(base + s"/stage$n")
+      df.coalesce(1).write.parquet(tmpd.getAbsolutePath)
+      val part = tmpd.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir.getAbsolutePath, s"b$n.parquet"))
+    }
+    def runStream(): Unit = {
+      val src = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.getAbsolutePath)
+      val q = StreamingSimilarity.incrementalAnnStream(src, base + "/layout",
+        base + "/ckpt", "vec_id", "embedding",
+        driftOut = Some(base + "/drift")).start()
+      assert(q.awaitTermination(120000), "ANN ingest stream did not finish")
+    }
+    val query = Array.fill(dim)(1.0)
+    stage(vecs(10, 100L, 0.0).toDF("vec_id", "embedding"), 1)
+    runStream()
+    // the batch landed in its own increment directory: plain reads of
+    // the layout stay base-only, the increments face sees 40 + 10
+    assert(spark.read.parquet(base + "/layout").count() == 40)
+    val ids1 = Similarity.ivfPqTopKFromFilesWithIncrements(spark,
+      base + "/layout", "vec_id", "code", query, k = 50, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids1.exists(_ >= 100L), s"batch 1 invisible to the probe: $ids1")
+    // restart from the same checkpoint: batch 1 NOT reprocessed, the
+    // shifted batch 2 appends and its drift report lands per batch
+    stage(vecs(10, 200L, 6.0).toDF("vec_id", "embedding"), 2)
+    runStream()
+    val counted = graft.ops.Layouts.withIncrements(spark,
+      spark.read.parquet(base + "/layout"), base + "/layout",
+      Seq("vec_id", "cell", "code"), None)
+    assert(counted.count() == 60)
+    assert(counted.select("vec_id").distinct().count() == 60)
+    val atRest = Similarity.ivfPqTopKFromFilesWithIncrements(spark,
+      base + "/layout", "vec_id", "code", query, k = 8, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    // batch parity: the SAME two batches through the batch face
+    // (appendIvfPq into a parallel generation) answer identically —
+    // stream and batch ingest are the same operator
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/par")
+    Similarity.appendIvfPq(vecs(10, 100L, 0.0).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", ivfCb, pqCb, base + "/par")
+    Similarity.appendIvfPq(vecs(10, 200L, 6.0).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", ivfCb, pqCb, base + "/par")
+    val viaBatchFace = Similarity.ivfPqTopKFromFiles(spark, base + "/par",
+      "vec_id", "code", query, k = 8, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaBatchFace == atRest, s"$viaBatchFace vs $atRest")
+    // drift: one row per batch via the partition column; the shifted
+    // batch scores worse under the stored codebooks
+    val drift = spark.read.parquet(base + "/drift")
+      .select("ingest_batch", "pq_err").as[(Long, Double)]
+      .collect().toMap
+    assert(drift.keySet == Set(0L, 1L), s"$drift")
+    assert(drift(1L) > drift(0L) * 1.5, s"$drift")
+    // crash-replay converges: re-running a committed batch id rewrites
+    // its directory wholesale — no duplicated code rows, same probe
+    StreamingSimilarity.ingestBatch(
+      vecs(10, 100L, 0.0).toDF("vec_id", "embedding"), 0L,
+      base + "/layout", "vec_id", "embedding", Some(base + "/drift"))
+    val again = Similarity.ivfPqTopKFromFilesWithIncrements(spark,
+      base + "/layout", "vec_id", "code", query, k = 8, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    val replayed = graft.ops.Layouts.withIncrements(spark,
+      spark.read.parquet(base + "/layout"), base + "/layout",
+      Seq("vec_id", "cell", "code"), None)
+    assert(replayed.count() == 60)
+    assert(replayed.select("vec_id").distinct().count() == 60)
+    // compaction folds the streamed increments into the next base
+    // generation (quiesced stream), sidecar carried
+    Similarity.compactIvfPqLayout(spark, base + "/layout", base + "/gen1")
+    assert(spark.read.parquet(base + "/gen1").count() == 60)
+    val compacted = Similarity.ivfPqTopKFromFiles(spark, base + "/gen1",
+      "vec_id", "code", query, k = 8, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(compacted == atRest, s"$compacted vs $atRest")
+    assert(again == atRest, s"$again vs $atRest")
+  }
+
   test("ingest crash-replay converges: twins stay unique, self-pairs never eat a verdict") {
     import spark.implicits._
     import graft.ops.{Dedup, Layouts}
