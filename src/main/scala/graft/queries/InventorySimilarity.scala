@@ -386,16 +386,17 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
     val base = new java.io.File(
       new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q156_layout"),
       java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
-    // one fresh generation per regime: maintainIvfPq mutates the
-    // layout on the append path (overwrite keeps reruns deterministic)
+    // ONE corpus generation serves both regimes: the drift regime runs
+    // first (its rebuild writes a NEW generation and leaves gen0
+    // untouched), then the in-distribution regime appends into gen0 as
+    // its last use (overwrite-on-rerun keeps the whole query
+    // deterministic)
     Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
-      ivfCb, pqCb, base + "/a0")
-    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
-      ivfCb, pqCb, base + "/b0")
-    val ra = Similarity.maintainIvfPq(s, base + "/a0", corpus, indist,
-      "vec_id", "embedding", base + "/a1")
-    val rb = Similarity.maintainIvfPq(s, base + "/b0", corpus, drifted,
-      "vec_id", "embedding", base + "/b1")
+      ivfCb, pqCb, base + "/gen0")
+    val rb = Similarity.maintainIvfPq(s, base + "/gen0", corpus, drifted,
+      "vec_id", "embedding", base + "/rebuilt")
+    val ra = Similarity.maintainIvfPq(s, base + "/gen0", corpus, indist,
+      "vec_id", "embedding", base + "/unused")
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     Seq(("indist", ra.action, r6(ra.storedErr), r6(ra.freshErr)),

@@ -588,4 +588,28 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       s"q153 must shuffle once (the shard key):\n$p")
   }
+
+  test("q155: BPE->FFD composition shuffles twice (shard key, rollup), never collapses") {
+    // tokenizer scan is codegen'd scalar work; the pack's shard
+    // exchange and the per-bin rollup's aggregate exchange are the
+    // only hash shuffles (plus the presentation sort's range exchange)
+    val p = plan("q155_bpe_ffd_pack")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q155 collapsed to one partition:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"q155 must shuffle exactly twice (shard, rollup):\n$p")
+    assert(!p.contains("Join"), s"q155 grew a join:\n$p")
+  }
+
+  test("probe stages stay whole-stage codegen'd at registry parameters (the r17 64KB cliff)") {
+    // the executed residual probe plan must carry codegen spans — the
+    // r17 sweep saw this exact query's stage fall back to interpreted
+    // when the per-cell tables were unrolled literals
+    for (name <- Seq("q147_ann_residual", "q148_ann_residual_atrest")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("*("), s"$name fell out of whole-stage codegen:\n$p")
+    }
+  }
 }
