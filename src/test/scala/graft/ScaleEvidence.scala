@@ -383,6 +383,63 @@ object ScaleEvidence {
     println(f"""SCALE {"corpus":"incr:$corpusN:$batchN","op":"q131_incremental","corpus_docs":$nc,"batch_docs":$nb,"dups_found":${incr.length},"index_build_secs":$idxSecs%.1f,"incr_secs":$incrSecs%.1f,"recompute_secs":$freshSecs%.1f}""")
   }
 
+  /** Maintain rung (`maintain:<corpusN>:<batchN>`): the q156
+    * steady-state claim measured at vector scale — an
+    * in-distribution batch costs the APPEND pass (batch encode +
+    * file-additive write + two batch-only distortion scans), while
+    * the corpus-wide retrain runs ONLY when the drift signal demands
+    * it. Reports the base ingest wall, the append-path wall and the
+    * rebuild-path wall; asserts the decisions land on the designed
+    * regimes (append for same-distribution, rebuild for a +8.0
+    * shift).
+    */
+  private def maintainRung(spark: SparkSession, corpusN: Long, batchN: Long): Unit = {
+    val dim = 64
+    val nCenters = 16
+    val centers = Array.tabulate(nCenters, dim) { (c, d) =>
+      if ((scala.util.hashing.MurmurHash3.productHash((c, d)) & 1) == 0) 1.0
+      else -1.0
+    }
+    val centersLit = array(centers.map(c =>
+      array(c.toIndexedSeq.map(lit): _*)).toIndexedSeq: _*)
+    def vecsOf(n: Long, idBase: Long, off: Double): DataFrame = {
+      val cIdx = (col("id") % nCenters).cast("int")
+      val vec = transform(sequence(lit(0), lit(dim - 1)), d =>
+        element_at(element_at(centersLit, cIdx + 1), d + 1) + lit(off) +
+          (pmod(col("id") * lit(2654435761L) + d * lit(97L), lit(1000L))
+            .cast("double") - lit(500.0)) / lit(50000.0))
+      spark.range(n).select((col("id") + idBase).as("vec_id"), vec.as("embedding"))
+    }
+    val corpus = vecsOf(corpusN, 0L, 0.0)
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = nCenters)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, ks = 16)
+    val base = java.nio.file.Files.createTempDirectory("graft-maintain-rung").toFile
+    val layout = base.getAbsolutePath + "/gen0"
+    val tW = System.nanoTime()
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, layout)
+    val writeSecs = (System.nanoTime() - tW) / 1e9
+    // in-distribution batch: the steady-state path — no corpus read
+    val tA = System.nanoTime()
+    val ra = Similarity.maintainIvfPq(spark, layout, corpus,
+      vecsOf(batchN, 10000000L, 0.0), "vec_id", "embedding",
+      base.getAbsolutePath + "/unused")
+    val appendSecs = (System.nanoTime() - tA) / 1e9
+    require(ra.action == "append", s"in-distribution batch must append: $ra")
+    // drifted batch: the retrain the drift signal demanded
+    val tR = System.nanoTime()
+    val rb = Similarity.maintainIvfPq(spark, layout, corpus,
+      vecsOf(batchN, 20000000L, 8.0), "vec_id", "embedding",
+      base.getAbsolutePath + "/gen1")
+    val rebuildSecs = (System.nanoTime() - tR) / 1e9
+    require(rb.action == "rebuild", s"drifted batch must rebuild: $rb")
+    val nFinal = spark.read.parquet(base.getAbsolutePath + "/gen1").count()
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    require(nFinal == corpusN + batchN,
+      s"rebuilt generation must hold corpus+batch: $nFinal")
+    println(f"""SCALE {"corpus":"maintain:$corpusN:$batchN","op":"q156_maintain","corpus_vecs":$corpusN,"batch_vecs":$batchN,"base_ingest_secs":$writeSecs%.1f,"append_path_secs":$appendSecs%.1f,"rebuild_path_secs":$rebuildSecs%.1f,"stored_vs_fresh":[${ra.storedErr / ra.freshErr}%.2f,${rb.storedErr / rb.freshErr}%.2f]}""")
+  }
+
   /** Split-from-index rung (`split:<corpusN>`): the q141 claim
     * measured — [[Sampling.leakFreeSplit]] reading the at-rest
     * signature index vs re-minhashing the corpus in-flight. Same
@@ -923,8 +980,11 @@ object ScaleEvidence {
     val (mixArgs, rest5) = rest4b.partition(_.startsWith("mix:"))
     mixArgs.foreach(a => mixRung(spark, a.drop(4).toLong))
     val Incr = "incr:(\\d+):(\\d+)".r
-    val (inArgs, rest6) = rest5.partition(_.startsWith("incr:"))
+    val (inArgs, rest6a) = rest5.partition(_.startsWith("incr:"))
     inArgs.foreach { case Incr(c, b) => incrRung(spark, c.toLong, b.toLong) }
+    val Maintain = "maintain:(\\d+):(\\d+)".r
+    val (mtArgs, rest6) = rest6a.partition(_.startsWith("maintain:"))
+    mtArgs.foreach { case Maintain(c, b) => maintainRung(spark, c.toLong, b.toLong) }
     val (spArgs, rest7) = rest6.partition(_.startsWith("split:"))
     spArgs.foreach(a => splitRung(spark, a.drop(6).toLong))
     val Ffd = "ffd:(\\d+):(\\d+)".r
