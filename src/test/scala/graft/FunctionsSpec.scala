@@ -400,6 +400,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(VecHelper.l2sqSlice(v, c, 9, vFloat = false, cFloat = false) == 0.0)
   }
 
+  test("AnnHelper: encode ties to the smaller index; adc mirrors element_at-miss as null") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.AnnHelper
+    // m=2, ks=2, dsub=2; second subspace's entries are EQUIDISTANT
+    // from the vector slice -> the tie must go to index 0 (the
+    // least(struct(d, j)) rule the unrolled form had)
+    val cb: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Array(Array(2.0, 4.0), Array(4.0, 2.0)))
+    val v = new GenericArrayData(Array[Double](0.9, 0.9, 3.0, 3.0))
+    val code = AnnHelper.encode(v, vFloat = false, cb)
+    assert(code.toIntArray().toSeq == Seq(1, 0))
+    // adc: in-range codes sum their lookups in subspace order
+    val lut = Array(Array(0.5, 2.5), Array(10.0, 20.0))
+    assert(AnnHelper.adc(new GenericArrayData(Array(1, 0)), lut) == 2.5 + 10.0)
+    // out-of-range or null code slots -> null (the element_at-miss
+    // rule), never an exception or a skipped term
+    assert(AnnHelper.adc(new GenericArrayData(Array(1, 5)), lut) == null)
+    assert(AnnHelper.adc(new GenericArrayData(Array[Integer](1, null)), lut) == null)
+    assert(AnnHelper.adc(new GenericArrayData(Array(1)), lut) == null)
+    // by-cell faces: a cell outside the probed set -> null (the
+    // CASE-with-no-else rule — unreachable after the isin filter)
+    assert(AnnHelper.adcByCell(7L, new GenericArrayData(Array(1, 0)),
+      Array(3L), Array(lut)) == null)
+    assert(AnnHelper.adcByCell(3L, new GenericArrayData(Array(1, 0)),
+      Array(3L), Array(lut)) == 12.5)
+    assert(AnnHelper.encodeByCell(9L, v, vFloat = false,
+      Array(3L), Array(cb)) == null)
+    // minDist = the argmin distances themselves, summed in order
+    val md = AnnHelper.minDist(v, vFloat = false, cb)
+    val exp = (0.1 * 0.1 + 0.1 * 0.1) + ((3.0 - 2.0) * (3.0 - 2.0) + (3.0 - 4.0) * (3.0 - 4.0))
+    assert(math.abs(md - exp) < 1e-12, s"$md vs $exp")
+  }
+
   test("fixMojibake: single/double/CP1252 repair, legacy text untouched") {
     def f(s: String) =
       graft.functions.MojibakeHelper.fix(UTF8String.fromString(s)).toString
