@@ -186,7 +186,8 @@ object Inventory extends InventoryCrawl {
     "q153_ffd_packing" -> (q153 _),
     "q154_streaming_neardup" -> (q154 _),
     "q155_bpe_ffd_pack" -> (q155 _),
-    "q156_ann_maintain" -> (q156 _))
+    "q156_ann_maintain" -> (q156 _),
+    "q157_streaming_ann" -> (q157 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1287,6 +1288,11 @@ object Inventory extends InventoryCrawl {
       // over ALL vectors — append correctness AND no-retrain encoding
       // are both load-bearing
       "q138_ann_append" -> ivfPqOracleFrom("WHERE vec_id % 5 <> 0"),
+      // q157: the STREAMED layout must land on the same recomputed
+      // full-table top-k as q138's batch appends — corpus-trained
+      // codebooks, stream-encoded increments, probe over
+      // base + increments all load-bearing
+      "q157_streaming_ann" -> ivfPqOracleFrom("WHERE vec_id % 5 <> 0"),
       // q139: the --wet converter mode must land on q122's
       // independently-computed digests — the chain as ONE production
       // CLI pass (decode, charset, main content, NFC, round-tripped

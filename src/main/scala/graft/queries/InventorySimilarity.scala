@@ -373,6 +373,81 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
     * oracle shift in the SAME precision (a float-typed +4.0 would
     * round where DuckDB's ::DOUBLE + 4.0 does not).
     */
+  /** STREAMING ANN ingest
+    * ([[graft.streaming.StreamingSimilarity.incrementalAnnStream]] —
+    * round 18, the q154 play for vectors): the corpus (vec_id % 5 !=
+    * 0) is written at rest with its `_codebooks` sidecar; the
+    * increment rows arrive as TWO ordered micro-batches (vec_id % 10
+    * = 0, then % 10 = 5 — staged files with ordered mtimes,
+    * `maxFilesPerTrigger = 1`), each encoded with the STORED sidecar
+    * codebooks and landed in the increment directory the batch owns;
+    * the probe then answers over base + increments. corpus ∪ batches
+    * = the whole table, so the oracle is EXACTLY q138's: the streamed
+    * layout is correct iff it lands on the recomputed full-table
+    * top-k with corpus-trained codebooks — encode-with-stored-tables,
+    * batch placement, increment visibility and the probe are all
+    * load-bearing. Stream state (checkpoint, increments) is rebuilt
+    * fresh per run; the corpus layout and staged sources are cached
+    * behind a marker (the q154 harness discipline).
+    */
+  private[queries] def q157(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val base = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q157_stream"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    def rm(p: String): Unit = {
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    Seq("/ckpt", "/layout/" + graft.ops.Layouts.IncrementsDir)
+      .foreach(sfx => rm(base + sfx))
+    val fixturesOk = new java.io.File(base + "/_fixtures_ok")
+    if (!fixturesOk.exists()) {
+      Seq("/src", "/layout").foreach(sfx => rm(base + sfx))
+      val corpus = emb.where(col("vec_id") % 5 =!= 0)
+      val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 16)
+      val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, ks = 16)
+      Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+        ivfCb, pqCb, base + "/layout")
+      val srcDir = new java.io.File(base + "/src"); srcDir.mkdirs()
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmpd = new java.io.File(base + "/stage_" + name)
+        rm(tmpd.getAbsolutePath)
+        df.coalesce(1).write.parquet(tmpd.getAbsolutePath)
+        val part = tmpd.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(srcDir, name + ".parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime)
+        rm(tmpd.getAbsolutePath)
+      }
+      val t0 = System.currentTimeMillis() - 120000
+      stage(emb.where(col("vec_id") % 10 === 0), "a", t0)
+      stage(emb.where(col("vec_id") % 10 === 5), "b", t0 + 60000)
+      fixturesOk.createNewFile()
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(base + "/src")
+    withStreamPartitions(s, 8) {
+      val q = graft.streaming.StreamingSimilarity.incrementalAnnStream(
+        src, base + "/layout", base + "/ckpt", "vec_id", "embedding").start()
+      val done = q.awaitTermination(300000)
+      if (!done) q.stop()
+      require(done,
+        "q157: the availableNow stream did not terminate within 300 s")
+    }
+    Similarity.ivfPqTopKFromFilesWithIncrements(s, base + "/layout",
+      "vec_id", "code", OnesQuery, k = 10, nprobe = 4)
+  }
+
+
   private[queries] def q156(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = t(s, d, "embeddings").select(col("vec_id"),
