@@ -819,6 +819,28 @@ object Similarity {
       "the layout holds raw-PQ codes — probe it with " +
         "ivfPqTopKFromFiles / readIvfPqCodebooks")
 
+  /** The PQ kind the layout's `_codebooks` sidecar stores: `"pq"`
+    * (raw-vector codes) or `"rpq"` (residual codes) — the dispatch a
+    * kind-agnostic caller (the streaming ingest loop) needs to pick
+    * the right encoder without being told out of band. Curated
+    * failure on a missing sidecar or one holding neither kind.
+    */
+  def sidecarPqKind(spark: org.apache.spark.sql.SparkSession,
+      layout: String): String = {
+    require(hasIvfPqCodebooks(spark, layout),
+      s"no _codebooks sidecar under $layout — a kind-agnostic append " +
+        "cannot pick an encoder; rewrite with writeIvfPqPartitioned / " +
+        "writeIvfPqResidualPartitioned (or use the explicit-codebook faces)")
+    val kinds = Layouts.collectSidecar(spark, layout + "/_codebooks",
+      "writeIvfPqPartitioned / writeIvfPqResidualPartitioned")
+      .map(_.getString(0)).distinct.toSet
+    if (kinds.contains("pq")) "pq"
+    else if (kinds.contains("rpq")) "rpq"
+    else throw new IllegalStateException(
+      s"the _codebooks sidecar under $layout holds neither 'pq' nor " +
+        s"'rpq' tables (kinds present: ${kinds.toSeq.sorted.mkString(", ")})")
+  }
+
   private def readCodebooksOfKind(spark: org.apache.spark.sql.SparkSession,
       layout: String, kind: String, otherKind: String,
       otherHint: String): (IvfCodebook, PqCodebooks) = {
@@ -929,21 +951,32 @@ object Similarity {
     * duplicated id in an ANN layout surfaces twice in a top-k.
     * Underscore-prefixed: plain reads and [[ivfPqTopKFromFiles]] skip
     * increments; probes opt in via
-    * [[ivfPqTopKFromFilesWithIncrements]], and [[compactIvfPqLayout]]
-    * folds them into the next base generation.
+    * [[ivfPqTopKFromFilesWithIncrements]] /
+    * [[ivfPqResidualTopKFromFilesWithIncrements]], and
+    * [[compactIvfPqLayout]] folds them into the next base generation.
     *
-    * The layout must be self-contained (a `_codebooks` sidecar, raw-PQ
-    * kind): a stream is automation, and automation may not silently
-    * skip the codebook check a hand-driven append can opt out of.
+    * The layout must be self-contained (a `_codebooks` sidecar): a
+    * stream is automation, and automation may not silently skip the
+    * codebook check a hand-driven append can opt out of. KIND-AWARE:
+    * the sidecar's tag picks the encoder — raw codes into a 'pq'
+    * layout, residual codes into an 'rpq' one — so a stream can never
+    * poison a residual layout with raw codes or vice versa.
     */
   def appendIvfPqIncrement(batch: DataFrame, idCol: String, vecCol: String,
       out: String, batchId: Long,
       cellCol: String = "cell", codeCol: String = "code",
       keep: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
-    val (ivfCb, pqCb) = readIvfPqCodebooks(spark, out)
-    ivfPqCoded(batch, idCol, vecCol, ivfCb, pqCb, cellCol, codeCol, keep)
-      .write.mode("overwrite").partitionBy(cellCol)
+    val coded = sidecarPqKind(spark, out) match {
+      case "rpq" =>
+        val (ivfCb, rcb) = readIvfPqResidualCodebooks(spark, out)
+        ivfPqResidualCoded(batch, idCol, vecCol, ivfCb, rcb,
+          cellCol, codeCol, keep)
+      case _ =>
+        val (ivfCb, pqCb) = readIvfPqCodebooks(spark, out)
+        ivfPqCoded(batch, idCol, vecCol, ivfCb, pqCb, cellCol, codeCol, keep)
+    }
+    coded.write.mode("overwrite").partitionBy(cellCol)
       .parquet(Layouts.incrementDir(out, batchId))
   }
 
@@ -1232,19 +1265,7 @@ object Similarity {
       filter: Option[Column] = None): DataFrame = {
     require(nprobe >= 1,
       "nprobe must be >= 1 (the probe needs at least one cell)")
-    // one m x ks ADC table PER PROBED CELL, selected by the partition
-    // column — held as a codegen reference object (one helper call per
-    // row at any nprobe/ks; see AnnHelper for why not a CASE chain)
-    val probed = ivfProbed(ivfCb, query, nprobe)
-    val centOf = ivfCb.map(c => c._1 -> c._2).toMap
-    val cellIds = probed.toArray
-    val luts = cellIds.map { c =>
-      val cent = centOf(c)
-      // the query's residual against THIS cell's centroid — the same
-      // double arithmetic order the oracle restates: (q[i] - cvec[i])
-      val qres = Array.tabulate(query.length)(i => query(i) - cent(i))
-      pqAdcTable(rcb, qres)
-    }
+    val (probed, cellIds, luts) = residualCellLuts(ivfCb, rcb, query, nprobe)
     val adc = GraftFunctions.pq_adc_by_cell(col(cellCol), col(codeCol),
       cellIds, luts)
     val scan = spark.read.parquet(path).where(col(cellCol).isin(probed: _*))
@@ -1252,6 +1273,26 @@ object Similarity {
       .select(col(idCol), round(adc, 6).as("adc"))
       .orderBy(col("adc"), col(idCol))
       .limit(k)
+  }
+
+  /** One m x ks residual ADC table PER PROBED CELL — the query's
+    * residual against each probed centroid (the same double arithmetic
+    * order the oracle restates: `q[i] - cvec[i]`), held as codegen
+    * reference objects (one helper call per row at any nprobe/ks; see
+    * [[graft.functions.AnnHelper]] for why not a CASE chain).
+    */
+  private def residualCellLuts(ivfCb: IvfCodebook, rcb: PqCodebooks,
+      query: Array[Double], nprobe: Int):
+      (Seq[Long], Array[Long], Array[Array[Array[Double]]]) = {
+    val probed = ivfProbed(ivfCb, query, nprobe)
+    val centOf = ivfCb.map(c => c._1 -> c._2).toMap
+    val cellIds = probed.toArray
+    val luts = cellIds.map { c =>
+      val cent = centOf(c)
+      val qres = Array.tabulate(query.length)(i => query(i) - cent(i))
+      pqAdcTable(rcb, qres)
+    }
+    (probed, cellIds, luts)
   }
 
   /** [[ivfPqResidualTopKAtRest]] with the codebooks loaded from the
@@ -1266,6 +1307,34 @@ object Similarity {
     val (ivfCb, rcb) = readIvfPqResidualCodebooks(spark, path)
     ivfPqResidualTopKAtRest(spark, path, idCol, codeCol, ivfCb, rcb,
       query, k, nprobe, cellCol, filter)
+  }
+
+  /** [[ivfPqResidualTopKFromFiles]] over base + committed streamed
+    * increments ([[appendIvfPqIncrement]] into an 'rpq' layout) — the
+    * residual sibling of [[ivfPqTopKFromFilesWithIncrements]]: the
+    * probe predicate pushes into every increment directory (each is
+    * cell-partitioned inside, so pruning holds across base and
+    * increments), and ranking runs the per-probed-cell residual ADC.
+    * `excludeBatchId` mirrors the ingest loop's replay rule.
+    */
+  def ivfPqResidualTopKFromFilesWithIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, codeCol: String,
+      query: Array[Double], k: Int, nprobe: Int = 4,
+      cellCol: String = "cell",
+      excludeBatchId: Option[Long] = None): DataFrame = {
+    require(nprobe >= 1,
+      "nprobe must be >= 1 (the probe needs at least one cell)")
+    val (ivfCb, rcb) = readIvfPqResidualCodebooks(spark, path)
+    val (probed, cellIds, luts) = residualCellLuts(ivfCb, rcb, query, nprobe)
+    val adc = GraftFunctions.pq_adc_by_cell(col(cellCol), col(codeCol),
+      cellIds, luts)
+    Layouts.withIncrements(spark, spark.read.parquet(path), path,
+        Seq(idCol, cellCol, codeCol), excludeBatchId)
+      .where(col(cellCol).isin(probed: _*))
+      .select(col(idCol), round(adc, 6).as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(k)
   }
 
   /** COMPACT an appended layout: daily [[appendIvfPq]] batches leave

@@ -10,9 +10,13 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   * is encoded with the layout's STORED codebooks (read back from the
   * `_codebooks` sidecar — nothing retrained, nothing handed over out
   * of band) and appended into the at-rest IVF-PQ layout, so probes
-  * over base + increments ([[graft.ops.Similarity.ivfPqTopKFromFilesWithIncrements]])
-  * see yesterday's stream batches exactly as [[graft.ops.Similarity.appendIvfPq]]
-  * batches.
+  * over base + increments ([[graft.ops.Similarity.ivfPqTopKFromFilesWithIncrements]] /
+  * [[graft.ops.Similarity.ivfPqResidualTopKFromFilesWithIncrements]])
+  * see yesterday's stream batches exactly as [[graft.ops.Similarity.appendIvfPq]] /
+  * [[graft.ops.Similarity.appendIvfPqResidual]] batches. KIND-AWARE:
+  * the sidecar's 'pq'/'rpq' tag picks the encoder per batch, so the
+  * same stream code serves raw and residual layouts and can never
+  * poison one with the other's codes.
   *
   * Exactly-once story, inherited from the near-dup loop: every
   * per-batch write is IDEMPOTENT — the batch owns
@@ -57,9 +61,16 @@ object StreamingSimilarity {
     val spark = b.sparkSession
     Similarity.appendIvfPqIncrement(b, idCol, vecCol, layoutPath, batchId)
     driftOut.foreach { out =>
-      val (ivfCb, pqCb) = Similarity.readIvfPqCodebooks(spark, layoutPath)
-      val err = Similarity.ivfPqDistortion(b, vecCol, ivfCb, pqCb,
-        residual = false)
+      // kind-aware like the append itself: a residual layout's drift
+      // is its residual reconstruction error, not the raw-PQ one
+      val err = Similarity.sidecarPqKind(spark, layoutPath) match {
+        case "rpq" =>
+          val (ivfCb, rcb) = Similarity.readIvfPqResidualCodebooks(spark, layoutPath)
+          Similarity.ivfPqDistortion(b, vecCol, ivfCb, rcb, residual = true)
+        case _ =>
+          val (ivfCb, pqCb) = Similarity.readIvfPqCodebooks(spark, layoutPath)
+          Similarity.ivfPqDistortion(b, vecCol, ivfCb, pqCb, residual = false)
+      }
       import spark.implicits._
       // the batch id lives in the DIRECTORY (the verdicts convention:
       // a read of `out` surfaces it as the ingest_batch partition

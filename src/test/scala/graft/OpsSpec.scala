@@ -2072,6 +2072,58 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("rebuildAt"), e2.getMessage)
   }
 
+  test("kind-aware streamed increments: an rpq layout gets residual codes, probe parity with the batch face") {
+    import spark.implicits._
+    val dim = 16
+    def vecs(n: Int, b: Long) = (0 until n).map { i =>
+      val id = b + i
+      (id, Array.tabulate(dim)(j => math.sin(id * 0.9 + j * 1.7)))
+    }
+    val corpus = vecs(40, 0L).toDF("vec_id", "embedding")
+    val b1 = vecs(10, 100L).toDF("vec_id", "embedding")
+    val b2 = vecs(10, 200L).toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 4)
+    val rcb = Similarity.residualPqCodebooks(corpus, "vec_id", "embedding",
+      ivfCb, m = 4, ks = 8)
+    val base = java.nio.file.Files.createTempDirectory("graft_rpq_incr").toString
+    Similarity.writeIvfPqResidualPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, rcb, base + "/streamed")
+    assert(Similarity.sidecarPqKind(spark, base + "/streamed") == "rpq")
+    // the kind-agnostic increment append must pick the RESIDUAL encoder
+    Similarity.appendIvfPqIncrement(b1, "vec_id", "embedding",
+      base + "/streamed", 0L)
+    Similarity.appendIvfPqIncrement(b2, "vec_id", "embedding",
+      base + "/streamed", 1L)
+    val query = Array.fill(dim)(0.5)
+    val streamed = Similarity.ivfPqResidualTopKFromFilesWithIncrements(spark,
+      base + "/streamed", "vec_id", "code", query, k = 8, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    // batch-face parity: the same batches through appendIvfPqResidual
+    Similarity.writeIvfPqResidualPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, rcb, base + "/batched")
+    Similarity.appendIvfPqResidual(b1, "vec_id", "embedding", ivfCb, rcb,
+      base + "/batched")
+    Similarity.appendIvfPqResidual(b2, "vec_id", "embedding", ivfCb, rcb,
+      base + "/batched")
+    val batched = Similarity.ivfPqResidualTopKFromFiles(spark,
+      base + "/batched", "vec_id", "code", query, k = 8, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(streamed == batched, s"$streamed vs $batched")
+    assert(streamed.exists(_._1 >= 100L), s"increments invisible: $streamed")
+    // raw codes can never land in the rpq layout (and vice versa): the
+    // raw probe refuses the layout by kind
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfPqTopKFromFilesWithIncrements(spark, base + "/streamed",
+        "vec_id", "code", query, k = 3)
+    }
+    assert(e.getMessage.contains("'pq'"), e.getMessage)
+    // sidecarPqKind's own refusal face: a sidecar-less path
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.sidecarPqKind(spark, base + "/nowhere")
+    }
+    assert(e2.getMessage.contains("sidecar"), e2.getMessage)
+  }
+
   test("ivfPqDistortion: drift rises off-distribution; residual beats raw on clustered data") {
     import spark.implicits._
     val rnd = new scala.util.Random(57)
