@@ -1047,6 +1047,11 @@ object Similarity {
     * would otherwise trigger a full corpus retrain on a trickle batch
     * that carries no evidence about the distribution. The drift
     * question is asked again on the next large-enough batch.
+    *
+    * KIND-AWARE: the sidecar's 'pq'/'rpq' tag picks the quantizer —
+    * a residual layout is scored by residual reconstruction error,
+    * appended with residual codes, and rebuilt as a new 'rpq'
+    * generation (spec-pinned for both kinds).
     */
   def maintainIvfPq(spark: org.apache.spark.sql.SparkSession,
       layout: String, corpus: DataFrame, batch: DataFrame,
@@ -1060,9 +1065,16 @@ object Similarity {
       "maintainIvfPq writes the rebuilt generation at rebuildAt; swap " +
         "the pointer after (an in-place rewrite would clobber the files " +
         "it reads)")
-    val (ivfCb, pqCb) = readIvfPqCodebooks(spark, layout)
+    // KIND-AWARE like the streaming append: the sidecar's tag picks
+    // the quantizer — a residual layout's drift is its residual
+    // reconstruction error, its append encodes residual codes, and its
+    // rebuild writes a new 'rpq' generation
+    val residual = sidecarPqKind(spark, layout) == "rpq"
+    val (ivfCb, pqCb) =
+      if (residual) readIvfPqResidualCodebooks(spark, layout)
+      else readIvfPqCodebooks(spark, layout)
     val (nlist, m, ks) = (ivfCb.length, pqCb.length, pqCb(0).length)
-    val storedErr = ivfPqDistortion(batch, vecCol, ivfCb, pqCb, residual = false)
+    val storedErr = ivfPqDistortion(batch, vecCol, ivfCb, pqCb, residual)
     // a batch of <= ks rows is MEMORIZED by its own stand-in codebooks
     // (every vector is an entry -> freshErr = 0), so the comparison
     // would rebuild on any nonzero storedErr — a full corpus retrain
@@ -1072,17 +1084,26 @@ object Similarity {
     // probe: limit ks+1, never a full count.)
     val tiny = batch.select(col(idCol)).limit(ks + 1).count() <= ks
     val freshIvf = ivfCodebook(batch, idCol, vecCol, nlist)
-    val freshPq = pqCodebooks(batch, idCol, vecCol, m, ks)
-    val freshErr = ivfPqDistortion(batch, vecCol, freshIvf, freshPq, residual = false)
+    val freshPq =
+      if (residual) residualPqCodebooks(batch, idCol, vecCol, freshIvf, m, ks)
+      else pqCodebooks(batch, idCol, vecCol, m, ks)
+    val freshErr = ivfPqDistortion(batch, vecCol, freshIvf, freshPq, residual)
     if (tiny || storedErr <= driftThreshold * freshErr) {
-      appendIvfPq(batch, idCol, vecCol, ivfCb, pqCb, layout)
+      if (residual)
+        appendIvfPqResidual(batch, idCol, vecCol, ivfCb, pqCb, layout)
+      else appendIvfPq(batch, idCol, vecCol, ivfCb, pqCb, layout)
       MaintainReport("append", storedErr, freshErr, layout)
     } else {
       val all = corpus.select(col(idCol), col(vecCol))
         .unionByName(batch.select(col(idCol), col(vecCol)))
       val newIvf = ivfCodebook(all, idCol, vecCol, nlist)
-      val newPq = pqCodebooks(all, idCol, vecCol, m, ks)
-      writeIvfPqPartitioned(all, idCol, vecCol, newIvf, newPq, rebuildAt)
+      if (residual) {
+        val newRcb = residualPqCodebooks(all, idCol, vecCol, newIvf, m, ks)
+        writeIvfPqResidualPartitioned(all, idCol, vecCol, newIvf, newRcb, rebuildAt)
+      } else {
+        val newPq = pqCodebooks(all, idCol, vecCol, m, ks)
+        writeIvfPqPartitioned(all, idCol, vecCol, newIvf, newPq, rebuildAt)
+      }
       MaintainReport("rebuild", storedErr, freshErr, rebuildAt)
     }
   }

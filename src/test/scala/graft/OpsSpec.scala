@@ -2050,6 +2050,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // swap is the caller's move)
     assert(Similarity.ivfPqTopKFromFiles(spark, base + "/b0", "vec_id",
       "code", q, k = 5, nprobe = 2).count() == 5)
+    // KIND-AWARENESS: the same decisions on a RESIDUAL ('rpq') layout,
+    // with residual scoring, residual appends and an 'rpq' rebuild
+    val rcb = Similarity.residualPqCodebooks(corpus, "vec_id", "embedding",
+      ivfCb, m = 4, ks = 16)
+    Similarity.writeIvfPqResidualPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, rcb, base + "/r0")
+    val rr = Similarity.maintainIvfPq(spark, base + "/r0", corpus, indist,
+      "vec_id", "embedding", base + "/r1")
+    assert(rr.action == "append", s"$rr")
+    val rAtRest = Similarity.ivfPqResidualTopKFromFiles(spark, base + "/r0",
+      "vec_id", "code", q, k = 5, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    val rInFlight = Similarity.ivfPqResidualTopK(corpus.unionByName(indist),
+      "vec_id", "embedding", q, k = 5, nlist = 4, nprobe = 2, m = 4, ks = 16,
+      ivfCb = Some(ivfCb), residualCb = Some(rcb))
+      .as[(Long, Double)].collect().toSeq
+    assert(rAtRest == rInFlight, s"$rAtRest vs $rInFlight")
+    val rd = Similarity.maintainIvfPq(spark, base + "/r0", corpus, drifted,
+      "vec_id", "embedding", base + "/r2")
+    assert(rd.action == "rebuild", s"$rd")
+    // the rebuilt generation is an 'rpq' layout answering residual
+    // probes — a raw rebuild here would poison every future probe
+    assert(Similarity.sidecarPqKind(spark, base + "/r2") == "rpq")
+    assert(Similarity.ivfPqResidualTopKFromFiles(spark, base + "/r2",
+      "vec_id", "code", q, k = 5, nprobe = 2).count() == 5)
     // a trickle batch (<= ks rows) always appends: its own stand-in
     // codebooks memorize it (freshErr = 0) and the raw comparison
     // would spuriously retrain the whole corpus
