@@ -170,4 +170,40 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scan.selectedPartitions.partitionCount == 1,
       s"expected 1 pruned shard, got ${scan.selectedPartitions.partitionCount}")
   }
+
+  test("increments probe prunes cell directories across base AND streamed increments") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    val dim = 8
+    def vecs(r: Range) = r.map { i =>
+      (i.toLong, Array.tabulate(dim)(j => math.sin(i * 0.31 + j).toFloat))
+    }
+    val docs = vecs(0 until 64).toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCodebook(docs, "vec_id", "embedding", nlist = 8)
+    val pqCb = Similarity.pqCodebooks(docs, "vec_id", "embedding", m = 4, ks = 8)
+    val out = java.nio.file.Files.createTempDirectory("graft_incr_prune")
+      .toString + "/layout"
+    Similarity.writeIvfPqPartitioned(docs, "vec_id", "embedding",
+      cents, pqCb, out)
+    Similarity.appendIvfPqIncrement(vecs(100 until 132).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", out, 0L)
+    val query = Array.fill(dim)(0.7)
+    val probe = Similarity.ivfPqTopKFromFilesWithIncrements(spark, out,
+      "vec_id", "code", query, k = 5, nprobe = 2)
+    assert(probe.count() == 5)
+    // the 100 TB property holds on BOTH sides of the union: the probe
+    // predicate pushes into the base layout and into every increment
+    // directory (each cell-partitioned inside), so a year of streamed
+    // batches never degrades a probe to a full-listing scan
+    val scans = probe.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 2, s"expected base + increment scans, got ${scans.size}")
+    scans.foreach { s =>
+      assert(s.selectedPartitions.partitionCount <= 2,
+        s"a scan read ${s.selectedPartitions.partitionCount} cell dirs (> nprobe)")
+    }
+    // the base side holds all 8 cells, so its pruning is exact
+    assert(scans.map(_.selectedPartitions.partitionCount).max == 2)
+  }
 }
