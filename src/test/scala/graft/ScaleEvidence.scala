@@ -440,6 +440,69 @@ object ScaleEvidence {
     println(f"""SCALE {"corpus":"maintain:$corpusN:$batchN","op":"q156_maintain","corpus_vecs":$corpusN,"batch_vecs":$batchN,"base_ingest_secs":$writeSecs%.1f,"append_path_secs":$appendSecs%.1f,"rebuild_path_secs":$rebuildSecs%.1f,"stored_vs_fresh":[${ra.storedErr / ra.freshErr}%.2f,${rb.storedErr / rb.freshErr}%.2f]}""")
   }
 
+  /** ANN LSM rung (`annlsm:<corpusN>:<nBatches>`): the small-files
+    * tax measured — a probe over base + `nBatches` streamed increment
+    * directories vs the same probe after [[Similarity.compactIvfPqLayout]]
+    * folds them into one generation. Identical answers asserted; the
+    * wall gap is the per-probe listing/open cost a year of daily
+    * ingest accumulates and one compaction pays down.
+    */
+  private def annLsmRung(spark: SparkSession, corpusN: Long, nBatches: Int): Unit = {
+    val dim = 64
+    val nCenters = 16
+    val centers = Array.tabulate(nCenters, dim) { (c, d) =>
+      if ((scala.util.hashing.MurmurHash3.productHash((c, d)) & 1) == 0) 1.0
+      else -1.0
+    }
+    val centersLit = array(centers.map(c =>
+      array(c.toIndexedSeq.map(lit): _*)).toIndexedSeq: _*)
+    def vecsOf(n: Long, idBase: Long): DataFrame = {
+      val cIdx = (col("id") % nCenters).cast("int")
+      val vec = transform(sequence(lit(0), lit(dim - 1)), d =>
+        element_at(element_at(centersLit, cIdx + 1), d + 1) +
+          (pmod(col("id") * lit(2654435761L) + d * lit(97L), lit(1000L))
+            .cast("double") - lit(500.0)) / lit(50000.0))
+      spark.range(n).select((col("id") + idBase).as("vec_id"), vec.as("embedding"))
+    }
+    val corpus = vecsOf(corpusN, 0L)
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = nCenters)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, ks = 16)
+    val base = java.nio.file.Files.createTempDirectory("graft-annlsm-rung").toFile
+    val layout = base.getAbsolutePath + "/gen0"
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, layout)
+    val batchN = math.max(64L, corpusN / 50)
+    (0 until nBatches).foreach { b =>
+      Similarity.appendIvfPqIncrement(
+        vecsOf(batchN, 10000000L + b * batchN), "vec_id", "embedding",
+        layout, b.toLong)
+    }
+    val query = centers(5).map(_ + 0.001)
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (viaIncr, incrSecs) = timed {
+      Similarity.ivfPqTopKFromFilesWithIncrements(spark, layout,
+        "vec_id", "code", query, k = 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    val (_, compactSecs) = timed {
+      Similarity.compactIvfPqLayout(spark, layout,
+        base.getAbsolutePath + "/gen1")
+    }
+    val (viaCompacted, compactedSecs) = timed {
+      Similarity.ivfPqTopKFromFiles(spark, base.getAbsolutePath + "/gen1",
+        "vec_id", "code", query, k = 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    require(viaIncr == viaCompacted,
+      s"compaction changed the probe answer: $viaIncr vs $viaCompacted")
+    println(f"""SCALE {"corpus":"annlsm:$corpusN:$nBatches","op":"ann_lsm_compaction","corpus_vecs":$corpusN,"batches":$nBatches,"batch_vecs":$batchN,"probe_with_increments_secs":$incrSecs%.2f,"compact_secs":$compactSecs%.2f,"probe_compacted_secs":$compactedSecs%.2f}""")
+  }
+
   /** Split-from-index rung (`split:<corpusN>`): the q141 claim
     * measured — [[Sampling.leakFreeSplit]] reading the at-rest
     * signature index vs re-minhashing the corpus in-flight. Same
@@ -983,8 +1046,11 @@ object ScaleEvidence {
     val (inArgs, rest6a) = rest5.partition(_.startsWith("incr:"))
     inArgs.foreach { case Incr(c, b) => incrRung(spark, c.toLong, b.toLong) }
     val Maintain = "maintain:(\\d+):(\\d+)".r
-    val (mtArgs, rest6) = rest6a.partition(_.startsWith("maintain:"))
+    val (mtArgs, rest6b) = rest6a.partition(_.startsWith("maintain:"))
     mtArgs.foreach { case Maintain(c, b) => maintainRung(spark, c.toLong, b.toLong) }
+    val AnnLsm = "annlsm:(\\d+):(\\d+)".r
+    val (alArgs, rest6) = rest6b.partition(_.startsWith("annlsm:"))
+    alArgs.foreach { case AnnLsm(c, b) => annLsmRung(spark, c.toLong, b.toInt) }
     val (spArgs, rest7) = rest6.partition(_.startsWith("split:"))
     spArgs.foreach(a => splitRung(spark, a.drop(6).toLong))
     val Ffd = "ffd:(\\d+):(\\d+)".r
