@@ -186,7 +186,10 @@ object Dedup {
       indexPath: String): Option[(Int, Int, Int)] =
     if (!Layouts.exists(spark, indexPath + "/_meta")) None
     else {
-      val r = Layouts.collectSidecar(spark, indexPath + "/_meta",
+      // cached per generation: the streaming loop validates the
+      // banding EVERY micro-batch, and without the cache each
+      // validation re-reads the same one-row sidecar parquet
+      val r = Layouts.collectSidecarCached(spark, indexPath + "/_meta",
         "writeNearDupIndex")(0)
       Some((r.getInt(0), r.getInt(1), r.getInt(2)))
     }
@@ -218,6 +221,10 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       shingleWidth: Int = 3): Unit = {
+    // refuse while a compaction holds the layout's quiesce marker (the
+    // documented discipline made mechanical — the caller retries after
+    // the fold)
+    Layouts.assertNotQuiesced(batch.sparkSession, out, "appendNearDupIndex")
     validateIndexMeta(batch.sparkSession, out, numHashes, bands,
       shingleWidth, "appendNearDupIndex")
     bandSignatures(batch, idCol, textCol, numHashes, bands, shingleWidth)
@@ -243,6 +250,11 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       shingleWidth: Int = 3): Unit = {
+    // the streaming append face refuses mid-compaction like the batch
+    // face: the failed micro-batch replays from the checkpoint after
+    // the fold (idempotent increment directories make that safe)
+    Layouts.assertNotQuiesced(batch.sparkSession, out,
+      "appendNearDupIndexIncrement")
     validateIndexMeta(batch.sparkSession, out, numHashes, bands,
       shingleWidth, "appendNearDupIndexIncrement")
     bandSignatures(batch, idCol, textCol, numHashes, bands, shingleWidth)
@@ -286,6 +298,12 @@ object Dedup {
     require(src != dst,
       "compactNearDupIndex writes a NEW layout at dst; swap the pointer " +
         "after (an in-place rewrite would clobber the files it reads)")
+    // "quiesce the stream first", mechanical: hold the _compacting
+    // marker for the whole fold so every append face refuses instead
+    // of racing it; released on ANY exit (a failed compaction leaves
+    // src intact and appendable — the rerun re-reads everything)
+    Layouts.acquireQuiesce(spark, src, "compactNearDupIndex")
+    try {
     // meta read + sidecar write FIRST (the compactIvfPqLayout rule): a
     // corrupt src _meta fails before dst is touched, and a failure in
     // the (much larger) data rewrite leaves a meta-only dst —
@@ -311,6 +329,7 @@ object Dedup {
     compacted
       .repartition(col("band"))
       .write.mode("append").partitionBy("band").parquet(dst)
+    } finally Layouts.releaseQuiesce(spark, src)
   }
 
   /** Near-dup detection of a NEW batch against a corpus indexed at

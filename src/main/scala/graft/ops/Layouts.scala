@@ -70,6 +70,67 @@ private[graft] object Layouts {
   def incrementDir(path: String, batchId: Long): String =
     s"$path/$IncrementsDir/ingest_batch=$batchId"
 
+  /** A per-batch OWNED output directory under a plain (non-layout)
+    * output root — the idempotence convention of [[incrementDir]]
+    * applied to a stream's report/verdict outputs: the batch id lives
+    * in the DIRECTORY name (surfacing on read as the `ingest_batch`
+    * partition column), the batch overwrites its own directory
+    * wholesale on a crash-replay, and a read of the root sees every
+    * committed batch exactly once.
+    */
+  def ownedBatchDir(out: String, batchId: Long): String =
+    s"$out/ingest_batch=$batchId"
+
+  /** The marker a compaction (or composed rebuild) holds while folding
+    * a layout's increments — the mechanical form of the "quiesce the
+    * stream first" discipline both compactors document: while the
+    * marker exists under a layout, every append face refuses with a
+    * curated error instead of racing the fold (a half-written
+    * increment folded into the next generation is silent data loss).
+    */
+  val QuiesceMarker = "_compacting"
+
+  /** Take the layout's quiesce marker (atomic create — two concurrent
+    * compactions cannot both hold it). Fails curated when already
+    * held: a second compaction racing the first would fold the same
+    * increments twice into different generations.
+    */
+  def acquireQuiesce(spark: SparkSession, path: String, owner: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(path, QuiesceMarker)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(marker.getParent)
+    val created =
+      try fs.createNewFile(marker)
+      catch { case _: java.io.IOException => false }
+    if (!created)
+      throw new IllegalStateException(
+        s"$owner: a compaction already holds the $QuiesceMarker marker " +
+          s"under $path — wait for it to finish (a crashed compaction " +
+          "leaves the marker behind; releaseQuiesce clears it after " +
+          "confirming no compactor is live)")
+  }
+
+  /** Release the layout's quiesce marker ([[acquireQuiesce]]'s pair;
+    * also the manual recovery after a compactor's JVM died holding
+    * it). No-op when absent.
+    */
+  def releaseQuiesce(spark: SparkSession, path: String): Unit =
+    delete(spark, s"$path/$QuiesceMarker")
+
+  /** Refuse while a compaction holds the layout's quiesce marker —
+    * called by every append face, so a stream racing a compaction
+    * fails curated (and its checkpoint replays the batch after the
+    * fold) instead of writing an increment the fold half-sees.
+    */
+  def assertNotQuiesced(spark: SparkSession, path: String,
+      caller: String): Unit =
+    if (exists(spark, s"$path/$QuiesceMarker"))
+      throw new IllegalStateException(
+        s"$caller: a compaction holds the $QuiesceMarker marker under " +
+          s"$path — appending mid-compaction races the increment fold; " +
+          "retry after it completes (or releaseQuiesce if a crashed " +
+          "compaction left the marker behind)")
+
   /** Retire a tombstone set during a compaction rewrite: anti-join
     * `rows` against the single id column of `dropIds` on `idCol`.
     * The join key is renamed on the tombstone side, so an id column
@@ -103,6 +164,59 @@ private[graft] object Layouts {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Per-generation sidecar cache: a streaming loop re-derives the
+    * layout's kind and codebooks EVERY micro-batch, and each
+    * derivation is a driver-side parquet read of the same KB-sized
+    * sidecar. The key is the sidecar directory's listing fingerprint
+    * (file names + lengths + mtimes — one namenode listing, never a
+    * data read; parquet part names carry a per-write UUID, so any
+    * rewrite — a compaction's new generation at a new path, or an
+    * in-place rewrite at the same path — changes the key and
+    * invalidates exactly, immune to mtime granularity). No TTL, no
+    * explicit eviction hook. Bounded: cleared wholesale past 64
+    * generations (each entry is KB-sized codebook rows).
+    */
+  private val sidecarCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Array[Row]]()
+
+  /** Cache misses — the observable the StreamingSpec counts to prove
+    * one sidecar read serves N same-generation batches.
+    */
+  private[graft] val sidecarCacheMisses =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** [[collectSidecar]] through the per-generation cache — the read
+    * every per-batch streaming path goes through. Correctness note:
+    * the fingerprint listing costs one RPC per call; only the parquet
+    * footer+data reads are saved, which is what a high-frequency
+    * stream pays 2-4× per batch without it.
+    */
+  def collectSidecarCached(spark: SparkSession, path: String,
+      rebuildWith: String): Array[Row] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listing =
+      try fs.listStatus(p)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"the sidecar at $path vanished between the presence check " +
+              s"and the read; rebuild the layout with $rebuildWith", e)
+      }
+    val key = (fs.makeQualified(p).toString,
+      listing.map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString("|"))
+    val hit = sidecarCache.get(key)
+    if (hit != null) hit
+    else {
+      val rows = collectSidecar(spark, path, rebuildWith)
+      sidecarCacheMisses.incrementAndGet()
+      if (sidecarCache.size > 64) sidecarCache.clear()
+      sidecarCache.put(key, rows)
+      rows
+    }
   }
 
   /** Collect the rows of a sidecar KNOWN to exist ([[exists]] was

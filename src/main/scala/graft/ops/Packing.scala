@@ -137,6 +137,39 @@ object Packing {
       "and can never pack whole; filter oversize documents " +
       "first or chunk them (slidingWindows) before packing"
 
+  /** True iff the narrow (id, tokens) projection is cheap enough for
+    * an eager oversize probe: a tree of scans/projections/filters
+    * whose every expression is attribute plumbing (refs, literals,
+    * casts, coalesce) or a plain predicate. Anything computing per-row
+    * values — a BPE count, a UDF, a join or aggregate below — makes
+    * the probe re-run that compute just to check a precondition, so
+    * those plans skip it (the in-task throw carries the same curated
+    * message). Conservative on purpose: a false negative only changes
+    * where the error surfaces, never whether it does.
+    */
+  private def cheapProbePlan(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions._
+    def cheapExpr(e: Expression): Boolean = {
+      val bad = e.find {
+        case _: Attribute | _: Literal | _: Alias | _: Cast | _: Coalesce => false
+        case _: BinaryComparison | _: And | _: Or | _: Not | _: In |
+            _: InSet | _: IsNull | _: IsNotNull => false
+        case _ => true
+      }
+      bad.isEmpty
+    }
+    def walk(p: LogicalPlan): Boolean = p match {
+      case Project(exprs, child) => exprs.forall(cheapExpr) && walk(child)
+      case Filter(cond, child) => cheapExpr(cond) && walk(child)
+      case SubqueryAlias(_, child) => walk(child)
+      case _: LeafNode => true
+      case _ => false
+    }
+    walk(plan)
+  }
+
   /** BOUNDARY-RESPECTING sequence packing — first-fit-decreasing bin
     * packing of whole documents into fixed token-budget bins: what
     * context-window training prep runs when documents must NOT be
@@ -166,13 +199,18 @@ object Packing {
     *
     * A document larger than `capacity` can never pack — the call
     * fails with a curated error naming the offender (half-open
-    * filtering or [[slidingWindows]] first is the caller's fix). The
-    * check runs BEFORE the shard exchange as a predicate-pushed scan
-    * of the narrow (id, tokens) projection, so the caller sees a
-    * plain IllegalArgumentException instead of the same message
-    * wrapped in a SparkException after task retries; the in-task
-    * throw stays as the backstop for a source that changes between
-    * the two reads.
+    * filtering or [[slidingWindows]] first is the caller's fix). When
+    * the (id, tokens) projection is SCAN-BACKED (stored columns,
+    * casts, simple filters — the probe's predicate pushes to the
+    * files), an eager limit-1 probe runs before the shard exchange,
+    * so the caller sees a plain IllegalArgumentException instead of
+    * the same message wrapped in a SparkException after task retries.
+    * When tokens are a COMPUTED column (a BPE count over text), the
+    * probe would re-run the full tokenization pass just to check — so
+    * it is skipped, plan construction stays lazy, and the in-task
+    * throw (same curated message) is the check; the in-task throw is
+    * also the backstop for a source that changes between a probe's
+    * two reads.
     *
     * @return (idCol, tokens, shard, bin, bin_off), ordered arbitrarily
     */
@@ -194,11 +232,18 @@ object Packing {
     // a null token count occupies zero tokens (the contiguous rule)
     val narrow = df.select(col(idCol).cast("long"),
       coalesce(col(tokensCol).cast("long"), lit(0L)))
-    val over = narrow.toDF("__id", "__t")
-      .where(col("__t") > capacity).limit(1).collect()
-    over.headOption.foreach(r =>
-      throw new IllegalArgumentException(
-        oversizeMsg(r.getLong(0), r.getLong(1), capacity)))
+    // the eager oversize probe runs ONLY when the projection is
+    // scan-backed (the probe is then one pushed-predicate read of two
+    // columns); a computed tokens column — q155's BPE count — would
+    // pay its full per-row compute twice, so those plans skip the
+    // probe and the in-task throw below carries the same message
+    if (cheapProbePlan(narrow.queryExecution.optimizedPlan)) {
+      val over = narrow.toDF("__id", "__t")
+        .where(col("__t") > capacity).limit(1).collect()
+      over.headOption.foreach(r =>
+        throw new IllegalArgumentException(
+          oversizeMsg(r.getLong(0), r.getLong(1), capacity)))
+    }
     narrow
       .as[(Long, Long)]
       .groupByKey { case (id, _) => java.lang.Math.floorMod(id, shards.toLong) }

@@ -673,7 +673,10 @@ object Similarity {
     }
     val cellIds = probed.toArray
     val cbs = cellIds.map(combined)
-    val luts = cellIds.map(c => pqAdcTable(combined(c), query))
+    // reuse the already-built combined tables: rebuilding them inside
+    // the LUT derivation doubles the driver-side nprobe x m x ks x dsub
+    // construction at production parameters
+    val luts = cbs.map(cb => pqAdcTable(cb, query))
     df.withColumn("__cell", ivfCell(cents, col(vecCol)))
       .where(col("__cell").isin(probed: _*))
       .withColumn("__code",
@@ -831,9 +834,18 @@ object Similarity {
       s"no _codebooks sidecar under $layout — a kind-agnostic append " +
         "cannot pick an encoder; rewrite with writeIvfPqPartitioned / " +
         "writeIvfPqResidualPartitioned (or use the explicit-codebook faces)")
-    val kinds = Layouts.collectSidecar(spark, layout + "/_codebooks",
+    val kinds = Layouts.collectSidecarCached(spark, layout + "/_codebooks",
       "writeIvfPqPartitioned / writeIvfPqResidualPartitioned")
       .map(_.getString(0)).distinct.toSet
+    // a sidecar holding BOTH kinds is ambiguous/corrupt (no writer
+    // produces one): refusing beats silently preferring the raw
+    // encoder — exactly the garbage mode the kind tag exists to prevent
+    if (kinds.contains("pq") && kinds.contains("rpq"))
+      throw new IllegalStateException(
+        s"the _codebooks sidecar under $layout holds BOTH 'pq' and " +
+          "'rpq' tables — ambiguous (no writer produces this); rebuild " +
+          "the layout with writeIvfPqPartitioned / " +
+          "writeIvfPqResidualPartitioned")
     if (kinds.contains("pq")) "pq"
     else if (kinds.contains("rpq")) "rpq"
     else throw new IllegalStateException(
@@ -848,7 +860,10 @@ object Similarity {
       s"no _codebooks sidecar under $layout — the layout predates the " +
         "sidecar or was hand-built; pass the codebooks explicitly " +
         "(ivfPqTopKAtRest) or rewrite with writeIvfPqPartitioned")
-    val rows = Layouts.collectSidecar(spark, layout + "/_codebooks",
+    // cached per generation: a streaming loop re-derives kind and
+    // codebooks every micro-batch, and without the cache each
+    // derivation re-reads the same KB-sized sidecar parquet
+    val rows = Layouts.collectSidecarCached(spark, layout + "/_codebooks",
       "writeIvfPqPartitioned")
     val ivf: IvfCodebook = rows.filter(_.getString(0) == "ivf")
       .sortBy(_.getInt(1))
@@ -924,6 +939,10 @@ object Similarity {
       cellCol: String = "cell", codeCol: String = "code",
       keep: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
+    // refuse while a compaction holds the layout's quiesce marker: an
+    // append racing the increment fold is the documented race, made
+    // mechanical (the caller retries after the fold)
+    Layouts.assertNotQuiesced(spark, out, "appendIvfPq")
     // absence of the sidecar (pre-sidecar or hand-built layout) skips
     // the check — decided by an explicit filesystem probe, so a
     // present-but-corrupt sidecar FAILS (curated, in readIvfPqCodebooks)
@@ -967,6 +986,10 @@ object Similarity {
       cellCol: String = "cell", codeCol: String = "code",
       keep: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
+    // the streaming append face refuses mid-compaction like the batch
+    // faces: the failed micro-batch replays from the checkpoint after
+    // the fold (idempotent increment directories make that safe)
+    Layouts.assertNotQuiesced(spark, out, "appendIvfPqIncrement")
     val coded = sidecarPqKind(spark, out) match {
       case "rpq" =>
         val (ivfCb, rcb) = readIvfPqResidualCodebooks(spark, out)
@@ -1108,6 +1131,146 @@ object Similarity {
     }
   }
 
+  /** The drift series a [[graft.streaming.StreamingSimilarity]] ingest
+    * loop writes (`driftOut` — one row per micro-batch: the batch's
+    * mean ADC reconstruction error under the layout's STORED
+    * codebooks), read back as (ingest_batch, pq_err) ordered by batch.
+    * One row per batch, never data-proportional.
+    *
+    * FORMAT-UPGRADE SAFE (spec-verified): batches written before
+    * round 18's fix embedded `ingest_batch` as a DATA column as well;
+    * Spark's partition discovery lets the directory-derived partition
+    * column shadow the embedded copy — which held the identical value
+    * by construction — so a driftOut mixing old and new batch
+    * directories reads correctly with no migration. A genuinely
+    * unreadable series (torn writes, foreign files) still fails with
+    * a curated message instead of a raw AnalysisException.
+    */
+  def readDriftSeries(spark: org.apache.spark.sql.SparkSession,
+      driftOut: String): DataFrame = {
+    require(Layouts.exists(spark, driftOut),
+      s"no drift series at $driftOut — point the ingest stream's " +
+        "driftOut here first (StreamingSimilarity.incrementalAnnStream)")
+    val raw =
+      try spark.read.option("basePath", driftOut).parquet(driftOut)
+        .select(col("ingest_batch").cast("long").as("ingest_batch"),
+          col("pq_err"))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"the drift series at $driftOut is unreadable — expected " +
+              "per-batch ingest_batch=<id> directories each holding a " +
+              "one-row (pq_err) parquet file, as written by " +
+              "StreamingSimilarity.incrementalAnnStream's driftOut", e)
+      }
+    raw.orderBy(col("ingest_batch"))
+  }
+
+  /** The verdict of a [[maintainFromDriftSeries]] call: `action` is
+    * `"keep"` or `"rebuild"`, `baselineErr`/`trailingErr` the medians
+    * of the series' first and last `window` drift reports, `batches`
+    * the series length, and `layout` the path now current (the
+    * original layout on keep, `rebuildAt` on rebuild — the caller
+    * swaps its pointer to it, LSM convention).
+    */
+  case class DriftSeriesReport(action: String, baselineErr: Double,
+      trailingErr: Double, batches: Long, layout: String)
+
+  /** The MONITORING JOB that closes the ANN maintenance loop — the
+    * composition [[graft.streaming.StreamingSimilarity]]'s scaladoc
+    * defers to the caller: the ingest stream writes one drift report
+    * per micro-batch (`driftOut`), and this job thresholds that series
+    * and triggers the rebuild, so stream + monitor together implement
+    * what [[maintainIvfPq]] does for a hand-driven batch.
+    *
+    * Decision, self-contained from the series alone (no baseline
+    * statistic stored or trusted): `baseline` = median of the FIRST
+    * `window` reports — the errors right after the codebooks were
+    * trained, in-distribution by construction — and `trailing` =
+    * median of the LAST `window`. Medians, not single batches: one
+    * noisy micro-batch (a small or skewed file) must not trigger a
+    * corpus-wide retrain. REBUILD when `trailing >
+    * driftThreshold * baseline` and the series holds at least
+    * `2 * window` reports (shorter series would compare overlapping
+    * windows — a series against itself); otherwise KEEP.
+    *
+    * On rebuild the job takes the layout's quiesce marker
+    * ([[graft.ops.Layouts.acquireQuiesce]]) for the whole retrain, so
+    * the live stream's appends fail curated and replay from the
+    * checkpoint into the NEW generation after the caller swaps the
+    * pointer — without the marker, a batch appended to the old
+    * generation mid-retrain would silently vanish at the swap.
+    * `corpus` is the CURRENT full vector corpus (base + everything
+    * ingested — the caller's system of record for raw vectors; the
+    * layout itself stores only codes): the new generation at
+    * `rebuildAt` is trained on it and re-encodes all of it, kind-aware
+    * ('pq'/'rpq' from the sidecar, geometry preserved), with the
+    * deterministic smallest-id codebooks ([[maintainIvfPq]]'s
+    * oracle-reproducible rule).
+    *
+    * Cost shape: the keep path reads one KB-sized row per micro-batch
+    * ever ingested (never data-proportional) and touches nothing else;
+    * the corpus-wide retrain runs exactly when the series says the
+    * stored tables stopped describing the data.
+    */
+  def maintainFromDriftSeries(spark: org.apache.spark.sql.SparkSession,
+      driftOut: String, layout: String, corpus: DataFrame,
+      idCol: String, vecCol: String, rebuildAt: String,
+      window: Int = 3, driftThreshold: Double = 2.0): DriftSeriesReport = {
+    require(window >= 1, s"window=$window: the medians need at least one report")
+    require(driftThreshold >= 1.0,
+      s"driftThreshold=$driftThreshold: below 1.0 an in-distribution " +
+        "series (trailing ~= baseline) would rebuild on noise")
+    require(layout != rebuildAt,
+      "maintainFromDriftSeries writes the rebuilt generation at " +
+        "rebuildAt; swap the pointer after (an in-place rewrite would " +
+        "clobber the files the live stream and the retrain read)")
+    // one double per micro-batch ever ingested — bounded by batch
+    // count, never by data volume
+    val series = readDriftSeries(spark, driftOut)
+      .select(col("pq_err").cast("double")).collect().map(_.getDouble(0))
+    require(series.nonEmpty,
+      s"the drift series at $driftOut holds no reports — nothing to " +
+        "threshold (has the ingest stream committed a batch?)")
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val baseline = median(series.take(window))
+    val trailing = median(series.takeRight(window))
+    val drifted =
+      series.length >= 2 * window && trailing > driftThreshold * baseline
+    if (!drifted)
+      DriftSeriesReport("keep", baseline, trailing, series.length, layout)
+    else {
+      // quiesce for the whole retrain: a stream append landing in the
+      // OLD generation mid-rebuild would vanish at the pointer swap;
+      // with the marker held it fails curated and the checkpoint
+      // replays it into the new generation
+      Layouts.acquireQuiesce(spark, layout, "maintainFromDriftSeries")
+      try {
+        val residual = sidecarPqKind(spark, layout) == "rpq"
+        val (ivfCb, pqCb) =
+          if (residual) readIvfPqResidualCodebooks(spark, layout)
+          else readIvfPqCodebooks(spark, layout)
+        val (nlist, m, ks) = (ivfCb.length, pqCb.length, pqCb(0).length)
+        val all = corpus.select(col(idCol), col(vecCol))
+        val newIvf = ivfCodebook(all, idCol, vecCol, nlist)
+        if (residual) {
+          val newRcb = residualPqCodebooks(all, idCol, vecCol, newIvf, m, ks)
+          writeIvfPqResidualPartitioned(all, idCol, vecCol, newIvf, newRcb,
+            rebuildAt)
+        } else {
+          val newPq = pqCodebooks(all, idCol, vecCol, m, ks)
+          writeIvfPqPartitioned(all, idCol, vecCol, newIvf, newPq, rebuildAt)
+        }
+        DriftSeriesReport("rebuild", baseline, trailing, series.length,
+          rebuildAt)
+      } finally Layouts.releaseQuiesce(spark, layout)
+    }
+  }
+
   /** Write the RESIDUAL-encoded IVF-PQ at-rest layout — the
     * [[ivfPqResidualTopK]] encoder persisted (the strictly better
     * quantizer: residuals concentrate near the origin, so the shared
@@ -1147,6 +1310,7 @@ object Similarity {
       cellCol: String = "cell", codeCol: String = "code",
       keep: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
+    Layouts.assertNotQuiesced(spark, out, "appendIvfPqResidual")
     val stored =
       if (hasIvfPqCodebooks(spark, out))
         Some(readIvfPqResidualCodebooks(spark, out))
@@ -1393,8 +1557,13 @@ object Similarity {
         "after (an in-place rewrite would clobber the files it reads)")
     // fold committed streamed increments ([[appendIvfPqIncrement]])
     // into the new generation — dst is a PLAIN base layout again.
-    // Compacting a LIVE streamed layout is the caller's race to avoid:
-    // quiesce the stream first, as with any LSM compaction.
+    // The "quiesce the stream first" discipline is mechanical: the
+    // compaction holds the layout's _compacting marker for its whole
+    // run, so every append face refuses (curated) instead of racing
+    // the fold; released on ANY exit — a failed compaction leaves src
+    // intact and appendable, and the rerun re-reads everything.
+    Layouts.acquireQuiesce(spark, src, "compactIvfPqLayout")
+    try {
     val base = spark.read.parquet(src)
     val rows = Layouts.withIncrements(spark, base, src,
       base.columns.toIndexedSeq, excludeBatchId = None)
@@ -1431,6 +1600,7 @@ object Similarity {
     compacted
       .repartition(col(cellCol))
       .write.mode("append").partitionBy(cellCol).parquet(dst)
+    } finally Layouts.releaseQuiesce(spark, src)
   }
 
   /** [[ivfPqTopKAtRest]] with the codebooks loaded FROM THE LAYOUT's

@@ -75,6 +75,11 @@ object StreamingDedup {
       shingleWidth: Int,
       maxBroadcastSigRows: Long): Unit = {
     val spark = b.sparkSession
+    // fail BEFORE the dedup work while a compaction holds the index's
+    // quiesce marker (the append faces refuse too — this check just
+    // moves the curated failure ahead of the candidate join): the
+    // checkpoint replays the batch after the fold
+    Layouts.assertNotQuiesced(spark, indexPath, "incrementalNearDupStream")
     // fail before any write if the caller's banding disagrees with the
     // layout (the appendNearDupIndex discipline): a mismatched dedup
     // pass would silently change which pairs can ever collide
@@ -90,7 +95,7 @@ object StreamingDedup {
       maxBroadcastSigRows)
     // idempotent: the batch owns its verdict partition directory
     verdicts.write.mode("overwrite")
-      .parquet(s"$verdictsOut/ingest_batch=$batchId")
+      .parquet(Layouts.ownedBatchDir(verdictsOut, batchId))
     // the batch becomes history: signatures and text into increment
     // directories the batch owns (overwritten wholesale on replay)
     Dedup.appendNearDupIndexIncrement(b, idCol, textCol, indexPath,

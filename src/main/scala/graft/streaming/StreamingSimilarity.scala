@@ -32,11 +32,19 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   * also writes its one-row drift report — mean ADC reconstruction
   * error of the BATCH under the stored codebooks
   * ([[graft.ops.Similarity.ivfPqDistortion]]) — to
-  * `driftOut/ingest_batch=<id>` (idempotent, same discipline). A
-  * monitoring job thresholds that series and triggers
-  * [[graft.ops.Similarity.maintainIvfPq]]'s rebuild path; the stream
-  * itself never rebuilds (a retrain mid-stream would race the
-  * micro-batches reading the codebooks it replaces).
+  * `driftOut/ingest_batch=<id>` (idempotent, same discipline). The
+  * monitoring job is [[graft.ops.Similarity.maintainFromDriftSeries]]:
+  * it thresholds the trailing window of that series against the
+  * leading one and triggers the corpus-wide rebuild under the
+  * layout's quiesce marker; the stream itself never rebuilds (a
+  * retrain mid-stream would race the micro-batches reading the
+  * codebooks it replaces — the marker makes the stream's appends fail
+  * curated and replay after the swap). Upgrade note, spec-verified:
+  * a driftOut mixing pre-round-18 batches (which ALSO embedded
+  * ingest_batch as a data column) with new directory-only batches
+  * reads correctly through [[graft.ops.Similarity.readDriftSeries]] —
+  * the directory-derived partition column shadows the embedded copy,
+  * which held the identical value by construction.
   *
   * The returned writer is not started — the caller holds the
   * [[org.apache.spark.sql.streaming.StreamingQuery]] (the
@@ -59,6 +67,12 @@ object StreamingSimilarity {
       vecCol: String,
       driftOut: Option[String]): Unit = {
     val spark = b.sparkSession
+    // fail BEFORE the encode while a compaction holds the layout's
+    // quiesce marker (appendIvfPqIncrement refuses too — this check
+    // just moves the curated failure ahead of the work): the
+    // checkpoint replays the batch after the fold
+    graft.ops.Layouts.assertNotQuiesced(spark, layoutPath,
+      "incrementalAnnStream")
     Similarity.appendIvfPqIncrement(b, idCol, vecCol, layoutPath, batchId)
     driftOut.foreach { out =>
       // kind-aware like the append itself: a residual layout's drift
@@ -78,7 +92,7 @@ object StreamingSimilarity {
       // the discovered partition column on read
       Seq(err).toDF("pq_err")
         .coalesce(1).write.mode("overwrite")
-        .parquet(s"$out/ingest_batch=$batchId")
+        .parquet(graft.ops.Layouts.ownedBatchDir(out, batchId))
     }
   }
 

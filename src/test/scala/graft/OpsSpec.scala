@@ -1986,6 +1986,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("can never pack whole"), e.getMessage)
   }
 
+  test("ffdPack: a computed tokens column skips the eager probe — plan stays lazy, in-task throw backstops") {
+    import spark.implicits._
+    // parquet-backed so the optimizer cannot fold the computed column
+    // into a local relation (which would make the probe free anyway)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ffdlazy")
+      .toString + "/docs"
+    Seq((0L, "x" * 2000), (1L, "y" * 10)).toDF("doc_id", "text")
+      .write.parquet(dir)
+    val docs = spark.read.parquet(dir)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // the call itself must NOT fail (and must not run the per-row
+    // compute twice): the probe is skipped for computed columns, so
+    // plan construction stays lazy even with an oversize row present
+    val packed = graft.ops.Packing.ffdPack(docs, "doc_id", "n_chars",
+      capacity = 1024, shards = 2)
+    // the in-task backstop still carries the curated message
+    val e = intercept[org.apache.spark.SparkException] { packed.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("can never pack whole")),
+      messages(e).mkString(" | "))
+    // and the happy path packs identically to a stored-column run
+    val ok = graft.ops.Packing.ffdPack(
+      docs.where(col("doc_id") === 1L), "doc_id", "n_chars",
+      capacity = 1024, shards = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(ok == Seq((1L, 10L, 1L, 0L, 0L)), s"$ok")
+  }
+
   test("maintainIvfPq: in-distribution appends, drifted rebuilds, both layouts answer") {
     import spark.implicits._
     val rnd = new scala.util.Random(91)
@@ -2095,6 +2125,110 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "vec_id", "embedding", base + "/a0")
     }
     assert(e2.getMessage.contains("rebuildAt"), e2.getMessage)
+  }
+
+  test("maintainFromDriftSeries: a drifting stream triggers exactly one rebuild, probes agree across the swap") {
+    import spark.implicits._
+    import graft.streaming.StreamingSimilarity
+    val rnd = new scala.util.Random(117)
+    val dim = 16
+    val centers = Array.tabulate(4)(c =>
+      Array.tabulate(dim)(j => if (j % 4 == c) 4.0 else 0.0))
+    def sample(n: Int, off: Double, base: Long) = (0 until n).map { i =>
+      val c = centers(i % 4)
+      (base + i, Array.tabulate(dim)(j => c(j) + rnd.nextGaussian() * 0.3 + off))
+    }
+    val corpus = sample(64, 0.0, 0L).toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 4)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 16)
+    val base = java.nio.file.Files.createTempDirectory("graft_driftseries").toString
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/gen0")
+    val batches = Seq(
+      sample(24, 0.0, 1000L), sample(24, 0.0, 2000L),   // in-distribution
+      sample(24, 25.0, 3000L), sample(24, 25.0, 4000L)) // drifted
+      .map(_.toDF("vec_id", "embedding"))
+    def ingest(upTo: Int): Unit = (0 until upTo).foreach { i =>
+      StreamingSimilarity.ingestBatch(batches(i), i.toLong, base + "/gen0",
+        "vec_id", "embedding", Some(base + "/drift"))
+    }
+    // an in-distribution prefix (shorter than 2 windows) KEEPS — the
+    // monitor never compares a series against itself
+    ingest(2)
+    val allSoFar = corpus.unionByName(batches(0)).unionByName(batches(1))
+    val r1 = Similarity.maintainFromDriftSeries(spark, base + "/drift",
+      base + "/gen0", allSoFar, "vec_id", "embedding", base + "/gen1",
+      window = 2)
+    assert(r1.action == "keep", s"$r1")
+    assert(r1.layout == base + "/gen0")
+    assert(r1.batches == 2)
+    assert(!new java.io.File(base + "/gen1").exists(),
+      "keep must not write the rebuild target")
+    // the full drifted series REBUILDS: trailing median >> baseline
+    ingest(4)
+    val series = Similarity.readDriftSeries(spark, base + "/drift")
+      .as[(Long, Double)].collect().toSeq
+    assert(series.map(_._1) == Seq(0L, 1L, 2L, 3L), s"$series")
+    assert(series(2)._2 > series(0)._2 * 100, s"$series")
+    val all = batches.foldLeft(corpus)(_ unionByName _)
+    val r2 = Similarity.maintainFromDriftSeries(spark, base + "/drift",
+      base + "/gen0", all, "vec_id", "embedding", base + "/gen1",
+      window = 2)
+    assert(r2.action == "rebuild", s"$r2")
+    assert(r2.layout == base + "/gen1")
+    assert(r2.trailingErr > 2.0 * r2.baselineErr, s"$r2")
+    // the quiesce marker is released after the retrain
+    assert(!graft.ops.Layouts.exists(spark,
+      base + "/gen0/" + graft.ops.Layouts.QuiesceMarker))
+    // probes agree across the swap: the new generation answers exactly
+    // the in-flight top-k over the full corpus with codebooks retrained
+    // on it (the deterministic smallest-id rule, geometry preserved)
+    val q = Array.fill(dim)(1.0)
+    val newIvf = Similarity.ivfCodebook(all, "vec_id", "embedding", nlist = 4)
+    val newPq = Similarity.pqCodebooks(all, "vec_id", "embedding", m = 4, ks = 16)
+    val atRest = Similarity.ivfPqTopKFromFiles(spark, base + "/gen1",
+      "vec_id", "code", q, k = 8, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    val inFlight = Similarity.ivfPqTopK(all, "vec_id", "embedding", q,
+      k = 8, nlist = 4, nprobe = 2, m = 4, ks = 16,
+      ivfCb = Some(newIvf), pqCb = Some(newPq))
+      .as[(Long, Double)].collect().toSeq
+    assert(atRest == inFlight, s"$atRest vs $inFlight")
+    // exactly ONE rebuild happened across both calls: gen1 was absent
+    // until the drifted series demanded it (asserted above), and the
+    // old generation is untouched (LSM pointer swap is the caller's)
+    assert(Similarity.ivfPqTopKFromFilesWithIncrements(spark, base + "/gen0",
+      "vec_id", "code", q, k = 8, nprobe = 2).count() == 8)
+    // an in-distribution trailing window on the SAME layout keeps even
+    // at full length (threshold respected, not just series length)
+    val calm = base + "/calm_drift"
+    (0 until 4).foreach { i =>
+      StreamingSimilarity.ingestBatch(sample(24, 0.0, 9000L + 100 * i)
+        .toDF("vec_id", "embedding"), i.toLong, base + "/gen0",
+        "vec_id", "embedding", Some(calm))
+    }
+    val r3 = Similarity.maintainFromDriftSeries(spark, calm,
+      base + "/gen0", all, "vec_id", "embedding", base + "/gen2",
+      window = 2)
+    assert(r3.action == "keep", s"$r3")
+    // curated refusal: an in-place rebuild target would clobber the
+    // files the live stream and the retrain read
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.maintainFromDriftSeries(spark, base + "/drift",
+        base + "/gen0", all, "vec_id", "embedding", base + "/gen0")
+    }
+    assert(e1.getMessage.contains("rebuildAt"), e1.getMessage)
+    // FORMAT-UPGRADE: a series mixing pre-round-18 batches (which also
+    // embedded ingest_batch as a data column, equal to the directory
+    // value by construction) with new directory-only batches reads
+    // correctly — the partition column shadows the embedded copy
+    Seq((0L, 0.5)).toDF("ingest_batch", "pq_err").write
+      .parquet(base + "/mixed_drift/ingest_batch=0")
+    Seq(0.9).toDF("pq_err").write
+      .parquet(base + "/mixed_drift/ingest_batch=1")
+    val mixed = Similarity.readDriftSeries(spark, base + "/mixed_drift")
+      .as[(Long, Double)].collect().toSeq
+    assert(mixed == Seq(0L -> 0.5, 1L -> 0.9), s"$mixed")
   }
 
   test("kind-aware streamed increments: an rpq layout gets residual codes, probe parity with the batch face") {

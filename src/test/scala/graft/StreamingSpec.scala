@@ -557,4 +557,108 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long)].collect().toSeq.sorted
     assert(v == Seq(1L -> 2L, 2L -> 1L, 3L -> 10L))
   }
+
+  test("quiesce guard: appends refuse mid-compaction and resume after, both families") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Layouts, Similarity}
+    import graft.streaming.{StreamingDedup, StreamingSimilarity}
+    val base = tmp("graft_quiesce").getAbsolutePath
+    // --- ANN family ---
+    val dim = 8
+    def vecs(n: Int, b: Long) = (0 until n).map { i =>
+      (b + i, Array.tabulate(dim)(j => math.sin((b + i) * 0.7 + j)))
+    }
+    val corpus = vecs(20, 0L).toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 2)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 2, ks = 4)
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/ann")
+    val batch = vecs(5, 100L).toDF("vec_id", "embedding")
+    // a held marker makes every append face refuse, curated
+    Layouts.acquireQuiesce(spark, base + "/ann", "test")
+    val e1 = intercept[IllegalStateException] {
+      StreamingSimilarity.ingestBatch(batch, 0L, base + "/ann",
+        "vec_id", "embedding", None)
+    }
+    assert(e1.getMessage.contains(Layouts.QuiesceMarker), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      Similarity.appendIvfPq(batch, "vec_id", "embedding", ivfCb, pqCb,
+        base + "/ann")
+    }
+    assert(e2.getMessage.contains(Layouts.QuiesceMarker), e2.getMessage)
+    // a second compaction cannot take a held marker (no double-fold)
+    val e3 = intercept[IllegalStateException] {
+      Layouts.acquireQuiesce(spark, base + "/ann", "second")
+    }
+    assert(e3.getMessage.contains("already holds"), e3.getMessage)
+    // released -> the failed batch replays cleanly
+    Layouts.releaseQuiesce(spark, base + "/ann")
+    StreamingSimilarity.ingestBatch(batch, 0L, base + "/ann",
+      "vec_id", "embedding", None)
+    // the real compactor takes and releases the marker around the fold
+    Similarity.compactIvfPqLayout(spark, base + "/ann", base + "/ann_g1")
+    assert(!Layouts.exists(spark, base + "/ann/" + Layouts.QuiesceMarker))
+    assert(spark.read.parquet(base + "/ann_g1").count() == 25)
+    // --- near-dup family ---
+    val docs = Seq((10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "completely unrelated corpus text nothing shared here at all"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(base + "/corpus")
+    Dedup.writeNearDupIndex(docs, "doc_id", "text", base + "/idx")
+    val db = Seq((1L, "fresh batch text matching nothing stored anywhere yet"))
+      .toDF("doc_id", "text")
+    Layouts.acquireQuiesce(spark, base + "/idx", "test")
+    val e4 = intercept[IllegalStateException] {
+      StreamingDedup.ingestBatch(db, 7L, base + "/corpus", base + "/idx",
+        base + "/out", "doc_id", "text", 0.8, 128, 32, 3, 4L << 20)
+    }
+    assert(e4.getMessage.contains(Layouts.QuiesceMarker), e4.getMessage)
+    val e5 = intercept[IllegalStateException] {
+      Dedup.appendNearDupIndex(db, "doc_id", "text", base + "/idx")
+    }
+    assert(e5.getMessage.contains(Layouts.QuiesceMarker), e5.getMessage)
+    Layouts.releaseQuiesce(spark, base + "/idx")
+    StreamingDedup.ingestBatch(db, 7L, base + "/corpus", base + "/idx",
+      base + "/out", "doc_id", "text", 0.8, 128, 32, 3, 4L << 20)
+    Dedup.compactNearDupIndex(spark, base + "/idx", base + "/idx_g1")
+    assert(!Layouts.exists(spark, base + "/idx/" + Layouts.QuiesceMarker))
+    assert(spark.read.parquet(base + "/idx_g1")
+      .select("id").distinct().count() == 3)
+  }
+
+  test("sidecar cache: one read serves N same-generation batches, a rewrite invalidates") {
+    import spark.implicits._
+    import graft.ops.{Layouts, Similarity}
+    import graft.streaming.StreamingSimilarity
+    val base = tmp("graft_scache").getAbsolutePath
+    val dim = 8
+    def vecs(n: Int, b: Long) = (0 until n).map { i =>
+      (b + i, Array.tabulate(dim)(j => math.cos((b + i) * 0.3 + j)))
+    }
+    val corpus = vecs(16, 0L).toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 2)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 2, ks = 4)
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/ann")
+    // N batches, each deriving kind + codebooks (+ drift report, which
+    // reads them again): ONE sidecar parquet read serves them all
+    val before = Layouts.sidecarCacheMisses.get()
+    (0 until 3).foreach { i =>
+      StreamingSimilarity.ingestBatch(vecs(4, 100L + 10 * i).toDF("vec_id", "embedding"),
+        i.toLong, base + "/ann", "vec_id", "embedding",
+        Some(base + "/drift"))
+    }
+    assert(Layouts.sidecarCacheMisses.get() - before == 1,
+      s"expected 1 sidecar read across 3 batches, got " +
+        s"${Layouts.sidecarCacheMisses.get() - before}")
+    // a NEW generation at the same path (rewrite) invalidates: the
+    // next batch re-reads, and reads the NEW codebooks
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/ann")
+    val mid = Layouts.sidecarCacheMisses.get()
+    StreamingSimilarity.ingestBatch(vecs(4, 200L).toDF("vec_id", "embedding"),
+      0L, base + "/ann", "vec_id", "embedding", None)
+    assert(Layouts.sidecarCacheMisses.get() - mid == 1,
+      "a rewritten generation must re-read the sidecar")
+  }
 }
