@@ -187,7 +187,9 @@ object Inventory extends InventoryCrawl {
     "q154_streaming_neardup" -> (q154 _),
     "q155_bpe_ffd_pack" -> (q155 _),
     "q156_ann_maintain" -> (q156 _),
-    "q157_streaming_ann" -> (q157 _))
+    "q157_streaming_ann" -> (q157 _),
+    "q158_ann_rebuild" -> (q158 _),
+    "q159_drift_monitor" -> (q159 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1450,6 +1452,104 @@ object Inventory extends InventoryCrawl {
            |  round(stored_err, 6) AS stored_err,
            |  round(fresh_err, 6) AS fresh_err
            |FROM errs ORDER BY regime""".stripMargin
+      },
+      // q158: maintainIvfPq's REBUILD path at nlist=16 — the q132
+      // probe chain recomputed over the UNION table (raw corpus +
+      // drifted %5==0 cohort at its original ids) with UNION-trained
+      // codebooks: the retrain (which mixes drifted vectors into the
+      // smallest-id sample), the full re-encode and the generation
+      // swap are all load-bearing in one hash
+      "q158_ann_rebuild" ->
+        """WITH uni AS (
+          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+          |  FROM embeddings WHERE vec_id % 5 <> 0
+          |  UNION ALL
+          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE + 4.0)
+          |  FROM embeddings WHERE vec_id % 5 = 0),
+          |cmeta AS (
+          |  SELECT vec_id AS cent_id, embedding AS cvec,
+          |    sqrt(list_sum([x * x for x in embedding])) AS cnorm
+          |  FROM uni ORDER BY vec_id LIMIT 16),
+          |assigned AS (
+          |  SELECT e.vec_id, e.embedding, c.cent_id,
+          |    list_sum(list_transform(generate_series(1, 64),
+          |             i -> e.embedding[i] * c.cvec[i]))
+          |      / (sqrt(list_sum([x * x for x in e.embedding])) * c.cnorm)
+          |      AS cos_c
+          |  FROM uni e CROSS JOIN cmeta c
+          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          |                             ORDER BY cos_c DESC, c.cent_id) = 1),
+          |probed AS (
+          |  SELECT cent_id FROM cmeta
+          |  ORDER BY (list_sum([x for x in cvec]) / (sqrt(64.0) * cnorm)) DESC,
+          |           cent_id
+          |  LIMIT 4),
+          |sel AS (
+          |  SELECT a.vec_id, a.embedding FROM assigned a
+          |  JOIN probed p USING (cent_id)),
+          |cb AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS c
+          |  FROM (SELECT vec_id, embedding FROM uni ORDER BY vec_id LIMIT 16)),
+          |sub AS (
+          |  SELECT e.vec_id, m.m, cb.j,
+          |    list_sum(list_transform(generate_series(1, 8),
+          |      i -> (e.embedding[m.m*8+i] - cb.c[m.m*8+i]) *
+          |           (e.embedding[m.m*8+i] - cb.c[m.m*8+i]))) AS d
+          |  FROM sel e CROSS JOIN generate_series(0, 7) m(m) CROSS JOIN cb),
+          |code AS (
+          |  SELECT vec_id, m, j FROM sub
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),
+          |lut AS (
+          |  SELECT m.m, cb.j,
+          |    list_sum(list_transform(generate_series(1, 8),
+          |      i -> (1.0 - cb.c[m.m*8+i]) * (1.0 - cb.c[m.m*8+i]))) AS ld
+          |  FROM cb CROSS JOIN generate_series(0, 7) m(m)),
+          |adc AS (
+          |  SELECT c.vec_id, list_sum(list(l.ld ORDER BY l.m)) AS dist
+          |  FROM code c JOIN lut l ON l.m = c.m AND l.j = c.j
+          |  GROUP BY c.vec_id)
+          |SELECT vec_id, round(dist, 6) AS adc FROM adc
+          |ORDER BY adc, vec_id LIMIT 10""".stripMargin,
+      // q159: the composed monitoring loop — four per-batch drift
+      // errors from q151's proven min-over-entries arithmetic under
+      // the CORPUS codebooks, median-of-first-2 vs median-of-last-2
+      // (mean of two — both engines' even-count median), then the
+      // 2.0-threshold decision CASE on the unrounded medians
+      "q159_drift_monitor" -> {
+        def berr(vecs: String): String =
+          s"""(SELECT avg(e) FROM (
+             |   SELECT vec_id, list_sum(list(dm ORDER BY m)) AS e FROM (
+             |     SELECT v.vec_id, m.m,
+             |       min(list_sum(list_transform(generate_series(1, 8),
+             |         i -> (v.emb[m.m*8+i] - w.c[m.m*8+i]) *
+             |              (v.emb[m.m*8+i] - w.c[m.m*8+i])))) AS dm
+             |     FROM $vecs v CROSS JOIN generate_series(0, 7) m(m)
+             |     CROSS JOIN corpus_cb w
+             |     GROUP BY v.vec_id, m.m)
+             |   GROUP BY vec_id))""".stripMargin
+        s"""WITH corpus_cb AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+           |         list_transform(embedding, x -> x::DOUBLE) AS c
+           |  FROM (SELECT vec_id, embedding FROM embeddings
+           |        WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 16)),
+           |b0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+           |       FROM embeddings WHERE vec_id % 10 = 0),
+           |b1 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+           |       FROM embeddings WHERE vec_id % 10 = 5),
+           |b2 AS (SELECT vec_id + 10000 AS vec_id,
+           |         list_transform(embedding, x -> x::DOUBLE + 4.0) AS emb
+           |       FROM embeddings WHERE vec_id % 10 = 0),
+           |b3 AS (SELECT vec_id + 20000 AS vec_id,
+           |         list_transform(embedding, x -> x::DOUBLE + 4.0) AS emb
+           |       FROM embeddings WHERE vec_id % 10 = 5),
+           |errs AS (SELECT ${berr("b0")} AS e0, ${berr("b1")} AS e1,
+           |                ${berr("b2")} AS e2, ${berr("b3")} AS e3)
+           |SELECT CASE WHEN (e2 + e3) / 2.0 > 2.0 * ((e0 + e1) / 2.0)
+           |            THEN 'rebuild' ELSE 'keep' END AS action,
+           |  round((e0 + e1) / 2.0, 6) AS baseline_err,
+           |  round((e2 + e3) / 2.0, 6) AS trailing_err,
+           |  CAST(4 AS BIGINT) AS batches
+           |FROM errs""".stripMargin
       },
       // q154: the streamed history discipline restated — for each
       // batch doc, dup_of = min older-HISTORY id at exact Jaccard

@@ -479,4 +479,91 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
       .toDF("regime", "action", "stored_err", "fresh_err")
       .orderBy(col("regime"))
   }
+
+
+  /** [[Similarity.maintainIvfPq]]'s REBUILD PATH at production
+    * geometry (q156 pins the decision; this seat pins the retrain +
+    * generation swap end-to-end at nlist=16, multi-cell): the drifted
+    * batch keeps its ORIGINAL ids (vec_id % 5 = 0, +4.0 per
+    * coordinate), so the deterministic smallest-id retrain over
+    * corpus ∪ batch derives codebooks that MIX raw and drifted
+    * vectors — genuinely different tables from gen0's, making the
+    * retrain itself load-bearing, not just the file swap. The output
+    * is the q132 probe OVER THE NEW GENERATION; the oracle recomputes
+    * the whole chain (union table, union-trained codebooks,
+    * assignment, probe, encode, ADC) — a rebuild that reused stale
+    * codebooks, dropped a cohort, or mis-celled one row lands off
+    * this top-k.
+    */
+  private[queries] def q158(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val corpus = emb.where(col("vec_id") % 5 =!= 0)
+    val drifted = emb.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(4.0)).as("embedding"))
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 16)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, ks = 16)
+    val base = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q158_rebuild"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/gen0")
+    val r = Similarity.maintainIvfPq(s, base + "/gen0", corpus, drifted,
+      "vec_id", "embedding", base + "/gen1")
+    require(r.action == "rebuild",
+      s"q158 expects the drifted batch to trigger the rebuild path, got $r")
+    // the caller's pointer swap: all probes now answer from gen1
+    Similarity.ivfPqTopKFromFiles(s, base + "/gen1", "vec_id", "code",
+      OnesQuery, k = 10, nprobe = 4)
+  }
+
+
+  /** The COMPOSED maintenance loop
+    * ([[Similarity.maintainFromDriftSeries]] — the monitoring job that
+    * closes q156 + q157 into one lifecycle): four micro-batches land
+    * through the streaming ingest face, each writing its one-row
+    * drift report; the monitor then thresholds median-of-last-2
+    * against median-of-first-2 and (here) fires the rebuild. The
+    * oracle recomputes all four per-batch errors from q151's proven
+    * min-over-entries arithmetic under the CORPUS codebooks, takes
+    * the same medians and restates the decision CASE — the per-batch
+    * drift metric, the series ordering, the window medians and the
+    * threshold comparison are all load-bearing in one hash.
+    */
+  private[queries] def q159(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val corpus = emb.where(col("vec_id") % 5 =!= 0)
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 16)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, ks = 16)
+    val base = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q159_monitor"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    // fresh generation + drift series per run: ingestBatch overwrites
+    // per-batch directories idempotently, and the gen0 rewrite clears
+    // any prior run's increments wholesale
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/gen0")
+    graft.ops.Layouts.delete(s, base + "/drift")
+    def shifted(mod: Long, off: Double, idOff: Long) =
+      emb.where(col("vec_id") % 10 === mod)
+        .select((col("vec_id") + idOff).as("vec_id"),
+          transform(col("embedding"), x => x + lit(off)).as("embedding"))
+    val batches = Seq(
+      shifted(0L, 0.0, 0L), shifted(5L, 0.0, 0L),          // in-distribution
+      shifted(0L, 4.0, 10000L), shifted(5L, 4.0, 20000L))  // drifted
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.StreamingSimilarity.ingestBatch(b, i.toLong,
+        base + "/gen0", "vec_id", "embedding", Some(base + "/drift"))
+    }
+    val r = Similarity.maintainFromDriftSeries(s, base + "/drift",
+      base + "/gen0", emb, "vec_id", "embedding", base + "/gen1",
+      window = 2)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((r.action, r6(r.baselineErr), r6(r.trailingErr), r.batches))
+      .toDF("action", "baseline_err", "trailing_err", "batches")
+  }
 }
