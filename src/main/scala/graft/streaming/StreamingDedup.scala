@@ -121,19 +121,13 @@ object StreamingDedup {
     require(batches.isStreaming,
       "incrementalNearDupStream takes a STREAMING frame; the batch face " +
         "is Dedup.incrementalNearDup")
-    val w = batches.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // the batch is consumed repeatedly (count, candidate join,
-        // verify, both increment writes): one bounded materialization
-        val b = batch.select(col(idCol), col(textCol))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try ingestBatch(b, batchId, corpusPath, indexPath, verdictsOut,
-          idCol, textCol, threshold, numHashes, bands, shingleWidth,
-          maxBroadcastSigRows)
-        finally b.unpersist()
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-    if (availableNow) w.trigger(Trigger.AvailableNow()) else w
+    // the batch is consumed repeatedly (count, candidate join, verify,
+    // both increment writes): the shared shell materializes it once
+    IncrementalIngest.ownedBatchWriter(batches, Seq(idCol, textCol),
+      checkpoint, availableNow) { (b, batchId) =>
+      ingestBatch(b, batchId, corpusPath, indexPath, verdictsOut,
+        idCol, textCol, threshold, numHashes, bands, shingleWidth,
+        maxBroadcastSigRows)
+    }
   }
 }

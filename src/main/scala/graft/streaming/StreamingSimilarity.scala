@@ -107,17 +107,11 @@ object StreamingSimilarity {
     require(batches.isStreaming,
       "incrementalAnnStream takes a STREAMING frame; the batch face is " +
         "Similarity.appendIvfPq / maintainIvfPq")
-    val w = batches.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // the batch is consumed twice when driftOut is set (encode +
-        // distortion): one bounded materialization
-        val b = batch.select(col(idCol), col(vecCol))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try ingestBatch(b, batchId, layoutPath, idCol, vecCol, driftOut)
-        finally b.unpersist()
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-    if (availableNow) w.trigger(Trigger.AvailableNow()) else w
+    // the batch is consumed twice when driftOut is set (encode +
+    // distortion): the shared shell materializes it once
+    IncrementalIngest.ownedBatchWriter(batches, Seq(idCol, vecCol),
+      checkpoint, availableNow) { (b, batchId) =>
+      ingestBatch(b, batchId, layoutPath, idCol, vecCol, driftOut)
+    }
   }
 }
