@@ -304,6 +304,9 @@ object Dedup {
     // src intact and appendable — the rerun re-reads everything)
     Layouts.acquireQuiesce(spark, src, "compactNearDupIndex")
     try {
+    // the marker stops NEW appends; this catches the one that passed
+    // its marker check before we acquired (see compactIvfPqLayout)
+    Layouts.assertNoInflightIncrements(spark, src, "compactNearDupIndex")
     // meta read + sidecar write FIRST (the compactIvfPqLayout rule): a
     // corrupt src _meta fails before dst is touched, and a failure in
     // the (much larger) data rewrite leaves a meta-only dst —

@@ -99,9 +99,12 @@ private[graft] object Layouts {
     val marker = new org.apache.hadoop.fs.Path(path, QuiesceMarker)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(marker.getParent)
+    // only lost-the-race maps to "held"; a genuine filesystem fault
+    // (safe mode, connection reset, permissions) must surface as
+    // itself, not steer the operator toward deleting a phantom marker
     val created =
       try fs.createNewFile(marker)
-      catch { case _: java.io.IOException => false }
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
     if (!created)
       throw new IllegalStateException(
         s"$owner: a compaction already holds the $QuiesceMarker marker " +
@@ -130,6 +133,34 @@ private[graft] object Layouts {
           s"$path — appending mid-compaction races the increment fold; " +
           "retry after it completes (or releaseQuiesce if a crashed " +
           "compaction left the marker behind)")
+
+  /** Refuse while any increment directory holds an UNCOMMITTED write
+    * (Spark's output committer stages task files under `_temporary`
+    * until job commit) — the second half of the quiesce handshake: the
+    * marker stops NEW appends, and this check catches the append that
+    * passed its marker check before the compaction acquired it. A fold
+    * that read such a directory would ship a subset of the batch's
+    * rows into the next generation while the completed append (and its
+    * checkpoint) claim the batch committed — silent data loss. Called
+    * by the compactors AFTER taking the marker; one listing of the
+    * increment root plus one existence probe per increment directory.
+    */
+  def assertNoInflightIncrements(spark: SparkSession, path: String,
+      caller: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path, IncrementsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val inflight = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_temporary")))
+    if (inflight.nonEmpty)
+      throw new IllegalStateException(
+        s"$caller: increment director${if (inflight.length == 1) "y" else "ies"} " +
+          s"${inflight.map(_.getName).sorted.mkString(", ")} under " +
+          s"$path/$IncrementsDir hold uncommitted writes (_temporary " +
+          "present) — an append that started before the quiesce marker " +
+          "was taken is still in flight; quiesce the stream and retry " +
+          "once it drains")
+  }
 
   /** Retire a tombstone set during a compaction rewrite: anti-join
     * `rows` against the single id column of `dropIds` on `idCol`.

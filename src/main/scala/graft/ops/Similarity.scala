@@ -1117,17 +1117,29 @@ object Similarity {
       else appendIvfPq(batch, idCol, vecCol, ivfCb, pqCb, layout)
       MaintainReport("append", storedErr, freshErr, layout)
     } else {
-      val all = corpus.select(col(idCol), col(vecCol))
-        .unionByName(batch.select(col(idCol), col(vecCol)))
-      val newIvf = ivfCodebook(all, idCol, vecCol, nlist)
-      if (residual) {
-        val newRcb = residualPqCodebooks(all, idCol, vecCol, newIvf, m, ks)
-        writeIvfPqResidualPartitioned(all, idCol, vecCol, newIvf, newRcb, rebuildAt)
-      } else {
-        val newPq = pqCodebooks(all, idCol, vecCol, m, ks)
-        writeIvfPqPartitioned(all, idCol, vecCol, newIvf, newPq, rebuildAt)
-      }
-      MaintainReport("rebuild", storedErr, freshErr, rebuildAt)
+      // hold the layout's quiesce marker for the retrain (the
+      // maintainFromDriftSeries discipline): a stream batch landing in
+      // the OLD generation mid-retrain would vanish at the pointer
+      // swap; with the marker it fails curated and replays after. The
+      // marker is taken AFTER the decision — the append branch must
+      // not refuse against our own marker — so an append that slipped
+      // in during the decision scans is the caller's corpus-of-record
+      // to re-ship, exactly as with any batch ingested after the
+      // retrain's corpus snapshot.
+      Layouts.acquireQuiesce(spark, layout, "maintainIvfPq")
+      try {
+        val all = corpus.select(col(idCol), col(vecCol))
+          .unionByName(batch.select(col(idCol), col(vecCol)))
+        val newIvf = ivfCodebook(all, idCol, vecCol, nlist)
+        if (residual) {
+          val newRcb = residualPqCodebooks(all, idCol, vecCol, newIvf, m, ks)
+          writeIvfPqResidualPartitioned(all, idCol, vecCol, newIvf, newRcb, rebuildAt)
+        } else {
+          val newPq = pqCodebooks(all, idCol, vecCol, m, ks)
+          writeIvfPqPartitioned(all, idCol, vecCol, newIvf, newPq, rebuildAt)
+        }
+        MaintainReport("rebuild", storedErr, freshErr, rebuildAt)
+      } finally Layouts.releaseQuiesce(spark, layout)
     }
   }
 
@@ -1142,9 +1154,13 @@ object Similarity {
     * Spark's partition discovery lets the directory-derived partition
     * column shadow the embedded copy — which held the identical value
     * by construction — so a driftOut mixing old and new batch
-    * directories reads correctly with no migration. A genuinely
-    * unreadable series (torn writes, foreign files) still fails with
-    * a curated message instead of a raw AnalysisException.
+    * directories reads correctly with no migration. A series that
+    * fails ANALYSIS (empty/unschematizable directory) fails here with
+    * a curated message; execution-time corruption (a torn part file)
+    * surfaces when the returned frame is consumed —
+    * [[maintainFromDriftSeries]] wraps its collect with the curated
+    * recovery hint (delete the torn batch directory; its replay
+    * rewrites it).
     */
   def readDriftSeries(spark: org.apache.spark.sql.SparkSession,
       driftOut: String): DataFrame = {
@@ -1212,6 +1228,21 @@ object Similarity {
     * ever ingested (never data-proportional) and touches nothing else;
     * the corpus-wide retrain runs exactly when the series says the
     * stored tables stopped describing the data.
+    *
+    * RECURRING-RUN SAFE — a rebuild FENCES the series: the reports it
+    * consumed describe the OLD generation's codebooks, so without a
+    * fence every later monitor run would re-compare the new world
+    * against the old baseline and re-fire the retrain forever. The
+    * fence (`driftOut/_rebuilt`, the max batch id consumed — written
+    * inside the quiesce window, after the new generation) makes later
+    * runs threshold only batches ingested AFTER it; until a fresh
+    * window accumulates they return `keep` with `batches = 0` and NaN
+    * medians. A rebuild also REFUSES when `rebuildAt` already exists:
+    * after a crash between the generation write and the fence write,
+    * the operator decides (delete the orphan and re-run, or fence by
+    * hand if the pointer swap already happened) instead of the monitor
+    * silently overwriting a possibly-live generation. Pass a fresh
+    * `rebuildAt` per generation, as with the compactors' dst.
     */
   def maintainFromDriftSeries(spark: org.apache.spark.sql.SparkSession,
       driftOut: String, layout: String, corpus: DataFrame,
@@ -1226,17 +1257,44 @@ object Similarity {
         "rebuildAt; swap the pointer after (an in-place rewrite would " +
         "clobber the files the live stream and the retrain read)")
     // one double per micro-batch ever ingested — bounded by batch
-    // count, never by data volume
-    val series = readDriftSeries(spark, driftOut)
-      .select(col("pq_err").cast("double")).collect().map(_.getDouble(0))
-    require(series.nonEmpty,
+    // count, never by data volume. Wrapped so an execution-time
+    // failure (a torn part file a killed report writer left) names
+    // the drift-series contract instead of surfacing as a raw task
+    // exception.
+    val fullSeries =
+      try readDriftSeries(spark, driftOut)
+        .select(col("ingest_batch"), col("pq_err").cast("double"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      catch {
+        case e: org.apache.spark.SparkException =>
+          throw new IllegalStateException(
+            s"the drift series at $driftOut failed mid-read — a torn " +
+              "per-batch report (killed writer) or a foreign file; " +
+              "delete the offending ingest_batch directory (its batch " +
+              "will rewrite it on replay) and re-run", e)
+      }
+    require(fullSeries.nonEmpty,
       s"the drift series at $driftOut holds no reports — nothing to " +
         "threshold (has the ingest stream committed a batch?)")
+    // the fence: reports at or before the last rebuild describe the
+    // OLD generation's codebooks — thresholding them against the new
+    // world would re-fire the retrain on every monitor run forever
+    val fencePath = s"$driftOut/$RebuiltFence"
+    val fencedThrough =
+      if (!Layouts.exists(spark, fencePath)) Long.MinValue
+      else Layouts.collectSidecar(spark, fencePath,
+        "maintainFromDriftSeries (the fence is written by its rebuild " +
+          "path)")(0).getLong(0)
+    val series = fullSeries.filter(_._1 > fencedThrough).map(_._2)
     def median(xs: Array[Double]): Double = {
       val s = xs.sorted
       val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
+    if (series.isEmpty)
+      // everything already consumed by the last rebuild: the steady
+      // state right after a generation swap, before new batches land
+      return DriftSeriesReport("keep", Double.NaN, Double.NaN, 0, layout)
     val baseline = median(series.take(window))
     val trailing = median(series.takeRight(window))
     val drifted =
@@ -1244,6 +1302,13 @@ object Similarity {
     if (!drifted)
       DriftSeriesReport("keep", baseline, trailing, series.length, layout)
     else {
+      require(!Layouts.exists(spark, rebuildAt),
+        s"maintainFromDriftSeries: $rebuildAt already exists — either a " +
+          "crashed rebuild left an unfenced generation (delete it and " +
+          "re-run, or write the fence by hand if its pointer swap " +
+          "already happened) or the path is a live generation; the " +
+          "monitor never overwrites it. Pass a fresh rebuildAt per " +
+          "generation.")
       // quiesce for the whole retrain: a stream append landing in the
       // OLD generation mid-rebuild would vanish at the pointer swap;
       // with the marker held it fails curated and the checkpoint
@@ -1265,11 +1330,26 @@ object Similarity {
           val newPq = pqCodebooks(all, idCol, vecCol, m, ks)
           writeIvfPqPartitioned(all, idCol, vecCol, newIvf, newPq, rebuildAt)
         }
+        // fence LAST, still inside the quiesce window: the consumed
+        // reports describe the generation this rebuild just replaced.
+        // A crash before this line leaves an unfenced rebuildAt, which
+        // the exists-refusal above surfaces on the re-run.
+        import spark.implicits._
+        Seq(fullSeries.map(_._1).max).toDF("through_batch")
+          .coalesce(1).write.mode("overwrite").parquet(fencePath)
         DriftSeriesReport("rebuild", baseline, trailing, series.length,
           rebuildAt)
       } finally Layouts.releaseQuiesce(spark, layout)
     }
   }
+
+  /** The drift series' rebuild fence (`driftOut/_rebuilt`): one row —
+    * the max ingest_batch a [[maintainFromDriftSeries]] rebuild
+    * consumed. Underscore-prefixed, so [[readDriftSeries]]' root read
+    * (the dashboard face, full history) never sees it; the monitor
+    * thresholds only batches past it.
+    */
+  val RebuiltFence = "_rebuilt"
 
   /** Write the RESIDUAL-encoded IVF-PQ at-rest layout — the
     * [[ivfPqResidualTopK]] encoder persisted (the strictly better
@@ -1564,6 +1644,10 @@ object Similarity {
     // intact and appendable, and the rerun re-reads everything.
     Layouts.acquireQuiesce(spark, src, "compactIvfPqLayout")
     try {
+    // the marker stops NEW appends; this catches the one that passed
+    // its marker check before we acquired — folding a half-written
+    // increment is silent data loss
+    Layouts.assertNoInflightIncrements(spark, src, "compactIvfPqLayout")
     val base = spark.read.parquet(src)
     val rows = Layouts.withIncrements(spark, base, src,
       base.columns.toIndexedSeq, excludeBatchId = None)

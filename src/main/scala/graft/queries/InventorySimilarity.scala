@@ -554,6 +554,9 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
     Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
       ivfCb, pqCb, base + "/gen0")
     graft.ops.Layouts.delete(s, base + "/drift")
+    // the monitor refuses to overwrite an existing rebuild target (a
+    // crashed-rebuild guard); a rerun is a fresh lifecycle, so clear it
+    graft.ops.Layouts.delete(s, base + "/gen1")
     def shifted(mod: Long, off: Double, idOff: Long) =
       emb.where(col("vec_id") % 10 === mod)
         .select((col("vec_id") + idOff).as("vec_id"),

@@ -2199,6 +2199,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // old generation is untouched (LSM pointer swap is the caller's)
     assert(Similarity.ivfPqTopKFromFilesWithIncrements(spark, base + "/gen0",
       "vec_id", "code", q, k = 8, nprobe = 2).count() == 8)
+    // the FENCE: the reports the rebuild consumed never re-fire it —
+    // the immediate re-run (the recurring monitor's next tick) keeps,
+    // with an empty post-fence series
+    val r2b = Similarity.maintainFromDriftSeries(spark, base + "/drift",
+      base + "/gen0", all, "vec_id", "embedding", base + "/gen1b",
+      window = 2)
+    assert(r2b.action == "keep" && r2b.batches == 0, s"$r2b")
+    assert(!new java.io.File(base + "/gen1b").exists())
+    // a fresh post-fence window CAN rebuild again — but never onto an
+    // existing generation (the crashed-rebuild / live-generation guard)
+    Seq(sample(24, 0.0, 5000L), sample(24, 0.0, 6000L),
+        sample(24, 25.0, 7000L), sample(24, 25.0, 8000L))
+      .zipWithIndex.foreach { case (rows, i) =>
+        StreamingSimilarity.ingestBatch(rows.toDF("vec_id", "embedding"),
+          (4 + i).toLong, base + "/gen0", "vec_id", "embedding",
+          Some(base + "/drift"))
+      }
+    val eExists = intercept[IllegalArgumentException] {
+      Similarity.maintainFromDriftSeries(spark, base + "/drift",
+        base + "/gen0", all, "vec_id", "embedding", base + "/gen1",
+        window = 2)
+    }
+    assert(eExists.getMessage.contains("already exists"), eExists.getMessage)
+    val r4 = Similarity.maintainFromDriftSeries(spark, base + "/drift",
+      base + "/gen0", all, "vec_id", "embedding", base + "/gen2",
+      window = 2)
+    assert(r4.action == "rebuild" && r4.batches == 4, s"$r4")
     // an in-distribution trailing window on the SAME layout keeps even
     // at full length (threshold respected, not just series length)
     val calm = base + "/calm_drift"

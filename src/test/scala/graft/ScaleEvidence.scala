@@ -503,6 +503,85 @@ object ScaleEvidence {
     println(f"""SCALE {"corpus":"annlsm:$corpusN:$nBatches","op":"ann_lsm_compaction","corpus_vecs":$corpusN,"batches":$nBatches,"batch_vecs":$batchN,"probe_with_increments_secs":$incrSecs%.2f,"compact_secs":$compactSecs%.2f,"probe_compacted_secs":$compactedSecs%.2f}""")
   }
 
+  /** Monitor rung (`monitor:<corpusN>:<nBatches>`): the composed
+    * maintenance loop's cost split measured
+    * ([[Similarity.maintainFromDriftSeries]], q159). KEEP path: reads
+    * one KB-sized drift row per batch ever ingested — never the data;
+    * its wall cost must stay flat in corpus size. REBUILD path: the
+    * corpus-wide retrain + rewrite, paid exactly once, when the
+    * trailing drift median demands it. Probe parity across the swap
+    * asserted.
+    */
+  private def monitorRung(spark: SparkSession, corpusN: Long, nBatches: Int): Unit = {
+    val dim = 64
+    val nCenters = 16
+    val centers = Array.tabulate(nCenters, dim) { (c, d) =>
+      if ((scala.util.hashing.MurmurHash3.productHash((c, d)) & 1) == 0) 1.0
+      else -1.0
+    }
+    val centersLit = array(centers.map(c =>
+      array(c.toIndexedSeq.map(lit): _*)).toIndexedSeq: _*)
+    def vecsOf(n: Long, idBase: Long, off: Double): DataFrame = {
+      val cIdx = (col("id") % nCenters).cast("int")
+      val vec = transform(sequence(lit(0), lit(dim - 1)), d =>
+        element_at(element_at(centersLit, cIdx + 1), d + 1) + lit(off) +
+          (pmod(col("id") * lit(2654435761L) + d * lit(97L), lit(1000L))
+            .cast("double") - lit(500.0)) / lit(50000.0))
+      spark.range(n).select((col("id") + idBase).as("vec_id"), vec.as("embedding"))
+    }
+    val corpus = vecsOf(corpusN, 0L, 0.0)
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = nCenters)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, ks = 16)
+    val base = java.nio.file.Files.createTempDirectory("graft-monitor-rung").toFile
+    val layout = base.getAbsolutePath + "/gen0"
+    val drift = base.getAbsolutePath + "/drift"
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, layout)
+    val batchN = math.max(64L, corpusN / 50)
+    (0 until nBatches).foreach { b =>
+      graft.streaming.StreamingSimilarity.ingestBatch(
+        vecsOf(batchN, 10000000L + b * batchN, 0.0), b.toLong,
+        layout, "vec_id", "embedding", Some(drift))
+    }
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // keep path: an in-distribution series — the monitor's steady state
+    val (rKeep, keepSecs) = timed {
+      Similarity.maintainFromDriftSeries(spark, drift, layout, corpus,
+        "vec_id", "embedding", base.getAbsolutePath + "/gen1", window = 3)
+    }
+    require(rKeep.action == "keep", s"expected keep, got $rKeep")
+    // three drifted batches fill the trailing window -> one rebuild
+    (0 until 3).foreach { b =>
+      graft.streaming.StreamingSimilarity.ingestBatch(
+        vecsOf(batchN, 20000000L + b * batchN, 8.0), (nBatches + b).toLong,
+        layout, "vec_id", "embedding", Some(drift))
+    }
+    val all = corpus // the retrain corpus: pre-drift vectors (system of record)
+    val (rReb, rebSecs) = timed {
+      Similarity.maintainFromDriftSeries(spark, drift, layout, all,
+        "vec_id", "embedding", base.getAbsolutePath + "/gen1", window = 3)
+    }
+    require(rReb.action == "rebuild", s"expected rebuild, got $rReb")
+    // probe parity across the swap: gen1 answers for the corpus it
+    // re-encoded (same deterministic codebooks -> same top-k as gen0's
+    // base scan, which holds exactly the same corpus rows)
+    val query = centers(5).map(_ + 0.001)
+    val viaNew = Similarity.ivfPqTopKFromFiles(spark,
+      base.getAbsolutePath + "/gen1", "vec_id", "code", query, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaOldBase = Similarity.ivfPqTopKFromFiles(spark, layout,
+      "vec_id", "code", query, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    require(viaNew == viaOldBase,
+      s"the rebuilt generation answers differently: $viaNew vs $viaOldBase")
+    println(f"""SCALE {"corpus":"monitor:$corpusN:$nBatches","op":"q159_drift_monitor","corpus_vecs":$corpusN,"batches":$nBatches,"batch_vecs":$batchN,"keep_path_secs":$keepSecs%.2f,"rebuild_path_secs":$rebSecs%.2f,"keep_err_ratio":${rKeep.trailingErr / rKeep.baselineErr}%.2f,"rebuild_err_ratio":${rReb.trailingErr / rReb.baselineErr}%.2f}""")
+  }
+
   /** Split-from-index rung (`split:<corpusN>`): the q141 claim
     * measured — [[Sampling.leakFreeSplit]] reading the at-rest
     * signature index vs re-minhashing the corpus in-flight. Same
@@ -1051,7 +1130,10 @@ object ScaleEvidence {
     val AnnLsm = "annlsm:(\\d+):(\\d+)".r
     val (alArgs, rest6) = rest6b.partition(_.startsWith("annlsm:"))
     alArgs.foreach { case AnnLsm(c, b) => annLsmRung(spark, c.toLong, b.toInt) }
-    val (spArgs, rest7) = rest6.partition(_.startsWith("split:"))
+    val Monitor = "monitor:(\\d+):(\\d+)".r
+    val (moArgs, rest6c) = rest6.partition(_.startsWith("monitor:"))
+    moArgs.foreach { case Monitor(c, b) => monitorRung(spark, c.toLong, b.toInt) }
+    val (spArgs, rest7) = rest6c.partition(_.startsWith("split:"))
     spArgs.foreach(a => splitRung(spark, a.drop(6).toLong))
     val Ffd = "ffd:(\\d+):(\\d+)".r
     val (ffdArgs, docCorpora) = rest7.partition(_.startsWith("ffd:"))

@@ -599,6 +599,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Similarity.compactIvfPqLayout(spark, base + "/ann", base + "/ann_g1")
     assert(!Layouts.exists(spark, base + "/ann/" + Layouts.QuiesceMarker))
     assert(spark.read.parquet(base + "/ann_g1").count() == 25)
+    // the in-flight handshake: an increment directory holding an
+    // uncommitted write (Spark's _temporary staging) refuses the fold
+    // even though the marker was free — folding a half-written batch
+    // is silent data loss; the marker is still released on the refusal
+    val inflight = new java.io.File(
+      base + "/ann/_increments/ingest_batch=99/_temporary")
+    assert(inflight.mkdirs())
+    val e7 = intercept[IllegalStateException] {
+      Similarity.compactIvfPqLayout(spark, base + "/ann", base + "/ann_g2")
+    }
+    assert(e7.getMessage.contains("_temporary"), e7.getMessage)
+    assert(!Layouts.exists(spark, base + "/ann/" + Layouts.QuiesceMarker))
+    graft.ops.Layouts.delete(spark, base + "/ann/_increments/ingest_batch=99")
     // --- near-dup family ---
     val docs = Seq((10L, "the quick brown fox jumps over the lazy dog today"),
       (11L, "completely unrelated corpus text nothing shared here at all"))
