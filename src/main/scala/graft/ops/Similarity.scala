@@ -1351,6 +1351,43 @@ object Similarity {
     */
   val RebuiltFence = "_rebuilt"
 
+  /** Drop the drift reports a rebuild already CONSUMED — the series'
+    * own small-files pay-down (the [[compactIvfPqLayout]] play for
+    * the monitoring data): a year of per-batch report directories is
+    * a listing tax on every monitor tick and dashboard read, and
+    * everything at or before the fence can never influence a decision
+    * again. Deletes every `ingest_batch=<id>` directory with
+    * `id <= fence`; refuses curated when no fence exists (an unfenced
+    * series has consumed nothing — pruning it would erase live
+    * evidence). The fence itself stays: replays of pruned batches
+    * (crash-recovery of a long-stopped stream) rewrite their report
+    * directories, and the fence keeps them out of future decisions.
+    * Returns the number of directories pruned.
+    */
+  def pruneDriftSeries(spark: org.apache.spark.sql.SparkSession,
+      driftOut: String): Long = {
+    val fencePath = s"$driftOut/$RebuiltFence"
+    require(Layouts.exists(spark, fencePath),
+      s"pruneDriftSeries: no $RebuiltFence fence under $driftOut — the " +
+        "series has not been consumed by a rebuild; pruning would erase " +
+        "live evidence (run maintainFromDriftSeries first)")
+    val through = Layouts.collectSidecar(spark, fencePath,
+      "maintainFromDriftSeries (the fence is written by its rebuild " +
+        "path)")(0).getLong(0)
+    val root = new org.apache.hadoop.fs.Path(driftOut)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val Batch = "ingest_batch=(-?\\d+)".r
+    val pruned = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .flatMap { p =>
+        p.getName match {
+          case Batch(id) if id.toLong <= through => Some(p)
+          case _ => None
+        }
+      }
+    pruned.foreach(fs.delete(_, true))
+    pruned.length.toLong
+  }
+
   /** Write the RESIDUAL-encoded IVF-PQ at-rest layout — the
     * [[ivfPqResidualTopK]] encoder persisted (the strictly better
     * quantizer: residuals concentrate near the origin, so the shared

@@ -2222,10 +2222,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         window = 2)
     }
     assert(eExists.getMessage.contains("already exists"), eExists.getMessage)
+    // pruning drops exactly the consumed reports (<= fence): the
+    // dashboard read then shows only live history, and the next
+    // decision is unchanged
+    assert(Similarity.pruneDriftSeries(spark, base + "/drift") == 4)
+    assert(Similarity.readDriftSeries(spark, base + "/drift")
+      .as[(Long, Double)].collect().map(_._1).toSeq == Seq(4L, 5L, 6L, 7L))
     val r4 = Similarity.maintainFromDriftSeries(spark, base + "/drift",
       base + "/gen0", all, "vec_id", "embedding", base + "/gen2",
       window = 2)
     assert(r4.action == "rebuild" && r4.batches == 4, s"$r4")
+    // KIND-AWARENESS: an 'rpq' layout's monitor scores residual
+    // distortion per batch and its rebuild writes an 'rpq' generation
+    val rcb = Similarity.residualPqCodebooks(corpus, "vec_id", "embedding",
+      ivfCb, m = 4, ks = 16)
+    Similarity.writeIvfPqResidualPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, rcb, base + "/r0")
+    Seq(sample(24, 0.0, 11000L), sample(24, 0.0, 12000L),
+        sample(24, 25.0, 13000L), sample(24, 25.0, 14000L))
+      .zipWithIndex.foreach { case (rows, i) =>
+        StreamingSimilarity.ingestBatch(rows.toDF("vec_id", "embedding"),
+          i.toLong, base + "/r0", "vec_id", "embedding",
+          Some(base + "/rdrift"))
+      }
+    val r5 = Similarity.maintainFromDriftSeries(spark, base + "/rdrift",
+      base + "/r0", all, "vec_id", "embedding", base + "/r1", window = 2)
+    assert(r5.action == "rebuild", s"$r5")
+    assert(Similarity.sidecarPqKind(spark, base + "/r1") == "rpq")
+    assert(Similarity.ivfPqResidualTopKFromFiles(spark, base + "/r1",
+      "vec_id", "code", q, k = 8, nprobe = 2).count() == 8)
     // an in-distribution trailing window on the SAME layout keeps even
     // at full length (threshold respected, not just series length)
     val calm = base + "/calm_drift"
@@ -2235,9 +2260,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "vec_id", "embedding", Some(calm))
     }
     val r3 = Similarity.maintainFromDriftSeries(spark, calm,
-      base + "/gen0", all, "vec_id", "embedding", base + "/gen2",
+      base + "/gen0", all, "vec_id", "embedding", base + "/gen3",
       window = 2)
     assert(r3.action == "keep", s"$r3")
+    // an unfenced series refuses the prune (nothing provably consumed)
+    val ePrune = intercept[IllegalArgumentException] {
+      Similarity.pruneDriftSeries(spark, calm)
+    }
+    assert(ePrune.getMessage.contains("fence"), ePrune.getMessage)
     // curated refusal: an in-place rebuild target would clobber the
     // files the live stream and the retrain read
     val e1 = intercept[IllegalArgumentException] {
