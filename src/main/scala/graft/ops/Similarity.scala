@@ -1738,6 +1738,63 @@ object Similarity {
       query, k, nprobe, cellCol)
   }
 
+  /** MULTI-QUERY batched ANN over an at-rest layout — the OFFLINE
+    * retrieval shape (score an eval set, decontaminate a benchmark,
+    * backfill neighbors for a whole ingest batch): Q query vectors
+    * answered from ONE scan of the UNION of their probed cells,
+    * instead of Q separate scans that each re-open the layout.
+    *
+    * Shape: the driver derives each query's probed cells and its
+    * m x ks ADC table (Q KB-sized tables — inlined codegen constants,
+    * the [[pqAdcTopKCoded]] discipline per query); the scan prunes the
+    * file listing ONCE to the union of probed cells, each row fans out
+    * to the queries whose probe covers its cell (an inline
+    * `explode(array(struct...))` — no join, no second scan), and the
+    * per-query top-k is one hash exchange on `query_id` + a bounded
+    * window. Candidate volume is Σ_q (probed fraction), exactly what
+    * Q separate probes would rank — the batch saves the Q-1 extra
+    * scans and listings, which at a year-of-ingest layout is the
+    * dominant cost ([[graft.ScaleEvidence]] `annlsm`'s listing tax,
+    * paid once instead of Q times). Q is a BATCH (tens to hundreds):
+    * each query adds one inlined LUT and one slot in the per-row
+    * fan-out; chunk a larger query set and union the results.
+    *
+    * Output: (query_id, idCol, adc), the per-query k nearest by ADC
+    * (ties by id), ordered (query_id, adc, id).
+    */
+  def ivfPqTopKBatchFromFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, codeCol: String,
+      queries: Seq[(Long, Array[Double])], k: Int, nprobe: Int = 4,
+      cellCol: String = "cell"): DataFrame = {
+    require(queries.nonEmpty, "ivfPqTopKBatchFromFiles needs at least one query")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate query ids — each query needs its own id in the output")
+    val (ivfCb, pqCb) = readIvfPqCodebooks(spark, path)
+    val perQuery = queries.map { case (qid, qv) =>
+      (qid, ivfProbed(ivfCb, qv, nprobe), pqAdcTable(pqCb, qv))
+    }
+    val allCells = perQuery.flatMap(_._2).distinct
+    val scan = spark.read.parquet(path).where(col(cellCol).isin(allCells: _*))
+    // one struct per query: its rounded ADC where the row's cell is
+    // probed by THIS query, null elsewhere (dropped before ranking) —
+    // rows fan out only to the queries that would have scanned them
+    val fanout = perQuery.map { case (qid, probed, lut) =>
+      struct(lit(qid).as("query_id"),
+        when(col(cellCol).isin(probed: _*),
+          round(adcColumn(lut, col(codeCol)), 6))
+          .otherwise(lit(null).cast("double")).as("adc"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc"), col(idCol))
+    scan.select(col(idCol), explode(array(fanout: _*)).as("__q"))
+      .select(col("__q.query_id").as("query_id"), col(idCol),
+        col("__q.adc").as("adc"))
+      .where(col("adc").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col(idCol), col("adc"))
+  }
+
   /** Per-row (double vector, L2 norm) projection — computed ONCE per
     * row before a pairwise join. Folding the norm into the per-pair
     * cosine would re-evaluate it per candidate (higher-order array

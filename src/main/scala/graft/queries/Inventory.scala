@@ -189,7 +189,8 @@ object Inventory extends InventoryCrawl {
     "q156_ann_maintain" -> (q156 _),
     "q157_streaming_ann" -> (q157 _),
     "q158_ann_rebuild" -> (q158 _),
-    "q159_drift_monitor" -> (q159 _))
+    "q159_drift_monitor" -> (q159 _),
+    "q160_ann_batch_probe" -> (q160 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1510,6 +1511,85 @@ object Inventory extends InventoryCrawl {
           |  GROUP BY c.vec_id)
           |SELECT vec_id, round(dist, 6) AS adc FROM adc
           |ORDER BY adc, vec_id LIMIT 10""".stripMargin,
+      // q160: the batched multi-query probe — both probe sets (ones:
+      // top-4 cells by cosine; minus-ones: the SAME expression
+      // ascending, opposite ordering), the shared encode chain
+      // restricted to the union of probed cells, each query's ADC
+      // table applied only inside its own probe set, per-query top-5
+      "q160_ann_batch_probe" ->
+        """WITH cmeta AS (
+          |  SELECT vec_id AS cent_id, embedding AS cvec,
+          |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS cnorm
+          |  FROM embeddings ORDER BY vec_id LIMIT 16),
+          |assigned AS (
+          |  SELECT e.vec_id, e.embedding, c.cent_id,
+          |    list_sum(list_transform(generate_series(1, 64),
+          |             i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE))
+          |      / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in e.embedding])) * c.cnorm)
+          |      AS cos_c
+          |  FROM embeddings e CROSS JOIN cmeta c
+          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          |                             ORDER BY cos_c DESC, c.cent_id) = 1),
+          |probed1 AS (
+          |  SELECT cent_id FROM cmeta
+          |  ORDER BY (list_sum([x::DOUBLE for x in cvec]) / (sqrt(64.0) * cnorm)) DESC,
+          |           cent_id
+          |  LIMIT 4),
+          |probed2 AS (
+          |  SELECT cent_id FROM cmeta
+          |  ORDER BY (list_sum([x::DOUBLE for x in cvec]) / (sqrt(64.0) * cnorm)) ASC,
+          |           cent_id
+          |  LIMIT 4),
+          |selu AS (
+          |  SELECT a.vec_id, a.embedding, a.cent_id FROM assigned a
+          |  WHERE a.cent_id IN (SELECT cent_id FROM probed1
+          |                      UNION SELECT cent_id FROM probed2)),
+          |cb AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS c
+          |  FROM (SELECT vec_id, embedding FROM embeddings
+          |        ORDER BY vec_id LIMIT 16)),
+          |sub AS (
+          |  SELECT e.vec_id, m.m, cb.j,
+          |    list_sum(list_transform(generate_series(1, 8),
+          |      i -> (e.embedding[m.m*8+i]::DOUBLE - cb.c[m.m*8+i]::DOUBLE) *
+          |           (e.embedding[m.m*8+i]::DOUBLE - cb.c[m.m*8+i]::DOUBLE))) AS d
+          |  FROM selu e CROSS JOIN generate_series(0, 7) m(m) CROSS JOIN cb),
+          |code AS (
+          |  SELECT vec_id, m, j FROM sub
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),
+          |lut1 AS (
+          |  SELECT m.m, cb.j,
+          |    list_sum(list_transform(generate_series(1, 8),
+          |      i -> (1.0 - cb.c[m.m*8+i]::DOUBLE) * (1.0 - cb.c[m.m*8+i]::DOUBLE))) AS ld
+          |  FROM cb CROSS JOIN generate_series(0, 7) m(m)),
+          |lut2 AS (
+          |  SELECT m.m, cb.j,
+          |    list_sum(list_transform(generate_series(1, 8),
+          |      i -> (-1.0 - cb.c[m.m*8+i]::DOUBLE) * (-1.0 - cb.c[m.m*8+i]::DOUBLE))) AS ld
+          |  FROM cb CROSS JOIN generate_series(0, 7) m(m)),
+          |adc1 AS (
+          |  SELECT c.vec_id, list_sum(list(l.ld ORDER BY l.m)) AS dist
+          |  FROM code c JOIN lut1 l ON l.m = c.m AND l.j = c.j
+          |  JOIN selu s ON s.vec_id = c.vec_id
+          |  WHERE s.cent_id IN (SELECT cent_id FROM probed1)
+          |  GROUP BY c.vec_id),
+          |adc2 AS (
+          |  SELECT c.vec_id, list_sum(list(l.ld ORDER BY l.m)) AS dist
+          |  FROM code c JOIN lut2 l ON l.m = c.m AND l.j = c.j
+          |  JOIN selu s ON s.vec_id = c.vec_id
+          |  WHERE s.cent_id IN (SELECT cent_id FROM probed2)
+          |  GROUP BY c.vec_id),
+          |u AS (
+          |  SELECT CAST(1 AS BIGINT) AS query_id, vec_id, round(dist, 6) AS adc
+          |  FROM adc1
+          |  UNION ALL
+          |  SELECT CAST(2 AS BIGINT), vec_id, round(dist, 6) FROM adc2),
+          |r AS (
+          |  SELECT query_id, vec_id, adc FROM u
+          |  QUALIFY row_number() OVER (PARTITION BY query_id
+          |                             ORDER BY adc, vec_id) <= 5)
+          |SELECT query_id, vec_id, adc FROM r
+          |ORDER BY query_id, adc, vec_id""".stripMargin,
       // q159: the composed monitoring loop — four per-batch drift
       // errors from q151's proven min-over-entries arithmetic under
       // the CORPUS codebooks, median-of-first-2 vs median-of-last-2

@@ -576,4 +576,32 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
     Seq((r.action, r6(r.baselineErr), r6(r.trailingErr), r.batches))
       .toDF("action", "baseline_err", "trailing_err", "batches")
   }
+
+
+  /** MULTI-QUERY batched ANN ([[Similarity.ivfPqTopKBatchFromFiles]]
+    * — round 19, the offline-retrieval shape): two query vectors with
+    * DISJOINT probe sets (all-ones and all-minus-ones — opposite
+    * cosine orderings over the coarse centroids, so the probe picks
+    * the top-4 cells for one and the bottom-4 for the other) answered
+    * from ONE scan of the union of their probed cells. The oracle
+    * recomputes both probe sets, both per-query ADC tables and both
+    * top-k rankings from the shared encode chain — the union-cell
+    * pruning, the per-query cell masking and the per-query ranking
+    * are all load-bearing: a row ranked by the wrong query's table,
+    * or leaked across probe sets, lands off this result.
+    */
+  private[queries] def q160(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val ivfCb = Similarity.ivfCodebook(emb, "vec_id", "embedding", nlist = 16)
+    val pqCb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16)
+    val base = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q160_batch"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    Similarity.writeIvfPqPartitioned(emb, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/layout")
+    val qs = Seq(1L -> OnesQuery, 2L -> Array.fill(64)(-1.0))
+    Similarity.ivfPqTopKBatchFromFiles(s, base + "/layout", "vec_id", "code",
+      qs, k = 5, nprobe = 4)
+      .orderBy(col("query_id"), col("adc"), col("vec_id"))
+  }
 }

@@ -2127,6 +2127,50 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("rebuildAt"), e2.getMessage)
   }
 
+  test("ivfPqTopKBatchFromFiles: per-query parity with the single probe, one scan, disjoint probe sets masked") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(131)
+    val dim = 16
+    val emb = (0L until 200L).map(i =>
+      (i, Array.tabulate(dim)(j => math.sin(i * 0.37 + j) + rnd.nextGaussian() * 0.1)))
+      .toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(emb, "vec_id", "embedding", nlist = 8)
+    val pqCb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, ks = 16)
+    val base = java.nio.file.Files.createTempDirectory("graft_batchprobe").toString
+    Similarity.writeIvfPqPartitioned(emb, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/layout")
+    val q1 = Array.fill(dim)(1.0)
+    val q2 = Array.fill(dim)(-1.0)
+    val q3 = Array.tabulate(dim)(j => if (j % 2 == 0) 1.5 else -0.5)
+    val batch = Similarity.ivfPqTopKBatchFromFiles(spark, base + "/layout",
+      "vec_id", "code", Seq(1L -> q1, 2L -> q2, 3L -> q3), k = 7, nprobe = 3)
+    val got = batch.as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sortBy(r => (r._2, r._1)).toSeq).toMap
+    // parity: each query's slice equals the single-query probe
+    Seq(1L -> q1, 2L -> q2, 3L -> q3).foreach { case (qid, qv) =>
+      val single = Similarity.ivfPqTopKFromFiles(spark, base + "/layout",
+        "vec_id", "code", qv, k = 7, nprobe = 3)
+        .as[(Long, Double)].collect().toSeq
+      assert(got(qid) == single, s"query $qid: ${got(qid)} vs $single")
+    }
+    // one scan of the union of probed cells; the only exchange is the
+    // per-query top-k window
+    val plan = batch.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    // curated refusals
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKBatchFromFiles(spark, base + "/layout",
+        "vec_id", "code", Nil, k = 5)
+    }
+    assert(e1.getMessage.contains("at least one query"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKBatchFromFiles(spark, base + "/layout",
+        "vec_id", "code", Seq(1L -> q1, 1L -> q2), k = 5)
+    }
+    assert(e2.getMessage.contains("duplicate"), e2.getMessage)
+  }
+
   test("maintainFromDriftSeries: a drifting stream triggers exactly one rebuild, probes agree across the swap") {
     import spark.implicits._
     import graft.streaming.StreamingSimilarity
