@@ -90,22 +90,139 @@ object Bloom {
     */
   def bloomGate(corpus: DataFrame, incoming: DataFrame, textCol: String,
       mBits: Int = 1 << 20, k: Int = 4): DataFrame = {
+    val words = bitmapOf(corpus, textCol, mBits, k)
+    incoming.where(!bloomMember(col(textCol), mBits, k, words))
+  }
+
+  /** The corpus' m-bit bitmap as a driver-side word array — the
+    * map-side-reducing aggregation [[bloomGate]]'s scaladoc walks
+    * through, exposed for the at-rest index faces. Bounded collect:
+    * exactly one row of m/64 longs.
+    */
+  private[graft] def bitmapOf(corpus: DataFrame, textCol: String,
+      mBits: Int, k: Int): Array[Long] = {
     require(mBits > 64 && (mBits & (mBits - 1)) == 0, "mBits must be a power of two > 64")
     require(k >= 1 && k <= 16, "k must be in [1, 16]")
     import corpus.sparkSession.implicits._
     val posDs = corpus
       .select(explode(array(positions(col(textCol), mBits, k): _*)).as("p"))
       .as[Long]
-    // bounded driver collect: exactly one row of m/64 longs (see scaladoc)
-    val words: Array[Long] = posDs.select(BloomBitmap(mBits >>> 6).toColumn.name("bm")).head()
+    posDs.select(BloomBitmap(mBits >>> 6).toColumn.name("bm")).head()
+  }
+
+  /** The membership predicate of a text column against a bitmap
+    * literal: all k probe bits set. Pure built-ins over the inlined
+    * word array — evaluated at scan speed, zero exchanges.
+    */
+  def bloomMember(text: Column, mBits: Int, k: Int,
+      words: Array[Long]): Column = {
     val wordsLit = lit(words)
-    val member = positions(col(textCol), mBits, k)
+    positions(text, mBits, k)
       .map { p =>
         val word = element_at(wordsLit, (shiftright(p, 6) + lit(1)).cast("int"))
         shiftRightDyn(word, p.bitwiseAND(lit(63L)).cast("int"))
           .bitwiseAND(lit(1L)) === lit(1L)
       }
       .reduce(_ && _)
-    incoming.where(!member)
+  }
+
+  /** Persist the corpus bitmap as an AT-REST BLOOM INDEX — one
+    * self-describing row (m_bits, k, words) — so the incremental gate
+    * never recomputes the historical corpus' bitmap: a year of ingest
+    * reads one KB-to-MB row (plus one per committed batch) instead of
+    * re-folding 100 TB of history. The streaming loop
+    * ([[graft.streaming.StreamingBloomGate]]) appends each batch's own
+    * bitmap under `_increments/ingest_batch=<id>` (the
+    * [[Layouts.IncrementsDir]] idempotence discipline), and
+    * [[readBloomIndex]] OR-merges base + committed increments.
+    */
+  def writeBloomIndex(corpus: DataFrame, textCol: String, out: String,
+      mBits: Int = 1 << 20, k: Int = 4): Unit =
+    writeBitmapRow(corpus.sparkSession,
+      bitmapOf(corpus, textCol, mBits, k), mBits, k, out)
+
+  private[graft] def writeBitmapRow(
+      spark: org.apache.spark.sql.SparkSession, words: Array[Long],
+      mBits: Int, k: Int, dir: String): Unit = {
+    import spark.implicits._
+    Seq((mBits, k, words.toSeq)).toDF("m_bits", "k", "words")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a [[writeBloomIndex]] layout's bitmap, OR-merged with its
+    * committed per-batch increments. `historyBefore = Some(b)` keeps
+    * only increments with `ingest_batch < b` — the gate's replay rule,
+    * STRICTER than the other families' own-batch exclusion because the
+    * gate's OUTPUT depends on history: batch ids are monotone in
+    * Structured Streaming, so "increments < b" is exactly the history
+    * batch b's first attempt judged against, even when the replay runs
+    * after later batches committed (an own-batch-only exclusion would
+    * let batch b+1's bits retroactively drop a doc batch b admitted —
+    * divergence, not convergence). The geometry (m_bits, k) must agree
+    * across every row — a mixed-m OR is garbage, so it fails curated.
+    * Driver-bounded: one m/64-long array per committed batch, never
+    * corpus rows.
+    */
+  def readBloomIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, historyBefore: Option[Long] = None): (Int, Int, Array[Long]) = {
+    val base = spark.read.parquet(path).select("m_bits", "k", "words")
+    val root = new org.apache.hadoop.fs.Path(path, Layouts.IncrementsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val Batch = "ingest_batch=(-?\\d+)".r
+    val merged =
+      if (!fs.exists(root)) base
+      else {
+        val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+          .flatMap { p =>
+            p.getName match {
+              case Batch(id) if historyBefore.forall(id.toLong < _) => Some(p)
+              case _ => None
+            }
+          }
+        if (dirs.isEmpty) base
+        else base.unionByName(
+          spark.read.option("basePath", root.toString)
+            .parquet(dirs.map(_.toString).toIndexedSeq: _*)
+            .select("m_bits", "k", "words"))
+      }
+    val rows = merged.collect()
+    require(rows.nonEmpty,
+      s"the Bloom index at $path holds no bitmap row — rebuild it with " +
+        "writeBloomIndex")
+    val geoms = rows.map(r => (r.getInt(0), r.getInt(1))).distinct
+    if (geoms.length != 1)
+      throw new IllegalStateException(
+        s"the Bloom index at $path mixes bitmap geometries " +
+          s"(${geoms.sorted.mkString(", ")} as (m_bits, k)) — OR-merging " +
+          "different-m bitmaps is garbage; rebuild the index and its " +
+          "increments with one geometry")
+    val (m, k) = geoms(0)
+    val acc = new Array[Long](m >>> 6)
+    rows.foreach { r =>
+      val w = r.getSeq[Long](2)
+      var i = 0
+      while (i < acc.length) { acc(i) |= w(i); i += 1 }
+    }
+    (m, k, acc)
+  }
+
+  /** Fold a Bloom index's committed increments into a single-row base
+    * at `dst` — the [[Similarity.compactIvfPqLayout]] play for the
+    * gate's history (a year of per-batch rows is a listing tax on
+    * every tick). Holds the quiesce marker for the fold; the caller
+    * swaps its pointer (LSM convention).
+    */
+  def compactBloomIndex(spark: org.apache.spark.sql.SparkSession,
+      src: String, dst: String): Unit = {
+    require(src != dst,
+      "compactBloomIndex writes a NEW index at dst; swap the pointer " +
+        "after (an in-place rewrite would clobber the row it reads)")
+    Layouts.acquireQuiesce(spark, src, "compactBloomIndex")
+    try {
+      Layouts.assertNoInflightIncrements(spark, src, "compactBloomIndex")
+      val (m, k, words) = readBloomIndex(spark, src)
+      Layouts.delete(spark, dst)
+      writeBitmapRow(spark, words, m, k, dst)
+    } finally Layouts.releaseQuiesce(spark, src)
   }
 }

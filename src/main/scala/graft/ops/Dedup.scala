@@ -170,6 +170,11 @@ object Dedup {
     // trusting the caller (signatures built under different banding
     // or shingle width silently change which pairs can ever collide)
     import df.sparkSession.implicits._
+    // cleared first (not left to mode("overwrite")): rewriting an
+    // EXISTING underscore-named directory logs a benign-but-alarming
+    // "All paths were ignored" WARN from the committer's listing,
+    // whose default filter hides underscore paths
+    Layouts.delete(df.sparkSession, out + "/_meta")
     Seq((numHashes, bands, shingleWidth))
       .toDF("num_hashes", "bands", "shingle_width")
       .coalesce(1).write.mode("overwrite").parquet(out + "/_meta")

@@ -147,8 +147,20 @@ private[graft] object Layouts {
     */
   def assertNoInflightIncrements(spark: SparkSession, path: String,
       caller: String): Unit = {
+    val layoutRoot = new org.apache.hadoop.fs.Path(path)
+    val fs = layoutRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the BATCH append faces (appendIvfPq, appendNearDupIndex) write
+    // mode('append') at the layout root, staging under
+    // <layout>/_temporary — an append that passed its marker check
+    // before the compactor acquired is just as in-flight there as a
+    // streaming increment is in its own directory (r19 ADVICE)
+    if (fs.exists(new org.apache.hadoop.fs.Path(layoutRoot, "_temporary")))
+      throw new IllegalStateException(
+        s"$caller: the layout root $path holds an uncommitted batch " +
+          "append (_temporary present) — an append that started before " +
+          "the quiesce marker was taken is still in flight; let it " +
+          "drain (or clean up the dead writer's staging) and retry")
     val root = new org.apache.hadoop.fs.Path(path, IncrementsDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
     val inflight = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_temporary")))
@@ -160,6 +172,102 @@ private[graft] object Layouts {
           "present) — an append that started before the quiesce marker " +
           "was taken is still in flight; quiesce the stream and retry " +
           "once it drains")
+  }
+
+  /** The atomic generation pointer (`_current` under a STORE ROOT that
+    * holds `gen0/gen1/...` generation directories): one small file
+    * whose content is the current generation's directory NAME. The
+    * missing piece of the LSM lifecycle every rebuild/compaction
+    * scaladoc ends with "the caller swaps the pointer" — this is that
+    * pointer, made mechanical. Probe faces resolve a store root
+    * through it ([[Similarity.resolveLayout]]); rebuild paths swap it
+    * INSIDE their quiesce window, so the append-lands-in-the-old-
+    * generation race has no gap to land in.
+    */
+  val GenerationPointer = "_current"
+
+  /** True iff `root` carries a `_current` generation pointer. */
+  def hasGenerationPointer(spark: SparkSession, root: String): Boolean =
+    exists(spark, s"$root/$GenerationPointer")
+
+  /** Atomically point `root/_current` at generation `gen` (a directory
+    * name directly under `root`, which must exist — pointing at a
+    * missing generation would send every probe into a curated read
+    * failure). Write-new + rename via `FileContext` with OVERWRITE —
+    * the POSIX/HDFS atomic-replace primitive — so a concurrent reader
+    * sees the old name or the new name, never a torn file.
+    */
+  def swapGenerationPointer(spark: SparkSession, root: String,
+      gen: String): Unit = {
+    require(gen.nonEmpty && !gen.contains("/") && !gen.startsWith("_"),
+      s"generation '$gen' must be a plain directory name under $root")
+    require(exists(spark, s"$root/$gen"),
+      s"cannot point $root/$GenerationPointer at '$gen' — no such " +
+        s"generation directory under $root (write the generation first)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$root/$GenerationPointer")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$root/.${GenerationPointer}_tmp")
+    val fs = marker.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(marker.toUri, conf)
+      .rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The generation NAME `root/_current` points at. Curated failure
+    * when the root carries no pointer (a plain layout path handed to a
+    * pointered face).
+    */
+  def currentGenerationName(spark: SparkSession, root: String): String = {
+    require(hasGenerationPointer(spark, root),
+      s"no $GenerationPointer pointer under $root — initialise the " +
+        "store with Layouts.swapGenerationPointer(root, \"gen0\") after " +
+        "writing the first generation")
+    val p = new org.apache.hadoop.fs.Path(s"$root/$GenerationPointer")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(buf) finally in.close()
+    val name = new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
+    require(name.nonEmpty && !name.contains("/"),
+      s"the $GenerationPointer pointer under $root is corrupt " +
+        s"(content: '$name'); re-point it with swapGenerationPointer")
+    name
+  }
+
+  /** The full path of the generation `root/_current` points at. */
+  def currentGeneration(spark: SparkSession, root: String): String =
+    s"$root/${currentGenerationName(spark, root)}"
+
+  /** Reclaim superseded generations under a pointered store root — the
+    * GC the rebuild lifecycle otherwise accumulates forever (every
+    * rebuild leaves the previous `genN` on disk by design, so probes
+    * in flight across the swap never lose their files). Deletes
+    * `gen<k>` directories beyond the `keep` newest (by numeric index),
+    * always sparing the pointed-at generation and anything in
+    * `alsoKeep` (e.g. a generation a not-yet-fenced rebuild is about
+    * to point at). Requires the pointer: vacuuming an unpointered root
+    * would be guessing which generation is live. Returns the deleted
+    * names (for the operator's log).
+    */
+  def vacuumGenerations(spark: SparkSession, root: String, keep: Int,
+      alsoKeep: Seq[String] = Nil): Seq[String] = {
+    require(keep >= 1, "keep must be >= 1 (the live generation stays)")
+    val live = currentGenerationName(spark, root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val Gen = "gen(\\d+)".r
+    val gens = fs.listStatus(rootPath).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n @ Gen(k) => (k.toLong, n) }
+      .sortBy(-_._1)
+    val spare = (gens.take(keep).map(_._2) :+ live) ++ alsoKeep
+    val doomed = gens.map(_._2).filterNot(spare.contains).sorted
+    doomed.foreach(n => delete(spark, s"$root/$n"))
+    doomed.toSeq
   }
 
   /** Retire a tombstone set during a compaction rewrite: anti-join
@@ -259,7 +367,14 @@ private[graft] object Layouts {
   def collectSidecar(spark: SparkSession, path: String,
       rebuildWith: String): Array[Row] = {
     val rows =
-      try spark.read.parquet(path).collect()
+      // the part files by GLOB, not the directory itself: sidecars are
+      // underscore-named (_meta, _codebooks, _rebuilt), and an explicit
+      // underscore root trips DataSource's hidden-path filter into
+      // logging a benign-but-alarming "All paths were ignored" WARN on
+      // every read; the part files it resolves to are never filtered.
+      // An empty directory (killed writer) fails the glob with the same
+      // AnalysisException face the directory read raised — curated below.
+      try spark.read.parquet(s"$path/part-*").collect()
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
           throw new IllegalStateException(

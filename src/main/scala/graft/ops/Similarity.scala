@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -625,6 +625,28 @@ object Similarity {
     Array.tabulate(m)(mi => residuals.map(_.slice(mi * dsub, (mi + 1) * dsub)))
   }
 
+  /** TRAINED residual PQ codebooks: [[trainPqCodebooks]]' distributed
+    * per-subspace k-means run in RESIDUAL space — the residual
+    * `v - centroid(cell(v))` is materialized once per row (one narrow
+    * codegen'd projection of the inlined coarse codebook, the
+    * [[ivfPqDistortion]] discipline) and the trainer iterates over
+    * that frame exactly as over raw vectors. This is what FAISS's
+    * IndexIVFPQ `train` actually fits; [[residualPqCodebooks]] is the
+    * deterministic oracle-reproducible stand-in.
+    */
+  def trainResidualPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      cents: IvfCodebook, m: Int, ks: Int,
+      maxIters: Int = 10, tol: Double = 1e-9): PqCodebooks = {
+    val res = df
+      .select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("__v"),
+        ivfCell(cents, col(vecCol)).as("__cell"))
+      .withColumn("__res",
+        zip_with(col("__v"), cellCentroid(cents, col("__cell")), (a, b) => a - b))
+      .select(col(idCol), col("__res"))
+    trainPqCodebooks(res, idCol, "__res", m, ks, maxIters, tol)
+  }
+
   /** RESIDUAL-encoded IVF-PQ top-k — the full FAISS IndexIVFPQ
     * algorithm ([[ivfPqTopK]] quantizes raw vectors; real IVFPQ
     * quantizes `v - centroid(cell(v))`): the coarse probe prunes as
@@ -786,6 +808,13 @@ object Similarity {
     val pqRows = pqCb.zipWithIndex.flatMap { case (tbl, m) =>
       tbl.zipWithIndex.map { case (c, j) => (pqKind, m, j.toLong, c.toSeq, 0.0) }
     }.toSeq
+    // explicit delete instead of relying on mode("overwrite")'s
+    // existing-path handling: overwriting an EXISTING underscore-named
+    // directory makes the committer's path resolution log a benign but
+    // alarming "All paths were ignored: .../_codebooks" WARN on every
+    // rewrite (the default path filter hides underscore paths from the
+    // listing) — with the target cleared first, nothing is listed
+    Layouts.delete(spark, layout + "/_codebooks")
     (ivfRows ++ pqRows).toDF("kind", "i", "id", "vec", "norm")
       .coalesce(1)
       .write.mode("overwrite").parquet(layout + "/_codebooks")
@@ -986,21 +1015,25 @@ object Similarity {
       cellCol: String = "cell", codeCol: String = "code",
       keep: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
+    // a pointered store root resolves to the CURRENT generation per
+    // batch — the first micro-batch after a pointered rebuild's swap
+    // lands (and re-encodes) in the new generation automatically
+    val layout = resolveLayout(spark, out)
     // the streaming append face refuses mid-compaction like the batch
     // faces: the failed micro-batch replays from the checkpoint after
     // the fold (idempotent increment directories make that safe)
-    Layouts.assertNotQuiesced(spark, out, "appendIvfPqIncrement")
-    val coded = sidecarPqKind(spark, out) match {
+    Layouts.assertNotQuiesced(spark, layout, "appendIvfPqIncrement")
+    val coded = sidecarPqKind(spark, layout) match {
       case "rpq" =>
-        val (ivfCb, rcb) = readIvfPqResidualCodebooks(spark, out)
+        val (ivfCb, rcb) = readIvfPqResidualCodebooks(spark, layout)
         ivfPqResidualCoded(batch, idCol, vecCol, ivfCb, rcb,
           cellCol, codeCol, keep)
       case _ =>
-        val (ivfCb, pqCb) = readIvfPqCodebooks(spark, out)
+        val (ivfCb, pqCb) = readIvfPqCodebooks(spark, layout)
         ivfPqCoded(batch, idCol, vecCol, ivfCb, pqCb, cellCol, codeCol, keep)
     }
     coded.write.mode("overwrite").partitionBy(cellCol)
-      .parquet(Layouts.incrementDir(out, batchId))
+      .parquet(Layouts.incrementDir(layout, batchId))
   }
 
   /** [[ivfPqTopKFromFiles]] over base + committed streamed increments
@@ -1016,9 +1049,10 @@ object Similarity {
       query: Array[Double], k: Int, nprobe: Int = 4,
       cellCol: String = "cell",
       excludeBatchId: Option[Long] = None): DataFrame = {
-    val (ivfCb, pqCb) = readIvfPqCodebooks(spark, path)
+    val layout = resolveLayout(spark, path)
+    val (ivfCb, pqCb) = readIvfPqCodebooks(spark, layout)
     val probed = ivfProbed(ivfCb, query, nprobe)
-    val scan = Layouts.withIncrements(spark, spark.read.parquet(path), path,
+    val scan = Layouts.withIncrements(spark, spark.read.parquet(layout), layout,
         Seq(idCol, cellCol, codeCol), excludeBatchId)
       .where(col(cellCol).isin(probed: _*))
     pqAdcTopKCoded(scan, idCol, codeCol, pqCb, query, k)
@@ -1065,6 +1099,13 @@ object Similarity {
     * [[trainPqCodebooks]] outputs by rebuilding manually when recall
     * matters more than reproducibility.
     *
+    * QUIESCE WINDOW CAVEAT (rebuild path): the marker is released when
+    * this call returns, BEFORE the caller swaps its pointer to
+    * `rebuildAt` — an append landing in that gap writes into the old
+    * generation and silently vanishes at the swap. Keep appends
+    * quiesced until the swap, or use [[maintainPointedIvfPq]], which
+    * swaps the generation pointer INSIDE the marker window.
+    *
     * A batch of `ks` rows or fewer always APPENDS: its own stand-in
     * codebooks memorize it exactly (freshErr = 0), so the comparison
     * would otherwise trigger a full corpus retrain on a trickle batch
@@ -1079,7 +1120,88 @@ object Similarity {
   def maintainIvfPq(spark: org.apache.spark.sql.SparkSession,
       layout: String, corpus: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String, rebuildAt: String,
-      driftThreshold: Double = 2.0): MaintainReport = {
+      driftThreshold: Double = 2.0, trained: Boolean = false): MaintainReport =
+    maintainIvfPqCore(spark, layout, corpus, batch, idCol, vecCol,
+      rebuildAt, driftThreshold, trained, afterRebuild = () => ())
+
+  /** [[maintainIvfPq]] over a POINTERED store root
+    * ([[Layouts.GenerationPointer]]): the live generation is resolved
+    * through `root/_current`, the rebuild target is the next
+    * `gen<k+1>` name, and on rebuild the pointer is swapped INSIDE the
+    * quiesce window — closing the race [[maintainIvfPq]]'s caveat
+    * documents: by the time the marker lifts, every probe and append
+    * face ([[resolveLayout]]) already answers from the new generation,
+    * so there is no gap for an append to land in the superseded one.
+    *
+    * Crash discipline: a crash between the generation write and the
+    * swap leaves the marker HELD (appends stay refused — no data
+    * loss); the operator inspects, then either completes by hand
+    * ([[Layouts.swapGenerationPointer]] + [[Layouts.releaseQuiesce]])
+    * or deletes the orphan generation and releases. The automated
+    * drift-series face ([[maintainPointedFromDriftSeries]]) recovers
+    * this window mechanically via its fence record.
+    */
+  def maintainPointedIvfPq(spark: org.apache.spark.sql.SparkSession,
+      root: String, corpus: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String,
+      driftThreshold: Double = 2.0, trained: Boolean = false): MaintainReport = {
+    val gen = Layouts.currentGenerationName(spark, root)
+    val next = nextGenerationName(root, gen)
+    maintainIvfPqCore(spark, s"$root/$gen", corpus, batch, idCol, vecCol,
+      s"$root/$next", driftThreshold, trained,
+      afterRebuild = () => Layouts.swapGenerationPointer(spark, root, next))
+  }
+
+  /** `gen<k>` -> `gen<k+1>` — the naming convention the pointered
+    * lifecycle derives its rebuild targets from.
+    */
+  private def nextGenerationName(root: String, gen: String): String = {
+    val Gen = "gen(\\d+)".r
+    gen match {
+      case Gen(k) => s"gen${k.toLong + 1}"
+      case _ => throw new IllegalArgumentException(
+        "the pointered maintenance lifecycle derives the next " +
+          "generation from the current one's name, which must match " +
+          s"gen<k>; '$gen' (under $root) does not — re-point " +
+          s"${Layouts.GenerationPointer} at a gen<k>-named generation " +
+          "or use the explicit-rebuildAt faces")
+    }
+  }
+
+  /** Kind-aware retrain + new-generation write shared by every
+    * rebuild path: geometry (nlist, m, ks) comes from the superseded
+    * generation, codebooks from the deterministic smallest-id rule
+    * (`trained = false`, oracle-reproducible) or the distributed
+    * k-means trainers (`trained = true` —
+    * [[trainIvfCodebook]]/[[trainPqCodebooks]]/
+    * [[trainResidualPqCodebooks]], strictly lower distortion on
+    * drifted corpora, spec-pinned).
+    */
+  private def retrainGeneration(residual: Boolean,
+      nlist: Int, m: Int, ks: Int, all: DataFrame,
+      idCol: String, vecCol: String, rebuildAt: String,
+      trained: Boolean): Unit = {
+    val newIvf =
+      if (trained) trainIvfCodebook(all, idCol, vecCol, nlist)
+      else ivfCodebook(all, idCol, vecCol, nlist)
+    if (residual) {
+      val newRcb =
+        if (trained) trainResidualPqCodebooks(all, idCol, vecCol, newIvf, m, ks)
+        else residualPqCodebooks(all, idCol, vecCol, newIvf, m, ks)
+      writeIvfPqResidualPartitioned(all, idCol, vecCol, newIvf, newRcb, rebuildAt)
+    } else {
+      val newPq =
+        if (trained) trainPqCodebooks(all, idCol, vecCol, m, ks)
+        else pqCodebooks(all, idCol, vecCol, m, ks)
+      writeIvfPqPartitioned(all, idCol, vecCol, newIvf, newPq, rebuildAt)
+    }
+  }
+
+  private def maintainIvfPqCore(spark: org.apache.spark.sql.SparkSession,
+      layout: String, corpus: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, rebuildAt: String,
+      driftThreshold: Double, trained: Boolean,
+      afterRebuild: () => Unit): MaintainReport = {
     require(driftThreshold >= 1.0,
       s"driftThreshold=$driftThreshold: below 1.0 every batch rebuilds " +
         "(stored codebooks cannot beat batch-fitted ones on the batch's " +
@@ -1130,14 +1252,12 @@ object Similarity {
       try {
         val all = corpus.select(col(idCol), col(vecCol))
           .unionByName(batch.select(col(idCol), col(vecCol)))
-        val newIvf = ivfCodebook(all, idCol, vecCol, nlist)
-        if (residual) {
-          val newRcb = residualPqCodebooks(all, idCol, vecCol, newIvf, m, ks)
-          writeIvfPqResidualPartitioned(all, idCol, vecCol, newIvf, newRcb, rebuildAt)
-        } else {
-          val newPq = pqCodebooks(all, idCol, vecCol, m, ks)
-          writeIvfPqPartitioned(all, idCol, vecCol, newIvf, newPq, rebuildAt)
-        }
+        retrainGeneration(residual, nlist, m, ks, all, idCol, vecCol,
+          rebuildAt, trained)
+        // still inside the quiesce window: the pointered face swaps
+        // _current here, so no append can land in the old generation
+        // between the rebuild and the swap
+        afterRebuild()
         MaintainReport("rebuild", storedErr, freshErr, rebuildAt)
       } finally Layouts.releaseQuiesce(spark, layout)
     }
@@ -1167,6 +1287,24 @@ object Similarity {
     require(Layouts.exists(spark, driftOut),
       s"no drift series at $driftOut — point the ingest stream's " +
         "driftOut here first (StreamingSimilarity.incrementalAnnStream)")
+    // a series whose every report was pruned ([[pruneDriftSeries]]
+    // right after a rebuild, before any post-fence batch lands) holds
+    // only underscore entries (the _rebuilt fence): that is a VALID
+    // empty series — the steady state between generations — not the
+    // unreadable-directory corruption the catch below curates. One
+    // namenode listing; parquet read skipped entirely when empty.
+    val root = new org.apache.hadoop.fs.Path(driftOut)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasReports = fs.listStatus(root)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("ingest_batch="))
+    if (!hasReports)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ingest_batch",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("pq_err",
+            org.apache.spark.sql.types.DoubleType))))
     val raw =
       try spark.read.option("basePath", driftOut).parquet(driftOut)
         .select(col("ingest_batch").cast("long").as("ingest_batch"),
@@ -1247,7 +1385,86 @@ object Similarity {
   def maintainFromDriftSeries(spark: org.apache.spark.sql.SparkSession,
       driftOut: String, layout: String, corpus: DataFrame,
       idCol: String, vecCol: String, rebuildAt: String,
-      window: Int = 3, driftThreshold: Double = 2.0): DriftSeriesReport = {
+      window: Int = 3, driftThreshold: Double = 2.0,
+      trained: Boolean = false, prune: Boolean = false): DriftSeriesReport =
+    maintainDriftCore(spark, driftOut, layout, corpus, idCol, vecCol,
+      rebuildAt, window, driftThreshold, trained,
+      fenceGeneration = None, afterFence = () => (), prune = prune)
+
+  /** [[maintainFromDriftSeries]] over a POINTERED store root — the
+    * fully-automated monitor tick: the live generation resolves
+    * through `root/_current`, the rebuild target is the next
+    * `gen<k+1>`, and on rebuild the fence records the new generation's
+    * NAME and the pointer is swapped INSIDE the quiesce window (then
+    * optionally the consumed reports are pruned) — so the
+    * append-lands-in-the-old-generation race of the explicit-rebuildAt
+    * face's caveat has no gap, and the next monitor tick, probe, and
+    * ingest micro-batch all answer from the new generation via
+    * [[resolveLayout]] with no operator in the loop.
+    *
+    * CRASH-RECOVERY, mechanical: the fence (written after the new
+    * generation, before the swap) is the rebuild's commit record. A
+    * run that finds a fence naming a generation the pointer does NOT
+    * point at (and that exists on disk) died in the fence→swap window:
+    * it completes the swap idempotently, releases the marker the dead
+    * run left held on the superseded generation, and returns `action
+    * = "swap"` — never a second fold (the series is already fenced).
+    * A crash BEFORE the fence leaves an unfenced `gen<k+1>`; the next
+    * tick's rebuild refuses on it curated, exactly as the explicit
+    * face does. A crash AFTER the swap but before the marker release
+    * leaves a stale marker on the SUPERSEDED generation — harmless
+    * (appends resolve to the new generation) and reclaimed with it by
+    * [[graft.ops.Layouts.vacuumGenerations]].
+    */
+  def maintainPointedFromDriftSeries(spark: org.apache.spark.sql.SparkSession,
+      root: String, driftOut: String, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      window: Int = 3, driftThreshold: Double = 2.0,
+      trained: Boolean = false, prune: Boolean = false): DriftSeriesReport = {
+    val gen = Layouts.currentGenerationName(spark, root)
+    val pendingSwap = readFence(spark, driftOut).flatMap(_._2)
+      .filter(g => g != gen && Layouts.exists(spark, s"$root/$g"))
+    pendingSwap match {
+      case Some(g) =>
+        Layouts.swapGenerationPointer(spark, root, g)
+        Layouts.releaseQuiesce(spark, s"$root/$gen")
+        DriftSeriesReport("swap", Double.NaN, Double.NaN, 0, s"$root/$g")
+      case None =>
+        val next = nextGenerationName(root, gen)
+        maintainDriftCore(spark, driftOut, s"$root/$gen", corpus, idCol,
+          vecCol, s"$root/$next", window, driftThreshold, trained,
+          fenceGeneration = Some(next),
+          afterFence = () => Layouts.swapGenerationPointer(spark, root, next),
+          prune = prune)
+    }
+  }
+
+  /** The drift series' fence record: (max consumed ingest_batch, the
+    * generation the rebuild produced — None for fences written by the
+    * explicit-rebuildAt face or before the pointer existed).
+    */
+  private def readFence(spark: org.apache.spark.sql.SparkSession,
+      driftOut: String): Option[(Long, Option[String])] = {
+    val fencePath = s"$driftOut/$RebuiltFence"
+    if (!Layouts.exists(spark, fencePath)) None
+    else {
+      val r = Layouts.collectSidecar(spark, fencePath,
+        "maintainFromDriftSeries (the fence is written by its rebuild " +
+          "path)")(0)
+      val gen =
+        if (r.schema.fieldNames.contains("generation"))
+          Option(r.getAs[String]("generation"))
+        else None
+      Some((r.getAs[Long]("through_batch"), gen))
+    }
+  }
+
+  private def maintainDriftCore(spark: org.apache.spark.sql.SparkSession,
+      driftOut: String, layout: String, corpus: DataFrame,
+      idCol: String, vecCol: String, rebuildAt: String,
+      window: Int, driftThreshold: Double, trained: Boolean,
+      fenceGeneration: Option[String], afterFence: () => Unit,
+      prune: Boolean): DriftSeriesReport = {
     require(window >= 1, s"window=$window: the medians need at least one report")
     require(driftThreshold >= 1.0,
       s"driftThreshold=$driftThreshold: below 1.0 an in-distribution " +
@@ -1273,18 +1490,22 @@ object Similarity {
               "delete the offending ingest_batch directory (its batch " +
               "will rewrite it on replay) and re-run", e)
       }
-    require(fullSeries.nonEmpty,
-      s"the drift series at $driftOut holds no reports — nothing to " +
-        "threshold (has the ingest stream committed a batch?)")
     // the fence: reports at or before the last rebuild describe the
     // OLD generation's codebooks — thresholding them against the new
     // world would re-fire the retrain on every monitor run forever
     val fencePath = s"$driftOut/$RebuiltFence"
-    val fencedThrough =
-      if (!Layouts.exists(spark, fencePath)) Long.MinValue
-      else Layouts.collectSidecar(spark, fencePath,
-        "maintainFromDriftSeries (the fence is written by its rebuild " +
-          "path)")(0).getLong(0)
+    // a series with zero reports is only legitimate when a fence shows
+    // a rebuild consumed (and pruneDriftSeries dropped) them — the
+    // steady state right after a prune, before new batches land; an
+    // unfenced empty series means the ingest stream never committed
+    if (fullSeries.isEmpty) {
+      require(Layouts.exists(spark, fencePath),
+        s"the drift series at $driftOut holds no reports — nothing to " +
+          "threshold (has the ingest stream committed a batch?)")
+      return DriftSeriesReport("keep", Double.NaN, Double.NaN, 0, layout)
+    }
+    val fencedThrough = readFence(spark, driftOut)
+      .map(_._1).getOrElse(Long.MinValue)
     val series = fullSeries.filter(_._1 > fencedThrough).map(_._2)
     def median(xs: Array[Double]): Double = {
       val s = xs.sorted
@@ -1321,22 +1542,26 @@ object Similarity {
           else readIvfPqCodebooks(spark, layout)
         val (nlist, m, ks) = (ivfCb.length, pqCb.length, pqCb(0).length)
         val all = corpus.select(col(idCol), col(vecCol))
-        val newIvf = ivfCodebook(all, idCol, vecCol, nlist)
-        if (residual) {
-          val newRcb = residualPqCodebooks(all, idCol, vecCol, newIvf, m, ks)
-          writeIvfPqResidualPartitioned(all, idCol, vecCol, newIvf, newRcb,
-            rebuildAt)
-        } else {
-          val newPq = pqCodebooks(all, idCol, vecCol, m, ks)
-          writeIvfPqPartitioned(all, idCol, vecCol, newIvf, newPq, rebuildAt)
-        }
-        // fence LAST, still inside the quiesce window: the consumed
-        // reports describe the generation this rebuild just replaced.
-        // A crash before this line leaves an unfenced rebuildAt, which
-        // the exists-refusal above surfaces on the re-run.
+        retrainGeneration(residual, nlist, m, ks, all, idCol, vecCol,
+          rebuildAt, trained)
+        // fence AFTER the generation, still inside the quiesce window:
+        // the consumed reports describe the generation this rebuild
+        // just replaced, and the fence doubles as the COMMIT RECORD
+        // the pointered face's crash-recovery keys on (it carries the
+        // new generation's name). A crash before this line leaves an
+        // unfenced rebuildAt, which the exists-refusal above surfaces
+        // on the re-run.
         import spark.implicits._
-        Seq(fullSeries.map(_._1).max).toDF("through_batch")
+        Seq((fullSeries.map(_._1).max, fenceGeneration.orNull))
+          .toDF("through_batch", "generation")
           .coalesce(1).write.mode("overwrite").parquet(fencePath)
+        // the pointered face swaps _current here — inside the marker
+        // window, after the commit record
+        afterFence()
+        // self-maintaining series: with the fence just written, every
+        // consumed report is provably dead weight — prune it now so a
+        // year of monitor ticks never pays a year of listing tax
+        if (prune) pruneDriftSeries(spark, driftOut)
         DriftSeriesReport("rebuild", baseline, trailing, series.length,
           rebuildAt)
       } finally Layouts.releaseQuiesce(spark, layout)
@@ -1373,7 +1598,7 @@ object Similarity {
         "live evidence (run maintainFromDriftSeries first)")
     val through = Layouts.collectSidecar(spark, fencePath,
       "maintainFromDriftSeries (the fence is written by its rebuild " +
-        "path)")(0).getLong(0)
+        "path)")(0).getAs[Long]("through_batch")
     val root = new org.apache.hadoop.fs.Path(driftOut)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val Batch = "ingest_batch=(-?\\d+)".r
@@ -1516,6 +1741,36 @@ object Similarity {
       .agg(round(avg("__epq"), 6).as("pq_err"),
         round(avg("__erpq"), 6).as("rpq_err"))
 
+  /** recall@k of an approximate per-query result against the exact
+    * one — THE quality number of an ANN configuration (the standard
+    * FAISS benchmark axis, and the missing half of the drift story:
+    * [[ivfPqDistortion]] says the codes stopped describing the data,
+    * recall@k says what that costs a query): per query,
+    * `|exact ∩ approx| / k`. Both inputs are (queryCol, idCol) frames
+    * holding each query's top-k — the exact side from [[cosineTopK]]
+    * (tagged with its query id) or any ground-truth list, the
+    * approximate side from any probe face. Output: one row per
+    * distinct exact-side query, (queryCol, recall), recall in [0, 1]
+    * rounded to 6 — a query with NO approximate hits scores 0, never
+    * drops out.
+    *
+    * Scale: both sides are k rows per query by construction, so the
+    * join input is Q·k rows a side — AQE broadcasts it; nothing here
+    * is ever corpus-sized.
+    */
+  def annRecallAtK(exact: DataFrame, approx: DataFrame,
+      queryCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val hits = exact.select(col(queryCol), col(idCol))
+      .join(approx.select(col(queryCol), col(idCol)), Seq(queryCol, idCol))
+      .groupBy(queryCol).agg(count(lit(1)).as("__hits"))
+    exact.select(col(queryCol)).distinct()
+      .join(hits, Seq(queryCol), "left")
+      .select(col(queryCol),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") / k, 6)
+          .as("recall"))
+  }
+
   /** IVF-PQ top-k answered FROM an at-rest layout
     * ([[writeIvfPqPartitioned]] + any number of [[appendIvfPq]]
     * batches): the probe prunes the file listing to the `nprobe` cell
@@ -1606,8 +1861,9 @@ object Similarity {
       query: Array[Double], k: Int, nprobe: Int = 4,
       cellCol: String = "cell",
       filter: Option[Column] = None): DataFrame = {
-    val (ivfCb, rcb) = readIvfPqResidualCodebooks(spark, path)
-    ivfPqResidualTopKAtRest(spark, path, idCol, codeCol, ivfCb, rcb,
+    val layout = resolveLayout(spark, path)
+    val (ivfCb, rcb) = readIvfPqResidualCodebooks(spark, layout)
+    ivfPqResidualTopKAtRest(spark, layout, idCol, codeCol, ivfCb, rcb,
       query, k, nprobe, cellCol, filter)
   }
 
@@ -1627,11 +1883,12 @@ object Similarity {
       excludeBatchId: Option[Long] = None): DataFrame = {
     require(nprobe >= 1,
       "nprobe must be >= 1 (the probe needs at least one cell)")
-    val (ivfCb, rcb) = readIvfPqResidualCodebooks(spark, path)
+    val layout = resolveLayout(spark, path)
+    val (ivfCb, rcb) = readIvfPqResidualCodebooks(spark, layout)
     val (probed, cellIds, luts) = residualCellLuts(ivfCb, rcb, query, nprobe)
     val adc = GraftFunctions.pq_adc_by_cell(col(cellCol), col(codeCol),
       cellIds, luts)
-    Layouts.withIncrements(spark, spark.read.parquet(path), path,
+    Layouts.withIncrements(spark, spark.read.parquet(layout), layout,
         Seq(idCol, cellCol, codeCol), excludeBatchId)
       .where(col(cellCol).isin(probed: _*))
       .select(col(idCol), round(adc, 6).as("adc"))
@@ -1652,6 +1909,15 @@ object Similarity {
     * produces new files, the caller swaps the pointer) — an in-place
     * rewrite would read and clobber the same files. Cost: one shuffle
     * of the code rows (~4-40 B/row, ~1% of the vector corpus).
+    *
+    * QUIESCE WINDOW CAVEAT: the `_compacting` marker is released when
+    * this call returns — BEFORE the caller's pointer swap. An append
+    * landing in that gap writes into the OLD generation and vanishes
+    * at the swap. Callers that automate the swap must keep appends
+    * quiesced until the pointer points at `dst` — or use the pointered
+    * lifecycle ([[maintainPointedFromDriftSeries]] /
+    * [[graft.ops.Layouts.swapGenerationPointer]]), which swaps INSIDE
+    * the marker window so the gap never exists.
     *
     * `dropIds` is the TOMBSTONE set — one id column
     * ([[graft.ops.Cdc.snapshotDiff]]'s `removed` class is the natural
@@ -1716,7 +1982,10 @@ object Similarity {
       Layouts.dropTombstones(rows, dropIds, idCol, "compactIvfPqLayout")
     Layouts.delete(spark, dst)
     if (hasSidecar)
-      spark.read.parquet(src + "/_codebooks").coalesce(1)
+      // part-file glob, not the underscore directory (the
+      // collectSidecar rule: an explicit underscore root logs a benign
+      // "All paths were ignored" WARN on every read)
+      spark.read.parquet(src + "/_codebooks/part-*").coalesce(1)
         .write.mode("overwrite").parquet(dst + "/_codebooks")
     compacted
       .repartition(col(cellCol))
@@ -1724,17 +1993,36 @@ object Similarity {
     } finally Layouts.releaseQuiesce(spark, src)
   }
 
+  /** Resolve a layout argument through its generation pointer: a
+    * STORE ROOT carrying [[Layouts.GenerationPointer]] resolves to the
+    * pointed generation directory; a plain layout path resolves to
+    * itself. One existence probe. Every `*FromFiles*` probe face and
+    * the streaming append resolve through this, so after a pointered
+    * rebuild ([[maintainPointedFromDriftSeries]] /
+    * [[maintainPointedIvfPq]]) swaps `_current`, the whole fleet —
+    * probes, monitors, the ingest stream's next micro-batch — answers
+    * from the new generation with no coordination beyond the one
+    * atomic rename.
+    */
+  def resolveLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String): String =
+    if (Layouts.hasGenerationPointer(spark, path))
+      Layouts.currentGeneration(spark, path)
+    else path
+
   /** [[ivfPqTopKAtRest]] with the codebooks loaded FROM THE LAYOUT's
     * `_codebooks` sidecar — the fully self-contained probe: a fresh
     * session answers top-k from the files alone, with nothing handed
-    * over out of band and nothing retrained.
+    * over out of band and nothing retrained. `path` may be a plain
+    * layout or a pointered store root ([[resolveLayout]]).
     */
   def ivfPqTopKFromFiles(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, codeCol: String,
       query: Array[Double], k: Int, nprobe: Int = 4,
       cellCol: String = "cell"): DataFrame = {
-    val (ivfCb, pqCb) = readIvfPqCodebooks(spark, path)
-    ivfPqTopKAtRest(spark, path, idCol, codeCol, ivfCb, pqCb,
+    val layout = resolveLayout(spark, path)
+    val (ivfCb, pqCb) = readIvfPqCodebooks(spark, layout)
+    ivfPqTopKAtRest(spark, layout, idCol, codeCol, ivfCb, pqCb,
       query, k, nprobe, cellCol)
   }
 
@@ -1765,23 +2053,104 @@ object Similarity {
   def ivfPqTopKBatchFromFiles(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, codeCol: String,
       queries: Seq[(Long, Array[Double])], k: Int, nprobe: Int = 4,
-      cellCol: String = "cell"): DataFrame = {
-    require(queries.nonEmpty, "ivfPqTopKBatchFromFiles needs at least one query")
+      cellCol: String = "cell"): DataFrame =
+    ivfPqBatchCore(spark, path, idCol, codeCol, queries, k, nprobe,
+      cellCol, residual = false, withIncrements = false,
+      excludeBatchId = None)
+
+  /** [[ivfPqTopKBatchFromFiles]] over base + committed streamed
+    * increments ([[appendIvfPqIncrement]] directories) — the offline
+    * batch shape answering from the SAME merged listing the single
+    * probe ([[ivfPqTopKFromFilesWithIncrements]]) sees: the union-cell
+    * predicate pushes into every increment directory (each is
+    * cell-partitioned inside), `excludeBatchId` mirrors the ingest
+    * loop's replay rule.
+    */
+  def ivfPqTopKBatchFromFilesWithIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, codeCol: String,
+      queries: Seq[(Long, Array[Double])], k: Int, nprobe: Int = 4,
+      cellCol: String = "cell",
+      excludeBatchId: Option[Long] = None): DataFrame =
+    ivfPqBatchCore(spark, path, idCol, codeCol, queries, k, nprobe,
+      cellCol, residual = false, withIncrements = true, excludeBatchId)
+
+  /** The batched probe over a RESIDUAL layout
+    * ([[writeIvfPqResidualPartitioned]]): per query the driver derives
+    * its probed cells and the per-probed-cell residual ADC tables
+    * ([[residualCellLuts]] — nprobe KB-sized tables per query, one
+    * codegen reference object each), and ranking masks each row to the
+    * queries whose probe covers its cell, exactly the
+    * [[ivfPqTopKBatchFromFiles]] fan-out with the q147 quantizer.
+    */
+  def ivfPqResidualTopKBatchFromFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, codeCol: String,
+      queries: Seq[(Long, Array[Double])], k: Int, nprobe: Int = 4,
+      cellCol: String = "cell"): DataFrame =
+    ivfPqBatchCore(spark, path, idCol, codeCol, queries, k, nprobe,
+      cellCol, residual = true, withIncrements = false,
+      excludeBatchId = None)
+
+  /** [[ivfPqResidualTopKBatchFromFiles]] over base + committed
+    * streamed increments — full parity with the single-probe faces:
+    * every (kind × increments × batch) combination answers from the
+    * same scan shape.
+    */
+  def ivfPqResidualTopKBatchFromFilesWithIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, codeCol: String,
+      queries: Seq[(Long, Array[Double])], k: Int, nprobe: Int = 4,
+      cellCol: String = "cell",
+      excludeBatchId: Option[Long] = None): DataFrame =
+    ivfPqBatchCore(spark, path, idCol, codeCol, queries, k, nprobe,
+      cellCol, residual = true, withIncrements = true, excludeBatchId)
+
+  /** The shared scan+fanout+rank of the four batched-probe faces: ONE
+    * scan pruned to the union of all queries' probed cells, each row
+    * fanned out (inline `explode(array(struct...))` — no join, no
+    * second scan) only to the queries whose probe covers its cell,
+    * one hash exchange on `query_id` + a bounded window for the
+    * per-query top-k.
+    */
+  private def ivfPqBatchCore(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, codeCol: String,
+      queries: Seq[(Long, Array[Double])], k: Int, nprobe: Int,
+      cellCol: String, residual: Boolean, withIncrements: Boolean,
+      excludeBatchId: Option[Long]): DataFrame = {
+    require(queries.nonEmpty, "the batched probe needs at least one query")
     require(queries.map(_._1).distinct.length == queries.length,
       "duplicate query ids — each query needs its own id in the output")
-    val (ivfCb, pqCb) = readIvfPqCodebooks(spark, path)
-    val perQuery = queries.map { case (qid, qv) =>
-      (qid, ivfProbed(ivfCb, qv, nprobe), pqAdcTable(pqCb, qv))
+    require(nprobe >= 1,
+      "nprobe must be >= 1 (the probe needs at least one cell)")
+    val layout = resolveLayout(spark, path)
+    val (ivfCb, cb) =
+      if (residual) readIvfPqResidualCodebooks(spark, layout)
+      else readIvfPqCodebooks(spark, layout)
+    // (query id, probed cells, the query's ADC column over codeCol)
+    val perQuery: Seq[(Long, Seq[Long], Column)] = queries.map {
+      case (qid, qv) =>
+        if (residual) {
+          val (probed, cellIds, luts) = residualCellLuts(ivfCb, cb, qv, nprobe)
+          (qid, probed, GraftFunctions.pq_adc_by_cell(col(cellCol),
+            col(codeCol), cellIds, luts))
+        } else
+          (qid, ivfProbed(ivfCb, qv, nprobe),
+            adcColumn(pqAdcTable(cb, qv), col(codeCol)))
     }
     val allCells = perQuery.flatMap(_._2).distinct
-    val scan = spark.read.parquet(path).where(col(cellCol).isin(allCells: _*))
+    val base = spark.read.parquet(layout)
+    val merged =
+      if (withIncrements) Layouts.withIncrements(spark, base, layout,
+        Seq(idCol, cellCol, codeCol), excludeBatchId)
+      else base
+    val scan = merged.where(col(cellCol).isin(allCells: _*))
     // one struct per query: its rounded ADC where the row's cell is
     // probed by THIS query, null elsewhere (dropped before ranking) —
     // rows fan out only to the queries that would have scanned them
-    val fanout = perQuery.map { case (qid, probed, lut) =>
+    val fanout = perQuery.map { case (qid, probed, adc) =>
       struct(lit(qid).as("query_id"),
-        when(col(cellCol).isin(probed: _*),
-          round(adcColumn(lut, col(codeCol)), 6))
+        when(col(cellCol).isin(probed: _*), round(adc, 6))
           .otherwise(lit(null).cast("double")).as("adc"))
     }
     val w = org.apache.spark.sql.expressions.Window
@@ -1793,6 +2162,10 @@ object Similarity {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k)
       .select(col("query_id"), col(idCol), col("adc"))
+      // the promised global (query_id, adc, id) order: the window
+      // already sorted within each query partition, so this final sort
+      // only merges the Q bounded partitions (Q·k rows total)
+      .orderBy(col("query_id"), col("adc"), col(idCol))
   }
 
   /** Per-row (double vector, L2 norm) projection — computed ONCE per

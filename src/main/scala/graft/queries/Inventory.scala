@@ -190,7 +190,10 @@ object Inventory extends InventoryCrawl {
     "q157_streaming_ann" -> (q157 _),
     "q158_ann_rebuild" -> (q158 _),
     "q159_drift_monitor" -> (q159 _),
-    "q160_ann_batch_probe" -> (q160 _))
+    "q160_ann_batch_probe" -> (q160 _),
+    "q161_ann_residual_batch_incr" -> (q161 _),
+    "q162_ann_recall" -> (q162 _),
+    "q163_streaming_bloom_gate" -> (q163 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1590,6 +1593,165 @@ object Inventory extends InventoryCrawl {
           |                             ORDER BY adc, vec_id) <= 5)
           |SELECT query_id, vec_id, adc FROM r
           |ORDER BY query_id, adc, vec_id""".stripMargin,
+      // q161: q148's residual-at-rest chain (corpus-trained codebooks,
+      // the streamed %5==0 increments encoded with them, never
+      // retrained) fused with q160's two-query masking — probe sets
+      // from opposite cosine orderings, per-probed-cell RESIDUAL LUTs
+      // per query (q residual = ±1 - cvec), per-query top-5: the
+      // kind-aware streamed encode, the increment merge, the
+      // union-cell pruning and both residual rankings land in one hash
+      "q161_ann_residual_batch_incr" ->
+        """WITH cmeta AS (
+          |  SELECT vec_id AS cent_id, embedding AS cvec,
+          |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS cnorm
+          |  FROM embeddings WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 16),
+          |assigned AS (
+          |  SELECT e.vec_id, e.embedding, c.cent_id,
+          |    list_sum(list_transform(generate_series(1, 64),
+          |             i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE))
+          |      / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in e.embedding])) * c.cnorm)
+          |      AS cos_c
+          |  FROM embeddings e CROSS JOIN cmeta c
+          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          |                             ORDER BY cos_c DESC, c.cent_id) = 1),
+          |probed1 AS (
+          |  SELECT cent_id FROM cmeta
+          |  ORDER BY (list_sum([x::DOUBLE for x in cvec]) / (sqrt(64.0) * cnorm)) DESC,
+          |           cent_id
+          |  LIMIT 4),
+          |probed2 AS (
+          |  SELECT cent_id FROM cmeta
+          |  ORDER BY (list_sum([x::DOUBLE for x in cvec]) / (sqrt(64.0) * cnorm)) ASC,
+          |           cent_id
+          |  LIMIT 4),
+          |rcb AS (
+          |  SELECT row_number() OVER (ORDER BY a.vec_id) - 1 AS j,
+          |    list_transform(generate_series(1, 64),
+          |      i -> a.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE) AS r
+          |  FROM (SELECT vec_id, embedding, cent_id FROM assigned
+          |        WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 16) a
+          |  JOIN cmeta c USING (cent_id)),
+          |selu AS (
+          |  SELECT a.vec_id, a.embedding, a.cent_id, c.cvec
+          |  FROM assigned a JOIN cmeta c USING (cent_id)
+          |  WHERE a.cent_id IN (SELECT cent_id FROM probed1
+          |                      UNION SELECT cent_id FROM probed2)),
+          |sub AS (
+          |  SELECT s.vec_id, m.m, rb.j,
+          |    list_sum(list_transform(generate_series(1, 8),
+          |      i -> ((s.embedding[m.m*8+i]::DOUBLE - s.cvec[m.m*8+i]::DOUBLE) -
+          |              rb.r[m.m*8+i]) *
+          |           ((s.embedding[m.m*8+i]::DOUBLE - s.cvec[m.m*8+i]::DOUBLE) -
+          |              rb.r[m.m*8+i]))) AS d
+          |  FROM selu s CROSS JOIN generate_series(0, 7) m(m) CROSS JOIN rcb rb),
+          |code AS (
+          |  SELECT vec_id, m, j FROM sub
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),
+          |lut1 AS (
+          |  SELECT p.cent_id AS cell, m.m, rb.j,
+          |    list_sum(list_transform(generate_series(1, 8),
+          |      i -> ((1.0 - c.cvec[m.m*8+i]::DOUBLE) - rb.r[m.m*8+i]) *
+          |           ((1.0 - c.cvec[m.m*8+i]::DOUBLE) - rb.r[m.m*8+i]))) AS ld
+          |  FROM probed1 p JOIN cmeta c USING (cent_id)
+          |  CROSS JOIN generate_series(0, 7) m(m) CROSS JOIN rcb rb),
+          |lut2 AS (
+          |  SELECT p.cent_id AS cell, m.m, rb.j,
+          |    list_sum(list_transform(generate_series(1, 8),
+          |      i -> ((-1.0 - c.cvec[m.m*8+i]::DOUBLE) - rb.r[m.m*8+i]) *
+          |           ((-1.0 - c.cvec[m.m*8+i]::DOUBLE) - rb.r[m.m*8+i]))) AS ld
+          |  FROM probed2 p JOIN cmeta c USING (cent_id)
+          |  CROSS JOIN generate_series(0, 7) m(m) CROSS JOIN rcb rb),
+          |adc1 AS (
+          |  SELECT c.vec_id, list_sum(list(l.ld ORDER BY l.m)) AS dist
+          |  FROM code c JOIN selu s USING (vec_id)
+          |  JOIN lut1 l ON l.cell = s.cent_id AND l.m = c.m AND l.j = c.j
+          |  GROUP BY c.vec_id),
+          |adc2 AS (
+          |  SELECT c.vec_id, list_sum(list(l.ld ORDER BY l.m)) AS dist
+          |  FROM code c JOIN selu s USING (vec_id)
+          |  JOIN lut2 l ON l.cell = s.cent_id AND l.m = c.m AND l.j = c.j
+          |  GROUP BY c.vec_id),
+          |u AS (
+          |  SELECT CAST(1 AS BIGINT) AS query_id, vec_id, round(dist, 6) AS adc
+          |  FROM adc1
+          |  UNION ALL
+          |  SELECT CAST(2 AS BIGINT), vec_id, round(dist, 6) FROM adc2),
+          |r AS (
+          |  SELECT query_id, vec_id, adc FROM u
+          |  QUALIFY row_number() OVER (PARTITION BY query_id
+          |                             ORDER BY adc, vec_id) <= 5)
+          |SELECT query_id, vec_id, adc FROM r
+          |ORDER BY query_id, adc, vec_id""".stripMargin,
+      // q162: recall@10 at two nprobe settings — the exact side is
+      // q14's proven cosine ranking, the approximate side is q132's
+      // encode/ADC chain computed once over ALL vectors with the cell
+      // probe restated as a rank over centroid cosine (rn <= nprobe);
+      // recall = |exact ∩ approx| / 10, both intersections in one hash
+      "q162_ann_recall" ->
+        """WITH cmeta AS (
+          |  SELECT vec_id AS cent_id, embedding AS cvec,
+          |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS cnorm
+          |  FROM embeddings ORDER BY vec_id LIMIT 16),
+          |assigned AS (
+          |  SELECT e.vec_id, e.embedding, c.cent_id,
+          |    list_sum(list_transform(generate_series(1, 64),
+          |             i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE))
+          |      / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in e.embedding])) * c.cnorm)
+          |      AS cos_c
+          |  FROM embeddings e CROSS JOIN cmeta c
+          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          |                             ORDER BY cos_c DESC, c.cent_id) = 1),
+          |cranked AS (
+          |  SELECT cent_id, row_number() OVER (
+          |    ORDER BY (list_sum([x::DOUBLE for x in cvec]) / (sqrt(64.0) * cnorm)) DESC,
+          |             cent_id) AS rn
+          |  FROM cmeta),
+          |cb AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS c
+          |  FROM (SELECT vec_id, embedding FROM embeddings
+          |        ORDER BY vec_id LIMIT 16)),
+          |sub AS (
+          |  SELECT e.vec_id, m.m, cb.j,
+          |    list_sum(list_transform(generate_series(1, 8),
+          |      i -> (e.embedding[m.m*8+i]::DOUBLE - cb.c[m.m*8+i]::DOUBLE) *
+          |           (e.embedding[m.m*8+i]::DOUBLE - cb.c[m.m*8+i]::DOUBLE))) AS d
+          |  FROM embeddings e CROSS JOIN generate_series(0, 7) m(m) CROSS JOIN cb),
+          |code AS (
+          |  SELECT vec_id, m, j FROM sub
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),
+          |lut AS (
+          |  SELECT m.m, cb.j,
+          |    list_sum(list_transform(generate_series(1, 8),
+          |      i -> (1.0 - cb.c[m.m*8+i]::DOUBLE) * (1.0 - cb.c[m.m*8+i]::DOUBLE))) AS ld
+          |  FROM cb CROSS JOIN generate_series(0, 7) m(m)),
+          |adc AS (
+          |  SELECT c.vec_id, round(list_sum(list(l.ld ORDER BY l.m)), 6) AS dist
+          |  FROM code c JOIN lut l ON l.m = c.m AND l.j = c.j
+          |  GROUP BY c.vec_id),
+          |withcell AS (
+          |  SELECT a.vec_id, d.dist, cr.rn
+          |  FROM assigned a JOIN adc d ON d.vec_id = a.vec_id
+          |  JOIN cranked cr USING (cent_id)),
+          |approx4 AS (SELECT vec_id FROM withcell WHERE rn <= 4
+          |            ORDER BY dist, vec_id LIMIT 10),
+          |approx16 AS (SELECT vec_id FROM withcell WHERE rn <= 16
+          |             ORDER BY dist, vec_id LIMIT 10),
+          |exact AS (
+          |  SELECT vec_id FROM (
+          |    SELECT vec_id,
+          |      round(list_sum([x::DOUBLE for x in embedding]) /
+          |            (sqrt(64.0) * sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding]))), 6)
+          |        AS cos
+          |    FROM embeddings)
+          |  ORDER BY cos DESC, vec_id LIMIT 10)
+          |SELECT * FROM (
+          |  SELECT CAST(4 AS BIGINT) AS nprobe,
+          |    round((SELECT COUNT(*) FROM exact JOIN approx4 USING (vec_id)) / 10.0, 6)
+          |      AS recall
+          |  UNION ALL
+          |  SELECT CAST(16 AS BIGINT),
+          |    round((SELECT COUNT(*) FROM exact JOIN approx16 USING (vec_id)) / 10.0, 6))
+          |ORDER BY nprobe""".stripMargin,
       // q159: the composed monitoring loop — four per-batch drift
       // errors from q151's proven min-over-entries arithmetic under
       // the CORPUS codebooks, median-of-first-2 vs median-of-last-2
@@ -1947,6 +2109,43 @@ object Inventory extends InventoryCrawl {
            |SELECT DISTINCT ipos.doc_id FROM ipos LEFT JOIN cpos ON ipos.p = cpos.p
            |WHERE cpos.p IS NULL
            |ORDER BY ipos.doc_id""".stripMargin
+      },
+      // q163: q88's position anti-join over the BATCHED history —
+      // batch 0 judged against the corpus positions alone, batch 1
+      // against corpus ∪ ALL batch-0 texts' positions (the per-batch
+      // bitmap increments): the re-keyed batch-0 copies in batch 1
+      // dropping is exactly the history update being load-bearing
+      "q163_streaming_bloom_gate" -> {
+        val m = 1 << 20
+        def p(i: Int, rel: String) =
+          s"CAST(md5_number_lower('$i:' || $rel.text) % 4611686018427387904 AS BIGINT) % $m"
+        s"""WITH corpus AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+           |b0 AS (
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+           |  UNION ALL
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1),
+           |b1 AS (
+           |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 1
+           |  UNION ALL
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3),
+           |cpos AS (SELECT DISTINCT unnest([${(0 until 4).map(p(_, "corpus")).mkString(", ")}]) AS p
+           |         FROM corpus),
+           |b0pos AS (SELECT doc_id, unnest([${(0 until 4).map(p(_, "b0")).mkString(", ")}]) AS p
+           |          FROM b0),
+           |adm0 AS (SELECT DISTINCT b0pos.doc_id FROM b0pos
+           |         LEFT JOIN cpos ON b0pos.p = cpos.p WHERE cpos.p IS NULL),
+           |h1 AS (SELECT p FROM cpos
+           |       UNION
+           |       SELECT DISTINCT unnest([${(0 until 4).map(p(_, "b0")).mkString(", ")}])
+           |       FROM b0),
+           |b1pos AS (SELECT doc_id, unnest([${(0 until 4).map(p(_, "b1")).mkString(", ")}]) AS p
+           |          FROM b1),
+           |adm1 AS (SELECT DISTINCT b1pos.doc_id FROM b1pos
+           |         LEFT JOIN h1 ON b1pos.p = h1.p WHERE h1.p IS NULL)
+           |SELECT CAST(0 AS BIGINT) AS ingest_batch, doc_id FROM adm0
+           |UNION ALL
+           |SELECT CAST(1 AS BIGINT), doc_id FROM adm1
+           |ORDER BY ingest_batch, doc_id""".stripMargin
       },
       // cpio source: spec-member sizes/digests (directory record
       // skipped, gzip member decompressed, nested tar expanded),

@@ -168,6 +168,48 @@ private[queries] trait InventoryDedup extends InventorySources {
   }
 
 
+  /** STREAMING Bloom admission gate (round 20 —
+    * [[graft.streaming.StreamingBloomGate]], the third family on the
+    * shared IncrementalIngest shell): q88's incremental-ingestion
+    * pattern as a stream. The even-id corpus becomes an at-rest Bloom
+    * index; batch 0 brings re-keyed corpus copies (must ALL drop — no
+    * false negatives) plus the % 4 == 1 odd docs (admitted modulo the
+    * declared md5-deterministic FPs); batch 1 brings re-keyed copies
+    * of batch 0's odd docs (must drop against the UPDATED history —
+    * the per-batch bitmap increments are load-bearing) plus the
+    * % 4 == 3 odd docs. The oracle restates q88's position anti-join
+    * over the BATCHED history: batch 0 against corpus positions alone,
+    * batch 1 against corpus ∪ batch-0 positions.
+    */
+  private[queries] def q163(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val corpus = docs.where(col("doc_id") % 2 === 0).select(col("text"))
+    val base = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q163_bloom"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    // fresh lifecycle per run: the index overwrite clears its
+    // increments wholesale; the admitted root is cleared explicitly
+    graft.ops.Layouts.delete(s, base + "/admitted")
+    graft.ops.Bloom.writeBloomIndex(corpus, "text", base + "/index")
+    val b0 = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionAll(docs.where(col("doc_id") % 4 === 1)
+        .select(col("doc_id"), col("text")))
+    val b1 = docs.where(col("doc_id") % 4 === 1)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      .unionAll(docs.where(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), col("text")))
+    graft.streaming.StreamingBloomGate.ingestBatch(b0, 0L,
+      base + "/index", "text", base + "/admitted")
+    graft.streaming.StreamingBloomGate.ingestBatch(b1, 1L,
+      base + "/index", "text", base + "/admitted")
+    s.read.parquet(base + "/admitted")
+      .select(col("ingest_batch").cast("long").as("ingest_batch"),
+        col("doc_id"))
+      .orderBy(col("ingest_batch"), col("doc_id"))
+  }
+
+
   /** q62 fixture texts — inline literals (the synthetic documents
     * table contains no PII-shaped spans, so like q59 the query is
     * self-contained); chosen to exercise greedy-domain backtracking

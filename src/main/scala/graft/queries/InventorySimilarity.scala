@@ -516,12 +516,17 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
       java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
     Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
       ivfCb, pqCb, base + "/gen0")
-    val r = Similarity.maintainIvfPq(s, base + "/gen0", corpus, drifted,
-      "vec_id", "embedding", base + "/gen1")
-    require(r.action == "rebuild",
+    // the POINTERED lifecycle (round 20): the store root's _current is
+    // initialised at gen0, the rebuild derives gen1 and swaps the
+    // pointer INSIDE its quiesce window, and the probe below addresses
+    // the ROOT — answering from the new generation purely through the
+    // pointer, with no path handed across the swap by hand
+    graft.ops.Layouts.swapGenerationPointer(s, base, "gen0")
+    val r = Similarity.maintainPointedIvfPq(s, base, corpus, drifted,
+      "vec_id", "embedding")
+    require(r.action == "rebuild" && r.layout == base + "/gen1",
       s"q158 expects the drifted batch to trigger the rebuild path, got $r")
-    // the caller's pointer swap: all probes now answer from gen1
-    Similarity.ivfPqTopKFromFiles(s, base + "/gen1", "vec_id", "code",
+    Similarity.ivfPqTopKFromFiles(s, base, "vec_id", "code",
       OnesQuery, k = 10, nprobe = 4)
   }
 
@@ -603,5 +608,75 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
     Similarity.ivfPqTopKBatchFromFiles(s, base + "/layout", "vec_id", "code",
       qs, k = 5, nprobe = 4)
       .orderBy(col("query_id"), col("adc"), col("vec_id"))
+  }
+
+
+  /** KIND-AWARE, INCREMENTS-AWARE batched probe (round 20 —
+    * [[Similarity.ivfPqResidualTopKBatchFromFilesWithIncrements]]):
+    * q160's two-query offline-retrieval chain in RESIDUAL coordinates
+    * over a layout holding committed STREAMING increments. The corpus
+    * (vec_id % 5 != 0) is written residual-encoded; the % 5 == 0
+    * cohort arrives as two streamed micro-batches (% 10 == 0 then
+    * % 10 == 5) through the kind-aware ingest face (which must pick
+    * the residual encoder off the sidecar tag); both query vectors
+    * (opposite probe sets, as in q160) answer from ONE scan of
+    * base + increments pruned to the union of their probed cells,
+    * each ranked by its own per-probed-cell residual ADC tables. The
+    * oracle fuses q148's residual-at-rest CTEs (corpus-trained
+    * codebooks, all vectors encoded) with q160's per-query probe
+    * masking — the streamed encode, the increment merge, the union
+    * pruning and both residual rankings are all load-bearing in one
+    * hash.
+    */
+  private[queries] def q161(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val corpus = emb.where(col("vec_id") % 5 =!= 0)
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 16)
+    val rcb = Similarity.residualPqCodebooks(corpus, "vec_id", "embedding",
+      ivfCb, m = 8, ks = 16)
+    val base = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q161_rbatch"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    // the overwrite clears any prior run's increments wholesale, so a
+    // rerun is a fresh lifecycle
+    Similarity.writeIvfPqResidualPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, rcb, base + "/layout")
+    Seq(0L -> 0L, 1L -> 5L).foreach { case (batchId, mod) =>
+      graft.streaming.StreamingSimilarity.ingestBatch(
+        emb.where(col("vec_id") % 10 === mod), batchId, base + "/layout",
+        "vec_id", "embedding", None)
+    }
+    val qs = Seq(1L -> OnesQuery, 2L -> Array.fill(64)(-1.0))
+    Similarity.ivfPqResidualTopKBatchFromFilesWithIncrements(s,
+      base + "/layout", "vec_id", "code", qs, k = 5, nprobe = 4)
+  }
+
+
+  /** recall@k (round 20 — [[Similarity.annRecallAtK]]): the quality
+    * axis of the ANN surface, measured where the oracle can check it —
+    * recall@10 of the in-flight IVF-PQ probe against the exact cosine
+    * top-10 (q14's proven ranking) at two nprobe settings. Both sides
+    * are deterministic (stand-in codebooks, fixed query), so the
+    * recall fractions are exact numbers, not estimates: the oracle
+    * recomputes the exact list, both probed ADC rankings (q132's chain
+    * with the probe LIMIT parametrised) and the intersection counts.
+    * nprobe = 16 probes every cell, isolating pure PQ ranking loss;
+    * nprobe = 4 adds the coarse probe's pruning loss on top. (On this
+    * random fixture the stand-in quantizer's ranking loss dominates —
+    * the ScaleEvidence `recall:` rung shows the tuning curve proper,
+    * with trained codebooks and planted separable ground truth.)
+    */
+  private[queries] def q162(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", OnesQuery, 10)
+    Seq(4, 16).map { np =>
+      val approx = Similarity.ivfPqTopK(emb, "vec_id", "embedding", OnesQuery,
+        k = 10, nlist = 16, nprobe = np, m = 8, ks = 16)
+      Similarity.annRecallAtK(
+        exact.select(lit(np.toLong).as("nprobe"), col("vec_id")),
+        approx.select(lit(np.toLong).as("nprobe"), col("vec_id")),
+        "nprobe", "vec_id", k = 10)
+    }.reduce(_ unionByName _)
+      .orderBy(col("nprobe"))
   }
 }

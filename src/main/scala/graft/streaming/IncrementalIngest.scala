@@ -6,8 +6,9 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.storage.StorageLevel
 
 /** The shared foreachBatch shell of the owned-increment ingest loops
-  * ([[StreamingDedup]] text, [[StreamingSimilarity]] vectors — and the
-  * next family, which should NOT grow a third copy): project the
+  * ([[StreamingDedup]] near-dup text, [[StreamingSimilarity]] vectors,
+  * [[StreamingBloomGate]] exact-dedup admission — the next family
+  * should NOT grow a fourth copy): project the
   * micro-batch to the columns the step consumes, persist it once (every
   * step reads its batch several times — counts, candidate joins,
   * encode + drift), run the family's idempotent per-batch step, and

@@ -67,22 +67,27 @@ object StreamingSimilarity {
       vecCol: String,
       driftOut: Option[String]): Unit = {
     val spark = b.sparkSession
+    // a pointered store root resolves to the CURRENT generation once
+    // per batch: the first micro-batch after a pointered rebuild's
+    // swap encodes with (and reports drift against) the NEW
+    // generation's codebooks automatically
+    val layout = Similarity.resolveLayout(spark, layoutPath)
     // fail BEFORE the encode while a compaction holds the layout's
     // quiesce marker (appendIvfPqIncrement refuses too — this check
     // just moves the curated failure ahead of the work): the
     // checkpoint replays the batch after the fold
-    graft.ops.Layouts.assertNotQuiesced(spark, layoutPath,
+    graft.ops.Layouts.assertNotQuiesced(spark, layout,
       "incrementalAnnStream")
-    Similarity.appendIvfPqIncrement(b, idCol, vecCol, layoutPath, batchId)
+    Similarity.appendIvfPqIncrement(b, idCol, vecCol, layout, batchId)
     driftOut.foreach { out =>
       // kind-aware like the append itself: a residual layout's drift
       // is its residual reconstruction error, not the raw-PQ one
-      val err = Similarity.sidecarPqKind(spark, layoutPath) match {
+      val err = Similarity.sidecarPqKind(spark, layout) match {
         case "rpq" =>
-          val (ivfCb, rcb) = Similarity.readIvfPqResidualCodebooks(spark, layoutPath)
+          val (ivfCb, rcb) = Similarity.readIvfPqResidualCodebooks(spark, layout)
           Similarity.ivfPqDistortion(b, vecCol, ivfCb, rcb, residual = true)
         case _ =>
-          val (ivfCb, pqCb) = Similarity.readIvfPqCodebooks(spark, layoutPath)
+          val (ivfCb, pqCb) = Similarity.readIvfPqCodebooks(spark, layout)
           Similarity.ivfPqDistortion(b, vecCol, ivfCb, pqCb, residual = false)
       }
       import spark.implicits._

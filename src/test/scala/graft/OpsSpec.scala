@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{GraftFunctions, TextStats}
-import graft.ops.{Dedup, Quality, Similarity}
+import graft.ops.{Dedup, Layouts, Quality, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -2554,5 +2554,356 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("no 'ivf'"), e.getMessage)
     assert(e.getMessage.contains("kinds present: pq"), e.getMessage)
+  }
+
+  // shared drifted-cluster fixture for the pointer/trainer tests: four
+  // well-separated centers, batches either in-distribution (off = 0)
+  // or far off-distribution
+  private def clusterSample(rnd: scala.util.Random, dim: Int)(
+      n: Int, off: Double, base: Long): Seq[(Long, Array[Double])] = {
+    val centers = Array.tabulate(4)(c =>
+      Array.tabulate(dim)(j => if (j % 4 == c) 4.0 else 0.0))
+    (0 until n).map { i =>
+      val c = centers(i % 4)
+      (base + i, Array.tabulate(dim)(j => c(j) + rnd.nextGaussian() * 0.3 + off))
+    }
+  }
+
+  test("generation pointer: atomic swap, pointered maintain swaps inside the quiesce window, vacuum reclaims") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(57)
+    val dim = 16
+    def sample(n: Int, off: Double, base: Long) =
+      clusterSample(rnd, dim)(n, off, base)
+    val corpus = sample(64, 0.0, 0L).toDF("vec_id", "embedding")
+    val indist = sample(48, 0.0, 1000L).toDF("vec_id", "embedding")
+    val drifted = sample(48, 25.0, 2000L).toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 4)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 16)
+    val root = java.nio.file.Files.createTempDirectory("graft_genptr").toString
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, root + "/gen0")
+    // curated prerequisites: no pointing at a missing generation; a
+    // pointered read of an unpointered root names the init move
+    val eMiss = intercept[IllegalArgumentException] {
+      Layouts.swapGenerationPointer(spark, root, "gen9")
+    }
+    assert(eMiss.getMessage.contains("no such"), eMiss.getMessage)
+    val eNoPtr = intercept[IllegalArgumentException] {
+      Layouts.currentGeneration(spark, root)
+    }
+    assert(eNoPtr.getMessage.contains("swapGenerationPointer"), eNoPtr.getMessage)
+    Layouts.swapGenerationPointer(spark, root, "gen0")
+    assert(Layouts.currentGeneration(spark, root) == root + "/gen0")
+    // resolveLayout: a pointered root resolves through the pointer, a
+    // plain layout path resolves to itself
+    assert(Similarity.resolveLayout(spark, root) == root + "/gen0")
+    assert(Similarity.resolveLayout(spark, root + "/gen0") == root + "/gen0")
+    val q = Array.fill(dim)(1.0)
+    assert(Similarity.ivfPqTopKFromFiles(spark, root, "vec_id", "code",
+      q, k = 5, nprobe = 2).count() == 5)
+    // in-distribution: append in place, pointer unmoved
+    val ra = Similarity.maintainPointedIvfPq(spark, root, corpus, indist,
+      "vec_id", "embedding")
+    assert(ra.action == "append" && ra.layout == root + "/gen0", s"$ra")
+    assert(Layouts.currentGenerationName(spark, root) == "gen0")
+    // drifted: rebuild into gen1 with the pointer swapped INSIDE the
+    // quiesce window; marker released after; the ROOT probe answers
+    // from the new generation with union-retrained codebooks
+    val all = corpus.unionByName(indist).unionByName(drifted)
+    val rb = Similarity.maintainPointedIvfPq(spark, root,
+      corpus.unionByName(indist), drifted, "vec_id", "embedding")
+    assert(rb.action == "rebuild" && rb.layout == root + "/gen1", s"$rb")
+    assert(Layouts.currentGenerationName(spark, root) == "gen1")
+    assert(!Layouts.exists(spark, root + "/gen0/" + Layouts.QuiesceMarker))
+    val newIvf = Similarity.ivfCodebook(all, "vec_id", "embedding", nlist = 4)
+    val newPq = Similarity.pqCodebooks(all, "vec_id", "embedding", m = 4, ks = 16)
+    val atRoot = Similarity.ivfPqTopKFromFiles(spark, root, "vec_id", "code",
+      q, k = 8, nprobe = 2).as[(Long, Double)].collect().toSeq
+    val inFlight = Similarity.ivfPqTopK(all, "vec_id", "embedding", q,
+      k = 8, nlist = 4, nprobe = 2, m = 4, ks = 16,
+      ivfCb = Some(newIvf), pqCb = Some(newPq))
+      .as[(Long, Double)].collect().toSeq
+    assert(atRoot == inFlight, s"$atRoot vs $inFlight")
+    // a second drifted wave: gen2; vacuum keep=1 then reclaims gen0 +
+    // gen1, spares the pointed-at generation, probes unaffected
+    val drifted2 = sample(48, 50.0, 3000L).toDF("vec_id", "embedding")
+    val rc = Similarity.maintainPointedIvfPq(spark, root, all, drifted2,
+      "vec_id", "embedding")
+    assert(rc.action == "rebuild" && rc.layout == root + "/gen2", s"$rc")
+    val gone = Layouts.vacuumGenerations(spark, root, keep = 1)
+    assert(gone == Seq("gen0", "gen1"), s"$gone")
+    assert(Layouts.currentGenerationName(spark, root) == "gen2")
+    assert(Similarity.ivfPqTopKFromFiles(spark, root, "vec_id", "code",
+      q, k = 5, nprobe = 2).count() == 5)
+    // alsoKeep spares a named generation; keep must cover the live one
+    assert(Layouts.vacuumGenerations(spark, root, keep = 1,
+      alsoKeep = Seq("gen2")).isEmpty)
+    val eKeep = intercept[IllegalArgumentException] {
+      Layouts.vacuumGenerations(spark, root, keep = 0)
+    }
+    assert(eKeep.getMessage.contains("keep"), eKeep.getMessage)
+    // a non-gen<k> generation name refuses the pointered lifecycle
+    val side = root + "/side"
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, side)
+    Layouts.swapGenerationPointer(spark, root, "side")
+    val eName = intercept[IllegalArgumentException] {
+      Similarity.maintainPointedIvfPq(spark, root, corpus, drifted,
+        "vec_id", "embedding")
+    }
+    assert(eName.getMessage.contains("gen<k>"), eName.getMessage)
+  }
+
+  test("trained rebuilds beat the stand-in on distortion, both kinds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(91)
+    val dim = 16
+    def sample(n: Int, off: Double, base: Long) =
+      clusterSample(rnd, dim)(n, off, base)
+    val corpus = sample(64, 0.0, 0L).toDF("vec_id", "embedding")
+    val drifted = sample(48, 25.0, 2000L).toDF("vec_id", "embedding")
+    val all = corpus.unionByName(drifted)
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 4)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 16)
+    val base = java.nio.file.Files.createTempDirectory("graft_trained").toString
+    // RAW kind: one stand-in rebuild, one trained rebuild, same fixture
+    Seq("s", "t").foreach { tag =>
+      Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+        ivfCb, pqCb, base + s"/${tag}0")
+    }
+    val rs = Similarity.maintainIvfPq(spark, base + "/s0", corpus, drifted,
+      "vec_id", "embedding", base + "/s1")
+    val rt = Similarity.maintainIvfPq(spark, base + "/t0", corpus, drifted,
+      "vec_id", "embedding", base + "/t1", trained = true)
+    assert(rs.action == "rebuild" && rt.action == "rebuild", s"$rs $rt")
+    val (si, sp) = Similarity.readIvfPqCodebooks(spark, base + "/s1")
+    val (ti, tp) = Similarity.readIvfPqCodebooks(spark, base + "/t1")
+    val standinErr = Similarity.ivfPqDistortion(all, "embedding", si, sp,
+      residual = false)
+    val trainedErr = Similarity.ivfPqDistortion(all, "embedding", ti, tp,
+      residual = false)
+    assert(trainedErr < standinErr,
+      s"trained $trainedErr !< stand-in $standinErr")
+    // RESIDUAL kind: the trained rebuild fits k-means in residual
+    // space and still wins
+    val rcb = Similarity.residualPqCodebooks(corpus, "vec_id", "embedding",
+      ivfCb, m = 4, ks = 16)
+    Seq("rs", "rt").foreach { tag =>
+      Similarity.writeIvfPqResidualPartitioned(corpus, "vec_id", "embedding",
+        ivfCb, rcb, base + s"/${tag}0")
+    }
+    val rrs = Similarity.maintainIvfPq(spark, base + "/rs0", corpus, drifted,
+      "vec_id", "embedding", base + "/rs1")
+    val rrt = Similarity.maintainIvfPq(spark, base + "/rt0", corpus, drifted,
+      "vec_id", "embedding", base + "/rt1", trained = true)
+    assert(rrs.action == "rebuild" && rrt.action == "rebuild", s"$rrs $rrt")
+    val (rsi, rsp) = Similarity.readIvfPqResidualCodebooks(spark, base + "/rs1")
+    val (rti, rtp) = Similarity.readIvfPqResidualCodebooks(spark, base + "/rt1")
+    val rStandin = Similarity.ivfPqDistortion(all, "embedding", rsi, rsp,
+      residual = true)
+    val rTrained = Similarity.ivfPqDistortion(all, "embedding", rti, rtp,
+      residual = true)
+    assert(rTrained < rStandin, s"trained $rTrained !< stand-in $rStandin")
+    // the trained generations are intact layouts: self-contained
+    // probes answer k rows
+    val q = Array.fill(dim)(1.0)
+    assert(Similarity.ivfPqTopKFromFiles(spark, base + "/t1", "vec_id",
+      "code", q, k = 5, nprobe = 2).count() == 5)
+    assert(Similarity.ivfPqResidualTopKFromFiles(spark, base + "/rt1",
+      "vec_id", "code", q, k = 5, nprobe = 2).count() == 5)
+  }
+
+  test("batched probes: residual and increments parity with single probes, output globally ordered") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(131)
+    val dim = 16
+    val emb = (0L until 200L).map(i =>
+      (i, Array.tabulate(dim)(j => math.sin(i * 0.37 + j) + rnd.nextGaussian() * 0.1)))
+      .toDF("vec_id", "embedding")
+    val corpus = emb.where(col("vec_id") % 4 =!= 0)
+    val incr = emb.where(col("vec_id") % 4 === 0)
+    val qs = Seq(
+      1L -> Array.fill(dim)(1.0),
+      2L -> Array.fill(dim)(-1.0),
+      3L -> Array.tabulate(dim)(j => if (j % 2 == 0) 1.5 else -0.5))
+    val base = java.nio.file.Files.createTempDirectory("graft_batchkinds").toString
+    // RESIDUAL layout with a committed streamed increment
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 8)
+    val rcb = Similarity.residualPqCodebooks(corpus, "vec_id", "embedding",
+      ivfCb, m = 4, ks = 16)
+    Similarity.writeIvfPqResidualPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, rcb, base + "/rlayout")
+    Similarity.appendIvfPqIncrement(incr, "vec_id", "embedding",
+      base + "/rlayout", batchId = 0L)
+    val rBatch = Similarity.ivfPqResidualTopKBatchFromFilesWithIncrements(
+      spark, base + "/rlayout", "vec_id", "code", qs, k = 7, nprobe = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    // globally ordered as promised: (query_id, adc, id)
+    assert(rBatch == rBatch.sortBy(r => (r._1, r._3, r._2)), s"$rBatch")
+    qs.foreach { case (qid, qv) =>
+      val single = Similarity.ivfPqResidualTopKFromFilesWithIncrements(
+        spark, base + "/rlayout", "vec_id", "code", qv, k = 7, nprobe = 3)
+        .as[(Long, Double)].collect().toSeq
+      val slice = rBatch.filter(_._1 == qid).map(r => (r._2, r._3))
+      assert(slice == single, s"residual query $qid: $slice vs $single")
+    }
+    // base-only residual batch face: same parity without increments
+    val rBase = Similarity.ivfPqResidualTopKBatchFromFiles(spark,
+      base + "/rlayout", "vec_id", "code", qs, k = 7, nprobe = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    qs.foreach { case (qid, qv) =>
+      val single = Similarity.ivfPqResidualTopKFromFiles(spark,
+        base + "/rlayout", "vec_id", "code", qv, k = 7, nprobe = 3)
+        .as[(Long, Double)].collect().toSeq
+      val slice = rBase.filter(_._1 == qid).map(r => (r._2, r._3))
+      assert(slice == single, s"residual base query $qid: $slice vs $single")
+    }
+    // RAW layout with a committed streamed increment
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
+      m = 4, ks = 16)
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/player")
+    Similarity.appendIvfPqIncrement(incr, "vec_id", "embedding",
+      base + "/player", batchId = 0L)
+    val pBatch = Similarity.ivfPqTopKBatchFromFilesWithIncrements(spark,
+      base + "/player", "vec_id", "code", qs, k = 7, nprobe = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    qs.foreach { case (qid, qv) =>
+      val single = Similarity.ivfPqTopKFromFilesWithIncrements(spark,
+        base + "/player", "vec_id", "code", qv, k = 7, nprobe = 3)
+        .as[(Long, Double)].collect().toSeq
+      val slice = pBatch.filter(_._1 == qid).map(r => (r._2, r._3))
+      assert(slice == single, s"raw query $qid: $slice vs $single")
+    }
+    // the replay rule holds on the batched face too: excluding the
+    // increment's own batch id answers base-only
+    val excl = Similarity.ivfPqTopKBatchFromFilesWithIncrements(spark,
+      base + "/player", "vec_id", "code", qs, k = 7, nprobe = 3,
+      excludeBatchId = Some(0L))
+      .select("vec_id").as[Long].collect().toSet
+    assert(excl.forall(_ % 4 != 0), s"excluded batch leaked: $excl")
+  }
+
+  test("annRecallAtK: exact matches score 1, misses score 0, zero-hit queries kept, recall monotone in nprobe") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("qid", "vec_id")
+    val perfect = Similarity.annRecallAtK(exact, exact, "qid", "vec_id", k = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(perfect == Map(1L -> 1.0, 2L -> 1.0), s"$perfect")
+    // query 1 half-right, query 2 entirely absent from the approx side
+    // — it must still appear, at 0.0
+    val approx = Seq((1L, 10L), (1L, 99L)).toDF("qid", "vec_id")
+    val partial = Similarity.annRecallAtK(exact, approx, "qid", "vec_id", k = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(partial == Map(1L -> 0.5, 2L -> 0.0), s"$partial")
+    // recall is only meaningful when the true neighbors are separable
+    // at quantizer resolution — PQ cannot rank within-cluster noise
+    // (recall@10 of a 50-member cluster's noise ordering is the
+    // hypergeometric floor ~k²/cluster, not a bug). The realistic
+    // retrieval shape: PLANT 10 near-duplicates of a query that sits
+    // exactly between two cluster centers, so the ground truth
+    // straddles cells — probe breadth then genuinely trades recall,
+    // and the full probe must recover nearly everything (planted
+    // distance << bulk distance >> quantization error).
+    val rnd = new scala.util.Random(77)
+    val bulk = clusterSample(rnd, 16)(200, 0.0, 0L)
+    def ctr(c: Int, j: Int) = if (j % 4 == c) 4.0 else 0.0
+    val q = Array.tabulate(16)(j => 0.5 * ctr(0, j) + 0.5 * ctr(1, j) + 0.001)
+    val planted = (0 until 10).map(i =>
+      (1000L + i, Array.tabulate(16)(j => q(j) + rnd.nextGaussian() * 0.3)))
+    val emb = (bulk ++ planted).toDF("vec_id", "embedding")
+    val ex = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+    assert(ex.select("vec_id").as[Long].collect().forall(_ >= 1000L),
+      "the planted near-duplicates must BE the exact top-10")
+    // TRAINED codebooks: the quality floor below is about the probe,
+    // not about the smallest-id stand-in's (deliberately unfitted)
+    // quantization error
+    val ivfT = Similarity.trainIvfCodebook(emb, "vec_id", "embedding",
+      nlist = 4, maxIters = 3)
+    val pqT = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 4, ks = 16, maxIters = 5)
+    val recalls = Seq(1, 4).map { np =>
+      val ap = Similarity.ivfPqTopK(emb, "vec_id", "embedding", q,
+        k = 10, nlist = 4, nprobe = np, m = 4, ks = 16,
+        ivfCb = Some(ivfT), pqCb = Some(pqT))
+      np -> Similarity.annRecallAtK(
+        ex.select(lit(1L).as("qid"), col("vec_id")),
+        ap.select(lit(1L).as("qid"), col("vec_id")),
+        "qid", "vec_id", k = 10)
+        .as[(Long, Double)].head()._2
+    }.toMap
+    assert(recalls(1) <= recalls(4), s"$recalls")
+    assert(recalls(4) >= 0.8, s"$recalls")
+  }
+
+  test("a fully-pruned drift series reads empty; prune composes into the rebuild; the root _temporary probe refuses") {
+    import spark.implicits._
+    import graft.streaming.StreamingSimilarity
+    val rnd = new scala.util.Random(117)
+    val dim = 16
+    def sample(n: Int, off: Double, base: Long) =
+      clusterSample(rnd, dim)(n, off, base)
+    val corpus = sample(64, 0.0, 0L).toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 4)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 16)
+    val base = java.nio.file.Files.createTempDirectory("graft_prunedrift").toString
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/gen0")
+    val batches = Seq(
+      sample(24, 0.0, 1000L), sample(24, 0.0, 2000L),
+      sample(24, 25.0, 3000L), sample(24, 25.0, 4000L))
+      .map(_.toDF("vec_id", "embedding"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingSimilarity.ingestBatch(b, i.toLong, base + "/gen0",
+        "vec_id", "embedding", Some(base + "/drift"))
+    }
+    val all = batches.foldLeft(corpus)(_ unionByName _)
+    // prune = true: the rebuild fences AND prunes in one quiesce window
+    val r = Similarity.maintainFromDriftSeries(spark, base + "/drift",
+      base + "/gen0", all, "vec_id", "embedding", base + "/gen1",
+      window = 2, prune = true)
+    assert(r.action == "rebuild", s"$r")
+    // the series is now fence-only: it reads EMPTY with the right
+    // schema (the r19 ADVICE crash — an AnalysisException dressed as
+    // 'drift series unreadable' — is exactly what this pins)
+    val series = Similarity.readDriftSeries(spark, base + "/drift")
+    assert(series.columns.toSeq == Seq("ingest_batch", "pq_err"))
+    assert(series.count() == 0)
+    // and the monitor's next tick keeps with batches = 0, not a crash
+    val tick = Similarity.maintainFromDriftSeries(spark, base + "/drift",
+      base + "/gen0", all, "vec_id", "embedding", base + "/gen2",
+      window = 2)
+    assert(tick.action == "keep" && tick.batches == 0, s"$tick")
+    // a fresh post-prune report is visible again
+    StreamingSimilarity.ingestBatch(sample(24, 0.0, 5000L)
+      .toDF("vec_id", "embedding"), 4L, base + "/gen0",
+      "vec_id", "embedding", Some(base + "/drift"))
+    assert(Similarity.readDriftSeries(spark, base + "/drift")
+      .as[(Long, Double)].collect().map(_._1).toSeq == Seq(4L))
+    // an unfenced EMPTY series still refuses (nothing ever committed
+    // is an ingest-wiring bug, not a steady state)
+    val emptyDir = base + "/nothing"
+    new java.io.File(emptyDir).mkdirs()
+    val eEmpty = intercept[IllegalArgumentException] {
+      Similarity.maintainFromDriftSeries(spark, emptyDir,
+        base + "/gen0", all, "vec_id", "embedding", base + "/gen3")
+    }
+    assert(eEmpty.getMessage.contains("no reports"), eEmpty.getMessage)
+    // the quiesce handshake's second half now also covers the BATCH
+    // append faces: an uncommitted write staging at the LAYOUT ROOT
+    // (_temporary) refuses the compaction
+    new java.io.File(base + "/gen0/_temporary").mkdirs()
+    val eRoot = intercept[IllegalStateException] {
+      Similarity.compactIvfPqLayout(spark, base + "/gen0", base + "/genC")
+    }
+    assert(eRoot.getMessage.contains("layout root"), eRoot.getMessage)
+    assert(!Layouts.exists(spark,
+      base + "/gen0/" + Layouts.QuiesceMarker),
+      "a refused compaction must release the marker")
+    new java.io.File(base + "/gen0/_temporary").delete()
+    Similarity.compactIvfPqLayout(spark, base + "/gen0", base + "/genC")
+    assert(spark.read.parquet(base + "/genC").count() == 64 + 24 * 5)
   }
 }

@@ -228,22 +228,18 @@ object ScaleEvidence {
     * — is the correctness bar), and reports wall per regime plus the
     * at-rest compression factor (256 B fp32 -> 4 B packed codes).
     */
-  private def pqRung(spark: SparkSession, n: Long): Unit = {
-    val dim = 64
-    // nCenters == ks: each subspace codebook CAN give every cluster
-    // its own codeword (ks < clusters would fold clusters together in
-    // every subspace — a capacity question, not a scan-shape one, and
-    // this rung measures the scan)
-    val nCenters = 16
-    // ±1 Rademacher centers, seeded per (c, d) — shipped as LITERALS,
-    // so any driver-side generator works: expected pairwise distance²
-    // = 2 x dim >> the ±0.01 noise. (A sin(7c+13d) first draft
-    // aliased — 7x9 ≈ 20π, so clusters 9 apart nearly coincided and
-    // quantization folded them together; an affine parity formula
-    // collapsed mod 2.)
+  /** The pq:/recall: rungs' shared clustered corpus: ±1 Rademacher
+    * centers, seeded per (c, d) — shipped as LITERALS, so any
+    * driver-side generator works: expected pairwise distance² =
+    * 2 x dim >> the ±0.01 noise. (A sin(7c+13d) first draft aliased —
+    * 7x9 ≈ 20π, so clusters 9 apart nearly coincided and quantization
+    * folded them together; an affine parity formula collapsed mod 2.
+    * Murmur-mixed bit because java.util.Random's FIRST draw correlates
+    * across sequential seeds and produced near-identical centers.)
+    */
+  private def clusteredCorpus(spark: SparkSession, n: Long, nCenters: Int,
+      dim: Int): (DataFrame, Array[Array[Double]]) = {
     val centers = Array.tabulate(nCenters, dim) { (c, d) =>
-      // murmur-mixed bit — java.util.Random's FIRST draw correlates
-      // across sequential seeds and produced near-identical centers
       if ((scala.util.hashing.MurmurHash3.productHash((c, d)) & 1) == 0) 1.0
       else -1.0
     }
@@ -254,8 +250,19 @@ object ScaleEvidence {
       (element_at(element_at(centersLit, cIdx + 1), d + 1) +
         (pmod(col("id") * lit(2654435761L) + d * lit(97L), lit(1000L))
           .cast("double") - lit(500.0)) / lit(50000.0)).cast("float"))
-    val df = spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
-      .cache()
+    (spark.range(n).select(col("id").as("vec_id"), vec.as("embedding")),
+      centers)
+  }
+
+  private def pqRung(spark: SparkSession, n: Long): Unit = {
+    val dim = 64
+    // nCenters == ks: each subspace codebook CAN give every cluster
+    // its own codeword (ks < clusters would fold clusters together in
+    // every subspace — a capacity question, not a scan-shape one, and
+    // this rung measures the scan)
+    val nCenters = 16
+    val (raw, centers) = clusteredCorpus(spark, n, nCenters, dim)
+    val df = raw.cache()
     df.count()
     // the query sits (just off) cluster 5's center
     val query = centers(5).map(_ + 0.001)
@@ -309,6 +316,70 @@ object ScaleEvidence {
     require(hits(adc) >= 9 && hits(ivfpq) >= 9,
       s"quantized paths left the true cluster: adc=${hits(adc)} ivfpq=${hits(ivfpq)}")
     println(f"""SCALE {"corpus":"pq:$n","op":"q129_q132_ann","n_vecs":$n,"brute_secs":$bruteSecs%.2f,"encode_once_secs":$encodeSecs%.2f,"adc_secs":$adcSecs%.2f,"ivfpq_secs":$ivfpqSecs%.2f,"cluster_hits":[${hits(exact)},${hits(adc)},${hits(ivfpq)}],"bytes_per_vec":[256,4]}""")
+  }
+
+  /** Recall rung (`recall:<nVecs>`): the q162 quality metric at real
+    * vector counts — recall@10 of the at-rest IVF-PQ probe against
+    * exact cosine across nprobe ∈ {1, 2, 4, 8, 16}, TRAINED codebooks,
+    * over the pq: rung's clustered corpus PLUS 10 planted
+    * near-duplicates of a query that sits exactly between two cluster
+    * centers. The planting is what makes recall measurable at n: PQ
+    * cannot rank within-cluster noise (recall@10 of a 60k-member
+    * cell's noise ordering is the hypergeometric floor — a property of
+    * 4-bit quantization, not a bug), so the ground truth must be
+    * separable at quantizer resolution: planted distance << bulk
+    * distance. Sitting between centers makes the planted set STRADDLE
+    * cells, so probe breadth genuinely trades recall for scan — the
+    * nprobe→recall curve operators tune against, wall per setting as
+    * the cost axis. Asserts the full probe recovers >= 0.8 and beats
+    * the single cell.
+    */
+  private def recallRung(spark: SparkSession, n: Long): Unit = {
+    val dim = 64
+    val nCenters = 16
+    val (raw, centers) = clusteredCorpus(spark, n, nCenters, dim)
+    import spark.implicits._
+    val query = Array.tabulate(dim)(d =>
+      0.5 * centers(5)(d) + 0.5 * centers(7)(d) + 0.001)
+    val prnd = new scala.util.Random(41)
+    val planted = (0 until 10).map(i =>
+      (n + i, Array.tabulate(dim)(d =>
+        (query(d) + prnd.nextGaussian() * 0.3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val df = raw.unionByName(planted).cache()
+    df.count()
+    val ivfCb = Similarity.trainIvfCodebook(df, "vec_id", "embedding",
+      nlist = nCenters, maxIters = 3)
+    val pqCb = Similarity.trainPqCodebooks(df, "vec_id", "embedding",
+      m = 8, ks = 16, maxIters = 5)
+    val layout = java.nio.file.Files.createTempDirectory("graft-recall-rung").toFile
+    Similarity.writeIvfPqPartitioned(df, "vec_id", "embedding",
+      ivfCb, pqCb, layout.getAbsolutePath)
+    val ex = Similarity.cosineTopK(df, "vec_id", "embedding", query, 10)
+      .select(lit(1L).as("qid"), col("vec_id"))
+      .cache()
+    require(ex.select("vec_id").as[Long].collect().forall(_ >= n),
+      "the planted near-duplicates must BE the exact top-10")
+    val curve = Seq(1, 2, 4, 8, 16).map { np =>
+      val t0 = System.nanoTime()
+      val ap = Similarity.ivfPqTopKFromFiles(spark, layout.getAbsolutePath,
+        "vec_id", "code", query, k = 10, nprobe = np)
+      val recall = Similarity.annRecallAtK(ex,
+        ap.select(lit(1L).as("qid"), col("vec_id")),
+        "qid", "vec_id", k = 10).head().getDouble(1)
+      (np, recall, (System.nanoTime() - t0) / 1e9)
+    }
+    ex.unpersist(); df.unpersist()
+    org.apache.commons.io.FileUtils.deleteQuietly(layout)
+    val byNp = curve.map(c => c._1 -> c._2).toMap
+    require(byNp(16) >= byNp(1),
+      s"probing every cell cannot lose recall vs one cell: $curve")
+    require(byNp(16) >= 0.8,
+      s"full probe leaves only PQ ranking loss; got $curve")
+    val pts = curve.map { case (np, r, s) =>
+      f"""{"nprobe":$np,"recall_at_10":$r%.2f,"probe_secs":$s%.2f}"""
+    }.mkString("[", ",", "]")
+    println(s"""SCALE {"corpus":"recall:$n","op":"q162_recall_curve","n_vecs":$n,"curve":$pts}""")
   }
 
   /** Incremental-dedup rung (`incr:<corpusN>:<batchN>`): the q131
@@ -1117,8 +1188,10 @@ object ScaleEvidence {
     val WarcPipe = "warcpipe:(\\d+):(\\d+)".r
     val (wcArgs, rest4) = rest3.partition(_.startsWith("warcpipe:"))
     wcArgs.foreach { case WarcPipe(f, r) => warcPipeRung(spark, f.toInt, r.toInt) }
-    val (pqArgs, rest4b) = rest4.partition(_.startsWith("pq:"))
+    val (pqArgs, rest4b0) = rest4.partition(_.startsWith("pq:"))
     pqArgs.foreach(a => pqRung(spark, a.drop(3).toLong))
+    val (rcArgs, rest4b) = rest4b0.partition(_.startsWith("recall:"))
+    rcArgs.foreach(a => recallRung(spark, a.drop(7).toLong))
     val (mixArgs, rest5) = rest4b.partition(_.startsWith("mix:"))
     mixArgs.foreach(a => mixRung(spark, a.drop(4).toLong))
     val Incr = "incr:(\\d+):(\\d+)".r

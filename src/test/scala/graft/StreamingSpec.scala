@@ -674,4 +674,151 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Layouts.sidecarCacheMisses.get() - mid == 1,
       "a rewritten generation must re-read the sidecar")
   }
+
+  test("pointered drift monitor: swap inside the quiesce window, fence-without-swap recovery, stream follows the pointer") {
+    import spark.implicits._
+    import graft.ops.{Layouts, Similarity}
+    import graft.streaming.StreamingSimilarity
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val centers = Array.tabulate(4)(c =>
+      Array.tabulate(dim)(j => if (j % 4 == c) 4.0 else 0.0))
+    def sample(n: Int, off: Double, base: Long) = (0 until n).map { i =>
+      val c = centers(i % 4)
+      (base + i, Array.tabulate(dim)(j => c(j) + rnd.nextGaussian() * 0.3 + off))
+    }
+    val root = tmp("graft_ptrdrift").getAbsolutePath
+    val corpus = sample(64, 0.0, 0L).toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 4)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 16)
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, root + "/gen0")
+    Layouts.swapGenerationPointer(spark, root, "gen0")
+    // the ingest loop addresses the ROOT: each batch resolves the
+    // pointer, encodes with the live generation's codebooks, lands in
+    // ITS increments
+    val batches = Seq(
+      sample(24, 0.0, 1000L), sample(24, 0.0, 2000L),
+      sample(24, 25.0, 3000L), sample(24, 25.0, 4000L))
+      .map(_.toDF("vec_id", "embedding"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingSimilarity.ingestBatch(b, i.toLong, root,
+        "vec_id", "embedding", Some(root + "/drift"))
+    }
+    assert(Layouts.exists(spark,
+      root + "/gen0/_increments/ingest_batch=3"))
+    val all = batches.foldLeft(corpus)(_ unionByName _)
+    // the drifted trailing window rebuilds into gen1; the POINTER is
+    // swapped inside the quiesce window and the marker released after
+    val r = Similarity.maintainPointedFromDriftSeries(spark, root,
+      root + "/drift", all, "vec_id", "embedding", window = 2)
+    assert(r.action == "rebuild" && r.layout == root + "/gen1", s"$r")
+    assert(Layouts.currentGenerationName(spark, root) == "gen1")
+    assert(!Layouts.exists(spark, root + "/gen0/" + Layouts.QuiesceMarker))
+    // the ROOT probe answers from gen1: the full corpus re-encoded
+    // under union-retrained codebooks
+    val q = Array.fill(dim)(1.0)
+    val newIvf = Similarity.ivfCodebook(all, "vec_id", "embedding", nlist = 4)
+    val newPq = Similarity.pqCodebooks(all, "vec_id", "embedding", m = 4, ks = 16)
+    val atRoot = Similarity.ivfPqTopKFromFiles(spark, root, "vec_id", "code",
+      q, k = 8, nprobe = 2).as[(Long, Double)].collect().toSeq
+    val inFlight = Similarity.ivfPqTopK(all, "vec_id", "embedding", q,
+      k = 8, nlist = 4, nprobe = 2, m = 4, ks = 16,
+      ivfCb = Some(newIvf), pqCb = Some(newPq))
+      .as[(Long, Double)].collect().toSeq
+    assert(atRoot == inFlight, s"$atRoot vs $inFlight")
+    // CRASH WINDOW: a run that died between the fence write and the
+    // pointer swap leaves fence->gen1, pointer->gen0, marker HELD on
+    // gen0 (appends refused — no batch can vanish). Manufacture
+    // exactly that state, then let the next monitor tick recover.
+    Layouts.swapGenerationPointer(spark, root, "gen0")
+    Layouts.acquireQuiesce(spark, root + "/gen0", "crashed-rebuild")
+    val rec = Similarity.maintainPointedFromDriftSeries(spark, root,
+      root + "/drift", all, "vec_id", "embedding", window = 2)
+    assert(rec.action == "swap" && rec.layout == root + "/gen1", s"$rec")
+    assert(Layouts.currentGenerationName(spark, root) == "gen1")
+    assert(!Layouts.exists(spark, root + "/gen0/" + Layouts.QuiesceMarker),
+      "recovery must release the dead run's marker")
+    // NO double-fold: the recovery never rebuilt again
+    assert(!Layouts.exists(spark, root + "/gen2"))
+    // converged: the stream's next batch follows the pointer into gen1
+    // and the next tick is a plain keep over the post-fence series
+    StreamingSimilarity.ingestBatch(sample(24, 0.0, 5000L)
+      .toDF("vec_id", "embedding"), 4L, root, "vec_id", "embedding",
+      Some(root + "/drift"))
+    assert(Layouts.exists(spark,
+      root + "/gen1/_increments/ingest_batch=4"))
+    val tick = Similarity.maintainPointedFromDriftSeries(spark, root,
+      root + "/drift", all, "vec_id", "embedding", window = 2)
+    assert(tick.action == "keep" && tick.batches == 1, s"$tick")
+  }
+
+  test("streaming bloom gate: novel docs admitted against batched history, replay converges, compaction folds") {
+    import spark.implicits._
+    import graft.ops.{Bloom, Layouts}
+    import graft.streaming.StreamingBloomGate
+    val base = tmp("graft_sbloom").getAbsolutePath
+    val corpus = Seq((0L, "alpha"), (2L, "beta"), (4L, "gamma"))
+      .toDF("doc_id", "text")
+    Bloom.writeBloomIndex(corpus.select("text"), "text", base + "/index",
+      mBits = 1 << 10, k = 4)
+    // two file-batches through the REAL stream: batch 0 re-sees a
+    // corpus text and brings one novel; batch 1 re-sees batch 0's
+    // novel (must drop against the UPDATED history) and brings its own
+    val srcDir = new java.io.File(base + "/src"); srcDir.mkdirs()
+    def stage(rows: Seq[(Long, String)], n: Int): Unit = {
+      val tmpd = new java.io.File(base + s"/stage$n")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmpd.getAbsolutePath)
+      val part = tmpd.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir.getAbsolutePath, s"b$n.parquet"))
+    }
+    stage(Seq(100L -> "alpha", 101L -> "delta"), 1)
+    stage(Seq(200L -> "delta", 201L -> "epsilon"), 2)
+    val src = spark.readStream
+      .schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.getAbsolutePath)
+    val sq = StreamingBloomGate.bloomGateStream(src, base + "/index",
+      base + "/ckpt", Seq("doc_id", "text"), "text",
+      base + "/admitted").start()
+    assert(sq.awaitTermination(120000), "bloom gate stream did not finish")
+    val admitted = spark.read.parquet(base + "/admitted")
+      .select(col("ingest_batch").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(admitted == Set((0L, 101L), (1L, 201L)), s"$admitted")
+    // crash-replay converges: re-running batch 0 judges against the
+    // history its FIRST attempt saw (own increment excluded), so the
+    // novel doc is admitted again, not dropped by its own bits
+    StreamingBloomGate.ingestBatch(
+      Seq(100L -> "alpha", 101L -> "delta").toDF("doc_id", "text"), 0L,
+      base + "/index", "text", base + "/admitted")
+    val replayed = spark.read.parquet(base + "/admitted")
+      .select(col("ingest_batch").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(replayed == admitted, s"$replayed")
+    // compaction folds base + increments into one row; the folded
+    // bitmap is bit-identical, so the gate's behavior is unchanged
+    val (m, k, words) = Bloom.readBloomIndex(spark, base + "/index")
+    Bloom.compactBloomIndex(spark, base + "/index", base + "/index2")
+    val (m2, k2, w2) = Bloom.readBloomIndex(spark, base + "/index2")
+    assert((m2, k2) == (m, k) && w2.toSeq == words.toSeq)
+    assert(spark.read.parquet(base + "/index2").count() == 1)
+    // a quiesced index refuses the streaming step (replay-after-fold)
+    Layouts.acquireQuiesce(spark, base + "/index", "test")
+    val eQ = intercept[IllegalStateException] {
+      StreamingBloomGate.ingestBatch(
+        Seq(300L -> "zeta").toDF("doc_id", "text"), 2L,
+        base + "/index", "text", base + "/admitted")
+    }
+    assert(eQ.getMessage.contains(Layouts.QuiesceMarker), eQ.getMessage)
+    Layouts.releaseQuiesce(spark, base + "/index")
+    // mixed bitmap geometry is refused, curated (an OR across
+    // different m is garbage)
+    Bloom.writeBitmapRow(spark, new Array[Long](8), 512, 4,
+      Layouts.incrementDir(base + "/index", 9L))
+    val eG = intercept[IllegalStateException] {
+      Bloom.readBloomIndex(spark, base + "/index")
+    }
+    assert(eG.getMessage.contains("geometries"), eG.getMessage)
+  }
 }
