@@ -358,6 +358,20 @@ private[graft] object Layouts {
     }
   }
 
+  /** The data part files of a sidecar directory, as concrete paths
+    * (empty when the directory vanished or holds none — a killed
+    * writer). One namenode listing.
+    */
+  private[graft] def sidecarPartFiles(spark: SparkSession,
+      path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).toIndexedSeq
+    catch { case _: java.io.FileNotFoundException => Nil }
+  }
+
   /** Collect the rows of a sidecar KNOWN to exist ([[exists]] was
     * true). A sidecar directory that is unreadable (no parquet files
     * — a killed writer) or holds zero rows fails with a curated
@@ -366,15 +380,24 @@ private[graft] object Layouts {
     */
   def collectSidecar(spark: SparkSession, path: String,
       rebuildWith: String): Array[Row] = {
+    // the part files by EXPLICIT path, not the directory (or a glob):
+    // sidecars are underscore-named (_meta, _codebooks, _rebuilt), and
+    // an explicit underscore root trips DataSource's hidden-path
+    // filter into a benign-but-alarming "All paths were ignored" WARN
+    // on every read, while a glob string trips FileStreamSink's
+    // metadata probe into logging a FileNotFoundException stack.
+    // Concrete part paths trigger neither. An empty directory (killed
+    // writer) has no part files — curated below, the same face the
+    // directory read's AnalysisException got.
+    val parts = sidecarPartFiles(spark, path)
+    if (parts.isEmpty)
+      throw new IllegalStateException(
+        s"the sidecar at $path is present but unreadable — an " +
+          "interrupted sidecar write can leave an empty directory; " +
+          s"rebuild the layout with $rebuildWith (or delete the " +
+          "sidecar to opt out of validation)")
     val rows =
-      // the part files by GLOB, not the directory itself: sidecars are
-      // underscore-named (_meta, _codebooks, _rebuilt), and an explicit
-      // underscore root trips DataSource's hidden-path filter into
-      // logging a benign-but-alarming "All paths were ignored" WARN on
-      // every read; the part files it resolves to are never filtered.
-      // An empty directory (killed writer) fails the glob with the same
-      // AnalysisException face the directory read raised — curated below.
-      try spark.read.parquet(s"$path/part-*").collect()
+      try spark.read.parquet(parts: _*).collect()
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
           throw new IllegalStateException(

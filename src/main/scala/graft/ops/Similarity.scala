@@ -1982,10 +1982,12 @@ object Similarity {
       Layouts.dropTombstones(rows, dropIds, idCol, "compactIvfPqLayout")
     Layouts.delete(spark, dst)
     if (hasSidecar)
-      // part-file glob, not the underscore directory (the
-      // collectSidecar rule: an explicit underscore root logs a benign
-      // "All paths were ignored" WARN on every read)
-      spark.read.parquet(src + "/_codebooks/part-*").coalesce(1)
+      // concrete part files, not the underscore directory or a glob
+      // (the collectSidecar rule: an underscore root logs "All paths
+      // were ignored", a glob logs FileStreamSink's probe stack)
+      spark.read.parquet(
+          Layouts.sidecarPartFiles(spark, src + "/_codebooks"): _*)
+        .coalesce(1)
         .write.mode("overwrite").parquet(dst + "/_codebooks")
     compacted
       .repartition(col(cellCol))
