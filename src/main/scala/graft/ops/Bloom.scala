@@ -165,27 +165,9 @@ object Bloom {
     */
   def readBloomIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, historyBefore: Option[Long] = None): (Int, Int, Array[Long]) = {
-    val base = spark.read.parquet(path).select("m_bits", "k", "words")
-    val root = new org.apache.hadoop.fs.Path(path, Layouts.IncrementsDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val Batch = "ingest_batch=(-?\\d+)".r
-    val merged =
-      if (!fs.exists(root)) base
-      else {
-        val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-          .flatMap { p =>
-            p.getName match {
-              case Batch(id) if historyBefore.forall(id.toLong < _) => Some(p)
-              case _ => None
-            }
-          }
-        if (dirs.isEmpty) base
-        else base.unionByName(
-          spark.read.option("basePath", root.toString)
-            .parquet(dirs.map(_.toString).toIndexedSeq: _*)
-            .select("m_bits", "k", "words"))
-      }
-    val rows = merged.collect()
+    val rows = Layouts.withIncrementsWhere(spark,
+      spark.read.parquet(path), path, Seq("m_bits", "k", "words"),
+      id => historyBefore.forall(id < _)).collect()
     require(rows.nonEmpty,
       s"the Bloom index at $path holds no bitmap row — rebuild it with " +
         "writeBloomIndex")
@@ -206,11 +188,21 @@ object Bloom {
     (m, k, acc)
   }
 
-  /** Fold a Bloom index's committed increments into a single-row base
-    * at `dst` — the [[Similarity.compactIvfPqLayout]] play for the
-    * gate's history (a year of per-batch rows is a listing tax on
-    * every tick). Holds the quiesce marker for the fold; the caller
-    * swaps its pointer (LSM convention).
+  /** Fold a Bloom index's committed increments into the base row at
+    * `dst` — the [[Similarity.compactIvfPqLayout]] play for the gate's
+    * history (a year of per-batch rows is a listing tax on every
+    * tick). Holds the quiesce marker for the fold; the caller swaps
+    * its pointer (LSM convention).
+    *
+    * The NEWEST increment is carried verbatim, NOT folded: under
+    * Structured Streaming's sequential epochs only the newest on-disk
+    * batch can still be checkpoint-uncommitted (batch b+1's increment
+    * existing proves batch b committed), and a replay of batch b needs
+    * `increments < b` reconstructible — folding b's own bits into the
+    * base would make its replay judge against ITSELF and silently drop
+    * every doc it first admitted (the divergence the `<` history rule
+    * exists to prevent). One extra row per read buys replay safety for
+    * the only batch that can exercise it.
     */
   def compactBloomIndex(spark: org.apache.spark.sql.SparkSession,
       src: String, dst: String): Unit = {
@@ -220,9 +212,16 @@ object Bloom {
     Layouts.acquireQuiesce(spark, src, "compactBloomIndex")
     try {
       Layouts.assertNoInflightIncrements(spark, src, "compactBloomIndex")
-      val (m, k, words) = readBloomIndex(spark, src)
+      val newest = Layouts.incrementIds(spark, src).lastOption
+      val (m, k, folded) = readBloomIndex(spark, src, historyBefore = newest)
       Layouts.delete(spark, dst)
-      writeBitmapRow(spark, words, m, k, dst)
+      writeBitmapRow(spark, folded, m, k, dst)
+      newest.foreach { b =>
+        spark.read.parquet(Layouts.incrementDir(src, b))
+          .select("m_bits", "k", "words")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(Layouts.incrementDir(dst, b))
+      }
     } finally Layouts.releaseQuiesce(spark, src)
   }
 }

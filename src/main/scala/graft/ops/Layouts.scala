@@ -38,17 +38,33 @@ private[graft] object Layouts {
     */
   def withIncrements(spark: SparkSession, base: org.apache.spark.sql.DataFrame,
       path: String, cols: Seq[String],
-      excludeBatchId: Option[Long]): org.apache.spark.sql.DataFrame = {
+      excludeBatchId: Option[Long]): org.apache.spark.sql.DataFrame =
+    withIncrementsWhere(spark, base, path, cols,
+      id => excludeBatchId.forall(id != _))
+
+  /** [[withIncrements]] with an arbitrary batch-id predicate — the one
+    * increment-listing discipline (name filter, explicit paths, the
+    * basePath anchor) shared by every reader: the own-batch exclusion
+    * above, and the Bloom gate's STRICTER `id < b` history rule
+    * ([[Bloom.readBloomIndex]]).
+    */
+  def withIncrementsWhere(spark: SparkSession,
+      base: org.apache.spark.sql.DataFrame,
+      path: String, cols: Seq[String],
+      keepBatch: Long => Boolean): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     val root = new org.apache.hadoop.fs.Path(path, IncrementsDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val projected = base.select(cols.map(col): _*)
     if (!fs.exists(root)) projected
     else {
+      val Batch = "ingest_batch=(-?\\d+)".r
       val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-        .filter { p =>
-          p.getName.startsWith("ingest_batch=") &&
-            excludeBatchId.forall(b => p.getName != s"ingest_batch=$b")
+        .flatMap { p =>
+          p.getName match {
+            case Batch(id) if keepBatch(id.toLong) => Some(p)
+            case _ => None
+          }
         }
       if (dirs.isEmpty) projected
       else projected.unionByName(
@@ -69,6 +85,20 @@ private[graft] object Layouts {
     */
   def incrementDir(path: String, batchId: Long): String =
     s"$path/$IncrementsDir/ingest_batch=$batchId"
+
+  /** The batch ids of a layout's committed increment directories (one
+    * namenode listing; empty when none).
+    */
+  def incrementIds(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path, IncrementsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Nil
+    else {
+      val Batch = "ingest_batch=(-?\\d+)".r
+      fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+        .collect { case Batch(id) => id.toLong }.toIndexedSeq.sorted
+    }
+  }
 
   /** A per-batch OWNED output directory under a plain (non-layout)
     * output root — the idempotence convention of [[incrementDir]]
@@ -206,8 +236,12 @@ private[graft] object Layouts {
         s"generation directory under $root (write the generation first)")
     val conf = spark.sparkContext.hadoopConfiguration
     val marker = new org.apache.hadoop.fs.Path(s"$root/$GenerationPointer")
+    // per-call unique temp name: a FIXED temp path lets two concurrent
+    // swappers (overlapping monitor ticks, or a tick racing a manual
+    // crash recovery) truncate each other's half-written file and
+    // rename garbage over _current
     val tmp = new org.apache.hadoop.fs.Path(
-      s"$root/.${GenerationPointer}_tmp")
+      s"$root/.${GenerationPointer}_tmp_${java.util.UUID.randomUUID()}")
     val fs = marker.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -1250,6 +1250,12 @@ object Similarity {
       // retrain's corpus snapshot.
       Layouts.acquireQuiesce(spark, layout, "maintainIvfPq")
       try {
+        // the handshake's second half, exactly as the compactors do
+        // it: the marker stops NEW appends; this catches the one that
+        // passed its check before we acquired and is still staging —
+        // letting it drain (the caller retries) beats retiring its
+        // rows with the pointer swap
+        Layouts.assertNoInflightIncrements(spark, layout, "maintainIvfPq")
         val all = corpus.select(col(idCol), col(vecCol))
           .unionByName(batch.select(col(idCol), col(vecCol)))
         retrainGeneration(residual, nlist, m, ks, all, idCol, vecCol,
@@ -1448,7 +1454,11 @@ object Similarity {
     val fencePath = s"$driftOut/$RebuiltFence"
     if (!Layouts.exists(spark, fencePath)) None
     else {
-      val r = Layouts.collectSidecar(spark, fencePath,
+      // cached per fence generation (the sidecar-cache discipline): a
+      // recurring monitor tick reads the fence 2-3 times — recovery
+      // check, empty-series check, threshold filter — and without the
+      // cache each is a driver-side parquet read of the same KB file
+      val r = Layouts.collectSidecarCached(spark, fencePath,
         "maintainFromDriftSeries (the fence is written by its rebuild " +
           "path)")(0)
       val gen =
@@ -1536,6 +1546,12 @@ object Similarity {
       // replays it into the new generation
       Layouts.acquireQuiesce(spark, layout, "maintainFromDriftSeries")
       try {
+        // second half of the handshake (the compactors' rule): an
+        // append that passed its marker check before we acquired and
+        // is still staging must drain before the retrain+swap retires
+        // its generation
+        Layouts.assertNoInflightIncrements(spark, layout,
+          "maintainFromDriftSeries")
         val residual = sidecarPqKind(spark, layout) == "rpq"
         val (ivfCb, pqCb) =
           if (residual) readIvfPqResidualCodebooks(spark, layout)

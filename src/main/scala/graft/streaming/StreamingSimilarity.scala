@@ -65,13 +65,29 @@ object StreamingSimilarity {
       layoutPath: String,
       idCol: String,
       vecCol: String,
-      driftOut: Option[String]): Unit = {
-    val spark = b.sparkSession
+      driftOut: Option[String]): Unit =
     // a pointered store root resolves to the CURRENT generation once
     // per batch: the first micro-batch after a pointered rebuild's
     // swap encodes with (and reports drift against) the NEW
     // generation's codebooks automatically
-    val layout = Similarity.resolveLayout(spark, layoutPath)
+    ingestBatchResolved(b, batchId, layoutPath,
+      Similarity.resolveLayout(b.sparkSession, layoutPath),
+      idCol, vecCol, driftOut)
+
+  /** [[ingestBatch]] with the generation resolution split out — the
+    * seam that lets the post-write pointer fence below be pinned
+    * deterministically (a spec hands in a stale `layout` to stand for
+    * "the pointer moved while this batch was encoding").
+    */
+  private[graft] def ingestBatchResolved(
+      b: DataFrame,
+      batchId: Long,
+      layoutPath: String,
+      layout: String,
+      idCol: String,
+      vecCol: String,
+      driftOut: Option[String]): Unit = {
+    val spark = b.sparkSession
     // fail BEFORE the encode while a compaction holds the layout's
     // quiesce marker (appendIvfPqIncrement refuses too — this check
     // just moves the curated failure ahead of the work): the
@@ -99,6 +115,22 @@ object StreamingSimilarity {
         .coalesce(1).write.mode("overwrite")
         .parquet(graft.ops.Layouts.ownedBatchDir(out, batchId))
     }
+    // post-write pointer fence: the marker is check-then-act for a
+    // batch already past its check, so a pointered rebuild can acquire,
+    // retrain, swap and release while this batch encodes (the in-flight
+    // handshake catches a batch that is already STAGING; this closes
+    // the resolve-to-first-write sliver before any staging exists).
+    // Failing AFTER the write is safe and convergent: the checkpoint
+    // has not committed, the replay resolves the NEW generation and
+    // re-encodes there, and the rows written into the superseded
+    // generation are never read again (its probes ended at the swap;
+    // vacuumGenerations reclaims it).
+    if (Similarity.resolveLayout(spark, layoutPath) != layout)
+      throw new IllegalStateException(
+        s"incrementalAnnStream: the generation pointer under $layoutPath " +
+          s"moved off $layout while batch $batchId was encoding (a " +
+          "pointered rebuild swapped it); failing the batch so the " +
+          "checkpoint replays it against the new generation")
   }
 
   def incrementalAnnStream(

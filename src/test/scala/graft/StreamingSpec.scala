@@ -751,6 +751,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tick = Similarity.maintainPointedFromDriftSeries(spark, root,
       root + "/drift", all, "vec_id", "embedding", window = 2)
     assert(tick.action == "keep" && tick.batches == 1, s"$tick")
+    // the post-write pointer fence: a batch whose generation pointer
+    // moved while it was encoding (here: a stale resolved layout) must
+    // fail AFTER its write so the checkpoint replays it against the
+    // NEW generation — the resolve-to-first-write sliver the marker's
+    // check-then-act cannot cover
+    val stale = intercept[IllegalStateException] {
+      StreamingSimilarity.ingestBatchResolved(
+        sample(24, 0.0, 6000L).toDF("vec_id", "embedding"), 5L,
+        root, root + "/gen0", "vec_id", "embedding", None)
+    }
+    assert(stale.getMessage.contains("moved off"), stale.getMessage)
+    // the replay (normal resolution) lands the batch in the live
+    // generation; the stale generation's orphan rows are never probed
+    StreamingSimilarity.ingestBatch(sample(24, 0.0, 6000L)
+      .toDF("vec_id", "embedding"), 5L, root, "vec_id", "embedding", None)
+    assert(Layouts.exists(spark, root + "/gen1/_increments/ingest_batch=5"))
   }
 
   test("streaming bloom gate: novel docs admitted against batched history, replay converges, compaction folds") {
@@ -796,13 +812,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("ingest_batch").cast("long"), col("doc_id"))
       .as[(Long, Long)].collect().toSet
     assert(replayed == admitted, s"$replayed")
-    // compaction folds base + increments into one row; the folded
-    // bitmap is bit-identical, so the gate's behavior is unchanged
+    // compaction folds all but the NEWEST increment into the base row;
+    // the full OR is bit-identical, so the gate's behavior is unchanged
     val (m, k, words) = Bloom.readBloomIndex(spark, base + "/index")
     Bloom.compactBloomIndex(spark, base + "/index", base + "/index2")
     val (m2, k2, w2) = Bloom.readBloomIndex(spark, base + "/index2")
     assert((m2, k2) == (m, k) && w2.toSeq == words.toSeq)
     assert(spark.read.parquet(base + "/index2").count() == 1)
+    // replay safety ACROSS the fold: the newest batch (the only one
+    // Structured Streaming can still replay) was carried verbatim, not
+    // folded — its replay against the compacted index judges history
+    // = base-without-its-own-bits and converges; a fold of everything
+    // would have made it judge against itself and drop epsilon
+    assert(Layouts.incrementIds(spark, base + "/index2") == Seq(1L))
+    StreamingBloomGate.ingestBatch(
+      Seq(200L -> "delta", 201L -> "epsilon").toDF("doc_id", "text"), 1L,
+      base + "/index2", "text", base + "/admitted2")
+    val replayedPost = spark.read.parquet(base + "/admitted2")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(replayedPost == Set(201L), s"$replayedPost")
     // a quiesced index refuses the streaming step (replay-after-fold)
     Layouts.acquireQuiesce(spark, base + "/index", "test")
     val eQ = intercept[IllegalStateException] {
