@@ -1950,7 +1950,36 @@ object Similarity {
     */
   def compactIvfPqLayout(spark: org.apache.spark.sql.SparkSession,
       src: String, dst: String, cellCol: String = "cell",
-      dropIds: Option[DataFrame] = None, idCol: String = "id"): Unit = {
+      dropIds: Option[DataFrame] = None, idCol: String = "id"): Unit =
+    compactIvfPqCore(spark, src, dst, cellCol, dropIds, idCol,
+      afterFold = () => ())
+
+  /** [[compactIvfPqLayout]] over a POINTERED store root: folds the
+    * CURRENT generation (base + committed increments, tombstones
+    * retired) into the next `gen<k+1>` and swaps `_current` INSIDE the
+    * quiesce window — the compaction-side twin of
+    * [[maintainPointedIvfPq]], closing the same
+    * append-lands-in-the-superseded-generation gap for the LSM fold.
+    * Streams addressing the root refuse while the marker is held and
+    * replay into the new generation after the swap; superseded
+    * generations are reclaimed by [[graft.ops.Layouts.vacuumGenerations]].
+    * Returns the new generation's path.
+    */
+  def compactPointedIvfPqLayout(spark: org.apache.spark.sql.SparkSession,
+      root: String, cellCol: String = "cell",
+      dropIds: Option[DataFrame] = None, idCol: String = "id"): String = {
+    val gen = Layouts.currentGenerationName(spark, root)
+    val next = nextGenerationName(root, gen)
+    compactIvfPqCore(spark, s"$root/$gen", s"$root/$next", cellCol,
+      dropIds, idCol,
+      afterFold = () => Layouts.swapGenerationPointer(spark, root, next))
+    s"$root/$next"
+  }
+
+  private def compactIvfPqCore(spark: org.apache.spark.sql.SparkSession,
+      src: String, dst: String, cellCol: String,
+      dropIds: Option[DataFrame], idCol: String,
+      afterFold: () => Unit): Unit = {
     require(src != dst,
       "compactIvfPqLayout writes a NEW layout at dst; swap the pointer " +
         "after (an in-place rewrite would clobber the files it reads)")
@@ -2008,6 +2037,10 @@ object Similarity {
     compacted
       .repartition(col(cellCol))
       .write.mode("append").partitionBy(cellCol).parquet(dst)
+    // still inside the marker window: the pointered face swaps
+    // _current here, so no append can land in the folded-away
+    // generation between the rewrite and the swap
+    afterFold()
     } finally Layouts.releaseQuiesce(spark, src)
   }
 

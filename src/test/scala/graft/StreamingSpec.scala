@@ -767,6 +767,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     StreamingSimilarity.ingestBatch(sample(24, 0.0, 6000L)
       .toDF("vec_id", "embedding"), 5L, root, "vec_id", "embedding", None)
     assert(Layouts.exists(spark, root + "/gen1/_increments/ingest_batch=5"))
+    // the COMPACTION-side twin: fold the live generation (base +
+    // streamed increments) into gen2 with the pointer swapped inside
+    // the marker window — the merged probe before equals the base-only
+    // probe after (the fold preserves every row), the next stream
+    // batch lands in gen2, and vacuum reclaims both superseded
+    // generations
+    val beforeFold = Similarity.ivfPqTopKFromFilesWithIncrements(spark,
+      root, "vec_id", "code", q, k = 8, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    val gen2 = Similarity.compactPointedIvfPqLayout(spark, root,
+      idCol = "vec_id")
+    assert(gen2 == root + "/gen2", gen2)
+    assert(Layouts.currentGenerationName(spark, root) == "gen2")
+    assert(!Layouts.exists(spark, root + "/gen1/" + Layouts.QuiesceMarker))
+    val afterFold = Similarity.ivfPqTopKFromFiles(spark, root, "vec_id",
+      "code", q, k = 8, nprobe = 2).as[(Long, Double)].collect().toSeq
+    assert(afterFold == beforeFold, s"$afterFold vs $beforeFold")
+    StreamingSimilarity.ingestBatch(sample(24, 0.0, 7000L)
+      .toDF("vec_id", "embedding"), 6L, root, "vec_id", "embedding", None)
+    assert(Layouts.exists(spark, root + "/gen2/_increments/ingest_batch=6"))
+    assert(Layouts.vacuumGenerations(spark, root, keep = 1) ==
+      Seq("gen0", "gen1"))
+    assert(Similarity.ivfPqTopKFromFiles(spark, root, "vec_id", "code",
+      q, k = 8, nprobe = 2).count() == 8)
   }
 
   test("streaming bloom gate: novel docs admitted against batched history, replay converges, compaction folds") {
