@@ -2077,6 +2077,59 @@ object Similarity {
       query, k, nprobe, cellCol)
   }
 
+  /** SHORTLIST + EXACT RE-RANK over an at-rest layout — the REFINE
+    * step production retrieval runs on top of IVF-PQ (FAISS's
+    * IndexRefineFlat): the probe ranks codes by ADC and keeps a
+    * `shortlist`-sized candidate set, then re-ranks exactly those rows
+    * by TRUE cosine on the full-precision vectors the layout carries
+    * (written with `keep = Seq(vecCol)`), returning the top `k`. This
+    * buys back the PQ ranking loss [[annRecallAtK]] quantifies —
+    * guaranteed never worse than the plain ADC top-k (every exact
+    * neighbor the ADC top-k found is still in the shortlist and wins
+    * its exact re-rank; OpsSpec pins the dominance) — while paying
+    * exact distances on `shortlist` rows instead of the corpus.
+    *
+    * Scale shape: two narrow scans of the probed cells only. Scan 1
+    * reads (id, code) and takes the ADC shortlist
+    * (TakeOrderedAndProject, zero exchanges); the shortlist ids are a
+    * BOUNDED driver collect (the codebook-collect discipline —
+    * hundreds of longs) and re-enter scan 2 as an `isin` predicate
+    * pushed into the parquet scan, which reads (id, vector) for
+    * exactly those rows and re-ranks. No join, no shuffle; the
+    * full-precision vectors are read for `shortlist` rows, never the
+    * probed fraction.
+    *
+    * Output: (idCol, cos) ordered cos desc, ties by id.
+    */
+  def ivfPqTopKRefined(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, codeCol: String, vecCol: String,
+      query: Array[Double], k: Int, shortlist: Int = 100,
+      nprobe: Int = 4, cellCol: String = "cell"): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist=$shortlist must be >= k=$k (the re-rank keeps k of " +
+        "the shortlist)")
+    require(shortlist <= 100000,
+      s"shortlist=$shortlist: the shortlist ids are a driver collect " +
+        "and an isin predicate — keep it bounded (the refine step's " +
+        "point is exact distances on FEW rows)")
+    val layout = resolveLayout(spark, path)
+    val (ivfCb, pqCb) = readIvfPqCodebooks(spark, layout)
+    val probed = ivfProbed(ivfCb, query, nprobe)
+    val lut = pqAdcTable(pqCb, query)
+    val cells = spark.read.parquet(layout)
+      .where(col(cellCol).isin(probed: _*))
+    val ids = cells
+      .select(col(idCol), round(adcColumn(lut, col(codeCol)), 6).as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(shortlist)
+      .select(idCol)
+      .collect().map(_.get(0))
+    cells.where(col(idCol).isin(ids: _*))
+      .select(col(idCol), round(cosineTo(col(vecCol), query), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** MULTI-QUERY batched ANN over an at-rest layout — the OFFLINE
     * retrieval shape (score an eval set, decontaminate a benchmark,
     * backfill neighbors for a whole ingest batch): Q query vectors

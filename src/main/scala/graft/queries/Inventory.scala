@@ -193,7 +193,8 @@ object Inventory extends InventoryCrawl {
     "q160_ann_batch_probe" -> (q160 _),
     "q161_ann_residual_batch_incr" -> (q161 _),
     "q162_ann_recall" -> (q162 _),
-    "q163_streaming_bloom_gate" -> (q163 _))
+    "q163_streaming_bloom_gate" -> (q163 _),
+    "q164_ann_refine" -> (q164 _))
 
   /** DuckDB-runnable oracles — one per query, including the custom-op
     * surfaces: simhash/fingerprint values are md5-derived (the one hash
@@ -1752,6 +1753,64 @@ object Inventory extends InventoryCrawl {
           |  SELECT CAST(16 AS BIGINT),
           |    round((SELECT COUNT(*) FROM exact JOIN approx16 USING (vec_id)) / 10.0, 6))
           |ORDER BY nprobe""".stripMargin,
+      // q164: the refine pattern — the q132 ADC chain ordered by
+      // ROUNDED distance (ties by id) cut at the 40-candidate
+      // shortlist, then q14's exact cosine over exactly those ids for
+      // the final 10: shortlist cutoff, tie-order and re-rank metric
+      // all land in one hash
+      "q164_ann_refine" ->
+        """WITH cmeta AS (
+          |  SELECT vec_id AS cent_id, embedding AS cvec,
+          |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS cnorm
+          |  FROM embeddings ORDER BY vec_id LIMIT 16),
+          |assigned AS (
+          |  SELECT e.vec_id, e.embedding, c.cent_id,
+          |    list_sum(list_transform(generate_series(1, 64),
+          |             i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE))
+          |      / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in e.embedding])) * c.cnorm)
+          |      AS cos_c
+          |  FROM embeddings e CROSS JOIN cmeta c
+          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          |                             ORDER BY cos_c DESC, c.cent_id) = 1),
+          |probed AS (
+          |  SELECT cent_id FROM cmeta
+          |  ORDER BY (list_sum([x::DOUBLE for x in cvec]) / (sqrt(64.0) * cnorm)) DESC,
+          |           cent_id
+          |  LIMIT 4),
+          |sel AS (
+          |  SELECT a.vec_id, a.embedding FROM assigned a
+          |  JOIN probed p USING (cent_id)),
+          |cb AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS c
+          |  FROM (SELECT vec_id, embedding FROM embeddings
+          |        ORDER BY vec_id LIMIT 16)),
+          |sub AS (
+          |  SELECT e.vec_id, m.m, cb.j,
+          |    list_sum(list_transform(generate_series(1, 8),
+          |      i -> (e.embedding[m.m*8+i]::DOUBLE - cb.c[m.m*8+i]::DOUBLE) *
+          |           (e.embedding[m.m*8+i]::DOUBLE - cb.c[m.m*8+i]::DOUBLE))) AS d
+          |  FROM sel e CROSS JOIN generate_series(0, 7) m(m) CROSS JOIN cb),
+          |code AS (
+          |  SELECT vec_id, m, j FROM sub
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),
+          |lut AS (
+          |  SELECT m.m, cb.j,
+          |    list_sum(list_transform(generate_series(1, 8),
+          |      i -> (1.0 - cb.c[m.m*8+i]::DOUBLE) * (1.0 - cb.c[m.m*8+i]::DOUBLE))) AS ld
+          |  FROM cb CROSS JOIN generate_series(0, 7) m(m)),
+          |adc AS (
+          |  SELECT c.vec_id, list_sum(list(l.ld ORDER BY l.m)) AS dist
+          |  FROM code c JOIN lut l ON l.m = c.m AND l.j = c.j
+          |  GROUP BY c.vec_id),
+          |short AS (
+          |  SELECT vec_id FROM adc
+          |  ORDER BY round(dist, 6), vec_id LIMIT 40)
+          |SELECT e.vec_id,
+          |  round(list_sum([x::DOUBLE for x in e.embedding]) /
+          |        (sqrt(64.0) * sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in e.embedding]))), 6)
+          |    AS cos
+          |FROM embeddings e JOIN short USING (vec_id)
+          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
       // q159: the composed monitoring loop — four per-batch drift
       // errors from q151's proven min-over-entries arithmetic under
       // the CORPUS codebooks, median-of-first-2 vs median-of-last-2

@@ -679,4 +679,30 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
     }.reduce(_ unionByName _)
       .orderBy(col("nprobe"))
   }
+
+
+  /** ADC shortlist + EXACT RE-RANK (round 20 —
+    * [[Similarity.ivfPqTopKRefined]], the FAISS IndexRefineFlat
+    * pattern and the answer to the PQ ranking loss q162 measures):
+    * the layout carries the full-precision vectors (`keep`), the
+    * probe shortlists 40 candidates by ADC inside the probed cells,
+    * and exact cosine re-ranks them for the final top-10. The oracle
+    * restates both stages — the q132 ADC chain ordered by rounded
+    * distance (ties by id) LIMIT 40, then q14's exact cosine over
+    * exactly those ids LIMIT 10 — so the shortlist cutoff, the id
+    * tie-order and the re-rank metric are all load-bearing in one
+    * hash.
+    */
+  private[queries] def q164(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val ivfCb = Similarity.ivfCodebook(emb, "vec_id", "embedding", nlist = 16)
+    val pqCb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16)
+    val base = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q164_refine"),
+      java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    Similarity.writeIvfPqPartitioned(emb, "vec_id", "embedding",
+      ivfCb, pqCb, base + "/layout", keep = Seq("embedding"))
+    Similarity.ivfPqTopKRefined(s, base + "/layout", "vec_id", "code",
+      "embedding", OnesQuery, k = 10, shortlist = 40, nprobe = 4)
+  }
 }

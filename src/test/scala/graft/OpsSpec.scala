@@ -2838,6 +2838,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recalls(4) >= 0.8, s"$recalls")
   }
 
+  test("ivfPqTopKRefined: exact re-rank never loses to the plain ADC top-k; a corpus-wide shortlist IS exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(55)
+    val emb = (0L until 200L).map(i =>
+      (i, Array.tabulate(16)(j => math.sin(i * 0.37 + j) + rnd.nextGaussian() * 0.1)))
+      .toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(emb, "vec_id", "embedding", nlist = 8)
+    val pqCb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, ks = 16)
+    val base = java.nio.file.Files.createTempDirectory("graft_refine").toString
+    Similarity.writeIvfPqPartitioned(emb, "vec_id", "embedding", ivfCb, pqCb,
+      base + "/layout", keep = Seq("embedding"))
+    val q = Array.fill(16)(1.0)
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+    val exactIds = exact.select(lit(1L).as("qid"), col("vec_id"))
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      Similarity.annRecallAtK(exactIds,
+        df.select(lit(1L).as("qid"), col("vec_id")), "qid", "vec_id", 10)
+        .as[(Long, Double)].head()._2
+    // DOMINANCE (guaranteed, not statistical): every exact neighbor
+    // the plain ADC top-10 found is still in the 50-shortlist, and the
+    // exact re-rank always keeps it — so refined recall >= ADC recall
+    val adc = Similarity.ivfPqTopKFromFiles(spark, base + "/layout",
+      "vec_id", "code", q, k = 10, nprobe = 8)
+    val refined = Similarity.ivfPqTopKRefined(spark, base + "/layout",
+      "vec_id", "code", "embedding", q, k = 10, shortlist = 50, nprobe = 8)
+    assert(recallOf(refined) >= recallOf(adc),
+      s"refined ${recallOf(refined)} vs adc ${recallOf(adc)}")
+    // a shortlist covering every probed row with every cell probed is
+    // EXACT search: identical to the brute-force top-k, values included
+    val full = Similarity.ivfPqTopKRefined(spark, base + "/layout",
+      "vec_id", "code", "embedding", q, k = 10, shortlist = 200, nprobe = 8)
+      .as[(Long, Double)].collect().toSeq
+    val truth = exact.as[(Long, Double)].collect().toSeq
+    assert(full == truth, s"$full vs $truth")
+    // curated refusal: a shortlist smaller than k cannot re-rank to k
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKRefined(spark, base + "/layout", "vec_id",
+        "code", "embedding", q, k = 10, shortlist = 5)
+    }
+    assert(e.getMessage.contains("shortlist"), e.getMessage)
+  }
+
   test("a fully-pruned drift series reads empty; prune composes into the rebuild; the root _temporary probe refuses") {
     import spark.implicits._
     import graft.streaming.StreamingSimilarity
