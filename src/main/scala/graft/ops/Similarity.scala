@@ -2227,6 +2227,16 @@ object Similarity {
       "duplicate query ids — each query needs its own id in the output")
     require(nprobe >= 1,
       "nprobe must be >= 1 (the probe needs at least one cell)")
+    // each query adds one inlined LUT (a codegen reference object) and
+    // one slot in the per-row fan-out array — fine for a BATCH (tens
+    // to hundreds), a silent cliff at thousands (generated-code size,
+    // Q-wide rows). Refuse curated instead: chunk and union, or flip
+    // to a TopKByScore aggregation keyed by (query_id) when the query
+    // set is itself a table.
+    require(queries.length <= 1024,
+      s"${queries.length} queries in one batched probe — the fan-out " +
+        "inlines one ADC table and one struct slot per query; chunk " +
+        "the query set (union the per-chunk results) past 1024")
     val layout = resolveLayout(spark, path)
     val (ivfCb, cb) =
       if (residual) readIvfPqResidualCodebooks(spark, layout)
