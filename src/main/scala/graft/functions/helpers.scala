@@ -324,9 +324,22 @@ object HashingHelper {
     * hash for the simhash/fingerprint surfaces.
     */
   def md5lo62(s: CharSequence): Long = {
+    val b = s.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    md5lo62Bytes(b, 0, b.length)
+  }
+
+  /** [[md5lo62]] over a byte range — the allocation-free form for hot
+    * loops that hash many slices of one buffer (the winnowing gram
+    * scan hashes EVERY position of a document: the per-gram
+    * subSequence → String → UTF-8 byte[] chain was 3 allocations per
+    * character of input). Identical digests by construction when the
+    * bytes are the UTF-8 encoding of the CharSequence form.
+    */
+  def md5lo62Bytes(b: Array[Byte], off: Int, len: Int): Long = {
     val md = md5Local.get()
     md.reset()
-    val d = md.digest(s.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(b, off, len)
+    val d = md.digest()
     val v = (d(8) & 0xffL) | ((d(9) & 0xffL) << 8) | ((d(10) & 0xffL) << 16) |
       ((d(11) & 0xffL) << 24) | ((d(12) & 0xffL) << 32) | ((d(13) & 0xffL) << 40) |
       ((d(14) & 0xffL) << 48) | ((d(15) & 0xffL) << 56)
@@ -546,10 +559,15 @@ object HashingHelper {
     val s = tokenize(text.toString).mkString(" ")
     val n = s.length
     if (n < k) return new GenericArrayData(Array.empty[Any])
+    // tokenize() output is ASCII by construction ([a-z0-9] + the space
+    // joins), so the UTF-8 bytes of any substring are exactly the byte
+    // range — hash slices of ONE encoded buffer instead of allocating
+    // a subSequence + String + byte[] per position (identical digests)
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val grams = new Array[Long](n - k + 1)
     var i = 0
     while (i <= n - k) {
-      grams(i) = md5lo62(s.subSequence(i, i + k))
+      grams(i) = HashingHelper.md5lo62Bytes(bytes, i, k)
       i += 1
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]

@@ -141,12 +141,25 @@ object Bloom {
     writeBitmapRow(corpus.sparkSession,
       bitmapOf(corpus, textCol, mBits, k), mBits, k, out)
 
+  /** Schema of a bitmap row directory (base index and per-batch
+    * increments alike; matches the previous `toDF` encoder output).
+    */
+  private[graft] val BitmapRowSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("m_bits", IntegerType, nullable = false),
+      StructField("k", IntegerType, nullable = false),
+      StructField("words", ArrayType(LongType, containsNull = false),
+        nullable = true)))
+  }
+
   private[graft] def writeBitmapRow(
       spark: org.apache.spark.sql.SparkSession, words: Array[Long],
       mBits: Int, k: Int, dir: String): Unit = {
-    import spark.implicits._
-    Seq((mBits, k, words.toSeq)).toDF("m_bits", "k", "words")
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // driver-side sidecar write: the bitmap is already a driver array
+    // (one m/64-long row) — see Layouts.writeSidecar
+    Layouts.writeSidecar(spark, dir, BitmapRowSchema,
+      Seq(org.apache.spark.sql.Row(mBits, k, words.toSeq)))
   }
 
   /** Load a [[writeBloomIndex]] layout's bitmap, OR-merged with its
@@ -165,9 +178,21 @@ object Bloom {
     */
   def readBloomIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, historyBefore: Option[Long] = None): (Int, Int, Array[Long]) = {
-    val rows = Layouts.withIncrementsWhere(spark,
-      spark.read.parquet(path), path, Seq("m_bits", "k", "words"),
-      id => historyBefore.forall(id < _)).collect()
+    // DRIVER-SIDE read (the Layouts.collectSidecar path): the index is
+    // one KB-to-MB row per committed batch, and the previous
+    // spark.read + collect paid a full Spark job per gate evaluation —
+    // per MICRO-BATCH in the streaming gate. Same listing discipline
+    // as withIncrementsWhere (incrementIds + the `< b` history rule).
+    val dirs = path +: Layouts.incrementIds(spark, path)
+      .filter(id => historyBefore.forall(id < _))
+      .map(id => Layouts.incrementDir(path, id))
+    val rows = dirs.flatMap { d =>
+      Layouts.collectSidecar(spark, d, "writeBloomIndex").map { r =>
+        org.apache.spark.sql.Row(
+          r.getInt(r.fieldIndex("m_bits")), r.getInt(r.fieldIndex("k")),
+          r.getSeq[Long](r.fieldIndex("words")))
+      }
+    }
     require(rows.nonEmpty,
       s"the Bloom index at $path holds no bitmap row — rebuild it with " +
         "writeBloomIndex")
@@ -217,10 +242,15 @@ object Bloom {
       Layouts.delete(spark, dst)
       writeBitmapRow(spark, folded, m, k, dst)
       newest.foreach { b =>
-        spark.read.parquet(Layouts.incrementDir(src, b))
-          .select("m_bits", "k", "words")
-          .coalesce(1).write.mode("overwrite")
-          .parquet(Layouts.incrementDir(dst, b))
+        // verbatim driver-side copy (one KB-to-MB row — the read was
+        // already driver-bounded; now the write is job-free too)
+        val rows = Layouts.collectSidecar(spark, Layouts.incrementDir(src, b),
+          "writeBloomIndex (the increment is written by the streaming gate)")
+          .map(r => org.apache.spark.sql.Row(
+            r.getInt(r.fieldIndex("m_bits")), r.getInt(r.fieldIndex("k")),
+            r.getSeq[Long](r.fieldIndex("words"))))
+        Layouts.writeSidecar(spark, Layouts.incrementDir(dst, b),
+          BitmapRowSchema, rows.toSeq)
       }
     } finally Layouts.releaseQuiesce(spark, src)
   }

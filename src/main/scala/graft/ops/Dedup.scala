@@ -71,9 +71,15 @@ object Dedup {
       shingleWidth: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    df.select(
-      col(idCol).as("id"),
-      GraftFunctions.minhash_signature(col(textCol), numHashes, shingleWidth).as("__sig"))
+    // fan the (id, text) projection out before the signature pass: the
+    // minhash is the CPU of this operator, and a sub-split-size corpus
+    // arrives as fewer partitions than cores (identity at scale — see
+    // Layouts.fanOutByKey)
+    Layouts.fanOutByKey(
+        df.select(col(idCol).as("id"), col(textCol).as("__bs_text")), "id")
+      .select(
+        col("id"),
+        GraftFunctions.minhash_signature(col("__bs_text"), numHashes, shingleWidth).as("__sig"))
       .select(col("id"), posexplode(expr(
         s"transform(sequence(0, $bands - 1), b -> xxhash64(concat_ws(',', transform(slice(__sig, b * $r + 1, $r), x -> cast(x as string)))))")))
       .withColumnRenamed("pos", "band")
@@ -135,9 +141,30 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 128,
       bands: Int = 32,
-      shingleWidth: Int = 3): DataFrame = {
+      shingleWidth: Int = 3,
+      maxBroadcastCandRows: Long = 4L << 20): DataFrame = {
+    // candidate-bounded and consumed three times (two id projections
+    // for the semi-joins + the verification join): without the eager
+    // localCheckpoint each consumer re-runs the banding self-join —
+    // the [[incrementalNearDup]]/[[nearDupPairsFromIndex]] rule,
+    // applied to the from-raw-text face (r21 optimization)
     val cand = nearDupCandidates(df, idCol, textCol, numHashes, bands, shingleWidth)
-    val sh = df.select(col(idCol).as("__sid"), shingles(col(textCol), shingleWidth).as("__sh"))
+      .localCheckpoint(true)
+    // semi-join the corpus down to candidate-matched ids BEFORE
+    // shingling: the previous shape shingled EVERY corpus row twice
+    // (id_a side + id_b side) on the way into the verification join —
+    // an O(corpus text bytes) pass per side that candidates bound
+    // instead. Broadcast while the candidate-id set provably fits
+    // (counting the checkpointed set is cheap); degrade to a shuffle
+    // semi-join rather than a driver OOM on a pathological corpus.
+    val candIds = cand.select(col("id_a").as("__cid"))
+      .union(cand.select(col("id_b").as("__cid"))).distinct()
+    val hintedIds =
+      if (cand.count() * 2 <= maxBroadcastCandRows) broadcast(candIds)
+      else candIds
+    val sh = df
+      .join(hintedIds, df(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("__sid"), shingles(col(textCol), shingleWidth).as("__sh"))
     cand
       .join(sh.select(col("__sid").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
       .join(sh.select(col("__sid").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
@@ -168,17 +195,23 @@ object Dedup {
     // the layout (`_meta`, underscore-prefixed like `_SUCCESS` so
     // plain reads skip it) — every reader then VALIDATES instead of
     // trusting the caller (signatures built under different banding
-    // or shingle width silently change which pairs can ever collide)
-    import df.sparkSession.implicits._
-    // cleared first (not left to mode("overwrite")): rewriting an
-    // EXISTING underscore-named directory logs a benign-but-alarming
-    // "All paths were ignored" WARN from the committer's listing,
-    // whose default filter hides underscore paths
-    Layouts.delete(df.sparkSession, out + "/_meta")
-    Seq((numHashes, bands, shingleWidth))
-      .toDF("num_hashes", "bands", "shingle_width")
-      .coalesce(1).write.mode("overwrite").parquet(out + "/_meta")
+    // or shingle width silently change which pairs can ever collide).
+    // Driver-side write: three ints the driver already holds — a
+    // Spark job per sidecar was pure scheduler tax (r21 optimization).
+    Layouts.writeSidecar(df.sparkSession, out + "/_meta", NearDupMetaSchema,
+      Seq(org.apache.spark.sql.Row(numHashes, bands, shingleWidth)))
   }
+
+  /** Schema of the signature index's `_meta` sidecar (matches the
+    * previous `Seq((Int, Int, Int)).toDF` encoder output exactly).
+    */
+  private val NearDupMetaSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("num_hashes",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("bands",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("shingle_width",
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
 
   /** The banding parameters a [[writeNearDupIndex]] layout was
     * written with, or None for a pre-meta / hand-built layout.
@@ -330,9 +363,8 @@ object Dedup {
       dropIds, "id", "compactNearDupIndex")
     Layouts.delete(spark, dst)
     meta.foreach { case (nh, b, sw) =>
-      import spark.implicits._
-      Seq((nh, b, sw)).toDF("num_hashes", "bands", "shingle_width")
-        .coalesce(1).write.mode("overwrite").parquet(dst + "/_meta")
+      Layouts.writeSidecar(spark, dst + "/_meta", NearDupMetaSchema,
+        Seq(org.apache.spark.sql.Row(nh, b, sw)))
     }
     compacted
       .repartition(col("band"))
@@ -552,9 +584,11 @@ object Dedup {
       bands: Int = 32,
       shingleWidth: Int = 3): DataFrame = {
     val r = numHashes / bands
-    val banded = df.select(
-      col(idCol).as("__id"),
-      GraftFunctions.minhash_signature(col(textCol), numHashes, shingleWidth).as("__sig"))
+    val banded = Layouts.fanOutByKey(
+        df.select(col(idCol).as("__id"), col(textCol).as("__nw_text")), "__id")
+      .select(
+        col("__id"),
+        GraftFunctions.minhash_signature(col("__nw_text"), numHashes, shingleWidth).as("__sig"))
       .select(col("__id"), explode(expr(
         s"transform(sequence(0, $bands - 1), b -> named_struct('band', b, 'key', xxhash64(concat_ws(',', transform(slice(__sig, b * $r + 1, $r), x -> cast(x as string))))))")).as("__bk"))
     // a row loses if any of its buckets contains a smaller id
@@ -688,7 +722,10 @@ object Dedup {
       case Some(n) => charGrams(col(textCol), n)
       case None    => array_sort(shingles(col(textCol), shingleWidth))
     }
-    val gramSets = df.select(col(idCol).as("__id"), gram.as("__sh"))
+    // the gram projection is this operator's CPU: fan out first
+    val gramSets = Layouts.fanOutByKey(
+        df.select(col(idCol).as("__id"), col(textCol).as(textCol)), "__id")
+      .select(col("__id"), gram.as("__sh"))
     val pfx = prefixRows(gramSets, threshold, freqOrder)
 
     val a = pfx.select(col("__id").as("id_a"), col("__g"),
@@ -721,13 +758,27 @@ object Dedup {
       threshold: Double = 0.7,
       shingleWidth: Int = 3,
       charN: Option[Int] = None,
-      freqOrder: Boolean = true): DataFrame = {
+      freqOrder: Boolean = true,
+      maxBroadcastCandRows: Long = 4L << 20): DataFrame = {
     val gram = charN match {
       case Some(n) => charGrams(col(textCol), n)
       case None    => array_sort(shingles(col(textCol), shingleWidth))
     }
-    val gramSets = df.select(col(idCol).as("__id"), gram.as("__sh"))
-    val cand = jaccardNearDupCandidates(df, idCol, textCol, threshold, shingleWidth, charN, freqOrder)
+    // checkpoint + candidates-only verify sides — the nearDupPairs
+    // discipline: without it the candidate chain (window-ranked prefix
+    // join) re-runs per consumer and every corpus row pays the gram
+    // projection twice on the way into the verification join
+    val cand = jaccardNearDupCandidates(df, idCol, textCol, threshold,
+        shingleWidth, charN, freqOrder)
+      .localCheckpoint(true)
+    val candIds = cand.select(col("id_a").as("__cid"))
+      .union(cand.select(col("id_b").as("__cid"))).distinct()
+    val hintedIds =
+      if (cand.count() * 2 <= maxBroadcastCandRows) broadcast(candIds)
+      else candIds
+    val gramSets = df
+      .join(hintedIds, df(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("__id"), gram.as("__sh"))
     cand
       .join(gramSets.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
       .join(gramSets.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
@@ -763,9 +814,12 @@ object Dedup {
       shingleWidth: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    def banded(df: DataFrame, side: String): DataFrame = df.select(
-      col(idCol).as(s"__id$side"),
-      GraftFunctions.minhash_signature(col(textCol), numHashes, shingleWidth).as("__sig"))
+    def banded(df: DataFrame, side: String): DataFrame = Layouts.fanOutByKey(
+        df.select(col(idCol).as(s"__id$side"), col(textCol).as("__dc_text")),
+        s"__id$side")
+      .select(
+        col(s"__id$side"),
+        GraftFunctions.minhash_signature(col("__dc_text"), numHashes, shingleWidth).as("__sig"))
       .select(col(s"__id$side"), posexplode(expr(
         s"transform(sequence(0, $bands - 1), b -> xxhash64(concat_ws(',', transform(slice(__sig, b * $r + 1, $r), x -> cast(x as string)))))")))
       .withColumnRenamed("pos", "__band")
@@ -783,10 +837,25 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 128,
       bands: Int = 32,
-      shingleWidth: Int = 3): DataFrame = {
-    val cand = decontaminationCandidates(train, ref, idCol, textCol, numHashes, bands, shingleWidth)
-    val shT = train.select(col(idCol).as("__idT"), shingles(col(textCol), shingleWidth).as("__shT"))
-    val shR = ref.select(col(idCol).as("__idR"), shingles(col(textCol), shingleWidth).as("__shR"))
+      shingleWidth: Int = 3,
+      maxBroadcastCandRows: Long = 4L << 20): DataFrame = {
+    // checkpoint + candidates-only verify sides (the nearDupPairs
+    // discipline): only candidate-matched train/ref rows are ever
+    // shingled — the verify stage previously paid a shingle projection
+    // over EVERY train row (the 100 TB side) into its join
+    val cand = decontaminationCandidates(train, ref, idCol, textCol,
+        numHashes, bands, shingleWidth)
+      .localCheckpoint(true)
+    def semiTo(df: DataFrame, key: String): DataFrame = {
+      val ids = cand.select(col(key).as("__cid")).distinct()
+      val hinted =
+        if (cand.count() <= maxBroadcastCandRows) broadcast(ids) else ids
+      df.join(hinted, df(idCol) === col("__cid"), "left_semi")
+    }
+    val shT = semiTo(train, "__idT")
+      .select(col(idCol).as("__idT"), shingles(col(textCol), shingleWidth).as("__shT"))
+    val shR = semiTo(ref, "__idR")
+      .select(col(idCol).as("__idR"), shingles(col(textCol), shingleWidth).as("__shR"))
     val contaminated = cand
       .join(shT, Seq("__idT"))
       .join(shR, Seq("__idR"))
@@ -878,17 +947,20 @@ object Dedup {
     // expensive part
     val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .toDF("id_a", "id_b").cache()
-    // ONE bounded action decides the regime: limit(max+1).count()
-    // short-circuits exactly like the limit+collect it replaces, but
-    // ships only a count — the big-graph regime no longer pays a
-    // ~smallGraphMax-row driver transfer whose Row array then stays
-    // referenced for the whole distributed run (measured: ~0.5 GB of
-    // driver heap held hostage at the 4M default). The small regime
-    // re-reads the now-cached pair set, so its second pass is cheap.
-    val probeN = p.limit(smallGraphMax.toInt + 1).count()
-    if (probeN <= smallGraphMax) {
-      // complete fetch: probeN proved the cached pair set fits
-      val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ONE bounded action decides the regime AND fetches the small
+    // regime's edges: limit(max+1).collect() short-circuits past max+1
+    // rows like the count-probe it replaces, but the common (small)
+    // case no longer pays a second pass — probe job + full-collect job
+    // were two actions over the same cached rows. The big regime's
+    // driver-heap concern (a ~smallGraphMax-row Row array held for the
+    // whole distributed run) is handled by DISCARDING the probe array
+    // before the distributed path starts — it is transient garbage,
+    // not a resident reference.
+    var probe = p.limit(smallGraphMax.toInt + 1).collect()
+    if (probe.length <= smallGraphMax) {
+      // complete fetch: fewer than max+1 rows came back, so this IS
+      // the whole cached pair set
+      val edges = probe.map(r => (r.getLong(0), r.getLong(1)))
       p.unpersist()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -909,6 +981,7 @@ object Dedup {
       return s.createDataset(parent.keys.toSeq.sorted.map(id => (id, find(id))))
         .toDF("id", "cluster")
     }
+    probe = null // big regime: the probe rows must not outlive this point
     val labels = componentsDistributed(p, maxIter)._1
     p.unpersist()
     labels
@@ -989,8 +1062,10 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val sig = df.select(col(idCol).as("__id"),
-      GraftFunctions.simhash64(col(textCol)).as("__sim"))
+    val sig = Layouts.fanOutByKey(
+        df.select(col(idCol).as("__id"), col(textCol).as("__sh_text")), "__id")
+      .select(col("__id"),
+        GraftFunctions.simhash64(col("__sh_text")).as("__sim"))
     // one 64-bit key per chunk pair: pairIdx * 2^24 | chunk_i * 2^12 | chunk_j
     val pairKeys = (for {
       i <- 0 until 5; j <- (i + 1) until 5
@@ -1077,9 +1152,20 @@ object Dedup {
     require(k >= 4, "k must be >= 4 (shorter runs are ubiquitous)")
     require(maxDf >= 2, "maxDf must be >= 2 (pairs need two documents)")
     require(window >= 1, "window must be >= 1 (1 = every gram, no sampling)")
-    val grams = df.select(col(idCol),
-      explode(array_distinct(GraftFunctions.fingerprint(col(textCol), k, window)))
-        .as("__gh"))
+    // the gram stream is consumed three times (the df aggregate + both
+    // sides of the self-join, whose differing column aliases defeat
+    // exchange reuse): the eager localCheckpoint runs the winnowing
+    // fingerprint pass — k-gram MD5 per character position, by far
+    // this operator's CPU — exactly once, and the checkpointed rows
+    // are the same (id, gram-hash) pairs the exchanges carry anyway
+    // fan out first — the winnowing fingerprint (k-gram MD5 per
+    // character position) is the CPU here — then checkpoint the stream
+    val grams = Layouts.fanOutByKey(
+        df.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol),
+        explode(array_distinct(GraftFunctions.fingerprint(col(textCol), k, window)))
+          .as("__gh"))
+      .localCheckpoint(true)
     val ok = grams.groupBy("__gh").agg(count(lit(1)).as("__df"))
       .where(col("__df").between(2, maxDf))
       .select("__gh")

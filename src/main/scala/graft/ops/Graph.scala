@@ -53,11 +53,16 @@ object Graph {
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    // materialized once: the edge frame is consumed FOUR times below
+    // (out-weight aggregate, the votes join's probe side, both ends of
+    // the node union) — when the caller hands in an expression-heavy
+    // frame (a link-extraction chain), each pass would re-run it
     val e = edges
       .where(col("src").isNotNull && col("dst").isNotNull)
       .select(col("src").cast("string"), col("dst").cast("string"),
         col("weight").cast("double"))
       .toDF("src", "dst", "w")
+      .localCheckpoint(true)
     // iteration-invariant operand: per-edge vote fraction w/W(src).
     // Built once; the groupBy and the join share the src hash
     // partitioning, so this is one exchange over the edge set.

@@ -322,6 +322,40 @@ private[graft] object Layouts {
       rows.join(tomb, rows(idCol) === tomb("__tomb_id"), "left_anti")
     }
 
+  /** Write a KB-sized sidecar directory DRIVER-SIDE — one parquet part
+    * file via Spark's own ParquetWriteSupport, no Spark job (see
+    * [[org.apache.spark.sql.graft.SidecarIO]]). Every sidecar writer
+    * (`_meta`, `_codebooks`, drift reports, fences, Bloom bitmap rows)
+    * goes through here: the rows are already driver values, and the
+    * `Seq(...).toDF.coalesce(1).write` form paid a full job —
+    * scheduling, codegen, two-phase commit — per sidecar for them.
+    */
+  def writeSidecar(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType, rows: Seq[Row]): Unit =
+    org.apache.spark.sql.graft.SidecarIO.writeParquetDir(spark, dir, schema, rows)
+
+  /** Fan a narrow-partitioned frame out to the cluster's width before
+    * a CPU-heavy per-row projection (minhash signatures, gram
+    * fingerprints, LSH codes): a small input — one unsplittable file,
+    * a sub-split-size table — arrives as fewer scan partitions than
+    * the cluster has cores, and every expensive projection built on it
+    * then runs effectively single-threaded (guide §2.5, input skew).
+    * SCALE-ADAPTIVE, not a constant: when the scan already carries at
+    * least `defaultParallelism` partitions (any real corpus), this is
+    * the identity — no exchange is ever added at scale. The
+    * repartition hashes on `key` (deterministic under task retries,
+    * unlike round-robin; unique ids spread evenly), with an explicit
+    * partition count so AQE cannot coalesce the deliberately-small
+    * bytes back onto one task.
+    */
+  private[graft] def fanOutByKey(df: org.apache.spark.sql.DataFrame,
+      key: String): org.apache.spark.sql.DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (par > 1 && df.rdd.getNumPartitions < par)
+      df.repartition(par, org.apache.spark.sql.functions.col(key))
+    else df
+  }
+
   /** True iff `path` exists on its filesystem. One namenode RPC —
     * never a data read.
     */
@@ -411,18 +445,17 @@ private[graft] object Layouts {
     * — a killed writer) or holds zero rows fails with a curated
     * message naming the layout and the rebuild path, instead of an
     * uncaught schema-inference or index-out-of-bounds error.
+    *
+    * DRIVER-SIDE read ([[org.apache.spark.sql.graft.SidecarIO]]): a
+    * sidecar is one KB-sized part file, and the previous
+    * `spark.read.parquet(parts).collect()` paid a full Spark job per
+    * uncached read — the same scheduler tax [[writeSidecar]] removes
+    * on the write side.
     */
   def collectSidecar(spark: SparkSession, path: String,
       rebuildWith: String): Array[Row] = {
-    // the part files by EXPLICIT path, not the directory (or a glob):
-    // sidecars are underscore-named (_meta, _codebooks, _rebuilt), and
-    // an explicit underscore root trips DataSource's hidden-path
-    // filter into a benign-but-alarming "All paths were ignored" WARN
-    // on every read, while a glob string trips FileStreamSink's
-    // metadata probe into logging a FileNotFoundException stack.
-    // Concrete part paths trigger neither. An empty directory (killed
-    // writer) has no part files — curated below, the same face the
-    // directory read's AnalysisException got.
+    // the part files by EXPLICIT path, not the directory: an empty
+    // directory (killed writer) has no part files — curated below
     val parts = sidecarPartFiles(spark, path)
     if (parts.isEmpty)
       throw new IllegalStateException(
@@ -431,9 +464,9 @@ private[graft] object Layouts {
           s"rebuild the layout with $rebuildWith (or delete the " +
           "sidecar to opt out of validation)")
     val rows =
-      try spark.read.parquet(parts: _*).collect()
+      try org.apache.spark.sql.graft.SidecarIO.readParquetParts(spark, parts)
       catch {
-        case e: org.apache.spark.sql.AnalysisException =>
+        case e: Exception =>
           throw new IllegalStateException(
             s"the sidecar at $path is present but unreadable — an " +
               "interrupted sidecar write can leave an empty directory; " +

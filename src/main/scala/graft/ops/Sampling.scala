@@ -161,10 +161,19 @@ object Sampling {
       "buckets must be in [1, 2^24] (the log-ratio table is broadcast)")
     import graft.functions.GraftFunctions.{hashed_grams, md5_long62}
     val bD = lit(buckets.toDouble)
-    val tc = target.select(explode(hashed_grams(col(textCol), buckets)).as("__b"))
+    // fan both gram passes out (md5 per token occurrence is the CPU;
+    // identity at scale — Layouts.fanOutByKey), and checkpoint the
+    // per-doc bucket counts: dc feeds BOTH the raw-side totals and the
+    // scoring join, and without the cut each consumer re-runs the
+    // hashed-gram pass over the full raw corpus
+    val tc = Layouts.fanOutByKey(
+        target.select(col(idCol), col(textCol)), idCol)
+      .select(explode(hashed_grams(col(textCol), buckets)).as("__b"))
       .groupBy("__b").agg(count(lit(1)).as("__tc"))
-    val dc = raw.select(col(idCol), explode(hashed_grams(col(textCol), buckets)).as("__b"))
+    val dc = Layouts.fanOutByKey(raw.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol), explode(hashed_grams(col(textCol), buckets)).as("__b"))
       .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val rc = dc.groupBy("__b").agg(sum(col("__c")).as("__rc"))
     val totals = tc.agg(sum(col("__tc")).cast("double").as("__tt"))
       .crossJoin(rc.agg(sum(col("__rc")).cast("double").as("__rt")))
@@ -345,9 +354,18 @@ object Sampling {
       budget: Long,
       seed: String = "17"): DataFrame =
     tokenBudgetMixCounted(
+      // materialize the counted projection ONCE (eager localCheckpoint):
+      // the admission core consumes its input three times (totals
+      // aggregate, under-budget branch, over-budget branch), and without
+      // the cut each consumer re-runs the tokenization — and everything
+      // upstream of this operator — over the full corpus text. The
+      // checkpointed frame is the narrow (id, source, n_tokens) decision
+      // table (guide-§8 shape: decide on small rows), linear in rows and
+      // ~24 bytes each, never the text.
       df.select(col(idCol), col(sourceCol),
         graft.functions.TextStats.tokenCount(col(textCol)).cast("long")
-          .as("n_tokens")),
+          .as("n_tokens"))
+        .localCheckpoint(true),
       idCol, "n_tokens", sourceCol, budget, seed)
 
   /** The counted primitive under [[tokenBudgetMix]]: admission over an

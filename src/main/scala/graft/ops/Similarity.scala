@@ -801,23 +801,31 @@ object Similarity {
   def writeIvfPqCodebooks(spark: org.apache.spark.sql.SparkSession,
       layout: String, ivfCb: IvfCodebook, pqCb: PqCodebooks,
       pqKind: String = "pq"): Unit = {
-    import spark.implicits._
+    import org.apache.spark.sql.Row
     val ivfRows = ivfCb.zipWithIndex.map { case ((id, v, n), i) =>
-      ("ivf", i, id, v.toSeq, n)
+      Row("ivf", i, id, v.toSeq, n)
     }.toSeq
     val pqRows = pqCb.zipWithIndex.flatMap { case (tbl, m) =>
-      tbl.zipWithIndex.map { case (c, j) => (pqKind, m, j.toLong, c.toSeq, 0.0) }
+      tbl.zipWithIndex.map { case (c, j) => Row(pqKind, m, j.toLong, c.toSeq, 0.0) }
     }.toSeq
-    // explicit delete instead of relying on mode("overwrite")'s
-    // existing-path handling: overwriting an EXISTING underscore-named
-    // directory makes the committer's path resolution log a benign but
-    // alarming "All paths were ignored: .../_codebooks" WARN on every
-    // rewrite (the default path filter hides underscore paths from the
-    // listing) — with the target cleared first, nothing is listed
-    Layouts.delete(spark, layout + "/_codebooks")
-    (ivfRows ++ pqRows).toDF("kind", "i", "id", "vec", "norm")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(layout + "/_codebooks")
+    // driver-side sidecar write (nlist + m*ks KB-sized rows the driver
+    // already holds): no Spark job, no committer — see Layouts.writeSidecar
+    Layouts.writeSidecar(spark, layout + "/_codebooks", CodebooksSchema,
+      ivfRows ++ pqRows)
+  }
+
+  /** Schema of the `_codebooks` sidecar (matches the previous
+    * `Seq((String, Int, Long, Seq[Double], Double)).toDF` output).
+    */
+  private val CodebooksSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("kind", StringType, nullable = true),
+      StructField("i", IntegerType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("vec", ArrayType(DoubleType, containsNull = false),
+        nullable = true),
+      StructField("norm", DoubleType, nullable = false)))
   }
 
   /** Load the codebooks a [[writeIvfPqPartitioned]] layout was written
@@ -1428,8 +1436,25 @@ object Similarity {
       window: Int = 3, driftThreshold: Double = 2.0,
       trained: Boolean = false, prune: Boolean = false): DriftSeriesReport = {
     val gen = Layouts.currentGenerationName(spark, root)
+    // FORWARD-ONLY recovery (r20 ADVICE, high): the fence names the
+    // generation its rebuild produced, but the pointer can legitimately
+    // advance PAST that generation without touching the fence
+    // (compactPointedIvfPqLayout / maintainPointedIvfPq swap _current
+    // and never write a drift fence) — treating any fence≠pointer
+    // disagreement as an interrupted swap would then swap the pointer
+    // BACKWARD onto the superseded generation, resurrecting rows a
+    // compaction retired. Only a fence generation NUMERICALLY AHEAD of
+    // the current pointer can be an interrupted fence→swap window;
+    // anything else (behind, equal, or non-gen<k>-named) is history.
+    val GenName = "gen(\\d+)".r
+    def genIdx(n: String): Option[Long] = n match {
+      case GenName(k) => Some(k.toLong)
+      case _ => None
+    }
     val pendingSwap = readFence(spark, driftOut).flatMap(_._2)
-      .filter(g => g != gen && Layouts.exists(spark, s"$root/$g"))
+      .filter(g => g != gen && Layouts.exists(spark, s"$root/$g") &&
+        (for { gi <- genIdx(g); ci <- genIdx(gen) } yield gi > ci)
+          .getOrElse(false))
     pendingSwap match {
       case Some(g) =>
         Layouts.swapGenerationPointer(spark, root, g)
@@ -1567,10 +1592,9 @@ object Similarity {
         // new generation's name). A crash before this line leaves an
         // unfenced rebuildAt, which the exists-refusal above surfaces
         // on the re-run.
-        import spark.implicits._
-        Seq((fullSeries.map(_._1).max, fenceGeneration.orNull))
-          .toDF("through_batch", "generation")
-          .coalesce(1).write.mode("overwrite").parquet(fencePath)
+        Layouts.writeSidecar(spark, fencePath, RebuiltFenceSchema,
+          Seq(org.apache.spark.sql.Row(
+            fullSeries.map(_._1).max, fenceGeneration.orNull)))
         // the pointered face swaps _current here — inside the marker
         // window, after the commit record
         afterFence()
@@ -1591,6 +1615,14 @@ object Similarity {
     * thresholds only batches past it.
     */
   val RebuiltFence = "_rebuilt"
+
+  /** Schema of the drift series' `_rebuilt` fence sidecar. */
+  private val RebuiltFenceSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("through_batch", LongType, nullable = false),
+      StructField("generation", StringType, nullable = true)))
+  }
 
   /** Drop the drift reports a rebuild already CONSUMED — the series'
     * own small-files pay-down (the [[compactIvfPqLayout]] play for
@@ -2011,9 +2043,15 @@ object Similarity {
     // tables and this validation never decodes them, so naming one
     // rebuild function would misdirect half the operators
     val hasSidecar = hasIvfPqCodebooks(spark, src)
-    if (hasSidecar)
-      Layouts.collectSidecar(spark, src + "/_codebooks",
-        "writeIvfPqPartitioned / writeIvfPqResidualPartitioned")
+    // collected ONCE: validates the src sidecar (curated failure on an
+    // empty/killed-writer directory — r20 ADVICE: the previous
+    // part-file read threw an uncurated AnalysisException there) and
+    // feeds the driver-side dst copy below
+    val sidecarRows =
+      if (hasSidecar)
+        Layouts.collectSidecar(spark, src + "/_codebooks",
+          "writeIvfPqPartitioned / writeIvfPqResidualPartitioned").toSeq
+      else Nil
     // sidecar FIRST: a failure in the (much larger) data rewrite then
     // leaves a sidecar-only dst — detectable, and appends against it
     // still validate — instead of a data-only dst that masquerades as
@@ -2027,13 +2065,10 @@ object Similarity {
       Layouts.dropTombstones(rows, dropIds, idCol, "compactIvfPqLayout")
     Layouts.delete(spark, dst)
     if (hasSidecar)
-      // concrete part files, not the underscore directory or a glob
-      // (the collectSidecar rule: an underscore root logs "All paths
-      // were ignored", a glob logs FileStreamSink's probe stack)
-      spark.read.parquet(
-          Layouts.sidecarPartFiles(spark, src + "/_codebooks"): _*)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(dst + "/_codebooks")
+      // driver-side copy of the rows collected (and validated) above —
+      // the read-job + write-job round-trip became zero jobs
+      Layouts.writeSidecar(spark, dst + "/_codebooks", CodebooksSchema,
+        sidecarRows)
     compacted
       .repartition(col(cellCol))
       .write.mode("append").partitionBy(cellCol).parquet(dst)
@@ -2098,6 +2133,14 @@ object Similarity {
     * exactly those rows and re-ranks. No join, no shuffle; the
     * full-precision vectors are read for `shortlist` rows, never the
     * probed fraction.
+    *
+    * SCOPE (r20 ADVICE, explicit): this face reads the BASE layout of
+    * a raw-PQ store only — committed streaming increments are NOT
+    * scanned (use [[ivfPqTopKFromFilesWithIncrements]] for an
+    * increments-aware plain probe, or compact first), and a residual
+    * layout is refused by [[readIvfPqCodebooks]]'s kind check. The
+    * increments/residual/batched refine variants are future surface,
+    * not silent behavior.
     *
     * Output: (idCol, cos) ordered cos desc, ties by id.
     */
@@ -2328,9 +2371,13 @@ object Similarity {
         when(GraftFunctions.vec_dot(vec, vecLit(planes(t * bitsPerTable + b))) >= 0,
           lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
-    val banded = df.select(
-      col(idCol).as("__id"),
-      posexplode(array((0 until tables).map(t => codeOf(col(vecCol), t)): _*)))
+    // fan out before the code projection: tables x bits dot products
+    // per row is the CPU here (identity at scale — Layouts.fanOutByKey)
+    val banded = Layouts.fanOutByKey(
+        df.select(col(idCol).as("__id"), col(vecCol).as("__nd_vec")), "__id")
+      .select(
+        col("__id"),
+        posexplode(array((0 until tables).map(t => codeOf(col("__nd_vec"), t)): _*)))
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__code")
     banded.select(col("__id").as("id_a"), col("__band"), col("__code"))
@@ -2385,7 +2432,11 @@ object Similarity {
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       codebook: IvfCodebook, threshold: Double,
       cellCol: String = "cell"): DataFrame = {
-    val celled = df.withColumn(cellCol, ivfCell(codebook, col(vecCol)))
+    // fan out before the nlist-dot-products-per-row cell assignment
+    // (identity at scale — Layouts.fanOutByKey); the survivors keep
+    // the fanned frame's rows, which downstream consumers re-order
+    val celled = Layouts.fanOutByKey(df, idCol)
+      .withColumn(cellCol, ivfCell(codebook, col(vecCol)))
     val sides = celled.select(
       col(idCol).as("__sid"), col(cellCol).as("__scell"),
       transform(col(vecCol), x => x.cast("double")).as("__v"),
@@ -2422,11 +2473,26 @@ object Similarity {
       s"embeddingNearDupPairsExact is O(n^2) and gated at exactMax=$exactMax rows " +
         s"(corpus has at least $probed rows); use embeddingNearDupPairs (banded LSH + exact " +
         "verify) for large corpora, or raise exactMax deliberately")
+    // spread the O(n²) probe work across the cluster: the corpus
+    // typically arrives as one scan partition (a single small file),
+    // and a broadcast NL join does ALL pair work inside the stream
+    // side's tasks — one partition = one core doing n²/2 dot products.
+    // An explicit hash repartition (explicit n, so AQE cannot coalesce
+    // the tiny byte size back to one task — it sees bytes, not the n×
+    // pair blow-up behind each row) makes the pair stage as wide as
+    // the cluster. The cosine predicate moves INTO the join condition:
+    // a BNL join evaluates its condition per pair and only MATERIALIZES
+    // survivors, so the ~(1-selectivity) non-pairs never allocate an
+    // output row carrying two vectors (measured 2.6 s -> 0.3 s at
+    // sf0.1; identical result — conjunction of the same predicates).
+    val par = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
     val a = withNorm(df, idCol, vecCol, "id_a", "__va", "__na")
+      .repartition(par, col("id_a"))
     val b = withNorm(df, idCol, vecCol, "id_b", "__vb", "__nb")
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    a.join(broadcast(b),
+        col("id_a") < col("id_b") &&
+          pairCos("__va", "__vb", "__na", "__nb") >= threshold)
       .withColumn("cos", pairCos("__va", "__vb", "__na", "__nb"))
-      .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
 }

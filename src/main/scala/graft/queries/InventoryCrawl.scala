@@ -261,7 +261,10 @@ private[queries] trait InventoryCrawl extends InventoryMedia {
       lit("<!-- <a href=\"http://never-comment.example/\">x</a> -->"),
       lit("<script>var s='<a href=\"http://never-script.example/\">x</a>';</script>"),
       lit("<p>"), col("text"), lit("</p></body></html>"))
-    t(s, d, "documents")
+    // fan out before the per-row HTML synth + link extraction + URL
+    // resolve/normalize chain — the CPU of every link-graph consumer
+    // (identity at scale — Layouts.fanOutByKey)
+    graft.ops.Layouts.fanOutByKey(t(s, d, "documents"), "doc_id")
       .select(col("doc_id"), base.as("base"), html.as("html"))
       .select(col("base"),
         explode(GraftFunctions.extract_links(col("html"))).as("href"))
@@ -893,11 +896,15 @@ private[queries] trait InventoryCrawl extends InventoryMedia {
     * hash-independent and oracle-checkable.
     */
   private[queries] def q124(s: SparkSession, d: String): DataFrame = {
+    // materialized once: consumed three times below (both ends of the
+    // node union + the pair projection), each of which would re-run
+    // the whole link-extraction chain
     val hostEdges = linkGraphEdges(s, d)
       .where(col("src_domain").startsWith("site") &&
         col("dst_domain").startsWith("site"))
       .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
       .distinct()
+      .localCheckpoint(true)
     val nodes = hostEdges.select(col("src").as("host"))
       .unionAll(hostEdges.select(col("dst").as("host")))
       .distinct()

@@ -30,8 +30,9 @@ private[queries] trait InventoryMedia extends InventoryQuality {
     // SQL-expressible (and the corpus is ASCII, so byte==char), making
     // the whole mapPartitions pipeline oracle-checkable. Cross-row
     // double sums go through 6-dp DECIMAL (order-insensitive, exact).
-    val media = t(s, d, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("bytes"))
+    val media = graft.ops.Layouts.fanOutByKey(
+        t(s, d, "documents").select(col("doc_id"),
+          col("text").cast("binary").as("bytes")), "doc_id")
     val decoded = MultiModal.imageFeatures(
       MultiModal.withImageMeta(media, "bytes"), "bytes")
     decoded
@@ -59,7 +60,9 @@ private[queries] trait InventoryMedia extends InventoryQuality {
     */
   private[queries] def q110(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+    // fan out before the synth+decode mapPartitions (one core otherwise)
+    val media = graft.ops.Layouts.fanOutByKey(
+        t(s, d, "documents").select(col("doc_id")), "doc_id").as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val n = 800 + (id % 5).toInt * 80
@@ -103,7 +106,9 @@ private[queries] trait InventoryMedia extends InventoryQuality {
     */
   private[queries] def q123(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+    // fan out before the synth+decode mapPartitions (one core otherwise)
+    val media = graft.ops.Layouts.fanOutByKey(
+        t(s, d, "documents").select(col("doc_id")), "doc_id").as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val bh = 4 + (id % 3).toInt * 2

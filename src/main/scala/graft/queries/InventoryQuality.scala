@@ -348,6 +348,11 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
     * COMPOSITION is what is checked, not any one operator.
     */
   private[queries] def q98(s: SparkSession, d: String): DataFrame = {
+    // (r21 note: a fan-out before this chain was tried and REVERTED —
+    // the length gate's filter pushes below the repartition, so the
+    // heavy HTML+NFC chain still evaluates on the narrow side for the
+    // filter and then AGAIN above it: strictly worse than one fused
+    // single-pass stage)
     val base = t(s, d, "documents")
       .select(col("doc_id"), Quality.htmlToText(syntheticHtml).as("extracted"))
       .withColumn("clean",

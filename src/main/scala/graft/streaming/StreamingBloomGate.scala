@@ -47,7 +47,18 @@ object StreamingBloomGate {
     * rows converges to identical on-disk state.
     */
   def ingestBatch(b: DataFrame, batchId: Long, indexPath: String,
-      textCol: String, admittedOut: String): Unit = {
+      textCol: String, admittedOut: String): Unit =
+    ingestBatchFenced(b, batchId, indexPath, textCol, admittedOut, () => ())
+
+  /** [[ingestBatch]] with a hook between the writes and the post-write
+    * fence — the seam that lets a spec pin the check-then-act window
+    * deterministically (a compaction acquiring its marker while this
+    * batch was computing), mirroring
+    * [[StreamingSimilarity.ingestBatchResolved]]'s stale-layout seam.
+    */
+  private[graft] def ingestBatchFenced(b: DataFrame, batchId: Long,
+      indexPath: String, textCol: String, admittedOut: String,
+      beforeFence: () => Unit): Unit = {
     val spark = b.sparkSession
     // refuse while a compaction folds the index (the replay makes the
     // post-fold retry safe), BEFORE any read or write
@@ -59,6 +70,19 @@ object StreamingBloomGate {
       .parquet(Layouts.ownedBatchDir(admittedOut, batchId))
     Bloom.writeBitmapRow(spark, Bloom.bitmapOf(b, textCol, m, k), m, k,
       Layouts.incrementDir(indexPath, batchId))
+    // post-write quiesce fence (r20 ADVICE, medium — the
+    // StreamingSimilarity.ingestBatchResolved pattern): the marker
+    // check above is check-then-act for a batch already past it, so a
+    // compactBloomIndex can acquire, pass assertNoInflightIncrements,
+    // fold and release while this batch is still computing — its
+    // bitmap increment then lands in a folded-away src whose caller
+    // already swapped to dst, and the bits are permanently absent from
+    // the live index. Failing AFTER the write is safe and convergent:
+    // the checkpoint has not committed, so the batch replays against
+    // the post-fold index (and its orphaned increment in the dead src
+    // is never read again).
+    beforeFence()
+    Layouts.assertNotQuiesced(spark, indexPath, "bloomGateStream (post-write)")
   }
 
   /** The stream: micro-batches of rows with `textCol` (plus whatever

@@ -106,14 +106,18 @@ object StreamingSimilarity {
           val (ivfCb, pqCb) = Similarity.readIvfPqCodebooks(spark, layout)
           Similarity.ivfPqDistortion(b, vecCol, ivfCb, pqCb, residual = false)
       }
-      import spark.implicits._
       // the batch id lives in the DIRECTORY (the verdicts convention:
       // a read of `out` surfaces it as the ingest_batch partition
       // column) — writing it as a data column too would collide with
-      // the discovered partition column on read
-      Seq(err).toDF("pq_err")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(graft.ops.Layouts.ownedBatchDir(out, batchId))
+      // the discovered partition column on read. Driver-side write:
+      // one double the driver just collected (ivfPqDistortion) — a
+      // Spark job per report was pure per-batch scheduler tax.
+      graft.ops.Layouts.writeSidecar(spark,
+        graft.ops.Layouts.ownedBatchDir(out, batchId),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("pq_err",
+            org.apache.spark.sql.types.DoubleType, nullable = false))),
+        Seq(org.apache.spark.sql.Row(err)))
     }
     // post-write pointer fence: the marker is check-then-act for a
     // batch already past its check, so a pointered rebuild can acquire,

@@ -32,6 +32,19 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def exchanges(p: String): Int =
     "(?m)^\\s*(?:[+:][- ]*)*Exchange ".r.findAllIn(p).size
 
+  /** Hash exchanges EXCLUDING the deliberate small-input fan-out
+    * (`Layouts.fanOutByKey` plans as `REPARTITION_BY_NUM`, identity at
+    * scale): the guards below budget the ALGORITHM's shuffles; the
+    * fan-out is a separate, bounded allowance asserted via [[fanOuts]].
+    */
+  private def hashExchanges(p: String): Int =
+    p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("REPARTITION_BY_NUM"))
+
+  private def fanOuts(p: String): Int =
+    p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("REPARTITION_BY_NUM"))
+
   test("q01: quantity filter is pushed to the parquet scan, schema pruned") {
     val p = plan("q01_filter_project")
     assert(p.contains("PushedFilters:") && p.contains("LessThan(l_quantity"), p)
@@ -134,12 +147,24 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q44: prefix filter ranks in place — no array-rebuild aggregate") {
-    val p = plan("q44_jaccard_neardup")
+    // the candidate stage is eagerly checkpointed inside
+    // jaccardNearDupPairs (r21: it is consumed three times), so the
+    // window/no-collect_list properties are asserted on the CANDIDATE
+    // operator's own plan — the stage that actually ranks the grams
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pc = graft.ops.Dedup.jaccardNearDupCandidates(
+      docs, "doc_id", "text", threshold = 0.7, shingleWidth = 3)
+      .queryExecution.executedPlan.toString
     // the prefix stage must rank grams with a window on the exploded
     // frame; a regression to collect_list -> array_sort -> re-explode
     // re-materializes every doc's ordered gram array
-    assert(!p.contains("collect_list"), s"prefix stage regressed to array rebuild:\n$p")
-    assert(p.contains("Window"), p)
+    assert(!pc.contains("collect_list"), s"prefix stage regressed to array rebuild:\n$pc")
+    assert(pc.contains("Window"), pc)
+    // the full query (candidates checkpointed + candidates-bounded
+    // verify sides) keeps a bounded exchange budget
+    val p = plan("q44_jaccard_neardup")
+    assert(!p.contains("collect_list"), s"verify stage regressed to array rebuild:\n$p")
     assert(exchanges(p) <= 5, s"q44 grew an exchange:\n$p")
   }
 
@@ -188,8 +213,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = SparkEntry.queries("q98_clean_pipeline")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+    assert(hashExchanges(p) <= 1,
       s"q98 must hash-shuffle once (the dedup election):\n$p")
+    assert(fanOuts(p) == 0, s"q98 stays narrow (fan-out reverted — see q98 note):\n$p")
     assert(p.contains("BroadcastHashJoin"), s"q98 winner join must broadcast:\n$p")
   }
 
@@ -262,9 +288,10 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // distinct agg ((src,dst,url) then (src,dst)), plus the
     // presentation sort. Anything beyond that is a regression.
     val p = plan("q107_link_graph")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+    assert(hashExchanges(p) <= 2,
       s"q107 must shuffle only for the distinct-agg pair:\n$p")
-    assert(exchanges(p) <= 3, s"q107 grew a shuffle:\n$p")
+    assert(fanOuts(p) <= 1, s"q107: at most the one small-input fan-out:\n$p")
+    assert(exchanges(p) <= 4, s"q107 grew a shuffle:\n$p")
     assert(p.contains("extract_links"), s"q107 lost the extraction stage:\n$p")
   }
 
@@ -291,8 +318,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // features are O(channels) doubles — only the presentation sort
     // may exchange
     val p = plan("q110_audio_decode")
-    assert(exchanges(p) <= 1, s"q110 grew a shuffle:\n$p")
-    assert(!p.contains("Exchange hashpartitioning"), s"q110 hash-shuffled:\n$p")
+    assert(exchanges(p) <= 2, s"q110 grew a shuffle:\n$p")
+    assert(hashExchanges(p) == 0 && fanOuts(p) <= 1,
+      s"q110 hash-shuffled beyond the small-input fan-out:\n$p")
   }
 
   test("q111: sitemap parse + posexplode is narrow (sort exchange only)") {
@@ -363,8 +391,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // features are O(channels) doubles — only the presentation sort
     // may exchange (the q110 shape)
     val p = plan("q123_image_decode")
-    assert(exchanges(p) <= 1, s"q123 grew a shuffle:\n$p")
-    assert(!p.contains("Exchange hashpartitioning"), s"q123 hash-shuffled:\n$p")
+    assert(exchanges(p) <= 2, s"q123 grew a shuffle:\n$p")
+    assert(hashExchanges(p) == 0 && fanOuts(p) <= 1,
+      s"q123 hash-shuffled beyond the small-input fan-out:\n$p")
   }
 
   test("q125: CDX read-back prunes to ONE shard with the prefix pushed to parquet") {
@@ -488,8 +517,8 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // The election and sort are the only heavy exchanges; text columns
     // must never cross a join (elections key on the stored md5)
     val p = plan("q140_incr_refresh")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
-      s"q140 grew a shuffle:\n$p")
+    assert(hashExchanges(p) <= 3, s"q140 grew a shuffle:\n$p")
+    assert(fanOuts(p) == 0, s"q140 stays narrow (fan-out reverted — see q98 note):\n$p")
     val joinLines = p.linesIterator.filter(l =>
       l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin")).toSeq
     joinLines.foreach(l =>

@@ -793,6 +793,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       q, k = 8, nprobe = 2).count() == 8)
   }
 
+  test("pointered monitor recovery is FORWARD-ONLY: a pointer advanced past the fence is never swapped backward") {
+    // r20 ADVICE (high): compactPointedIvfPqLayout / maintainPointedIvfPq
+    // swap _current without touching the drift fence, so after a
+    // compaction the fence names a generation BEHIND the pointer (and
+    // still on disk, pre-vacuum). Treating that as an interrupted
+    // fence->swap window would point the store BACK at the superseded
+    // generation — resurrecting rows the compaction retired.
+    import spark.implicits._
+    import graft.ops.{Layouts, Similarity}
+    import graft.streaming.StreamingSimilarity
+    val rnd = new scala.util.Random(29)
+    val dim = 16
+    val centers = Array.tabulate(4)(c =>
+      Array.tabulate(dim)(j => if (j % 4 == c) 4.0 else 0.0))
+    def sample(n: Int, off: Double, base: Long) = (0 until n).map { i =>
+      val c = centers(i % 4)
+      (base + i, Array.tabulate(dim)(j => c(j) + rnd.nextGaussian() * 0.3 + off))
+    }
+    val root = tmp("graft_fwdonly").getAbsolutePath
+    val corpus = sample(64, 0.0, 0L).toDF("vec_id", "embedding")
+    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 4)
+    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 16)
+    Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
+      ivfCb, pqCb, root + "/gen0")
+    Layouts.swapGenerationPointer(spark, root, "gen0")
+    val batches = Seq(
+      sample(24, 0.0, 1000L), sample(24, 0.0, 2000L),
+      sample(24, 25.0, 3000L), sample(24, 25.0, 4000L))
+      .map(_.toDF("vec_id", "embedding"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingSimilarity.ingestBatch(b, i.toLong, root,
+        "vec_id", "embedding", Some(root + "/drift"))
+    }
+    val all = batches.foldLeft(corpus)(_ unionByName _)
+    val r = Similarity.maintainPointedFromDriftSeries(spark, root,
+      root + "/drift", all, "vec_id", "embedding", window = 2)
+    assert(r.action == "rebuild" && r.layout == root + "/gen1", s"$r")
+    // a pointered COMPACTION advances the pointer to gen2; the fence
+    // still names gen1, which is still on disk (no vacuum yet)
+    val gen2 = Similarity.compactPointedIvfPqLayout(spark, root,
+      idCol = "vec_id")
+    assert(gen2 == root + "/gen2" &&
+      Layouts.currentGenerationName(spark, root) == "gen2")
+    // the next monitor tick must NOT read fence(gen1) != pointer(gen2)
+    // as an interrupted swap: the pointer stays on gen2 and the tick is
+    // a plain keep over the (fully fenced) series
+    val tick = Similarity.maintainPointedFromDriftSeries(spark, root,
+      root + "/drift", all, "vec_id", "embedding", window = 2)
+    assert(tick.action != "swap", s"backward swap: $tick")
+    assert(Layouts.currentGenerationName(spark, root) == "gen2",
+      "the pointer must never move backward onto a superseded generation")
+  }
+
   test("streaming bloom gate: novel docs admitted against batched history, replay converges, compaction folds") {
     import spark.implicits._
     import graft.ops.{Bloom, Layouts}
@@ -872,5 +925,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Bloom.readBloomIndex(spark, base + "/index")
     }
     assert(eG.getMessage.contains("geometries"), eG.getMessage)
+  }
+
+  test("bloom gate post-write fence: a compaction acquiring the marker mid-batch fails the batch AFTER its writes (r20 ADVICE)") {
+    // the check-then-act window: a batch passes assertNotQuiesced, a
+    // compactBloomIndex acquires the marker / folds / the caller swaps
+    // while the batch is still computing, and the batch's increment
+    // lands in the folded-away src. Without the post-write fence the
+    // batch's checkpoint would COMMIT with its bits permanently absent
+    // from the live index; with it the batch fails (checkpoint
+    // uncommitted), and the replay converges against the post-fold
+    // index.
+    import spark.implicits._
+    import graft.ops.{Bloom, Layouts}
+    import graft.streaming.StreamingBloomGate
+    val base = tmp("graft_sbloomfence").getAbsolutePath
+    Bloom.writeBloomIndex(Seq("alpha").toDF("text"), "text",
+      base + "/index", mBits = 1 << 10, k = 4)
+    val e = intercept[IllegalStateException] {
+      StreamingBloomGate.ingestBatchFenced(
+        Seq(1L -> "beta").toDF("doc_id", "text"), 0L,
+        base + "/index", "text", base + "/admitted",
+        // the compaction wins the race between this batch's first
+        // check and its writes
+        beforeFence =
+          () => Layouts.acquireQuiesce(spark, base + "/index", "test"))
+    }
+    assert(e.getMessage.contains(Layouts.QuiesceMarker), e.getMessage)
+    // the writes DID land (the fence fires after them) — harmless: the
+    // failed batch's checkpoint never committed, so the replay owns and
+    // overwrites both directories
+    assert(Layouts.exists(spark,
+      Layouts.incrementDir(base + "/index", 0L)))
+    Layouts.releaseQuiesce(spark, base + "/index")
+    StreamingBloomGate.ingestBatch(
+      Seq(1L -> "beta").toDF("doc_id", "text"), 0L,
+      base + "/index", "text", base + "/admitted")
+    val admitted = spark.read.parquet(base + "/admitted")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(admitted == Set(1L), s"$admitted")
   }
 }
