@@ -468,12 +468,34 @@ object HashingHelper {
     bias + s / (2L * n - 1)
   }
 
-  /** 64-bit hash of a string: two 32-bit murmur passes with distinct seeds. */
+  /** 64-bit hash of a string: two 32-bit murmur passes with distinct
+    * seeds. Operates on the CharSequence DIRECTLY — [[charSeqHash]] is
+    * bit-identical to `MurmurHash3.stringHash` (spec-pinned), so the
+    * minhash shingle loop no longer allocates a String (plus its char
+    * copy) per shingle just to hash it.
+    */
   def hash64(s: CharSequence): Long = {
-    val str = s.toString
-    val h1 = scala.util.hashing.MurmurHash3.stringHash(str, 0x9747b28c)
-    val h2 = scala.util.hashing.MurmurHash3.stringHash(str, 0x85ebca6b)
+    val h1 = charSeqHash(s, 0x9747b28c)
+    val h2 = charSeqHash(s, 0x85ebca6b)
     (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  /** `MurmurHash3.stringHash` generalized to any CharSequence — same
+    * char-pair packing, same mix/finalize (delegated to the public
+    * MurmurHash3 primitives), identical values by construction
+    * (FunctionsSpec pins equality over random strings).
+    */
+  private def charSeqHash(s: CharSequence, seed: Int): Int = {
+    import scala.util.hashing.MurmurHash3.{finalizeHash, mix, mixLast}
+    var h = seed
+    var i = 0
+    val n = s.length
+    while (i + 1 < n) {
+      h = mix(h, (s.charAt(i) << 16) + s.charAt(i + 1))
+      i += 2
+    }
+    if (i < n) h = mixLast(h, s.charAt(i).toInt)
+    finalizeHash(h, n)
   }
 
   /** Deterministic per-row MinHash signature over word w-shingles.
@@ -486,9 +508,13 @@ object HashingHelper {
     java.util.Arrays.fill(sig, Long.MaxValue)
     val coef = coefficients(numHashes)
     if (toks.length >= shingleWidth) {
+      // ONE StringBuilder reused across shingles (setLength(0) keeps
+      // the backing array): with hash64 reading the CharSequence
+      // directly, the loop is allocation-free per shingle
+      val sb = new java.lang.StringBuilder
       var i = 0
       while (i <= toks.length - shingleWidth) {
-        val sb = new java.lang.StringBuilder
+        sb.setLength(0)
         var j = 0
         while (j < shingleWidth) {
           if (j > 0) sb.append(NullChar)

@@ -68,15 +68,34 @@ object Dedup {
       textCol: String,
       numHashes: Int = 128,
       bands: Int = 32,
-      shingleWidth: Int = 3): DataFrame = {
+      shingleWidth: Int = 3): DataFrame =
+    bandSignaturesImpl(df, idCol, textCol, numHashes, bands, shingleWidth,
+      fanOut = true)
+
+  /** [[bandSignatures]] with the small-input fan-out switchable: the
+    * compute faces (candidate generation, the at-rest corpus write)
+    * want the minhash pass as wide as the cluster; the per-BATCH
+    * append faces do not — a streamed micro-batch keeps its source
+    * partitioning so its increment directory holds one file per source
+    * partition, not one near-empty file per core.
+    */
+  private def bandSignaturesImpl(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      shingleWidth: Int,
+      fanOut: Boolean): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // fan the (id, text) projection out before the signature pass: the
     // minhash is the CPU of this operator, and a sub-split-size corpus
     // arrives as fewer partitions than cores (identity at scale — see
     // Layouts.fanOutByKey)
-    Layouts.fanOutByKey(
-        df.select(col(idCol).as("id"), col(textCol).as("__bs_text")), "id")
+    val projected = df.select(col(idCol).as("id"), col(textCol).as("__bs_text"))
+    val src = if (fanOut) Layouts.fanOutByKey(projected, "id") else projected
+    src
       .select(
         col("id"),
         GraftFunctions.minhash_signature(col("__bs_text"), numHashes, shingleWidth).as("__sig"))
@@ -189,7 +208,16 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       shingleWidth: Int = 3): Unit = {
+    // repartition by band before the partitioned write: with the
+    // signature pass fanned out to cluster width, a direct
+    // partitionBy("band") write would emit one file per (task, band)
+    // pair — up to cores x bands near-empty files, a listing tax every
+    // index reader then pays (r21: measured as a 2x regression on the
+    // index-reading queries). One exchange of 24-byte rows buys one
+    // file per band, written by `bands` parallel tasks — the
+    // compactNearDupIndex layout discipline applied at birth.
     bandSignatures(df, idCol, textCol, numHashes, bands, shingleWidth)
+      .repartition(col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(out)
     // self-describing index: persist the banding parameters inside
     // the layout (`_meta`, underscore-prefixed like `_SUCCESS` so
@@ -265,7 +293,11 @@ object Dedup {
     Layouts.assertNotQuiesced(batch.sparkSession, out, "appendNearDupIndex")
     validateIndexMeta(batch.sparkSession, out, numHashes, bands,
       shingleWidth, "appendNearDupIndex")
-    bandSignatures(batch, idCol, textCol, numHashes, bands, shingleWidth)
+    // per-batch append: NO fan-out (the batch keeps its source
+    // partitioning — one file per source partition per band, the
+    // pre-r21 behavior) — see bandSignaturesImpl
+    bandSignaturesImpl(batch, idCol, textCol, numHashes, bands,
+        shingleWidth, fanOut = false)
       .write.mode("append").partitionBy("band").parquet(out)
   }
 
@@ -295,7 +327,10 @@ object Dedup {
       "appendNearDupIndexIncrement")
     validateIndexMeta(batch.sparkSession, out, numHashes, bands,
       shingleWidth, "appendNearDupIndexIncrement")
-    bandSignatures(batch, idCol, textCol, numHashes, bands, shingleWidth)
+    // per-batch increment: NO fan-out — the increment directory holds
+    // one file per SOURCE partition of the batch, not one per core
+    bandSignaturesImpl(batch, idCol, textCol, numHashes, bands,
+        shingleWidth, fanOut = false)
       .write.mode("overwrite").parquet(Layouts.incrementDir(out, batchId))
   }
 
@@ -846,10 +881,11 @@ object Dedup {
     val cand = decontaminationCandidates(train, ref, idCol, textCol,
         numHashes, bands, shingleWidth)
       .localCheckpoint(true)
+    val candRows = cand.count() // one bounded action serves both sides
     def semiTo(df: DataFrame, key: String): DataFrame = {
       val ids = cand.select(col(key).as("__cid")).distinct()
       val hinted =
-        if (cand.count() <= maxBroadcastCandRows) broadcast(ids) else ids
+        if (candRows <= maxBroadcastCandRows) broadcast(ids) else ids
       df.join(hinted, df(idCol) === col("__cid"), "left_semi")
     }
     val shT = semiTo(train, "__idT")

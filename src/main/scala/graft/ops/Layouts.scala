@@ -356,6 +356,24 @@ private[graft] object Layouts {
     else df
   }
 
+  /** [[fanOutByKey]] with a PUSHDOWN BARRIER (an eager localCheckpoint
+    * above the repartition): a filter over an expensive derived column
+    * (a quality gate over an HTML-extract chain) pushes straight
+    * through a bare repartition, so the heavy expression still
+    * evaluates on the narrow pre-exchange side — the barrier pins the
+    * whole downstream chain above the fan-out. Triggers — and pays the
+    * small-input copy — ONLY when the input is narrower than the
+    * cluster; at scale it is the identity like [[fanOutByKey]].
+    */
+  private[graft] def fanOutBarrier(df: org.apache.spark.sql.DataFrame,
+      key: String): org.apache.spark.sql.DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (par > 1 && df.rdd.getNumPartitions < par)
+      df.repartition(par, org.apache.spark.sql.functions.col(key))
+        .localCheckpoint(true)
+    else df
+  }
+
   /** True iff `path` exists on its filesystem. One namenode RPC —
     * never a data read.
     */

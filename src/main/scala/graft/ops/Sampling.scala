@@ -162,10 +162,10 @@ object Sampling {
     import graft.functions.GraftFunctions.{hashed_grams, md5_long62}
     val bD = lit(buckets.toDouble)
     // fan both gram passes out (md5 per token occurrence is the CPU;
-    // identity at scale — Layouts.fanOutByKey), and checkpoint the
-    // per-doc bucket counts: dc feeds BOTH the raw-side totals and the
-    // scoring join, and without the cut each consumer re-runs the
-    // hashed-gram pass over the full raw corpus
+    // identity at scale — Layouts.fanOutByKey). dc is consumed twice
+    // (raw totals + scoring join) but deliberately NOT checkpointed:
+    // its per-doc bucket rows are ~tokens-sized, so materializing them
+    // measured costlier than re-running the now-parallel gram pass.
     val tc = Layouts.fanOutByKey(
         target.select(col(idCol), col(textCol)), idCol)
       .select(explode(hashed_grams(col(textCol), buckets)).as("__b"))
@@ -173,7 +173,6 @@ object Sampling {
     val dc = Layouts.fanOutByKey(raw.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol), explode(hashed_grams(col(textCol), buckets)).as("__b"))
       .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true)
     val rc = dc.groupBy("__b").agg(sum(col("__c")).as("__rc"))
     val totals = tc.agg(sum(col("__tc")).cast("double").as("__tt"))
       .crossJoin(rc.agg(sum(col("__rc")).cast("double").as("__rt")))

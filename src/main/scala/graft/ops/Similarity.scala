@@ -382,11 +382,34 @@ object Similarity {
       .select(transform(col(vecCol), x => x.cast("double")))
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    pqFromRows(rows, m)
+  }
+
+  private def pqFromRows(rows: Array[Array[Double]], m: Int): PqCodebooks = {
     require(rows.nonEmpty, "cannot build PQ codebooks from an empty corpus")
     val dim = rows(0).length
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
     Array.tabulate(m)(mi => rows.map(_.slice(mi * dsub, (mi + 1) * dsub)))
+  }
+
+  /** [[ivfCodebook]] + [[pqCodebooks]] from ONE bounded collect — both
+    * deterministic stand-ins derive from the `max(nlist, ks)`
+    * smallest-id vectors, so composing a layout previously paid two
+    * identical TakeOrdered jobs for one row set (r21: one job per
+    * composed ANN fixture saved). Identical codebooks to the separate
+    * faces by construction (same ordering, same prefixes).
+    */
+  def ivfAndPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, m: Int, ks: Int): (IvfCodebook, PqCodebooks) = {
+    val rows = df.orderBy(col(idCol)).limit(math.max(nlist, ks))
+      .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val ivf: IvfCodebook = rows.take(nlist).map { case (id, v) =>
+      (id, v, math.sqrt(seqDot(v, v)))
+    }
+    (ivf, pqFromRows(rows.take(ks).map(_._2), m))
   }
 
   /** TRAINED PQ codebooks: bounded-iteration L2 k-means in EVERY

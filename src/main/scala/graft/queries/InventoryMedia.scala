@@ -60,9 +60,12 @@ private[queries] trait InventoryMedia extends InventoryQuality {
     */
   private[queries] def q110(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // fan out before the synth+decode mapPartitions (one core otherwise)
-    val media = graft.ops.Layouts.fanOutByKey(
-        t(s, d, "documents").select(col("doc_id")), "doc_id").as[Long]
+    // (r21 note: a fan-out before the decode was tried and REVERTED —
+    // javax.sound's AudioSystem does a provider-registry lookup per
+    // getAudioInputStream call that contends across threads, and 32
+    // concurrent decode tasks measured ~2.5x SLOWER than one; the
+    // image path (q123) has no such contention and keeps its fan-out)
+    val media = t(s, d, "documents").select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val n = 800 + (id % 5).toInt * 80

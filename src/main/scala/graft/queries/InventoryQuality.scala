@@ -348,12 +348,12 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
     * COMPOSITION is what is checked, not any one operator.
     */
   private[queries] def q98(s: SparkSession, d: String): DataFrame = {
-    // (r21 note: a fan-out before this chain was tried and REVERTED —
-    // the length gate's filter pushes below the repartition, so the
-    // heavy HTML+NFC chain still evaluates on the narrow side for the
-    // filter and then AGAIN above it: strictly worse than one fused
-    // single-pass stage)
-    val base = t(s, d, "documents")
+    // fan out WITH a pushdown barrier (Layouts.fanOutBarrier): a bare
+    // repartition was tried first and REVERTED — the length gate's
+    // filter pushed below it, so the heavy HTML+NFC chain still
+    // evaluated on the narrow side; the barrier pins the whole chain
+    // above the fan-out (identity at scale)
+    val base = graft.ops.Layouts.fanOutBarrier(t(s, d, "documents"), "doc_id")
       .select(col("doc_id"), Quality.htmlToText(syntheticHtml).as("extracted"))
       .withColumn("clean",
         GraftFunctions.nfc_normalize(concat(lit(NfcPrefix), col("extracted"))))
@@ -403,6 +403,9 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
     // q98's per-document stages: deterministic in (doc_id, text), so
     // carried-forward rows equal what recomputing would produce
+    // (r21 note: a fan-out barrier inside derive was tried and
+    // REVERTED — it stacked a checkpoint on the diff's own
+    // materialization and measured 2x slower)
     def derive(df: DataFrame): DataFrame =
       df.select(col("doc_id"), Quality.htmlToText(syntheticHtml).as("extracted"))
         .withColumn("clean",
@@ -582,6 +585,10 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
     */
   private[queries] def q137(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions.md5_long62
+    // (r21 note: a fan-out barrier was tried and REVERTED — the
+    // checkpoint materialization + extra jobs cost more than the
+    // parallelized quality gate saved; the tokenBudgetMix counted-
+    // projection checkpoint already bounds this chain to one pass)
     val docs = t(s, d, "documents")
     val kept = docs.where(TextStats.qualityScore(col("text")) >= 0.5)
     val winners = Dedup.exactWinners(kept, "doc_id", "text")

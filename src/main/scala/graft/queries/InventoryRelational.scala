@@ -704,7 +704,9 @@ private[queries] trait InventoryRelational extends InventoryShared {
     * HAVING) — the map round-trip must be lossless.
     */
   private[queries] def q65(s: SparkSession, d: String): DataFrame = {
-    val tok = t(s, d, "documents")
+    // fan out before the tokenize+explode (generator — no pushdown
+    // concern; identity at scale — Layouts.fanOutByKey)
+    val tok = graft.ops.Layouts.fanOutByKey(t(s, d, "documents"), "doc_id")
       .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("tok"))
     tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
       .groupBy("doc_id")

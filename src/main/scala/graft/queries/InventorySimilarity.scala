@@ -107,8 +107,8 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
     */
   private[queries] def q135(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    val ivfCb = Similarity.ivfCodebook(emb, "vec_id", "embedding", nlist = 16)
-    val pqCb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16)
+    val (ivfCb, pqCb) = Similarity.ivfAndPqCodebooks(emb, "vec_id",
+      "embedding", nlist = 16, m = 8, ks = 16)
     val out = new java.io.File(
       new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q135_layout"),
       java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
@@ -135,8 +135,8 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
     val emb = t(s, d, "embeddings")
     val corpus = emb.where(col("vec_id") % 5 =!= 0)
     val incr = emb.where(col("vec_id") % 5 === 0)
-    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 16)
-    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, ks = 16)
+    val (ivfCb, pqCb) = Similarity.ivfAndPqCodebooks(corpus, "vec_id",
+      "embedding", nlist = 16, m = 8, ks = 16)
     val out = new java.io.File(
       new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q138_layout"),
       java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
@@ -162,8 +162,8 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
     */
   private[queries] def q143(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    val ivfCb = Similarity.ivfCodebook(emb, "vec_id", "embedding", nlist = 16)
-    val pqCb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16)
+    val (ivfCb, pqCb) = Similarity.ivfAndPqCodebooks(emb, "vec_id",
+      "embedding", nlist = 16, m = 8, ks = 16)
     val out = new java.io.File(
       new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q143_layout"),
       java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
@@ -188,8 +188,8 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
     val emb = t(s, d, "embeddings")
     val corpus = emb.where(col("vec_id") % 5 =!= 0)
     val incr = emb.where(col("vec_id") % 5 === 0)
-    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 16)
-    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, ks = 16)
+    val (ivfCb, pqCb) = Similarity.ivfAndPqCodebooks(corpus, "vec_id",
+      "embedding", nlist = 16, m = 8, ks = 16)
     val base = new java.io.File(
       new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q144_layout"),
       java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
@@ -233,8 +233,8 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
   private[queries] def q146(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
       .withColumn("grp", pmod(col("vec_id"), lit(4L)))
-    val ivfCb = Similarity.ivfCodebook(emb, "vec_id", "embedding", nlist = 16)
-    val pqCb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16)
+    val (ivfCb, pqCb) = Similarity.ivfAndPqCodebooks(emb, "vec_id",
+      "embedding", nlist = 16, m = 8, ks = 16)
     val out = new java.io.File(
       new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q146_layout"),
       java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
@@ -293,8 +293,8 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
     */
   private[queries] def q149(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    val ivfCb = Similarity.ivfCodebook(emb, "vec_id", "embedding", nlist = 16)
-    val pqCb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16)
+    val (ivfCb, pqCb) = Similarity.ivfAndPqCodebooks(emb, "vec_id",
+      "embedding", nlist = 16, m = 8, ks = 16)
     val base = new java.io.File(
       new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q149_layout"),
       java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
@@ -325,8 +325,8 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
   private[queries] def q151(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val corpus = emb.where(col("vec_id") % 5 =!= 0)
-    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 16)
-    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, ks = 16)
+    val (ivfCb, pqCb) = Similarity.ivfAndPqCodebooks(corpus, "vec_id",
+      "embedding", nlist = 16, m = 8, ks = 16)
     val rcb = Similarity.residualPqCodebooks(corpus, "vec_id", "embedding",
       ivfCb, m = 8, ks = 16)
     Similarity.quantizationDrift(
@@ -410,8 +410,8 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
     if (!fixturesOk.exists()) {
       Seq("/src", "/layout").foreach(sfx => rm(base + sfx))
       val corpus = emb.where(col("vec_id") % 5 =!= 0)
-      val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 16)
-      val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, ks = 16)
+      val (ivfCb, pqCb) = Similarity.ivfAndPqCodebooks(corpus, "vec_id",
+        "embedding", nlist = 16, m = 8, ks = 16)
       Similarity.writeIvfPqPartitioned(corpus, "vec_id", "embedding",
         ivfCb, pqCb, base + "/layout")
       val srcDir = new java.io.File(base + "/src"); srcDir.mkdirs()
@@ -456,8 +456,8 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
     val indist = emb.where(col("vec_id") % 5 === 0)
     val drifted = indist.select((col("vec_id") + 10000L).as("vec_id"),
       transform(col("embedding"), x => x + lit(4.0)).as("embedding"))
-    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 16)
-    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, ks = 16)
+    val (ivfCb, pqCb) = Similarity.ivfAndPqCodebooks(corpus, "vec_id",
+      "embedding", nlist = 16, m = 8, ks = 16)
     val base = new java.io.File(
       new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q156_layout"),
       java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
@@ -509,8 +509,8 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
     val drifted = emb.where(col("vec_id") % 5 === 0)
       .select(col("vec_id"),
         transform(col("embedding"), x => x + lit(4.0)).as("embedding"))
-    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 16)
-    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, ks = 16)
+    val (ivfCb, pqCb) = Similarity.ivfAndPqCodebooks(corpus, "vec_id",
+      "embedding", nlist = 16, m = 8, ks = 16)
     val base = new java.io.File(
       new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q158_rebuild"),
       java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
@@ -548,8 +548,8 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
     val emb = t(s, d, "embeddings").select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("embedding"))
     val corpus = emb.where(col("vec_id") % 5 =!= 0)
-    val ivfCb = Similarity.ivfCodebook(corpus, "vec_id", "embedding", nlist = 16)
-    val pqCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, ks = 16)
+    val (ivfCb, pqCb) = Similarity.ivfAndPqCodebooks(corpus, "vec_id",
+      "embedding", nlist = 16, m = 8, ks = 16)
     val base = new java.io.File(
       new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q159_monitor"),
       java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
@@ -597,8 +597,8 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
     */
   private[queries] def q160(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    val ivfCb = Similarity.ivfCodebook(emb, "vec_id", "embedding", nlist = 16)
-    val pqCb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16)
+    val (ivfCb, pqCb) = Similarity.ivfAndPqCodebooks(emb, "vec_id",
+      "embedding", nlist = 16, m = 8, ks = 16)
     val base = new java.io.File(
       new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q160_batch"),
       java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
@@ -695,8 +695,8 @@ private[queries] trait InventorySimilarity extends InventoryDedup {
     */
   private[queries] def q164(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    val ivfCb = Similarity.ivfCodebook(emb, "vec_id", "embedding", nlist = 16)
-    val pqCb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16)
+    val (ivfCb, pqCb) = Similarity.ivfAndPqCodebooks(emb, "vec_id",
+      "embedding", nlist = 16, m = 8, ks = 16)
     val base = new java.io.File(
       new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q164_refine"),
       java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
