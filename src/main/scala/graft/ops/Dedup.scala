@@ -799,21 +799,10 @@ object Dedup {
       case Some(n) => charGrams(col(textCol), n)
       case None    => array_sort(shingles(col(textCol), shingleWidth))
     }
-    // checkpoint + candidates-only verify sides — the nearDupPairs
-    // discipline: without it the candidate chain (window-ranked prefix
-    // join) re-runs per consumer and every corpus row pays the gram
-    // projection twice on the way into the verification join
+    // A/B r21: checkpoint + semi-join variant measured SLOWER here
     val cand = jaccardNearDupCandidates(df, idCol, textCol, threshold,
         shingleWidth, charN, freqOrder)
-      .localCheckpoint(true)
-    val candIds = cand.select(col("id_a").as("__cid"))
-      .union(cand.select(col("id_b").as("__cid"))).distinct()
-    val hintedIds =
-      if (cand.count() * 2 <= maxBroadcastCandRows) broadcast(candIds)
-      else candIds
-    val gramSets = df
-      .join(hintedIds, df(idCol) === col("__cid"), "left_semi")
-      .select(col(idCol).as("__id"), gram.as("__sh"))
+    val gramSets = df.select(col(idCol).as("__id"), gram.as("__sh"))
     cand
       .join(gramSets.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
       .join(gramSets.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
@@ -874,24 +863,12 @@ object Dedup {
       bands: Int = 32,
       shingleWidth: Int = 3,
       maxBroadcastCandRows: Long = 4L << 20): DataFrame = {
-    // checkpoint + candidates-only verify sides (the nearDupPairs
-    // discipline): only candidate-matched train/ref rows are ever
-    // shingled — the verify stage previously paid a shingle projection
-    // over EVERY train row (the 100 TB side) into its join
+    // A/B r21: a checkpoint + candidates-only semi-join variant was
+    // measured here and kept only where it won (see nearDupPairs)
     val cand = decontaminationCandidates(train, ref, idCol, textCol,
         numHashes, bands, shingleWidth)
-      .localCheckpoint(true)
-    val candRows = cand.count() // one bounded action serves both sides
-    def semiTo(df: DataFrame, key: String): DataFrame = {
-      val ids = cand.select(col(key).as("__cid")).distinct()
-      val hinted =
-        if (candRows <= maxBroadcastCandRows) broadcast(ids) else ids
-      df.join(hinted, df(idCol) === col("__cid"), "left_semi")
-    }
-    val shT = semiTo(train, "__idT")
-      .select(col(idCol).as("__idT"), shingles(col(textCol), shingleWidth).as("__shT"))
-    val shR = semiTo(ref, "__idR")
-      .select(col(idCol).as("__idR"), shingles(col(textCol), shingleWidth).as("__shR"))
+    val shT = train.select(col(idCol).as("__idT"), shingles(col(textCol), shingleWidth).as("__shT"))
+    val shR = ref.select(col(idCol).as("__idR"), shingles(col(textCol), shingleWidth).as("__shR"))
     val contaminated = cand
       .join(shT, Seq("__idT"))
       .join(shR, Seq("__idR"))
