@@ -585,18 +585,42 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
     */
   private[queries] def q137(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions.md5_long62
-    // (r21 note: a fan-out barrier was tried and REVERTED — the
-    // checkpoint materialization + extra jobs cost more than the
-    // parallelized quality gate saved; the tokenBudgetMix counted-
-    // projection checkpoint already bounds this chain to one pass)
-    val docs = t(s, d, "documents")
-    val kept = docs.where(TextStats.qualityScore(col("text")) >= 0.5)
-    val winners = Dedup.exactWinners(kept, "doc_id", "text")
-    val train = winners.where(
-      pmod(md5_long62(concat(lit("13"), lit(":"),
-        md5(col("text").cast("binary")))), lit(100L)) < 80)
-    Sampling.tokenBudgetMix(train, "doc_id", "text", "source",
-        budget = 1050L, seed = "19")
+    // ONE narrow manifest pass over the text (r21, guide-§8 "decide on
+    // small rows"): the previous shape evaluated the multi-regex
+    // quality gate on BOTH sides of the winner election's join and
+    // re-tokenized the text downstream. Here score, content hash and
+    // token count are computed in a single projection, checkpointed,
+    // and every later stage — winner election (min-id per md5, exactly
+    // Dedup.exactWinners' rule), the train bucket (a pure function of
+    // the same md5) and the token-budget admission (the Counted face
+    // over the stored counts) — rides 40-byte manifest rows. Same
+    // stage math, same oracle, text read once.
+    // (A fan-out barrier was also tried here and REVERTED — its
+    // materialization + extra jobs cost more than the parallelized
+    // gate saved.)
+    // fan-out + projection + checkpoint + THEN the gate: the heavy
+    // multi-regex projection runs cluster-wide above the fan-out
+    // exchange (projections do not push through a repartition), the
+    // checkpoint materializes only the 40-byte manifest rows, and the
+    // gate filters ABOVE the checkpoint so it cannot push back down to
+    // the single-partition scan side (the pushdown trap that sank the
+    // earlier raw-docs barrier)
+    val manifest = graft.ops.Layouts
+      .fanOutByKey(t(s, d, "documents"), "doc_id")
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("__md5"),
+        TextStats.qualityScore(col("text")).as("__score"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .localCheckpoint(true)
+      .where(col("__score") >= 0.5)
+    val winners = manifest.groupBy(col("__md5"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val train = manifest.join(winners, Seq("doc_id"), "left_semi")
+      .where(pmod(md5_long62(concat(lit("13"), lit(":"), col("__md5"))),
+        lit(100L)) < 80)
+    Sampling.tokenBudgetMixCounted(
+        train.select(col("doc_id"), col("source"), col("n_tokens")),
+        "doc_id", "n_tokens", "source", budget = 1050L, seed = "19")
       .orderBy(col("doc_id"))
   }
 
