@@ -403,16 +403,22 @@ private[queries] trait InventoryQuality extends InventorySimilarity {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
     // q98's per-document stages: deterministic in (doc_id, text), so
     // carried-forward rows equal what recomputing would produce
-    // (r21 note: a fan-out barrier inside derive was tried and
-    // REVERTED — it stacked a checkpoint on the diff's own
-    // materialization and measured 2x slower)
+    // the q137 manifest shape: fan-out → heavy projection → checkpoint
+    // of the NARROW manifest rows → gate ABOVE the checkpoint (the
+    // length gate is a pure function of n_clean, so filtering the
+    // manifest equals filtering on clean — and it cannot push back to
+    // the single-partition scan side). An earlier variant that
+    // checkpointed the RAW text rows below the projection measured 2x
+    // slower and was reverted.
     def derive(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), Quality.htmlToText(syntheticHtml).as("extracted"))
+      graft.ops.Layouts.fanOutByKey(df, "doc_id")
+        .select(col("doc_id"), Quality.htmlToText(syntheticHtml).as("extracted"))
         .withColumn("clean",
           GraftFunctions.nfc_normalize(concat(lit(NfcPrefix), col("extracted"))))
-        .where(length(col("clean")) >= 120)
         .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
           length(col("clean")).cast("bigint").as("n_clean"))
+        .localCheckpoint(true)
+        .where(col("n_clean") >= 120)
     val merged = graft.ops.Cdc.incrementalRefresh(
       old, cur, derive(old), "doc_id", "text")(derive)
     // q98's corpus-global stages over MANIFEST rows only: winner
