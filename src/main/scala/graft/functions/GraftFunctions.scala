@@ -276,7 +276,7 @@ object GraftFunctions {
     * (doesn't); see [[graft.functions.TextStats.tokenCount]].
     */
   def token_count(text: Column): Column =
-    size(split(trim(text), "[ \\t\\n\\r\\f]+"))
+    TextStats.tokenCount(text)
 
   /** Occurrences of `word` as a whole token in `text` (length-delta trick,
     * identical semantics in ANSI SQL for the oracle).

@@ -64,7 +64,8 @@ object TextStats {
     * oracle SQL.
     */
   def tokenCount(text: Column): Column =
-    size(split(trim(text), "[ \\t\\n\\r\\f]+"))
+    org.apache.spark.sql.graft.GraftShims.column(
+      TokenCount(org.apache.spark.sql.graft.GraftShims.expression(text)))
 
   /** Fraction of characters that are not alphanumeric or space. */
   def punctRatio(text: Column): Column =
@@ -99,11 +100,25 @@ object TextStats {
     * oracle-checked surface.
     */
   def qualityScore(text: Column): Column =
+    round(org.apache.spark.sql.graft.GraftShims.column(
+      QualityScoreRaw(org.apache.spark.sql.graft.GraftShims.expression(text))), 6)
+
+  /** The pre-r22 composed form of [[qualityScore]] — the reference
+    * tree the fused [[QualityScoreRaw]] expression is property-pinned
+    * against (OpsPropertySpec). Not used by any query path.
+    */
+  private[graft] def qualityScoreComposed(text: Column): Column =
     round(
-      least(tokenCount(text).cast("double") / lit(100.0), lit(1.0)) * lit(0.4)
+      least(tokenCountComposed(text).cast("double") / lit(100.0), lit(1.0)) * lit(0.4)
         + (lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))) * lit(0.3)
         + least(stopwordRatio(text) * lit(5.0), lit(1.0)) * lit(0.3),
       6)
+
+  /** The pre-r22 composed form of [[tokenCount]] — the reference the
+    * fused [[TokenCount]] expression is property-pinned against.
+    */
+  private[graft] def tokenCountComposed(text: Column): Column =
+    size(split(trim(text), "[ \\t\\n\\r\\f]+"))
 
   /** Language-ID heuristic: score each candidate language by hits of
     * its characteristic function-word set; argmax, ties →

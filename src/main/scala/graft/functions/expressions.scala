@@ -348,6 +348,43 @@ case class LangGuess(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `token_count(text) -> int` — one-pass equivalent of
+  * `size(split(trim(text), "[ \t\n\r\f]+"))` (see
+  * [[QualityHelper.tokenCount]]; property-pinned value-identical in
+  * OpsPropertySpec). The composed form allocated a token-string array
+  * per row just to take its size.
+  */
+case class TokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_count"
+  override protected def nullSafeEval(input: Any): Any =
+    QualityHelper.tokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.QualityHelper.tokenCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(child = newChild)
+}
+
+/** `quality_score_raw(text) -> double` — the pre-round
+  * [[graft.functions.TextStats.qualityScore]] composite in ONE pass
+  * (see [[QualityHelper.rawScore]]; property-pinned value-identical
+  * in OpsPropertySpec). Replaces three regex passes, two `split`
+  * array materializations and an interpreted higher-order `filter`
+  * per row with a single allocation-free byte scan.
+  */
+case class QualityScoreRaw(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quality_score_raw"
+  override protected def nullSafeEval(input: Any): Any =
+    QualityHelper.rawScore(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.QualityHelper.rawScore($c)")
+  override protected def withNewChildInternal(newChild: Expression): QualityScoreRaw =
+    copy(child = newChild)
+}
+
 /** `vec_dot(array<float|double>, array<float|double>) -> double` —
   * sequential double-precision dot product (see [[VecHelper.dot]]).
   * Codegen'd native loop; the equivalent `aggregate(zip_with(...))`

@@ -618,6 +618,127 @@ object HashingHelper {
   }
 }
 
+/** One-pass byte-level computation of the [[graft.functions.TextStats]]
+  * quality-formula ingredients — value-identical to the composed
+  * regex/split/HOF tree it replaces (property-pinned against the
+  * composed form in OpsPropertySpec). Every character class involved
+  * (`[ \t\n\r\f]`, `[a-zA-Z0-9 ]`, `[a-zA-Z0-9]`) is pure ASCII, so a
+  * UTF-8 continuation or lead byte (>= 0x80, negative as a JVM Byte)
+  * can never match and byte iteration decides every class test
+  * correctly, while code points are counted by skipping continuation
+  * bytes. No allocation per row.
+  */
+object QualityHelper {
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+
+  private def isAlnum(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9')
+
+  /** [[graft.functions.TextStats.Stopwords]] packed as little-endian
+    * lowercased ASCII ints (all 20 words are <= 4 chars), sorted for
+    * binary search. Tokens longer than 4 chars never consult this.
+    */
+  private val StopPacked: Array[Int] = {
+    val packed = graft.functions.TextStats.Stopwords.map { w =>
+      require(w.length <= 4, s"stopword '$w' exceeds the 4-byte pack")
+      var p = 0
+      var i = 0
+      while (i < w.length) { p |= (w.charAt(i) & 0xFF) << (8 * i); i += 1 }
+      p
+    }.toArray
+    java.util.Arrays.sort(packed)
+    packed
+  }
+
+  /** `size(split(trim(text), "[ \t\n\r\f]+"))` in one pass. Spark's
+    * `trim` strips 0x20 spaces only, and `split` (limit -1) keeps
+    * leading/trailing empty segments, so the count is exactly
+    * (# maximal whitespace runs inside the space-trimmed span) + 1 —
+    * including `[""]` for the empty string. \x0B is NOT whitespace
+    * here (the pinned oracle-dialect class, not Java's \s).
+    */
+  def tokenCount(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var lo = 0
+    var hi = n
+    while (lo < hi && s.getByte(lo) == ' ') lo += 1
+    while (hi > lo && s.getByte(hi - 1) == ' ') hi -= 1
+    var runs = 0
+    var inWs = false
+    var i = lo
+    while (i < hi) {
+      val ws = isWs(s.getByte(i))
+      if (ws && !inWs) runs += 1
+      inWs = ws
+      i += 1
+    }
+    runs + 1
+  }
+
+  /** The pre-round [[graft.functions.TextStats.qualityScore]] sum in
+    * one pass. The double arithmetic mirrors the composed tree's
+    * shape and associativity exactly —
+    * `(least(tc/100,1)*0.4 + (1-least(punct*4,1))*0.3) + least(stop*5,1)*0.3`
+    * — so the value (and the `round(_, 6)` applied above it) is
+    * bit-identical. Division-by-zero branches reproduce the composed
+    * tree's null/least folding: an empty text scores the pure
+    * token-count term (0.004).
+    */
+  def rawScore(s: UTF8String): Double = {
+    val n = s.numBytes()
+    var lo = 0
+    var hi = n
+    while (lo < hi && s.getByte(lo) == ' ') lo += 1
+    while (hi > lo && s.getByte(hi - 1) == ' ') hi -= 1
+    var wsRuns = 0
+    var inWs = false
+    var cp = 0 // code points in the whole string
+    var keep = 0 // code points matching [a-zA-Z0-9 ]
+    var nTok = 0
+    var nStop = 0
+    var tokLen = 0
+    var tokPack = 0
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if ((b & 0xC0) != 0x80) cp += 1
+      val alnum = isAlnum(b)
+      if (alnum || b == ' ') keep += 1
+      if (alnum) {
+        if (tokLen < 4) {
+          val low = if (b >= 'A' && b <= 'Z') b + 32 else b.toInt
+          tokPack |= (low & 0xFF) << (8 * tokLen)
+        }
+        tokLen += 1
+      } else if (tokLen > 0) {
+        nTok += 1
+        if (tokLen <= 4 && java.util.Arrays.binarySearch(StopPacked, tokPack) >= 0) nStop += 1
+        tokLen = 0
+        tokPack = 0
+      }
+      if (i >= lo && i < hi) {
+        val ws = isWs(b)
+        if (ws && !inWs) wsRuns += 1
+        inWs = ws
+      }
+      i += 1
+    }
+    if (tokLen > 0) {
+      nTok += 1
+      if (tokLen <= 4 && java.util.Arrays.binarySearch(StopPacked, tokPack) >= 0) nStop += 1
+    }
+    val tc = wsRuns + 1
+    val a = math.min(tc.toDouble / 100.0, 1.0) * 0.4
+    val b = if (cp == 0) 0.0
+      else (1.0 - math.min((cp - keep).toDouble / cp.toDouble * 4.0, 1.0)) * 0.3
+    val c = if (nTok == 0) 0.0
+      else math.min(nStop.toDouble / nTok.toDouble * 5.0, 1.0) * 0.3
+    a + b + c
+  }
+}
+
 /** Single-pass HTML character-reference decoder backing
   * [[DecodeHtmlEntities]] (the entity step of
   * [[graft.ops.Quality.htmlToText]]).

@@ -204,4 +204,83 @@ class OpsPropertySpec extends AnyFunSuite {
     }
     check(prop, n = 50)
   }
+
+  // ---- fused quality expressions (r22) ---------------------------------
+
+  // adversarial text shapes for the one-pass TokenCount /
+  // QualityScoreRaw expressions: every class edge the composed
+  // regex/split tree distinguishes — \x0B (token char, NOT whitespace),
+  // \f (whitespace), leading/trailing spaces vs tabs (trim strips
+  // spaces only), non-ASCII letters and supplementary code points
+  // (punct, one code point each), stopwords in mixed case, 4-char
+  // boundary words, digit tokens, empty and whitespace-only strings
+  private val qtextGen: Gen[String] = {
+    val piece = Gen.oneOf(
+      Gen.oneOf("the", "a", "an", "with", "that", "are", "THE", "This", "aRe"),
+      Gen.oneOf("thee", "witha", "ab3", "42", "x", "zzzzz", "be4", "ofof"),
+      Gen.oneOf(" ", "  ", "\t", "\n", "\r", "\f", "", " \t "),
+      Gen.oneOf("é", "中文", "🎉", "…", ",", "!!", "@#", "a,b", "é"),
+      Gen.alphaNumStr.map(_.take(12)))
+    for {
+      n <- Gen.chooseNum(0, 24)
+      ps <- Gen.listOfN(n, piece)
+      lead <- Gen.oneOf("", " ", "  ", "\t", "\f")
+      trail <- Gen.oneOf("", " ", "\t", "\n", " x")
+    } yield lead + ps.mkString + trail
+  }
+
+  test("fused TokenCount/QualityScoreRaw equal the composed regex tree bit-for-bit") {
+    import graft.functions.TextStats
+    import org.apache.spark.sql.functions.col
+    // legacy (non-ANSI) division for the COMPOSED reference: on a
+    // zero-length text ANSI punctRatio raises DIVIDE_BY_ZERO, while
+    // the legacy tree folds the null through least() to the pure
+    // token-count score — the fused expression implements the legacy
+    // (total) semantics; no corpus document is empty, so every
+    // declared query's values are unchanged (oracle re-verified r22)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    val prop = Prop.forAll(Gen.listOfN(16, qtextGen)) { docs0 =>
+      // always include the fixed nasty cases alongside the random batch
+      val docs = docs0 ++ Seq("", " ", "   ", "\t", "", "the", " the ",
+        "No stop words here xyzq 99", "🎉🎉🎉", "a", "A  A\tA\nA")
+      import spark.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val rows = df.select(
+        TextStats.tokenCount(col("text")).as("tc_fused"),
+        TextStats.tokenCountComposed(col("text")).as("tc_ref"),
+        TextStats.qualityScore(col("text")).as("q_fused"),
+        TextStats.qualityScoreComposed(col("text")).as("q_ref"),
+        col("text")).collect()
+      rows.forall { r =>
+        val ok = r.getInt(0) == r.getInt(1) &&
+          java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+            java.lang.Double.doubleToLongBits(r.getDouble(3))
+        if (!ok) println(s"MISMATCH on ${r.getString(4).map(c => f"\\u${c.toInt}%04x").mkString} " +
+          s"tc ${r.getInt(0)} vs ${r.getInt(1)}, q ${r.getDouble(2)} vs ${r.getDouble(3)}")
+        ok
+      }
+    }
+    try check(prop, n = 40)
+    finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    // the one divergence from the ANSI composed tree, pinned: an empty
+    // text scores the legacy pure-token-count value instead of raising
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val r = Seq((1L, "")).toDF("doc_id", "text")
+        .select(graft.functions.TextStats.qualityScore(col("text"))).head()
+      assert(r.getDouble(0) == 0.004)
+    }
+  }
+
+  test("fused quality expressions: null text stays null") {
+    import graft.functions.TextStats
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq((1L, null: String), (2L, "ok")).toDF("doc_id", "text")
+    val r = df.select(TextStats.tokenCount(col("text")),
+      TextStats.qualityScore(col("text"))).collect()
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1))
+    assert(!r(1).isNullAt(0) && !r(1).isNullAt(1))
+  }
 }
