@@ -351,10 +351,21 @@ private[graft] object Layouts {
   private[graft] def fanOutByKey(df: org.apache.spark.sql.DataFrame,
       key: String): org.apache.spark.sql.DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (par > 1 && df.rdd.getNumPartitions < par)
+    if (par > 1 && frameWidth(df) < par)
       df.repartition(par, org.apache.spark.sql.functions.col(key))
     else df
   }
+
+  /** The frame's scan/partition width for the fan-out decision. The
+    * narrow-chain-over-one-parquet-relation shape every call site has
+    * is answered from the cached file listing + split math
+    * ([[org.apache.spark.sql.graft.ScanWidth]]) WITHOUT physically
+    * planning the subtree; exotic shapes fall back to the r21
+    * `df.rdd` probe (which plans the frame once at build time).
+    */
+  private def frameWidth(df: org.apache.spark.sql.DataFrame): Int =
+    org.apache.spark.sql.graft.ScanWidth.estimate(df)
+      .getOrElse(df.rdd.getNumPartitions)
 
   /** [[fanOutByKey]] with a PUSHDOWN BARRIER (an eager localCheckpoint
     * above the repartition): a filter over an expensive derived column
@@ -368,7 +379,7 @@ private[graft] object Layouts {
   private[graft] def fanOutBarrier(df: org.apache.spark.sql.DataFrame,
       key: String): org.apache.spark.sql.DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (par > 1 && df.rdd.getNumPartitions < par)
+    if (par > 1 && frameWidth(df) < par)
       df.repartition(par, org.apache.spark.sql.functions.col(key))
         .localCheckpoint(true)
     else df

@@ -2948,4 +2948,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Similarity.compactIvfPqLayout(spark, base + "/gen0", base + "/genC")
     assert(spark.read.parquet(base + "/genC").count() == 64 + 24 * 5)
   }
+
+  test("fanOutByKey width estimate matches the planner (r22: no double planning)") {
+    import org.apache.spark.sql.graft.ScanWidth
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_scanwidth").toString
+    // one tiny file and a multi-file table — both must agree with the
+    // width physical planning would produce (df.rdd.getNumPartitions)
+    (0L until 50L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(base + "/one")
+    (0L until 3000L).map(i => (i, ("w" + i) * 40)).toDF("doc_id", "text")
+      .repartition(5).write.parquet(base + "/many")
+    for (p <- Seq(base + "/one", base + "/many")) {
+      val scan = spark.read.parquet(p)
+      val proj = scan.select(col("doc_id"), upper(col("text")).as("t"))
+      val filt = scan.where(col("doc_id") % 2 === 0)
+      assert(ScanWidth.estimate(scan).contains(scan.rdd.getNumPartitions), p)
+      assert(ScanWidth.estimate(proj).contains(proj.rdd.getNumPartitions), s"$p projected")
+      assert(ScanWidth.estimate(filt).contains(filt.rdd.getNumPartitions), s"$p filtered")
+    }
+    // exotic shapes (post-shuffle, local relation) must decline so the
+    // caller falls back to the planning probe
+    val shuffled = spark.read.parquet(base + "/one").repartition(3)
+    assert(ScanWidth.estimate(shuffled).isEmpty)
+    assert(ScanWidth.estimate(docs()).isEmpty)
+  }
 }
