@@ -969,11 +969,21 @@ object Dedup {
     // whole distributed run) is handled by DISCARDING the probe array
     // before the distributed path starts — it is transient garbage,
     // not a resident reference.
-    var probe = p.limit(smallGraphMax.toInt + 1).collect()
+    // collect PRIMITIVE pairs, not Rows: the probe can ship up to
+    // smallGraphMax+1 rows to the driver before the regime is known,
+    // and a GenericRow costs ~100 B against a specialized (Long, Long)
+    // tuple's 32 — the big-graph regime's transient peak drops ~3x
+    // (r21 ADVICE)
+    var probe: Array[(Long, Long)] = {
+      import org.apache.spark.sql.Encoders
+      p.limit(smallGraphMax.toInt + 1)
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        .collect()
+    }
     if (probe.length <= smallGraphMax) {
       // complete fetch: fewer than max+1 rows came back, so this IS
       // the whole cached pair set
-      val edges = probe.map(r => (r.getLong(0), r.getLong(1)))
+      val edges = probe
       p.unpersist()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
