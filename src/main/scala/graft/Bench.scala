@@ -256,7 +256,14 @@ object Bench {
           // cores[] evidence array.
           val ncores = spark.sparkContext.defaultParallelism
           val mbpsC = bestMbPerCpuSec * ncores
-          f""","convert":{"inputs":${inputs.size},"pass_mb":$bestPassMb,"secs":$bestSecs%.3f,"mbps":$bestMbps%.1f,"ratio":${bestMbps / 682.0}%.3f,"mbps_c32":$mbpsC%.1f,"ratio_c32":${mbpsC / 682.0}%.3f,"c32_width_cores":$bestMbPerCpuSecWidth%.1f$evidence$bigJson,"calm_wait_s":$calmWait%.1f,"walk_secs":$walkSecs%.2f}"""
+          // maxShow < 0 is the last budget rung: headline throughput
+          // only, every other convert field lives in the full-evidence
+          // file (the r21 line already sat at 1830/1850 — a slow host
+          // plus the no-0.0 per-query format needs this escape hatch)
+          if (maxShow < 0)
+            f""","convert":{"mbps":$bestMbps%.1f,"ratio":${bestMbps / 682.0}%.3f,"mbps_c32":$mbpsC%.1f,"ratio_c32":${mbpsC / 682.0}%.3f}"""
+          else
+            f""","convert":{"inputs":${inputs.size},"pass_mb":$bestPassMb,"secs":$bestSecs%.3f,"mbps":$bestMbps%.1f,"ratio":${bestMbps / 682.0}%.3f,"mbps_c32":$mbpsC%.1f,"ratio_c32":${mbpsC / 682.0}%.3f,"c32_width_cores":$bestMbPerCpuSecWidth%.1f$evidence$bigJson,"calm_wait_s":$calmWait%.1f,"walk_secs":$walkSecs%.2f}"""
         }
         render _
       } catch { case e: Throwable => (_: Int) => s""","convert":{"error":"${e.getClass.getSimpleName}"}""" }
@@ -319,8 +326,22 @@ object Bench {
     // 1:1 map onto the registry (SparkEntry.queries) and CORRECTNESS
     // rows. Earlier rounds' lines used `"qNN"` keys — readers of
     // historical BENCH_r{N}.json should accept both spellings.
+    // a sub-0.05 s query must never print as 0.0 — the r21 comparator
+    // read a rounded 0.0 as dropped_from_bench. One decimal stays the
+    // norm (the line must fit the driver's 2000-char tail: uniform 3
+    // decimals measured 2165 chars and uniform 2 still 1999, both past
+    // the 1850 budget even with every evidence array dropped), and
+    // only values that WOULD round to 0.0 take the extra decimals —
+    // a few chars total, and the value stays plain seconds.
+    def fmtSecs(v: Double): String = {
+      val one = f"$v%.1f"
+      if (one != "0.0") one
+      else if (f"$v%.2f" != "0.00") f"$v%.2f"
+      else if (f"$v%.3f" != "0.000") f"$v%.3f"
+      else "0.001" // floor: a query is >= one Spark job, never truly 0
+    }
     val qs = results.map { case (k, v) =>
-      f""""${k.split("_")(0).drop(1)}":$v%.1f""" }
+      s""""${k.split("_")(0).drop(1)}":${fmtSecs(v)}""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // hard length budget: the driver parses a 2000-char tail of the
@@ -339,7 +360,10 @@ object Bench {
     // (BENCH_full_local.json always carries the full evidence)
     val line = Seq(8, 4, 2, 0).map(lineWith(_))
       .find(_.length <= 1850)
-      .getOrElse(lineWith(0, sweep = false))
+      .getOrElse {
+        val noSweep = lineWith(0, sweep = false)
+        if (noSweep.length <= 1850) noSweep else lineWith(-1, sweep = false)
+      }
     // persist the UNTRUNCATED evidence (every pass's wall/cores/steal)
     // alongside the tail-budgeted line — the tail keeps only a few
     // array entries, and contested-host rounds are judged on exactly
