@@ -264,6 +264,12 @@ private[queries] trait InventoryCrawl extends InventoryMedia {
     // fan out before the per-row HTML synth + link extraction + URL
     // resolve/normalize chain — the CPU of every link-graph consumer
     // (identity at scale — Layouts.fanOutByKey)
+    // r22 re-measurement of the r21-verdict q107 question: at sf0.1 the
+    // fan-out is a wash (on 0.43/0.40 s vs off 0.46/0.37 warm; the r21
+    // 0.5->0.6 reading was bench-resolution noise), and on a 50x
+    // single-file replica (~29 MB, LinkFanProbe) it wins 9.0 s -> 1.5 s
+    // — the exchange moves KB-scale (id, text) rows while the per-row
+    // HTML synth + URL chain is the cost at any real size. Kept.
     graft.ops.Layouts.fanOutByKey(t(s, d, "documents"), "doc_id")
       .select(col("doc_id"), base.as("base"), html.as("html"))
       .select(col("base"),
