@@ -1175,27 +1175,40 @@ object Dedup {
     require(k >= 4, "k must be >= 4 (shorter runs are ubiquitous)")
     require(maxDf >= 2, "maxDf must be >= 2 (pairs need two documents)")
     require(window >= 1, "window must be >= 1 (1 = every gram, no sampling)")
-    // the gram stream is consumed three times (the df aggregate + both
-    // sides of the self-join, whose differing column aliases defeat
-    // exchange reuse): the eager localCheckpoint runs the winnowing
-    // fingerprint pass — k-gram MD5 per character position, by far
-    // this operator's CPU — exactly once, and the checkpointed rows
-    // are the same (id, gram-hash) pairs the exchanges carry anyway
-    // fan out first — the winnowing fingerprint (k-gram MD5 per
-    // character position) is the CPU here — then checkpoint the stream
-    val grams = Layouts.fanOutByKey(
-        df.select(col(idCol), col(textCol)), idCol)
-      .select(col(idCol),
-        explode(array_distinct(GraftFunctions.fingerprint(col(textCol), k, window)))
-          .as("__gh"))
-      .localCheckpoint(true)
+    // ONE exchange for the whole operator (r22; the r21 shape scanned
+    // its checkpoint four times and shuffled the gram stream three —
+    // the df aggregate plus both differently-aliased self-join sides,
+    // which defeat exchange reuse): the winnowing fingerprint pass
+    // (k-gram MD5 per character position, by far this operator's CPU)
+    // runs cluster-wide above the fan-out, the 16-byte (id, gram-hash)
+    // pairs are hash-repartitioned by gram ONCE, and the eager
+    // localCheckpoint preserves that partitioning — so the
+    // document-frequency aggregate, the eligibility semi-join and the
+    // per-gram bucket aggregate below all ride it with zero further
+    // exchanges.
+    val grams = org.apache.spark.sql.graft.CheckpointShims.localCheckpointPartitioned(
+      Layouts.fanOutByKey(
+          df.select(col(idCol), col(textCol)), idCol)
+        .select(col(idCol),
+          explode(array_distinct(GraftFunctions.fingerprint(col(textCol), k, window)))
+            .as("__gh"))
+        .repartition(col("__gh")))
+    // df filter FIRST (a count aggregate — constant memory per gram),
+    // THEN the id-list aggregate, so a boilerplate gram shared by
+    // millions of documents is dropped before any per-gram list
+    // materializes; the surviving lists are bounded by maxDf
     val ok = grams.groupBy("__gh").agg(count(lit(1)).as("__df"))
       .where(col("__df").between(2, maxDf))
       .select("__gh")
-    val g = grams.join(ok, Seq("__gh"))
-    g.as("a").join(g.as("b"),
-        col("a.__gh") === col("b.__gh") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col("a.__gh").as("__gh"))
+    // pairs come from exploding each gram's bounded id list twice —
+    // the same (id_a < id_b) pair multiset the aliased self-join
+    // produced, without its second scan, second shuffle, or build-side
+    // broadcast of the full stream
+    grams.join(ok, Seq("__gh"))
+      .groupBy(col("__gh")).agg(collect_list(col(idCol)).as("__ids"))
+      .select(col("__gh"), col("__ids"), explode(col("__ids")).as("id_a"))
+      .select(col("__gh"), col("id_a"), explode(col("__ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__gh"))
   }
 }
